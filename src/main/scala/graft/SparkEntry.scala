@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 gets an entry in `queries`,
+  * and (where ANSI-SQL-expressible) a DuckDB oracle in `oracleSql`.
+  * Column names are aliased identically on both sides; every compared
+  * query ends in ORDER BY on a unique key; floating aggregates are
+  * rounded (FIXTURES.md determinism rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * "Current CRM snapshot" (SURVEY.md §7.2): events as the CDC feed →
+    * filter to create/update (F2) → SCD2 latest-version window (W1) →
+    * per-user current state + aggregate. Exercises S1-as-batch, F2, W1,
+    * A5, O1 in one plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase", "view"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles
 }
