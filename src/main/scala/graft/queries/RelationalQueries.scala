@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The operator-inventory query registry (SURVEY.md §2).
@@ -8,15 +9,24 @@ import org.apache.spark.sql.functions._
   * Each entry is a named DataFrame query over the driver testdata plus —
   * where expressible — an equivalent DuckDB oracle SQL string. Names,
   * aliases, ordering and rounding are deliberately identical on both
-  * sides so the driver's column-sorted hash compare matches.
+  * sides so the driver's column-sorted hash compare matches
+  * (FIXTURES.md determinism rules: ORDER BY unique keys, rounded
+  * floats, UTC, sorted arrays before joins).
+  *
+  * Scale notes are inline per query; the common posture: dims
+  * (region/nation/customer/supplier/part) are broadcast into fact scans,
+  * aggregations rely on partial+final hash agg (map-side combine), and
+  * filters/projections sit directly on the parquet scan so pushdown +
+  * pruning reach the reader.
   */
 object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // ---------------------------------------------------------------- aggs
+
   /** A1/A4 + TPC-H Q1 shape: filtered scan → partial+final hash agg.
-    * Scale: map-side combine makes this shuffle only (flag,status)
-    * partials — 6 groups regardless of input size.
+    * Six output groups regardless of input size — shuffle is tiny.
     */
   val q1Agg: Q = (s, dir) =>
     Tables.lineitem(s, dir)
@@ -42,11 +52,677 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** S3/F1: filtered + projected scan. Both predicate and projection
+    * push to the parquet reader (PushedFilters / ReadSchema).
+    */
+  val q2FilteredScan: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("quantity"),
+        round(col("l_extendedprice"), 2).as("extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q2FilteredScanSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_quantity, 2) AS quantity,
+      |  round(l_extendedprice, 2) AS extendedprice
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** F2/F3: event-type routing predicate (the reference's
+    * `type in ['item.update','item.create']`, PodioApiGateway.py:120).
+    */
+  val q3EventFilter: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase") && col("value") > 90)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+
+  val q3EventFilterSql: String =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase') AND value > 90
+      |ORDER BY event_id""".stripMargin
+
+  /** P3/X8/X9: composite-key build + split (the reference's
+    * `f'{space_id}.{app_id}'`, PodioApiWrapper.py:201,260).
+    */
+  val q4CompositeKey: Q = (s, dir) =>
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"),
+        concat_ws(".", col("n_regionkey"), col("n_nationkey"))
+          .as("space_app_id"),
+        col("n_name"))
+      .withColumn("region_part",
+        element_at(split(col("space_app_id"), "\\."), 1).cast("int"))
+      .orderBy(col("n_nationkey"))
+
+  val q4CompositeKeySql: String =
+    """SELECT n_nationkey,
+      |  n_regionkey || '.' || n_nationkey AS space_app_id,
+      |  n_name,
+      |  CAST(string_split(n_regionkey || '.' || n_nationkey, '.')[1] AS INT) AS region_part
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** P4: projection with default (coalesce), the reference's
+    * `return_type or type` (PodioApiWrapper.py:226-234).
+    */
+  val q5ProjDefault: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+        .as("status_label"))
+      .groupBy(col("status_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_label"))
+
+  val q5ProjDefaultSql: String =
+    """SELECT coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY status_label""".stripMargin
+
+  // --------------------------------------------------------------- joins
+
+  /** J1: stream→store lookup/enrichment join (the reference's per-event
+    * item fetch, PodioApiGateway.py:124). customer is a dim →
+    * broadcast: no shuffle of the fact side.
+    */
+  val q6LookupJoin: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_name"), col("c_mktsegment"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  val q6LookupJoinSql: String =
+    """SELECT event_id, c_name, c_mktsegment, event_type
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
+  /** J2: catalog correlation — the org→space→app 3-level nested loop
+    * (PodioApiWrapper.py:248-267) as chained broadcast equi-joins.
+    */
+  val q7CatalogJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q7CatalogJoinSql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  round(avg(c_acctbal), 2) AS avg_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** J3: fact⋈dim revenue rollup — part broadcast into the lineitem
+    * scan; agg is partial+final.
+    */
+  val q8RevenueBrand: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  val q8RevenueBrandSql: String =
+    """SELECT p_brand,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** J4: anti-join — queue coalescing shape (PodioApiGateway.py:144-145):
+    * customers with no high-value order.
+    */
+  val q9AntiJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val q9AntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-join: customers having at least one high-value order. */
+  val q10SemiJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val q10SemiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Cross join (tiny dims only — a cartesian product is only sane when
+    * one side fits in a broadcast).
+    */
+  val q11CrossJoin: Q = (s, dir) =>
+    Tables.region(s, dir).crossJoin(broadcast(Tables.nation(s, dir)))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("r_name"))
+
+  val q11CrossJoinSql: String =
+    """SELECT r_name, count(*) AS n_pairs
+      |FROM region CROSS JOIN nation
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Theta (non-equi band) join: broadcast-nested-loop with the small
+    * side broadcast. At scale this becomes a bucketed range join
+    * (bucket by price band, equi-join bucket + residual range filter).
+    */
+  val q12ThetaJoin: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        abs((col("p_retailprice") - lit(900.0)) - (col("s_acctbal") % 100)) < 5)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_parts_in_band"))
+      .orderBy(col("s_suppkey"))
+
+  val q12ThetaJoinSql: String =
+    """SELECT s_suppkey, count(*) AS n_parts_in_band
+      |FROM part JOIN supplier
+      |  ON abs((p_retailprice - 900.0) - (s_acctbal % 100)) < 5
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
+  /** Left outer join with empty-group preservation. */
+  val q13OuterJoin: Q = (s, dir) =>
+    Tables.nation(s, dir)
+      .join(Tables.customer(s, dir),
+        col("n_nationkey") === col("c_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_name"))
+
+  val q13OuterJoinSql: String =
+    """SELECT n_name, count(c_custkey) AS n_customers
+      |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------- aggregation variants
+
+  /** count(DISTINCT) — expands to two-phase agg in Spark. */
+  val q14DistinctAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  val q14DistinctAggSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets (A3's nested grouping generalized). */
+  val q15Rollup: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"), col("n"))
+      .orderBy(col("region"), col("nation"))
+
+  val q15RollupSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation, count(*) AS n
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE grouping sets. */
+  val q16Cube: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q16CubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** A5: min_by/max_by — oldest/newest event per user (the queue-head
+    * scan, PodioApiGateway.py:190, grouped per key).
+    */
+  val q17MinBy: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_id"), col("ts")).as("first_event_id"),
+        max_by(col("event_id"), col("ts")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  val q17MinBySql: String =
+    """SELECT user_id, min_by(event_id, ts) AS first_event_id,
+      |  max_by(event_id, ts) AS last_event_id, count(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** A6: sorted collect — deterministic string_agg (X2 + determinism
+    * rule: sort before joining).
+    */
+  val q18StringAgg: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",", array_sort(collect_set(col("c_mktsegment"))))
+        .as("segments"))
+      .orderBy(col("c_nationkey"))
+
+  val q18StringAggSql: String =
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Statistical aggregates. */
+  val q19StatsAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q19StatsAggSql: String =
+    """SELECT l_returnflag, round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price,
+      |  round(stddev_samp(l_extendedprice), 2) AS sd_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL approximate distinct — no exact oracle (approx result); the
+    * driver records a rows-only check. At 100 TB this replaces exact
+    * countDistinct wherever a ±2% answer is acceptable: one pass, no
+    * distinct expansion.
+    */
+  val q19bApproxDistinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // ------------------------------------------------------------- windows
+
+  /** W1: the SCD2 current-flag window (PodioApiGateway.py:128-137). */
+  val q20Scd2Current: Q = (s, dir) =>
+    graft.scd.Versioning.withCurrentFlag(
+      Tables.events(s, dir), "user_id", "ts", "event_id")
+      .select(col("event_id"), col("user_id"), col("current"))
+      .orderBy(col("event_id"))
+
+  val q20Scd2CurrentSql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END AS current
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Aggregate-over-frame: per-user running sum ordered by event time. */
+  val q21RunningSum: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q21RunningSumSql: String =
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Analytic lag/lead + elapsed-seconds math (X13). */
+  val q22LagLead: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))).as("secs_since_prev"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q22LagLeadSql: String =
+    """SELECT user_id, event_id,
+      |  lag(event_id, 1) OVER w AS prev_event_id,
+      |  lead(event_id, 1) OVER w AS next_event_id,
+      |  CAST(floor(epoch(ts)) AS BIGINT)
+      |    - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS secs_since_prev
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Ranking functions with ties. */
+  val q23Rank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        rank().over(w).as("bal_rank"),
+        dense_rank().over(w).as("bal_dense_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q23RankSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  rank() OVER w AS bal_rank,
+      |  dense_rank() OVER w AS bal_dense_rank
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Top-k per group via row_number filter (the standard Spark top-k
+    * idiom — no global sort, partition-local heaps after one shuffle).
+    */
+  val q24TopkPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q24TopkPerGroupSql: String =
+    """SELECT o_custkey, rk, o_orderkey, totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  // ------------------------------------------------ sort / limit / sets
+
+  /** O3: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    * heaps, no full sort).
+    */
+  val q25TopkGlobal: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+
+  val q25TopkGlobalSql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** U1: set operators — intersect/except/union in one plan. */
+  val q26SetOps: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    building.intersect(o).union(auto.except(o)).orderBy(col("c_custkey"))
+  }
+
+  val q26SetOpsSql: String =
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      | INTERSECT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      | EXCEPT SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** dropDuplicates ≡ SELECT DISTINCT. */
+  val q27Distinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .dropDuplicates()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q27DistinctSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------- scalar functions
+
+  /** X1: HTML strip with the reference's exact regex
+    * (PodioApiWrapper.py:65), round-tripped through synthetic tags.
+    */
+  val q28HtmlStrip: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        graft.etl.CleanFields.stripHtml(
+          concat(lit("<b>"), col("p_name"), lit("</b>"))).as("stripped"))
+      .orderBy(col("p_partkey"))
+
+  val q28HtmlStripSql: String =
+    """SELECT p_partkey,
+      |  regexp_replace('<b>' || p_name || '</b>', '<.*?>', '', 'g') AS stripped
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** X2: split → sort → comma-join (deterministic multi-value join). */
+  val q29WordSort: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        concat_ws(",", array_sort(split(col("p_name"), " ")))
+          .as("sorted_words"))
+      .orderBy(col("p_partkey"))
+
+  val q29WordSortSql: String =
+    """SELECT p_partkey,
+      |  array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** X4: date extraction/formatting/arithmetic. */
+  val q30DateFuncs: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("2024-01-01"))).as("days_since_2024"))
+      .orderBy(col("o_orderkey"))
+
+  val q30DateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS order_year,
+      |  CAST(month(o_orderdate) AS INT) AS order_month,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+      |  date_diff('day', DATE '2024-01-01', o_orderdate::DATE) AS days_since_2024
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** X5: try_cast cascade with fallback (the `calculation` float-else-
+    * string branch, PodioApiWrapper.py:82-88).
+    */
+  val q31TryCast: Q = (s, dir) =>
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"),
+        regexp_extract(col("s_name"), "([0-9]+)", 1).as("digits"),
+        coalesce(
+          regexp_extract(col("s_name"), "([0-9]+)", 1).try_cast("int"),
+          lit(-1)).as("parsed_or_default"))
+      .orderBy(col("s_suppkey"))
+
+  val q31TryCastSql: String =
+    """SELECT s_suppkey,
+      |  regexp_extract(s_name, '([0-9]+)', 1) AS digits,
+      |  coalesce(try_cast(regexp_extract(s_name, '([0-9]+)', 1) AS INT), -1)
+      |    AS parsed_or_default
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** X7: microsecond timestamp formatting (the reference's
+    * '%Y-%m-%d %H:%M:%S.%f', PodioApiGateway.py:83).
+    */
+  val q32TsFormat: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+      .orderBy(col("event_id"))
+
+  val q32TsFormatSql: String =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** X12: JSON extraction from the events props payload. */
+  val q33Json: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q33JsonSql: String =
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The flagship snapshot (SparkEntry.entry) with its oracle: per-user
+    * latest event state via the SCD2 window.
+    */
+  val q34Snapshot: Q = (s, dir) =>
+    graft.scd.Versioning.latestSnapshot(
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase", "view")),
+      "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+
+  val q34SnapshotSql: String =
+    """SELECT user_id, event_type AS last_event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+      |  round(value, 2) AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type IN ('click', 'purchase', 'view'))
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** P1's when-chain dispatch shape: CASE routing on event_type. */
+  val q35CaseDispatch: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_type") === "purchase", lit("revenue"))
+          .when(col("event_type").isin("click", "view"), lit("engagement"))
+          .when(col("event_type") === "signup", lit("growth"))
+          .otherwise(lit("ops")).as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("category"))
+
+  val q35CaseDispatchSql: String =
+    """SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
+      |  WHEN event_type IN ('click', 'view') THEN 'engagement'
+      |  WHEN event_type = 'signup' THEN 'growth'
+      |  ELSE 'ops' END AS category, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY category""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
   def all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "q2_filtered_scan" -> q2FilteredScan,
+    "q3_event_filter" -> q3EventFilter,
+    "q4_composite_key" -> q4CompositeKey,
+    "q5_proj_default" -> q5ProjDefault,
+    "q6_lookup_join" -> q6LookupJoin,
+    "q7_catalog_join" -> q7CatalogJoin,
+    "q8_revenue_brand" -> q8RevenueBrand,
+    "q9_anti_join" -> q9AntiJoin,
+    "q10_semi_join" -> q10SemiJoin,
+    "q11_cross_join" -> q11CrossJoin,
+    "q12_theta_join" -> q12ThetaJoin,
+    "q13_outer_join" -> q13OuterJoin,
+    "q14_distinct_agg" -> q14DistinctAgg,
+    "q15_rollup" -> q15Rollup,
+    "q16_cube" -> q16Cube,
+    "q17_min_by" -> q17MinBy,
+    "q18_string_agg" -> q18StringAgg,
+    "q19_stats_agg" -> q19StatsAgg,
+    "q19b_approx_distinct" -> q19bApproxDistinct,
+    "q20_scd2_current" -> q20Scd2Current,
+    "q21_running_sum" -> q21RunningSum,
+    "q22_lag_lead" -> q22LagLead,
+    "q23_rank" -> q23Rank,
+    "q24_topk_per_group" -> q24TopkPerGroup,
+    "q25_topk_global" -> q25TopkGlobal,
+    "q26_set_ops" -> q26SetOps,
+    "q27_distinct" -> q27Distinct,
+    "q28_html_strip" -> q28HtmlStrip,
+    "q29_word_sort" -> q29WordSort,
+    "q30_date_funcs" -> q30DateFuncs,
+    "q31_try_cast" -> q31TryCast,
+    "q32_ts_format" -> q32TsFormat,
+    "q33_json" -> q33Json,
+    "q34_snapshot" -> q34Snapshot,
+    "q35_case_dispatch" -> q35CaseDispatch,
   )
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q2_filtered_scan" -> q2FilteredScanSql,
+    "q3_event_filter" -> q3EventFilterSql,
+    "q4_composite_key" -> q4CompositeKeySql,
+    "q5_proj_default" -> q5ProjDefaultSql,
+    "q6_lookup_join" -> q6LookupJoinSql,
+    "q7_catalog_join" -> q7CatalogJoinSql,
+    "q8_revenue_brand" -> q8RevenueBrandSql,
+    "q9_anti_join" -> q9AntiJoinSql,
+    "q10_semi_join" -> q10SemiJoinSql,
+    "q11_cross_join" -> q11CrossJoinSql,
+    "q12_theta_join" -> q12ThetaJoinSql,
+    "q13_outer_join" -> q13OuterJoinSql,
+    "q14_distinct_agg" -> q14DistinctAggSql,
+    "q15_rollup" -> q15RollupSql,
+    "q16_cube" -> q16CubeSql,
+    "q17_min_by" -> q17MinBySql,
+    "q18_string_agg" -> q18StringAggSql,
+    "q19_stats_agg" -> q19StatsAggSql,
+    "q20_scd2_current" -> q20Scd2CurrentSql,
+    "q21_running_sum" -> q21RunningSumSql,
+    "q22_lag_lead" -> q22LagLeadSql,
+    "q23_rank" -> q23RankSql,
+    "q24_topk_per_group" -> q24TopkPerGroupSql,
+    "q25_topk_global" -> q25TopkGlobalSql,
+    "q26_set_ops" -> q26SetOpsSql,
+    "q27_distinct" -> q27DistinctSql,
+    "q28_html_strip" -> q28HtmlStripSql,
+    "q29_word_sort" -> q29WordSortSql,
+    "q30_date_funcs" -> q30DateFuncsSql,
+    "q31_try_cast" -> q31TryCastSql,
+    "q32_ts_format" -> q32TsFormatSql,
+    "q33_json" -> q33JsonSql,
+    "q34_snapshot" -> q34SnapshotSql,
+    "q35_case_dispatch" -> q35CaseDispatchSql,
   )
 }
