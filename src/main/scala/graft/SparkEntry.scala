@@ -33,12 +33,14 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * north-star dedup/similarity/text/multimodal operators.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all
+    RelationalQueries.all ++ MlQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ MlQueries.oracles
 }

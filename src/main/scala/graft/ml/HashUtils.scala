@@ -1,0 +1,41 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing for the dedup/similarity operators.
+  *
+  * The driver's correctness oracle runs in DuckDB, whose `hash()` does
+  * not match Spark's `xxhash64`, so every hash that participates in an
+  * oracle-checked result is derived from md5 — identical in both
+  * engines — truncated to 15 hex chars (60 bits, fits a signed long).
+  * DuckDB equivalent: `('0x' || substr(md5(s), 1, 15))::BIGINT`.
+  *
+  * At 100 TB you would swap this for xxhash64 (codegen'd, no string
+  * round-trip) — the operators only require "some deterministic 64-bit
+  * hash", which is why it lives behind this single helper.
+  */
+object HashUtils {
+
+  /** 60-bit non-negative hash of a string column, identical in DuckDB. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash function per integer seed (used
+    * for the k minhash permutations). `seed` may be a lambda variable.
+    */
+  def hash60Seeded(c: Column, seed: Column): Column =
+    hash60(concat(c, lit("#"), seed.cast("string")))
+
+  /** Distinct, order-stable word n-gram shingles of a text column.
+    * `array_distinct` keeps first occurrence; the downstream set
+    * operations (intersection sizes, min-hash) are order-insensitive.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " "))))
+  }
+}

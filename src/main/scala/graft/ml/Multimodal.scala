@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata.
+  *
+  * The Spark-side plumbing — schema, typed Encoders, partition-batched
+  * processing, frame-offset explosion — is real and tested. The actual
+  * media decode is STUBBED with a deterministic fake (this container
+  * has no image/audio libraries): `decodeStub` derives pseudo-features
+  * from the bytes (length + md5 prefix). Swapping in a real decoder
+  * means replacing only the body of [[MediaFeatures.of]]; every plan
+  * shape stays identical.
+  *
+  * Scale: payloads stay in columnar parquet; `mapPartitions` processes
+  * one partition's batch per task with no shuffle; feature extraction
+  * is map-only. Frame sampling explodes to (media, offset) rows which
+  * downstream group back by media_id — the standard video-pipeline
+  * layout.
+  */
+object Multimodal {
+
+  /** One media row: the opaque payload plus typed metadata. */
+  case class MediaRow(media_id: Long, media_type: String,
+      payload: Array[Byte], source: String, length_hint: Long)
+
+  /** Stubbed decoded features — deterministic fake (see object docs). */
+  case class MediaFeatures(media_id: Long, media_type: String,
+      n_bytes: Long, sig: String, fake_width: Int, fake_height: Int)
+
+  object MediaFeatures {
+    /** STUB: a real implementation would decode the media here. The
+      * fake is pure and deterministic so it is testable and
+      * oracle-checkable (sig = first 8 hex chars of md5(payload)).
+      */
+    def of(r: MediaRow): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+      MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+        hex.substring(0, 8),
+        fake_width = (r.payload.length % 640).toInt,
+        fake_height = (r.payload.length % 480).toInt)
+    }
+  }
+
+  /** Build a media table from `documents` (text bytes stand in for the
+    * opaque payload; media_type assigned round-robin for plumbing
+    * tests).
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("payload"),
+      col("source"), col("n_chars").as("length_hint"))
+
+  /** Decode / feature-extract over partition batches — the
+    * `mapPartitions` seam where a real decoder (and its per-partition
+    * init cost: model load, codec context) would live.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init would go here (codec/model handles)
+      rows.map(MediaFeatures.of)
+    }
+  }
+
+  /** Frame sampling for "video" rows: one row per sampled frame offset
+    * (every `step` units of the length hint) — pure explode, no UDF.
+    */
+  def sampleFrames(media: DataFrame, step: Int): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("length_hint") - 1,
+          lit(step.toLong))).as("frame_offset"))
+}

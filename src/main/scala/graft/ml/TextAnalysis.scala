@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Column math over the `documents` table — per-row, embarrassingly
+  * parallel, no shuffle at all (the ideal 100 TB shape: map-only over
+  * columnar scans).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language classifier. Deliberately small and hardcoded — the
+    * classifier is a deterministic heuristic, not a model.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Count of word occurrences belonging to a fixed set (duplicates
+    * counted — avoids engine-specific set semantics in the oracle).
+    */
+  private def hits(text: Column, set: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(set: _*)))
+
+  /** Heuristic language ID: distinct-stopword-hit count per language,
+    * argmax with deterministic tiebreak (alphabetically-first language
+    * code wins ties); 'und' (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val codes = stopwords.keys.toSeq.sorted
+    val scores = codes.map(c => hits(text, stopwords(c)))
+    val mx = greatest(scores: _*)
+    codes.zip(scores).foldLeft(when(mx === 0, lit("und"))) {
+      case (acc, (code, score)) => acc.when(score === mx, lit(code))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality metrics per document: char length, word count, average
+    * word length, punctuation ratio, English-stopword ratio, and a
+    * composite [0,1] score (the usual pre-training quality gates).
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val w = words(text)
+    val nChars = length(text)
+    val nWords = size(w)
+    val avgWordLen = round(
+      aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("double")
+        / nWords, 4)
+    val punct = round(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+        .cast("double") / nChars, 4)
+    val stopRatio = round(
+      size(filter(w, x => x.isin(stopwords("en"): _*)))
+        .cast("double") / nWords, 4)
+    docs.select(col("doc_id"), nChars.as("n_chars_calc"),
+      nWords.as("n_words"), avgWordLen.as("avg_word_len"),
+      punct.as("punct_ratio"), stopRatio.as("stopword_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex tokenization
+    * (letter runs / digit runs / single other non-space chars).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"))
+
+  /** Canonical fingerprint (OpenRefine-style): md5 of the
+    * sorted-distinct-word normalization — equal for any word-order or
+    * duplicate-word variation of the same content.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(lower(text)))))
+      .cast("binary"))
+
+  /** Rolling polynomial hash over words (Rabin-Karp-flavored): a cheap
+    * order-sensitive fingerprint, as a single fold. h = (h*31 +
+    * hash60(word)) mod 2^40 in word order. The 2^40 modulus keeps every
+    * intermediate below 2^63 so neither engine overflows signed 64-bit
+    * (DuckDB errors on BIGINT overflow; JVM longs would silently wrap).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => pmod(acc * 31 + HashUtils.hash60(w), lit(1L << 40)))
+}

@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** North-star query registry: dedup, similarity search, text analysis,
+  * multimodal plumbing over `documents` / `embeddings` (builder prompt +
+  * SURVEY.md §7.3 step 6).
+  *
+  * Hashing inside oracle-checked queries is md5-based so Spark and
+  * DuckDB agree (see graft.ml.HashUtils). Approximate/structural
+  * queries without a clean ANSI oracle (IVF ANN) are registered without
+  * oracle SQL → driver rows-only check; their semantics are covered by
+  * ScalaTest instead.
+  */
+object MlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB rendering of HashUtils.hash60. */
+  private def duckHash60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // ------------------------------------------------------------- dedup
+
+  val ns1DedupExact: Q = (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir))
+      .orderBy(col("content_hash"))
+
+  val ns1DedupExactSql: String =
+    s"""SELECT ${duckHash60("text")} AS content_hash,
+       |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  val ns2DedupJaccard: Q = (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+
+  val ns2DedupJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |), p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j,
+      |    len(list_intersect(a.shingles, b.shingles))::DOUBLE AS common,
+      |    len(a.shingles) AS ni, len(b.shingles) AS nj
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |)
+      |SELECT i, j, round(common / (ni + nj - common), 6) AS jaccard
+      |FROM p WHERE round(common / (ni + nj - common), 6) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  val ns3DedupMinhash: Q = (s, dir) =>
+    Dedup.minhashPairs(Tables.documents(s, dir),
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+
+  val ns3DedupMinhashSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |), sig AS (
+       |  SELECT doc_id, shingles,
+       |    [list_min([${duckHash60("s || '#' || k")} FOR s IN shingles])
+       |      FOR k IN range(0, 16)] AS sig
+       |  FROM sh WHERE len(shingles) > 0
+       |), banded AS (
+       |  SELECT doc_id, b AS band,
+       |    md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+       |  FROM sig, range(0, 4) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT c.i, c.j,
+       |    len(list_intersect(si.shingles, sj.shingles))::DOUBLE AS common,
+       |    len(si.shingles) AS ni, len(sj.shingles) AS nj
+       |  FROM cand c
+       |  JOIN sh si ON si.doc_id = c.i
+       |  JOIN sh sj ON sj.doc_id = c.j
+       |)
+       |SELECT i, j, round(common / (ni + nj - common), 6) AS jaccard
+       |FROM verified WHERE round(common / (ni + nj - common), 6) >= 0.5
+       |ORDER BY i, j""".stripMargin
+
+  val ns4Simhash: Q = (s, dir) =>
+    Dedup.simhash(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val ns4SimhashSql: String =
+    s"""SELECT doc_id,
+       |  list_sum([CASE WHEN len(list_filter(whashes, h -> (h >> j) & 1 = 1)) * 2
+       |      >= len(whashes) THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |    FOR j IN range(0, 60)])::BIGINT AS simhash
+       |FROM (SELECT doc_id,
+       |    [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val ns5SimhashPairs: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, bands = 12)
+      .orderBy(col("i"), col("j"))
+
+  val ns5SimhashPairsSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_sum([CASE WHEN len(list_filter(whashes, h -> (h >> j) & 1 = 1)) * 2
+       |        >= len(whashes) THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |      FOR j IN range(0, 60)])::BIGINT AS simhash
+       |  FROM (SELECT doc_id,
+       |      [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
+       |    FROM documents)
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY i, j""".stripMargin
+
+  // -------------------------------------------------------- similarity
+
+  val ns6EmbedNearDup: Q = (s, dir) =>
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      .orderBy(col("i"), col("j"))
+
+  val ns6EmbedNearDupSql: String =
+    """SELECT a.vec_id AS i, b.vec_id AS j,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |ORDER BY i, j""".stripMargin
+
+  val ns7SimTopk: Q = (s, dir) =>
+    Similarity.bruteTopK(Tables.embeddings(s, dir), k = 5)
+      .orderBy(col("i"), col("rk"))
+
+  val ns7SimTopkSql: String =
+    """SELECT i, rk, j, cos FROM (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+      |        b.vec_id) AS rk
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+      |WHERE rk <= 5 ORDER BY i, rk""".stripMargin
+
+  /** IVF ANN — approximate, no ANSI oracle (driver rows-only check);
+    * recall-vs-brute is asserted in SimilaritySpec.
+    */
+  val ns8SimIvf: Q = (s, dir) =>
+    Similarity.ivfTopK(Tables.embeddings(s, dir), nCells = 16, k = 5)
+      .orderBy(col("i"), col("rk"))
+
+  // ------------------------------------------------------ text analysis
+
+  val ns9LangId: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  val ns9LangIdSql: String = {
+    val codes = TextAnalysis.stopwords.keys.toSeq.sorted
+    def score(code: String): String = {
+      val set = TextAnalysis.stopwords(code)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), w -> list_contains($set, w)))"
+    }
+    val mx = codes.map(score).mkString("greatest(", ", ", ")")
+    val cases = codes.map(c =>
+      s"WHEN ${score(c)} = $mx THEN '$c'").mkString("\n  ")
+    s"""SELECT doc_id,
+       |  CASE WHEN $mx = 0 THEN 'und'
+       |  $cases
+       |  ELSE 'und' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val ns10Quality: Q = (s, dir) =>
+    TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val ns10QualitySql: String = {
+    val en = TextAnalysis.stopwords("en").map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""SELECT doc_id, length(text) AS n_chars_calc,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  round(list_sum([len(x) FOR x IN string_split(text, ' ')])::DOUBLE
+       |    / len(string_split(text, ' ')), 4) AS avg_word_len,
+       |  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |    / length(text), 4) AS punct_ratio,
+       |  round(len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
+       |    / len(string_split(text, ' ')), 4) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val ns11Tokens: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val ns11TokensSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val ns12Fingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy(col("doc_id"))
+
+  val ns12FingerprintSql: String = {
+    val h = duckHash60("b")
+    s"""SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    [$h FOR b IN string_split(text, ' ')]),
+       |    (a, b) -> (a * 31 + b) % 1099511627776) AS rolling_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  val ns13MultimodalDecode: Q = (s, dir) =>
+    Multimodal.decodeFeatures(
+      Multimodal.mediaTable(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("sig"), col("fake_width"), col("fake_height"))
+      .orderBy(col("media_id"))
+
+  val ns13MultimodalDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  substr(md5(text), 1, 8) AS sig,
+      |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+      |  CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val ns14FrameSample: Q = (s, dir) =>
+    Multimodal.sampleFrames(
+      Multimodal.mediaTable(Tables.documents(s, dir)), step = 100)
+      .orderBy(col("media_id"), col("frame_offset"))
+
+  val ns14FrameSampleSql: String =
+    """SELECT doc_id AS media_id, unnest(range(0, n_chars, 100)) AS frame_offset
+      |FROM documents WHERE doc_id % 3 = 2
+      |ORDER BY media_id, frame_offset""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def all: Map[String, Q] = Map(
+    "ns1_dedup_exact" -> ns1DedupExact,
+    "ns2_dedup_jaccard" -> ns2DedupJaccard,
+    "ns3_dedup_minhash" -> ns3DedupMinhash,
+    "ns4_simhash" -> ns4Simhash,
+    "ns5_simhash_pairs" -> ns5SimhashPairs,
+    "ns6_embed_neardup" -> ns6EmbedNearDup,
+    "ns7_sim_topk" -> ns7SimTopk,
+    "ns8_sim_ivf" -> ns8SimIvf,
+    "ns9_lang_id" -> ns9LangId,
+    "ns10_quality" -> ns10Quality,
+    "ns11_tokens" -> ns11Tokens,
+    "ns12_fingerprint" -> ns12Fingerprint,
+    "ns13_multimodal_decode" -> ns13MultimodalDecode,
+    "ns14_frame_sample" -> ns14FrameSample,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ns1_dedup_exact" -> ns1DedupExactSql,
+    "ns2_dedup_jaccard" -> ns2DedupJaccardSql,
+    "ns3_dedup_minhash" -> ns3DedupMinhashSql,
+    "ns4_simhash" -> ns4SimhashSql,
+    "ns5_simhash_pairs" -> ns5SimhashPairsSql,
+    "ns6_embed_neardup" -> ns6EmbedNearDupSql,
+    "ns7_sim_topk" -> ns7SimTopkSql,
+    "ns9_lang_id" -> ns9LangIdSql,
+    "ns10_quality" -> ns10QualitySql,
+    "ns11_tokens" -> ns11TokensSql,
+    "ns12_fingerprint" -> ns12FingerprintSql,
+    "ns13_multimodal_decode" -> ns13MultimodalDecodeSql,
+    "ns14_frame_sample" -> ns14FrameSampleSql,
+  )
+}
