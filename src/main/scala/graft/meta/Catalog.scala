@@ -1,0 +1,72 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The reference's metadata catalog (S4–S7: org → spaces → apps →
+  * fields crawl, PodioApiWrapper.py:169-268) as metadata DataFrames.
+  *
+  * The reference walks a remote REST hierarchy (~380 calls); here the
+  * "org" is the testdata directory, each parquet table is an "app", and
+  * its Spark schema supplies the field metadata (S6's
+  * {field_label, field_id, hidden, type, return_type} becomes
+  * {field_name, field_index, data_type, nullable}).
+  */
+object Catalog {
+
+  /** S5: one row per table ("app"): composite key + column count
+    * (the reference's `(f'{space_id}.{app_id}', app_name)` projection,
+    * PodioApiWrapper.py:199-205).
+    */
+  def apps(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.names.zipWithIndex.map { case (name, idx) =>
+      val schema = Tables.table(spark, dir, name).schema
+      (s"graft.$idx", name, schema.fields.length)
+    }
+    import spark.implicits._
+    rows.toDF("space_app_id", "app_name", "n_fields")
+  }
+
+  /** S6: one row per column ("field") with its metadata. */
+  def fields(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.names.flatMap { name =>
+      Tables.table(spark, dir, name).schema.fields.zipWithIndex.map {
+        case (f, i) => (name, i, f.name, f.dataType.simpleString, f.nullable)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("app_name", "field_index", "field_name", "data_type",
+      "nullable")
+  }
+
+  /** S7: the nested catalog crawl — apps ⋈ fields, aggregated to the
+    * reference's nested `{app: [fields...]}` shape
+    * (PodioApiWrapper.py:261-267).
+    */
+  def crawl(spark: SparkSession, dir: String): DataFrame =
+    apps(spark, dir).join(fields(spark, dir), Seq("app_name"))
+      .groupBy(col("space_app_id"), col("app_name"))
+      .agg(sort_array(collect_list(struct(
+        col("field_index"), col("field_name"), col("data_type"))))
+        .as("fields"))
+
+  /** Schema-drift diff between two catalog snapshots (the reference
+    * re-crawls twice daily to pick up renames/retypes,
+    * PodioApiWrapper.py:13; README.md:18). Returns one row per changed
+    * field with a change kind: added / removed / retyped.
+    */
+  def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("app_name"), col("field_name"),
+      col("data_type").as("type_before"))
+    val a = after.select(col("app_name"), col("field_name"),
+      col("data_type").as("type_after"))
+    val joined = b.join(a, Seq("app_name", "field_name"), "full_outer")
+    joined.withColumn("change",
+      when(col("type_before").isNull, lit("added"))
+        .when(col("type_after").isNull, lit("removed"))
+        .when(col("type_before") =!= col("type_after"), lit("retyped")))
+      .filter(col("change").isNotNull)
+  }
+}

@@ -647,6 +647,52 @@ object RelationalQueries {
       |  ELSE 'ops' END AS category, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY category""".stripMargin
 
+  /** T8: tumbling event-time window aggregation (batch form of the
+    * streaming windowed count — same expression runs under readStream
+    * with a watermark, see graft.streaming.CdcPipeline.windowedCounts).
+    */
+  val q36TumblingWindow: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val q36TumblingWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** T8: session windows (30-minute inactivity gap) per user — Spark's
+    * session_window merges events whose gap is < 30 min; the oracle
+    * reproduces that with a lag/cumsum session id.
+    */
+  val q37SessionWindow: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q37SessionWindowSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), y AS (
+      |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x
+      |)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events
+      |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -686,6 +732,8 @@ object RelationalQueries {
     "q33_json" -> q33Json,
     "q34_snapshot" -> q34Snapshot,
     "q35_case_dispatch" -> q35CaseDispatch,
+    "q36_tumbling_window" -> q36TumblingWindow,
+    "q37_session_window" -> q37SessionWindow,
   )
 
   def oracles: Map[String, String] = Map(
@@ -724,5 +772,7 @@ object RelationalQueries {
     "q33_json" -> q33JsonSql,
     "q34_snapshot" -> q34SnapshotSql,
     "q35_case_dispatch" -> q35CaseDispatchSql,
+    "q36_tumbling_window" -> q36TumblingWindowSql,
+    "q37_session_window" -> q37SessionWindowSql,
   )
 }

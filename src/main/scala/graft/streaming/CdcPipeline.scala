@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.scd.Versioning
+
+/** The reference's CDC path (E1: webhook → queue → clean → versioned
+  * load, PodioApiGateway.py:111-195) as one Structured Streaming
+  * pipeline.
+  *
+  * Semantics carried over (SURVEY.md §2.7):
+  *  - T1 ingest + F2 type routing (`item.create`/`item.update` live)
+  *  - T4 event coalescing: per-key last-event-wins inside each batch
+  *    (the reference deletes superseded queue entries,
+  *    PodioApiGateway.py:144-145)
+  *  - T2/T3 retry + dead-letter: `failed_attempts >= 10` → DLQ
+  *  - T5 order: per-batch event-time ordering via the SCD2 window
+  *  - T6 poll cadence: 10 s processing-time trigger
+  *  - T8 (extension): event-time watermark — the reference has no
+  *    late-data story; we add one
+  *  - W1 SCD2 merge in foreachBatch
+  *
+  * Exactly-once: checkpointed foreachBatch gives at-least-once batch
+  * replay with idempotent merge (the merge recomputes current flags
+  * from the full key history, so replaying a batch is a no-op) —
+  * strictly stronger than the reference's at-least-once with manual
+  * retry counters.
+  *
+  * Scale: the merge here rewrites the snapshot per batch, which is the
+  * local-parquet stand-in for a Delta/Iceberg MERGE. At 100 TB the
+  * history table is partitioned by event date and bucketed by item_id;
+  * the merge touches only the partitions containing the batch's keys.
+  */
+object CdcPipeline {
+
+  val liveTypes: Seq[String] = Seq("item.create", "item.update")
+
+  /** F2 routing + T3 split: (live events, dead-letter events). */
+  def route(events: DataFrame, retryLimit: Int = 10)
+      : (DataFrame, DataFrame) = {
+    val dlq = events.filter(col("failed_attempts") >= retryLimit)
+    val live = events.filter(col("failed_attempts") < retryLimit &&
+      col("event_type").isin(liveTypes: _*))
+    (live, dlq)
+  }
+
+  /** T4 coalescing: keep only the last event per key within the batch
+    * (last-event-time-wins, tiebreak on event_id — the retry-re-enqueue
+    * ordering defined in SURVEY.md §7.4).
+    */
+  def coalesceBatch(batch: DataFrame, key: String): DataFrame =
+    Versioning.latestSnapshot(batch, key, "ts", "event_id")
+
+  /** W1 merge: fold a coalesced batch into the existing snapshot,
+    * recomputing the SCD2 current flag over the union. Idempotent for
+    * replayed batches (event_id dedup first).
+    */
+  def mergeBatch(existing: DataFrame, batch: DataFrame, key: String)
+      : DataFrame = {
+    val history = existing.drop("current")
+    val unioned = history.unionByName(batch.select(history.columns.map(col): _*))
+      .dropDuplicates("event_id")
+    Versioning.withCurrentFlag(unioned, key, "ts", "event_id")
+  }
+
+  /** T8 extension: tumbling-window event counts with a watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Wire the full E1 pipeline over a streaming events frame. The
+    * per-batch body delegates to the pure functions above so tests can
+    * drive them without a streaming runtime.
+    *
+    * @param onBatch receives (coalesced live batch, dlq batch, batchId)
+    */
+  def start(streamingEvents: DataFrame, key: String,
+      checkpoint: String, onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : StreamingQuery =
+    streamingEvents
+      .withWatermark("ts", "10 minutes")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (live, dlq) = route(batch)
+        onBatch(coalesceBatch(live, key), dlq, batchId)
+      }
+      .start()
+}
