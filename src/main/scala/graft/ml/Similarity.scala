@@ -1,8 +1,10 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.VectorFunctions.dot
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`embedding: array<float>`).
@@ -10,39 +12,49 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (quadratic, exact). Scale path:
   * IVF — assign every vector to its nearest centroid, search only
   * within the probed cells; the pair space shrinks from N² to
-  * N²/cells·probes. Both are pure DataFrame plans; the dot products are
-  * `aggregate`/`zip_with` Column math inside whole-stage codegen, no
-  * UDFs.
+  * N²/cells·probes. All plans are declarative DataFrames; the per-pair
+  * dot product is the native codegen expression
+  * [[graft.functions.DotProduct]] (tight primitive loop, no per-pair
+  * allocation), and per-vector norms are computed ONCE before the pair
+  * join — at N·k pair evaluations that turns 3 array reductions per
+  * pair into 1.
+  *
+  * Determinism: cosine = dot/(na·nb) with strictly sequential float
+  * summation, the same association DuckDB's list_cosine_similarity
+  * uses, so `round(cos, 6)` hash-compares against the oracle.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns — computed exactly
-    * like DuckDB's list_cosine_similarity (dot / (|a|·|b|)) so oracle
-    * results agree bit-for-bit before rounding.
+  /** Cosine similarity of two array<double> columns (exact DuckDB
+    * list_cosine_similarity semantics). Prefer the precomputed-norm
+    * path below in pair joins.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x),
-      lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** (vec_id, e: array<double>, nrm: double) — cast once, norm once. */
+  private def withNorm(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(embeddings.sparkSession)
+    val e = col("embedding").cast("array<double>")
+    embeddings.select(col("vec_id"), e.as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
   }
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  private def pairCos: Column =
+    round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
 
   /** All pairs (i < j) with cosine ≥ threshold — the embedding
     * near-duplicate detector. Brute-force upper-triangle join; at scale
-    * the same predicate runs after an LSH/IVF candidate cut.
+    * the same predicate runs after an LSH/IVF candidate cut. The
+    * smaller side broadcasts (BroadcastNestedLoopJoin), so the big side
+    * streams through codegen without a shuffle.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("i"),
-      asDouble(col("embedding")).as("ea"))
-    val b = embeddings.select(col("vec_id").as("j"),
-      asDouble(col("embedding")).as("eb"))
+    val n = withNorm(embeddings)
+    val a = n.select(col("vec_id").as("i"), col("e").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("j"), col("e").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("i") < col("j"))
-      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos", pairCos)
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
   }
@@ -52,14 +64,14 @@ object Similarity {
     * deterministic and oracle-stable.
     */
   def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("i"),
-      asDouble(col("embedding")).as("ea"))
-    val b = embeddings.select(col("vec_id").as("j"),
-      asDouble(col("embedding")).as("eb"))
+    val n = withNorm(embeddings)
+    val a = n.select(col("vec_id").as("i"), col("e").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("j"), col("e").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("i"))
       .orderBy(col("cos").desc, col("j"))
     a.crossJoin(b).filter(col("i") =!= col("j"))
-      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("i"), col("rk"), col("j"), col("cos"))
@@ -76,24 +88,26 @@ object Similarity {
     * whose size is Σ|cell|² ≪ N².
     */
   def ivfTopK(embeddings: DataFrame, nCells: Int, k: Int): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("ce"))
+    val n = withNorm(embeddings)
+    val cents = n.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("e").as("ce"), col("nrm").as("cn"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell"))
-    val assigned = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val assigned = n
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosine(col("e"), col("ce")), 6))
+      .withColumn("ccos",
+        round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
       .withColumn("crk", row_number().over(assignW))
       .filter(col("crk") === 1)
-      .select(col("vec_id"), col("e"), col("cell"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     val a = assigned.select(col("vec_id").as("i"), col("e").as("ea"),
-      col("cell"))
+      col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("j"), col("e").as("eb"),
-      col("cell"))
+      col("nrm").as("nb"), col("cell"))
     val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
     a.join(b, Seq("cell")).filter(col("i") =!= col("j"))
-      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("cell"), col("j"), col("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("i"), col("cell"), col("rk"), col("j"), col("cos"))

@@ -38,36 +38,59 @@ object MlQueries {
     Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)
       .orderBy(col("i"), col("j"))
 
+  /** Mirrors Dedup.jaccardPairs exactly, INCLUDING the maxDf=1000
+    * shingle-universe cap, so Spark and oracle agree at every scale
+    * factor (the capped Jaccard is the defined semantics).
+    */
   val ns2DedupJaccardSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |), p AS (
-      |  SELECT a.doc_id AS i, b.doc_id AS j,
-      |    len(list_intersect(a.shingles, b.shingles))::DOUBLE AS common,
-      |    len(a.shingles) AS ni, len(b.shingles) AS nj
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |)
-      |SELECT i, j, round(common / (ni + nj - common), 6) AS jaccard
-      |FROM p WHERE round(common / (ni + nj - common), 6) >= 0.5
-      |ORDER BY i, j""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckHash60("s")} AS h
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |), keep AS (
+       |  SELECT h, count(*) AS df FROM sh GROUP BY h HAVING count(*) <= 1000
+       |), f AS (
+       |  SELECT sh.doc_id, sh.h, keep.df FROM sh JOIN keep USING (h)
+       |), ds AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id
+       |), p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*)::DOUBLE AS common
+       |  FROM (SELECT * FROM f WHERE df >= 2) a
+       |  JOIN (SELECT * FROM f WHERE df >= 2) b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i, j, round(common / (di.n_sh + dj.n_sh - common), 6) AS jaccard
+       |FROM p JOIN ds di ON di.doc_id = p.i JOIN ds dj ON dj.doc_id = p.j
+       |WHERE round(common / (di.n_sh + dj.n_sh - common), 6) >= 0.5
+       |ORDER BY i, j""".stripMargin
 
   val ns3DedupMinhash: Q = (s, dir) =>
     Dedup.minhashPairs(Tables.documents(s, dir),
       n = 3, k = 16, bands = 4, threshold = 0.5)
       .orderBy(col("i"), col("j"))
 
+  /** Mirrors Dedup.minhashSignatures: one md5 per shingle, then the
+    * affine rehash h_k = (a_k·h + k) mod 2^31-1 with
+    * a_k = ((k+1)·2654435761) mod 2^31-1 — exact int64 arithmetic in
+    * both engines.
+    */
   val ns3DedupMinhashSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-       |), sig AS (
-       |  SELECT doc_id, shingles,
-       |    [list_min([${duckHash60("s || '#' || k")} FOR s IN shingles])
-       |      FOR k IN range(0, 16)] AS sig
+       |), hsx AS (
+       |  SELECT doc_id,
+       |    list_distinct([${duckHash60("s")} FOR s IN shingles]) AS hs
        |  FROM sh WHERE len(shingles) > 0
+       |), sig AS (
+       |  SELECT doc_id, hs,
+       |    [list_min([((((seed + 1) * 2654435761) % 2147483647)
+       |        * (h % 2147483647) + seed) % 2147483647
+       |      FOR h IN hs]) FOR seed IN range(0, 16)] AS sig
+       |  FROM hsx
        |), banded AS (
        |  SELECT doc_id, b AS band,
        |    md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
@@ -78,11 +101,11 @@ object MlQueries {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |), verified AS (
        |  SELECT c.i, c.j,
-       |    len(list_intersect(si.shingles, sj.shingles))::DOUBLE AS common,
-       |    len(si.shingles) AS ni, len(sj.shingles) AS nj
+       |    len(list_intersect(si.hs, sj.hs))::DOUBLE AS common,
+       |    len(si.hs) AS ni, len(sj.hs) AS nj
        |  FROM cand c
-       |  JOIN sh si ON si.doc_id = c.i
-       |  JOIN sh sj ON sj.doc_id = c.j
+       |  JOIN hsx si ON si.doc_id = c.i
+       |  JOIN hsx sj ON sj.doc_id = c.j
        |)
        |SELECT i, j, round(common / (ni + nj - common), 6) AS jaccard
        |FROM verified WHERE round(common / (ni + nj - common), 6) >= 0.5
@@ -103,7 +126,7 @@ object MlQueries {
        |ORDER BY doc_id""".stripMargin
 
   val ns5SimhashPairs: Q = (s, dir) =>
-    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6, bands = 12)
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6)
       .orderBy(col("i"), col("j"))
 
   val ns5SimhashPairsSql: String =

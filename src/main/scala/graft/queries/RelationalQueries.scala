@@ -318,14 +318,23 @@ object RelationalQueries {
   val q17MinBy: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("user_id"))
-      .agg(min_by(col("event_id"), col("ts")).as("first_event_id"),
-        max_by(col("event_id"), col("ts")).as("last_event_id"),
+      .agg(
+        min_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("first_event_id"),
+        max_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("last_event_id"),
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  // event_id is part of the ordering struct so tied timestamps resolve
+  // deterministically in both engines (FIXTURES.md determinism rule).
+  // DuckDB min_by has no struct ordering overload; lexicographic
+  // struct min/max + field extraction is equivalent.
   val q17MinBySql: String =
-    """SELECT user_id, min_by(event_id, ts) AS first_event_id,
-      |  max_by(event_id, ts) AS last_event_id, count(*) AS n_events
+    """SELECT user_id,
+      |  (min({'ts': ts, 'e': event_id})).e AS first_event_id,
+      |  (max({'ts': ts, 'e': event_id})).e AS last_event_id,
+      |  count(*) AS n_events
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** A6: sorted collect — deterministic string_agg (X2 + determinism
@@ -602,7 +611,7 @@ object RelationalQueries {
 
   val q33JsonSql: String =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

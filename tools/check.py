@@ -3,8 +3,11 @@
 
 Runs graft.Verify output (parquet per query) against the DuckDB oracle
 SQL (oracle_sql.json), registering each testdata parquet as a view.
-Compares: column names (sorted), row counts, and values (rows sorted,
-columns sorted by name, floats to 1e-6 rel tolerance).
+Compares: column names (sorted), arrow value TYPES (the driver's hash
+compare is type-sensitive: DuckDB decimal128 vs Spark int64 is a FAIL
+even when values agree — cast oracle aggregates explicitly), row
+counts, and values (rows sorted, columns sorted by name, floats
+rounded to 6 decimals).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
@@ -67,6 +70,28 @@ def main(sf_dir, out_dir):
         wc, wr = rows_of(want)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            fail += 1
+            continue
+        # Driver-hash semantics: python canonicalization makes integer
+        # widths and float widths indistinguishable, but Decimal hashes
+        # differently from int/float — keep decimal (and other exotic
+        # types) distinct so q33-style HUGEINT mismatches fail locally.
+        def nt(t):
+            if t.startswith(("int", "uint")):
+                return "int"
+            if t in ("float", "double", "halffloat"):
+                return "float"
+            if t == "large_string":
+                return "string"
+            if t.startswith("timestamp"):
+                return "timestamp"
+            return t
+        gt = [str(got.schema.field(c).type) for c in gc]
+        wt = [str(want.schema.field(c).type) for c in wc]
+        norm = lambda ts: [nt(t) for t in ts]
+        if norm(gt) != norm(wt):
+            print(f"FAIL {name}: column types {list(zip(gc, gt))} != "
+                  f"{list(zip(wc, wt))}")
             fail += 1
             continue
         if len(gr) != len(wr):
