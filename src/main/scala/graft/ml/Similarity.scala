@@ -77,6 +77,52 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Random-hyperplane LSH ANN (SimHash-for-cosine): `nBands` bands of
+    * `bitsPerBand` sign bits each; vectors sharing any whole band
+    * bucket become candidates, candidates are re-scored with the exact
+    * cosine and top-k'd. Planes are fixed-seed pseudo-random (the
+    * java.util.Random LCG is specified, so buckets are deterministic
+    * across runs/JVMs) — a stand-in for trained projections.
+    *
+    * Scale shape: bucketing is map-only (nBands·bitsPerBand codegen dot
+    * products per vector against broadcast literal planes); the
+    * candidate join moves only (vec_id, band, bucket) — late
+    * materialization like the dedup operators — and the exact re-score
+    * touches Σ|bucket|² pairs ≪ N². Banding trades recall for cost the
+    * same way MinHash LSH does.
+    */
+  def lshTopK(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
+      k: Int, dim: Int): DataFrame = {
+    val rnd = new java.util.Random(42L)
+    val planes = Array.fill(nBands * bitsPerBand, dim)(rnd.nextDouble() * 2 - 1)
+    val n = withNorm(embeddings)
+    val bandCol = (b: Int) => (0 until bitsPerBand).map { p =>
+      when(dot(col("e"), lit(planes(b * bitsPerBand + p))) > 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val banded = n.select(col("vec_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandCol(b).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("vec_id").as("i"), col("band"), col("bucket"))
+      .join(banded.select(col("vec_id").as("j"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j")).distinct()
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    cand
+      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
   /** IVF-style ANN: the vectors whose vec_id < nCells serve as
     * deterministic "centroids" (a stand-in for k-means, which would be
     * fit offline); every vector is assigned to its nearest centroid by

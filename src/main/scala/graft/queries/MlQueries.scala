@@ -173,10 +173,18 @@ object MlQueries {
       |WHERE rk <= 5 ORDER BY i, rk""".stripMargin
 
   /** IVF ANN — approximate, no ANSI oracle (driver rows-only check);
-    * recall-vs-brute is asserted in SimilaritySpec.
+    * recall-vs-brute is asserted in MlSpec.
     */
   val ns8SimIvf: Q = (s, dir) =>
     Similarity.ivfTopK(Tables.embeddings(s, dir), nCells = 16, k = 5)
+      .orderBy(col("i"), col("rk"))
+
+  /** Random-hyperplane LSH ANN — approximate, no ANSI oracle (driver
+    * rows-only check); recall-vs-brute is asserted in MlSpec.
+    */
+  val ns15LshAnn: Q = (s, dir) =>
+    Similarity.lshTopK(Tables.embeddings(s, dir),
+      nBands = 4, bitsPerBand = 6, k = 5, dim = 64)
       .orderBy(col("i"), col("rk"))
 
   // ------------------------------------------------------ text analysis
@@ -293,6 +301,7 @@ object MlQueries {
     "ns12_fingerprint" -> ns12Fingerprint,
     "ns13_multimodal_decode" -> ns13MultimodalDecode,
     "ns14_frame_sample" -> ns14FrameSample,
+    "ns15_lsh_ann" -> ns15LshAnn,
   )
 
   def oracles: Map[String, String] = Map(

@@ -702,6 +702,190 @@ object RelationalQueries {
       |  count(*) AS n_events
       |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------------- round-2 surface widening
+
+  /** Pivot (columnar re-shape of A3's nested grouping): order counts by
+    * status × priority. Values are enumerated explicitly so the output
+    * schema is static — the scalable form (an inferred pivot runs an
+    * extra distinct job over the pivot column first).
+    */
+  val q38Pivot: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("`1-URGENT`"), lit(0L)).as("n_urgent"),
+        coalesce(col("`2-HIGH`"), lit(0L)).as("n_high"),
+        coalesce(col("`3-MEDIUM`"), lit(0L)).as("n_medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("n_notspec"),
+        coalesce(col("`5-LOW`"), lit(0L)).as("n_low"))
+      .orderBy(col("o_orderstatus"))
+
+  val q38PivotSql: String =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+      |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+      |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+      |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Exact interpolated percentiles (continuous quantiles). At 100 TB
+    * these become approx_percentile (t-digest/KLL single pass); the
+    * exact form here is the oracle-checkable baseline.
+    */
+  val q39Percentile: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("q1_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q39PercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** J3: cross-app foreign-key traversal — the reference's `app` fields
+    * store arrays of referenced item ids (PodioApiWrapper.py:68-69);
+    * here the ref array is assembled per order, exploded back, and
+    * resolved against the part "app" via a broadcast join.
+    */
+  val q40FkExplode: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("part_refs"))
+      .select(col("l_orderkey"), explode(col("part_refs")).as("p_ref"))
+      .join(broadcast(Tables.part(s, dir)), col("p_ref") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_ref_parts"),
+        round(sum(col("p_retailprice")), 2).as("refs_retail"))
+      .orderBy(col("l_orderkey"))
+
+  val q40FkExplodeSql: String =
+    """SELECT l_orderkey, count(*) AS n_ref_parts,
+      |  round(sum(p_retailprice), 2) AS refs_retail
+      |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS through the Spark SQL entry point —
+    * Catalyst decorrelates both into semi/anti joins (no per-row
+    * subquery execution, unlike the reference's per-event lookups).
+    */
+  val q41Exists: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q41ExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** As-of join (graft.operators.AsOfJoin): latest event at-or-before
+    * each order date per customer — one shuffle, union+window, no range
+    * explosion. Oracle = deterministic correlated struct-max.
+    */
+  val q42Asof: Q = (s, dir) =>
+    graft.operators.AsOfJoin.asofBackward(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      Tables.events(s, dir),
+      leftKey = "o_custkey", rightKey = "user_id",
+      leftTime = "o_orderdate", rightTime = "ts",
+      payload = Seq("event_id"), tiebreak = "event_id")
+      .select(col("o_orderkey"), col("asof_event_id").as("last_event_id"))
+      .orderBy(col("o_orderkey"))
+
+  val q42AsofSql: String =
+    """SELECT o_orderkey,
+      |  (SELECT (max({'ts': e.ts, 'e': e.event_id})).e FROM events e
+      |   WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+      |    AS last_event_id
+      |FROM orders o ORDER BY o_orderkey""".stripMargin
+
+  /** A2: group-into-map (the reference's `all_items[item_id] = ...`,
+    * PodioApiWrapper.py:127-139) — map built per user, then key lookups
+    * projected back out (missing key → null on both engines).
+    */
+  val q43MapAgg: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(col("user_id"),
+        element_at(col("m"), "click").as("n_click"),
+        element_at(col("m"), "purchase").as("n_purchase"),
+        element_at(col("m"), "view").as("n_view"))
+      .orderBy(col("user_id"))
+
+  val q43MapAggSql: String =
+    """SELECT user_id,
+      |  nullif(count(*) FILTER (WHERE event_type = 'click'), 0) AS n_click,
+      |  nullif(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS n_purchase,
+      |  nullif(count(*) FILTER (WHERE event_type = 'view'), 0) AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** O4: offset pagination (the reference's page loop,
+    * PodioApiWrapper.py:125-140) — ordered offset+limit.
+    */
+  val q44Offset: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100).limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+
+  val q44OffsetSql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10 OFFSET 100""".stripMargin
+
+  /** U1 multiset variants: EXCEPT ALL / INTERSECT ALL, re-aggregated to
+    * a deterministic per-key multiplicity table.
+    */
+  val q45SetopsAll: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_quantity") >= 48).select(col("l_suppkey"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    a.exceptAll(b).withColumn("op", lit("except_all"))
+      .union(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .groupBy(col("op"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("l_suppkey"))
+  }
+
+  val q45SetopsAllSql: String =
+    """SELECT 'except_all' AS op, l_suppkey, count(*) AS n FROM (
+      |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48
+      |  EXCEPT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R') GROUP BY 2
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, l_suppkey, count(*) AS n FROM (
+      |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 48
+      |  INTERSECT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R') GROUP BY 2
+      |ORDER BY op, l_suppkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -743,6 +927,14 @@ object RelationalQueries {
     "q35_case_dispatch" -> q35CaseDispatch,
     "q36_tumbling_window" -> q36TumblingWindow,
     "q37_session_window" -> q37SessionWindow,
+    "q38_pivot" -> q38Pivot,
+    "q39_percentile" -> q39Percentile,
+    "q40_fk_explode" -> q40FkExplode,
+    "q41_exists" -> q41Exists,
+    "q42_asof" -> q42Asof,
+    "q43_map_agg" -> q43MapAgg,
+    "q44_offset" -> q44Offset,
+    "q45_setops_all" -> q45SetopsAll,
   )
 
   def oracles: Map[String, String] = Map(
@@ -783,5 +975,13 @@ object RelationalQueries {
     "q35_case_dispatch" -> q35CaseDispatchSql,
     "q36_tumbling_window" -> q36TumblingWindowSql,
     "q37_session_window" -> q37SessionWindowSql,
+    "q38_pivot" -> q38PivotSql,
+    "q39_percentile" -> q39PercentileSql,
+    "q40_fk_explode" -> q40FkExplodeSql,
+    "q41_exists" -> q41ExistsSql,
+    "q42_asof" -> q42AsofSql,
+    "q43_map_agg" -> q43MapAggSql,
+    "q44_offset" -> q44OffsetSql,
+    "q45_setops_all" -> q45SetopsAllSql,
   )
 }

@@ -49,6 +49,25 @@ class MlSpec extends SparkSpec {
     assert(ivf.nonEmpty)
   }
 
+  test("LSH top-k achieves non-trivial recall@5 vs brute force and " +
+      "never returns a wrong similarity value") {
+    val brute = Similarity.bruteTopK(embs, 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRows = Similarity.lshTopK(embs, nBands = 4, bitsPerBand = 6,
+      k = 5, dim = 64).collect()
+    val lsh = lshRows.map(r =>
+      (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.05, s"recall=$recall")
+    // candidates are re-scored exactly: spot-check one pair's cosine
+    val exact = Similarity.bruteTopK(embs, embs.count().toInt - 1)
+      .select("i", "j", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lshRows.forall(r =>
+      exact((r.getAs[Long]("i"), r.getAs[Long]("j")))
+        == r.getAs[Double]("cos")))
+  }
+
   test("cosine matches a hand computation") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0), Array(0.6, 0.8))).toDF("a", "b")
