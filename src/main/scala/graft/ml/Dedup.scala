@@ -53,23 +53,34 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxDf: Long = 1000L): DataFrame = {
-    val sh = shingled(docs, n)
+    val ex = shingled(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
-    val keep = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Posting lists, not a self-join: the shingle/md5 stage feeds ONE
+    // groupBy exchange; the denominator pass and the pair generator
+    // both consume it (ReusedExchange), so the text is hashed once —
+    // a self-join formulation re-ran the hash pipeline per join side.
+    val postings = ex.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
+        count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val f = sh.join(keep, Seq("h"))
     // denominators over the SAME capped universe (df=1 shingles count
-    // here but cannot produce a pair, so the pair join skips them)
-    val ds = f.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = f.filter(col("df") >= 2).select(col("doc_id").as("i"), col("h"))
-    val b = f.filter(col("df") >= 2).select(col("doc_id").as("j"), col("h"))
-    val common = a.join(b, Seq("h")).filter(col("i") < col("j"))
+    // here but cannot produce a pair, so the pair generator skips them)
+    val docSize = postings.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // all i<j pairs within each posting list via posexplode + slice —
+    // streams O(df²) pairs per shingle without a join
+    val common = postings.filter(col("df") >= 2)
+      .select(posexplode(col("ds")), col("ds"))
+      .select(col("col").as("i"),
+        explode(slice(col("ds"), col("pos") + 2,
+          size(col("ds")) - col("pos") - 1)).as("j"))
+      .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).cast("double").as("common"))
     common
-      .join(ds.select(col("doc_id").as("i"), col("n_sh").as("ni")), Seq("i"))
-      .join(ds.select(col("doc_id").as("j"), col("n_sh").as("nj")), Seq("j"))
+      .join(docSize.select(col("doc_id").as("i"), col("n_sh").as("ni")), Seq("i"))
+      .join(docSize.select(col("doc_id").as("j"), col("n_sh").as("nj")), Seq("j"))
       .withColumn("jaccard",
         round(col("common") / (col("ni") + col("nj") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
