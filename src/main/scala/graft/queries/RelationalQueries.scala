@@ -886,6 +886,81 @@ object RelationalQueries {
       |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R') GROUP BY 2
       |ORDER BY op, l_suppkey""".stripMargin
 
+  /** P1 end-to-end: the clean_item dispatch (graft.etl.CleanFields)
+    * over Podio-shaped payloads synthesized from `part` — text with
+    * HTML, money, multi-value date, calculation fallback, and an
+    * unknown type that must be excluded from the cleaned map. The
+    * oracle states the *semantics* (what each field cleans to), not
+    * the plumbing, so it doubles as a behavioral spec.
+    */
+  val q46CleanFields: Q = (s, dir) => {
+    val raw = Tables.part(s, dir).select(col("p_partkey").as("item_id"),
+      array(
+        struct(lit(1L).as("field_id"), lit("name").as("label"),
+          lit("text").as("type"),
+          array(concat(lit("{\"value\": \"<b>"), col("p_name"),
+            lit("</b>\"}"))).as("values")),
+        struct(lit(2L).as("field_id"), lit("price").as("label"),
+          lit("money").as("type"),
+          array(concat(lit("{\"value\": \""), col("p_retailprice"),
+            lit("\"}"))).as("values")),
+        struct(lit(3L).as("field_id"), lit("when").as("label"),
+          lit("date").as("type"),
+          array(lit("{\"start\": \"2024-01-05\"}"),
+            lit("{\"start\": \"2024-02-06\"}")).as("values")),
+        struct(lit(4L).as("field_id"), lit("size").as("label"),
+          lit("calculation").as("type"),
+          array(concat(lit("{\"value\": \""), col("p_size"),
+            lit("\"}"))).as("values")),
+        struct(lit(5L).as("field_id"), lit("weird").as("label"),
+          lit("mystery").as("type"), array(lit("{}")).as("values"))
+      ).as("fields"))
+    graft.etl.CleanFields.cleanItems(raw)
+      .select(col("item_id"),
+        col("data")("1")("field_value").as("name_clean"),
+        col("data")("2")("field_value").as("price_clean"),
+        col("data")("3")("field_value").as("dates_clean"),
+        col("data")("4")("field_value").as("calc_clean"),
+        col("data")("5")("field_value").as("unknown_clean"),
+        size(map_keys(col("data"))).as("n_fields"))
+      .orderBy(col("item_id"))
+  }
+
+  val q46CleanFieldsSql: String =
+    """SELECT p_partkey AS item_id,
+      |  regexp_replace('<b>' || p_name || '</b>', '<.*?>', '', 'g') AS name_clean,
+      |  (p_retailprice::VARCHAR)::DOUBLE::VARCHAR AS price_clean,
+      |  '2024-01-05,2024-02-06' AS dates_clean,
+      |  (p_size::DOUBLE)::VARCHAR AS calc_clean,
+      |  NULL::VARCHAR AS unknown_clean,
+      |  4 AS n_fields
+      |FROM part ORDER BY item_id""".stripMargin
+
+  /** A3/S7: the catalog crawl's two-level nested grouping
+    * (space → apps, PodioApiWrapper.py:249-267) with the F4 negative
+    * space filter, then scalar projections off the nested shape.
+    */
+  val q47CatalogNested: Q = (s, dir) =>
+    Tables.region(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("r_regionkey") === col("n_regionkey"))
+      .filter(col("r_name") =!= "AFRICA")
+      .groupBy(col("r_name"))
+      .agg(array_sort(collect_list(
+        struct(col("n_name"), col("n_nationkey")))).as("apps"))
+      .select(col("r_name"),
+        size(col("apps")).as("n_apps"),
+        element_at(col("apps"), 1)("n_name").as("first_app"),
+        element_at(col("apps"), -1)("n_name").as("last_app"))
+      .orderBy(col("r_name"))
+
+  val q47CatalogNestedSql: String =
+    """SELECT r_name, count(*) AS n_apps,
+      |  min(n_name) AS first_app, max(n_name) AS last_app
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |WHERE r_name <> 'AFRICA'
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -935,6 +1010,8 @@ object RelationalQueries {
     "q43_map_agg" -> q43MapAgg,
     "q44_offset" -> q44Offset,
     "q45_setops_all" -> q45SetopsAll,
+    "q46_clean_fields" -> q46CleanFields,
+    "q47_catalog_nested" -> q47CatalogNested,
   )
 
   def oracles: Map[String, String] = Map(
@@ -983,5 +1060,7 @@ object RelationalQueries {
     "q43_map_agg" -> q43MapAggSql,
     "q44_offset" -> q44OffsetSql,
     "q45_setops_all" -> q45SetopsAllSql,
+    "q46_clean_fields" -> q46CleanFieldsSql,
+    "q47_catalog_nested" -> q47CatalogNestedSql,
   )
 }
