@@ -131,26 +131,23 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minhashSignatures(docs, n, k)
-    // Late materialization: the candidate join moves ONLY
-    // (doc_id, band, band_hash) — Spark inlines projections into join
-    // inputs, so carrying the signature arrays here would re-evaluate
-    // the whole signature pipeline per candidate row. Payloads (the
-    // hashed shingle sets) are fetched per *distinct* candidate pair
-    // by re-joining the signature relation afterwards.
-    val banded = sigs.select(col("doc_id"),
+    // The signature relation is an aggregate output — a materialization
+    // boundary — so carrying `hs` through the band join is safe (no
+    // per-candidate recompute) and saves the two payload-fetch joins.
+    val banded = sigs.select(col("doc_id"), col("hs"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",",
           slice(col("sig"), b * r + 1, lit(r))).cast("binary")))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
-    val cand = banded.select(col("doc_id").as("i"), col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("j"), col("band"), col("bh")),
+      .select(col("doc_id"), col("hs"),
+        col("pos").as("band"), col("col").as("bh"))
+    val cand = banded
+      .select(col("doc_id").as("i"), col("hs").as("hs_i"), col("band"), col("bh"))
+      .join(banded
+        .select(col("doc_id").as("j"), col("hs").as("hs_j"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j")).distinct()
-    val hsx = sigs.select(col("doc_id"), col("hs"))
+      .select(col("i"), col("j"), col("hs_i"), col("hs_j")).distinct()
     cand
-      .join(hsx.select(col("doc_id").as("i"), col("hs").as("hs_i")), Seq("i"))
-      .join(hsx.select(col("doc_id").as("j"), col("hs").as("hs_j")), Seq("j"))
       .withColumn("common",
         size(array_intersect(col("hs_i"), col("hs_j"))).cast("double"))
       .withColumn("jaccard", round(col("common") /
@@ -210,23 +207,24 @@ object Dedup {
         expr(s"(shiftright(simhash, $lo) % ${1L << (hi - lo)})")
           .as("band_bits"))
     }
-    // Late materialization (see minhashPairs): candidates move only
-    // ids + band keys; signatures are fetched per distinct pair, so
-    // the simhash aggregate runs O(N) times, not O(candidates) times.
-    val banded = sh.select(col("doc_id"),
+    // The signature is an aggregate output (materialization boundary),
+    // so it rides along through the band join for free; the hamming
+    // filter runs inside the join, before the distinct, leaving only
+    // true pairs (plus cross-band duplicates) for the dedup.
+    val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
-    val cand = banded.select(col("doc_id").as("i"), col("band"), col("band_bits"))
-      .join(banded.select(col("doc_id").as("j"), col("band"), col("band_bits")),
+    banded
+      .select(col("doc_id").as("i"), col("simhash").as("sig_i"),
+        col("band"), col("band_bits"))
+      .join(banded
+        .select(col("doc_id").as("j"), col("simhash").as("sig_j"),
+          col("band"), col("band_bits")),
         Seq("band", "band_bits"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j")).distinct()
-    cand
-      .join(sh.select(col("doc_id").as("i"), col("simhash").as("sig_i")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("simhash").as("sig_j")), Seq("j"))
       .withColumn("hamming", bit_count(expr("sig_i ^ sig_j")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("i"), col("j"), col("hamming"))
+      .select(col("i"), col("j"), col("hamming")).distinct()
   }
 }
