@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession factory — the library's front door.
+  *
+  * Settings a 100 TB deployment needs from the start:
+  *  - AQE with partition coalescing and skew-join splitting (runtime
+  *    re-planning replaces hand-tuned shuffle partition counts)
+  *  - shuffle partitions sized to the cluster's parallelism, not the
+  *    200 default
+  *  - UTC session timezone (the reference stores formatted local
+  *    timestamps — a known data-integrity hazard; we normalize)
+  *  - graft SQL extensions (native expressions like `graft_dot`)
+  */
+object GraftSession {
+
+  def create(master: String = "local[*]", appName: String = "graft")
+      : SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.sparkContext.defaultParallelism.toString)
+    s
+  }
+}

@@ -961,6 +961,68 @@ object RelationalQueries {
       |WHERE r_name <> 'AFRICA'
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    * revenue per order, top-10. The two dims broadcast into the
+    * lineitem scan; only the final agg shuffles. The canonical
+    * multi-join plan the optimizer must get right at 100 TB.
+    */
+  val q48MultiJoin: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < "2024-06-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q48MultiJoinSql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '2024-06-01'
+      |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-table star — region→nation→customer→orders→
+    * lineitem→supplier with the co-nation supplier predicate. All dims
+    * broadcast; lineitem×orders is the only shuffled join.
+    */
+  val q49StarJoin: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q49StarJoinSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -1012,6 +1074,8 @@ object RelationalQueries {
     "q45_setops_all" -> q45SetopsAll,
     "q46_clean_fields" -> q46CleanFields,
     "q47_catalog_nested" -> q47CatalogNested,
+    "q48_multi_join" -> q48MultiJoin,
+    "q49_star_join" -> q49StarJoin,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1062,5 +1126,7 @@ object RelationalQueries {
     "q45_setops_all" -> q45SetopsAllSql,
     "q46_clean_fields" -> q46CleanFieldsSql,
     "q47_catalog_nested" -> q47CatalogNestedSql,
+    "q48_multi_join" -> q48MultiJoinSql,
+    "q49_star_join" -> q49StarJoinSql,
   )
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** T2/T3 retry accounting as EXPLICIT streaming state: the reference
+  * mutates a `failed_attempts` field on the queued document and
+  * re-enqueues it (/root/reference/PodioApiGateway.py:153-159); here
+  * the counter lives in `flatMapGroupsWithState` keyed state instead,
+  * so the queue itself stays immutable and replayable.
+  *
+  * This is the engine's `KeyValueGroupedDataset` custom-state escape
+  * hatch (SURVEY.md §2.7): used only where column-level streaming ops
+  * (`dropDuplicatesWithinWatermark`, windowed aggs) cannot express the
+  * semantics — a monotone per-key counter with reset-on-success is
+  * exactly that case.
+  *
+  * Scale: state is one int per in-flight key, partitioned by the
+  * groupBy key across executors; checkpointed by the streaming
+  * runtime. Processing within a key is ordered by attempt time, so
+  * replays are deterministic.
+  */
+object StatefulRetry {
+
+  /** One processing attempt for a queued item. */
+  case class Attempt(item_id: Long, ts: Timestamp, ok: Boolean)
+
+  /** Per-key state: consecutive-failure count. */
+  case class RetryState(failures: Int)
+
+  /** Emitted on every attempt: the running failure count and whether
+    * the item just crossed the dead-letter threshold.
+    */
+  case class Verdict(item_id: Long, ts: Timestamp, failures: Int,
+      dead: Boolean)
+
+  /** Fold attempts into per-key failure counts; success resets the
+    * counter (the reference re-enqueues with a fresh timestamp, so a
+    * later success clears the item from the queue entirely —
+    * PodioApiGateway.py:143-145).
+    */
+  def track(attempts: Dataset[Attempt], limit: Int = 10)
+      : Dataset[Verdict] = {
+    import attempts.sparkSession.implicits._
+    attempts.groupByKey(_.item_id)
+      .flatMapGroupsWithState[RetryState, Verdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, rows: Iterator[Attempt], state: GroupState[RetryState]) =>
+          var st = state.getOption.getOrElse(RetryState(0))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { a =>
+            st = if (a.ok) RetryState(0) else RetryState(st.failures + 1)
+            Verdict(id, a.ts, st.failures, dead = st.failures >= limit)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
