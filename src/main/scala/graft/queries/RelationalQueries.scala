@@ -1023,6 +1023,88 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** Distribution analytics over window frames: ntile, percent_rank,
+    * cume_dist, and a RANGE frame average (q21's running sum is ROWS;
+    * RANGE closes the frame-type surface).
+    */
+  val q50WindowAnalytics: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    // RANGE frame over an INTEGER ordering column: float range
+    // boundaries (acctbal - 100) hit engine-specific rounding at the
+    // frame edge; integer arithmetic is exact in both engines.
+    val wRange = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+      .rangeBetween(-100, 0)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("bal_quartile"),
+        round(percent_rank().over(w), 6).as("bal_pct_rank"),
+        round(cume_dist().over(w), 6).as("bal_cume_dist"),
+        // order-independent aggs over the RANGE frame (a float SUM's
+        // accumulation order differs between engines at the last ulp)
+        count(lit(1)).over(wRange).as("n_near"),
+        round(max(col("c_acctbal")).over(wRange), 2).as("max_near_bal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q50WindowAnalyticsSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  ntile(4) OVER w AS bal_quartile,
+      |  round(percent_rank() OVER w, 6) AS bal_pct_rank,
+      |  round(cume_dist() OVER w, 6) AS bal_cume_dist,
+      |  count(*) OVER wr AS n_near,
+      |  round(max(c_acctbal) OVER wr, 2) AS max_near_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal),
+      |  wr AS (PARTITION BY c_mktsegment ORDER BY c_custkey
+      |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Higher-order array functions (the X-surface generalized):
+    * filter → transform → aggregate over the split word array, plus
+    * exists/zip_with — all codegen'd, no UDFs.
+    */
+  val q51ArrayOps: Q = (s, dir) => {
+    val w = split(col("p_name"), " ")
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        size(filter(w, x => length(x) > 4)).as("n_long_words"),
+        concat_ws(",", transform(w, x => upper(x))).as("upper_words"),
+        aggregate(w, lit(0), (acc, x) => acc + length(x)).as("total_len"),
+        exists(w, x => x === "red").as("has_red"),
+        concat_ws(",", zip_with(w, reverse(w),
+          (a, b) => concat(a, lit("|"), b))).as("zipped"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q51ArrayOpsSql: String =
+    """SELECT p_partkey,
+      |  len(list_filter(string_split(p_name, ' '), x -> len(x) > 4)) AS n_long_words,
+      |  array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x)), ',') AS upper_words,
+      |  list_reduce(list_prepend(0, [len(x) FOR x IN string_split(p_name, ' ')]), (a, b) -> a + b) AS total_len,
+      |  list_contains(string_split(p_name, ' '), 'red') AS has_red,
+      |  array_to_string([string_split(p_name, ' ')[i] || '|' || list_reverse(string_split(p_name, ' '))[i]
+      |    FOR i IN range(1, len(string_split(p_name, ' ')) + 1)], ',') AS zipped
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** X12 as schema-full JSON decode: from_json with an explicit struct
+    * schema (get_json_object covers the schemaless path in q33).
+    */
+  val q52FromJson: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT, tag STRING"))
+          .as("p"))
+      .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
+      .orderBy(col("event_id"))
+
+  val q52FromJsonSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  json_extract_string(props, '$.tag') AS tag
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -1076,6 +1158,9 @@ object RelationalQueries {
     "q47_catalog_nested" -> q47CatalogNested,
     "q48_multi_join" -> q48MultiJoin,
     "q49_star_join" -> q49StarJoin,
+    "q50_window_analytics" -> q50WindowAnalytics,
+    "q51_array_ops" -> q51ArrayOps,
+    "q52_from_json" -> q52FromJson,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1128,5 +1213,8 @@ object RelationalQueries {
     "q47_catalog_nested" -> q47CatalogNestedSql,
     "q48_multi_join" -> q48MultiJoinSql,
     "q49_star_join" -> q49StarJoinSql,
+    "q50_window_analytics" -> q50WindowAnalyticsSql,
+    "q51_array_ops" -> q51ArrayOpsSql,
+    "q52_from_json" -> q52FromJsonSql,
   )
 }
