@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The scale-layout guarantees, asserted against real plans: partition
+  * predicates prune at the directory level, and same-bucketed joins
+  * plan without a shuffle.
+  */
+class LayoutSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partitioned write + read prunes partitions for date predicates") {
+    val out = Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+    Layout.writePartitioned(events, out, Seq("event_date"))
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-29")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(pruned.count() > 0)
+    // pruning must cut the scanned partition count to 1
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("event_date"), scanned.take(300))
+  }
+
+  test("same-bucketed tables join without an Exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(Tables.orders(spark, dir), "orders_b",
+        "o_custkey", 4)
+      Layout.writeBucketed(
+        Tables.customer(spark, dir)
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b", "o_custkey", 4)
+      val joined = Layout.bucketedJoin(spark, "orders_b", "customer_b",
+        "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
