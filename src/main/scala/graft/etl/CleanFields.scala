@@ -56,11 +56,15 @@ object CleanFields {
     *  (c) else float(first value) if castable, else the raw first value.
     */
   def cleanCalculation(values: Column): Column = {
-    val firstStart = get_json_object(element_at(values, 1), "$.start")
+    // try_element_at: an empty `values` array must clean to null, not
+    // throw (ANSI element_at errors on index-out-of-bounds; the
+    // reference's values[0] IndexError was swallowed by the caller's
+    // retry loop — we are total instead)
+    val firstStart = get_json_object(try_element_at(values, lit(1)), "$.start")
     val rawVals = transform(values, v => get_json_object(v, "$.value"))
     val dateParsed = transform(rawVals, v => permissiveDate(v))
     val allDates = forall(dateParsed, d => d.isNotNull)
-    val firstRaw = element_at(rawVals, 1)
+    val firstRaw = try_element_at(rawVals, lit(1))
     when(firstStart.isNotNull, joinPath(values, "$.start"))
       .when(size(values) > 0 && allDates, array_join(dateParsed, ","))
       .otherwise(coalesce(
@@ -85,7 +89,7 @@ object CleanFields {
         joinPath(values, "$.value"))
       .when(fieldType === "calculation", cleanCalculation(values))
       .when(fieldType === "money",
-        get_json_object(element_at(values, 1), "$.value").try_cast(
+        get_json_object(try_element_at(values, lit(1)), "$.value").try_cast(
           "double").cast("string"))
       .otherwise(lit(null).cast("string"))
 

@@ -156,6 +156,54 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** Near-dup cluster resolution — the final step of a dedup pipeline:
+    * fold the pair list into connected components and label every
+    * document with its component's minimum doc_id (the canonical
+    * survivor). Iterative min-label propagation, the Pregel pattern:
+    * each round every node takes the min of its own label and its
+    * neighbors' labels; converges in O(cluster diameter) rounds.
+    *
+    * Scale notes: each round is one join + one aggregation on
+    * (node, label) longs — no payloads. `localCheckpoint` cuts the
+    * lineage per round (an un-checkpointed loop re-executes all prior
+    * rounds each iteration and the plan grows exponentially). Real
+    * dedup clusters are shallow (near-dup similarity is near-
+    * transitive), so the loop exits after 2-4 rounds.
+    *
+    * @param docs  all documents (doc_id); isolated docs become their
+    *              own singleton cluster
+    * @param pairs undirected near-dup edges (i, j)
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"),
+          col("cluster_id").as("nbl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nbl")).as("nbl"))
+        .select(col("a").as("doc_id"), col("nbl"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")),
+          Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** 60-bit SimHash over word features: bit j of the signature is the
     * majority vote of bit j across all word hashes (ties → 1).
     *

@@ -74,10 +74,11 @@ object MlQueries {
   /** Mirrors Dedup.minhashSignatures: one md5 per shingle, then the
     * affine rehash h_k = (a_k·h + k) mod 2^31-1 with
     * a_k = ((k+1)·2654435761) mod 2^31-1 — exact int64 arithmetic in
-    * both engines.
+    * both engines. Shared between the ns3 pair oracle and the ns16
+    * clustering oracle.
     */
-  val ns3DedupMinhashSql: String =
-    s"""WITH sh AS (
+  private val minhashCteBody: String =
+    s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -106,10 +107,41 @@ object MlQueries {
        |  FROM cand c
        |  JOIN hsx si ON si.doc_id = c.i
        |  JOIN hsx sj ON sj.doc_id = c.j
-       |)
+       |)""".stripMargin
+
+  val ns3DedupMinhashSql: String =
+    s"""WITH $minhashCteBody
        |SELECT i, j, round(common / (ni + nj - common), 6) AS jaccard
        |FROM verified WHERE round(common / (ni + nj - common), 6) >= 0.5
        |ORDER BY i, j""".stripMargin
+
+  /** Near-dup clusters: MinHash pairs → connected components →
+    * canonical (min) doc per component, singletons included. Spark
+    * side is iterative label propagation; the oracle is a recursive
+    * CTE over the identical pair set.
+    */
+  val ns16DedupClusters: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.clusters(docs,
+      Dedup.minhashPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.5))
+      .orderBy(col("doc_id"))
+  }
+
+  val ns16DedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCteBody,
+       |pairs AS (
+       |  SELECT i, j FROM verified
+       |  WHERE round(common / (ni + nj - common), 6) >= 0.5
+       |), edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs
+       |), reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+       |)
+       |SELECT node AS doc_id, min(lab) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   val ns4Simhash: Q = (s, dir) =>
     Dedup.simhash(Tables.documents(s, dir))
@@ -302,6 +334,7 @@ object MlQueries {
     "ns13_multimodal_decode" -> ns13MultimodalDecode,
     "ns14_frame_sample" -> ns14FrameSample,
     "ns15_lsh_ann" -> ns15LshAnn,
+    "ns16_dedup_clusters" -> ns16DedupClusters,
   )
 
   def oracles: Map[String, String] = Map(
@@ -318,5 +351,6 @@ object MlQueries {
     "ns12_fingerprint" -> ns12FingerprintSql,
     "ns13_multimodal_decode" -> ns13MultimodalDecodeSql,
     "ns14_frame_sample" -> ns14FrameSampleSql,
+    "ns16_dedup_clusters" -> ns16DedupClustersSql,
   )
 }

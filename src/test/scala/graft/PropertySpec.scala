@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.etl.CleanFields
+import graft.scd.Versioning
+import org.apache.spark.sql.functions._
+
+/** Property-style tests (SURVEY.md §5.3): randomized inputs with a
+  * fixed seed, invariants asserted over the whole generated set in one
+  * DataFrame pass (not per-case mini-jobs).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private val knownTypes = Seq("date", "contact", "text", "category",
+    "app", "phone", "email", "number", "location", "calculation", "money")
+  private val anyTypes = knownTypes ++ Seq("mystery", "", "TEXT", "file")
+
+  private def randomJson(): String = rnd.nextInt(6) match {
+    case 0 => s"""{"value": "${rnd.alphanumeric.take(8).mkString}"}"""
+    case 1 => s"""{"value": ${rnd.nextInt(1000)}}"""
+    case 2 => s"""{"start": "2024-0${1 + rnd.nextInt(9)}-1${rnd.nextInt(9)}"}"""
+    case 3 => s"""{"value": {"name": "n${rnd.nextInt(99)}", "text": "t", "item_id": ${rnd.nextInt(999)}}}"""
+    case 4 => "not json at all"
+    case _ => "{}"
+  }
+
+  test("cleanItems is total over arbitrary payloads and never emits " +
+      "unknown field types") {
+    val rows = (1 to 300).map { i =>
+      val nFields = 1 + rnd.nextInt(4)
+      val fields = (1 to nFields).map { f =>
+        (f.toLong, s"label$f", anyTypes(rnd.nextInt(anyTypes.length)),
+          Seq.fill(rnd.nextInt(3))(randomJson()))
+      }
+      (i.toLong, fields)
+    }
+    val raw = rows.toDF("item_id", "fields")
+      .select(col("item_id"), col("fields").cast(
+        "array<struct<field_id:long,label:string,type:string,values:array<string>>>"))
+    val cleaned = CleanFields.cleanItems(raw)
+    // totality: the whole set evaluates without throwing
+    val out = cleaned.select(col("item_id"),
+      explode(map_values(col("data"))).as("v")).collect()
+    assert(out.forall(r =>
+      knownTypes.contains(r.getStruct(1).getAs[String]("field_type"))))
+    // rejects carries exactly the unknown-typed fields
+    val rej = CleanFields.rejects(raw)
+      .select("field_type").distinct().as[String].collect()
+    assert(rej.forall(t => !knownTypes.contains(t)))
+  }
+
+  test("SCD2 invariant: exactly one current=1 per key for arbitrary " +
+      "event orders, including duplicate timestamps") {
+    val rows = (1 to 500).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(1000) * 1000L))
+    }
+    val df = rows.toDF("event_id", "item_id", "ts")
+    val flagged = Versioning.withCurrentFlag(df, "item_id", "ts", "event_id")
+    assert(Versioning.invariantViolations(flagged, "item_id").count() === 0)
+    // and the current row is the max (ts, event_id) per key
+    val cur = flagged.filter(col("current") === 1)
+      .select(col("item_id"), col("ts"), col("event_id")).as[(Long, Timestamp, Long)]
+      .collect().map(r => r._1 -> (r._2.getTime, r._3)).toMap
+    val expected = rows.groupBy(_._2).map { case (k, g) =>
+      k -> g.map(r => (r._3.getTime, r._1)).max
+    }
+    assert(cur === expected)
+  }
+
+  test("latestSnapshot is idempotent and agrees with the current flag") {
+    val rows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(30).toLong,
+        new Timestamp(1700000000000L + rnd.nextInt(500) * 1000L))
+    }
+    val df = rows.toDF("event_id", "item_id", "ts")
+    val snap1 = Versioning.latestSnapshot(df, "item_id", "ts", "event_id")
+    val snap2 = Versioning.latestSnapshot(snap1, "item_id", "ts", "event_id")
+    assert(snap1.collect().toSet === snap2.collect().toSet)
+    val fromFlag = Versioning.withCurrentFlag(df, "item_id", "ts", "event_id")
+      .filter(col("current") === 1).drop("current")
+    assert(snap1.collect().toSet === fromFlag.collect().toSet)
+  }
+
+  test("jaccard pairs: scores stay in [threshold, 1] and pairs are " +
+      "strictly upper-triangular") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.ml.Dedup.jaccardPairs(docs, 3, 0.3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { r =>
+      val (i, j, jac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      i < j && jac >= 0.3 && jac <= 1.0
+    })
+  }
+}

@@ -68,6 +68,16 @@ class MlSpec extends SparkSpec {
         == r.getAs[Double]("cos")))
   }
 
+  test("cluster resolution: chain merges transitively, singletons kept") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val out = Dedup.clusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("cosine matches a hand computation") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0), Array(0.6, 0.8))).toDF("a", "b")
