@@ -53,14 +53,19 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxDf: Long = 1000L): DataFrame = {
+    // Exact Jaccard needs no hashing at all — posting lists are keyed
+    // by the shingle STRING, which keeps the operator collision-free
+    // at every scale and drops the per-shingle digest entirely (the
+    // single largest fixed cost here). At 100 TB you would trade that
+    // for `xxhash64(s)` keys to shrink the shuffle 2-3×, accepting the
+    // ~2^-61 per-pair collision odds.
     val ex = shingled(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
-    // Posting lists, not a self-join: the shingle/md5 stage feeds ONE
+    // Posting lists, not a self-join: the shingle stage feeds ONE
     // groupBy exchange; the denominator pass and the pair generator
-    // both consume it (ReusedExchange), so the text is hashed once —
-    // a self-join formulation re-ran the hash pipeline per join side.
-    val postings = ex.groupBy(col("h"))
+    // both consume it (ReusedExchange), so the text is shingled once —
+    // a self-join formulation re-ran the pipeline per join side.
+    val postings = ex.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
         count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

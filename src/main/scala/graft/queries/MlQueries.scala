@@ -40,31 +40,31 @@ object MlQueries {
 
   /** Mirrors Dedup.jaccardPairs exactly, INCLUDING the maxDf=1000
     * shingle-universe cap, so Spark and oracle agree at every scale
-    * factor (the capped Jaccard is the defined semantics).
+    * factor (the capped Jaccard is the defined semantics). Keyed by
+    * the raw shingle string on both sides — no hashing involved.
     */
   val ns2DedupJaccardSql: String =
-    s"""WITH sh AS (
-       |  SELECT doc_id, ${duckHash60("s")} AS h
-       |  FROM (SELECT doc_id,
-       |      unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
-       |), keep AS (
-       |  SELECT h, count(*) AS df FROM sh GROUP BY h HAVING count(*) <= 1000
-       |), f AS (
-       |  SELECT sh.doc_id, sh.h, keep.df FROM sh JOIN keep USING (h)
-       |), ds AS (
-       |  SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id
-       |), p AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*)::DOUBLE AS common
-       |  FROM (SELECT * FROM f WHERE df >= 2) a
-       |  JOIN (SELECT * FROM f WHERE df >= 2) b
-       |    ON a.h = b.h AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |)
-       |SELECT i, j, round(common / (di.n_sh + dj.n_sh - common), 6) AS jaccard
-       |FROM p JOIN ds di ON di.doc_id = p.i JOIN ds dj ON dj.doc_id = p.j
-       |WHERE round(common / (di.n_sh + dj.n_sh - common), 6) >= 0.5
-       |ORDER BY i, j""".stripMargin
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |), keep AS (
+      |  SELECT s, count(*) AS df FROM sh GROUP BY s HAVING count(*) <= 1000
+      |), f AS (
+      |  SELECT sh.doc_id, sh.s, keep.df FROM sh JOIN keep USING (s)
+      |), ds AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id
+      |), p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*)::DOUBLE AS common
+      |  FROM (SELECT * FROM f WHERE df >= 2) a
+      |  JOIN (SELECT * FROM f WHERE df >= 2) b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i, j, round(common / (di.n_sh + dj.n_sh - common), 6) AS jaccard
+      |FROM p JOIN ds di ON di.doc_id = p.i JOIN ds dj ON dj.doc_id = p.j
+      |WHERE round(common / (di.n_sh + dj.n_sh - common), 6) >= 0.5
+      |ORDER BY i, j""".stripMargin
 
   val ns3DedupMinhash: Q = (s, dir) =>
     Dedup.minhashPairs(Tables.documents(s, dir),
