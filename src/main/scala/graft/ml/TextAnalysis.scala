@@ -83,6 +83,32 @@ object TextAnalysis {
     md5(concat_ws(" ", array_sort(array_distinct(words(lower(text)))))
       .cast("binary"))
 
+  /** Deterministic train/val/test split assignment: bucket =
+    * hash(doc_id) mod 100, split by cumulative percentage. Hash-mod,
+    * not `df.sample` — reproducible across runs/engines/cluster sizes
+    * and stable under repartitioning, which is what a training
+    * pipeline actually needs from a split.
+    */
+  def splitAssign(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val bucket = pmod(HashUtils.hash60(id.cast("string")), lit(100))
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic stratified downsample: keep at most `perStratum`
+    * docs per stratum, chosen by hash order (stable, engine-agnostic) —
+    * the balanced-corpus sampler. Returns the kept rows.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= perStratum).drop("_rk")
+  }
+
   /** Rolling polynomial hash over words (Rabin-Karp-flavored): a cheap
     * order-sensitive fingerprint, as a single fold. h = (h*31 +
     * hash60(word)) mod 2^40 in word order. The 2^40 modulus keeps every

@@ -287,6 +287,42 @@ object MlQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic split + stratified sample, summarized to counts so
+    * the result is order-insensitive.
+    */
+  val ns17SampleSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val assigned = docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.splitAssign(col("doc_id")).as("split"))
+    val sampled = TextAnalysis.stratifiedSample(docs, "lang", 50)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_kept"))
+    assigned.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .join(sampled, Seq("lang"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val ns17SampleSplitSql: String = {
+    val h = duckHash60("doc_id::VARCHAR")
+    s"""WITH assigned AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN $h % 100 < 90 THEN 'train'
+       |      WHEN $h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents
+       |), sampled AS (
+       |  SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_kept
+       |  FROM (SELECT lang, doc_id,
+       |      row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rk
+       |    FROM documents)
+       |  WHERE rk <= 50 GROUP BY lang
+       |)
+       |SELECT a.lang, a.split, count(*) AS n, s.n_sampled, s.first_kept
+       |FROM assigned a JOIN sampled s ON a.lang = s.lang
+       |GROUP BY a.lang, a.split, s.n_sampled, s.first_kept
+       |ORDER BY a.lang, a.split""".stripMargin
+  }
+
   // -------------------------------------------------------- multimodal
 
   val ns13MultimodalDecode: Q = (s, dir) =>
@@ -335,6 +371,7 @@ object MlQueries {
     "ns14_frame_sample" -> ns14FrameSample,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
+    "ns17_sample_split" -> ns17SampleSplit,
   )
 
   def oracles: Map[String, String] = Map(
@@ -352,5 +389,6 @@ object MlQueries {
     "ns13_multimodal_decode" -> ns13MultimodalDecodeSql,
     "ns14_frame_sample" -> ns14FrameSampleSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
+    "ns17_sample_split" -> ns17SampleSplitSql,
   )
 }

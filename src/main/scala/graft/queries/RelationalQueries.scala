@@ -893,8 +893,11 @@ object RelationalQueries {
     * oracle states the *semantics* (what each field cleans to), not
     * the plumbing, so it doubles as a behavioral spec.
     */
-  val q46CleanFields: Q = (s, dir) => {
-    val raw = Tables.part(s, dir).select(col("p_partkey").as("item_id"),
+  /** Podio-shaped raw items synthesized from `part` (shared by q46 and
+    * the q53 rejects path).
+    */
+  private def rawPodioItems(s: SparkSession, dir: String) =
+    Tables.part(s, dir).select(col("p_partkey").as("item_id"),
       array(
         struct(lit(1L).as("field_id"), lit("name").as("label"),
           lit("text").as("type"),
@@ -915,7 +918,9 @@ object RelationalQueries {
         struct(lit(5L).as("field_id"), lit("weird").as("label"),
           lit("mystery").as("type"), array(lit("{}")).as("values"))
       ).as("fields"))
-    graft.etl.CleanFields.cleanItems(raw)
+
+  val q46CleanFields: Q = (s, dir) =>
+    graft.etl.CleanFields.cleanItems(rawPodioItems(s, dir))
       .select(col("item_id"),
         col("data")("1")("field_value").as("name_clean"),
         col("data")("2")("field_value").as("price_clean"),
@@ -924,7 +929,6 @@ object RelationalQueries {
         col("data")("5")("field_value").as("unknown_clean"),
         size(map_keys(col("data"))).as("n_fields"))
       .orderBy(col("item_id"))
-  }
 
   val q46CleanFieldsSql: String =
     """SELECT p_partkey AS item_id,
@@ -935,6 +939,20 @@ object RelationalQueries {
       |  NULL::VARCHAR AS unknown_clean,
       |  4 AS n_fields
       |FROM part ORDER BY item_id""".stripMargin
+
+  /** The dead-letter path (PodioApiWrapper.py:91-94): unknown-typed
+    * fields route to a rejects frame instead of the cleaned map.
+    */
+  val q53Rejects: Q = (s, dir) =>
+    graft.etl.CleanFields.rejects(rawPodioItems(s, dir))
+      .groupBy(col("field_type"))
+      .agg(count(lit(1)).as("n"), min(col("item_id")).as("first_item"))
+      .orderBy(col("field_type"))
+
+  val q53RejectsSql: String =
+    """SELECT 'mystery' AS field_type, count(*) AS n,
+      |  min(p_partkey) AS first_item
+      |FROM part GROUP BY 1 ORDER BY field_type""".stripMargin
 
   /** A3/S7: the catalog crawl's two-level nested grouping
     * (space → apps, PodioApiWrapper.py:249-267) with the F4 negative
@@ -1161,6 +1179,7 @@ object RelationalQueries {
     "q50_window_analytics" -> q50WindowAnalytics,
     "q51_array_ops" -> q51ArrayOps,
     "q52_from_json" -> q52FromJson,
+    "q53_rejects" -> q53Rejects,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1216,5 +1235,6 @@ object RelationalQueries {
     "q50_window_analytics" -> q50WindowAnalyticsSql,
     "q51_array_ops" -> q51ArrayOpsSql,
     "q52_from_json" -> q52FromJsonSql,
+    "q53_rejects" -> q53RejectsSql,
   )
 }
