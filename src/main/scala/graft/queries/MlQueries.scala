@@ -323,6 +323,109 @@ object MlQueries {
        |ORDER BY a.lang, a.split""".stripMargin
   }
 
+  /** TF-IDF with top-3 terms per document — the classic sparse
+    * document representation: token explode → per-(doc,term) tf →
+    * per-term df → idf join → windowed top-k. Ranking is on the
+    * ROUNDED score with a term tiebreak so both engines rank
+    * identically.
+    */
+  val ns18Tfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val ns18TfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      |), n AS (SELECT count(*) AS n FROM documents
+      |), scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term), n
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rk FROM scored
+      |)
+      |SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** PII redaction — the scrub pass every training corpus needs.
+    * Synthetic contact info is appended per doc (the corpus itself is
+    * clean), then removed by RE2-and-Java-compatible patterns; output
+    * is the redacted-text digest + per-kind match counts.
+    */
+  val ns19Redact: Q = (s, dir) => {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val withPii = concat(col("text"), lit(" contact: user"), col("doc_id"),
+      lit("@example.com or 555-123-4567"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(withPii, lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(withPii, lit(phonePat), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(withPii, emailPat, "[EMAIL]"),
+          phonePat, "[PHONE]").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ns19RedactSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text || ' contact: user' || doc_id || '@example.com or 555-123-4567',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text || ' contact: user' || doc_id || '@example.com or 555-123-4567',
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(
+      |    text || ' contact: user' || doc_id || '@example.com or 555-123-4567',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Repetition detection (C4-style quality gate): the distinct-to-
+    * total 3-gram ratio; template/boilerplate text repeats shingles
+    * and scores low.
+    */
+  val ns20Repetition: Q = (s, dir) => {
+    val w = split(col("text"), " ")
+    val total = greatest(size(w) - 2, lit(0))
+    val distinctSh = size(graft.ml.HashUtils.wordShingles(col("text"), 3))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), total.as("n_grams"),
+        distinctSh.as("n_distinct"),
+        when(total > 0, round(distinctSh.cast("double") / total, 6))
+          .as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ns20RepetitionSql: String =
+    """SELECT doc_id,
+      |  greatest(len(string_split(text, ' ')) - 2, 0) AS n_grams,
+      |  len(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS n_distinct,
+      |  CASE WHEN len(w) - 2 > 0 THEN
+      |    round(len(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]))::DOUBLE
+      |      / (len(w) - 2), 6) END AS distinct_ratio
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   val ns13MultimodalDecode: Q = (s, dir) =>
@@ -372,6 +475,9 @@ object MlQueries {
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
+    "ns18_tfidf" -> ns18Tfidf,
+    "ns19_redact" -> ns19Redact,
+    "ns20_repetition" -> ns20Repetition,
   )
 
   def oracles: Map[String, String] = Map(
@@ -390,5 +496,8 @@ object MlQueries {
     "ns14_frame_sample" -> ns14FrameSampleSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
+    "ns18_tfidf" -> ns18TfidfSql,
+    "ns19_redact" -> ns19RedactSql,
+    "ns20_repetition" -> ns20RepetitionSql,
   )
 }
