@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Typed top-k-by-score aggregator — the `Aggregator[IN, BUF, OUT]`
+  * extension point (SURVEY.md §7), used for per-query nearest-neighbor
+  * collection.
+  *
+  * Scale rationale vs the window-function top-k: a window must shuffle
+  * and sort EVERY candidate pair (N·candidates rows); an aggregator
+  * partial-aggregates map-side, so each partition ships at most k
+  * entries per group — the shuffle shrinks from O(candidates) to
+  * O(groups·k·partitions). Determinism matches the window form:
+  * ordering by (score desc, neighbor id asc).
+  *
+  * The buffer is a sorted List capped at k (kryo-encoded — it is
+  * opaque state, never inspected by SQL); insertion is O(k), fine for
+  * the k ≤ 100 regime ANN queries use.
+  */
+case class Scored(j: Long, score: Double)
+
+/** One scored candidate pair: query i, neighbor j. */
+case class ScoredPair(i: Long, j: Long, score: Double)
+
+class TopKByScore(k: Int)
+    extends Aggregator[ScoredPair, List[Scored], Seq[Scored]] {
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.j < b.j)
+
+  override def zero: List[Scored] = Nil
+
+  override def reduce(buf: List[Scored], x: ScoredPair): List[Scored] =
+    insert(buf, Scored(x.j, x.score))
+
+  override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+    b.foldLeft(a)(insert)
+
+  private def insert(buf: List[Scored], x: Scored): List[Scored] = {
+    val (pre, post) = buf.span(e => better(e, x))
+    val merged = pre ::: (x :: post)
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  override def finish(buf: List[Scored]): Seq[Scored] = buf
+
+  override def bufferEncoder: Encoder[List[Scored]] =
+    Encoders.kryo[List[Scored]]
+
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    Encoders.kryo[Seq[Scored]]
+}

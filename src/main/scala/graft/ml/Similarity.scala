@@ -77,6 +77,31 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** bruteTopK via the typed [[graft.functions.TopKByScore]]
+    * Aggregator instead of a window: identical output (same
+    * (score desc, j asc) determinism), but the per-pair scores
+    * partial-aggregate map-side — each partition ships at most k
+    * entries per query vector, vs the window shuffling every pair.
+    * The preferred shape once N·k outgrows the shuffle budget.
+    */
+  def bruteTopKAgg(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = withNorm(embeddings)
+    val a = n.select(col("vec_id").as("i"), col("e").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("j"), col("e").as("eb"), col("nrm").as("nb"))
+    val pairs = a.crossJoin(b).filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"), pairCos.as("score"))
+      .as[graft.functions.ScoredPair]
+    pairs.groupByKey(_.i)
+      .agg(new graft.functions.TopKByScore(k).toColumn)
+      .flatMap { case (i, nbrs) =>
+        nbrs.zipWithIndex.map { case (s, idx) => (i, idx + 1, s.j, s.score) }
+      }
+      .toDF("i", "rk", "j", "cos")
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** Random-hyperplane LSH ANN (SimHash-for-cosine): `nBands` bands of
     * `bitsPerBand` sign bits each; vectors sharing any whole band
     * bucket become candidates, candidates are re-scored with the exact

@@ -68,6 +68,14 @@ class MlSpec extends SparkSpec {
         == r.getAs[Double]("cos")))
   }
 
+  test("Aggregator-based top-k equals the window-based top-k exactly") {
+    val win = Similarity.bruteTopK(embs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val agg = Similarity.bruteTopKAgg(embs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(agg === win)
+  }
+
   test("cluster resolution: chain merges transitively, singletons kept") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
