@@ -14,15 +14,19 @@ object Bench {
     // first timed query isn't charged ~5s of JVM startup.
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    var failed = List.empty[String]
+    // keep the sorted Seq (a Map would scramble the printed key order)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed ::= name }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,8 +26,14 @@ case class ScoredPair(i: Long, j: Long, score: Double)
 class TopKByScore(k: Int)
     extends Aggregator[ScoredPair, List[Scored], Seq[Scored]] {
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.j < b.j)
+  // java.lang.Double.compare, not >: it totally orders NaN as the
+  // greatest double, exactly like Spark's descending sort — plain >
+  // is never true for NaN, which would leave the buffer unsorted and
+  // make take(k) partition-order dependent
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.j < b.j)
+  }
 
   override def zero: List[Scored] = Nil
 

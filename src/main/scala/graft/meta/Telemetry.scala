@@ -12,11 +12,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Telemetry {
 
-  /** Attach row/byte counters to a frame under `name`. */
+  /** Attach row/byte counters to a frame under `name` (octet length —
+    * `length` on a string counts characters, not bytes).
+    */
   def observed(df: DataFrame, name: String, payloadCol: String): DataFrame =
     df.observe(name,
       count(lit(1)).as("n_rows"),
-      sum(length(col(payloadCol))).as("n_bytes"))
+      sum(length(col(payloadCol).cast("binary"))).as("n_bytes"))
 
   /** Read back the metrics row recorded by the LAST action on `df`. */
   def metrics(df: DataFrame, name: String): Option[Row] =

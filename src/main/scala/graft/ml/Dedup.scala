@@ -206,6 +206,9 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    require(changed == 0,
+      s"label propagation did not converge in $maxIters rounds " +
+        "(component diameter exceeds maxIters) — raise maxIters")
     labels
   }
 

@@ -21,12 +21,6 @@ object HashUtils {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant: independent hash function per integer seed (used
-    * for the k minhash permutations). `seed` may be a lambda variable.
-    */
-  def hash60Seeded(c: Column, seed: Column): Column =
-    hash60(concat(c, lit("#"), seed.cast("string")))
-
   /** Distinct, order-stable word n-gram shingles of a text column.
     * `array_distinct` keeps first occurrence; the downstream set
     * operations (intersection sizes, min-hash) are order-insensitive.

@@ -28,9 +28,17 @@ object Similarity {
   /** Cosine similarity of two array<double> columns (exact DuckDB
     * list_cosine_similarity semantics). Prefer the precomputed-norm
     * path below in pair joins.
+    *
+    * Note: `graft_dot` resolves through the session function registry;
+    * since this is a public entry point it registers the functions on
+    * the active session itself (idempotent) rather than assuming a
+    * prior operator did.
     */
-  def cosine(a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftExtensions.register)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
 
   /** (vec_id, e: array<double>, nrm: double) — cast once, norm once. */
   private def withNorm(embeddings: DataFrame): DataFrame = {

@@ -43,6 +43,9 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       "payload column names must not collide with left columns")
+    val reserved = Seq("_k", "_t", "_src", "_tb")
+    require(!leftCols.exists(reserved.contains),
+      s"left columns may not use the reserved working names $reserved")
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_src", lit(1))

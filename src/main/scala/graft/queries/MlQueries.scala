@@ -332,7 +332,9 @@ object MlQueries {
   val ns18Tfidf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val n = docs.count()
+    // corpus size as a broadcast 1-row aggregate inside the plan — an
+    // eager docs.count() here would run a separate full scan per call
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
@@ -341,9 +343,9 @@ object MlQueries {
       .agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfreq, Seq("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))

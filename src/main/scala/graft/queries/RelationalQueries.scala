@@ -152,12 +152,20 @@ object RelationalQueries {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+        // exact decimal sum + ONE double division gives both engines
+        // the identical double; the 1e-9 nudge then keeps round()
+        // off .xx5 boundaries, where Spark (HALF_UP on the shortest
+        // decimal repr) and DuckDB (round of the binary value)
+        // structurally disagree — and avg of 2-decimal money over
+        // small groups lands on those boundaries often
+        round(sum(col("c_acctbal").cast("decimal(12,2)")).cast("double")
+          / count(lit(1)) + lit(1e-9), 2).as("avg_acctbal"))
       .orderBy(col("r_name"), col("n_name"))
 
   val q7CatalogJoinSql: String =
     """SELECT r_name, n_name, count(*) AS n_customers,
-      |  round(avg(c_acctbal), 2) AS avg_acctbal
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |    / count(*) + 1e-9, 2) AS avg_acctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -1046,7 +1054,10 @@ object RelationalQueries {
     * RANGE closes the frame-type surface).
     */
   val q50WindowAnalytics: Q = (s, dir) => {
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    // c_custkey tiebreak: ntile bucket assignment at a boundary is
+    // otherwise row-order dependent (the q17 failure mode)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
     // RANGE frame over an INTEGER ordering column: float range
     // boundaries (acctbal - 100) hit engine-specific rounding at the
     // frame edge; integer arithmetic is exact in both engines.
@@ -1073,7 +1084,7 @@ object RelationalQueries {
       |  count(*) OVER wr AS n_near,
       |  round(max(c_acctbal) OVER wr, 2) AS max_near_bal
       |FROM customer
-      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal),
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
       |  wr AS (PARTITION BY c_mktsegment ORDER BY c_custkey
       |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
       |ORDER BY c_custkey""".stripMargin
