@@ -15,8 +15,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def create(master: String = "local[*]", appName: String = "graft")
-      : SparkSession = {
+  def create(master: String = "local[*]", appName: String = "graft",
+      uiEnabled: Boolean = true): SparkSession = {
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)
@@ -25,6 +25,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", uiEnabled.toString)
       .getOrCreate()
     s.conf.set("spark.sql.shuffle.partitions",
       s.sparkContext.defaultParallelism.toString)
