@@ -69,6 +69,36 @@ object Multimodal {
     }
   }
 
+  /** Resized media row: payload downsampled, dimensions halved. */
+  case class ResizedMedia(media_id: Long, media_type: String,
+      n_bytes_in: Long, n_bytes_out: Long, sig_out: String)
+
+  /** Resize / downsample over partition batches. STUB decode (see
+    * object docs): a real implementation would decode, scale, and
+    * re-encode; the deterministic fake keeps every `stride`-th byte,
+    * which preserves the real pipeline shape — map-only, payload in /
+    * smaller payload out, per-partition codec init amortized across
+    * the batch.
+    */
+  def resize(media: DataFrame, stride: Int): Dataset[ResizedMedia] = {
+    require(stride > 0, "stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init would go here (scaler/codec handles)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val out = r.payload.indices.collect {
+          case i if i % stride == 0 => r.payload(i)
+        }.toArray
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        ResizedMedia(r.media_id, r.media_type, r.payload.length.toLong,
+          out.length.toLong, hex.substring(0, 8))
+      }
+    }
+  }
+
   /** Frame sampling for "video" rows: one row per sampled frame offset
     * (every `step` units of the length hint) — pure explode, no UDF.
     */

@@ -457,6 +457,16 @@ object MlQueries {
       |FROM documents WHERE doc_id % 3 = 2
       |ORDER BY media_id, frame_offset""".stripMargin
 
+  /** Media resize plumbing — approximate-free but byte-level, which
+    * ANSI SQL cannot mirror (no blob stride in DuckDB): driver
+    * rows-only check; byte-exact semantics are covered in MlSpec.
+    */
+  val ns21Resize: Q = (s, dir) =>
+    Multimodal.resize(
+      Multimodal.mediaTable(Tables.documents(s, dir)), stride = 2)
+      .toDF()
+      .orderBy(col("media_id"))
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -480,6 +490,7 @@ object MlQueries {
     "ns18_tfidf" -> ns18Tfidf,
     "ns19_redact" -> ns19Redact,
     "ns20_repetition" -> ns20Repetition,
+    "ns21_resize" -> ns21Resize,
   )
 
   def oracles: Map[String, String] = Map(

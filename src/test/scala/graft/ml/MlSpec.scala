@@ -141,6 +141,19 @@ class MlSpec extends SparkSpec {
       Set("image", "audio", "video")))
   }
 
+  test("resize keeps every stride-th byte and halves the payload") {
+    import spark.implicits._
+    val m = Seq((1L, "image", Array[Byte](10, 20, 30, 40, 50), "s", 5L))
+      .toDF("media_id", "media_type", "payload", "source", "length_hint")
+    val out = Multimodal.resize(m, stride = 2).collect()(0)
+    assert(out.n_bytes_in === 5L)
+    assert(out.n_bytes_out === 3L) // bytes at offsets 0, 2, 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(Array[Byte](10, 30, 50))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    assert(out.sig_out === expected)
+  }
+
   test("frame sampling explodes one row per step offset") {
     import spark.implicits._
     val m = Seq((1L, "video", Array[Byte](1), "s", 250L))
