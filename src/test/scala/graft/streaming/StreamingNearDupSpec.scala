@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming near-dup suppression: within-batch dups drop, cross-batch
+  * dups drop against the signature store, novel docs flow through.
+  */
+class StreamingNearDupSpec extends SparkSpec {
+
+  test("near-dups are suppressed within and across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft_sig_store").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft_sig_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    var emitted = Vector.empty[Long]
+    // maxHamming=1: short test docs give coarse simhashes, and
+    // unrelated 8-word texts can land within hamming 3 by chance —
+    // exact copies are hamming 0, which is what this test exercises
+    val q = StreamingNearDup.start(docs, store, ckpt, maxHamming = 1,
+      (novel, _) => emitted ++= novel.select("doc_id").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect().sorted)
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog again and again"
+      val textB = "completely different content about spark catalyst optimizer internals"
+      // batch 1: A, exact dup of A (within-batch), B
+      in.addData((1L, textA), (2L, textA), (3L, textB))
+      q.processAllAvailable()
+      // batch 2: another copy of A (cross-batch dup) and novel C
+      in.addData((4L, textA),
+        (5L, "yet another corpus entry with novel vocabulary entirely"))
+      q.processAllAvailable()
+      assert(emitted === Vector(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("filterNovel is pure: empty store passes everything distinct") {
+    val spark0 = spark
+    import spark0.implicits._
+    val batch = Seq((1L, "aa bb cc"), (2L, "dd ee ff")).toDF("doc_id", "text")
+    val novel = StreamingNearDup.filterNovel(batch,
+      StreamingNearDup.readStore(spark, "/nonexistent/path"), 3)
+    assert(novel.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+  }
+}
