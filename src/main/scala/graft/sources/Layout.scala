@@ -49,4 +49,28 @@ object Layout {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Small-file compaction: streaming appends (per-batch parquet
+    * writes, e.g. the StreamingNearDup signature store) accumulate
+    * tiny files that tax the scan planner and the namenode; rewrite
+    * the table into ~targetFileBytes files. Rewrite goes through a
+    * temp directory so a crash mid-compact never loses the original.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt +
+      (if (totalBytes % targetFileBytes > 0) 1 else 0))
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
+    fs.delete(bak, true)
+    fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+  }
 }

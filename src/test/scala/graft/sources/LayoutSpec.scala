@@ -28,6 +28,25 @@ class LayoutSpec extends SparkSpec {
     assert(scanned.contains("event_date"), scanned.take(300))
   }
 
+  test("compact rewrites a many-file table to few files, same rows") {
+    val out = Files.createTempDirectory("graft_compact").toString + "/t"
+    val events = Tables.events(spark, dir)
+    // simulate streaming appends: many small files
+    (0 until 4).foreach { _ =>
+      events.limit(100).repartition(8).write.mode("append").parquet(out)
+    }
+    val before = spark.read.parquet(out).count()
+    val filesBefore = new java.io.File(out)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Layout.compact(spark, out)
+    val after = spark.read.parquet(out).count()
+    val filesAfter = new java.io.File(out)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === before)
+    assert(filesAfter < filesBefore)
+    assert(filesAfter === 1) // tiny table → one target file
+  }
+
   test("same-bucketed tables join without an Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
