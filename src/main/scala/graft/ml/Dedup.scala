@@ -251,11 +251,15 @@ object Dedup {
     * before the dedup, so only true pairs reach the distinct.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int, bands: Int = 0)
-      : DataFrame = {
-    val nb = if (bands > 0) bands else maxHamming + 1
-    require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
-    val sh = simhash(docs)
-    // uneven boundaries covering all 60 bits: band b = [60b/nb, 60(b+1)/nb)
+      : DataFrame =
+    simhashPairsFromSigs(simhash(docs), maxHamming, bands)
+
+  /** Band-split a (doc_id, simhash) frame into `nb` uneven bands
+    * covering all 60 bits: band b = bits [60b/nb, 60(b+1)/nb). Shared
+    * by the batch pair finder and the streaming store check so the
+    * banding scheme can never drift between them.
+    */
+  def simhashBands(sh: DataFrame, nb: Int): DataFrame = {
     val bandCols = (0 until nb).map { bIdx =>
       val lo = 60 * bIdx / nb
       val hi = 60 * (bIdx + 1) / nb
@@ -263,14 +267,25 @@ object Dedup {
         expr(s"(shiftright(simhash, $lo) % ${1L << (hi - lo)})")
           .as("band_bits"))
     }
+    sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+  }
+
+  /** Pair finding over precomputed signatures (callers that already
+    * materialized `simhash(docs)` — e.g. the streaming path — avoid
+    * recomputing it).
+    */
+  def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int,
+      bands: Int = 0): DataFrame = {
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
     // The signature is an aggregate output (materialization boundary),
     // so it rides along through the band join for free; the hamming
     // filter runs inside the join, before the distinct, leaving only
     // true pairs (plus cross-band duplicates) for the dedup.
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    val banded = simhashBands(sh, nb)
     banded
       .select(col("doc_id").as("i"), col("simhash").as("sig_i"),
         col("band"), col("band_bits"))

@@ -88,9 +88,12 @@ object Multimodal {
       // per-partition init would go here (scaler/codec handles)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val out = r.payload.indices.collect {
-          case i if i % stride == 0 => r.payload(i)
-        }.toArray
+        // pre-sized stepped copy: this is the per-byte hot path, no
+        // boxing or per-index guard evaluation
+        val out = new Array[Byte]((r.payload.length + stride - 1) / stride)
+        var i = 0
+        var o = 0
+        while (i < r.payload.length) { out(o) = r.payload(i); o += 1; i += stride }
         md.reset()
         val hex = md.digest(out).map("%02x".format(_)).mkString
         ResizedMedia(r.media_id, r.media_type, r.payload.length.toLong,

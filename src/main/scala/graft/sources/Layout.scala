@@ -53,24 +53,47 @@ object Layout {
   /** Small-file compaction: streaming appends (per-batch parquet
     * writes, e.g. the StreamingNearDup signature store) accumulate
     * tiny files that tax the scan planner and the namenode; rewrite
-    * the table into ~targetFileBytes files. Rewrite goes through a
-    * temp directory so a crash mid-compact never loses the original.
+    * the table into ~targetFileBytes files.
+    *
+    * Safety: the rewrite reads an explicit file snapshot, lands in a
+    * temp directory, and files appended AFTER the snapshot are rescued
+    * into the new directory before the swap; every rename result is
+    * checked and the backup is deleted only once the new table is in
+    * place. A writer mid-swap can still race the two renames — pause
+    * the stream to compact, or use a transactional table format; this
+    * is the honest limit of directory-of-parquet tables.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
-    val totalBytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, (totalBytes / targetFileBytes).toInt +
-      (if (totalBytes % targetFileBytes > 0) 1 else 0))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustRename(a: org.apache.hadoop.fs.Path,
+        b: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(a, b), s"compact: rename $a -> $b failed")
+    val snapshot = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (snapshot.isEmpty) return
+    val totalBytes = snapshot.map(_.getLen).sum
+    val nFiles = math.max(1, ((totalBytes + targetFileBytes - 1)
+      / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    spark.read.parquet(path).repartition(nFiles)
+    fs.delete(tmp, true)
+    spark.read.parquet(snapshot.map(_.getPath.toString): _*)
+      .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
     fs.delete(bak, true)
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
+    mustRename(p, bak)
+    // rescue files appended between the snapshot and the swap
+    val snapNames = snapshot.map(_.getPath.getName).toSet
+    fs.listStatus(bak)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
+        && !snapNames.contains(f.getPath.getName))
+      .foreach(f => mustRename(f.getPath,
+        new org.apache.hadoop.fs.Path(tmp, f.getPath.getName)))
+    mustRename(tmp, p)
+    require(fs.exists(p), s"compact: new table missing at $p")
     fs.delete(bak, true)
+    ()
   }
 }

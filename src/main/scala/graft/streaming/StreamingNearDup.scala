@@ -16,64 +16,63 @@ import graft.ml.Dedup
   * signature store is the only state, and it lives in a parquet table
   * (the local stand-in for a Delta/Iceberg table), NOT in streaming
   * state, so it survives restarts, is queryable, and can be compacted
-  * independently.
+  * independently (pause the stream first — see Layout.compact).
   *
   * Scale: the store carries one (doc_id, simhash) long pair per unique
   * document ever seen; the per-batch check is the banded signature
-  * join (batch-side banded × store-side banded), which touches only
+  * join (batch-side bands × store-side bands via Dedup.simhashBands,
+  * the SAME banding as the batch pair finder), which touches only
   * store rows sharing a band value with the batch — not the full
-  * store.
+  * store. Signatures are computed ONCE per batch and reused for the
+  * within-batch pairs, the store check, and the store append.
   */
 object StreamingNearDup {
 
-  private val bands = 7
-
-  private def banded(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until bands).map { bIdx =>
-      val lo = 60 * bIdx / bands
-      val hi = 60 * (bIdx + 1) / bands
-      struct(lit(bIdx).as("band"),
-        expr(s"(shiftright(simhash, $lo) % ${1L << (hi - lo)})")
-          .as("band_bits"))
-    }
-    sigs.select(col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
-  }
-
   /** Pure per-batch core (testable without a streaming runtime):
-    * returns the batch rows that are novel w.r.t. both the batch
-    * itself (greedy: a doc is dropped if it near-dups any
-    * smaller-doc_id batch member) and the signature store.
+    * returns (novel batch rows, their signatures). A doc is dropped if
+    * it near-dups a smaller-doc_id batch member (greedy) or anything
+    * in the store. The signature frame is localCheckpoint'ed: computed
+    * once, reused three ways, and — critically — severed from the
+    * store-read lineage so the caller can append to the store without
+    * the plan re-reading it.
     */
   def filterNovel(batch: DataFrame, store: DataFrame, maxHamming: Int)
-      : DataFrame = {
-    val sigs = Dedup.simhash(batch)
+      : (DataFrame, DataFrame) = {
+    val nb = maxHamming + 1
+    val sigs = Dedup.simhash(batch).localCheckpoint()
     // within-batch: drop the larger id of every near-dup pair
-    val withinDropped = Dedup.simhashPairs(batch, maxHamming)
+    val withinDropped = Dedup.simhashPairsFromSigs(sigs, maxHamming)
       .select(col("j").as("doc_id")).distinct()
     val survivors = sigs.join(withinDropped, Seq("doc_id"), "left_anti")
     // against the store: banded candidate join + hamming verify
-    val seen = banded(survivors)
-      .join(banded(store)
+    val seen = Dedup.simhashBands(survivors, nb)
+      .join(Dedup.simhashBands(store, nb)
         .select(col("doc_id").as("sid"), col("simhash").as("ssig"),
           col("band"), col("band_bits")),
         Seq("band", "band_bits"))
       .filter(bit_count(expr("simhash ^ ssig")) <= maxHamming)
       .select(col("doc_id")).distinct()
     val novelSigs = survivors.join(seen, Seq("doc_id"), "left_anti")
-    batch.join(novelSigs, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    (batch.join(novelSigs, Seq("doc_id"), "left_semi"), novelSigs)
   }
 
-  /** Read the signature store, tolerating first-run absence. */
-  def readStore(spark: SparkSession, storePath: String): DataFrame =
-    try spark.read.parquet(storePath).select("doc_id", "simhash")
-    catch {
-      case _: Throwable =>
-        import spark.implicits._
-        Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+  /** Read the signature store; an absent path (first run) is an empty
+    * store, but any OTHER read failure propagates so the checkpoint
+    * retries the batch — silently treating a corrupt/unreadable store
+    * as empty would re-emit every known duplicate AND pollute the
+    * store with duplicate signatures.
+    */
+  def readStore(spark: SparkSession, storePath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.parquet(storePath).select("doc_id", "simhash")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
     }
+  }
 
   /** Wire the stream: novel docs → onBatch, their signatures appended
     * to the store. Replays are idempotent for emission purposes
@@ -89,13 +88,10 @@ object StreamingNearDup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // localCheckpoint (eager) severs the lineage BEFORE the store
-        // append: a lazy `novel` would re-read the store on the next
-        // action and find the batch's own just-appended signatures,
-        // filtering everything out
-        val novel = filterNovel(batch, readStore(spark, storePath),
-          maxHamming).localCheckpoint()
-        Dedup.simhash(novel).write.mode("append").parquet(storePath)
+        val (novel0, novelSigs) = filterNovel(batch,
+          readStore(spark, storePath), maxHamming)
+        val novel = novel0.localCheckpoint()
+        novelSigs.write.mode("append").parquet(storePath)
         onBatch(novel, batchId)
         ()
       }

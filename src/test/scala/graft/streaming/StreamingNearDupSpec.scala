@@ -39,13 +39,16 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("filterNovel is pure: empty store passes everything distinct") {
+  test("filterNovel with an absent store passes everything distinct " +
+      "and returns matching signatures") {
     val spark0 = spark
     import spark0.implicits._
     val batch = Seq((1L, "aa bb cc"), (2L, "dd ee ff")).toDF("doc_id", "text")
-    val novel = StreamingNearDup.filterNovel(batch,
+    val (novel, sigs) = StreamingNearDup.filterNovel(batch,
       StreamingNearDup.readStore(spark, "/nonexistent/path"), 3)
     assert(novel.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    assert(sigs.select("doc_id").as[Long].collect().sorted.toSeq
       === Seq(1L, 2L))
   }
 }
