@@ -77,11 +77,11 @@ object MlQueries {
     * both engines. Shared between the ns3 pair oracle and the ns16
     * clustering oracle.
     */
-  private val minhashCteBody: String =
+  private def minhashCteBody(src: String = "documents"): String =
     s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingles
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)
        |), hsx AS (
        |  SELECT doc_id,
        |    list_distinct([${duckHash60("s")} FOR s IN shingles]) AS hs
@@ -110,7 +110,7 @@ object MlQueries {
        |)""".stripMargin
 
   val ns3DedupMinhashSql: String =
-    s"""WITH $minhashCteBody
+    s"""WITH ${minhashCteBody()}
        |SELECT i, j, round(common / (ni + nj - common), 6) AS jaccard
        |FROM verified WHERE round(common / (ni + nj - common), 6) >= 0.5
        |ORDER BY i, j""".stripMargin
@@ -128,7 +128,7 @@ object MlQueries {
   }
 
   val ns16DedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCteBody,
+    s"""WITH RECURSIVE ${minhashCteBody()},
        |pairs AS (
        |  SELECT i, j FROM verified
        |  WHERE round(common / (ni + nj - common), 6) >= 0.5
@@ -226,7 +226,10 @@ object MlQueries {
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
-  val ns9LangIdSql: String = {
+  /** DuckDB rendering of TextAnalysis.langId as a scalar CASE over a
+    * `text` column — shared by ns9 and the ns22 pipeline filter.
+    */
+  private def duckLangCase: String = {
     val codes = TextAnalysis.stopwords.keys.toSeq.sorted
     def score(code: String): String = {
       val set = TextAnalysis.stopwords(code)
@@ -236,12 +239,14 @@ object MlQueries {
     val mx = codes.map(score).mkString("greatest(", ", ", ")")
     val cases = codes.map(c =>
       s"WHEN ${score(c)} = $mx THEN '$c'").mkString("\n  ")
-    s"""SELECT doc_id,
-       |  CASE WHEN $mx = 0 THEN 'und'
+    s"""CASE WHEN $mx = 0 THEN 'und'
        |  $cases
-       |  ELSE 'und' END AS pred_lang
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |  ELSE 'und' END""".stripMargin
   }
+
+  val ns9LangIdSql: String =
+    s"""SELECT doc_id, $duckLangCase AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   val ns10Quality: Q = (s, dir) =>
     TextAnalysis.qualityMetrics(Tables.documents(s, dir))
@@ -467,6 +472,61 @@ object MlQueries {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** The capstone: a full training-corpus prep pipeline in ONE plan —
+    * quality gate (length) → language gate (predicted en) → MinHash
+    * near-dup clustering with canonical-survivor selection → split
+    * assignment → per-split corpus stats. Composes the individually
+    * oracle-checked operators; the oracle re-states the whole pipeline
+    * in SQL (recursive CTE for the clustering step).
+    */
+  val ns22CorpusPrep: Q = (s, dir) => {
+    val filtered = Tables.documents(s, dir)
+      .filter(col("n_chars") >= 200 &&
+        TextAnalysis.langId(col("text")) === "en")
+    val pairs = Dedup.minhashPairs(filtered, n = 3, k = 16, bands = 4,
+      threshold = 0.5)
+    val canonical = Dedup.clusters(filtered, pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+    filtered.join(canonical.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextAnalysis.splitAssign(col("doc_id")).as("split"),
+        size(split(col("text"), " ")).as("toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+  }
+
+  val ns22CorpusPrepSql: String = {
+    val h = duckHash60("doc_id::VARCHAR")
+    s"""WITH RECURSIVE filtered AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE n_chars >= 200 AND ($duckLangCase) = 'en'
+       |), ${minhashCteBody("filtered")},
+       |pairs AS (
+       |  SELECT i, j FROM verified
+       |  WHERE round(common / (ni + nj - common), 6) >= 0.5
+       |), edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs
+       |), reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM filtered
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+       |), canonical AS (
+       |  SELECT node AS doc_id FROM reach
+       |  GROUP BY node HAVING node = min(lab)
+       |)
+       |SELECT
+       |  CASE WHEN $h % 100 < 90 THEN 'train'
+       |    WHEN $h % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       |  min(doc_id) AS first_doc
+       |FROM filtered JOIN canonical USING (doc_id)
+       |GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -491,6 +551,7 @@ object MlQueries {
     "ns19_redact" -> ns19Redact,
     "ns20_repetition" -> ns20Repetition,
     "ns21_resize" -> ns21Resize,
+    "ns22_corpus_prep" -> ns22CorpusPrep,
   )
 
   def oracles: Map[String, String] = Map(
@@ -512,5 +573,6 @@ object MlQueries {
     "ns18_tfidf" -> ns18TfidfSql,
     "ns19_redact" -> ns19RedactSql,
     "ns20_repetition" -> ns20RepetitionSql,
+    "ns22_corpus_prep" -> ns22CorpusPrepSql,
   )
 }
