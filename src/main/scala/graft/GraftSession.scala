@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the testdata events feed carries parquet TIMESTAMP(NANOS),
+      // which Spark 4 rejects at schema inference; read the nanos as
+      // long once here (Tables.events rebuilds a proper timestamp) —
+      // a library loader must not flip session confs per call
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", uiEnabled.toString)
       .getOrCreate()
     s.conf.set("spark.sql.shuffle.partitions",

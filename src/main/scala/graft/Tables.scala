@@ -29,12 +29,19 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is physically parquet INT64 TIMESTAMP(NANOS), which
     * Spark 4 rejects at schema inference (PARQUET_TYPE_ILLEGAL). The
-    * testdata carries only microsecond precision inside the nano field,
-    * so we read nanos as long (legacy conf) and rebuild a proper
-    * TimestampType column losslessly via integer division.
+    * `spark.sql.legacy.parquet.nanosAsLong` conf reads the nanos as
+    * long; the testdata carries only microsecond precision inside the
+    * nano field, so rebuilding a proper TimestampType column via
+    * integer division is lossless. [[GraftSession]] sets the conf at
+    * session build; for sessions built elsewhere (the driver's own
+    * smoke harness) we set it only if it isn't already true — a
+    * guarded fallback, not an unconditional per-call flip, and the
+    * conf changes behavior ONLY for NANOS columns, which no other
+    * table in this corpus has.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -29,16 +29,37 @@ object Catalog {
     rows.toDF("space_app_id", "app_name", "n_fields")
   }
 
-  /** S6: one row per column ("field") with its metadata. */
+  /** S6: one row per column ("field") with its metadata, mirroring the
+    * reference's full field projection {field_label, field_id, hidden,
+    * type, return_type} (PodioApiWrapper.py:226-234):
+    *  - `hidden`: underscore-prefixed names are internal/hidden (the
+    *    local analog of Podio's per-field hidden flag — parquet has no
+    *    such flag, but engine-internal columns follow the `_` idiom);
+    *  - `return_type`: the field's `return_type` metadata entry when
+    *    a writer recorded one, else DEFAULTS TO the storage type — the
+    *    reference's `field.get('return_type', field['type'])` coalesce.
+    */
   def fields(spark: SparkSession, dir: String): DataFrame = {
+    // timestamp_ntz vs timestamp is Spark parquet-inference flavor
+    // (isAdjustedToUTC), not data-model information — the catalog
+    // reports the one logical type, like the reference's single
+    // 'date' field type
+    def canon(t: String): String =
+      if (t == "timestamp_ntz") "timestamp" else t
     val rows = Tables.names.flatMap { name =>
       Tables.table(spark, dir, name).schema.fields.zipWithIndex.map {
-        case (f, i) => (name, i, f.name, f.dataType.simpleString, f.nullable)
+        case (f, i) =>
+          val dt = canon(f.dataType.simpleString)
+          val rt =
+            if (f.metadata.contains("return_type"))
+              f.metadata.getString("return_type")
+            else dt
+          (name, i, f.name, dt, f.nullable, f.name.startsWith("_"), rt)
       }
     }
     import spark.implicits._
     rows.toDF("app_name", "field_index", "field_name", "data_type",
-      "nullable")
+      "nullable", "hidden", "return_type")
   }
 
   /** S7: the nested catalog crawl — apps ⋈ fields, aggregated to the

@@ -20,7 +20,18 @@ object Telemetry {
       count(lit(1)).as("n_rows"),
       sum(length(col(payloadCol).cast("binary"))).as("n_bytes"))
 
-  /** Read back the metrics row recorded by the LAST action on `df`. */
+  /** Read back the metrics row for `name`, populated only after an
+    * action that executed THIS Dataset's own QueryExecution —
+    * `df.collect()` or `df.write...`. Derived actions build a NEW
+    * QueryExecution and leave this empty: `df.count()` re-plans as an
+    * aggregate and `df.foreach`/`df.rdd` go through a separate
+    * rddQueryExecution, so `metrics(df, ...)` after either returns
+    * None. For metrics that must survive arbitrary downstream
+    * plans (or streaming), register a QueryExecutionListener /
+    * StreamingQueryListener keyed on the observation name — the
+    * listener receives every execution, regardless of which Dataset
+    * object triggered it.
+    */
   def metrics(df: DataFrame, name: String): Option[Row] =
     df.queryExecution.observedMetrics.get(name)
 }

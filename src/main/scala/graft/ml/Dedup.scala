@@ -53,14 +53,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxDf: Long = 1000L): DataFrame = {
-    // Exact Jaccard needs no hashing at all — posting lists are keyed
-    // by the shingle STRING, which keeps the operator collision-free
-    // at every scale and drops the per-shingle digest entirely (the
-    // single largest fixed cost here). At 100 TB you would trade that
-    // for `xxhash64(s)` keys to shrink the shuffle 2-3×, accepting the
-    // ~2^-61 per-pair collision odds.
+    // Posting lists are keyed by the 60-bit shingle DIGEST, not the
+    // shingle string: the groupBy exchange then moves 8-byte longs
+    // instead of ~20-40-byte n-gram strings (2-5× less shuffle I/O —
+    // the dominant cost of this operator, and the property that
+    // survives a 100× scale-up). The ~2^-60 per-pair collision odds
+    // are accepted; the DuckDB oracle applies the identical hash, so
+    // the capped hashed-Jaccard is the defined, gated semantics.
     val ex = shingled(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), HashUtils.hash60(col("s")).as("s"))
     // Posting lists, not a self-join: the shingle stage feeds ONE
     // groupBy exchange; the denominator pass and the pair generator
     // both consume it (ReusedExchange), so the text is shingled once —
@@ -173,7 +175,12 @@ object Dedup {
     * lineage per round (an un-checkpointed loop re-executes all prior
     * rounds each iteration and the plan grows exponentially). Real
     * dedup clusters are shallow (near-dup similarity is near-
-    * transitive), so the loop exits after 2-4 rounds.
+    * transitive), so the loop exits after 2-4 rounds; the pointer-
+    * doubling step (adopt your label's label each round) makes
+    * convergence O(log diameter) even for pathological chain-shaped
+    * components, so maxIters=20 covers diameters up to ~2^20 rather
+    * than 20 — a data-dependent require() abort inside a registry
+    * query is no longer reachable on any plausible corpus.
     *
     * @param docs  all documents (doc_id); isolated docs become their
     *              own singleton cluster
@@ -194,9 +201,21 @@ object Dedup {
           col("cluster_id").as("nbl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nbl")).as("nbl"))
         .select(col("a").as("doc_id"), col("nbl"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+      val viaNbr = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer doubling: also adopt the label OF our label (labels
+      // are doc_ids, so l(n) is itself a node with a label, and
+      // l(l(n)) ≤ l(n) because labels only decrease) — each round
+      // halves the remaining hop distance to the component minimum,
+      // turning O(diameter) convergence into O(log diameter)
+      val updated = viaNbr.join(
+        viaNbr.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("ll")),
+        Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
       changed = updated

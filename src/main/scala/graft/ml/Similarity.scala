@@ -156,6 +156,30 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Annotate an approximate top-k result with per-query recall against
+    * the exact top-k: recall_i = |approx_i ∩ brute_i| / |brute_i|.
+    * Makes recall a column of the ANN result itself, so a driver
+    * rows-only check still surfaces a recall collapse (the number is in
+    * the dumped parquet, not only in a ScalaTest assertion). Cost: one
+    * left-semi join + one small agg on (i, j) id pairs — the exact
+    * reference is quadratic, which is what "measuring recall" means;
+    * at scale you measure on a sampled query subset instead.
+    */
+  def withRecall(approx: DataFrame, brute: DataFrame): DataFrame = {
+    val bruteIds = brute.select(col("i"), col("j"))
+    val per = approx.select(col("i"), col("j"))
+      .join(bruteIds, Seq("i", "j"), "left_semi")
+      .groupBy(col("i")).agg(count(lit(1)).as("n_hits"))
+    val denom = bruteIds.groupBy(col("i")).agg(count(lit(1)).as("n_true"))
+    approx
+      .join(per, Seq("i"), "left")
+      .join(denom, Seq("i"), "left")
+      .withColumn("recall",
+        round(coalesce(col("n_hits"), lit(0)).cast("double")
+          / col("n_true"), 4))
+      .drop("n_hits", "n_true")
+  }
+
   /** IVF-style ANN: the vectors whose vec_id < nCells serve as
     * deterministic "centroids" (a stand-in for k-means, which would be
     * fit offline); every vector is assigned to its nearest centroid by

@@ -39,15 +39,17 @@ object MlQueries {
       .orderBy(col("i"), col("j"))
 
   /** Mirrors Dedup.jaccardPairs exactly, INCLUDING the maxDf=1000
-    * shingle-universe cap, so Spark and oracle agree at every scale
-    * factor (the capped Jaccard is the defined semantics). Keyed by
-    * the raw shingle string on both sides — no hashing involved.
+    * shingle-universe cap AND the hash60 posting-list keys, so Spark
+    * and oracle agree at every scale factor (the capped hashed-Jaccard
+    * is the defined semantics; hash60 portability is already proven by
+    * the ns3 minhash oracle).
     */
   val ns2DedupJaccardSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    s"""WITH sh AS (
+      |  SELECT doc_id, ${duckHash60("s")} AS s
+      |  FROM (SELECT doc_id,
+      |      unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
       |), keep AS (
       |  SELECT s, count(*) AS df FROM sh GROUP BY s HAVING count(*) <= 1000
       |), f AS (
@@ -204,20 +206,37 @@ object MlQueries {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
       |WHERE rk <= 5 ORDER BY i, rk""".stripMargin
 
-  /** IVF ANN — approximate, no ANSI oracle (driver rows-only check);
-    * recall-vs-brute is asserted in MlSpec.
+  /** ns7 through the typed TopKByScore Aggregator — the declared scale
+    * path (map-side partial top-k, ships ≤k entries per query vector
+    * per partition instead of shuffling every pair). Gated against the
+    * SAME oracle as ns7: identical output is the contract.
     */
-  val ns8SimIvf: Q = (s, dir) =>
-    Similarity.ivfTopK(Tables.embeddings(s, dir), nCells = 16, k = 5)
-      .orderBy(col("i"), col("rk"))
+  val ns7bSimTopkAgg: Q = (s, dir) =>
+    Similarity.bruteTopKAgg(Tables.embeddings(s, dir), k = 5)
 
-  /** Random-hyperplane LSH ANN — approximate, no ANSI oracle (driver
-    * rows-only check); recall-vs-brute is asserted in MlSpec.
+  /** IVF ANN — approximate, no ANSI oracle, but recall-vs-brute is
+    * emitted as a column of the result itself (driver rows check now
+    * carries the recall number in the dumped parquet); the MlSpec
+    * floor asserts it stays non-trivial.
     */
-  val ns15LshAnn: Q = (s, dir) =>
-    Similarity.lshTopK(Tables.embeddings(s, dir),
-      nBands = 4, bitsPerBand = 6, k = 5, dim = 64)
+  val ns8SimIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.withRecall(
+      Similarity.ivfTopK(emb, nCells = 16, k = 5),
+      Similarity.bruteTopK(emb, k = 5))
       .orderBy(col("i"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH ANN — approximate, no ANSI oracle; recall
+    * in-result like ns8, floor asserted in MlSpec.
+    */
+  val ns15LshAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.withRecall(
+      Similarity.lshTopK(emb, nBands = 4, bitsPerBand = 6, k = 5, dim = 64),
+      Similarity.bruteTopK(emb, k = 5))
+      .orderBy(col("i"), col("rk"))
+  }
 
   // ------------------------------------------------------ text analysis
 
@@ -480,9 +499,18 @@ object MlQueries {
     * in SQL (recursive CTE for the clustering step).
     */
   val ns22CorpusPrep: Q = (s, dir) => {
+    // The quality+language gate (stopword-scan CASE over every word) is
+    // the expensive scan of this pipeline, and it fans out into THREE
+    // consumers — the pair generator, every clusters() propagation
+    // round, and the final semi-join. localCheckpoint materializes the
+    // gated corpus once (doc_id + text only) so each consumer reads the
+    // checkpointed blocks instead of re-running the gate from parquet;
+    // on a cluster this is a cached intermediate table.
     val filtered = Tables.documents(s, dir)
       .filter(col("n_chars") >= 200 &&
         TextAnalysis.langId(col("text")) === "en")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
     val pairs = Dedup.minhashPairs(filtered, n = 3, k = 16, bands = 4,
       threshold = 0.5)
     val canonical = Dedup.clusters(filtered, pairs)
@@ -537,6 +565,7 @@ object MlQueries {
     "ns5_simhash_pairs" -> ns5SimhashPairs,
     "ns6_embed_neardup" -> ns6EmbedNearDup,
     "ns7_sim_topk" -> ns7SimTopk,
+    "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
@@ -562,6 +591,7 @@ object MlQueries {
     "ns5_simhash_pairs" -> ns5SimhashPairsSql,
     "ns6_embed_neardup" -> ns6EmbedNearDupSql,
     "ns7_sim_topk" -> ns7SimTopkSql,
+    "ns7b_sim_topk_agg" -> ns7SimTopkSql,
     "ns9_lang_id" -> ns9LangIdSql,
     "ns10_quality" -> ns10QualitySql,
     "ns11_tokens" -> ns11TokensSql,

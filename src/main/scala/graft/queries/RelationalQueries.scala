@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * (FIXTURES.md determinism rules: ORDER BY unique keys, rounded
   * floats, UTC, sorted arrays before joins).
   *
-  * Scale notes are inline per query; the common posture: dims
-  * (region/nation/customer/supplier/part) are broadcast into fact scans,
-  * aggregations rely on partial+final hash agg (map-side combine), and
+  * Scale notes are inline per query; the common posture: only the
+  * fixed-size dims (region: 5 rows, nation: 25 rows) carry broadcast
+  * hints — customer/supplier/part/orders grow with scale factor, so
+  * their join strategies are left to AQE's runtime size estimates
+  * (broadcast while small, shuffled-hash/sort-merge beyond).
+  * Aggregations rely on partial+final hash agg (map-side combine), and
   * filters/projections sit directly on the parquet scan so pushdown +
   * pruning reach the reader.
   */
@@ -125,12 +128,15 @@ object RelationalQueries {
   // --------------------------------------------------------------- joins
 
   /** J1: stream→store lookup/enrichment join (the reference's per-event
-    * item fetch, PodioApiGateway.py:124). customer is a dim →
-    * broadcast: no shuffle of the fact side.
+    * item fetch, PodioApiGateway.py:124). No broadcast hint: customer
+    * grows linearly with scale factor (it is NOT a fixed-size dim like
+    * region/nation), so a forced broadcast would OOM at 100× — AQE
+    * picks broadcast-hash while customer is small and shuffled-hash /
+    * sort-merge once it isn't.
     */
   val q6LookupJoin: Q = (s, dir) =>
     Tables.events(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("c_name"), col("c_mktsegment"),
         col("event_type"))
@@ -171,12 +177,13 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
-  /** J3: fact⋈dim revenue rollup — part broadcast into the lineitem
-    * scan; agg is partial+final.
+  /** J3: fact⋈fact revenue rollup — part is SF-proportional, so the
+    * join strategy is left to AQE (broadcast while small, shuffled
+    * beyond that); agg is partial+final.
     */
   val q8RevenueBrand: Q = (s, dir) =>
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)),
+      .join(Tables.part(s, dir),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -763,14 +770,15 @@ object RelationalQueries {
   /** J3: cross-app foreign-key traversal — the reference's `app` fields
     * store arrays of referenced item ids (PodioApiWrapper.py:68-69);
     * here the ref array is assembled per order, exploded back, and
-    * resolved against the part "app" via a broadcast join.
+    * resolved against the part "app" via an AQE-chosen join (part is
+    * SF-proportional — no forced broadcast).
     */
   val q40FkExplode: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("part_refs"))
       .select(col("l_orderkey"), explode(col("part_refs")).as("p_ref"))
-      .join(broadcast(Tables.part(s, dir)), col("p_ref") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("p_ref") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_ref_parts"),
         round(sum(col("p_retailprice")), 2).as("refs_retail"))
@@ -788,15 +796,27 @@ object RelationalQueries {
     * subquery execution, unlike the reference's per-event lookups).
     */
   val q41Exists: Q = (s, dir) => {
-    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
-    s.sql(
-      """SELECT c_custkey, c_name FROM customer_v c
-        |WHERE EXISTS (SELECT 1 FROM orders_v o
-        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
-        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
-        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-        |ORDER BY c_custkey""".stripMargin)
+    // Unique per-call view names: a fixed createOrReplaceTempView here
+    // would mutate SESSION state, so two concurrent callers with
+    // different `dir`s would race on the global name and one would
+    // silently read the other's tables. The views are dropped before
+    // returning — sql() has already resolved the plan, so the returned
+    // DataFrame no longer needs them.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (cv, ov) = (s"customer_$tag", s"orders_$tag")
+    Tables.customer(s, dir).createOrReplaceTempView(cv)
+    Tables.orders(s, dir).createOrReplaceTempView(ov)
+    try s.sql(
+      s"""SELECT c_custkey, c_name FROM $cv c
+         |WHERE EXISTS (SELECT 1 FROM $ov o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+         |  AND NOT EXISTS (SELECT 1 FROM $ov o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+         |ORDER BY c_custkey""".stripMargin)
+    finally {
+      s.catalog.dropTempView(cv)
+      s.catalog.dropTempView(ov)
+    }
   }
 
   val q41ExistsSql: String =
@@ -987,17 +1007,66 @@ object RelationalQueries {
       |WHERE r_name <> 'AFRICA'
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** S6 metadata fidelity: the full field catalog — every table, every
+    * column, with the reference's complete per-field projection
+    * {hidden, type, return_type-defaulting-to-type}
+    * (PodioApiWrapper.py:226-234). The oracle derives the SAME metadata
+    * from DuckDB's independent schema inference over the identical
+    * parquet files (information_schema.columns on the registered
+    * views), mapping DuckDB type names onto Spark simpleStrings — two
+    * engines inferring one schema is a real cross-check, not a VALUES
+    * literal.
+    */
+  val q54FieldCatalog: Q = (s, dir) =>
+    graft.meta.Catalog.fields(s, dir)
+      .orderBy(col("app_name"), col("field_index"))
+
+  val q54FieldCatalogSql: String =
+    """SELECT table_name AS app_name,
+      |  (ordinal_position - 1)::BIGINT AS field_index,
+      |  column_name AS field_name,
+      |  CASE data_type
+      |    WHEN 'BIGINT' THEN 'bigint'
+      |    WHEN 'INTEGER' THEN 'int'
+      |    WHEN 'DOUBLE' THEN 'double'
+      |    WHEN 'FLOAT' THEN 'float'
+      |    WHEN 'VARCHAR' THEN 'string'
+      |    WHEN 'TIMESTAMP' THEN 'timestamp'
+      |    WHEN 'DATE' THEN 'date'
+      |    WHEN 'FLOAT[]' THEN 'array<float>'
+      |    WHEN 'DOUBLE[]' THEN 'array<double>'
+      |    ELSE lower(data_type) END AS data_type,
+      |  (is_nullable = 'YES') AS nullable,
+      |  starts_with(column_name, '_') AS hidden,
+      |  CASE data_type
+      |    WHEN 'BIGINT' THEN 'bigint'
+      |    WHEN 'INTEGER' THEN 'int'
+      |    WHEN 'DOUBLE' THEN 'double'
+      |    WHEN 'FLOAT' THEN 'float'
+      |    WHEN 'VARCHAR' THEN 'string'
+      |    WHEN 'TIMESTAMP' THEN 'timestamp'
+      |    WHEN 'DATE' THEN 'date'
+      |    WHEN 'FLOAT[]' THEN 'array<float>'
+      |    WHEN 'DOUBLE[]' THEN 'array<double>'
+      |    ELSE lower(data_type) END AS return_type
+      |FROM information_schema.columns
+      |WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+      |  'part', 'orders', 'lineitem', 'events', 'documents', 'embeddings')
+      |ORDER BY app_name, field_index""".stripMargin
+
   /** TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
-    * revenue per order, top-10. The two dims broadcast into the
-    * lineitem scan; only the final agg shuffles. The canonical
-    * multi-join plan the optimizer must get right at 100 TB.
+    * revenue per order, top-10. The canonical multi-join plan the
+    * optimizer must get right at 100 TB: customer is SF-proportional,
+    * so even segment-filtered it outgrows a broadcast eventually —
+    * AQE's runtime size estimate decides broadcast-vs-shuffle per SF
+    * instead of a hint deciding it forever.
     */
   val q48MultiJoin: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).filter(col("o_orderdate") < "2024-06-01"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .filter(col("c_mktsegment") === "BUILDING")),
+      .join(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
@@ -1016,15 +1085,18 @@ object RelationalQueries {
       |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
   /** TPC-H Q5 shape: 6-table star — region→nation→customer→orders→
-    * lineitem→supplier with the co-nation supplier predicate. All dims
-    * broadcast; lineitem×orders is the only shuffled join.
+    * lineitem→supplier with the co-nation supplier predicate. Only the
+    * genuinely fixed-size dims (region: 5 rows, nation: 25 rows) carry
+    * broadcast hints; customer/supplier/orders grow with scale factor,
+    * so their join strategies are AQE's call — a forced broadcast of
+    * customer at 100× SF is an executor OOM, not a plan.
     */
   val q49StarJoin: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.supplier(s, dir),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, dir)),
@@ -1191,6 +1263,7 @@ object RelationalQueries {
     "q51_array_ops" -> q51ArrayOps,
     "q52_from_json" -> q52FromJson,
     "q53_rejects" -> q53Rejects,
+    "q54_field_catalog" -> q54FieldCatalog,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1247,5 +1320,6 @@ object RelationalQueries {
     "q51_array_ops" -> q51ArrayOpsSql,
     "q52_from_json" -> q52FromJsonSql,
     "q53_rejects" -> q53RejectsSql,
+    "q54_field_catalog" -> q54FieldCatalogSql,
   )
 }

@@ -91,8 +91,19 @@ object Layout {
         && !snapNames.contains(f.getPath.getName))
       .foreach(f => mustRename(f.getPath,
         new org.apache.hadoop.fs.Path(tmp, f.getPath.getName)))
+    // Hadoop rename(tmp, p) onto an EXISTING directory "succeeds" by
+    // moving tmp INSIDE p — so if a concurrent writer recreated the
+    // table dir between the swap renames, both the rename result and a
+    // bare exists(p) check would pass while the compacted data sat
+    // nested under p/_compacting. Fail loudly on both edges instead.
+    require(!fs.exists(p),
+      s"compact: $p was recreated mid-swap (concurrent writer?) — " +
+        s"original data preserved at $bak, compacted data at $tmp")
     mustRename(tmp, p)
     require(fs.exists(p), s"compact: new table missing at $p")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(p, tmp.getName)),
+      s"compact: rename landed $tmp INSIDE $p (raced swap) — " +
+        s"original data preserved at $bak")
     fs.delete(bak, true)
     ()
   }

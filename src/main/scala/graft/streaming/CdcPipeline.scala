@@ -38,6 +38,13 @@ object CdcPipeline {
 
   val liveTypes: Seq[String] = Seq("item.create", "item.update")
 
+  /** App-level structural events (PodioApiGateway.py:161-181, 238-266:
+    * `app.create`/`app.update` → re-sync the app's field schema). The
+    * reference stubs the handler; here an app event triggers a catalog
+    * re-crawl + [[graft.meta.Catalog.schemaDiff]] (see [[appDrift]]).
+    */
+  val appTypes: Seq[String] = Seq("app.create", "app.update")
+
   /** F2 routing + T3 split: (live events, dead-letter events). */
   def route(events: DataFrame, retryLimit: Int = 10)
       : (DataFrame, DataFrame) = {
@@ -45,6 +52,31 @@ object CdcPipeline {
     val live = events.filter(col("failed_attempts") < retryLimit &&
       col("event_type").isin(liveTypes: _*))
     (live, dlq)
+  }
+
+  /** App-event split: the structural events that should trigger a
+    * schema re-crawl rather than a data merge.
+    */
+  def routeApp(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin(appTypes: _*))
+
+  /** The app-event action: given the previously-crawled field catalog
+    * and a batch containing app events, re-crawl the catalog and emit
+    * the schema drift (added/removed/retyped fields) — but ONLY when
+    * the batch actually carries an app event; a no-app-event batch
+    * returns an empty drift frame without touching the catalog (the
+    * crawl is a metadata scan, cheap, but not free at 380-call scale —
+    * reference PodioApiWrapper.py:13 re-crawls on a schedule precisely
+    * because it cannot do this event-driven invalidation).
+    */
+  def appDrift(spark: SparkSession, dir: String, batch: DataFrame,
+      before: DataFrame): DataFrame = {
+    import graft.meta.Catalog
+    val empty = before.limit(0)
+    if (routeApp(batch).isEmpty)
+      Catalog.schemaDiff(empty, empty)
+    else
+      Catalog.schemaDiff(before, Catalog.fields(spark, dir))
   }
 
   /** T4 coalescing: keep only the last event per key within the batch
@@ -77,9 +109,15 @@ object CdcPipeline {
     * drive them without a streaming runtime.
     *
     * @param onBatch receives (coalesced live batch, dlq batch, batchId)
+    * @param onAppBatch receives (app-event batch, batchId) whenever the
+    *                   batch carries `app.create`/`app.update` events —
+    *                   the hook where a caller re-crawls the catalog
+    *                   (see [[appDrift]]); no-op default keeps data-only
+    *                   pipelines unchanged
     */
   def start(streamingEvents: DataFrame, key: String,
-      checkpoint: String, onBatch: (DataFrame, DataFrame, Long) => Unit)
+      checkpoint: String, onBatch: (DataFrame, DataFrame, Long) => Unit,
+      onAppBatch: (DataFrame, Long) => Unit = (_, _) => ())
       : StreamingQuery =
     streamingEvents
       .withWatermark("ts", "10 minutes")
@@ -88,6 +126,8 @@ object CdcPipeline {
       .trigger(Trigger.ProcessingTime("10 seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (live, dlq) = route(batch)
+        val app = routeApp(batch)
+        if (!app.isEmpty) onAppBatch(app, batchId)
         onBatch(coalesceBatch(live, key), dlq, batchId)
       }
       .start()

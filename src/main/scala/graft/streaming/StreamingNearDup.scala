@@ -57,29 +57,40 @@ object StreamingNearDup {
     (batch.join(novelSigs, Seq("doc_id"), "left_semi"), novelSigs)
   }
 
-  /** Read the signature store; an absent path (first run) is an empty
-    * store, but any OTHER read failure propagates so the checkpoint
-    * retries the batch — silently treating a corrupt/unreadable store
-    * as empty would re-emit every known duplicate AND pollute the
-    * store with duplicate signatures.
+  /** Read the signature store (doc_id, simhash, batch_id); an absent
+    * path (first run) is an empty store, but any OTHER read failure
+    * propagates so the checkpoint retries the batch — silently treating
+    * a corrupt/unreadable store as empty would re-emit every known
+    * duplicate AND pollute the store with duplicate signatures.
     */
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path))
-      spark.read.parquet(storePath).select("doc_id", "simhash")
+      spark.read.parquet(storePath).select("doc_id", "simhash", "batch_id")
     else {
       import spark.implicits._
-      Seq.empty[(Long, Long)].toDF("doc_id", "simhash")
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "simhash", "batch_id")
     }
   }
 
   /** Wire the stream: novel docs → onBatch, their signatures appended
-    * to the store. Replays are idempotent for emission purposes
-    * because a replayed batch's docs are already in the store — they
-    * are filtered out, not re-emitted (requires the store append to
-    * have committed; parquet append is the non-transactional stand-in
-    * for a Delta MERGE).
+    * to the store. Delivery is at-least-once, never at-most-once:
+    *
+    *  - onBatch runs BEFORE the store append, so a crash between the
+    *    two replays a batch whose signatures are NOT yet in the store —
+    *    it re-emits (duplicate emission, the at-least-once contract)
+    *    instead of finding its own signatures and silently dropping
+    *    every novel doc (data loss);
+    *  - each appended signature carries its `batch_id`, and the store
+    *    check EXCLUDES rows from the current batch id — so a replay
+    *    that crashed after the append still re-emits the same novel
+    *    set (its own signatures are invisible to the check) and skips
+    *    the duplicate append.
+    *
+    * Parquet append is the non-transactional stand-in for a Delta
+    * MERGE; the batch_id column is exactly the txn-id watermark those
+    * formats keep internally.
     */
   def start(streamingDocs: DataFrame, storePath: String,
       checkpoint: String, maxHamming: Int,
@@ -87,13 +98,28 @@ object StreamingNearDup {
     streamingDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val (novel0, novelSigs) = filterNovel(batch,
-          readStore(spark, storePath), maxHamming)
-        val novel = novel0.localCheckpoint()
-        novelSigs.write.mode("append").parquet(storePath)
-        onBatch(novel, batchId)
-        ()
+        processBatch(batch, batchId, storePath, maxHamming, onBatch)
       }
       .start()
+
+  /** The per-batch body of [[start]], separated so the replay/crash
+    * contract is testable without a streaming runtime (call it twice
+    * with the same batchId to simulate a post-append replay).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, storePath: String,
+      maxHamming: Int, onBatch: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val store = readStore(spark, storePath).localCheckpoint()
+    val alreadyAppended =
+      !store.filter(col("batch_id") === batchId).isEmpty
+    val (novel0, novelSigs) = filterNovel(batch,
+      store.filter(col("batch_id") =!= batchId)
+        .select("doc_id", "simhash"), maxHamming)
+    val novel = novel0.localCheckpoint()
+    onBatch(novel, batchId)
+    if (!alreadyAppended)
+      novelSigs.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(storePath)
+    ()
+  }
 }

@@ -12,14 +12,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // through the library's real front door, so specs run under the same
+  // confs (AQE, UTC, nanosAsLong, graft extensions) as production
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = GraftSession.create("local[4]", "graft-test",
+      uiEnabled = false)
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -22,6 +22,20 @@ class CatalogSpec extends SparkSpec {
     assert(q.getAs[String]("data_type") === "double")
   }
 
+  test("S6: hidden flag and return_type default (reference " +
+      "PodioApiWrapper.py:226-234 coalesce semantics)") {
+    val f = Catalog.fields(spark, dir).collect()
+    // no testdata column is underscore-prefixed → nothing hidden, and
+    // no parquet writer recorded a return_type → it coalesces to the
+    // storage type everywhere
+    assert(f.forall(!_.getAs[Boolean]("hidden")))
+    assert(f.forall(r =>
+      r.getAs[String]("return_type") === r.getAs[String]("data_type")))
+    // the embeddings vector column round-trips its nested type
+    val emb = f.find(_.getAs[String]("field_name") == "embedding").get
+    assert(emb.getAs[String]("return_type") === "array<float>")
+  }
+
   test("S7: crawl nests fields under apps, sorted by field index") {
     val c = Catalog.crawl(spark, dir)
     assert(c.count() === 10)

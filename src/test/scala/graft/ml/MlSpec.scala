@@ -68,6 +68,28 @@ class MlSpec extends SparkSpec {
         == r.getAs[Double]("cos")))
   }
 
+  test("withRecall annotates every ANN row with the set-computed " +
+      "per-query recall") {
+    val brute = Similarity.bruteTopK(embs, 5)
+    val ivf = Similarity.ivfTopK(embs, 16, 5)
+    val annotated = Similarity.withRecall(ivf, brute).collect()
+    assert(annotated.length === ivf.count())
+    assert(annotated.forall { r =>
+      val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0
+    })
+    // cross-check one query vector against a hand-computed recall
+    val i0 = annotated.map(_.getAs[Long]("i")).min
+    val bruteSet = brute.filter(col("i") === i0)
+      .select("j").collect().map(_.getLong(0)).toSet
+    val ivfSet = ivf.filter(col("i") === i0)
+      .select("j").collect().map(_.getLong(0)).toSet
+    val expected = BigDecimal((bruteSet intersect ivfSet).size.toDouble
+      / bruteSet.size).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val got = annotated.filter(_.getAs[Long]("i") == i0)
+      .map(_.getAs[Double]("recall")).distinct.toSeq
+    assert(got === Seq(expected.toDouble))
+  }
+
   test("Aggregator-based top-k equals the window-based top-k exactly") {
     val win = Similarity.bruteTopK(embs, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

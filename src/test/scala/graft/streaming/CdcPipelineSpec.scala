@@ -108,6 +108,48 @@ class CdcPipelineSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("app.create/app.update route to a catalog re-crawl whose " +
+      "schemaDiff surfaces the drift; data-only batches leave it alone") {
+    val dir = "/root/testdata/sf0.001"
+    val appEv = Seq(
+      ev(10, "2024-01-01 10:00:00", 7, "app.update", "schema-changed"),
+      ev(11, "2024-01-01 10:00:01", 7, "item.update", "data")).toDF()
+    val itemEv = Seq(
+      ev(12, "2024-01-01 10:00:02", 7, "item.update", "data")).toDF()
+    assert(CdcPipeline.routeApp(appEv)
+      .select("event_id").as[Long].collect().toSeq === Seq(10L))
+    assert(CdcPipeline.routeApp(itemEv).isEmpty)
+    // the previous crawl is missing a field the live schema has → the
+    // app-event-triggered re-crawl must report it as "added"
+    val before = graft.meta.Catalog.fields(spark, dir)
+      .filter(!(col("app_name") === "region" &&
+        col("field_name") === "r_name"))
+    val drift = CdcPipeline.appDrift(spark, dir, appEv, before)
+      .select("app_name", "field_name", "change")
+      .as[(String, String, String)].collect().toSeq
+    assert(drift === Seq(("region", "r_name", "added")))
+    // no app event in the batch → no re-crawl, empty drift
+    assert(CdcPipeline.appDrift(spark, dir, itemEv, before).count() === 0)
+  }
+
+  test("streaming app events reach the onAppBatch hook") {
+    val input = MemoryStream[CdcEvent](spark)
+    var appSeen = Vector.empty[Long]
+    val q = CdcPipeline.start(input.toDF(), "item_id",
+      java.nio.file.Files.createTempDirectory("cdc-app-ckpt").toString,
+      (_, _, _) => (),
+      (app, _) => appSeen ++=
+        app.select("event_id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted)
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "item.create", "v1"),
+        ev(2, "2024-01-01 10:00:01", 7, "app.update", "schema"))
+      q.processAllAvailable()
+      assert(appSeen === Vector(2L))
+    } finally q.stop()
+  }
+
   test("T8: windowed counts run as a streaming query with watermark") {
     val input = MemoryStream[CdcEvent](spark)
     val counts = CdcPipeline.windowedCounts(

@@ -39,6 +39,30 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayed batch re-emits its novel docs instead of losing them " +
+      "(at-least-once), and does not double-append the store") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = Files.createTempDirectory("graft_sig_replay").toString + "/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about spark catalyst optimizer internals"
+    val batch = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    def emitOf(b: org.apache.spark.sql.DataFrame, id: Long): Seq[Long] = {
+      var out = Seq.empty[Long]
+      StreamingNearDup.processBatch(b, id, store, 1,
+        (novel, _) => out = novel.select("doc_id").as[Long].collect().sorted.toSeq)
+      out
+    }
+    assert(emitOf(batch, 0L) === Seq(1L, 2L))
+    // crash-after-append replay: same batchId, signatures already in the
+    // store — the batch_id exclusion means it must RE-EMIT (not silently
+    // drop everything) and must skip the duplicate append
+    assert(emitOf(batch, 0L) === Seq(1L, 2L))
+    assert(StreamingNearDup.readStore(spark, store).count() === 2)
+    // a genuinely new batch still dedups against the store
+    assert(emitOf(Seq((3L, textA)).toDF("doc_id", "text"), 1L) === Seq())
+  }
+
   test("filterNovel with an absent store passes everything distinct " +
       "and returns matching signatures") {
     val spark0 = spark
