@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators a training-data pipeline runs after cleaning
+  * and dedup: benchmark decontamination, vocabulary statistics, and
+  * sequence packing. All are declarative plans over hashed n-grams /
+  * token counts — the shuffles move 8-byte longs, never text.
+  */
+object Corpus {
+
+  /** Benchmark decontamination: for every training document, how many
+    * of its distinct word n-grams also appear in the eval/benchmark
+    * corpus. The industry-standard test-set-overlap check (high-n
+    * n-gram collision ⇒ the training doc leaks eval content and must
+    * be dropped before training).
+    *
+    * Shape: both sides shingle → hash60 → the eval side is distinct
+    * n-gram hashes only (tiny — eval sets are a few thousand docs even
+    * when the training corpus is 100 TB, so AQE broadcasts it); one
+    * equi-join on the hash + one groupBy(doc_id). Only flagged docs are
+    * returned; `contamination_ratio` = flagged / distinct n-grams.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    val t = train
+      .select(col("doc_id"),
+        explode(HashUtils.wordShingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
+    val e = eval
+      .select(explode(HashUtils.wordShingles(col("text"), n)).as("s"))
+      .select(HashUtils.hash60(col("s")).as("h"))
+      .distinct()
+    val perDoc = t.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"))
+    t.join(e, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .join(perDoc, Seq("doc_id"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_ngrams"), 6))
+  }
+
+  /** Corpus vocabulary statistics: the `limit` most document-frequent
+    * terms with their total occurrence counts — the input to tokenizer
+    * training and stopword-list induction.
+    *
+    * Top-k is orderBy+limit (TakeOrdered — each partition ships k
+    * candidates, no global-window single-partition bottleneck);
+    * determinism via the (df, total, term) full tiebreak.
+    */
+  def vocabulary(docs: DataFrame, limit: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("total"))
+      .orderBy(col("df").desc, col("total").desc, col("term"))
+      .limit(limit)
+  }
+
+  /** Sequence packing — the concat-and-chunk step that turns variable-
+    * length documents into fixed-capacity training rows: documents are
+    * laid out in a deterministic order and cut into chunks of
+    * `ctxLen` tokens; a document's chunk is `floor(tokens_before /
+    * ctxLen)` within its shard.
+    *
+    * Packing is inherently sequential, so the scale move is to shard
+    * FIRST (deterministic hash of doc_id) and pack within each shard:
+    * the window is partitionBy(shard) — parallel across shards, no
+    * global single-partition sort. Shard count = writer parallelism at
+    * 100 TB (thousands), here a parameter.
+    *
+    * Returns one row per (shard, chunk) with its doc count, token sum,
+    * and doc-id range — the manifest a training loader consumes.
+    */
+  def packSequences(docs: DataFrame, ctxLen: Int, shards: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("toks"),
+      pmod(HashUtils.hash60(col("doc_id").cast("string")), lit(shards))
+        .as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("chunk", ((col("cum") - col("toks")) / ctxLen)
+        .cast("long"))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+}

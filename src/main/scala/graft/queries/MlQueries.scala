@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** North-star query registry: dedup, similarity search, text analysis,
   * multimodal plumbing over `documents` / `embeddings` (builder prompt +
@@ -491,6 +491,85 @@ object MlQueries {
       .toDF()
       .orderBy(col("media_id"))
 
+  /** Benchmark decontamination: docs sharing any distinct word 5-gram
+    * with the "benchmark" slice (every 97th doc stands in for an eval
+    * set) are flagged with overlap counts — the standard test-set-
+    * leak check run before training.
+    */
+  val ns23Contamination: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Corpus.contamination(
+      train = docs.filter(col("doc_id") % 97 =!= 0),
+      eval = docs.filter(col("doc_id") % 97 === 0), n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns23ContaminationSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, ${duckHash60("s")} AS h
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)])) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |      FROM documents WHERE doc_id % 97 <> 0))
+       |), ev AS (
+       |  SELECT DISTINCT ${duckHash60("s")} AS h
+       |  FROM (SELECT unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)])) AS s
+       |    FROM (SELECT string_split(text, ' ') AS w
+       |      FROM documents WHERE doc_id % 97 = 0))
+       |), perdoc AS (
+       |  SELECT doc_id, count(*) AS n_ngrams FROM th GROUP BY 1
+       |), hits AS (
+       |  SELECT doc_id, count(*) AS n_contaminated
+       |  FROM th JOIN ev USING (h) GROUP BY 1
+       |)
+       |SELECT doc_id, n_contaminated, n_ngrams,
+       |  round(n_contaminated::DOUBLE / n_ngrams, 6) AS contamination_ratio
+       |FROM hits JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Corpus vocabulary: top-200 terms by document frequency (the
+    * tokenizer-training / stopword-induction input). TakeOrdered
+    * top-k, full (df, total, term) tiebreak, re-sorted by term for the
+    * gate's deterministic ORDER BY.
+    */
+  val ns24Vocab: Q = (s, dir) =>
+    Corpus.vocabulary(Tables.documents(s, dir), limit = 200)
+      .orderBy(col("term"))
+
+  val ns24VocabSql: String =
+    """SELECT term, df, total FROM (
+      |  SELECT term, count(DISTINCT doc_id) AS df, count(*)::BIGINT AS total
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  GROUP BY term
+      |  ORDER BY df DESC, total DESC, term LIMIT 200
+      |) ORDER BY term""".stripMargin
+
+  /** Sequence packing manifest: documents sharded by doc_id hash,
+    * concat-and-chunked into 2048-token context windows per shard.
+    */
+  val ns25Pack: Q = (s, dir) =>
+    Corpus.packSequences(Tables.documents(s, dir), ctxLen = 2048,
+      shards = 8)
+      .orderBy(col("shard"), col("chunk"))
+
+  val ns25PackSql: String = {
+    val h = duckHash60("doc_id::VARCHAR")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS toks,
+       |    $h % 8 AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT shard, doc_id, toks,
+       |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |)
+       |SELECT shard, ((cum - toks) // 2048)::BIGINT AS chunk,
+       |  count(*) AS n_docs, sum(toks)::BIGINT AS chunk_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
+  }
+
   /** The capstone: a full training-corpus prep pipeline in ONE plan —
     * quality gate (length) → language gate (predicted en) → MinHash
     * near-dup clustering with canonical-survivor selection → split
@@ -581,6 +660,9 @@ object MlQueries {
     "ns20_repetition" -> ns20Repetition,
     "ns21_resize" -> ns21Resize,
     "ns22_corpus_prep" -> ns22CorpusPrep,
+    "ns23_contamination" -> ns23Contamination,
+    "ns24_vocab" -> ns24Vocab,
+    "ns25_pack" -> ns25Pack,
   )
 
   def oracles: Map[String, String] = Map(
@@ -604,5 +686,8 @@ object MlQueries {
     "ns19_redact" -> ns19RedactSql,
     "ns20_repetition" -> ns20RepetitionSql,
     "ns22_corpus_prep" -> ns22CorpusPrepSql,
+    "ns23_contamination" -> ns23ContaminationSql,
+    "ns24_vocab" -> ns24VocabSql,
+    "ns25_pack" -> ns25PackSql,
   )
 }

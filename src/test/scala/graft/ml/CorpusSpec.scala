@@ -1,0 +1,66 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination flags exactly the train docs sharing a 5-gram " +
+      "with the eval set, with correct counts and ratio") {
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains "alpha beta gamma delta epsilon" (1 of its 2 5-grams)
+      (1L, "alpha beta gamma delta epsilon other"),
+      (2L, "totally unrelated words in this training document here"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = Corpus.contamination(train, eval, n = 5).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    val r = out.head
+    assert(r.getAs[Long]("n_contaminated") === 1L)
+    assert(r.getAs[Long]("n_ngrams") === 2L)
+    assert(r.getAs[Double]("contamination_ratio") === 0.5)
+  }
+
+  test("vocabulary ranks by document frequency with total counts") {
+    val docs = Seq(
+      (1L, "red red blue"),
+      (2L, "red green"),
+      (3L, "blue green")).toDF("doc_id", "text")
+    val v = Corpus.vocabulary(docs, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // blue/green/red all have df=2; red wins on total=3, then tiebreak
+    // blue < green on term
+    assert(v.toSeq === Seq(("red", 2L, 3L), ("blue", 2L, 2L)))
+  }
+
+  test("packSequences chunks cumulative tokens at the context length " +
+      "and never splits a doc's assignment nondeterministically") {
+    val docs = Seq(
+      (1L, Seq.fill(6)("w").mkString(" ")),   // 6 toks, before=0  -> chunk 0
+      (2L, Seq.fill(5)("w").mkString(" ")),   // 5 toks, before=6  -> chunk 0
+      (3L, Seq.fill(4)("w").mkString(" ")),   // 4 toks, before=11 -> chunk 1
+      (4L, Seq.fill(10)("w").mkString(" ")),  // 10 toks, before=15 -> chunk 1
+      (5L, Seq.fill(1)("w").mkString(" "))    // 1 tok, before=25  -> chunk 2
+    ).toDF("doc_id", "text")
+    val out = Corpus.packSequences(docs, ctxLen = 10, shards = 1)
+      .orderBy("chunk")
+      .collect().map(r => (r.getAs[Long]("chunk"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc")))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 11L, 1L, 2L),
+      (1L, 2L, 14L, 3L, 4L),
+      (2L, 1L, 1L, 5L, 5L)))
+  }
+
+  test("packSequences shards are deterministic and partition the corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Corpus.packSequences(docs, 2048, 8)
+    assert(packed.agg(sum("n_docs")).as[Long].head() === docs.count())
+    val again = Corpus.packSequences(docs, 2048, 8)
+    assert(packed.orderBy("shard", "chunk").collect().toSeq ===
+      again.orderBy("shard", "chunk").collect().toSeq)
+  }
+}
