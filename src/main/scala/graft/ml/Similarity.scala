@@ -180,29 +180,71 @@ object Similarity {
       .drop("n_hits", "n_true")
   }
 
-  /** IVF-style ANN: the vectors whose vec_id < nCells serve as
-    * deterministic "centroids" (a stand-in for k-means, which would be
-    * fit offline); every vector is assigned to its nearest centroid by
-    * cosine; queries probe only their own cell. Returns top-k per vector
-    * *within its cell* — approximate by construction.
-    *
-    * Scale shape: centroids broadcast to every executor; the expensive
-    * join is vector×centroid (N·C, linear), then a per-cell self-join
-    * whose size is Σ|cell|² ≪ N².
+  /** Seed centroids for IVF: the vectors whose vec_id < nCells —
+    * deterministic, and the Lloyd init for [[fitCentroids]].
     */
-  def ivfTopK(embeddings: DataFrame, nCells: Int, k: Int): DataFrame = {
+  def seedCentroids(embeddings: DataFrame, nCells: Int): DataFrame =
+    withNorm(embeddings).filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("e").as("ce"),
+        col("nrm").as("cn"))
+
+  /** Nearest-centroid assignment by cosine (deterministic cell-id
+    * tiebreak): (vec_id, e, nrm, cell, ccos) — ccos kept so callers
+    * can read the assignment objective. Centroids broadcast — the
+    * expensive join is vector×centroid, linear in N.
+    */
+  def assignCells(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val n = withNorm(embeddings)
-    val cents = n.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("e").as("ce"), col("nrm").as("cn"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell"))
-    val assigned = n
-      .crossJoin(broadcast(cents))
+    n.crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
       .withColumn("crk", row_number().over(assignW))
       .filter(col("crk") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"), col("ccos"))
+  }
+
+  /** Spherical k-means (Lloyd) over the embedding column: assign by
+    * cosine, recenter on the per-cell mean, repeat. Each round is one
+    * broadcast assignment pass plus one (cell, dim-position) average —
+    * posexplode shuffles N·dim (cell, pos, value) triples, which is
+    * how you compute an element-wise mean without collecting anything.
+    * `localCheckpoint` cuts the per-round lineage like Dedup.clusters.
+    *
+    * At 100 TB k-means is fit OFFLINE on a hash-sampled slice (the
+    * centroids are a model, not a query result) and the fitted table
+    * is broadcast at query time — which is exactly the shape here:
+    * pass a sampled frame to fit, the full frame to
+    * [[ivfTopKWithCentroids]].
+    */
+  def fitCentroids(embeddings: DataFrame, nCells: Int, iters: Int)
+      : DataFrame = {
+    var cents = seedCentroids(embeddings, nCells).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(embeddings, cents)
+      val mean = assigned
+        .select(col("cell"), posexplode(col("e")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("ce"))
+      cents = mean
+        .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF ANN given a fitted (or seeded) centroid table: assign every
+    * vector to its cell, search only within the cell. Approximate by
+    * construction (recall lost at cell boundaries); the per-cell
+    * self-join is Σ|cell|² ≪ N².
+    */
+  def ivfTopKWithCentroids(embeddings: DataFrame, cents: DataFrame,
+      k: Int): DataFrame = {
+    val assigned = assignCells(embeddings, cents)
     val a = assigned.select(col("vec_id").as("i"), col("e").as("ea"),
       col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("j"), col("e").as("eb"),
@@ -215,4 +257,11 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("i"), col("cell"), col("rk"), col("j"), col("cos"))
   }
+
+  /** IVF with the deterministic seed centroids (no training pass) —
+    * the cheap default; [[fitCentroids]] + [[ivfTopKWithCentroids]] is
+    * the quality path.
+    */
+  def ivfTopK(embeddings: DataFrame, nCells: Int, k: Int): DataFrame =
+    ivfTopKWithCentroids(embeddings, seedCentroids(embeddings, nCells), k)
 }

@@ -227,6 +227,19 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** IVF over spherical-k-means-fitted centroids (3 Lloyd rounds from
+    * the deterministic seed) — the quality path; recall in-result like
+    * ns8, improvement-vs-seed asserted in MlSpec.
+    */
+  val ns8bSimIvfKmeans: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.fitCentroids(emb, nCells = 16, iters = 3)
+    Similarity.withRecall(
+      Similarity.ivfTopKWithCentroids(emb, cents, k = 5),
+      Similarity.bruteTopK(emb, k = 5))
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** Random-hyperplane LSH ANN — approximate, no ANSI oracle; recall
     * in-result like ns8, floor asserted in MlSpec.
     */
@@ -646,6 +659,7 @@ object MlQueries {
     "ns7_sim_topk" -> ns7SimTopk,
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns8_sim_ivf" -> ns8SimIvf,
+    "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,

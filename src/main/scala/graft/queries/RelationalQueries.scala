@@ -259,6 +259,20 @@ object RelationalQueries {
       |  ON abs((p_retailprice - 900.0) - (s_acctbal % 100)) < 5
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
+  /** q12's band predicate through the bucketed range join
+    * (graft.operators.RangeJoin) — the scale path promised in q12's
+    * doc: an equi-join on width-quantized buckets + residual filter
+    * instead of a broadcast nested loop. Gated against the SAME oracle
+    * as q12; identical output is the operator's contract.
+    */
+  val q12bRangeJoin: Q = (s, dir) =>
+    graft.operators.RangeJoin.bandJoin(
+      Tables.part(s, dir), col("p_retailprice") - lit(900.0),
+      Tables.supplier(s, dir), col("s_acctbal") % 100, width = 5.0)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_parts_in_band"))
+      .orderBy(col("s_suppkey"))
+
   /** Left outer join with empty-group preservation. */
   val q13OuterJoin: Q = (s, dir) =>
     Tables.nation(s, dir)
@@ -1264,6 +1278,7 @@ object RelationalQueries {
     "q52_from_json" -> q52FromJson,
     "q53_rejects" -> q53Rejects,
     "q54_field_catalog" -> q54FieldCatalog,
+    "q12b_range_join" -> q12bRangeJoin,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1321,5 +1336,6 @@ object RelationalQueries {
     "q52_from_json" -> q52FromJsonSql,
     "q53_rejects" -> q53RejectsSql,
     "q54_field_catalog" -> q54FieldCatalogSql,
+    "q12b_range_join" -> q12ThetaJoinSql,
   )
 }

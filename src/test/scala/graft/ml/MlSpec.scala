@@ -68,6 +68,23 @@ class MlSpec extends SparkSpec {
         == r.getAs[Double]("cos")))
   }
 
+  test("k-means refinement does not degrade the IVF assignment " +
+      "objective (Lloyd is monotone from its own init)") {
+    val seed = Similarity.seedCentroids(embs, 16)
+    val fitted = Similarity.fitCentroids(embs, 16, 3)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignCells(embs, cents)
+        .agg(avg(col("ccos"))).head().getDouble(0)
+    val (o0, o1) = (objective(seed), objective(fitted))
+    assert(o1 >= o0 - 1e-6, s"fitted objective $o1 < seed objective $o0")
+    // fitted IVF still produces a full, bounded result
+    val rows = Similarity.ivfTopKWithCentroids(embs, fitted, 5)
+    assert(rows.groupBy("i").count()
+      .agg(max("count")).head().getLong(0) <= 5)
+    assert(rows.select(countDistinct(col("i"))).head().getLong(0) ===
+      embs.count())
+  }
+
   test("withRecall annotates every ANN row with the set-computed " +
       "per-query recall") {
     val brute = Similarity.bruteTopK(embs, 5)
