@@ -504,16 +504,18 @@ object MlQueries {
       .toDF()
       .orderBy(col("media_id"))
 
-  /** Benchmark decontamination: docs sharing any distinct word 5-gram
+  /** Benchmark decontamination: docs sharing any distinct word 4-gram
     * with the "benchmark" slice (every 97th doc stands in for an eval
     * set) are flagged with overlap counts — the standard test-set-
-    * leak check run before training.
+    * leak check run before training. (4-grams: at the synthetic
+    * corpus's doc lengths, true 5-grams flag almost nothing — a
+    * one-row result would make this gate near-vacuous.)
     */
   val ns23Contamination: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     Corpus.contamination(
       train = docs.filter(col("doc_id") % 97 =!= 0),
-      eval = docs.filter(col("doc_id") % 97 === 0), n = 5)
+      eval = docs.filter(col("doc_id") % 97 === 0), n = 4)
       .orderBy(col("doc_id"))
   }
 
@@ -521,12 +523,12 @@ object MlQueries {
     s"""WITH th AS (
        |  SELECT doc_id, ${duckHash60("s")} AS h
        |  FROM (SELECT doc_id,
-       |      unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)])) AS s
+       |      unnest(list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)])) AS s
        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
        |      FROM documents WHERE doc_id % 97 <> 0))
        |), ev AS (
        |  SELECT DISTINCT ${duckHash60("s")} AS h
-       |  FROM (SELECT unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)])) AS s
+       |  FROM (SELECT unnest(list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)])) AS s
        |    FROM (SELECT string_split(text, ' ') AS w
        |      FROM documents WHERE doc_id % 97 = 0))
        |), perdoc AS (
