@@ -29,38 +29,92 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param payload right-side columns to attach (returned as
-    *                `asof_<name>`, null when no right row precedes);
+  /** Backward as-of: greatest right-time ≤ left-time per key.
+    *
+    * @param payload right-side columns to attach (returned as
+    *                `asof_<name>`, null when no right row qualifies);
     *                must be non-null in the right data for consistent
     *                multi-column picks.
     * @param tiebreak right-side column ordering ties on rightTime.
+    * @param tolerance optional max distance between the left time and
+    *                  the matched right time, as a Spark SQL
+    *                  expression string (e.g. "INTERVAL 30 DAYS" for
+    *                  timestamps, "5" for numerics); matches further
+    *                  away resolve to null payloads — the pandas
+    *                  merge_asof semantics.
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      payload: Seq[String], tiebreak: String): DataFrame = {
+      payload: Seq[String], tiebreak: String,
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, tiebreak, tolerance, forward = false)
+
+  /** Forward as-of: smallest right-time ≥ left-time per key — the
+    * "next event after" lookup (same parameters as [[asofBackward]]).
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], tiebreak: String,
+      tolerance: Option[String] = None): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, tiebreak, tolerance, forward = true)
+
+  /** Shared union+window core. Direction is encoded twice: the tie
+    * rank of right vs left rows at equal time (right first for
+    * backward so inclusive ≤ holds, right last for forward so
+    * inclusive ≥ holds) and the window frame (preceding rows + last()
+    * for backward, following rows + first() for forward — first()
+    * with ascending (_t, _tb) picks the NEAREST forward row and the
+    * smallest tiebreak within it, mirroring last() backward).
+    */
+  private def asof(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], tiebreak: String,
+      tolerance: Option[String], forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "need at least one payload column")
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       "payload column names must not collide with left columns")
-    val reserved = Seq("_k", "_t", "_src", "_tb")
+    val reserved = Seq("_k", "_t", "_src", "_tb", "_rt")
     require(!leftCols.exists(reserved.contains),
       s"left columns may not use the reserved working names $reserved")
+    val leftSrc = if (forward) 0 else 1
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
-      .withColumn("_src", lit(1))
+      .withColumn("_src", lit(leftSrc))
     val r = right.select(
       payload.map(col) :+
         col(rightKey).as("_k") :+ col(rightTime).as("_t") :+
-        lit(0).as("_src") :+ col(tiebreak).as("_tb"): _*)
+        lit(1 - leftSrc).as("_src") :+ col(tiebreak).as("_tb") :+
+        col(rightTime).as("_rt"): _*)
     val merged = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col("_k"))
+    val base = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_src").asc, col("_tb").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payload.foldLeft(merged) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(c), ignoreNulls = true).over(w))
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: org.apache.spark.sql.Column) =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
+    val attached = payload.foldLeft(
+      merged.withColumn("_asof_rt", pick(col("_rt")))) { (df, c) =>
+      df.withColumn(s"asof_$c", pick(col(c)))
     }
-    attached.filter(col("_src") === 1)
+    val inTol = tolerance.map { tol =>
+      if (forward) col("_asof_rt") - col("_t") <= expr(tol)
+      else col("_t") - col("_asof_rt") <= expr(tol)
+    }
+    val bounded = inTol match {
+      case None => attached
+      case Some(cond) => payload.foldLeft(attached) { (df, c) =>
+        df.withColumn(s"asof_$c", when(cond, col(s"asof_$c")))
+      }
+    }
+    bounded.filter(col("_src") === leftSrc)
       .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)
   }
 }

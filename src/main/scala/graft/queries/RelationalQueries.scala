@@ -863,6 +863,31 @@ object RelationalQueries {
       |    AS last_event_id
       |FROM orders o ORDER BY o_orderkey""".stripMargin
 
+  /** Forward as-of with tolerance: the FIRST event at-or-after each
+    * order date per customer, but only within 30 days (pandas
+    * merge_asof direction='forward' + tolerance semantics). Same
+    * union+window single-shuffle plan as q42.
+    */
+  val q42bAsofForward: Q = (s, dir) =>
+    graft.operators.AsOfJoin.asofForward(
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      Tables.events(s, dir),
+      leftKey = "o_custkey", rightKey = "user_id",
+      leftTime = "o_orderdate", rightTime = "ts",
+      payload = Seq("event_id"), tiebreak = "event_id",
+      tolerance = Some("INTERVAL 30 DAYS"))
+      .select(col("o_orderkey"), col("asof_event_id").as("next_event_id"))
+      .orderBy(col("o_orderkey"))
+
+  val q42bAsofForwardSql: String =
+    """SELECT o_orderkey,
+      |  (SELECT (min({'ts': e.ts, 'e': e.event_id})).e FROM events e
+      |   WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |     AND e.ts <= o.o_orderdate + INTERVAL 30 DAY)
+      |    AS next_event_id
+      |FROM orders o ORDER BY o_orderkey""".stripMargin
+
   /** A2: group-into-map (the reference's `all_items[item_id] = ...`,
     * PodioApiWrapper.py:127-139) — map built per user, then key lookups
     * projected back out (missing key → null on both engines).
@@ -1266,6 +1291,7 @@ object RelationalQueries {
     "q40_fk_explode" -> q40FkExplode,
     "q41_exists" -> q41Exists,
     "q42_asof" -> q42Asof,
+    "q42b_asof_forward" -> q42bAsofForward,
     "q43_map_agg" -> q43MapAgg,
     "q44_offset" -> q44Offset,
     "q45_setops_all" -> q45SetopsAll,
@@ -1324,6 +1350,7 @@ object RelationalQueries {
     "q40_fk_explode" -> q40FkExplodeSql,
     "q41_exists" -> q41ExistsSql,
     "q42_asof" -> q42AsofSql,
+    "q42b_asof_forward" -> q42bAsofForwardSql,
     "q43_map_agg" -> q43MapAggSql,
     "q44_offset" -> q44OffsetSql,
     "q45_setops_all" -> q45SetopsAllSql,

@@ -41,6 +41,43 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m("no-right-key") === None)        // key absent from right
   }
 
+  test("forward as-of: nearest following row, inclusive ≥, ties by " +
+      "MIN tiebreak, null when nothing follows") {
+    val m = AsOfJoin.asofForward(left, right, "k", "k", "t", "t",
+      payload = Seq("event_id"), tiebreak = "event_id")
+      .select("tag", "asof_event_id").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(m("before-any") === Some(100L))    // nearest following is t=10
+    assert(m("at-first") === Some(100L))      // inclusive: event AT t=10
+    assert(m("after-all") === None)           // nothing after t=25
+    assert(m("exact") === Some(200L))
+    assert(m("no-right-key") === None)
+  }
+
+  test("tolerance bounds the match distance in both directions " +
+      "(inclusive at the bound)") {
+    def back(tol: String) =
+      AsOfJoin.asofBackward(left, right, "k", "k", "t", "t",
+        payload = Seq("event_id"), tiebreak = "event_id",
+        tolerance = Some(tol))
+        .select("tag", "asof_event_id").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // "after-all" (t=25) matches t=20, distance 5
+    assert(back("5")("after-all") === Some(102L))
+    assert(back("4")("after-all") === None)
+    assert(back("4")("at-first") === Some(100L)) // distance 0 unaffected
+    val fwd = AsOfJoin.asofForward(left, right, "k", "k", "t", "t",
+      payload = Seq("event_id"), tiebreak = "event_id",
+      tolerance = Some("4"))
+      .select("tag", "asof_event_id").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fwd("before-any") === None)        // t=5 → t=10 is distance 5 > 4
+    assert(fwd("at-first") === Some(100L))
+  }
+
   test("left row count and columns are preserved") {
     val out = AsOfJoin.asofBackward(left, right, "k", "k", "t", "t",
       payload = Seq("event_id"), tiebreak = "event_id")
