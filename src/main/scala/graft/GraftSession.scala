@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // InferFiltersFromGenerate guards every explode(f(x)) with a
+      // size(f(x))>0 filter that REPEATS the generator expression; the
+      // filter then pushes past repartitions into the file scan, so an
+      // expensive shingle/hash array is computed twice per doc — once
+      // single-threaded on the pre-repartition scan. The rule only
+      // pays off when many rows generate empty arrays, which a cleaned
+      // corpus never does; the generators here handle empties anyway.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // the testdata events feed carries parquet TIMESTAMP(NANOS),
       // which Spark 4 rejects at schema inference; read the nanos as
       // long once here (Tables.events rebuilds a proper timestamp) —
