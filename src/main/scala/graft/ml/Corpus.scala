@@ -60,6 +60,32 @@ object Corpus {
       .limit(limit)
   }
 
+  /** Vocabulary via the space-saving heavy-hitters sketch
+    * ([[graft.functions.SpaceSavingTopTerms]]) — the scale path for
+    * [[vocabulary]]: an exact term groupBy materializes the whole
+    * distinct-term universe (billions of entries at 100 TB before the
+    * top-k cut); the sketch carries at most `capacity` entries per
+    * partition and per merge, so the shuffle is O(partitions ·
+    * capacity) regardless of vocabulary size. Any term with true count
+    * > totalTokens/capacity is guaranteed present; `max_overcount`
+    * bounds each estimate's error.
+    *
+    * The finished sketch is capacity-bounded (small by construction),
+    * so surfacing it through the driver is legitimate — it is a model
+    * summary, not a data result.
+    */
+  def vocabularySketch(docs: DataFrame, topK: Int, capacity: Int)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs
+      .select(explode(split(col("text"), " ")).as("term")).as[String]
+    val sketch = terms
+      .select(new graft.functions.SpaceSavingTopTerms(capacity).toColumn)
+      .head()
+    sketch.take(topK).toDF("term", "est_count", "max_overcount")
+  }
+
   /** Sequence packing — the concat-and-chunk step that turns variable-
     * length documents into fixed-capacity training rows: documents are
     * laid out in a deterministic order and cut into chunks of

@@ -559,6 +559,31 @@ object MlQueries {
       |  ORDER BY df DESC, total DESC, term LIMIT 200
       |) ORDER BY term""".stripMargin
 
+  /** ns24's scale path: the space-saving sketch vocabulary. With
+    * capacity ≥ the true distinct-term count the sketch is EXACT, so
+    * on this corpus it is gated against the same oracle as ns24
+    * (capacity 4096 ≫ the synthetic vocabulary); the approximate
+    * regime (capacity ≪ vocab) is property-tested in CorpusSpec.
+    * `est_count` aliases to ns24's column names for the compare.
+    */
+  val ns24bVocabSketch: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sk = Corpus.vocabularySketch(docs, topK = 4096, capacity = 4096)
+      .select(col("term"), col("est_count").as("total"))
+    // df (document frequency) comes from an exact pass — the sketch
+    // covers the count side; join keeps the output schema identical
+    // to ns24 for the shared oracle
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    sk.join(dfreq, Seq("term"))
+      .orderBy(col("df").desc, col("total").desc, col("term"))
+      .limit(200)
+      .select(col("term"), col("df"), col("total"))
+      .orderBy(col("term"))
+  }
+
   /** Sequence packing manifest: documents sharded by doc_id hash,
     * concat-and-chunked into 2048-token context windows per shard.
     */
@@ -678,6 +703,7 @@ object MlQueries {
     "ns22_corpus_prep" -> ns22CorpusPrep,
     "ns23_contamination" -> ns23Contamination,
     "ns24_vocab" -> ns24Vocab,
+    "ns24b_vocab_sketch" -> ns24bVocabSketch,
     "ns25_pack" -> ns25Pack,
   )
 
@@ -704,6 +730,7 @@ object MlQueries {
     "ns22_corpus_prep" -> ns22CorpusPrepSql,
     "ns23_contamination" -> ns23ContaminationSql,
     "ns24_vocab" -> ns24VocabSql,
+    "ns24b_vocab_sketch" -> ns24VocabSql,
     "ns25_pack" -> ns25PackSql,
   )
 }

@@ -55,6 +55,32 @@ class CorpusSpec extends SparkSpec {
       (2L, 1L, 1L, 5L, 5L)))
   }
 
+  test("space-saving sketch: never undercounts, bounds the overcount, " +
+      "and retains every guaranteed-frequent term under tight capacity") {
+    val rnd = new scala.util.Random(7L)
+    // zipf-ish skew: term_i appears ~ 600/i times across many docs
+    val terms = (1 to 60).flatMap(i => Seq.fill(600 / i)(s"t$i"))
+    val shuffled = rnd.shuffle(terms)
+    val docs = shuffled.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val truth = terms.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val n = terms.length.toLong
+    val capacity = 24
+    val sketch = Corpus.vocabularySketch(docs, capacity, capacity)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val est = sketch.map { case (t, c, _) => t -> c }.toMap
+    sketch.foreach { case (t, c, e) =>
+      assert(c >= truth(t), s"$t undercounted")
+      assert(c - e <= truth(t), s"$t overcount exceeds err bound")
+    }
+    // guaranteed retention: true count > N/capacity ⇒ present
+    truth.filter(_._2 > n / capacity).keys.foreach { t =>
+      assert(est.contains(t), s"frequent term $t evicted")
+    }
+  }
+
   test("packSequences shards are deterministic and partition the corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val packed = Corpus.packSequences(docs, 2048, 8)
