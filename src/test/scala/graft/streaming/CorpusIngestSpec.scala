@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end streaming corpus prep: quality gate → near-dup suppress →
+  * exactly-once corpus append, across real micro-batches and replays.
+  */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // English-looking text long enough to pass a 40-char gate; stopwords
+  // drive langId('en')
+  private val goodA = "the quick brown fox jumps over the lazy dog and runs far away"
+  private val goodB = "a completely different english document that covers spark internals in detail"
+  private val goodC = "yet another acceptable document with the required length and the right words"
+  private val nonEnglish = "el rapido zorro marron salta sobre el perro perezoso otra vez hoy"
+  private val tooShort = "the end"
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming ingest gates quality, drops near-dups across " +
+      "batches, and appends only novel docs to the corpus") {
+    val corpus = tmp("graft_corpus") + "/docs"
+    val store = tmp("graft_corpus_store") + "/sigs"
+    val ckpt = tmp("graft_corpus_ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusIngest.start(in.toDF().toDF("doc_id", "text"),
+      corpus, store, ckpt, minChars = 40, lang = "en", maxHamming = 1)
+    try {
+      in.addData((1L, goodA), (2L, goodA), (3L, nonEnglish), (4L, tooShort))
+      q.processAllAvailable()
+      in.addData((5L, goodA), (6L, goodB))
+      q.processAllAvailable()
+      val got = spark.read.parquet(corpus)
+        .select("doc_id", "ingest_batch")
+        .as[(Long, Long)].collect().sorted.toSeq
+      // batch 0: 1 survives (2 is a within-batch dup, 3 wrong lang,
+      // 4 too short); batch 1: 6 survives (5 dups the store)
+      assert(got === Seq((1L, 0L), (6L, 1L)))
+    } finally q.stop()
+  }
+
+  test("replaying a batch neither loses docs nor duplicates the corpus") {
+    val corpus = tmp("graft_replay_corpus") + "/docs"
+    val store = tmp("graft_replay_store") + "/sigs"
+    val batch = Seq((1L, goodA), (2L, goodB)).toDF("doc_id", "text")
+    CorpusIngest.ingestBatch(batch, 0L, corpus, store,
+      minChars = 40, lang = "en", maxHamming = 1)
+    // crash-after-commit replay of the same batch id
+    CorpusIngest.ingestBatch(batch, 0L, corpus, store,
+      minChars = 40, lang = "en", maxHamming = 1)
+    val rows = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(1L, 2L), "replay must not duplicate or drop")
+    // and a later batch still dedups against the store
+    CorpusIngest.ingestBatch(Seq((3L, goodA)).toDF("doc_id", "text"),
+      1L, corpus, store, minChars = 40, lang = "en", maxHamming = 1)
+    assert(spark.read.parquet(corpus)
+      .filter(col("ingest_batch") === 1L).count() === 0)
+    CorpusIngest.ingestBatch(Seq((4L, goodC)).toDF("doc_id", "text"),
+      2L, corpus, store, minChars = 40, lang = "en", maxHamming = 1)
+    assert(spark.read.parquet(corpus)
+      .filter(col("ingest_batch") === 2L).count() === 1)
+  }
+}
