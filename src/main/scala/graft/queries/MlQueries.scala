@@ -674,6 +674,67 @@ object MlQueries {
        |GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  /** Corpus-release manifest — the second capstone, over the corpus
+    * operators the first (ns22) doesn't touch: drop docs contaminated
+    * by the benchmark slice (4-gram overlap), collapse exact
+    * duplicates to their canonical min-doc_id survivor, keep the
+    * train split, and emit the packed context-window manifest. One
+    * declarative plan; the oracle restates the whole chain.
+    */
+  val ns26Release: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val contaminated = Corpus.contamination(
+      train = docs.filter(col("doc_id") % 97 =!= 0),
+      eval = docs.filter(col("doc_id") % 97 === 0), n = 4)
+      .select("doc_id")
+    val clean = docs.filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val canonical = Dedup.exact(clean)
+      .select(col("canonical_doc_id").as("doc_id"))
+    val train = clean.join(canonical, Seq("doc_id"), "left_semi")
+      .filter(TextAnalysis.splitAssign(col("doc_id")) === "train")
+    Corpus.packSequences(train, ctxLen = 2048, shards = 8)
+      .orderBy(col("shard"), col("chunk"))
+  }
+
+  val ns26ReleaseSql: String = {
+    val h = duckHash60("doc_id::VARCHAR")
+    s"""WITH th AS (
+       |  SELECT doc_id, ${duckHash60("s")} AS hsh
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)])) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |      FROM documents WHERE doc_id % 97 <> 0))
+       |), ev AS (
+       |  SELECT DISTINCT ${duckHash60("s")} AS hsh
+       |  FROM (SELECT unnest(list_distinct([array_to_string(w[i:i+3], ' ') FOR i IN range(1, len(w) - 2)])) AS s
+       |    FROM (SELECT string_split(text, ' ') AS w
+       |      FROM documents WHERE doc_id % 97 = 0))
+       |), contaminated AS (
+       |  SELECT DISTINCT doc_id FROM th JOIN ev USING (hsh)
+       |), clean AS (
+       |  SELECT * FROM documents WHERE doc_id % 97 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |), canonical AS (
+       |  SELECT min(doc_id) AS doc_id FROM clean
+       |  GROUP BY ${duckHash60("text")}
+       |), train AS (
+       |  SELECT c.doc_id, len(string_split(c.text, ' ')) AS toks,
+       |    $h % 8 AS shard
+       |  FROM clean c JOIN canonical USING (doc_id)
+       |  WHERE $h % 100 < 90
+       |), cum AS (
+       |  SELECT shard, doc_id, toks,
+       |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM train
+       |)
+       |SELECT shard, ((cum - toks) // 2048)::BIGINT AS chunk,
+       |  count(*) AS n_docs, sum(toks)::BIGINT AS chunk_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -705,6 +766,7 @@ object MlQueries {
     "ns24_vocab" -> ns24Vocab,
     "ns24b_vocab_sketch" -> ns24bVocabSketch,
     "ns25_pack" -> ns25Pack,
+    "ns26_release" -> ns26Release,
   )
 
   def oracles: Map[String, String] = Map(
@@ -732,5 +794,6 @@ object MlQueries {
     "ns24_vocab" -> ns24VocabSql,
     "ns24b_vocab_sketch" -> ns24VocabSql,
     "ns25_pack" -> ns25PackSql,
+    "ns26_release" -> ns26ReleaseSql,
   )
 }
