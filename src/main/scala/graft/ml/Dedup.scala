@@ -193,9 +193,17 @@ object Dedup {
       .localCheckpoint()
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("cluster_id")).localCheckpoint()
-    var changed = 1L
+    // Convergence probe: labels only ever DECREASE (least of self and
+    // neighbors), so the label sum strictly decreases iff any node
+    // changed — one exact decimal aggregate per round instead of a
+    // join-and-count against the previous iteration (decimal(38,0):
+    // an int64 sum would overflow at ~1e12 rows of 1e12-sized ids).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"),
           col("cluster_id").as("nbl")), Seq("b"))
@@ -218,14 +226,14 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")),
-          Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      val newSum = labelSum(updated)
+      changed = newSum == null != (prevSum == null) ||
+        (newSum != null && newSum.compareTo(prevSum) != 0)
+      prevSum = newSum
       labels = updated
       iter += 1
     }
-    require(changed == 0,
+    require(!changed,
       s"label propagation did not converge in $maxIters rounds " +
         "(component diameter exceeds maxIters) — raise maxIters")
     labels
