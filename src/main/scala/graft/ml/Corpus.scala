@@ -32,14 +32,21 @@ object Corpus {
       .select(explode(HashUtils.wordShingles(col("text"), n)).as("s"))
       .select(HashUtils.hash60(col("s")).as("h"))
       .distinct()
-    val perDoc = t.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_ngrams"))
-    t.join(e, Seq("h"))
+      .withColumn("hit", lit(1))
+    // ONE pass over the expensive shingle+hash stage: a left join
+    // against the (broadcast-sized) eval hashes marks each n-gram,
+    // and a single groupBy yields both the denominator and the hit
+    // count — two independent consumers of `t` would re-run the whole
+    // shingle scan per consumer (the CollapseProject hazard).
+    t.join(e, Seq("h"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_contaminated"))
-      .join(perDoc, Seq("doc_id"))
+      .agg(count(col("hit")).as("n_contaminated"),
+        count(lit(1)).as("n_ngrams"))
+      .filter(col("n_contaminated") > 0)
       .withColumn("contamination_ratio",
         round(col("n_contaminated").cast("double") / col("n_ngrams"), 6))
+      .select(col("doc_id"), col("n_contaminated"), col("n_ngrams"),
+        col("contamination_ratio"))
   }
 
   /** Corpus vocabulary statistics: the `limit` most document-frequent

@@ -79,7 +79,7 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       "payload column names must not collide with left columns")
-    val reserved = Seq("_k", "_t", "_src", "_tb", "_rt")
+    val reserved = Seq("_k", "_t", "_src", "_tb", "_rt", "_asof_rt")
     require(!leftCols.exists(reserved.contains),
       s"left columns may not use the reserved working names $reserved")
     val leftSrc = if (forward) 0 else 1

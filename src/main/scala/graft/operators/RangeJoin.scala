@@ -30,6 +30,13 @@ object RangeJoin {
   def bandJoin(left: DataFrame, leftVal: Column,
       right: DataFrame, rightVal: Column, width: Double): DataFrame = {
     require(width > 0, "band width must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlap")
+    val reserved = Seq("_band_v", "_band_w", "_bucket")
+    val taken = (left.columns ++ right.columns).filter(reserved.contains)
+    require(taken.isEmpty,
+      s"inputs may not use the reserved working names $taken")
     val l = left.withColumn("_band_v", leftVal)
       .withColumn("_bucket", floor(col("_band_v") / width))
     val r = right.withColumn("_band_w", rightVal)

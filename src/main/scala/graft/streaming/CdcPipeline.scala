@@ -115,9 +115,15 @@ object CdcPipeline {
     *                   (see [[appDrift]]); no-op default keeps data-only
     *                   pipelines unchanged
     */
+  /** Default no-op app handler — a stable reference so `start` can
+    * skip the per-batch app-event probe (an extra filter+isEmpty
+    * action) entirely for data-only pipelines that never observe it.
+    */
+  private val noAppHandler: (DataFrame, Long) => Unit = (_, _) => ()
+
   def start(streamingEvents: DataFrame, key: String,
       checkpoint: String, onBatch: (DataFrame, DataFrame, Long) => Unit,
-      onAppBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      onAppBatch: (DataFrame, Long) => Unit = noAppHandler)
       : StreamingQuery =
     streamingEvents
       .withWatermark("ts", "10 minutes")
@@ -126,8 +132,10 @@ object CdcPipeline {
       .trigger(Trigger.ProcessingTime("10 seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (live, dlq) = route(batch)
-        val app = routeApp(batch)
-        if (!app.isEmpty) onAppBatch(app, batchId)
+        if (onAppBatch ne noAppHandler) {
+          val app = routeApp(batch)
+          if (!app.isEmpty) onAppBatch(app, batchId)
+        }
         onBatch(coalesceBatch(live, key), dlq, batchId)
       }
       .start()

@@ -13,16 +13,18 @@ import graft.ml.TextAnalysis
   * and the survivors append to a growing corpus table.
   *
   * Delivery: the signature store write is at-least-once with replay
-  * re-emission (StreamingNearDup's batch_id discipline), and the
-  * corpus append carries its own `ingest_batch` marker checked before
-  * writing — so a replayed batch neither loses documents nor
-  * duplicates them in the corpus: effectively exactly-once corpus
-  * contents on top of at-least-once plumbing, the same marker trick
-  * transactional table formats implement internally.
+  * re-emission (StreamingNearDup's batch_id discipline), and each
+  * batch's survivors land in their OWN partition directory
+  * (`ingest_batch=<id>/`) written with overwrite — a replayed batch
+  * recomputes the same deterministic novel set and rewrites the same
+  * partition, so replays neither lose documents nor duplicate them:
+  * exactly-once corpus contents with an O(1) idempotence mechanism
+  * (no probe that re-reads the ever-growing corpus per batch — that
+  * cost would rise monotonically over the stream's lifetime).
   *
   * Scale: the gate is map-only; dedup touches only band-colliding
-  * store rows; the corpus append is partitioned parquet that
-  * [[graft.sources.Layout.compact]] can re-bin offline.
+  * store rows; the per-batch partitions are what
+  * [[graft.sources.Layout.compact]] re-bins offline.
   */
 object CorpusIngest {
 
@@ -33,17 +35,9 @@ object CorpusIngest {
     val gated = batch.filter(length(col("text")) >= minChars &&
       TextAnalysis.langId(col("text")) === lang)
     StreamingNearDup.processBatch(gated, batchId, storePath, maxHamming,
-      (novel, bid) => {
-        val spark = novel.sparkSession
-        val p = new org.apache.hadoop.fs.Path(corpusPath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val alreadyWritten = fs.exists(p) &&
-          !spark.read.parquet(corpusPath)
-            .filter(col("ingest_batch") === bid).isEmpty
-        if (!alreadyWritten)
-          novel.withColumn("ingest_batch", lit(bid))
-            .write.mode("append").parquet(corpusPath)
-      })
+      (novel, bid) =>
+        novel.write.mode("overwrite")
+          .parquet(s"$corpusPath/ingest_batch=$bid"))
   }
 
   def start(streamingDocs: DataFrame, corpusPath: String,

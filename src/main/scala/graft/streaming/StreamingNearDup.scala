@@ -66,9 +66,17 @@ object StreamingNearDup {
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path))
-      spark.read.parquet(storePath).select("doc_id", "simhash", "batch_id")
-    else {
+    if (fs.exists(path)) {
+      val raw = spark.read.parquet(storePath)
+      // migrate stores written before the batch_id column existed:
+      // -1 can never equal a real batchId, so legacy rows behave as
+      // "some earlier batch" — without this, a deterministic missing-
+      // column failure would retry forever on restart
+      val withBid =
+        if (raw.columns.contains("batch_id")) raw
+        else raw.withColumn("batch_id", lit(-1L))
+      withBid.select("doc_id", "simhash", "batch_id")
+    } else {
       import spark.implicits._
       Seq.empty[(Long, Long, Long)].toDF("doc_id", "simhash", "batch_id")
     }
@@ -109,7 +117,12 @@ object StreamingNearDup {
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,
       maxHamming: Int, onBatch: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
-    val store = readStore(spark, storePath).localCheckpoint()
+    // no store materialization: filterNovel checkpoints its OUTPUTS, so
+    // no store-derived lineage survives past the append, and the two
+    // lazy store scans below read only footers + matching row groups —
+    // caching the whole ever-growing store per batch would defeat the
+    // "touch only band-colliding rows" scale property
+    val store = readStore(spark, storePath)
     val alreadyAppended =
       !store.filter(col("batch_id") === batchId).isEmpty
     val (novel0, novelSigs) = filterNovel(batch,
