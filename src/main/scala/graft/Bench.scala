@@ -26,16 +26,17 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable =>
-            if (!failed.contains(name)) failed ::= name
-            false
-          }
+          catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // min over SUCCESSFUL runs only — an exception path returns
       // faster than a real run, so a transient failure would otherwise
-      // report a deflated time for a query that actually succeeded
+      // report a deflated time for a query that actually succeeded.
+      // `failed` lists only queries with NO successful run — a query
+      // that recovered on retry reports its good time and is not
+      // contradictorily flagged failed in the same line.
       val good = times.filter(_._2).map(_._1)
+      if (good.isEmpty) failed ::= name
       name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -82,6 +82,14 @@ object AsOfJoin {
     val reserved = Seq("_k", "_t", "_src", "_tb", "_rt", "_asof_rt")
     require(!leftCols.exists(reserved.contains),
       s"left columns may not use the reserved working names $reserved")
+    // chained as-of joins: a left column already named asof_<payload>
+    // (from a previous join with the same payload) would be silently
+    // clobbered and emitted twice — fail loudly instead
+    val outNames = payload.map("asof_" + _)
+    val clobbered = leftCols.filter(outNames.contains)
+    require(clobbered.isEmpty,
+      s"left columns $clobbered collide with as-of output names — " +
+        "rename them (or the payload) before joining again")
     val leftSrc = if (forward) 0 else 1
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))

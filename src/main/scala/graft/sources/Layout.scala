@@ -107,4 +107,22 @@ object Layout {
     fs.delete(bak, true)
     ()
   }
+
+  /** Compact a Hive-partitioned table (`col=value/` subdirectories,
+    * e.g. the streaming corpus's `ingest_batch=<id>/` layout) by
+    * running [[compact]] inside each partition directory — the
+    * partition structure survives, which matters when a writer's
+    * idempotence depends on it. [[compact]] itself only sees
+    * top-level `*.parquet` files, so calling it on a partitioned
+    * root is a silent no-op; this is the partition-aware entry.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p)
+      .filter(f => f.isDirectory && f.getPath.getName.contains("="))
+      .foreach(d => compact(spark, d.getPath.toString, targetFileBytes))
+  }
 }

@@ -104,6 +104,12 @@ object CdcPipeline {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Default no-op app handler — a stable reference so `start` can
+    * skip the per-batch app-event probe (an extra filter+isEmpty
+    * action) entirely for data-only pipelines that never observe it.
+    */
+  private val noAppHandler: (DataFrame, Long) => Unit = (_, _) => ()
+
   /** Wire the full E1 pipeline over a streaming events frame. The
     * per-batch body delegates to the pure functions above so tests can
     * drive them without a streaming runtime.
@@ -115,12 +121,6 @@ object CdcPipeline {
     *                   (see [[appDrift]]); no-op default keeps data-only
     *                   pipelines unchanged
     */
-  /** Default no-op app handler — a stable reference so `start` can
-    * skip the per-batch app-event probe (an extra filter+isEmpty
-    * action) entirely for data-only pipelines that never observe it.
-    */
-  private val noAppHandler: (DataFrame, Long) => Unit = (_, _) => ()
-
   def start(streamingEvents: DataFrame, key: String,
       checkpoint: String, onBatch: (DataFrame, DataFrame, Long) => Unit,
       onAppBatch: (DataFrame, Long) => Unit = noAppHandler)

@@ -15,16 +15,18 @@ import graft.ml.TextAnalysis
   * Delivery: the signature store write is at-least-once with replay
   * re-emission (StreamingNearDup's batch_id discipline), and each
   * batch's survivors land in their OWN partition directory
-  * (`ingest_batch=<id>/`) written with overwrite — a replayed batch
-  * recomputes the same deterministic novel set and rewrites the same
-  * partition, so replays neither lose documents nor duplicate them:
-  * exactly-once corpus contents with an O(1) idempotence mechanism
-  * (no probe that re-reads the ever-growing corpus per batch — that
-  * cost would rise monotonically over the stream's lifetime).
+  * (`ingest_batch=<id>/`), committed at most once: a partition whose
+  * `_SUCCESS` marker exists is never rewritten (protects committed
+  * data from both replays and recycled batchIds after a checkpoint
+  * reset), while a partial directory from a died write is overwritten
+  * by the replay. O(1) per batch — no probe re-reads the ever-growing
+  * corpus.
   *
   * Scale: the gate is map-only; dedup touches only band-colliding
-  * store rows; the per-batch partitions are what
-  * [[graft.sources.Layout.compact]] re-bins offline.
+  * store rows; the per-batch partition directories accumulate one
+  * small file set per trigger — re-bin them offline with
+  * [[graft.sources.Layout.compactPartitions]] (per-partition, so the
+  * `ingest_batch=` structure the idempotence depends on survives).
   */
 object CorpusIngest {
 
@@ -35,9 +37,16 @@ object CorpusIngest {
     val gated = batch.filter(length(col("text")) >= minChars &&
       TextAnalysis.langId(col("text")) === lang)
     StreamingNearDup.processBatch(gated, batchId, storePath, maxHamming,
-      (novel, bid) =>
-        novel.write.mode("overwrite")
-          .parquet(s"$corpusPath/ingest_batch=$bid"))
+      (novel, bid) => {
+        val spark = novel.sparkSession
+        val part = new org.apache.hadoop.fs.Path(
+          s"$corpusPath/ingest_batch=$bid")
+        val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val committed =
+          fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))
+        if (!committed)
+          novel.write.mode("overwrite").parquet(part.toString)
+      })
   }
 
   def start(streamingDocs: DataFrame, corpusPath: String,

@@ -67,13 +67,19 @@ object StreamingNearDup {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) {
-      val raw = spark.read.parquet(storePath)
       // migrate stores written before the batch_id column existed:
       // -1 can never equal a real batchId, so legacy rows behave as
       // "some earlier batch" — without this, a deterministic missing-
-      // column failure would retry forever on restart
+      // column failure would retry forever on restart. mergeSchema is
+      // REQUIRED for mixed old/new stores: default schema inference
+      // samples one file, which would either null-fill legacy rows
+      // (then the =!= filter drops them — every historical signature
+      // invisible) or ignore new files' real batch_id entirely; the
+      // coalesce then backfills the legacy rows' nulls.
+      val raw = spark.read.option("mergeSchema", "true").parquet(storePath)
       val withBid =
-        if (raw.columns.contains("batch_id")) raw
+        if (raw.columns.contains("batch_id"))
+          raw.withColumn("batch_id", coalesce(col("batch_id"), lit(-1L)))
         else raw.withColumn("batch_id", lit(-1L))
       withBid.select("doc_id", "simhash", "batch_id")
     } else {
@@ -118,10 +124,14 @@ object StreamingNearDup {
       maxHamming: Int, onBatch: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
     // no store materialization: filterNovel checkpoints its OUTPUTS, so
-    // no store-derived lineage survives past the append, and the two
-    // lazy store scans below read only footers + matching row groups —
-    // caching the whole ever-growing store per batch would defeat the
-    // "touch only band-colliding rows" scale property
+    // no store-derived lineage survives past the append. Per-batch
+    // store cost: the batch_id probe prunes on row-group stats, but
+    // the banded dedup join necessarily SCANS the store (bands derive
+    // from simhash — nothing pushes to parquet stats); the join then
+    // touches only band-colliding rows. At scale, bound the scan by
+    // partitioning the store table on band prefix — what a caching
+    // localCheckpoint here would NOT fix (it re-materializes the whole
+    // store per batch instead).
     val store = readStore(spark, storePath)
     val alreadyAppended =
       !store.filter(col("batch_id") === batchId).isEmpty

@@ -47,6 +47,34 @@ class LayoutSpec extends SparkSpec {
     assert(filesAfter === 1) // tiny table → one target file
   }
 
+  test("compactPartitions re-bins each partition in place, keeping " +
+      "the partition structure and the rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_part_compact").toString + "/corpus"
+    // two "streaming batches", each fragmented into several files
+    Seq.tabulate(40)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .repartition(5).write.parquet(s"$root/ingest_batch=0")
+    Seq.tabulate(10)(i => (100L + i, s"doc ${100 + i}")).toDF("doc_id", "text")
+      .repartition(5).write.parquet(s"$root/ingest_batch=1")
+    val before = spark.read.parquet(root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    Layout.compactPartitions(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+    assert(dirs.map(_.getName).sorted.toSeq ===
+      Seq("ingest_batch=0", "ingest_batch=1"), "partition dirs survive")
+    dirs.foreach { d =>
+      val files = fs.listStatus(d)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      assert(files === 1, s"$d should compact to one file")
+    }
+    val after = spark.read.parquet(root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after === before)
+  }
+
   test("same-bucketed tables join without an Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

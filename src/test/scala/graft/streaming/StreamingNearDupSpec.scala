@@ -63,6 +63,36 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(emitOf(Seq((3L, textA)).toDF("doc_id", "text"), 1L) === Seq())
   }
 
+  test("legacy stores without batch_id migrate: old signatures still " +
+      "suppress dups, and mixed old/new files read correctly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = Files.createTempDirectory("graft_sig_legacy").toString + "/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about spark catalyst optimizer internals"
+    // a pre-batch_id store: only (doc_id, simhash)
+    graft.ml.Dedup.simhash(Seq((1L, textA)).toDF("doc_id", "text"))
+      .write.parquet(store)
+    var emitted = Seq.empty[Long]
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingNearDup.processBatch(b, id, store, 1,
+        (novel, _) => emitted = novel.select("doc_id").as[Long]
+          .collect().sorted.toSeq)
+    // dup of the legacy doc is suppressed; novel doc passes
+    run(Seq((2L, textA), (3L, textB)).toDF("doc_id", "text"), 5L)
+    assert(emitted === Seq(3L))
+    // the store is now mixed-schema (legacy + batch_id files); legacy
+    // rows must read as batch -1, new rows keep batch 5 — a replay of
+    // batch 5 still re-emits doc 3 and a NEW batch still sees both
+    run(Seq((2L, textA), (3L, textB)).toDF("doc_id", "text"), 5L)
+    assert(emitted === Seq(3L), "replay must re-emit, not drop")
+    run(Seq((4L, textB)).toDF("doc_id", "text"), 6L)
+    assert(emitted === Seq(), "new batch must see the mixed store")
+    val bids = StreamingNearDup.readStore(spark, store)
+      .select("batch_id").as[Long].collect().sorted.toSeq
+    assert(bids === Seq(-1L, 5L))
+  }
+
   test("filterNovel with an absent store passes everything distinct " +
       "and returns matching signatures") {
     val spark0 = spark
