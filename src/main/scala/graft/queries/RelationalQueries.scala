@@ -259,6 +259,29 @@ object RelationalQueries {
       |  ON abs((p_retailprice - 900.0) - (s_acctbal % 100)) < 5
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 
+  /** Column profiling (graft.meta.Profile): per-column row/non-null/
+    * distinct counts and min/max over the customer table — the
+    * data-integrity audit the reference's migration story centers on.
+    * One scan, stack-unpivoted.
+    */
+  val q55Profile: Q = (s, dir) =>
+    graft.meta.Profile.profile(Tables.customer(s, dir),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"))
+      .orderBy(col("column_name"))
+
+  val q55ProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str
+         |FROM customer""".stripMargin
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   /** q12's band predicate through the bucketed range join
     * (graft.operators.RangeJoin) — the scale path promised in q12's
     * doc: an equi-join on width-quantized buckets + residual filter
@@ -1305,6 +1328,7 @@ object RelationalQueries {
     "q53_rejects" -> q53Rejects,
     "q54_field_catalog" -> q54FieldCatalog,
     "q12b_range_join" -> q12bRangeJoin,
+    "q55_profile" -> q55Profile,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1364,5 +1388,6 @@ object RelationalQueries {
     "q53_rejects" -> q53RejectsSql,
     "q54_field_catalog" -> q54FieldCatalogSql,
     "q12b_range_join" -> q12ThetaJoinSql,
+    "q55_profile" -> q55ProfileSql,
   )
 }
