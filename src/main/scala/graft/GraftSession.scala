@@ -34,6 +34,11 @@ object GraftSession {
       // corpus never does; the generators here handle empties anyway.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // duplicate map keys resolve last-wins, the reference's dict-
+      // assignment semantics (PodioApiWrapper.py:101) — Spark's
+      // default EXCEPTION policy turns a duplicated field_id in one
+      // webhook payload into a mid-job crash
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       // the testdata events feed carries parquet TIMESTAMP(NANOS),
       // which Spark 4 rejects at schema inference; read the nanos as
       // long once here (Tables.events rebuilds a proper timestamp) —

@@ -59,13 +59,18 @@ object CleanFields {
     // try_element_at: an empty `values` array must clean to null, not
     // throw (ANSI element_at errors on index-out-of-bounds; the
     // reference's values[0] IndexError was swallowed by the caller's
-    // retry loop — we are total instead)
-    val firstStart = get_json_object(try_element_at(values, lit(1)), "$.start")
+    // retry loop — we are total instead).
+    // Branch (a) tests key PRESENCE ('start' in values[0].keys(),
+    // PodioApiWrapper.py:73), not value non-nullness — a payload with
+    // an explicit null start still belongs to the date branch, which
+    // get_json_object alone cannot distinguish.
+    val hasStartKey = array_contains(
+      json_object_keys(try_element_at(values, lit(1))), "start")
     val rawVals = transform(values, v => get_json_object(v, "$.value"))
     val dateParsed = transform(rawVals, v => permissiveDate(v))
     val allDates = forall(dateParsed, d => d.isNotNull)
     val firstRaw = try_element_at(rawVals, lit(1))
-    when(firstStart.isNotNull, joinPath(values, "$.start"))
+    when(hasStartKey, joinPath(values, "$.start"))
       .when(size(values) > 0 && allDates, array_join(dateParsed, ","))
       .otherwise(coalesce(
         firstRaw.try_cast("double").cast("string"), firstRaw))
@@ -93,45 +98,53 @@ object CleanFields {
           "double").cast("string"))
       .otherwise(lit(null).cast("string"))
 
+  /** The cleanable field types — THE single copy: [[cleanItems]]'s
+    * keep-filter, [[rejects]]' complement, and (by construction)
+    * [[cleanValue]]'s dispatch arms partition on this list, so a new
+    * type added here cannot silently land in both or neither sink.
+    */
+  val knownTypes: Seq[String] = Seq("date", "contact", "text", "category",
+    "app", "phone", "email", "number", "location", "calculation", "money")
+
   /** Whole-item clean (the reference's per-item output shape,
     * PodioApiWrapper.py:95-101): `item_id` + a map keyed by stringified
     * field_id of `{field_id, field_label, field_type, field_value}`
     * structs. Fields of unknown type are excluded from the map and
     * surfaced via [[rejects]] (dead-letter, PodioApiWrapper.py:91-94).
     *
-    * Scale: explode + map_from_entries is per-item local work — no
-    * shuffle; the `collect_list` re-group shuffles on item_id only if
-    * the exploded view crossed a repartition, which it doesn't here
-    * (Catalyst keeps it in one stage).
+    * Array-native (filter + transform + map_from_entries), NOT
+    * explode/groupBy: the reference keeps EVERY item — an item with an
+    * empty `fields` array or only unknown-typed fields returns `{}`
+    * (PodioApiWrapper.py:137-139 keys every item) — and an explode
+    * formulation silently drops those items because no row survives to
+    * the re-group. Per-item local work, zero shuffle.
+    *
+    * Duplicate field_ids within one item resolve LAST-wins, matching
+    * the reference's dict assignment (PodioApiWrapper.py:101) — see the
+    * `spark.sql.mapKeyDedupPolicy=LAST_WIN` conf in GraftSession
+    * (Spark's default EXCEPTION policy would throw mid-job instead).
     */
   def cleanItems(raw: DataFrame): DataFrame = {
-    val known = Seq("date", "contact", "text", "category", "app", "phone",
-      "email", "number", "location", "calculation", "money")
-    raw.select(col("item_id"), explode(col("fields")).as("f"))
-      .filter(col("f.type").isin(known: _*))
-      .select(col("item_id"),
-        col("f.field_id").cast("string").as("k"),
-        struct(
-          col("f.field_id").as("field_id"),
-          col("f.label").as("field_label"),
-          col("f.type").as("field_type"),
-          cleanValue(col("f.type"), col("f.values")).as("field_value"))
-          .as("v"))
-      .groupBy(col("item_id"))
-      .agg(map_from_entries(collect_list(struct(col("k"), col("v"))))
-        .as("data"))
+    val kept = filter(col("fields"),
+      f => f.getField("type").isin(knownTypes: _*))
+    val entries = transform(kept, f => struct(
+      f.getField("field_id").cast("string").as("k"),
+      struct(
+        f.getField("field_id").as("field_id"),
+        f.getField("label").as("field_label"),
+        f.getField("type").as("field_type"),
+        cleanValue(f.getField("type"), f.getField("values"))
+          .as("field_value")).as("v")))
+    raw.select(col("item_id"), map_from_entries(entries).as("data"))
   }
 
   /** Dead-letter rows: fields whose type has no clean rule
     * (PodioApiWrapper.py:91-94 prints a note; we emit a DataFrame the
     * caller can sink to a rejects table).
     */
-  def rejects(raw: DataFrame): DataFrame = {
-    val known = Seq("date", "contact", "text", "category", "app", "phone",
-      "email", "number", "location", "calculation", "money")
+  def rejects(raw: DataFrame): DataFrame =
     raw.select(col("item_id"), explode(col("fields")).as("f"))
-      .filter(!col("f.type").isin(known: _*))
+      .filter(!col("f.type").isin(knownTypes: _*))
       .select(col("item_id"), col("f.field_id").as("field_id"),
         col("f.type").as("field_type"))
-  }
 }

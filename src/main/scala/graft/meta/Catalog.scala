@@ -62,16 +62,24 @@ object Catalog {
       "nullable", "hidden", "return_type")
   }
 
-  /** S7: the nested catalog crawl — apps ⋈ fields, aggregated to the
-    * reference's nested `{app: [fields...]}` shape
-    * (PodioApiWrapper.py:261-267).
+  /** S7: the nested catalog crawl, aggregated to the reference's
+    * nested `{app: [fields...]}` shape (PodioApiWrapper.py:261-267).
+    * ONE schema-inference pass: the composite app ids come from a
+    * driver-side literal frame (Tables.names carries the ordering), so
+    * crawl doesn't pay `apps()`'s second round of parquet footer reads
+    * per table — appDrift runs this on every app-event batch.
     */
-  def crawl(spark: SparkSession, dir: String): DataFrame =
-    apps(spark, dir).join(fields(spark, dir), Seq("app_name"))
+  def crawl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.names.zipWithIndex
+      .map { case (name, idx) => (s"graft.$idx", name) }
+      .toDF("space_app_id", "app_name")
+    ids.join(fields(spark, dir), Seq("app_name"))
       .groupBy(col("space_app_id"), col("app_name"))
       .agg(sort_array(collect_list(struct(
         col("field_index"), col("field_name"), col("data_type"))))
         .as("fields"))
+  }
 
   /** Schema-drift diff between two catalog snapshots (the reference
     * re-crawls twice daily to pick up renames/retypes,

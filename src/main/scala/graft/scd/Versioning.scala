@@ -40,15 +40,25 @@ object Versioning {
       .filter(col("rn") === 1).drop("rn")
   }
 
-  /** T9: soft-delete tombstone — mark rows matching `deleteKeys` as
-    * deleted=true instead of removing them (PodioApiGateway.py:168).
+  /** T9: soft-delete tombstone — mark the CURRENT version of each
+    * matching key as deleted=true instead of removing it, exactly the
+    * reference's `find_one(sort=[('timestamp',-1)])` + `update_one`
+    * (PodioApiGateway.py:165-169): history versions keep their flags.
+    * Incremental-safe: an existing `deleted` column is preserved for
+    * rows this batch doesn't touch, so applying delete batches one by
+    * one never un-deletes earlier tombstones.
     */
   def softDelete(df: DataFrame, deleteKeys: DataFrame, key: String)
       : DataFrame = {
     val marked = deleteKeys.select(col(key)).distinct()
       .withColumn("_del", lit(true))
+    val prior =
+      if (df.columns.contains("deleted")) col("deleted") else lit(false)
+    val isCurrent =
+      if (df.columns.contains("current")) col("current") === 1 else lit(true)
     df.join(marked, Seq(key), "left")
-      .withColumn("deleted", coalesce(col("_del"), lit(false)))
+      .withColumn("deleted",
+        (coalesce(col("_del"), lit(false)) && isCurrent) || prior)
       .drop("_del")
   }
 
@@ -59,10 +69,14 @@ object Versioning {
     df.withColumn("completed_timestamp", current_timestamp())
 
   /** The SCD2 invariant checked by tests: exactly one current=1 row per
-    * key. Returns keys violating it (empty = healthy).
+    * key. Returns keys violating it (empty = healthy). Grouping runs
+    * over ALL rows, not a current===1 pre-filter — a key whose every
+    * version was demoted to current=0 (the zero-current failure mode)
+    * must surface too, and a pre-filter would hide it from the groupBy
+    * entirely.
     */
   def invariantViolations(df: DataFrame, key: String): DataFrame =
-    df.filter(col("current") === 1)
-      .groupBy(col(key)).agg(count(lit(1)).as("n_current"))
+    df.groupBy(col(key))
+      .agg(sum(col("current")).as("n_current"))
       .filter(col("n_current") =!= 1)
 }

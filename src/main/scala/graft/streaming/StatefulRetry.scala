@@ -17,10 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics — a monotone per-key counter with reset-on-success is
   * exactly that case.
   *
-  * Scale: state is one int per in-flight key, partitioned by the
-  * groupBy key across executors; checkpointed by the streaming
-  * runtime. Processing within a key is ordered by attempt time, so
-  * replays are deterministic.
+  * Scale: state is one int per key with a NON-ZERO counter — a
+  * success REMOVES the key's state (the reference deletes the queue
+  * doc on success, PodioApiGateway.py:143-145), so state size tracks
+  * in-flight failures, not every key ever seen; without the remove,
+  * the store would grow monotonically for the stream's lifetime.
+  * Ordering: attempts are time-sorted WITHIN a micro-batch; across
+  * batches they fold in arrival order, mirroring the reference's
+  * queue processing (a counter keyed on arrival, not event time — a
+  * late-arriving old failure counts as a new failure).
   */
 object StatefulRetry {
 
@@ -53,7 +58,10 @@ object StatefulRetry {
             st = if (a.ok) RetryState(0) else RetryState(st.failures + 1)
             Verdict(id, a.ts, st.failures, dead = st.failures >= limit)
           }
-          state.update(st)
+          // a settled key (last attempt succeeded) carries no state:
+          // keeping RetryState(0) forever would grow the store by one
+          // entry per key EVER seen instead of per key in flight
+          if (st.failures == 0) state.remove() else state.update(st)
           out.iterator
       }
   }

@@ -118,4 +118,37 @@ class CleanFieldsSpec extends SparkSpec {
     assert(rej(0).getAs[Long]("field_id") === 13L)
     assert(rej(0).getAs[String]("field_type") === "image")
   }
+
+  test("cleanItems keeps items with empty or all-unknown fields as an " +
+      "empty map (reference keys every item, PodioApiWrapper.py:137-139)") {
+    val raw = Seq(
+      (1L, Seq(
+        (11L, "Img", "image", Seq("""{"value": "blob"}""")))),
+      (2L, Seq.empty[(Long, String, String, Seq[String])])
+    ).toDF("item_id", "fields_raw")
+      .select(col("item_id"), expr(
+        "transform(fields_raw, f -> named_struct(" +
+          "'field_id', f._1, 'label', f._2, 'type', f._3, 'values', f._4))")
+        .as("fields"))
+    val cleaned = CleanFields.cleanItems(raw).collect()
+      .map(r => r.getLong(0) -> r.getAs[Map[String, Row]]("data")).toMap
+    assert(cleaned.keySet === Set(1L, 2L), "no item may be dropped")
+    assert(cleaned(1L).isEmpty && cleaned(2L).isEmpty)
+  }
+
+  test("duplicate field_id within an item resolves last-wins " +
+      "(reference dict assignment, PodioApiWrapper.py:101)") {
+    val raw = Seq(
+      (1L, Seq(
+        (11L, "A", "text", Seq("""{"value": "first"}""")),
+        (11L, "A", "text", Seq("""{"value": "second"}"""))))
+    ).toDF("item_id", "fields_raw")
+      .select(col("item_id"), expr(
+        "transform(fields_raw, f -> named_struct(" +
+          "'field_id', f._1, 'label', f._2, 'type', f._3, 'values', f._4))")
+        .as("fields"))
+    val data = CleanFields.cleanItems(raw).collect()(0)
+      .getAs[Map[String, Row]]("data")
+    assert(data("11").getAs[String]("field_value") === "second")
+  }
 }

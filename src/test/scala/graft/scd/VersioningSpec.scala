@@ -71,6 +71,39 @@ class VersioningSpec extends SparkSpec {
     assert(out === Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("invariantViolations also flags keys with ZERO current rows " +
+      "(the all-demoted failure mode a current=1 pre-filter would hide)") {
+    val df = Seq(
+      (1L, 1), (1L, 0),          // healthy
+      (7L, 0), (7L, 0), (7L, 0), // zero current — must be flagged
+      (9L, 1), (9L, 1)           // two current — must be flagged
+    ).toDF("item_id", "current")
+    val bad = Versioning.invariantViolations(df, "item_id")
+      .select("item_id").as[Long].collect().sorted.toSeq
+    assert(bad === Seq(7L, 9L))
+  }
+
+  test("T9: incremental softDelete tombstones only the current version " +
+      "and never un-deletes earlier batches") {
+    val hist = Seq(
+      (1L, 0, "v1"), (1L, 1, "v2"),
+      (2L, 0, "w1"), (2L, 1, "w2"),
+      (3L, 1, "x1")
+    ).toDF("item_id", "current", "payload")
+    val afterB1 = Versioning.softDelete(hist,
+      Seq(Tuple1(1L)).toDF("item_id"), "item_id")
+    // only key 1's CURRENT version is tombstoned; its history is not
+    val b1 = afterB1.select("item_id", "current", "deleted")
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(b1.contains((1L, 1, true)) && b1.contains((1L, 0, false)))
+    // batch 2 deletes key 3; key 1's tombstone must survive
+    val afterB2 = Versioning.softDelete(afterB1,
+      Seq(Tuple1(3L)).toDF("item_id"), "item_id")
+    val b2 = afterB2.filter(col("deleted"))
+      .select("item_id").as[Long].collect().sorted.toSeq
+    assert(b2 === Seq(1L, 3L), "earlier tombstones must persist")
+  }
+
   test("K3: auditStamp adds a completion timestamp column") {
     val df = Seq(Tuple1(1L)).toDF("event_id")
     val out = Versioning.auditStamp(df)
