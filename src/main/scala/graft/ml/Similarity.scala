@@ -124,20 +124,31 @@ object Similarity {
     * touches Σ|bucket|² pairs ≪ N². Banding trades recall for cost the
     * same way MinHash LSH does.
     */
-  def lshTopK(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
-      k: Int, dim: Int): DataFrame = {
+  /** Random-hyperplane sign-bit banding: (vec_id, band, bucket) rows
+    * for a normed frame — shared by the top-k and the near-dup-pair
+    * LSH paths so the bucketing scheme cannot drift between them.
+    * Planes are fixed-seed pseudo-random (the java.util.Random LCG is
+    * specified, so buckets are deterministic across runs/JVMs).
+    */
+  private def lshBanded(n: DataFrame, nBands: Int, bitsPerBand: Int,
+      dim: Int): DataFrame = {
     val rnd = new java.util.Random(42L)
     val planes = Array.fill(nBands * bitsPerBand, dim)(rnd.nextDouble() * 2 - 1)
-    val n = withNorm(embeddings)
     val bandCol = (b: Int) => (0 until bitsPerBand).map { p =>
       when(dot(col("e"), lit(planes(b * bitsPerBand + p))) > 0,
         lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    val banded = n.select(col("vec_id"),
+    n.select(col("vec_id"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), bandCol(b).as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+  }
+
+  def lshTopK(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
+      k: Int, dim: Int): DataFrame = {
+    val n = withNorm(embeddings)
+    val banded = lshBanded(n, nBands, bitsPerBand, dim)
     val cand = banded.select(col("vec_id").as("i"), col("band"), col("bucket"))
       .join(banded.select(col("vec_id").as("j"), col("band"), col("bucket")),
         Seq("band", "bucket"))
@@ -160,24 +171,59 @@ object Similarity {
     * the exact top-k: recall_i = |approx_i ∩ brute_i| / |brute_i|.
     * Makes recall a column of the ANN result itself, so a driver
     * rows-only check still surfaces a recall collapse (the number is in
-    * the dumped parquet, not only in a ScalaTest assertion). Cost: one
-    * left-semi join + one small agg on (i, j) id pairs — the exact
-    * reference is quadratic, which is what "measuring recall" means;
-    * at scale you measure on a sampled query subset instead.
+    * the dumped parquet, not only in a ScalaTest assertion).
+    *
+    * Two properties the naive per-row annotation lacks:
+    *  - NO SURVIVORSHIP BIAS: the final join is FULL, so a query vector
+    *    with zero ANN candidates (isolated in every band/cell) appears
+    *    as a row with recall=0 and null neighbor columns instead of
+    *    silently vanishing — dropped vectors are exactly the recall
+    *    failures the metric exists to expose.
+    *  - BOUNDED COST: `sampleMod` restricts the exact reference to
+    *    query vectors with i % sampleMod == 0. The brute pass is the
+    *    quadratic part, so sampling divides its cost by sampleMod —
+    *    the standard way recall is measured at corpus scale (unsampled
+    *    vectors keep their ANN rows with a null recall).
     */
-  def withRecall(approx: DataFrame, brute: DataFrame): DataFrame = {
-    val bruteIds = brute.select(col("i"), col("j"))
-    val per = approx.select(col("i"), col("j"))
+  def withRecall(approx: DataFrame, brute: DataFrame,
+      sampleMod: Int = 1): DataFrame = {
+    val bruteIds = brute.filter(pmod(col("i"), lit(sampleMod)) === 0)
+      .select(col("i"), col("j"))
+    val hits = approx.select(col("i"), col("j"))
       .join(bruteIds, Seq("i", "j"), "left_semi")
       .groupBy(col("i")).agg(count(lit(1)).as("n_hits"))
-    val denom = bruteIds.groupBy(col("i")).agg(count(lit(1)).as("n_true"))
-    approx
-      .join(per, Seq("i"), "left")
-      .join(denom, Seq("i"), "left")
-      .withColumn("recall",
+    val recalls = bruteIds.groupBy(col("i")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("i"), "left")
+      .select(col("i"),
         round(coalesce(col("n_hits"), lit(0)).cast("double")
-          / col("n_true"), 4))
-      .drop("n_hits", "n_true")
+          / col("n_true"), 4).as("recall"))
+    approx.join(recalls, Seq("i"), "full")
+  }
+
+  /** [[nearDupPairs]]'s scale path: LSH band-collision candidates
+    * re-scored with the exact cosine, instead of the all-pairs cross
+    * join — candidate volume is Σ|bucket|² ≪ N², the same trade the
+    * dedup operators make. Approximate: a qualifying pair whose
+    * vectors share no band bucket is missed (recall-vs-brute is
+    * spec-asserted; the brute form stays the exactness baseline).
+    */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      nBands: Int, bitsPerBand: Int, dim: Int): DataFrame = {
+    val n = withNorm(embeddings)
+    val banded = lshBanded(n, nBands, bitsPerBand, dim)
+    val cand = banded.select(col("vec_id").as("i"), col("band"), col("bucket"))
+      .join(banded.select(col("vec_id").as("j"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
   }
 
   /** Seed centroids for IVF: the vectors whose vec_id < nCells —

@@ -192,6 +192,16 @@ object MlQueries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
       |ORDER BY i, j""".stripMargin
 
+  /** ns6's scale path: LSH band-collision candidates + exact cosine
+    * re-score (subset of ns6 by construction — a pair missed by every
+    * band is lost). No oracle (approximate); MlSpec asserts the subset
+    * property and recall; driver records rows.
+    */
+  val ns6bEmbedNearDupLsh: Q = (s, dir) =>
+    Similarity.nearDupPairsLsh(Tables.embeddings(s, dir),
+      threshold = 0.4, nBands = 8, bitsPerBand = 4, dim = 64)
+      .orderBy(col("i"), col("j"))
+
   val ns7SimTopk: Q = (s, dir) =>
     Similarity.bruteTopK(Tables.embeddings(s, dir), k = 5)
       .orderBy(col("i"), col("rk"))
@@ -228,15 +238,19 @@ object MlQueries {
   }
 
   /** IVF over spherical-k-means-fitted centroids (3 Lloyd rounds from
-    * the deterministic seed) — the quality path; recall in-result like
-    * ns8, improvement-vs-seed asserted in MlSpec.
+    * the deterministic seed) — the quality path; improvement-vs-seed
+    * asserted in MlSpec. Recall here uses the SAMPLED reference
+    * (every 5th query vector) — the corpus-scale recall-measurement
+    * shape, where the exact pass is the quadratic part and sampling
+    * divides its cost (ns8/ns15 keep the full reference as the
+    * small-scale gate).
     */
   val ns8bSimIvfKmeans: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val cents = Similarity.fitCentroids(emb, nCells = 16, iters = 3)
     Similarity.withRecall(
       Similarity.ivfTopKWithCentroids(emb, cents, k = 5),
-      Similarity.bruteTopK(emb, k = 5))
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
 
@@ -376,8 +390,13 @@ object MlQueries {
       explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df derives from tf's AGGREGATE output (one row per distinct
+    // (doc, term)), not from a second pass over `tok`: tf and a
+    // tok-based countDistinct shuffle on different keys, so Catalyst
+    // cannot reuse the exchange and the whole tokenize+explode scan
+    // would run twice — the same double-scan hazard jaccardPairs and
+    // contamination engineer around.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
@@ -559,12 +578,15 @@ object MlQueries {
       |  ORDER BY df DESC, total DESC, term LIMIT 200
       |) ORDER BY term""".stripMargin
 
-  /** ns24's scale path: the space-saving sketch vocabulary. With
-    * capacity ≥ the true distinct-term count the sketch is EXACT, so
-    * on this corpus it is gated against the same oracle as ns24
-    * (capacity 4096 ≫ the synthetic vocabulary); the approximate
-    * regime (capacity ≪ vocab) is property-tested in CorpusSpec.
-    * `est_count` aliases to ns24's column names for the compare.
+  /** The space-saving sketch's CORRECTNESS gate: with capacity ≥ the
+    * true distinct-term count the sketch is EXACT, so this registered
+    * form is hash-compared against the same oracle as ns24 (capacity
+    * 4096 ≫ the synthetic vocabulary). To satisfy that oracle it must
+    * rank by the exact df, so THIS plan still runs the exact term
+    * aggregation — it gates the sketch, it is not the sketch's scale
+    * deployment. At scale the sketch runs ALONE (count-ranked, no
+    * exact pass, O(partitions·capacity) shuffle) — that approximate
+    * regime and its bounds are property-tested in CorpusSpec.
     */
   val ns24bVocabSketch: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
@@ -744,6 +766,7 @@ object MlQueries {
     "ns4_simhash" -> ns4Simhash,
     "ns5_simhash_pairs" -> ns5SimhashPairs,
     "ns6_embed_neardup" -> ns6EmbedNearDup,
+    "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLsh,
     "ns7_sim_topk" -> ns7SimTopk,
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns8_sim_ivf" -> ns8SimIvf,

@@ -208,10 +208,14 @@ object RelationalQueries {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  // NOT EXISTS, not NOT IN: NOT IN returns zero rows if the subquery
+  // ever yields a NULL key, silently diverging from left_anti — the
+  // null-safe form states the anti-join semantics the Spark side has
   val q9AntiJoinSql: String =
-    """SELECT c_custkey, c_name FROM customer
-      |WHERE c_custkey NOT IN
-      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
   /** Semi-join: customers having at least one high-value order. */

@@ -85,12 +85,31 @@ class MlSpec extends SparkSpec {
       embs.count())
   }
 
+  test("LSH near-dup pairs are a subset of brute pairs with identical " +
+      "cosines and non-trivial recall") {
+    val brute = Similarity.nearDupPairs(embs, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.nearDupPairsLsh(embs, 0.4, nBands = 8,
+      bitsPerBand = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(brute.keySet), "LSH must never invent a pair")
+    assert(lsh.forall { case (k, c) => brute(k) == c },
+      "re-scored cosines must be exact")
+    assert(brute.nonEmpty &&
+      lsh.size.toDouble / brute.size > 0.3,
+      s"recall ${lsh.size}/${brute.size} too low")
+  }
+
   test("withRecall annotates every ANN row with the set-computed " +
-      "per-query recall") {
+      "per-query recall and keeps zero-candidate query vectors") {
     val brute = Similarity.bruteTopK(embs, 5)
     val ivf = Similarity.ivfTopK(embs, 16, 5)
     val annotated = Similarity.withRecall(ivf, brute).collect()
-    assert(annotated.length === ivf.count())
+    // full join: every brute query vector is represented even when the
+    // ANN result dropped it (those rows carry recall=0, null neighbors)
+    assert(annotated.map(_.getAs[Long]("i")).distinct.length ===
+      embs.count())
+    assert(annotated.length >= ivf.count())
     assert(annotated.forall { r =>
       val rec = r.getAs[Double]("recall"); rec >= 0.0 && rec <= 1.0
     })
