@@ -50,7 +50,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly on dimension mismatch: silently truncating to the
+    // shorter prefix understates every cosine with no diagnostic (and
+    // diverges from DuckDB's list kernels, which error) — a mixed-model
+    // or corrupt embedding must surface, not mis-rank
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -63,7 +70,12 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: dimension mismatch (" + $n + " vs " +
+         |      $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);

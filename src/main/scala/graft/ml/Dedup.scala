@@ -64,13 +64,21 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), HashUtils.hash60(col("s")).as("s"))
     // Posting lists, not a self-join: the shingle stage feeds ONE
-    // groupBy exchange; the denominator pass and the pair generator
-    // both consume it (ReusedExchange), so the text is shingled once —
-    // a self-join formulation re-ran the pipeline per join side.
-    val postings = ex.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
-        count(lit(1)).as("df"))
+    // groupBy exchange; the df pass and the posting-list pass both
+    // consume it (ReusedExchange), so the text is shingled once — a
+    // self-join formulation re-ran the pipeline per join side.
+    //
+    // The df cap is applied BEFORE collect_list, not after: a stopword
+    // shingle at corpus scale has an unbounded posting list, and
+    // collecting 10^8 doc_ids into one aggregation buffer just to
+    // discard it is an executor OOM — the cheap count pass prunes the
+    // heavy shingles so no unbounded array is ever materialized.
+    val dfTab = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    val postings = ex.join(dfTab, Seq("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
+        first(col("df")).as("df"))
     // denominators over the SAME capped universe (df=1 shingles count
     // here but cannot produce a pair, so the pair generator skips them)
     val docSize = postings.select(explode(col("ds")).as("doc_id"))
@@ -138,23 +146,29 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = minhashSignatures(docs, n, k)
-    // The signature relation is an aggregate output — a materialization
-    // boundary — so carrying `hs` through the band join is safe (no
-    // per-candidate recompute) and saves the two payload-fetch joins.
-    val banded = sigs.select(col("doc_id"), col("hs"),
+    // LATE MATERIALIZATION: the band rows and the candidate distinct
+    // carry ONLY (doc_id, band, bh) — carrying each document's full
+    // `hs` shingle-hash array through `bands`× explosion, the bucket
+    // join, and the distinct would make document-sized payloads the
+    // dominant shuffle at scale. The verify step fetches `hs` AFTER
+    // the distinct, via two joins back to the sigs AGGREGATE (a
+    // materialization boundary, so no recompute; candidates ≪ band
+    // rows, so the payload moves once per surviving pair).
+    val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",",
           slice(col("sig"), b * r + 1, lit(r))).cast("binary")))))
-      .select(col("doc_id"), col("hs"),
-        col("pos").as("band"), col("col").as("bh"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     val cand = banded
-      .select(col("doc_id").as("i"), col("hs").as("hs_i"), col("band"), col("bh"))
+      .select(col("doc_id").as("i"), col("band"), col("bh"))
       .join(banded
-        .select(col("doc_id").as("j"), col("hs").as("hs_j"), col("band"), col("bh")),
+        .select(col("doc_id").as("j"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("hs_i"), col("hs_j")).distinct()
+      .select(col("i"), col("j")).distinct()
     cand
+      .join(sigs.select(col("doc_id").as("i"), col("hs").as("hs_i")), Seq("i"))
+      .join(sigs.select(col("doc_id").as("j"), col("hs").as("hs_j")), Seq("j"))
       .withColumn("common",
         size(array_intersect(col("hs_i"), col("hs_j"))).cast("double"))
       .withColumn("jaccard", round(col("common") /

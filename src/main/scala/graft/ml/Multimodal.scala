@@ -36,12 +36,16 @@ object Multimodal {
       * oracle-checkable (sig = first 8 hex chars of md5(payload)).
       */
     def of(r: MediaRow): MediaFeatures = {
+      // a null payload (null source text cast to binary) decodes as
+      // empty media — one bad row must not NPE the whole partition
+      val bytes =
+        if (r.payload == null) Array.emptyByteArray else r.payload
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-      MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      MediaFeatures(r.media_id, r.media_type, bytes.length.toLong,
         hex.substring(0, 8),
-        fake_width = (r.payload.length % 640).toInt,
-        fake_height = (r.payload.length % 480).toInt)
+        fake_width = (bytes.length % 640).toInt,
+        fake_height = (bytes.length % 480).toInt)
     }
   }
 
@@ -88,15 +92,16 @@ object Multimodal {
       // per-partition init would go here (scaler/codec handles)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
+        val in = if (r.payload == null) Array.emptyByteArray else r.payload
         // pre-sized stepped copy: this is the per-byte hot path, no
         // boxing or per-index guard evaluation
-        val out = new Array[Byte]((r.payload.length + stride - 1) / stride)
+        val out = new Array[Byte]((in.length + stride - 1) / stride)
         var i = 0
         var o = 0
-        while (i < r.payload.length) { out(o) = r.payload(i); o += 1; i += stride }
+        while (i < in.length) { out(o) = in(i); o += 1; i += stride }
         md.reset()
         val hex = md.digest(out).map("%02x".format(_)).mkString
-        ResizedMedia(r.media_id, r.media_type, r.payload.length.toLong,
+        ResizedMedia(r.media_id, r.media_type, in.length.toLong,
           out.length.toLong, hex.substring(0, 8))
       }
     }
@@ -105,9 +110,11 @@ object Multimodal {
   /** Frame sampling for "video" rows: one row per sampled frame offset
     * (every `step` units of the length hint) — pure explode, no UDF.
     */
-  def sampleFrames(media: DataFrame, step: Int): DataFrame =
+  def sampleFrames(media: DataFrame, step: Int): DataFrame = {
+    require(step > 0, "step must be positive")
     media.filter(col("media_type") === "video" && col("length_hint") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0L), col("length_hint") - 1,
           lit(step.toLong))).as("frame_offset"))
+  }
 }

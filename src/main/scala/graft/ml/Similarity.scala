@@ -40,12 +40,19 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** (vec_id, e: array<double>, nrm: double) — cast once, norm once. */
+  /** (vec_id, e: array<double>, nrm: double) — cast once, norm once.
+    * Zero-norm vectors are EXCLUDED here: cosine is undefined for
+    * them, and letting them through gives division-by-zero NaNs that
+    * silently drop pairs (or, worse, corrupt rankings) with no
+    * diagnostic. An all-zero embedding is a broken upstream embed; a
+    * similarity operator's contract is over nonzero vectors.
+    */
   private def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftExtensions.register(embeddings.sparkSession)
     val e = col("embedding").cast("array<double>")
     embeddings.select(col("vec_id"), e.as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .filter(col("nrm") > 0)
   }
 
   private def pairCos: Column =
@@ -230,7 +237,11 @@ object Similarity {
     * deterministic, and the Lloyd init for [[fitCentroids]].
     */
   def seedCentroids(embeddings: DataFrame, nCells: Int): DataFrame =
-    withNorm(embeddings).filter(col("vec_id") < nCells)
+    // the nCells SMALLEST vec_ids, not `vec_id < nCells`: a sparse or
+    // hash-valued id space would make the latter select zero centroids
+    // and every downstream query silently return empty (for dense
+    // 0-based ids the two are identical)
+    withNorm(embeddings).orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell"), col("e").as("ce"),
         col("nrm").as("cn"))
 
@@ -272,12 +283,19 @@ object Similarity {
       val mean = assigned
         .select(col("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // round the mean: double-sum accumulation order is partition-
+        // dependent, and an unrounded last-ulp wobble would flip
+        // near-boundary cell assignments between otherwise identical
+        // runs — 6 decimals is far below any real assignment margin
+        .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("ce"))
       cents = mean
         .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+        // a cell whose members cancel to the zero vector has no
+        // direction — drop it rather than emit undefined cosines
+        .filter(col("cn") > 0)
         .localCheckpoint()
     }
     cents

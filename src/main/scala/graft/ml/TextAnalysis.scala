@@ -30,13 +30,27 @@ object TextAnalysis {
   private def hits(text: Column, set: Seq[String]): Column =
     size(filter(words(text), w => w.isin(set: _*)))
 
-  /** Heuristic language ID: distinct-stopword-hit count per language,
-    * argmax with deterministic tiebreak (alphabetically-first language
-    * code wins ties); 'und' (undetermined) when nothing matches.
+  /** Per-language score: token hits for space-delimited languages,
+    * CHARACTER-occurrence counts for zh — Chinese text is unsegmented
+    * (no spaces), so token matching against single-character stopwords
+    * can never fire; counting stopword-character occurrences is the
+    * segmentation-free equivalent. Single-char removal via translate
+    * keeps it mirrorable in the DuckDB oracle (replace).
+    */
+  def langScore(text: Column, code: String): Column =
+    if (code == "zh")
+      stopwords(code).map(ch =>
+        length(text) - length(translate(text, ch, ""))).reduce(_ + _)
+    else hits(text, stopwords(code))
+
+  /** Heuristic language ID: stopword-score argmax per language (see
+    * [[langScore]]) with deterministic tiebreak (alphabetically-first
+    * language code wins ties); 'und' (undetermined) when nothing
+    * matches.
     */
   def langId(text: Column): Column = {
     val codes = stopwords.keys.toSeq.sorted
-    val scores = codes.map(c => hits(text, stopwords(c)))
+    val scores = codes.map(c => langScore(text, c))
     val mx = greatest(scores: _*)
     codes.zip(scores).foldLeft(when(mx === 0, lit("und"))) {
       case (acc, (code, score)) => acc.when(score === mx, lit(code))
@@ -55,9 +69,12 @@ object TextAnalysis {
     val avgWordLen = round(
       aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("double")
         / nWords, 4)
-    val punct = round(
+    // guarded: an empty doc (the thing a quality gate exists to score)
+    // must yield a null ratio, not a 0/0 NaN that poisons downstream
+    // comparisons — and engines disagree on 0/0 rendering
+    val punct = when(nChars > 0, round(
       (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
-        .cast("double") / nChars, 4)
+        .cast("double") / nChars, 4))
     val stopRatio = round(
       size(filter(w, x => x.isin(stopwords("en"): _*)))
         .cast("double") / nWords, 4)

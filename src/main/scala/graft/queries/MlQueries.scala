@@ -277,11 +277,18 @@ object MlQueries {
     */
   private def duckLangCase: String = {
     val codes = TextAnalysis.stopwords.keys.toSeq.sorted
-    def score(code: String): String = {
-      val set = TextAnalysis.stopwords(code)
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(string_split(text, ' '), w -> list_contains($set, w)))"
-    }
+    // mirrors TextAnalysis.langScore: token hits for space-delimited
+    // languages, stopword-CHARACTER occurrence counts for zh
+    def score(code: String): String =
+      if (code == "zh")
+        TextAnalysis.stopwords("zh")
+          .map(ch => s"(length(text) - length(replace(text, '$ch', '')))")
+          .mkString("(", " + ", ")")
+      else {
+        val set = TextAnalysis.stopwords(code)
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), w -> list_contains($set, w)))"
+      }
     val mx = codes.map(score).mkString("greatest(", ", ", ")")
     val cases = codes.map(c =>
       s"WHEN ${score(c)} = $mx THEN '$c'").mkString("\n  ")
@@ -305,8 +312,9 @@ object MlQueries {
        |  len(string_split(text, ' ')) AS n_words,
        |  round(list_sum([len(x) FOR x IN string_split(text, ' ')])::DOUBLE
        |    / len(string_split(text, ' ')), 4) AS avg_word_len,
-       |  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
-       |    / length(text), 4) AS punct_ratio,
+       |  CASE WHEN length(text) > 0 THEN
+       |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |      / length(text), 4) END AS punct_ratio,
        |  round(len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
        |    / len(string_split(text, ' ')), 4) AS stopword_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
