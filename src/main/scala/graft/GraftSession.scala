@@ -46,8 +46,28 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", uiEnabled.toString)
       .getOrCreate()
-    s.conf.set("spark.sql.shuffle.partitions",
-      s.sparkContext.defaultParallelism.toString)
+    // getOrCreate silently returns a PRE-EXISTING session with none of
+    // the builder configs above applied (a host harness may have built
+    // its own session first). Re-assert every runtime-settable conf on
+    // the returned session and register the native functions
+    // imperatively (idempotent), so the library's semantics — UTC,
+    // last-wins maps, nanos reads, the excluded optimizer rule,
+    // graft_dot — hold regardless of who built the session. Only
+    // static confs (spark.sql.extensions itself) cannot be re-applied,
+    // and the imperative registration covers that one's effect.
+    Seq(
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.optimizer.excludedRules" ->
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+      "spark.sql.mapKeyDedupPolicy" -> "LAST_WIN",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.shuffle.partitions" ->
+        s.sparkContext.defaultParallelism.toString
+    ).foreach { case (k, v) => s.conf.set(k, v) }
+    graft.functions.GraftExtensions.register(s)
     s
   }
 }

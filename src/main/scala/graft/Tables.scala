@@ -17,8 +17,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events" => events(spark, dir)
+      // the generic dispatch must route through the same loaders as
+      // the named accessors — a caller iterating Tables.names would
+      // otherwise get the single-split frames the fanned() repartition
+      // exists to fix
+      case "documents" => documents(spark, dir)
+      case "embeddings" => embeddings(spark, dir)
+      case _ => spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -28,50 +28,70 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * naive count-union does NOT (it silently undercounts terms evicted
   * on one side).
   */
+/** Sketch buffer: the (term → (count, err)) map plus a (count, term)
+  * sorted index, kept in lockstep so the eviction victim (minimum
+  * count, term tiebreak) is an O(log c) head lookup instead of an
+  * O(c) scan — the hot path is an UNSEEN term arriving at a FULL
+  * sketch, which in the long-tailed huge-vocabulary regime this class
+  * exists for is most tokens; an O(c) victim scan there would make
+  * reduce O(tokens·capacity), slower than the exact groupBy the
+  * sketch replaces.
+  */
+case class SpaceSavingBuf(m: Map[String, (Long, Long)],
+    byCount: scala.collection.immutable.TreeSet[(Long, String)])
+
 class SpaceSavingTopTerms(capacity: Int)
-    extends Aggregator[String, Map[String, (Long, Long)],
-      Seq[(String, Long, Long)]] {
+    extends Aggregator[String, SpaceSavingBuf, Seq[(String, Long, Long)]] {
   require(capacity > 0, "capacity must be positive")
 
-  override def zero: Map[String, (Long, Long)] = Map.empty
+  override def zero: SpaceSavingBuf =
+    SpaceSavingBuf(Map.empty,
+      scala.collection.immutable.TreeSet.empty[(Long, String)])
 
-  override def reduce(buf: Map[String, (Long, Long)], term: String)
-      : Map[String, (Long, Long)] =
-    buf.get(term) match {
-      case Some((c, e)) => buf.updated(term, (c + 1, e))
-      case None if buf.size < capacity => buf.updated(term, (1L, 0L))
+  override def reduce(buf: SpaceSavingBuf, term: String): SpaceSavingBuf =
+    buf.m.get(term) match {
+      case Some((c, e)) =>
+        SpaceSavingBuf(buf.m.updated(term, (c + 1, e)),
+          buf.byCount - ((c, term)) + ((c + 1, term)))
+      case None if buf.m.size < capacity =>
+        SpaceSavingBuf(buf.m.updated(term, (1L, 0L)),
+          buf.byCount + ((1L, term)))
       case None =>
-        val (minT, (minC, _)) = buf.minBy { case (t, (c, _)) => (c, t) }
-        (buf - minT).updated(term, (minC + 1, minC))
+        val (minC, minT) = buf.byCount.head
+        SpaceSavingBuf((buf.m - minT).updated(term, (minC + 1, minC)),
+          buf.byCount - ((minC, minT)) + ((minC + 1, term)))
     }
 
-  override def merge(a: Map[String, (Long, Long)],
-      b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+  override def merge(a: SpaceSavingBuf, b: SpaceSavingBuf)
+      : SpaceSavingBuf = {
     // a full sketch bounds any untracked term's true count by its
     // minimum tracked count; a non-full sketch tracked everything it
     // saw, so absence there means count 0
-    def floor(m: Map[String, (Long, Long)]): Long =
-      if (m.size >= capacity) m.values.map(_._1).min else 0L
+    def floor(x: SpaceSavingBuf): Long =
+      if (x.m.size >= capacity) x.byCount.head._1 else 0L
     val (fa, fb) = (floor(a), floor(b))
-    val union = (a.keySet ++ b.keySet).iterator.map { t =>
-      val (ca, ea) = a.getOrElse(t, (fa, fa))
-      val (cb, eb) = b.getOrElse(t, (fb, fb))
+    val union = (a.m.keySet ++ b.m.keySet).iterator.map { t =>
+      val (ca, ea) = a.m.getOrElse(t, (fa, fa))
+      val (cb, eb) = b.m.getOrElse(t, (fb, fb))
       t -> (ca + cb, ea + eb)
     }.toMap
-    if (union.size <= capacity) union
-    else union.toSeq
-      .sortBy { case (t, (c, _)) => (-c, t) }
-      .take(capacity)
-      .toMap
+    val kept =
+      if (union.size <= capacity) union
+      else union.toSeq
+        .sortBy { case (t, (c, _)) => (-c, t) }
+        .take(capacity)
+        .toMap
+    SpaceSavingBuf(kept,
+      scala.collection.immutable.TreeSet(
+        kept.iterator.map { case (t, (c, _)) => (c, t) }.toSeq: _*))
   }
 
-  override def finish(buf: Map[String, (Long, Long)])
-      : Seq[(String, Long, Long)] =
-    buf.toSeq.map { case (t, (c, e)) => (t, c, e) }
+  override def finish(buf: SpaceSavingBuf): Seq[(String, Long, Long)] =
+    buf.m.toSeq.map { case (t, (c, e)) => (t, c, e) }
       .sortBy { case (t, c, _) => (-c, t) }
 
-  override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
-    Encoders.kryo[Map[String, (Long, Long)]]
+  override def bufferEncoder: Encoder[SpaceSavingBuf] =
+    Encoders.kryo[SpaceSavingBuf]
 
   override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
     Encoders.kryo[Seq[(String, Long, Long)]]

@@ -29,9 +29,14 @@ class TopKByScore(k: Int)
   // java.lang.Double.compare, not >: it totally orders NaN as the
   // greatest double, exactly like Spark's descending sort — plain >
   // is never true for NaN, which would leave the buffer unsorted and
-  // make take(k) partition-order dependent
+  // make take(k) partition-order dependent. The +0.0 normalization
+  // closes the one gap between the two orderings: Double.compare puts
+  // -0.0 < 0.0 while Spark's sort treats them equal, so a -0.0 score
+  // at the k boundary would otherwise rank differently from the
+  // window-function form this aggregator is gated to match.
+  private def norm(d: Double): Double = d + 0.0
   private def better(a: Scored, b: Scored): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
+    val c = java.lang.Double.compare(norm(a.score), norm(b.score))
     c > 0 || (c == 0 && a.j < b.j)
   }
 
