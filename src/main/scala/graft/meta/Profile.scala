@@ -22,23 +22,35 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val aggs = cols.flatMap { c =>
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in ${cols.mkString(", ")}")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in the frame: $missing")
+    // internal aliases are INDEXED, and input references go through
+    // backtick quoting — a profiler exists for arbitrary (legacy,
+    // messy) schemas, so column names containing quotes, dots, or
+    // backticks must not be interpolated into parsed SQL text
+    def in(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"${c}__nonnull"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        count(in(c)).as(s"_c${i}_nn"),
+        countDistinct(in(c)).as(s"_c${i}_nd"),
+        min(in(c)).cast("string").as(s"_c${i}_mn"),
+        max(in(c)).cast("string").as(s"_c${i}_mx"))
     }
-    val wide = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', `${c}__nonnull`, `${c}__distinct`, `${c}__min`, `${c}__max`")
-      .mkString(", ")
-    wide.selectExpr("__total",
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_nonnull, n_distinct, min_str, max_str)")
-      .select(col("column_name"), col("__total").as("n_rows"),
-        col("n_nonnull"),
-        (col("__total") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_str"), col("max_str"))
+    val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    val entries = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"),
+        col(s"_c${i}_nn").as("n_nonnull"),
+        col(s"_c${i}_nd").as("n_distinct"),
+        col(s"_c${i}_mn").as("min_str"),
+        col(s"_c${i}_mx").as("max_str"))
+    }: _*)
+    wide.select(col("_total"), explode(entries).as("e"))
+      .select(col("e.column_name"), col("_total").as("n_rows"),
+        col("e.n_nonnull").as("n_nonnull"),
+        (col("_total") - col("e.n_nonnull")).as("n_nulls"),
+        col("e.n_distinct").as("n_distinct"),
+        col("e.min_str").as("min_str"), col("e.max_str").as("max_str"))
   }
 }
