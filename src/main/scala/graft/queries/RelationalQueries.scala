@@ -286,6 +286,42 @@ object RelationalQueries {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Referential-integrity audit (graft.meta.Integrity): orphan counts
+    * for every FK edge of the star schema — Profile's sibling in the
+    * data-integrity toolkit.
+    */
+  val q56RefIntegrity: Q = (s, dir) =>
+    graft.meta.Integrity.audit(s, dir)
+      .orderBy(col("relation"))
+
+  val q56RefIntegritySql: String = {
+    def one(rel: String, child: String, ck: String, parent: String,
+        pk: String) =
+      s"""SELECT '$rel' AS relation,
+         |  (SELECT count(*) FROM $child WHERE $ck IS NOT NULL) AS n_child_rows,
+         |  (SELECT count(*) FROM $child c WHERE c.$ck IS NOT NULL
+         |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+         |    AS n_orphans""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      one("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      one("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      one("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      one("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      one("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   /** q12's band predicate through the bucketed range join
     * (graft.operators.RangeJoin) — the scale path promised in q12's
     * doc: an equi-join on width-quantized buckets + residual filter
@@ -1333,6 +1369,7 @@ object RelationalQueries {
     "q54_field_catalog" -> q54FieldCatalog,
     "q12b_range_join" -> q12bRangeJoin,
     "q55_profile" -> q55Profile,
+    "q56_ref_integrity" -> q56RefIntegrity,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1393,5 +1430,6 @@ object RelationalQueries {
     "q54_field_catalog" -> q54FieldCatalogSql,
     "q12b_range_join" -> q12ThetaJoinSql,
     "q55_profile" -> q55ProfileSql,
+    "q56_ref_integrity" -> q56RefIntegritySql,
   )
 }
