@@ -33,6 +33,23 @@ object Integrity {
         col("n_orphans"))
   }
 
+  /** Primary-key uniqueness audit: per table, how many key values
+    * carry more than one row (and how many surplus rows they add) —
+    * the other half of the integrity report ([[orphans]] checks
+    * outgoing edges; this checks the keys those edges land on).
+    * One partial+final count aggregate per table, then a count over
+    * the violating groups; the heavy shuffle is the per-key count,
+    * which is the same exchange a dedup would need anyway.
+    */
+  def duplicateKeys(df: DataFrame, key: String, table: String): DataFrame =
+    df.filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("n_dup_keys"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("n_surplus_rows"))
+      .select(lit(table).as("table_name"), col("n_dup_keys"),
+        col("n_surplus_rows"))
+
   /** The standard audit over the testdata star schema: every FK edge,
     * one row each.
     */
@@ -55,6 +72,22 @@ object Integrity {
         "nation.n_regionkey->region"),
       orphans(t("events"), "user_id", t("customer"), "c_custkey",
         "events.user_id->customer")
+    ).reduce(_ unionByName _)
+  }
+
+  /** Key-uniqueness audit over every table's primary key. */
+  def keyAudit(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.table(spark, dir, n)
+    Seq(
+      duplicateKeys(t("region"), "r_regionkey", "region"),
+      duplicateKeys(t("nation"), "n_nationkey", "nation"),
+      duplicateKeys(t("customer"), "c_custkey", "customer"),
+      duplicateKeys(t("supplier"), "s_suppkey", "supplier"),
+      duplicateKeys(t("part"), "p_partkey", "part"),
+      duplicateKeys(t("orders"), "o_orderkey", "orders"),
+      duplicateKeys(t("events"), "event_id", "events"),
+      duplicateKeys(t("documents"), "doc_id", "documents"),
+      duplicateKeys(t("embeddings"), "vec_id", "embeddings")
     ).reduce(_ unionByName _)
   }
 }

@@ -322,6 +322,30 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  /** Key-uniqueness audit (graft.meta.Integrity.keyAudit): duplicate
+    * primary keys per table — the incoming half of the q56 edge audit.
+    */
+  val q57KeyAudit: Q = (s, dir) =>
+    graft.meta.Integrity.keyAudit(s, dir)
+      .orderBy(col("table_name"))
+
+  val q57KeyAuditSql: String = {
+    def one(table: String, key: String) =
+      s"""SELECT '$table' AS table_name,
+         |  count(*) AS n_dup_keys,
+         |  coalesce(sum(n - 1), 0)::BIGINT AS n_surplus_rows
+         |FROM (SELECT $key, count(*) AS n FROM $table
+         |      WHERE $key IS NOT NULL GROUP BY $key HAVING count(*) > 1)""".stripMargin
+    Seq(
+      ("region", "r_regionkey"), ("nation", "n_nationkey"),
+      ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+      ("part", "p_partkey"), ("orders", "o_orderkey"),
+      ("events", "event_id"), ("documents", "doc_id"),
+      ("embeddings", "vec_id"))
+      .map { case (t, k) => one(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   /** q12's band predicate through the bucketed range join
     * (graft.operators.RangeJoin) — the scale path promised in q12's
     * doc: an equi-join on width-quantized buckets + residual filter
@@ -1370,6 +1394,7 @@ object RelationalQueries {
     "q12b_range_join" -> q12bRangeJoin,
     "q55_profile" -> q55Profile,
     "q56_ref_integrity" -> q56RefIntegrity,
+    "q57_key_audit" -> q57KeyAudit,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1431,5 +1456,6 @@ object RelationalQueries {
     "q12b_range_join" -> q12ThetaJoinSql,
     "q55_profile" -> q55ProfileSql,
     "q56_ref_integrity" -> q56RefIntegritySql,
+    "q57_key_audit" -> q57KeyAuditSql,
   )
 }

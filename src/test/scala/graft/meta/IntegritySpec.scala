@@ -20,6 +20,19 @@ class IntegritySpec extends SparkSpec {
     assert(row.getAs[Long]("n_orphans") === 1L)
   }
 
+  test("duplicateKeys counts violating keys and surplus rows, zero on " +
+      "a unique column") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("id", "v")
+    val dup = Integrity.duplicateKeys(df, "id", "t").collect()(0)
+    assert(dup.getAs[Long]("n_dup_keys") === 1L)     // key 1
+    assert(dup.getAs[Long]("n_surplus_rows") === 2L) // 3 rows - 1 keeper
+    val clean = Integrity.duplicateKeys(
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("id"), "id", "t").collect()(0)
+    assert(clean.getAs[Long]("n_dup_keys") === 0L)
+    assert(clean.getAs[Long]("n_surplus_rows") === 0L)
+  }
+
   test("the star-schema audit reports every FK edge and the synthetic " +
       "testdata is referentially sound") {
     val rows = Integrity.audit(spark, "/root/testdata/sf0.001")
