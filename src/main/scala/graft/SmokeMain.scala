@@ -1,11 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object SmokeMain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // through GraftSession, not a hand-built session: the smoke gate
+    // must run under the same semantics (extensions, UTC, map dedup
+    // policy, optimizer exclusions) as every other gate, or a future
+    // entry() change could crash here for a config-drift reason the
+    // real gates cannot reproduce
+    val spark = GraftSession.create("local[4]", "graft-smoke",
+      uiEnabled = false)
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)
     println("ENTRY_ROWS=" + df.count())

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", "graft-verify",
@@ -12,6 +14,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete any prior round's output FIRST: a failing query must
+      // leave NO parquet behind, or a reused outDir would let the
+      // driver hash-compare stale results and report a false pass
+      val target = new java.io.File(s"$outDir/$name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (target.exists()) rm(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
