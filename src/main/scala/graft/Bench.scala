@@ -1,6 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 object Bench {
+
+  /** Execute the query's OWN physical plan, not df.count(): count()
+    * re-plans as an aggregate, so ColumnPruning deletes every
+    * unreferenced projection expression and EliminateSorts drops the
+    * final orderBy — a map-only query (langId, redaction, hashing)
+    * would benchmark a near-empty scan while its actual operator body
+    * never runs. executedPlan.execute() runs the full projection +
+    * sort exactly as a consumer would receive it.
+    */
+  private def runOnce(df: DataFrame): Unit = {
+    df.queryExecution.executedPlan.execute().count()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,21 +22,12 @@ object Bench {
       uiEnabled = false)
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet footer caches, so the
-    // first timed query isn't charged ~5s of JVM startup.
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    // first timed query isn't charged ~5s of JVM startup — through the
+    // SAME runOnce path as the timed runs, so the primed plan shape is
+    // the one actually measured.
+    try runOnce(SparkEntry.queries("q1_agg")(spark, sfDir))
     catch { case _: Throwable => () }
     var failed = List.empty[String]
-    // Execute the query's OWN physical plan, not df.count(): count()
-    // re-plans as an aggregate, so ColumnPruning deletes every
-    // unreferenced projection expression and EliminateSorts drops the
-    // final orderBy — a map-only query (langId, redaction, hashing)
-    // would benchmark a near-empty scan while its actual operator body
-    // never runs. executedPlan.execute() runs the full projection +
-    // sort exactly as a consumer would receive it.
-    def runOnce(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.queryExecution.executedPlan.execute().count()
-      ()
-    }
     // Noise hygiene: this sandbox carries background load, and a single
     // timing after a GC-heavy neighbor query reads 20×+ slow. Each
     // query gets TWO timed runs and reports the MIN — the standard
@@ -50,12 +55,15 @@ object Bench {
       if (good.isEmpty) failed ::= name
       name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // A fully-failed query reports -1.0, never its fast exception
+    // time: a deflated "timing" in queries{} would read as a speedup
+    // to any consumer that doesn't join against failed[].
+    val qs = results.map { case (k, v) =>
+      val shown = if (failed.contains(k)) -1.0 else v
+      s"\"" + k + "\":" + shown
+    }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // total sums SUCCESSFUL queries only: a query that starts crashing
-    // returns in milliseconds, and summing that would report the
-    // regression as a speedup
+    // total sums SUCCESSFUL queries only, for the same reason
     val total = results.collect {
       case (k, v) if !failed.contains(k) => v
     }.sum

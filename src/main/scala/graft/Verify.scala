@@ -13,16 +13,25 @@ object Verify {
       uiEnabled = false)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Clear ALL prior-round output UP FRONT — per-query deletion would
+    // still leave stale parquet + a stale oracle_sql.json behind a
+    // mid-run process death (OOM/kill), and the driver would then
+    // hash-compare the previous round's results as a false pass for
+    // every query the run never reached. listFiles() is null-guarded
+    // (I/O errors / races) and the sweep is fail-safe: a dir that
+    // cannot be deleted surfaces as a parquet-write error on that
+    // query, not a silent stale compare.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    try {
+      rm(new java.io.File(s"$outDir/oracle_sql.json"))
+      SparkEntry.queries.keys.foreach(n => rm(new java.io.File(s"$outDir/$n")))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] pre-clean failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      // delete any prior round's output FIRST: a failing query must
-      // leave NO parquet behind, or a reused outDir would let the
-      // driver hash-compare stale results and report a false pass
-      val target = new java.io.File(s"$outDir/$name")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (target.exists()) rm(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
