@@ -55,13 +55,29 @@ object GraftSession {
     // graft_dot — hold regardless of who built the session. Only
     // static confs (spark.sql.extensions itself) cannot be re-applied,
     // and the imperative registration covers that one's effect.
+    // excludedRules MERGES with (never replaces) any rules the host
+    // had already excluded, and repurposing a pre-existing session logs
+    // a warning so host-side conf drift is visible rather than silent.
+    val preExisting = s.conf.get("spark.sql.extensions", "") !=
+      "graft.functions.GraftExtensions"
+    if (preExisting)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn("GraftSession.create() repurposed a pre-existing " +
+          "SparkSession: graft re-asserts session.timeZone=UTC, " +
+          "mapKeyDedupPolicy=LAST_WIN, nanosAsLong and AQE confs on " +
+          "it, which affects the host's other work on this session")
+    val inferFilters =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val mergedExcluded =
+      (s.conf.get("spark.sql.optimizer.excludedRules", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq :+ inferFilters)
+        .distinct.mkString(",")
     Seq(
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.optimizer.excludedRules" ->
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+      "spark.sql.optimizer.excludedRules" -> mergedExcluded,
       "spark.sql.mapKeyDedupPolicy" -> "LAST_WIN",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
       "spark.sql.shuffle.partitions" ->

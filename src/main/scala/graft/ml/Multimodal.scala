@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata.
   *
   * The Spark-side plumbing — schema, typed Encoders, partition-batched
-  * processing, frame-offset explosion — is real and tested. The actual
-  * media decode is STUBBED with a deterministic fake (this container
-  * has no image/audio libraries): `decodeStub` derives pseudo-features
-  * from the bytes (length + md5 prefix). Swapping in a real decoder
-  * means replacing only the body of [[MediaFeatures.of]]; every plan
-  * shape stays identical.
+  * processing, frame-offset explosion — is real and tested. Image
+  * payloads whose magic bytes identify a PNG/JPEG/BMP/GIF are decoded
+  * for real via `javax.imageio` (JDK-built-in, headless-safe):
+  * `width`/`height` are the true pixel dimensions and `decoded=true`.
+  * Anything else — audio, video, or synthetic fixture bytes — falls
+  * back to the deterministic stub (dims derived from byte length,
+  * `decoded=false`), which keeps the fixtures oracle-checkable while
+  * real image bytes get real answers. Audio/video decoding would slot
+  * into the same [[MediaFeatures.of]] body; every plan shape stays
+  * identical.
   *
   * Scale: payloads stay in columnar parquet; `mapPartitions` processes
   * one partition's batch per task with no shuffle; feature extraction
@@ -26,15 +30,30 @@ object Multimodal {
   case class MediaRow(media_id: Long, media_type: String,
       payload: Array[Byte], source: String, length_hint: Long)
 
-  /** Stubbed decoded features — deterministic fake (see object docs). */
+  /** Decoded features: real pixel dims when the payload is a decodable
+    * image (`decoded=true`), deterministic byte-derived stand-ins
+    * otherwise (`decoded=false`).
+    */
   case class MediaFeatures(media_id: Long, media_type: String,
-      n_bytes: Long, sig: String, fake_width: Int, fake_height: Int)
+      n_bytes: Long, sig: String, width: Int, height: Int,
+      decoded: Boolean)
 
   object MediaFeatures {
-    /** STUB: a real implementation would decode the media here. The
-      * fake is pure and deterministic so it is testable and
-      * oracle-checkable (sig = first 8 hex chars of md5(payload)).
+    // ImageIO's default cache spills decode buffers to temp FILES —
+    // per-row disk IO inside an executor task; decode in memory
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Magic-byte sniff — only payloads that can possibly be an image
+      * reach ImageIO (whose SPI scan is not free per row): PNG, JPEG,
+      * BMP, GIF.
       */
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 8 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+
     def of(r: MediaRow): MediaFeatures = {
       // a null payload (null source text cast to binary) decodes as
       // empty media — one bad row must not NPE the whole partition
@@ -42,10 +61,25 @@ object Multimodal {
         if (r.payload == null) Array.emptyByteArray else r.payload
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(bytes).map("%02x".format(_)).mkString
-      MediaFeatures(r.media_id, r.media_type, bytes.length.toLong,
-        hex.substring(0, 8),
-        fake_width = (bytes.length % 640).toInt,
-        fake_height = (bytes.length % 480).toInt)
+      // real decode path: a corrupt-but-magic-matching payload must
+      // yield the fallback features, not kill the partition
+      val img =
+        if (looksLikeImage(bytes))
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        else None
+      img match {
+        case Some(i) =>
+          MediaFeatures(r.media_id, r.media_type, bytes.length.toLong,
+            hex.substring(0, 8), width = i.getWidth,
+            height = i.getHeight, decoded = true)
+        case None =>
+          MediaFeatures(r.media_id, r.media_type, bytes.length.toLong,
+            hex.substring(0, 8),
+            width = (bytes.length % 640).toInt,
+            height = (bytes.length % 480).toInt, decoded = false)
+      }
     }
   }
 

@@ -245,22 +245,32 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("e").as("ce"),
         col("nrm").as("cn"))
 
-  /** Nearest-centroid assignment by cosine (deterministic cell-id
-    * tiebreak): (vec_id, e, nrm, cell, ccos) — ccos kept so callers
-    * can read the assignment objective. Centroids broadcast — the
-    * expensive join is vector×centroid, linear in N.
+  /** Ranked centroid assignment by cosine (deterministic cell-id
+    * tiebreak): the `probes` nearest cells per vector, with `crk`
+    * (1 = nearest) and `ccos` kept so callers can read the assignment
+    * objective. One vector×centroid cosine pass — centroids broadcast,
+    * cost linear in N regardless of probes.
     */
-  def assignCells(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    val n = withNorm(embeddings)
+  private def assignRanked(n: DataFrame, cents: DataFrame,
+      probes: Int): DataFrame = {
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell"))
     n.crossJoin(broadcast(cents))
       .withColumn("ccos",
         round(dot(col("e"), col("ce")) / (col("nrm") * col("cn")), 6))
       .withColumn("crk", row_number().over(assignW))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col("cell"), col("ccos"))
+      .filter(col("crk") <= probes)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"),
+        col("ccos"), col("crk"))
   }
+
+  /** Nearest-centroid assignment by cosine (deterministic cell-id
+    * tiebreak): (vec_id, e, nrm, cell, ccos). Centroids broadcast — the
+    * expensive join is vector×centroid, linear in N.
+    */
+  def assignCells(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assignRanked(withNorm(embeddings), cents, probes = 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"), col("ccos"))
 
   /** Spherical k-means (Lloyd) over the embedding column: assign by
     * cosine, recenter on the per-cell mean, repeat. Each round is one
@@ -328,4 +338,35 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, nCells: Int, k: Int): DataFrame =
     ivfTopKWithCentroids(embeddings, seedCentroids(embeddings, nCells), k)
+
+  /** Multi-probe IVF: the INDEX side keeps each vector in its single
+    * nearest cell, but each QUERY vector probes its `probes` nearest
+    * cells — the standard fix for recall lost at cell boundaries,
+    * which single-probe IVF can never recover at fixed nCells. Both
+    * sides come from ONE ranked assignment pass (the index is the
+    * crk=1 slice), so probing costs no extra centroid scan; the pair
+    * space grows to ~probes·Σ|cell|·|cell| query-side rows, still
+    * ≪ N² for probes ≪ nCells. A (query, neighbor) pair appears at
+    * most once — the neighbor lives in exactly one cell — so no
+    * dedup pass is needed, and the candidate set is a superset of the
+    * single-probe candidates (the crk=1 cell is always probed):
+    * recall is monotone non-decreasing in `probes`, spec-asserted.
+    */
+  def ivfTopKMultiProbe(embeddings: DataFrame, cents: DataFrame,
+      k: Int, probes: Int): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val ranked = assignRanked(withNorm(embeddings), cents, probes)
+    val index = ranked.filter(col("crk") === 1)
+      .select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb"), col("cell"))
+    val queries = ranked.select(col("vec_id").as("i"), col("e").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    queries.join(index, Seq("cell")).filter(col("i") =!= col("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
 }

@@ -185,10 +185,23 @@ object MlQueries {
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
       .orderBy(col("i"), col("j"))
 
+  /** The `nz` CTE mirrors Similarity.withNorm's zero-norm exclusion
+    * (cosine is undefined for the zero vector, so the engine drops
+    * such rows by contract) — without it the defined semantics would
+    * only coincide while the fixtures happen to contain no all-zero
+    * embedding. Shared by ns6 and ns7/ns7b.
+    */
+  private val duckNonZeroEmb: String =
+    """nz AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE list_sum([x * x FOR x IN embedding::DOUBLE[]]) > 0
+      |)""".stripMargin
+
   val ns6EmbedNearDupSql: String =
-    """SELECT a.vec_id AS i, b.vec_id AS j,
+    s"""WITH $duckNonZeroEmb
+      |SELECT a.vec_id AS i, b.vec_id AS j,
       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |FROM nz a JOIN nz b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
       |ORDER BY i, j""".stripMargin
 
@@ -207,13 +220,14 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
 
   val ns7SimTopkSql: String =
-    """SELECT i, rk, j, cos FROM (
+    s"""WITH $duckNonZeroEmb
+      |SELECT i, rk, j, cos FROM (
       |  SELECT a.vec_id AS i, b.vec_id AS j,
       |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
       |    row_number() OVER (PARTITION BY a.vec_id
       |      ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
       |        b.vec_id) AS rk
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+      |  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id)
       |WHERE rk <= 5 ORDER BY i, rk""".stripMargin
 
   /** ns7 through the typed TopKByScore Aggregator — the declared scale
@@ -227,13 +241,17 @@ object MlQueries {
   /** IVF ANN — approximate, no ANSI oracle, but recall-vs-brute is
     * emitted as a column of the result itself (driver rows check now
     * carries the recall number in the dumped parquet); the MlSpec
-    * floor asserts it stays non-trivial.
+    * floor asserts it stays non-trivial. The recall reference is
+    * SAMPLED (every 5th query vector) so the gate itself is
+    * linear-shaped — the brute pass is the quadratic part and sampling
+    * divides its cost by sampleMod; unsampled vectors keep their ANN
+    * rows with a null recall.
     */
   val ns8SimIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.withRecall(
       Similarity.ivfTopK(emb, nCells = 16, k = 5),
-      Similarity.bruteTopK(emb, k = 5))
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
 
@@ -254,14 +272,31 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** Multi-probe IVF — each query vector probes its 3 nearest cells
+    * (index side stays single-cell), recovering the recall single-probe
+    * ns8 loses at cell boundaries at the cost of ~3× the candidate
+    * pairs. Same seed centroids and nCells as ns8, so the two results
+    * isolate the probing effect; MlSpec asserts multi-probe recall is
+    * strictly above single-probe on the fixtures.
+    */
+  val ns8cSimIvfMultiProbe: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.withRecall(
+      Similarity.ivfTopKMultiProbe(emb,
+        Similarity.seedCentroids(emb, nCells = 16), k = 5, probes = 3),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** Random-hyperplane LSH ANN — approximate, no ANSI oracle; recall
-    * in-result like ns8, floor asserted in MlSpec.
+    * in-result like ns8 (sampled reference, same linear-shaped-gate
+    * rationale), floor asserted in MlSpec.
     */
   val ns15LshAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.withRecall(
       Similarity.lshTopK(emb, nBands = 4, bitsPerBand = 6, k = 5, dim = 64),
-      Similarity.bruteTopK(emb, k = 5))
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
 
@@ -499,16 +534,24 @@ object MlQueries {
       Multimodal.mediaTable(Tables.documents(s, dir)))
       .toDF()
       .select(col("media_id"), col("media_type"), col("n_bytes"),
-        col("sig"), col("fake_width"), col("fake_height"))
+        col("sig"), col("width"), col("height"), col("decoded"))
       .orderBy(col("media_id"))
 
+  /** Oracle mirrors the STUB (fallback) decode path: the fixture
+    * payloads are text bytes, which never magic-match an image format,
+    * so decoded is uniformly false and dims are the byte-derived
+    * stand-ins. Real-image decoding (decoded=true, true pixel dims)
+    * is byte-exact-tested in MlSpec against an in-memory-encoded PNG —
+    * ANSI SQL cannot decode images.
+    */
   val ns13MultimodalDecodeSql: String =
     """SELECT doc_id AS media_id,
       |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
       |  octet_length(encode(text)) AS n_bytes,
       |  substr(md5(text), 1, 8) AS sig,
-      |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-      |  CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+      |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+      |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+      |  false AS decoded
       |FROM documents ORDER BY media_id""".stripMargin
 
   val ns14FrameSample: Q = (s, dir) =>
@@ -779,6 +822,7 @@ object MlQueries {
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
+    "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,

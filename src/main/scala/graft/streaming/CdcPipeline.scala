@@ -98,6 +98,65 @@ object CdcPipeline {
     Versioning.withCurrentFlag(unioned, key, "ts", "event_id")
   }
 
+  /** The history-layout partition column for [[mergeBatchPruned]]:
+    * hash-bucket of the business key. Bucket partitioning — NOT date
+    * partitioning — is what makes merge-time pruning CORRECT for SCD2:
+    * a key's entire version history lives in exactly one bucket
+    * directory, so the current-flag recompute sees every version of
+    * every affected key; date partitions would scatter one key's
+    * versions across directories and a pruned read would mis-flag.
+    */
+  def keyBucket(key: String, nBuckets: Int)
+      : org.apache.spark.sql.Column =
+    pmod(hash(col(key)), lit(nBuckets)).cast("int")
+
+  /** [[mergeBatch]] against a key-bucket-partitioned history table
+    * ([[graft.sources.Layout.writePartitioned]] on [[keyBucket]]):
+    * reads ONLY the partition directories holding the batch's keys —
+    * `PartitionFilters` on the scan, zero row groups read elsewhere —
+    * merges, and returns (merged slice, touched buckets) for
+    * [[writeMergedBuckets]]. This is SURVEY §9's "the merge touches
+    * only the partitions containing the batch's keys", proven by
+    * MergePruneSpec against the executed plan. The driver-side bucket
+    * collect is bounded by nBuckets (the same class of driver action
+    * as a Delta file-skipping probe).
+    */
+  def mergeBatchPruned(spark: SparkSession, historyPath: String,
+      batch: DataFrame, key: String, nBuckets: Int)
+      : (DataFrame, Seq[Int]) = {
+    val bk = keyBucket(key, nBuckets)
+    val buckets = batch.select(bk.as("key_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val history = spark.read.parquet(historyPath)
+      .filter(col("key_bucket").isin(buckets.map(Integer.valueOf): _*))
+    val merged = mergeBatch(history,
+      batch.withColumn("key_bucket", bk), key)
+    (merged, buckets)
+  }
+
+  /** Write a [[mergeBatchPruned]] result back: dynamic partition
+    * overwrite rewrites ONLY the bucket directories present in the
+    * merged slice; untouched buckets' files are never listed, read, or
+    * replaced. localCheckpoint first — the merged frame's lineage
+    * reads the same path being overwritten, and a lazy plan would
+    * otherwise re-read mid-write (the foreachBatch read-after-append
+    * race, same cure as StreamingNearDup).
+    */
+  def writeMergedBuckets(merged: DataFrame, historyPath: String): Unit = {
+    val spark = merged.sparkSession
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try
+      merged.localCheckpoint()
+        .write.mode("overwrite").partitionBy("key_bucket")
+        .parquet(historyPath)
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   /** T8 extension: tumbling-window event counts with a watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

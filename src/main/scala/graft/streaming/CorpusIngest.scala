@@ -30,7 +30,18 @@ import graft.ml.TextAnalysis
   */
 object CorpusIngest {
 
-  /** Pure per-batch body (testable without a streaming runtime). */
+  /** Pure per-batch body (testable without a streaming runtime).
+    *
+    * Recycled batch ids (a checkpoint reset restarts numbering from 0)
+    * cannot be silently absorbed here the way the signature store
+    * absorbs them: the partition path IS the batch id, and the
+    * committed generation's data must not be overwritten. Each commit
+    * therefore records the batch's content fingerprint in a
+    * `_GRAFT_BATCH_SIG` marker; a committed partition re-encountered
+    * with DIFFERENT content fails loudly — "checkpoint reset detected,
+    * use a fresh corpusPath (or re-key the existing partitions)" —
+    * instead of silently dropping the new batch's documents.
+    */
   def ingestBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       storePath: String, minChars: Int, lang: String, maxHamming: Int)
       : Unit = {
@@ -39,13 +50,34 @@ object CorpusIngest {
     StreamingNearDup.processBatch(gated, batchId, storePath, maxHamming,
       (novel, bid) => {
         val spark = novel.sparkSession
+        val sig = StreamingNearDup.batchSig(gated)
         val part = new org.apache.hadoop.fs.Path(
           s"$corpusPath/ingest_batch=$bid")
         val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(part, "_GRAFT_BATCH_SIG")
         val committed =
           fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))
-        if (!committed)
+        if (committed && fs.exists(marker)) {
+          val recorded = {
+            val in = fs.open(marker)
+            try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          }
+          require(recorded == sig.toString,
+            s"corpus partition $part is committed with different content " +
+              s"(sig $recorded, incoming $sig): batch id $bid was recycled " +
+              "by a checkpoint reset — point the stream at a fresh " +
+              "corpusPath, or re-key the existing partitions offline")
+        }
+        if (!committed) {
           novel.write.mode("overwrite").parquet(part.toString)
+          val out = fs.create(marker, true)
+          try out.write(sig.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
       })
   }
 

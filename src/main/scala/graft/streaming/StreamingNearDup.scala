@@ -57,11 +57,11 @@ object StreamingNearDup {
     (batch.join(novelSigs, Seq("doc_id"), "left_semi"), novelSigs)
   }
 
-  /** Read the signature store (doc_id, simhash, batch_id); an absent
-    * path (first run) is an empty store, but any OTHER read failure
-    * propagates so the checkpoint retries the batch — silently treating
-    * a corrupt/unreadable store as empty would re-emit every known
-    * duplicate AND pollute the store with duplicate signatures.
+  /** Read the signature store (doc_id, simhash, batch_id, batch_sig);
+    * an absent path (first run) is an empty store, but any OTHER read
+    * failure propagates so the checkpoint retries the batch — silently
+    * treating a corrupt/unreadable store as empty would re-emit every
+    * known duplicate AND pollute the store with duplicate signatures.
     */
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storePath)
@@ -75,17 +75,37 @@ object StreamingNearDup {
       // samples one file, which would either null-fill legacy rows
       // (then the =!= filter drops them — every historical signature
       // invisible) or ignore new files' real batch_id entirely; the
-      // coalesce then backfills the legacy rows' nulls.
+      // coalesce then backfills the legacy rows' nulls. batch_sig
+      // (added later still) migrates the same way but keeps null as
+      // its legacy marker — null means "pre-sig row, match on id
+      // alone", see processBatch.
       val raw = spark.read.option("mergeSchema", "true").parquet(storePath)
       val withBid =
         if (raw.columns.contains("batch_id"))
           raw.withColumn("batch_id", coalesce(col("batch_id"), lit(-1L)))
         else raw.withColumn("batch_id", lit(-1L))
-      withBid.select("doc_id", "simhash", "batch_id")
+      val withSig =
+        if (withBid.columns.contains("batch_sig")) withBid
+        else withBid.withColumn("batch_sig", lit(null).cast("long"))
+      withSig.select("doc_id", "simhash", "batch_id", "batch_sig")
     } else {
       import spark.implicits._
-      Seq.empty[(Long, Long, Long)].toDF("doc_id", "simhash", "batch_id")
+      Seq.empty[(Long, Long, Long, Option[Long])]
+        .toDF("doc_id", "simhash", "batch_id", "batch_sig")
     }
+  }
+
+  /** Order-independent content fingerprint of a batch (xor of per-doc
+    * hashes folded with the row count): Spark's replay of a batch id
+    * recomputes the same rows → same sig, while a RECYCLED batch id
+    * after a checkpoint reset carries different content → different
+    * sig. One 1-row driver aggregate per batch.
+    */
+  def batchSig(batch: DataFrame): Long = {
+    val r = batch
+      .agg(coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("x"),
+        count(lit(1)).as("n")).head()
+    r.getLong(0) * 31L + r.getLong(1)
   }
 
   /** Wire the stream: novel docs → onBatch, their signatures appended
@@ -133,15 +153,25 @@ object StreamingNearDup {
     // localCheckpoint here would NOT fix (it re-materializes the whole
     // store per batch instead).
     val store = readStore(spark, storePath)
-    val alreadyAppended =
-      !store.filter(col("batch_id") === batchId).isEmpty
+    // "own rows" = this batch id AND this batch's CONTENT fingerprint
+    // (null sig = pre-fingerprint legacy rows, matched on id alone).
+    // The content check is what distinguishes a genuine replay (same
+    // id, same content → re-emit, skip the duplicate append) from a
+    // RECYCLED id after a checkpoint reset (same id, different
+    // content → the old rows are ordinary history and this batch's
+    // novel docs still append — previously they were silently dropped,
+    // at-most-zero delivery for every recycled id).
+    val mySig = batchSig(batch)
+    val own = col("batch_id") === batchId &&
+      (col("batch_sig").isNull || col("batch_sig") === mySig)
+    val alreadyAppended = !store.filter(own).isEmpty
     val (novel0, novelSigs) = filterNovel(batch,
-      store.filter(col("batch_id") =!= batchId)
-        .select("doc_id", "simhash"), maxHamming)
+      store.filter(!own).select("doc_id", "simhash"), maxHamming)
     val novel = novel0.localCheckpoint()
     onBatch(novel, batchId)
     if (!alreadyAppended)
       novelSigs.withColumn("batch_id", lit(batchId))
+        .withColumn("batch_sig", lit(mySig))
         .write.mode("append").parquet(storePath)
     ()
   }

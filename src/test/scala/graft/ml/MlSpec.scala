@@ -195,8 +195,67 @@ class MlSpec extends SparkSpec {
     val feats = Multimodal.decodeFeatures(media).collect()
     assert(feats.length === 10)
     assert(feats.forall(f => f.sig.length == 8 && f.n_bytes > 0))
+    // text bytes never magic-match an image — all rows take the stub
+    assert(feats.forall(!_.decoded))
     assert(feats.map(_.media_type).toSet.subsetOf(
       Set("image", "audio", "video")))
+  }
+
+  test("real PNG bytes decode to true pixel dimensions, byte-exact sig") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, (x * 31 + y * 7) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val m = Seq((1L, "image", png, "s", png.length.toLong))
+      .toDF("media_id", "media_type", "payload", "source", "length_hint")
+    val f = Multimodal.decodeFeatures(m).collect()(0)
+    assert(f.decoded, "PNG payload must take the real decode path")
+    assert(f.width === 7)
+    assert(f.height === 5)
+    assert(f.n_bytes === png.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(f.sig ===
+      md.digest(png).map("%02x".format(_)).mkString.substring(0, 8))
+  }
+
+  test("corrupt image-magic payload falls back to the stub, no crash") {
+    import spark.implicits._
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5)
+    val m = Seq((1L, "image", junk, "s", junk.length.toLong))
+      .toDF("media_id", "media_type", "payload", "source", "length_hint")
+    val f = Multimodal.decodeFeatures(m).collect()(0)
+    assert(!f.decoded)
+    assert(f.width === junk.length % 640)
+    assert(f.height === junk.length % 480)
+  }
+
+  test("fixtures contain no zero-norm embedding (the withNorm exclusion " +
+      "and its oracle-side nz mirror are both vacuous on this data)") {
+    val zero = embs.selectExpr("vec_id",
+      "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS ss")
+      .filter(col("ss") === 0.0).count()
+    assert(zero === 0L)
+  }
+
+  test("multi-probe IVF: probes=1 degenerates to plain IVF; probes=3 " +
+      "strictly improves recall at equal nCells") {
+    val brute = Similarity.bruteTopK(embs, 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.seedCentroids(embs, 16)
+    val single = Similarity.ivfTopK(embs, 16, 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = Similarity.ivfTopKMultiProbe(embs, cents, k = 5, probes = 1)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 === single, "probes=1 must equal single-probe IVF")
+    val p3 = Similarity.ivfTopKMultiProbe(embs, cents, k = 5, probes = 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (brute intersect p1).size.toDouble / brute.size
+    val r3 = (brute intersect p3).size.toDouble / brute.size
+    assert(r3 > r1, s"multi-probe recall $r3 not above single-probe $r1")
   }
 
   test("resize keeps every stride-th byte and halves the payload") {
