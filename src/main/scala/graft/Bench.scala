@@ -97,9 +97,11 @@ object Bench {
       val rps = if (sec > 0) rowsIn / sec else 0.0
       s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":$sec,"rows_per_sec":$rps}"""
     } catch { case e: Throwable =>
-      val msg = String.valueOf(e.getMessage).take(200)
-        .replaceAll("[\"\\\\\n\r\t]", " ")
-      s"""{"op":"corpus_ingest","failed":true,"err":"$msg"}"""
+      // full JSON escape (not a partial replaceAll): any raw control
+      // char in the message would invalidate the ONE output line and
+      // lose the whole round's timings, not just this field
+      val msg = Verify.jsonQuote(String.valueOf(e.getMessage).take(200))
+      s"""{"op":"corpus_ingest","failed":true,"err":$msg}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery"}""")
     spark.stop()

@@ -125,13 +125,48 @@ object CdcPipeline {
       batch: DataFrame, key: String, nBuckets: Int)
       : (DataFrame, Seq[Int]) = {
     val bk = keyBucket(key, nBuckets)
+    val root = new org.apache.hadoop.fs.Path(historyPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the bucket count IS the layout: a caller passing a different n
+    // than the table was written with computes different bucket ids,
+    // reads the wrong directories, and silently double-flags keys —
+    // so the layout records it in a marker and mismatches fail loudly
+    readNBuckets(fs, root).foreach(recorded =>
+      require(recorded == nBuckets,
+        s"history $historyPath is laid out with $recorded key buckets " +
+          s"but the merge was asked for $nBuckets — pass the layout's " +
+          "bucket count (or rewrite the history)"))
     val buckets = batch.select(bk.as("key_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val history = spark.read.parquet(historyPath)
-      .filter(col("key_bucket").isin(buckets.map(Integer.valueOf): _*))
+    // absent path = first-ever batch: empty history with the batch's
+    // shape (same absent-as-empty convention as StreamingNearDup's
+    // readStore), so the pipeline can bootstrap
+    val history =
+      if (fs.exists(root))
+        spark.read.parquet(historyPath)
+          .filter(col("key_bucket").isin(buckets.map(Integer.valueOf): _*))
+      else
+        batch.limit(0).withColumn("key_bucket", bk)
+          .withColumn("current", lit(0))
     val merged = mergeBatch(history,
       batch.withColumn("key_bucket", bk), key)
     (merged, buckets)
+  }
+
+  private def nBucketsMarker(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_GRAFT_NBUCKETS")
+
+  private def readNBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Int] = {
+    val m = nBucketsMarker(root)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
   }
 
   /** Write a [[mergeBatchPruned]] result back: dynamic partition
@@ -142,7 +177,8 @@ object CdcPipeline {
     * otherwise re-read mid-write (the foreachBatch read-after-append
     * race, same cure as StreamingNearDup).
     */
-  def writeMergedBuckets(merged: DataFrame, historyPath: String): Unit = {
+  def writeMergedBuckets(merged: DataFrame, historyPath: String,
+      nBuckets: Int): Unit = {
     val spark = merged.sparkSession
     val confKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(confKey)
@@ -154,6 +190,21 @@ object CdcPipeline {
     finally prev match {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)
+    }
+    // record (or verify) the layout's bucket count so a later merge
+    // with the wrong n fails loudly instead of mis-pruning
+    val root = new org.apache.hadoop.fs.Path(historyPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readNBuckets(fs, root) match {
+      case Some(recorded) =>
+        require(recorded == nBuckets,
+          s"history $historyPath records $recorded key buckets; " +
+            s"refusing to stamp $nBuckets over it")
+      case None =>
+        val out = fs.create(nBucketsMarker(root), true)
+        try out.write(nBuckets.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
     }
   }
 

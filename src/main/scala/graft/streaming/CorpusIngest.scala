@@ -47,14 +47,19 @@ object CorpusIngest {
       : Unit = {
     val gated = batch.filter(length(col("text")) >= minChars &&
       TextAnalysis.langId(col("text")) === lang)
-    StreamingNearDup.processBatch(gated, batchId, storePath, maxHamming,
-      (novel, bid) => {
+    StreamingNearDup.processBatchWithSig(gated, batchId, storePath,
+      maxHamming, (novel, bid, sig) => {
         val spark = novel.sparkSession
-        val sig = StreamingNearDup.batchSig(gated)
         val part = new org.apache.hadoop.fs.Path(
           s"$corpusPath/ingest_batch=$bid")
         val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(part, "_GRAFT_BATCH_SIG")
+        def writeMarker(): Unit = {
+          val out = fs.create(marker, true)
+          try out.write(sig.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
         val committed =
           fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))
         if (committed && fs.exists(marker)) {
@@ -70,13 +75,19 @@ object CorpusIngest {
               s"(sig $recorded, incoming $sig): batch id $bid was recycled " +
               "by a checkpoint reset — point the stream at a fresh " +
               "corpusPath, or re-key the existing partitions offline")
+        } else if (committed) {
+          // crash window: _SUCCESS landed but the marker write didn't.
+          // A genuine replay recomputes the identical sig, so
+          // backfilling here re-arms the reset guard instead of
+          // leaving this batch id unprotected forever. (If the id was
+          // ALREADY recycled inside this narrow window the ambiguity
+          // is unresolvable from disk — the backfill at least stops
+          // it widening.)
+          writeMarker()
         }
         if (!committed) {
           novel.write.mode("overwrite").parquet(part.toString)
-          val out = fs.create(marker, true)
-          try out.write(sig.toString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+          writeMarker()
         }
       })
   }

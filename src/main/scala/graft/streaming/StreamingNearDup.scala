@@ -95,15 +95,19 @@ object StreamingNearDup {
     }
   }
 
-  /** Order-independent content fingerprint of a batch (xor of per-doc
-    * hashes folded with the row count): Spark's replay of a batch id
-    * recomputes the same rows → same sig, while a RECYCLED batch id
-    * after a checkpoint reset carries different content → different
-    * sig. One 1-row driver aggregate per batch.
+  /** Order-independent content fingerprint of a batch (xor of per-ROW
+    * hashes over doc_id AND text, folded with the row count): Spark's
+    * replay of a batch id recomputes the same rows → same sig, while a
+    * RECYCLED batch id after a checkpoint reset carries different
+    * content → different sig. Hashing the text (not just the id) is
+    * the point — the realistic reset scenario is re-feeding CORRECTED
+    * documents under the same ids, which an id-only fingerprint would
+    * misread as a replay and silently drop. One 1-row driver aggregate
+    * per batch.
     */
   def batchSig(batch: DataFrame): Long = {
     val r = batch
-      .agg(coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)).as("x"),
+      .agg(coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)).as("x"),
         count(lit(1)).as("n")).head()
     r.getLong(0) * 31L + r.getLong(1)
   }
@@ -141,7 +145,18 @@ object StreamingNearDup {
     * with the same batchId to simulate a post-append replay).
     */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,
-      maxHamming: Int, onBatch: (DataFrame, Long) => Unit): Unit = {
+      maxHamming: Int, onBatch: (DataFrame, Long) => Unit): Unit =
+    processBatchWithSig(batch, batchId, storePath, maxHamming,
+      (novel, bid, _) => onBatch(novel, bid))
+
+  /** [[processBatch]] variant whose callback also receives the batch's
+    * content fingerprint — so callers that need the sig themselves
+    * (CorpusIngest's partition marker) don't recompute the gate scan
+    * and driver aggregate a second time per trigger.
+    */
+  def processBatchWithSig(batch: DataFrame, batchId: Long,
+      storePath: String, maxHamming: Int,
+      onBatch: (DataFrame, Long, Long) => Unit): Unit = {
     val spark = batch.sparkSession
     // no store materialization: filterNovel checkpoints its OUTPUTS, so
     // no store-derived lineage survives past the append. Per-batch
@@ -168,7 +183,7 @@ object StreamingNearDup {
     val (novel0, novelSigs) = filterNovel(batch,
       store.filter(!own).select("doc_id", "simhash"), maxHamming)
     val novel = novel0.localCheckpoint()
-    onBatch(novel, batchId)
+    onBatch(novel, batchId, mySig)
     if (!alreadyAppended)
       novelSigs.withColumn("batch_id", lit(batchId))
         .withColumn("batch_sig", lit(mySig))

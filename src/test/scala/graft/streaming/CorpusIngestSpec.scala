@@ -68,4 +68,18 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(corpus)
       .filter(col("ingest_batch") === 2L).count() === 1)
   }
+
+  test("a recycled batch id with different content fails loudly " +
+      "instead of silently dropping the new documents") {
+    val corpus = tmp("graft_recycle_corpus") + "/docs"
+    val store = tmp("graft_recycle_store") + "/sigs"
+    CorpusIngest.ingestBatch(Seq((1L, goodA)).toDF("doc_id", "text"),
+      0L, corpus, store, minChars = 40, lang = "en", maxHamming = 1)
+    // checkpoint reset: batch numbering restarts at 0 with NEW content
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.ingestBatch(Seq((9L, goodB)).toDF("doc_id", "text"),
+        0L, corpus, store, minChars = 40, lang = "en", maxHamming = 1)
+    }
+    assert(e.getMessage.contains("recycled"))
+  }
 }

@@ -59,7 +59,7 @@ class MergePruneSpec extends SparkSpec {
     val before = bucketFiles()
     val touched = s"key_bucket=${buckets.head}"
 
-    CdcPipeline.writeMergedBuckets(merged, histDir)
+    CdcPipeline.writeMergedBuckets(merged, histDir, nBuckets)
 
     val after = bucketFiles()
     (before.keySet - touched).foreach { b =>
@@ -81,5 +81,34 @@ class MergePruneSpec extends SparkSpec {
       .filter(col("item_id") === 7 && col("current") === 1)
       .select("payload").as[String].collect().toSeq
     assert(current7 === Seq("v2-7"))
+
+    // the write-back stamped the layout's bucket count: a later merge
+    // with the WRONG n must fail loudly (mis-pruning silently breaks
+    // the one-current invariant), the right n must keep working
+    val again = Seq(ev(1002L, "2024-01-03 09:00:00", 7L, "v3-7")).toDF()
+    intercept[IllegalArgumentException] {
+      CdcPipeline.mergeBatchPruned(spark, histDir, again, "item_id", 16)
+    }
+    val (m2, _) =
+      CdcPipeline.mergeBatchPruned(spark, histDir, again, "item_id", nBuckets)
+    assert(m2.filter(col("item_id") === 7 && col("current") === 1)
+      .select("payload").as[String].collect().toSeq === Seq("v3-7"))
+  }
+
+  test("first-ever batch bootstraps an absent history path") {
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft_merge_boot").toString + "/history"
+    val batch = Seq(ev(1L, "2024-01-01 10:00:00", 42L, "v1")).toDF()
+    val (merged, buckets) =
+      CdcPipeline.mergeBatchPruned(spark, histDir, batch, "item_id", 8)
+    assert(buckets.length === 1)
+    CdcPipeline.writeMergedBuckets(merged, histDir, 8)
+    val out = spark.read.parquet(histDir)
+    assert(out.count() === 1)
+    assert(out.filter(col("current") === 1).count() === 1)
+    // and the layout marker protects the fresh table too
+    intercept[IllegalArgumentException] {
+      CdcPipeline.mergeBatchPruned(spark, histDir, batch, "item_id", 4)
+    }
   }
 }

@@ -63,6 +63,36 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(emitOf(Seq((3L, textA)).toDF("doc_id", "text"), 1L) === Seq())
   }
 
+  test("a recycled batch id with the SAME doc ids but different text " +
+      "is treated as new content, not a replay (content fingerprint)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = Files.createTempDirectory("graft_sig_recycle").toString + "/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about spark catalyst optimizer internals"
+    val textC = "corrected replacement text with entirely new vocabulary and meaning"
+    val textD = "another corrected document body that shares nothing with before"
+    var emitted = Seq.empty[Long]
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingNearDup.processBatch(b, id, store, 1,
+        (novel, _) => emitted = novel.select("doc_id").as[Long]
+          .collect().sorted.toSeq)
+    run(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 0L)
+    assert(emitted === Seq(1L, 2L))
+    // checkpoint reset re-feeds CORRECTED text under the same ids and
+    // the same recycled batch id 0 — an id-only fingerprint would
+    // misread this as a replay and silently drop both docs
+    run(Seq((1L, textC), (2L, textD)).toDF("doc_id", "text"), 0L)
+    assert(emitted === Seq(1L, 2L), "corrected docs must flow, not drop")
+    assert(StreamingNearDup.readStore(spark, store).count() === 4,
+      "both generations' signatures must be in the store")
+    // and a REAL replay of the second generation still re-emits
+    // without appending a third generation
+    run(Seq((1L, textC), (2L, textD)).toDF("doc_id", "text"), 0L)
+    assert(emitted === Seq(1L, 2L))
+    assert(StreamingNearDup.readStore(spark, store).count() === 4)
+  }
+
   test("legacy stores without batch_id migrate: old signatures still " +
       "suppress dups, and mixed old/new files read correctly") {
     val spark0 = spark
