@@ -141,10 +141,16 @@ object CleanFields {
   /** Dead-letter rows: fields whose type has no clean rule
     * (PodioApiWrapper.py:91-94 prints a note; we emit a DataFrame the
     * caller can sink to a rejects table).
+    *
+    * The predicate is the COMPLEMENT of cleanItems' keep-filter under
+    * three-valued logic: a null `type` makes `isin` null, which the
+    * keep-filter drops — so the reject side must treat null as "not
+    * known" (coalesce to false before negating), or a null-typed field
+    * would vanish from BOTH sinks.
     */
   def rejects(raw: DataFrame): DataFrame =
     raw.select(col("item_id"), explode(col("fields")).as("f"))
-      .filter(!col("f.type").isin(knownTypes: _*))
+      .filter(!coalesce(col("f.type").isin(knownTypes: _*), lit(false)))
       .select(col("item_id"), col("f.field_id").as("field_id"),
         col("f.type").as("field_type"))
 }

@@ -25,10 +25,16 @@ object Integrity {
   def orphans(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String, relation: String): DataFrame = {
     val c = child.select(col(childKey).as("_k")).filter(col("_k").isNotNull)
+    // ONE scan of the child: a left join against the distinct parent
+    // keys yields both counts from the same pass (the earlier
+    // anti-join + separate count formulation read the child twice —
+    // six lineitem scans across audit() at the 100 TB posture)
     val p = parent.select(col(parentKey).as("_k"))
-    c.join(p, Seq("_k"), "left_anti")
-      .agg(count(lit(1)).as("n_orphans"))
-      .crossJoin(c.agg(count(lit(1)).as("n_child_rows")))
+      .filter(col("_k").isNotNull).distinct()
+      .withColumn("_hit", lit(1))
+    c.join(p, Seq("_k"), "left")
+      .agg(count(lit(1)).as("n_child_rows"),
+        count(when(col("_hit").isNull, 1)).as("n_orphans"))
       .select(lit(relation).as("relation"), col("n_child_rows"),
         col("n_orphans"))
   }

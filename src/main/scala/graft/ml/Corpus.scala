@@ -109,6 +109,11 @@ object Corpus {
     * and doc-id range — the manifest a training loader consumes.
     */
   def packSequences(docs: DataFrame, ctxLen: Int, shards: Int): DataFrame = {
+    // ctxLen=0 is a double division by zero → null chunks; shards=0
+    // makes pmod null → one null shard holding the whole corpus. Both
+    // corrupt the manifest silently — fail at the call site instead
+    require(ctxLen > 0, "ctxLen must be positive")
+    require(shards > 0, "shards must be positive")
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).as("toks"),
       pmod(HashUtils.hash60(col("doc_id").cast("string")), lit(shards))

@@ -264,7 +264,12 @@ object Dedup {
     * same reasoning as [[minhashSignatures]].
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val ex = docs
+    // a null text explodes to ZERO rows, silently dropping the doc
+    // from the groupBy output while a non-exploding oracle would emit
+    // it with a null signature — filter explicitly (mirrored by
+    // `WHERE text IS NOT NULL` in the ns4/ns5 oracles) so "null text
+    // has no signature row" is the defined, aligned semantics
+    val ex = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), HashUtils.hash60(col("w")).as("h"))
     val bitAggs = (0 until 60).map { j =>

@@ -41,18 +41,22 @@ object Similarity {
   }
 
   /** (vec_id, e: array<double>, nrm: double) — cast once, norm once.
-    * Zero-norm vectors are EXCLUDED here: cosine is undefined for
-    * them, and letting them through gives division-by-zero NaNs that
-    * silently drop pairs (or, worse, corrupt rankings) with no
-    * diagnostic. An all-zero embedding is a broken upstream embed; a
-    * similarity operator's contract is over nonzero vectors.
+    * Degenerate vectors are EXCLUDED here: cosine is undefined for the
+    * zero vector, and a NaN/Infinity component poisons every cosine it
+    * touches — Spark orders NaN ABOVE every double, so a NaN norm
+    * passes `> 0`, a NaN cosine passes every `>= threshold`, and the
+    * broken vector ranks FIRST in every top-k. The guard therefore
+    * requires a strictly positive FINITE norm. A zero/NaN embedding is
+    * a broken upstream embed; a similarity operator's contract is over
+    * finite nonzero vectors.
     */
   private def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftExtensions.register(embeddings.sparkSession)
     val e = col("embedding").cast("array<double>")
     embeddings.select(col("vec_id"), e.as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      .filter(col("nrm") > 0)
+      .filter(col("nrm") > 0 && !isnan(col("nrm")) &&
+        col("nrm") < lit(Double.PositiveInfinity))
   }
 
   private def pairCos: Column =
@@ -152,16 +156,23 @@ object Similarity {
         col("bb.bucket").as("bucket"))
   }
 
-  def lshTopK(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
-      k: Int, dim: Int): DataFrame = {
-    val n = withNorm(embeddings)
+  /** Band-collision candidates re-scored with the exact cosine —
+    * shared by the LSH top-k and near-dup-pair paths (the candidate
+    * half of the scheme, factored like [[lshBanded]] so a fix to one
+    * path cannot silently leave the other stale). `ordered=true`
+    * keeps only i < j (pair semantics); false keeps both directions
+    * (per-query semantics). Output: (i, j, cos).
+    */
+  private def lshScoredCandidates(n: DataFrame, nBands: Int,
+      bitsPerBand: Int, dim: Int, ordered: Boolean): DataFrame = {
     val banded = lshBanded(n, nBands, bitsPerBand, dim)
+    val idFilter =
+      if (ordered) col("i") < col("j") else col("i") =!= col("j")
     val cand = banded.select(col("vec_id").as("i"), col("band"), col("bucket"))
       .join(banded.select(col("vec_id").as("j"), col("band"), col("bucket")),
         Seq("band", "bucket"))
-      .filter(col("i") =!= col("j"))
+      .filter(idFilter)
       .select(col("i"), col("j")).distinct()
-    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
     cand
       .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
         col("nrm").as("na")), Seq("i"))
@@ -169,6 +180,13 @@ object Similarity {
         col("nrm").as("nb")), Seq("j"))
       .withColumn("cos", pairCos)
       .select(col("i"), col("j"), col("cos"))
+  }
+
+  def lshTopK(embeddings: DataFrame, nBands: Int, bitsPerBand: Int,
+      k: Int, dim: Int): DataFrame = {
+    val n = withNorm(embeddings)
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    lshScoredCandidates(n, nBands, bitsPerBand, dim, ordered = false)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("i"), col("rk"), col("j"), col("cos"))
@@ -215,23 +233,11 @@ object Similarity {
     * spec-asserted; the brute form stays the exactness baseline).
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-      nBands: Int, bitsPerBand: Int, dim: Int): DataFrame = {
-    val n = withNorm(embeddings)
-    val banded = lshBanded(n, nBands, bitsPerBand, dim)
-    val cand = banded.select(col("vec_id").as("i"), col("band"), col("bucket"))
-      .join(banded.select(col("vec_id").as("j"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("i") < col("j"))
-      .select(col("i"), col("j")).distinct()
-    cand
-      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
-        col("nrm").as("na")), Seq("i"))
-      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("j"))
-      .withColumn("cos", pairCos)
+      nBands: Int, bitsPerBand: Int, dim: Int): DataFrame =
+    lshScoredCandidates(withNorm(embeddings), nBands, bitsPerBand, dim,
+      ordered = true)
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
-  }
 
   /** Seed centroids for IVF: the vectors whose vec_id < nCells —
     * deterministic, and the Lloyd init for [[fitCentroids]].
@@ -305,7 +311,10 @@ object Similarity {
         .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
         // a cell whose members cancel to the zero vector has no
         // direction — drop it rather than emit undefined cosines
-        .filter(col("cn") > 0)
+        // (finite-norm guard for the same NaN-ordering reason as
+        // withNorm)
+        .filter(col("cn") > 0 && !isnan(col("cn")) &&
+          col("cn") < lit(Double.PositiveInfinity))
         .localCheckpoint()
     }
     cents

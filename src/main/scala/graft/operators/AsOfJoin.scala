@@ -76,12 +76,16 @@ object AsOfJoin {
       payload: Seq[String], tiebreak: String,
       tolerance: Option[String], forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "need at least one payload column")
+    require(payload.distinct == payload,
+      s"payload columns must be distinct: $payload")
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       "payload column names must not collide with left columns")
     val reserved = Seq("_k", "_t", "_src", "_tb", "_rt", "_asof_rt")
     require(!leftCols.exists(reserved.contains),
       s"left columns may not use the reserved working names $reserved")
+    require(!payload.exists(reserved.contains),
+      s"payload columns may not use the reserved working names $reserved")
     // chained as-of joins: a left column already named asof_<payload>
     // (from a previous join with the same payload) would be silently
     // clobbered and emitted twice — fail loudly instead
@@ -90,11 +94,24 @@ object AsOfJoin {
     require(clobbered.isEmpty,
       s"left columns $clobbered collide with as-of output names — " +
         "rename them (or the payload) before joining again")
+    // payload = Seq("price", "asof_price") would have the second
+    // withColumn read the FIRST's freshly-written window output
+    // instead of the original right column — same clobber, right side
+    val payloadClobbered = payload.filter(outNames.contains)
+    require(payloadClobbered.isEmpty,
+      s"payload columns $payloadClobbered collide with as-of output " +
+        "names of other payload columns — rename before joining")
     val leftSrc = if (forward) 0 else 1
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_src", lit(leftSrc))
-    val r = right.select(
+    // null-key / null-time right rows can never be a genuine match,
+    // but unioned in they SORT FIRST (asc = NULLS FIRST): a null-time
+    // right row would sit inside every backward frame and match
+    // everything — a SQL/pandas as-of attaches null there. Drop them.
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
       payload.map(col) :+
         col(rightKey).as("_k") :+ col(rightTime).as("_t") :+
         lit(1 - leftSrc).as("_src") :+ col(tiebreak).as("_tb") :+
@@ -112,15 +129,20 @@ object AsOfJoin {
       merged.withColumn("_asof_rt", pick(col("_rt")))) { (df, c) =>
       df.withColumn(s"asof_$c", pick(col(c)))
     }
+    // a null LEFT time can't anchor an as-of: it sorts first, so the
+    // forward frame would hand it the earliest right row — mask to
+    // null instead (backward already yields null there; this makes
+    // both directions agree with SQL/pandas semantics)
     val inTol = tolerance.map { tol =>
       if (forward) col("_asof_rt") - col("_t") <= expr(tol)
       else col("_t") - col("_asof_rt") <= expr(tol)
     }
-    val bounded = inTol match {
-      case None => attached
-      case Some(cond) => payload.foldLeft(attached) { (df, c) =>
-        df.withColumn(s"asof_$c", when(cond, col(s"asof_$c")))
-      }
+    val keep = inTol match {
+      case None => col("_t").isNotNull
+      case Some(cond) => col("_t").isNotNull && cond
+    }
+    val bounded = payload.foldLeft(attached) { (df, c) =>
+      df.withColumn(s"asof_$c", when(keep, col(s"asof_$c")))
     }
     bounded.filter(col("_src") === leftSrc)
       .select(leftCols.map(col) ++ payload.map(c => col(s"asof_$c")): _*)

@@ -156,7 +156,7 @@ object MlQueries {
        |    FOR j IN range(0, 60)])::BIGINT AS simhash
        |FROM (SELECT doc_id,
        |    [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
-       |  FROM documents)
+       |  FROM documents WHERE text IS NOT NULL)
        |ORDER BY doc_id""".stripMargin
 
   val ns5SimhashPairs: Q = (s, dir) =>
@@ -171,7 +171,7 @@ object MlQueries {
        |      FOR j IN range(0, 60)])::BIGINT AS simhash
        |  FROM (SELECT doc_id,
        |      [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
-       |    FROM documents)
+       |    FROM documents WHERE text IS NOT NULL)
        |)
        |SELECT a.doc_id AS i, b.doc_id AS j,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming

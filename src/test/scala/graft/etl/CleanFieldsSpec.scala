@@ -119,6 +119,26 @@ class CleanFieldsSpec extends SparkSpec {
     assert(rej(0).getAs[String]("field_type") === "image")
   }
 
+  test("a null-typed field lands in rejects, never in neither sink " +
+      "(three-valued isin complement)") {
+    val raw = Seq(
+      (5L, Seq(
+        (21L, "Ok", "text", Seq("""{"value": "fine"}""")),
+        (22L, "Broken", null.asInstanceOf[String], Seq("""{"value": "?"}"""))))
+    ).toDF("item_id", "fields_raw")
+      .select(col("item_id"), expr(
+        "transform(fields_raw, f -> named_struct(" +
+          "'field_id', f._1, 'label', f._2, 'type', f._3, 'values', f._4))")
+        .as("fields"))
+    val data = CleanFields.cleanItems(raw).collect()(0)
+      .getAs[Map[String, Row]]("data")
+    assert(data.keySet === Set("21"), "null-typed field must not be kept")
+    val rej = CleanFields.rejects(raw).collect()
+    assert(rej.length === 1)
+    assert(rej(0).getAs[Long]("field_id") === 22L)
+    assert(rej(0).isNullAt(rej(0).fieldIndex("field_type")))
+  }
+
   test("cleanItems keeps items with empty or all-unknown fields as an " +
       "empty map (reference keys every item, PodioApiWrapper.py:137-139)") {
     val raw = Seq(

@@ -233,6 +233,20 @@ class MlSpec extends SparkSpec {
     assert(f.height === junk.length % 480)
   }
 
+  test("NaN/Infinity embeddings are excluded instead of ranking first " +
+      "(Spark orders NaN above every double)") {
+    import spark.implicits._
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(Float.NaN, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteTopK(d, 1).collect()
+    assert(topk.map(_.getLong(0)).toSet === Set(1L, 2L),
+      "the NaN vector must not appear as a query")
+    assert(topk.forall(r => r.getLong(2) != 3L),
+      "the NaN vector must not appear as a neighbor")
+    assert(topk.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("fixtures contain no zero-norm embedding (the withNorm exclusion " +
       "and its oracle-side nz mirror are both vacuous on this data)") {
     val zero = embs.selectExpr("vec_id",

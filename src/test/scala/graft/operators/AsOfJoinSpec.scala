@@ -41,6 +41,51 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m("no-right-key") === None)        // key absent from right
   }
 
+  test("null right times/keys never match, and a null left time " +
+      "yields a null payload in both directions") {
+    val r = Seq(
+      (Option(1L), Option(5L), 500L),
+      (Option(1L), Option.empty[Long], 501L), // null time: would sort first
+      (Option.empty[Long], Option(3L), 502L)  // null key
+    ).toDF("k", "t", "event_id")
+    val l = Seq(
+      (Option(1L), Option(4L), "pre"),        // before the only real right row
+      (Option(1L), Option(10L), "post"),      // after it
+      (Option(1L), Option.empty[Long], "null-time"),
+      (Option.empty[Long], Option(3L), "null-key")
+    ).toDF("k", "t", "tag")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "asof_event_id").collect()
+        .map(x => x.getString(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    val back = collect(AsOfJoin.asofBackward(l, r, "k", "k", "t", "t",
+      payload = Seq("event_id"), tiebreak = "event_id"))
+    // the null-time right row must NOT act as an always-match floor
+    assert(back("pre") === None)
+    assert(back("post") === Some(500L))
+    assert(back("null-time") === None)
+    assert(back("null-key") === None)
+    val fwd = collect(AsOfJoin.asofForward(l, r, "k", "k", "t", "t",
+      payload = Seq("event_id"), tiebreak = "event_id"))
+    assert(fwd("pre") === Some(500L))
+    assert(fwd("post") === None)
+    // previously the null-time left row sorted first and took the
+    // earliest right row's payload
+    assert(fwd("null-time") === None)
+    assert(fwd("null-key") === None)
+  }
+
+  test("reserved and colliding payload names are rejected up front") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(left, right, "k", "k", "t", "t",
+        payload = Seq("event_id", "asof_event_id"), tiebreak = "event_id")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(left, right, "k", "k", "t", "t",
+        payload = Seq("_rt"), tiebreak = "event_id")
+    }
+  }
+
   test("forward as-of: nearest following row, inclusive ≥, ties by " +
       "MIN tiebreak, null when nothing follows") {
     val m = AsOfJoin.asofForward(left, right, "k", "k", "t", "t",
