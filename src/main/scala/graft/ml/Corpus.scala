@@ -49,6 +49,49 @@ object Corpus {
         col("contamination_ratio"))
   }
 
+  /** Deterministic corpus mixture sampling — the data-mixing step of a
+    * training run: given target per-source weights, select the largest
+    * corpus whose source composition matches them exactly. The
+    * achievable total is limited by the scarcest source relative to
+    * its weight (T = min_s floor(n_s / w_s)); each source contributes
+    * its floor(w_s · T) docs, chosen by md5-hash rank of doc_id so the
+    * sample is content-independent, reproducible across runs/engines,
+    * and stable under corpus append (a doc's rank only grows).
+    *
+    * Shape: one tiny per-source count aggregate (≤ |sources| rows,
+    * broadcast back), then one window rank per source partition — a
+    * single shuffle of (doc_id, source). Sources absent from `weights`
+    * are excluded. Weight arithmetic happens in IEEE doubles on both
+    * engines, so the oracle mirrors it literally; prefer exactly
+    * representable weights (halves/quarters) for boundary stability.
+    */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double])
+      : DataFrame = {
+    require(weights.nonEmpty, "need at least one source weight")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wSum = weights.values.toSeq.sorted.sum // sorted: deterministic fold
+    val wCol = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, w)) =>
+        when(col("source") === s, lit(w / wSum)).otherwise(acc)
+      }
+    val inScope = docs.filter(
+      col("source").isin(weights.keys.toSeq.map(x => x: Any): _*))
+    val plan = inScope.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_available"))
+      .withColumn("w", wCol)
+      .withColumn("t",
+        min(floor(col("n_available") / col("w")))
+          .over(Window.partitionBy(lit(1))))
+      .withColumn("n_target", floor(col("w") * col("t")).cast("long"))
+      .select(col("source"), col("n_target"))
+    val rk = Window.partitionBy(col("source"))
+      .orderBy(HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
+    inScope.join(broadcast(plan), Seq("source"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= col("n_target"))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   /** Corpus vocabulary statistics: the `limit` most document-frequent
     * terms with their total occurrence counts — the input to tokenizer
     * training and stopword-list induction.

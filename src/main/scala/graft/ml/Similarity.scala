@@ -192,6 +192,63 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Scalar int8 quantization (SQ8): each vector rescaled so its
+    * largest-magnitude component maps to ±127, components rounded to
+    * integers. Cosine is scale-invariant, so the quantized cosine
+    * approximates the exact one with no de-scaling — and at 100 TB the
+    * point is BANDWIDTH: the pair scan reads 1-byte components instead
+    * of 8-byte doubles (4–8× less shuffle/scan traffic), with
+    * full-precision vectors touched only during the final re-score.
+    * (Stored as array<double> holding integer values here — the Spark
+    * shuffle width win needs a binary-packed column, but the plan
+    * shape and the accuracy trade are exactly SQ8's.)
+    */
+  private def quantizeSq8(n: DataFrame): DataFrame =
+    n.withColumn("amax",
+        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("q", transform(col("e"),
+        x => round(x * lit(127.0) / col("amax")).cast("int").cast("double")))
+      .withColumn("qn", sqrt(dot(col("q"), col("q"))))
+      .filter(col("qn") > 0)
+
+  /** Candidate-generate-with-SQ8, refine-with-exact top-k: rank all
+    * pairs by the QUANTIZED cosine, keep `refine` candidates per query,
+    * re-score only those with the full-precision vectors (late
+    * materialization — the N² scan touches int8 data only), exact
+    * top-k of the re-scored candidates. Approximate: a true neighbor
+    * ranked below `refine` by the quantized score is lost; recall is
+    * measured in-result by the registry entry.
+    */
+  def sq8TopK(embeddings: DataFrame, k: Int, refine: Int): DataFrame = {
+    require(refine >= k, "refine depth must be >= k")
+    val n = withNorm(embeddings)
+    val z = quantizeSq8(n)
+    val qa = z.select(col("vec_id").as("i"), col("q").as("qa"),
+      col("qn").as("qna"))
+    val qb = z.select(col("vec_id").as("j"), col("q").as("qb"),
+      col("qn").as("qnb"))
+    val wApprox = Window.partitionBy(col("i"))
+      .orderBy(col("qcos").desc, col("j"))
+    val cand = qa.crossJoin(qb).filter(col("i") =!= col("j"))
+      .withColumn("qcos",
+        round(dot(col("qa"), col("qb")) / (col("qna") * col("qnb")), 6))
+      .withColumn("qrk", row_number().over(wApprox))
+      .filter(col("qrk") <= refine)
+      .select(col("i"), col("j"))
+    val wExact = Window.partitionBy(col("i"))
+      .orderBy(col("cos").desc, col("j"))
+    cand
+      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
   /** Annotate an approximate top-k result with per-query recall against
     * the exact top-k: recall_i = |approx_i ∩ brute_i| / |brute_i|.
     * Makes recall a column of the ANN result itself, so a driver

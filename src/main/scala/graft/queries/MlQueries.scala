@@ -238,6 +238,19 @@ object MlQueries {
   val ns7bSimTopkAgg: Q = (s, dir) =>
     Similarity.bruteTopKAgg(Tables.embeddings(s, dir), k = 5)
 
+  /** SQ8-quantized top-k: candidates ranked by int8-quantized cosine
+    * (the N² scan touches 1-byte components — the 100 TB bandwidth
+    * play), refine=4k re-scored exactly. Approximate → no oracle;
+    * in-result recall + MlSpec floor and error-bound tests.
+    */
+  val ns7cSimTopkSq8: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.withRecall(
+      Similarity.sq8TopK(emb, k = 5, refine = 20),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** IVF ANN — approximate, no ANSI oracle, but recall-vs-brute is
     * emitted as a column of the result itself (driver rows check now
     * carries the recall number in the dumped parquet); the MlSpec
@@ -683,6 +696,47 @@ object MlQueries {
        |FROM c GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
   }
 
+  /** Data-mixing weights for ns27 — exactly-representable halves and
+    * quarters so the floor() boundaries are float-stable (the operator
+    * doc explains the IEEE mirroring contract with the oracle).
+    */
+  private val mixtureWeights: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+
+  val ns27Mixture: Q = (s, dir) =>
+    Corpus.mixtureSample(Tables.documents(s, dir), mixtureWeights)
+      .orderBy(col("source"), col("rk"))
+
+  /** Oracle generated from the SAME weights map, with the normalized
+    * values embedded as double literals (::DOUBLE — a bare decimal
+    * literal would be DECIMAL-typed in DuckDB and diverge from
+    * Spark's double arithmetic at the floor boundaries).
+    */
+  val ns27MixtureSql: String = {
+    val wSum = mixtureWeights.values.toSeq.sorted.sum
+    val values = mixtureWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"('$s', ${w / wSum}::DOUBLE)" }.mkString(", ")
+    s"""WITH w(source, w) AS (VALUES $values),
+       |avail AS (
+       |  SELECT d.source, count(*) AS n_available
+       |  FROM documents d JOIN w USING (source) GROUP BY d.source
+       |), plan AS (
+       |  SELECT a.source, w.w,
+       |    min(floor(a.n_available / w.w)) OVER () AS t
+       |  FROM avail a JOIN w USING (source)
+       |), tgt AS (
+       |  SELECT source, CAST(floor(w * t) AS BIGINT) AS n_target FROM plan
+       |)
+       |SELECT doc_id, source, rk FROM (
+       |  SELECT d.doc_id, d.source,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY ${duckHash60("d.doc_id::VARCHAR")}, d.doc_id) AS rk,
+       |    g.n_target
+       |  FROM documents d JOIN tgt g USING (source))
+       |WHERE rk <= n_target
+       |ORDER BY source, rk""".stripMargin
+  }
+
   /** The capstone: a full training-corpus prep pipeline in ONE plan —
     * quality gate (length) → language gate (predicted en) → MinHash
     * near-dup clustering with canonical-survivor selection → split
@@ -820,6 +874,7 @@ object MlQueries {
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLsh,
     "ns7_sim_topk" -> ns7SimTopk,
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
+    "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8,
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
@@ -842,6 +897,7 @@ object MlQueries {
     "ns24b_vocab_sketch" -> ns24bVocabSketch,
     "ns25_pack" -> ns25Pack,
     "ns26_release" -> ns26Release,
+    "ns27_mixture" -> ns27Mixture,
   )
 
   def oracles: Map[String, String] = Map(
@@ -870,5 +926,6 @@ object MlQueries {
     "ns24b_vocab_sketch" -> ns24VocabSql,
     "ns25_pack" -> ns25PackSql,
     "ns26_release" -> ns26ReleaseSql,
+    "ns27_mixture" -> ns27MixtureSql,
   )
 }

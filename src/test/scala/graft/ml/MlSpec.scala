@@ -134,6 +134,44 @@ class MlSpec extends SparkSpec {
     assert(agg === win)
   }
 
+  test("SQ8 top-k: deep refine recovers the exact result; shallow " +
+      "refine keeps high recall on the fixtures") {
+    val brute = Similarity.bruteTopK(embs, 5)
+      .select("i", "rk", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // refine = corpus size → every pair survives to the exact
+    // re-score → identical to brute force (quantization only affects
+    // candidate ORDER, and nothing is cut)
+    val deep = Similarity.sq8TopK(embs, 5, refine = embs.count().toInt)
+      .select("i", "rk", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(deep === brute)
+    val shallow = Similarity.sq8TopK(embs, 5, refine = 20)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIj = brute.map { case (i, _, j) => (i, j) }
+    val recall = (bruteIj intersect shallow).size.toDouble / bruteIj.size
+    assert(recall > 0.8, s"SQ8 refine=4k recall $recall too low")
+  }
+
+  test("mixture sampling hits the per-source floor(w*T) targets " +
+      "deterministically and excludes unlisted sources") {
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val out = Corpus.mixtureSample(docs, weights).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length).toMap
+    // sf0.001: 25 docs per source → T = min(25/0.5, 25/0.25) = 50;
+    // targets = 25, 12, 12
+    assert(bySource === Map("src0" -> 25, "src1" -> 12, "src2" -> 12))
+    // deterministic: same call, same selection
+    val again = Corpus.mixtureSample(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === out.map(r => (r.getLong(0), r.getString(1))).toSet)
+    intercept[IllegalArgumentException] {
+      Corpus.mixtureSample(docs, Map("src0" -> -1.0))
+    }
+  }
+
   test("cluster resolution: chain merges transitively, singletons kept") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
