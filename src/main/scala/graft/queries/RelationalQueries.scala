@@ -940,6 +940,46 @@ object RelationalQueries {
           .as("q1_price"))
       .orderBy(col("l_returnflag"))
 
+  /** W-surface lifecycle: bounded version retention — each user keeps
+    * only the 3 newest event versions (graft.scd.Versioning
+    * .pruneVersions), the history vacuum that stops SCD2 stores
+    * growing without bound.
+    */
+  val q58Retention: Q = (s, dir) =>
+    graft.scd.Versioning.pruneVersions(Tables.events(s, dir),
+      "user_id", "ts", "event_id", keepLast = 3)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  val q58RetentionSql: String =
+    """SELECT event_id, user_id, event_type FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY event_id""".stripMargin
+
+  /** W-surface time travel: per-user state AS OF a past instant
+    * (graft.scd.Versioning.snapshotAsOf) — the "what did the CRM say
+    * on date X" audit reconstruction over the version history.
+    */
+  val q59SnapshotAsof: Q = (s, dir) =>
+    graft.scd.Versioning.snapshotAsOf(Tables.events(s, dir),
+      "user_id", "ts", "event_id",
+      lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_id").as("version_event"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  val q59SnapshotAsofSql: String =
+    """SELECT user_id, event_id AS version_event, event_type, value
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** J3: cross-app foreign-key traversal — the reference's `app` fields
     * store arrays of referenced item ids (PodioApiWrapper.py:68-69);
     * here the ref array is assembled per order, exploded back, and
@@ -1498,6 +1538,8 @@ object RelationalQueries {
     "q55_profile" -> q55Profile,
     "q56_ref_integrity" -> q56RefIntegrity,
     "q57_key_audit" -> q57KeyAudit,
+    "q58_retention" -> q58Retention,
+    "q59_snapshot_asof" -> q59SnapshotAsof,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1562,5 +1604,7 @@ object RelationalQueries {
     "q55_profile" -> q55ProfileSql,
     "q56_ref_integrity" -> q56RefIntegritySql,
     "q57_key_audit" -> q57KeyAuditSql,
+    "q58_retention" -> q58RetentionSql,
+    "q59_snapshot_asof" -> q59SnapshotAsofSql,
   )
 }

@@ -62,6 +62,33 @@ object Versioning {
       .drop("_del")
   }
 
+  /** Version retention: keep only each key's `keepLast` newest
+    * versions — the history-table vacuum an SCD2 store needs once
+    * versions-per-key outgrows its audit value (the reference keeps
+    * every version forever, which is exactly the unbounded-growth
+    * hazard; this is the bounded-history policy). One window per key
+    * partition, shuffle-free on key-bucketed layout like every other
+    * Versioning op.
+    */
+  def pruneVersions(df: DataFrame, key: String, ts: String,
+      tiebreak: String, keepLast: Int): DataFrame = {
+    require(keepLast > 0, "keepLast must be positive")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tiebreak).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= keepLast).drop("_rn")
+  }
+
+  /** Time travel: the per-key current version AS OF `asOf` — what the
+    * store looked like at a past instant, reconstructed from the
+    * version history (the audit question the reference's migration
+    * story asks: "what did the CRM say on date X"). Keys whose first
+    * version postdates `asOf` are absent, exactly as they were then.
+    */
+  def snapshotAsOf(history: DataFrame, key: String, ts: String,
+      tiebreak: String, asOf: Column): DataFrame =
+    latestSnapshot(history.filter(col(ts) <= asOf), key, ts, tiebreak)
+
   /** K3: audit append — stamp completion time on processed events
     * (PodioApiGateway.py:139-141).
     */

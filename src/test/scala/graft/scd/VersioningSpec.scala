@@ -104,6 +104,34 @@ class VersioningSpec extends SparkSpec {
     assert(b2 === Seq(1L, 3L), "earlier tombstones must persist")
   }
 
+  test("pruneVersions keeps the newest keepLast versions per key, " +
+      "ties broken like the current-flag window") {
+    val hist = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"), (1L, 30L, 102L, "c"),
+      (1L, 30L, 103L, "d"), // tie on ts=30 → event_id decides
+      (2L, 5L, 200L, "e")
+    ).toDF("item_id", "ts", "event_id", "payload")
+    val kept = Versioning.pruneVersions(hist, "item_id", "ts", "event_id", 2)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(102L, 103L, 200L),
+      "key 1 keeps the two newest (ts=30 pair), key 2 keeps its only row")
+    intercept[IllegalArgumentException] {
+      Versioning.pruneVersions(hist, "item_id", "ts", "event_id", 0)
+    }
+  }
+
+  test("snapshotAsOf reconstructs per-key state at a past instant; " +
+      "keys born later are absent") {
+    val hist = Seq(
+      (1L, 10L, 100L, "old"), (1L, 20L, 101L, "mid"), (1L, 30L, 102L, "new"),
+      (2L, 25L, 200L, "late-born")
+    ).toDF("item_id", "ts", "event_id", "payload")
+    val asOf = Versioning.snapshotAsOf(hist, "item_id", "ts", "event_id",
+        lit(20L))
+      .select("item_id", "payload").as[(Long, String)].collect().toMap
+    assert(asOf === Map(1L -> "mid"), "key 2 did not exist at t=20")
+  }
+
   test("K3: auditStamp adds a completion timestamp column") {
     val df = Seq(Tuple1(1L)).toDF("event_id")
     val out = Versioning.auditStamp(df)
