@@ -176,4 +176,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mixtureSample invariants on random weights: output composition " +
+      "matches floor(w·T) per source, selection is a subset, and " +
+      "appending docs never evicts an already-selected doc") {
+    val docs = (1 to 600).map { i =>
+      (i.toLong, s"text $i", s"s${rnd.nextInt(5)}")
+    }.toDF("doc_id", "text", "source")
+    val weights = Map("s0" -> 0.5, "s1" -> 0.25, "s3" -> 0.25)
+    val out = graft.ml.Corpus.mixtureSample(docs, weights).collect()
+    val avail = docs.filter(col("source").isin("s0", "s1", "s3"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = weights.map { case (s, w) => math.floor(avail(s) / w) }.min
+    val expected = weights.map { case (s, w) =>
+      s -> math.floor(w * t).toLong }
+    val got = out.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got === expected)
+    assert(out.forall(r => weights.contains(r.getAs[String]("source"))))
+    // append stability: a selected doc's hash rank can only grow when
+    // docs are ADDED, so growing every source keeps T and the ranks of
+    // previously selected docs may shift only by newly inserted ones —
+    // re-running on a superset must keep selection deterministic
+    val again = graft.ml.Corpus.mixtureSample(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === out.map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
+  test("pruneVersions: output is a subset of the input with at most " +
+      "keepLast rows per key, and the newest row always survives") {
+    val hist = (1 to 500).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(100).toLong, i.toLong)
+    }.toDF("item_id", "ts", "event_id")
+    val kept = Versioning.pruneVersions(hist, "item_id", "ts", "event_id", 3)
+    val inSet = hist.select("event_id").as[Long].collect().toSet
+    val keptRows = kept.select("item_id", "ts", "event_id")
+      .as[(Long, Long, Long)].collect()
+    assert(keptRows.map(_._3).toSet.subsetOf(inSet))
+    assert(keptRows.groupBy(_._1).values.forall(_.length <= 3))
+    // the max (ts, event_id) row of every key survives
+    val newest = hist.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._3))).toMap
+    assert(newest.values.forall(keptRows.contains))
+  }
+
+  test("SQ8 recall is monotone non-decreasing in refine depth") {
+    val dim = 16
+    val embs = (1 to 80).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val brute = graft.ml.Similarity.bruteTopK(embs, 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val recalls = Seq(3, 10, 79).map { refine =>
+      val got = graft.ml.Similarity.sq8TopK(embs, 3, refine)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    assert(recalls === recalls.sorted,
+      s"recall must not decrease with refine depth: $recalls")
+    assert(recalls.last === 1.0, "refine = corpus size must be exact")
+  }
 }
