@@ -108,6 +108,9 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotDescriptor)
+    // band-theta-join → bucketed-equi-join rewrite (the declarative
+    // user gets the RangeJoin scale path automatically)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 
@@ -124,5 +127,14 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     val (id, info, builder) = dotDescriptor
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    // the optimizer-rule half of the extensions, for sessions not
+    // built with spark.sql.extensions: experimental.extraOptimizations
+    // runs in the post-optimization user batch (idempotent append; if
+    // the extensions-injected copy also runs, the second application
+    // matches nothing — the rewrite is fixed-point safe)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.BandJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
   }
 }

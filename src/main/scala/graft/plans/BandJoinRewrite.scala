@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Optimizer rule: rewrite band theta joins —
+  * `L JOIN R ON abs(f(L) - g(R)) < w` — into the bucketed equi-join
+  * [[graft.operators.RangeJoin.bandJoin]] implements at the DataFrame
+  * level, so a user who writes the DECLARATIVE predicate gets the
+  * scale path automatically instead of a broadcast-nested-loop /
+  * cartesian plan.
+  *
+  * Soundness: `|a − b| < w  ⇒  |a/w − b/w| ≤ 1  ⇒  floor buckets
+  * differ by at most 1`, so equi-joining L's bucket against R
+  * replicated into its 3 adjacent buckets finds every qualifying
+  * pair exactly once (a pair meets only in the L row's bucket), and
+  * the ORIGINAL predicate is kept as a residual inside the join — the
+  * rewrite can only change cost, never results (NaN/null quantize to
+  * an unmatched or arbitrary bucket; the residual still rejects
+  * them, identical to the nested-loop evaluation).
+  *
+  * Conservative by design: only fires when the ENTIRE join condition
+  * is one band predicate over a positive finite numeric literal width
+  * with one side per input. Anything else — composite conditions,
+  * non-literal widths, same-side operands — is left to Spark.
+  * Disable with `spark.graft.optimizer.bandJoinRewrite=false`.
+  *
+  * Idempotent (fixed-point safe): the rewritten join's condition is a
+  * conjunction, which the pattern no longer matches.
+  */
+object BandJoinRewrite extends Rule[LogicalPlan] {
+
+  val confKey = "spark.graft.optimizer.bandJoinRewrite"
+
+  /** (leftExpr, rightExpr, width) when `cond` is exactly a band
+    * predicate splitting across the two join inputs.
+    */
+  private def bandPattern(cond: Expression, l: LogicalPlan,
+      r: LogicalPlan): Option[(Expression, Expression, Expression)] = {
+    def positiveNumericLiteral(e: Expression): Boolean = e match {
+      case Literal(v, _: NumericType) if v != null =>
+        val d = v match {
+          case x: Double => x
+          case x: Float => x.toDouble
+          case x: Byte => x.toDouble
+          case x: Short => x.toDouble
+          case x: Int => x.toDouble
+          case x: Long => x.toDouble
+          case x: org.apache.spark.sql.types.Decimal => x.toDouble
+          case _ => return false
+        }
+        d > 0 && !d.isInfinite && !d.isNaN
+      case _ => false
+    }
+    def split(a: Expression, b: Expression)
+        : Option[(Expression, Expression)] =
+      if (a.references.subsetOf(l.outputSet) && a.references.nonEmpty &&
+          b.references.subsetOf(r.outputSet) && b.references.nonEmpty)
+        Some((a, b))
+      else if (b.references.subsetOf(l.outputSet) && b.references.nonEmpty &&
+          a.references.subsetOf(r.outputSet) && a.references.nonEmpty)
+        Some((b, a))
+      else None
+    val absLtW = cond match {
+      case LessThan(Abs(Subtract(a, b, _), _), w) => Some((a, b, w))
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), w) => Some((a, b, w))
+      case GreaterThan(w, Abs(Subtract(a, b, _), _)) => Some((a, b, w))
+      case GreaterThanOrEqual(w, Abs(Subtract(a, b, _), _)) => Some((a, b, w))
+      case _ => None
+    }
+    absLtW.collect {
+      case (a, b, w) if positiveNumericLiteral(w) &&
+          a.dataType.isInstanceOf[NumericType] &&
+          b.dataType.isInstanceOf[NumericType] =>
+        split(a, b).map { case (lx, rx) => (lx, rx, w) }
+    }.flatten
+  }
+
+  private def bucketOf(e: Expression, w: Expression): Expression =
+    Floor(Divide(Cast(e, DoubleType), Cast(w, DoubleType)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(confKey, "true") != "true") return plan
+    plan.transform {
+      case j @ Join(l, r, Inner | Cross, Some(cond), hint) =>
+        bandPattern(cond, l, r) match {
+          case Some((lx, rx, w)) =>
+            val lb = Alias(bucketOf(lx, w), "_graft_bl")()
+            val newL = Project(l.output :+ lb, l)
+            val rDiv = bucketOf(rx, w)
+            val buckets = CreateArray(Seq(
+              Subtract(rDiv, Literal(1L)), rDiv, Add(rDiv, Literal(1L))))
+            val rb = AttributeReference("_graft_br", LongType)()
+            val gen = Generate(Explode(buckets), Nil, outer = false,
+              qualifier = None, generatorOutput = Seq(rb), child = r)
+            val newCond = And(EqualTo(lb.toAttribute, rb), cond)
+            Project(j.output, Join(newL, gen, Inner, Some(newCond), hint))
+          case None => j
+        }
+    }
+  }
+}

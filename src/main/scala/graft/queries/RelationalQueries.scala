@@ -292,12 +292,15 @@ object RelationalQueries {
       |FROM region CROSS JOIN nation
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
-  /** Theta (non-equi band) join: AQE picks broadcast-nested-loop while
-    * supplier fits (it broadcasts the smaller side on its own — no hint:
-    * supplier is SF-proportional, so a forced broadcast would OOM at
-    * 100×, same reasoning as q6/q40/q48/q49). At scale this becomes the
-    * bucketed range join q12b (bucket by price band, equi-join bucket +
-    * residual range filter).
+  /** Theta (non-equi band) join, written DECLARATIVELY — the
+    * [[graft.plans.BandJoinRewrite]] optimizer rule recognizes the
+    * `abs(x - y) < w` pattern and rewrites it to the bucketed
+    * equi-join automatically (PLANS.md section 1 shows the executed
+    * rewritten plan: Generate + hash join, no nested loop). q12b is
+    * the same bucketing reached explicitly through the
+    * RangeJoin.bandJoin API; both gate against the same oracle. No
+    * broadcast hint: supplier is SF-proportional (q6/q40/q48/q49
+    * reasoning).
     */
   val q12ThetaJoin: Q = (s, dir) =>
     Tables.part(s, dir)

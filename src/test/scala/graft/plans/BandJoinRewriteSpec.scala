@@ -1,0 +1,96 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The band-theta-join optimizer rule: fires on the declarative
+  * `abs(f(L) - g(R)) < w` pattern, turns the nested-loop plan into a
+  * bucketed equi-join, and never changes results — including on the
+  * NaN/null rows the residual predicate must still reject.
+  */
+class BandJoinRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def thetaJoin = Tables.part(spark, dir)
+    .join(Tables.supplier(spark, dir),
+      abs((col("p_retailprice") - lit(900.0)) - (col("s_acctbal") % 100)) < 5)
+    .groupBy(col("s_suppkey"))
+    .agg(count(lit(1)).as("n"))
+
+  test("the q12-shaped theta join is rewritten to a bucketed equi-join " +
+      "with identical results") {
+    val rewritten = thetaJoin
+    val optimized = rewritten.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("_graft_br"),
+      "rule must have fired:\n" + optimized.take(900))
+    assert(optimized.contains("Generate explode"),
+      optimized.take(900))
+    // no nested-loop join survives in the physical plan
+    val physical = rewritten.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      physical.take(900))
+    // identical results with the rule disabled
+    val expected =
+      try {
+        spark.conf.set(BandJoinRewrite.confKey, "false")
+        thetaJoin.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally spark.conf.unset(BandJoinRewrite.confKey)
+    val got = rewritten.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("NaN and null band values are rejected identically to the " +
+      "nested-loop evaluation") {
+    val l = Seq((1L, 10.0), (2L, Double.NaN), (3L, 10.4))
+      .toDF("lid", "lv")
+    val r = Seq((101L, Option(10.2)), (102L, Option.empty[Double]),
+      (103L, Option(99.0))).toDF("rid", "rv")
+    val joined = l.join(r, abs(col("lv") - col("rv")) < 0.5)
+      .select("lid", "rid")
+    assert(joined.queryExecution.optimizedPlan.toString
+      .contains("_graft_br"), "rule must fire on this shape")
+    val got = joined.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 101L), (3L, 101L)),
+      "NaN/null rows must not match; close pairs must all match")
+  }
+
+  test("non-band conditions are left alone") {
+    val l = Seq((1L, 10.0)).toDF("lid", "lv")
+    val r = Seq((2L, 10.2)).toDF("rid", "rv")
+    // one-sided inequality: not a band — no rewrite
+    val oneSided = l.join(r, col("lv") < col("rv"))
+    assert(!oneSided.queryExecution.optimizedPlan.toString
+      .contains("_graft_br"))
+    // composite condition: conservative, no rewrite
+    val composite = l.join(r,
+      abs(col("lv") - col("rv")) < 0.5 && col("lid") =!= col("rid"))
+    assert(!composite.queryExecution.optimizedPlan.toString
+      .contains("_graft_br"))
+    // non-literal width: no rewrite
+    val dynWidth = l.join(r, abs(col("lv") - col("rv")) < col("rv"))
+    assert(!dynWidth.queryExecution.optimizedPlan.toString
+      .contains("_graft_br"))
+  }
+
+  test("boundary completeness: every |a-b| just inside / at / outside " +
+      "the width behaves exactly like the residual predicate") {
+    val width = 2.0
+    val l = (0 until 40).map(i => (i.toLong, i * 0.7)).toDF("lid", "lv")
+    val r = (0 until 40).map(i => (1000L + i, i * 0.9 - 3.0))
+      .toDF("rid", "rv")
+    val band = l.join(r, abs(col("lv") - col("rv")) < width)
+      .select("lid", "rid")
+    assert(band.queryExecution.optimizedPlan.toString.contains("_graft_br"))
+    val got = band.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // reference: driver-side brute force
+    val lv = (0 until 40).map(i => i.toLong -> i * 0.7)
+    val rv = (0 until 40).map(i => (1000L + i) -> (i * 0.9 - 3.0))
+    val expected = (for {
+      (li, lx) <- lv; (ri, rx) <- rv if math.abs(lx - rx) < width
+    } yield (li, ri)).toSet
+    assert(got === expected)
+  }
+}
