@@ -73,35 +73,46 @@ object Bench {
     // tracked perf number. rows/sec counts INPUT rows: the operator's
     // job is to gate and dedup, so its denominator is what it ingested,
     // not what survived. Failure reports failed:true, never a number.
-    val streaming = try {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
-      val docsPath = new java.io.File(sfDir, "documents.parquet").getPath
-      // the file stream source requires a DIRECTORY (its basePath);
-      // stage the single-file table into one — the copy is the feed
-      // directory a real deployment would have anyway
-      val feedDir = tmp.resolve("feed")
-      java.nio.file.Files.createDirectory(feedDir)
-      java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
-        feedDir.resolve("documents.parquet"))
-      val schema = spark.read.parquet(docsPath).schema
-      val rowsIn = spark.read.parquet(docsPath).count()
-      val t0 = System.nanoTime()
-      val q = graft.streaming.CorpusIngest.start(
-        spark.readStream.schema(schema).parquet(feedDir.toString),
-        corpusPath = tmp.resolve("corpus").toString,
-        storePath = tmp.resolve("store").toString,
-        checkpoint = tmp.resolve("ckpt").toString)
-      q.processAllAvailable()
-      q.stop()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val rps = if (sec > 0) rowsIn / sec else 0.0
-      s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":$sec,"rows_per_sec":$rps}"""
-    } catch { case e: Throwable =>
-      // full JSON escape (not a partial replaceAll): any raw control
-      // char in the message would invalidate the ONE output line and
-      // lose the whole round's timings, not just this field
-      val msg = Verify.jsonQuote(String.valueOf(e.getMessage).take(200))
-      s"""{"op":"corpus_ingest","failed":true,"err":$msg}"""
+    val streaming = {
+      var tmp: java.nio.file.Path = null
+      try {
+        tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+        val docsPath = new java.io.File(sfDir, "documents.parquet").getPath
+        // the file stream source requires a DIRECTORY (its basePath);
+        // stage the single-file table into one — the copy is the feed
+        // directory a real deployment would have anyway
+        val feedDir = tmp.resolve("feed")
+        java.nio.file.Files.createDirectory(feedDir)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
+          feedDir.resolve("documents.parquet"))
+        val schema = spark.read.parquet(docsPath).schema
+        val rowsIn = spark.read.parquet(docsPath).count()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.CorpusIngest.start(
+          spark.readStream.schema(schema).parquet(feedDir.toString),
+          corpusPath = tmp.resolve("corpus").toString,
+          storePath = tmp.resolve("store").toString,
+          checkpoint = tmp.resolve("ckpt").toString)
+        // stop in finally: a micro-batch failure must not leave the
+        // query's foreachBatch thread retrying behind the bench
+        try q.processAllAvailable() finally q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rps = if (sec > 0) rowsIn / sec else 0.0
+        s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":$sec,"rows_per_sec":$rps}"""
+      } catch { case e: Throwable =>
+        // full JSON escape (not a partial replaceAll): any raw control
+        // char in the message would invalidate the ONE output line and
+        // lose the whole round's timings, not just this field
+        val msg = Verify.jsonQuote(String.valueOf(e.getMessage).take(200))
+        s"""{"op":"corpus_ingest","failed":true,"err":$msg}"""
+      } finally if (tmp != null) {
+        // best-effort temp cleanup on every path, success or failure
+        try {
+          java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery"}""")
     spark.stop()

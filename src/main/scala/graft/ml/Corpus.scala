@@ -61,24 +61,32 @@ object Corpus {
     * Shape: one tiny per-source count aggregate (≤ |sources| rows,
     * broadcast back), then one window rank per source partition — a
     * single shuffle of (doc_id, source). Sources absent from `weights`
-    * are excluded. Weight arithmetic happens in IEEE doubles on both
-    * engines, so the oracle mirrors it literally; prefer exactly
-    * representable weights (halves/quarters) for boundary stability.
+    * are excluded; a WEIGHTED source with zero matching docs drives
+    * T to 0 and the result is EMPTY — the contract is "composition
+    * matches the weights exactly", and an absent ingredient makes that
+    * unsatisfiable at any size (a silent min over present-only sources
+    * would return a skewed corpus that looks valid). Weight arithmetic
+    * happens in IEEE doubles on both engines, so the oracle mirrors it
+    * literally; prefer exactly representable weights (halves/quarters)
+    * for boundary stability.
     */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double])
       : DataFrame = {
     require(weights.nonEmpty, "need at least one source weight")
     require(weights.values.forall(_ > 0), "weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val wSum = weights.values.toSeq.sorted.sum // sorted: deterministic fold
-    val wCol = weights.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("double")) { case (acc, (s, w)) =>
-        when(col("source") === s, lit(w / wSum)).otherwise(acc)
-      }
+    // the weights relation is the LEFT side so every requested source
+    // appears in the plan even with zero matching docs (count → 0)
+    val wDf = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, w / wSum) }.toDF("source", "w")
     val inScope = docs.filter(
       col("source").isin(weights.keys.toSeq.map(x => x: Any): _*))
-    val plan = inScope.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_available"))
-      .withColumn("w", wCol)
+    val plan = wDf
+      .join(inScope.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_available")), Seq("source"), "left")
+      .withColumn("n_available", coalesce(col("n_available"), lit(0L)))
       .withColumn("t",
         min(floor(col("n_available") / col("w")))
           .over(Window.partitionBy(lit(1))))

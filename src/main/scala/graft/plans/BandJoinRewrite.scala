@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 
 /** Optimizer rule: rewrite band theta joins —
   * `L JOIN R ON abs(f(L) - g(R)) < w` — into the bucketed equi-join
@@ -24,8 +24,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   *
   * Conservative by design: only fires when the ENTIRE join condition
   * is one band predicate over a positive finite numeric literal width
-  * with one side per input. Anything else — composite conditions,
-  * non-literal widths, same-side operands — is left to Spark.
+  * with one side per input, and both operands are types a Double can
+  * represent EXACTLY (byte/short/int/float/double). Long and Decimal
+  * operands are left alone: beyond 2^53 the bucket computation's
+  * Double cast rounds, two genuinely qualifying rows can land 2
+  * buckets apart, and the residual predicate can only reject false
+  * positives — never recover a pair the equi-join prefilter dropped.
+  * Anything else — composite conditions, non-literal widths,
+  * same-side operands — is also left to Spark.
   * Disable with `spark.graft.optimizer.bandJoinRewrite=false`.
   *
   * Idempotent (fixed-point safe): the rewritten join's condition is a
@@ -71,10 +77,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(w, Abs(Subtract(a, b, _), _)) => Some((a, b, w))
       case _ => None
     }
+    // types whose every value survives a Double round-trip; LongType /
+    // DecimalType excluded (see the soundness note in the object doc)
+    def doubleExact(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | FloatType | DoubleType =>
+        true
+      case _ => false
+    }
     absLtW.collect {
       case (a, b, w) if positiveNumericLiteral(w) &&
-          a.dataType.isInstanceOf[NumericType] &&
-          b.dataType.isInstanceOf[NumericType] =>
+          doubleExact(a.dataType) && doubleExact(b.dataType) =>
         split(a, b).map { case (lx, rx) => (lx, rx, w) }
     }.flatten
   }

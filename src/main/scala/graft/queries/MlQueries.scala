@@ -718,8 +718,11 @@ object MlQueries {
       .map { case (s, w) => s"('$s', ${w / wSum}::DOUBLE)" }.mkString(", ")
     s"""WITH w(source, w) AS (VALUES $values),
        |avail AS (
-       |  SELECT d.source, count(*) AS n_available
-       |  FROM documents d JOIN w USING (source) GROUP BY d.source
+       |  -- LEFT join from the weights: a requested source with zero
+       |  -- docs must count 0 (drives T to 0, empty result) — mirrors
+       |  -- mixtureSample's weights-side left join exactly
+       |  SELECT w.source, count(d.source) AS n_available
+       |  FROM w LEFT JOIN documents d USING (source) GROUP BY w.source
        |), plan AS (
        |  SELECT a.source, w.w,
        |    min(floor(a.n_available / w.w)) OVER () AS t

@@ -157,17 +157,8 @@ object CdcPipeline {
     new org.apache.hadoop.fs.Path(root, "_GRAFT_NBUCKETS")
 
   private def readNBuckets(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Option[Int] = {
-    val m = nBucketsMarker(root)
-    if (!fs.exists(m)) None
-    else {
-      val in = fs.open(m)
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      finally in.close()
-    }
-  }
+      root: org.apache.hadoop.fs.Path): Option[Int] =
+    graft.sources.Markers.read(fs, nBucketsMarker(root)).map(_.toInt)
 
   /** Write a [[mergeBatchPruned]] result back: dynamic partition
     * overwrite rewrites ONLY the bucket directories present in the
@@ -180,6 +171,23 @@ object CdcPipeline {
   def writeMergedBuckets(merged: DataFrame, historyPath: String,
       nBuckets: Int): Unit = {
     val spark = merged.sparkSession
+    // verify-or-stamp the layout's bucket count BEFORE the destructive
+    // overwrite: a mismatched caller must be stopped while the data is
+    // still intact, and stamping first closes the crash window where a
+    // died first write would leave the layout unguarded forever (a
+    // marker with no data is harmless — the next merge of matching n
+    // proceeds; a mismatched one fails loudly, which is the contract)
+    val root = new org.apache.hadoop.fs.Path(historyPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readNBuckets(fs, root) match {
+      case Some(recorded) =>
+        require(recorded == nBuckets,
+          s"history $historyPath records $recorded key buckets; " +
+            s"refusing to overwrite with $nBuckets-bucket data")
+      case None =>
+        graft.sources.Markers.write(fs, nBucketsMarker(root),
+          nBuckets.toString)
+    }
     val confKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "dynamic")
@@ -190,21 +198,6 @@ object CdcPipeline {
     finally prev match {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)
-    }
-    // record (or verify) the layout's bucket count so a later merge
-    // with the wrong n fails loudly instead of mis-pruning
-    val root = new org.apache.hadoop.fs.Path(historyPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readNBuckets(fs, root) match {
-      case Some(recorded) =>
-        require(recorded == nBuckets,
-          s"history $historyPath records $recorded key buckets; " +
-            s"refusing to stamp $nBuckets over it")
-      case None =>
-        val out = fs.create(nBucketsMarker(root), true)
-        try out.write(nBuckets.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
     }
   }
 

@@ -54,27 +54,18 @@ object CorpusIngest {
           s"$corpusPath/ingest_batch=$bid")
         val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val marker = new org.apache.hadoop.fs.Path(part, "_GRAFT_BATCH_SIG")
-        def writeMarker(): Unit = {
-          val out = fs.create(marker, true)
-          try out.write(sig.toString
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
+        def writeMarker(): Unit =
+          graft.sources.Markers.write(fs, marker, sig.toString)
         val committed =
           fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))
-        if (committed && fs.exists(marker)) {
-          val recorded = {
-            val in = fs.open(marker)
-            try new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).trim
-            finally in.close()
-          }
-          require(recorded == sig.toString,
+        val recorded =
+          if (committed) graft.sources.Markers.read(fs, marker) else None
+        if (committed && recorded.isDefined) {
+          require(recorded.contains(sig.toString),
             s"corpus partition $part is committed with different content " +
-              s"(sig $recorded, incoming $sig): batch id $bid was recycled " +
-              "by a checkpoint reset — point the stream at a fresh " +
-              "corpusPath, or re-key the existing partitions offline")
+              s"(sig ${recorded.get}, incoming $sig): batch id $bid was " +
+              "recycled by a checkpoint reset — point the stream at a " +
+              "fresh corpusPath, or re-key the existing partitions offline")
         } else if (committed) {
           // crash window: _SUCCESS landed but the marker write didn't.
           // A genuine replay recomputes the identical sig, so

@@ -170,6 +170,13 @@ class MlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.mixtureSample(docs, Map("src0" -> -1.0))
     }
+    // a weighted source with ZERO matching docs makes the requested
+    // composition unsatisfiable — the result must be empty, not a
+    // silently reweighted corpus of the present sources
+    val absent = Corpus.mixtureSample(docs,
+      Map("src0" -> 0.5, "no_such_source" -> 0.5))
+    assert(absent.isEmpty,
+      "absent weighted source must drive T to 0 (empty result)")
   }
 
   test("cluster resolution: chain merges transitively, singletons kept") {

@@ -75,6 +75,22 @@ class BandJoinRewriteSpec extends SparkSpec {
       .contains("_graft_br"))
   }
 
+  test("Long operands abstain: Double buckets round beyond 2^53, so " +
+      "the rewrite would drop qualifying pairs the residual can't recover") {
+    // |a - b| = 1 < 1.5 exactly, but cast(a as double) rounds to a+1:
+    // the floor buckets would differ by 2 and the 3-bucket replication
+    // would miss the pair — the rule must leave this join alone
+    val big = 9007199254740994L // 2^53 + 2
+    val l = Seq((1L, big + 1)).toDF("lid", "lv")
+    val r = Seq((2L, big)).toDF("rid", "rv")
+    val joined = l.join(r, abs(col("lv") - col("rv")) < 1.5)
+      .select("lid", "rid")
+    assert(!joined.queryExecution.optimizedPlan.toString
+      .contains("_graft_br"), "must not rewrite Long operands")
+    assert(joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet === Set((1L, 2L)))
+  }
+
   test("boundary completeness: every |a-b| just inside / at / outside " +
       "the width behaves exactly like the residual predicate") {
     val width = 2.0
