@@ -13,14 +13,18 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   * scale path automatically instead of a broadcast-nested-loop /
   * cartesian plan.
   *
-  * Soundness: `|a − b| < w  ⇒  |a/w − b/w| ≤ 1  ⇒  floor buckets
-  * differ by at most 1`, so equi-joining L's bucket against R
-  * replicated into its 3 adjacent buckets finds every qualifying
-  * pair exactly once (a pair meets only in the L row's bucket), and
-  * the ORIGINAL predicate is kept as a residual inside the join — the
-  * rewrite can only change cost, never results (NaN/null quantize to
-  * an unmatched or arbitrary bucket; the residual still rejects
-  * them, identical to the nested-loop evaluation).
+  * Soundness: buckets use width `W = nextUp(w)`, so any qualifying
+  * pair has `|a − b| ≤ w < W  ⇒  |a/W − b/W| < 1` strictly in reals
+  * ⇒ the floor buckets differ by at most 1 (strictness absorbs the
+  * half-ulp division-rounding ties that could otherwise straddle a
+  * bucket edge at `|a−b| = w` for the ≤ forms). Equi-joining L's
+  * bucket against R replicated into its 3 adjacent buckets therefore
+  * finds every qualifying pair exactly once (a pair meets only in
+  * the L row's bucket), and the ORIGINAL predicate is kept as a
+  * residual inside the join — the rewrite can only change cost,
+  * never results (NaN/null quantize to an unmatched or arbitrary
+  * bucket; the residual still rejects them, identical to the
+  * nested-loop evaluation).
   *
   * Conservative by design: only fires when the ENTIRE join condition
   * is one band predicate over a positive finite numeric literal width
@@ -91,8 +95,28 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     }.flatten
   }
 
+  /** Bucket width: nextUp(w), strictly wider than any qualifying
+    * |a−b| (< w or = w for the ≤ forms), so (a−b)/width < 1 STRICTLY
+    * in reals and the floor buckets of a qualifying pair provably
+    * differ by at most 1 even across division-rounding tie boundaries.
+    * The width only gates candidate generation — the residual decides
+    * membership — so widening it is always sound.
+    */
+  private def bucketWidth(w: Expression): Expression = {
+    val d = w.eval() match {
+      case x: Double => x
+      case x: Float => x.toDouble
+      case x: Byte => x.toDouble
+      case x: Short => x.toDouble
+      case x: Int => x.toDouble
+      case x: Long => x.toDouble
+      case x: org.apache.spark.sql.types.Decimal => x.toDouble
+    }
+    Literal(Math.nextUp(d), DoubleType)
+  }
+
   private def bucketOf(e: Expression, w: Expression): Expression =
-    Floor(Divide(Cast(e, DoubleType), Cast(w, DoubleType)))
+    Floor(Divide(Cast(e, DoubleType), w))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString(confKey, "true") != "true") return plan
@@ -100,9 +124,10 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case j @ Join(l, r, Inner | Cross, Some(cond), hint) =>
         bandPattern(cond, l, r) match {
           case Some((lx, rx, w)) =>
-            val lb = Alias(bucketOf(lx, w), "_graft_bl")()
+            val width = bucketWidth(w)
+            val lb = Alias(bucketOf(lx, width), "_graft_bl")()
             val newL = Project(l.output :+ lb, l)
-            val rDiv = bucketOf(rx, w)
+            val rDiv = bucketOf(rx, width)
             val buckets = CreateArray(Seq(
               Subtract(rDiv, Literal(1L)), rDiv, Add(rDiv, Literal(1L))))
             val rb = AttributeReference("_graft_br", LongType)()

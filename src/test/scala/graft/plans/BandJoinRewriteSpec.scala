@@ -75,6 +75,37 @@ class BandJoinRewriteSpec extends SparkSpec {
       .contains("_graft_br"))
   }
 
+  test("SQL-written band predicates reach the same rewrite") {
+    Seq((1L, 10.0), (2L, 50.0)).toDF("lid", "lv")
+      .createOrReplaceTempView("band_l")
+    Seq((101L, 10.2), (102L, 99.0)).toDF("rid", "rv")
+      .createOrReplaceTempView("band_r")
+    try {
+      val q = spark.sql(
+        "SELECT lid, rid FROM band_l JOIN band_r ON abs(lv - rv) < 0.5")
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_br"),
+        "rule must fire on SQL-origin plans")
+      assert(q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ===
+        Set((1L, 101L)))
+    } finally {
+      spark.catalog.dropTempView("band_l")
+      spark.catalog.dropTempView("band_r")
+    }
+  }
+
+  test("<= band keeps exact-boundary pairs (|a-b| == w) through the " +
+      "bucket prefilter") {
+    val l = Seq((1L, 10.0), (2L, 3.0)).toDF("lid", "lv")
+    val r = Seq((101L, 12.5), (102L, 0.5)).toDF("rid", "rv")
+    val joined = l.join(r, abs(col("lv") - col("rv")) <= 2.5)
+      .select("lid", "rid")
+    assert(joined.queryExecution.optimizedPlan.toString
+      .contains("_graft_br"), "rule must fire on <= bands")
+    // |10.0-12.5| = 2.5 exactly and |3.0-0.5| = 2.5 exactly: both kept
+    assert(joined.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet === Set((1L, 101L), (2L, 102L)))
+  }
+
   test("Long operands abstain: Double buckets round beyond 2^53, so " +
       "the rewrite would drop qualifying pairs the residual can't recover") {
     // |a - b| = 1 < 1.5 exactly, but cast(a as double) rounds to a+1:
