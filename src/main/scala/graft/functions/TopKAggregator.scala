@@ -25,6 +25,8 @@ case class ScoredPair(i: Long, j: Long, score: Double)
 
 class TopKByScore(k: Int)
     extends Aggregator[ScoredPair, List[Scored], Seq[Scored]] {
+  require(k > 0, "k must be positive") // k<=0 would silently emit
+                                       // an empty result per group
 
   // java.lang.Double.compare, not >: it totally orders NaN as the
   // greatest double, exactly like Spark's descending sort — plain >

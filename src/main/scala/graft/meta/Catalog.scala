@@ -21,12 +21,16 @@ object Catalog {
     * PodioApiWrapper.py:199-205).
     */
   def apps(spark: SparkSession, dir: String): DataFrame = {
-    val rows = Tables.names.zipWithIndex.map { case (name, idx) =>
-      val schema = Tables.table(spark, dir, name).schema
-      (s"graft.$idx", name, schema.fields.length)
-    }
     import spark.implicits._
-    rows.toDF("space_app_id", "app_name", "n_fields")
+    // one inference path: n_fields is a count over the field catalog
+    // (crawl()'s id-frame pattern) rather than a second hand-rolled
+    // schema walk that could drift from fields()'s
+    val ids = Tables.names.zipWithIndex
+      .map { case (name, idx) => (s"graft.$idx", name) }
+      .toDF("space_app_id", "app_name")
+    ids.join(fields(spark, dir).groupBy(col("app_name"))
+        .agg(count(lit(1)).cast("int").as("n_fields")), Seq("app_name"))
+      .select(col("space_app_id"), col("app_name"), col("n_fields"))
   }
 
   /** S6: one row per column ("field") with its metadata, mirroring the

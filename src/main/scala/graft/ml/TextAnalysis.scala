@@ -59,7 +59,12 @@ object TextAnalysis {
 
   /** Quality metrics per document: char length, word count, average
     * word length, punctuation ratio, English-stopword ratio, and a
-    * composite [0,1] score (the usual pre-training quality gates).
+    * composite [0,1] `quality_score` (the usual pre-training quality
+    * gates): mean of length sufficiency (≥100 words saturates),
+    * low-punctuation (ratio ≥ 0.25 zeroes the term), and natural-
+    * language stopword density (ratio ≥ 1/3 saturates). Computed from
+    * the ROUNDED ratio columns so the oracle's floats are bit-identical
+    * inputs; null (unscorable empty doc) when punct_ratio is null.
     */
   def qualityMetrics(docs: DataFrame): DataFrame = {
     val text = col("text")
@@ -78,9 +83,20 @@ object TextAnalysis {
     val stopRatio = round(
       size(filter(w, x => x.isin(stopwords("en"): _*)))
         .cast("double") / nWords, 4)
-    docs.select(col("doc_id"), nChars.as("n_chars_calc"),
+    val base = docs.select(col("doc_id"), nChars.as("n_chars_calc"),
       nWords.as("n_words"), avgWordLen.as("avg_word_len"),
       punct.as("punct_ratio"), stopRatio.as("stopword_ratio"))
+    // the punct term is guarded with `when` rather than relying on
+    // least(null, …): Spark's least SKIPS nulls while the null must
+    // make the whole score null — and the 1e-9 nudge keeps round()
+    // off the .xxxx5 shortest-decimal boundary both engines round
+    // differently (the q7 money-division discipline)
+    base.withColumn("quality_score",
+      round(((least(col("n_words").cast("double") / 100.0, lit(1.0))
+        + when(col("punct_ratio").isNotNull,
+            lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0)))
+        + least(col("stopword_ratio") * 3.0, lit(1.0))) / 3.0)
+        + 1e-9, 4))
   }
 
   /** Token counts: whitespace tokens and a BPE-ish regex tokenization

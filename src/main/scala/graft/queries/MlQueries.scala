@@ -356,16 +356,25 @@ object MlQueries {
   val ns10QualitySql: String = {
     val en = TextAnalysis.stopwords("en").map(w => s"'$w'")
       .mkString("[", ", ", "]")
-    s"""SELECT doc_id, length(text) AS n_chars_calc,
-       |  len(string_split(text, ' ')) AS n_words,
-       |  round(list_sum([len(x) FOR x IN string_split(text, ' ')])::DOUBLE
-       |    / len(string_split(text, ' ')), 4) AS avg_word_len,
-       |  CASE WHEN length(text) > 0 THEN
-       |    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
-       |      / length(text), 4) END AS punct_ratio,
-       |  round(len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
-       |    / len(string_split(text, ' ')), 4) AS stopword_ratio
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, n_chars_calc, n_words, avg_word_len, punct_ratio,
+       |  stopword_ratio,
+       |  round(((least(n_words::DOUBLE / 100.0, 1.0::DOUBLE)
+       |    + CASE WHEN punct_ratio IS NOT NULL THEN
+       |        1.0::DOUBLE - least(punct_ratio * 4.0::DOUBLE, 1.0::DOUBLE) END
+       |    + least(stopword_ratio * 3.0::DOUBLE, 1.0::DOUBLE)) / 3.0::DOUBLE)
+       |    + 1e-9, 4) AS quality_score
+       |FROM (
+       |  SELECT doc_id, length(text) AS n_chars_calc,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    round(list_sum([len(x) FOR x IN string_split(text, ' ')])::DOUBLE
+       |      / len(string_split(text, ' ')), 4) AS avg_word_len,
+       |    CASE WHEN length(text) > 0 THEN
+       |      round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+       |        / length(text), 4) END AS punct_ratio,
+       |    round(len(list_filter(string_split(text, ' '), w -> list_contains($en, w)))::DOUBLE
+       |      / len(string_split(text, ' ')), 4) AS stopword_ratio
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
   }
 
   val ns11Tokens: Q = (s, dir) =>

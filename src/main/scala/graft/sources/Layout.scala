@@ -78,17 +78,26 @@ object Layout {
       / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     fs.delete(tmp, true)
-    spark.read.parquet(snapshot.map(_.getPath.toString): _*)
+    // mergeSchema: an append store may mix files of evolved schemas
+    // (StreamingNearDup's legacy/batch_id generations) — sampling one
+    // file's footer would silently drop the newer columns
+    spark.read.option("mergeSchema", "true")
+      .parquet(snapshot.map(_.getPath.toString): _*)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
     fs.delete(bak, true)
     mustRename(p, bak)
-    // rescue files appended between the snapshot and the swap
+    // rescue everything the rewrite didn't subsume: parquet appended
+    // between the snapshot and the swap, AND every non-parquet
+    // metadata file (layout markers like _GRAFT_BATCH_SIG carry
+    // idempotence state — deleting them with the backup would disarm
+    // their guards). Files the tmp write created itself (_SUCCESS)
+    // are kept from the NEW directory, not overwritten from the old.
     val snapNames = snapshot.map(_.getPath.getName).toSet
     fs.listStatus(bak)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")
-        && !snapNames.contains(f.getPath.getName))
+      .filter(f => f.isFile && !snapNames.contains(f.getPath.getName)
+        && !fs.exists(new org.apache.hadoop.fs.Path(tmp, f.getPath.getName)))
       .foreach(f => mustRename(f.getPath,
         new org.apache.hadoop.fs.Path(tmp, f.getPath.getName)))
     // Hadoop rename(tmp, p) onto an EXISTING directory "succeeds" by
@@ -110,11 +119,13 @@ object Layout {
 
   /** Compact a Hive-partitioned table (`col=value/` subdirectories,
     * e.g. the streaming corpus's `ingest_batch=<id>/` layout) by
-    * running [[compact]] inside each partition directory — the
+    * running [[compact]] inside each LEAF partition directory — the
     * partition structure survives, which matters when a writer's
     * idempotence depends on it. [[compact]] itself only sees
     * top-level `*.parquet` files, so calling it on a partitioned
     * root is a silent no-op; this is the partition-aware entry.
+    * Multi-level layouts (`date=…/hour=…`) recurse until the level
+    * that actually holds data files.
     */
   def compactPartitions(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -123,6 +134,12 @@ object Layout {
     if (!fs.exists(p)) return
     fs.listStatus(p)
       .filter(f => f.isDirectory && f.getPath.getName.contains("="))
-      .foreach(d => compact(spark, d.getPath.toString, targetFileBytes))
+      .foreach { d =>
+        val nested = fs.listStatus(d.getPath).exists(c =>
+          c.isDirectory && c.getPath.getName.contains("="))
+        if (nested)
+          compactPartitions(spark, d.getPath.toString, targetFileBytes)
+        else compact(spark, d.getPath.toString, targetFileBytes)
+      }
   }
 }

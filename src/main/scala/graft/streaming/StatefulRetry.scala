@@ -54,7 +54,11 @@ object StatefulRetry {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: Long, rows: Iterator[Attempt], state: GroupState[RetryState]) =>
           var st = state.getOption.getOrElse(RetryState(0))
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { a =>
+          // getTime truncates to millis; getNanos breaks the tie so
+          // micro-spaced attempts fold deterministically, not in
+          // shuffle arrival order
+          val out = rows.toSeq.sortBy(a => (a.ts.getTime, a.ts.getNanos))
+            .map { a =>
             st = if (a.ok) RetryState(0) else RetryState(st.failures + 1)
             Verdict(id, a.ts, st.failures, dead = st.failures >= limit)
           }

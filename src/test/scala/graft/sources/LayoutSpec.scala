@@ -75,6 +75,52 @@ class LayoutSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compact preserves marker files and schema-evolved columns") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact_mk").toString + "/t"
+    // two generations with evolved schema (the StreamingNearDup store
+    // shape: legacy files lack batch_id)
+    Seq((1L, 11L)).toDF("doc_id", "simhash")
+      .write.mode("append").parquet(out)
+    Seq((2L, 22L, 7L)).toDF("doc_id", "simhash", "batch_id")
+      .write.mode("append").parquet(out)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an idempotence marker like CorpusIngest's _GRAFT_BATCH_SIG
+    Markers.write(fs, new org.apache.hadoop.fs.Path(p, "_GRAFT_TEST"), "42")
+    Layout.compact(spark, out)
+    assert(Markers.read(fs,
+      new org.apache.hadoop.fs.Path(p, "_GRAFT_TEST")) === Some("42"),
+      "compact must carry marker files into the new directory")
+    val after = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(after.columns.contains("batch_id"),
+      "compact must not drop schema-evolved columns")
+    assert(after.count() === 2)
+  }
+
+  test("compactPartitions recurses into multi-level layouts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_nested").toString + "/t"
+    Seq.tabulate(20)(i => (i.toLong, s"d$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$root/date=2024-01-01/hour=00")
+    Seq.tabulate(20)(i => (100L + i, s"d$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$root/date=2024-01-01/hour=01")
+    val before = spark.read.parquet(root)
+      .select("id").as[Long].collect().sorted.toSeq
+    Layout.compactPartitions(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("hour=00", "hour=01").foreach { h =>
+      val d = new org.apache.hadoop.fs.Path(s"$root/date=2024-01-01/$h")
+      val files = fs.listStatus(d)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      assert(files === 1, s"$d should compact to one file, not no-op")
+    }
+    val after = spark.read.parquet(root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after === before)
+  }
+
   test("same-bucketed tables join without an Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
