@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical table layout for the 100 TB posture (SURVEY.md §7.4): the
   * item history partitioned by event date and bucketed by item key.
@@ -49,6 +50,54 @@ object Layout {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Z-order (bit-interleaved) clustering: sort rows by the
+    * interleaved bits of several columns' quantile-bucket ranks before
+    * writing, so parquet row-group/file min-max stats are selective on
+    * EVERY clustered column — a lexicographic sort makes them
+    * selective only on the leading key, leaving a predicate on the
+    * second column to scan every file. The multi-dimensional analog of
+    * [[writePartitioned]]'s directory pruning, at the row-group level.
+    *
+    * Shape at scale: per-column bucket boundaries come from
+    * `approxQuantile` (one sketch pass, driver gets ≤ buckets·|cols|
+    * doubles — a model, not data); the z-value is a map-only bit
+    * interleave; the write is ONE range shuffle on z (the same
+    * shuffle any globally-sorted write pays). Quantile bucketing, not
+    * fixed-width, so skewed columns still split evenly.
+    *
+    * Numeric columns only (the quantile sketch's domain). Nulls rank
+    * in bucket 0; NaN ranks highest (Spark comparison semantics) —
+    * both deterministic.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      buckets: Int = 64, targetFiles: Int = 64): Unit = {
+    require(zCols.nonEmpty, "need at least one clustering column")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    require(targetFiles > 0, "targetFiles must be positive")
+    val bits = java.lang.Integer.numberOfTrailingZeros(buckets)
+    require(bits * zCols.size <= 63,
+      s"${zCols.size} columns x $bits bits exceeds a long z-value")
+    val k = zCols.size
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val z = zCols.zipWithIndex.map { case (c, ci) =>
+      // rank = how many boundaries the value has passed (ties between
+      // duplicate boundaries just skip buckets — still monotone)
+      val bs = df.stat.approxQuantile(c, probs, 0.001)
+      val bucket = bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(df(c).cast("double") >= b, 1).otherwise(0)
+      }.cast("long")
+      (0 until bits).map { j =>
+        shiftleft(shiftright(bucket, j).bitwiseAND(lit(1L)), j * k + ci)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("_graft_z", z)
+      .repartitionByRange(targetFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Small-file compaction: streaming appends (per-batch parquet
     * writes, e.g. the StreamingNearDup signature store) accumulate

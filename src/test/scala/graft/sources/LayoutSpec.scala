@@ -121,6 +121,45 @@ class LayoutSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("z-ordered files keep tight min-max spans on BOTH clustered " +
+      "columns; a linear sort only on the leading one") {
+    import spark.implicits._
+    // deterministic pseudo-uniform (x, y), independent of each other
+    val n = 20000
+    val data = Seq.tabulate(n) { i =>
+      (i.toLong, (i * 7919 % 10007) / 10007.0, (i * 104729 % 10007) / 10007.0)
+    }.toDF("id", "x", "y")
+    val zPath = Files.createTempDirectory("graft_z").toString + "/t"
+    val linPath = Files.createTempDirectory("graft_lin").toString + "/t"
+    Layout.writeZOrdered(data, zPath, Seq("x", "y"), buckets = 64,
+      targetFiles = 16)
+    // baseline: same file count, lexicographic sort by x
+    data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(linPath)
+    def avgSpan(path: String, c: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)), max(col(c))).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      spans.sum / spans.length
+    }
+    // the leading column is tight in both layouts…
+    assert(avgSpan(linPath, "x") < 0.2)
+    assert(avgSpan(zPath, "x") < 0.5)
+    // …but y (the second predicate column) only in the z-order: each
+    // linear file spans nearly the whole y range (no pruning possible)
+    val linY = avgSpan(linPath, "y")
+    val zY = avgSpan(zPath, "y")
+    assert(linY > 0.9, s"linear y-span $linY should be ~full range")
+    assert(zY < 0.6 * linY, s"z-order y-span $zY vs linear $linY")
+    // and the layout is lossless
+    assert(spark.read.parquet(zPath).select("id").as[Long]
+      .collect().sorted.toSeq === (0L until n))
+  }
+
   test("same-bucketed tables join without an Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
