@@ -983,6 +983,41 @@ object RelationalQueries {
       |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** W-surface change feed: per-key classification of what happened
+    * between two sync instants (graft.scd.Versioning.versionDiff) —
+    * added / changed / unchanged over the event version history.
+    */
+  val q60VersionDiff: Q = (s, dir) =>
+    graft.scd.Versioning.versionDiff(Tables.events(s, dir),
+      "user_id", "ts", "event_id",
+      lit("2024-01-15 00:00:00").cast("timestamp"),
+      lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("change_type"),
+        col("old_version"), col("new_version"))
+      .orderBy(col("user_id"))
+
+  val q60VersionDiffSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+      |  WHERE rn = 1),
+      |s2 AS (
+      |  SELECT user_id, event_id FROM (
+      |    SELECT user_id, event_id, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts <= TIMESTAMP '2024-01-25 00:00:00')
+      |  WHERE rn = 1)
+      |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+      |  CASE WHEN s1.user_id IS NULL THEN 'added'
+      |       WHEN s2.user_id IS NULL THEN 'removed'
+      |       WHEN s1.event_id = s2.event_id THEN 'unchanged'
+      |       ELSE 'changed' END AS change_type,
+      |  s1.event_id AS old_version, s2.event_id AS new_version
+      |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+      |ORDER BY user_id""".stripMargin
+
   /** J3: cross-app foreign-key traversal — the reference's `app` fields
     * store arrays of referenced item ids (PodioApiWrapper.py:68-69);
     * here the ref array is assembled per order, exploded back, and
@@ -1543,6 +1578,7 @@ object RelationalQueries {
     "q57_key_audit" -> q57KeyAudit,
     "q58_retention" -> q58Retention,
     "q59_snapshot_asof" -> q59SnapshotAsof,
+    "q60_version_diff" -> q60VersionDiff,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1609,5 +1645,6 @@ object RelationalQueries {
     "q57_key_audit" -> q57KeyAuditSql,
     "q58_retention" -> q58RetentionSql,
     "q59_snapshot_asof" -> q59SnapshotAsofSql,
+    "q60_version_diff" -> q60VersionDiffSql,
   )
 }

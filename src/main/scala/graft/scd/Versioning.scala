@@ -89,6 +89,38 @@ object Versioning {
       tiebreak: String, asOf: Column): DataFrame =
     latestSnapshot(history.filter(col(ts) <= asOf), key, ts, tiebreak)
 
+  /** Change feed between two as-of instants — the "what changed
+    * between syncs" question a CRM migration asks of its version
+    * history: per key, `added` (absent at `from`, present at `to`),
+    * `changed` / `unchanged` (version identity compared), and with a
+    * soft-delete column present, `removed` / `restored` (tombstone
+    * flipped). Two window snapshots over the pruned history plus one
+    * key equi-join — shuffle-free end to end on a key-bucketed layout,
+    * like every other Versioning op.
+    */
+  def versionDiff(history: DataFrame, key: String, ts: String,
+      tiebreak: String, from: Column, to: Column): DataFrame = {
+    def side(asOf: Column, tag: String) = {
+      val del =
+        if (history.columns.contains("deleted")) col("deleted")
+        else lit(false)
+      snapshotAsOf(history, key, ts, tiebreak, asOf)
+        .select(col(key), col(ts).as(s"${tag}_ts"),
+          col(tiebreak).as(s"${tag}_version"),
+          coalesce(del, lit(false)).as(s"_${tag}_del"))
+    }
+    side(from, "old").join(side(to, "new"), Seq(key), "full")
+      .withColumn("change_type",
+        when(col("old_version").isNull, lit("added"))
+          .when(col("new_version").isNull, lit("removed"))
+          .when(col("_new_del") && !col("_old_del"), lit("removed"))
+          .when(col("_old_del") && !col("_new_del"), lit("restored"))
+          .when(col("old_ts") === col("new_ts") &&
+            col("old_version") === col("new_version"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .drop("_old_del", "_new_del")
+  }
+
   /** K3: audit append — stamp completion time on processed events
     * (PodioApiGateway.py:139-141).
     */

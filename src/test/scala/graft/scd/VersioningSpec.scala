@@ -132,6 +132,28 @@ class VersioningSpec extends SparkSpec {
     assert(asOf === Map(1L -> "mid"), "key 2 did not exist at t=20")
   }
 
+  test("versionDiff classifies added/changed/unchanged/removed/" +
+      "restored between two sync instants") {
+    val hist = Seq(
+      // key 1: v100 at t10, v101 at t30 → changed between t20 and t40
+      (1L, 10L, 100L, false), (1L, 30L, 101L, false),
+      // key 2: only v200 at t5 → unchanged
+      (2L, 5L, 200L, false),
+      // key 3: born at t25 → added
+      (3L, 25L, 300L, false),
+      // key 4: live at t10, tombstoned at t35 → removed
+      (4L, 10L, 400L, false), (4L, 35L, 401L, true),
+      // key 5: tombstoned at t15, restored at t30 → restored
+      (5L, 15L, 500L, true), (5L, 30L, 501L, false)
+    ).toDF("item_id", "ts", "event_id", "deleted")
+    val diff = Versioning.versionDiff(hist, "item_id", "ts", "event_id",
+        lit(20L), lit(40L))
+      .select("item_id", "change_type").as[(Long, String)]
+      .collect().toMap
+    assert(diff === Map(1L -> "changed", 2L -> "unchanged",
+      3L -> "added", 4L -> "removed", 5L -> "restored"))
+  }
+
   test("K3: auditStamp adds a completion timestamp column") {
     val df = Seq(Tuple1(1L)).toDF("event_id")
     val out = Versioning.auditStamp(df)
