@@ -1018,6 +1018,31 @@ object RelationalQueries {
       |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Conversion funnel (graft.operators.Funnel): furthest view →
+    * click → purchase step each user completed IN ORDER. The oracle
+    * re-states subsequence matching as LIKE patterns over the
+    * '|'-delimited ordered event string — greedy fold and pattern
+    * existence agree because greedy earliest-match is maximal.
+    */
+  val q61Funnel: Q = (s, dir) =>
+    graft.operators.Funnel.stages(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  val q61FunnelSql: String =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    '|' || string_agg(event_type, '||' ORDER BY ts, event_id) || '|'
+      |      AS s
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CASE WHEN s LIKE '%|view|%|click|%|purchase|%' THEN 3
+      |       WHEN s LIKE '%|view|%|click|%' THEN 2
+      |       WHEN s LIKE '%|view|%' THEN 1
+      |       ELSE 0 END AS stage
+      |FROM seqs ORDER BY user_id""".stripMargin
+
   /** J3: cross-app foreign-key traversal — the reference's `app` fields
     * store arrays of referenced item ids (PodioApiWrapper.py:68-69);
     * here the ref array is assembled per order, exploded back, and
@@ -1579,6 +1604,7 @@ object RelationalQueries {
     "q58_retention" -> q58Retention,
     "q59_snapshot_asof" -> q59SnapshotAsof,
     "q60_version_diff" -> q60VersionDiff,
+    "q61_funnel" -> q61Funnel,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1646,5 +1672,6 @@ object RelationalQueries {
     "q58_retention" -> q58RetentionSql,
     "q59_snapshot_asof" -> q59SnapshotAsofSql,
     "q60_version_diff" -> q60VersionDiffSql,
+    "q61_funnel" -> q61FunnelSql,
   )
 }
