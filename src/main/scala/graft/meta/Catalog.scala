@@ -28,9 +28,13 @@ object Catalog {
     val ids = Tables.names.zipWithIndex
       .map { case (name, idx) => (s"graft.$idx", name) }
       .toDF("space_app_id", "app_name")
+    // left join + coalesce: a zero-column table has no fields() rows
+    // but must still appear with n_fields = 0, not vanish
     ids.join(fields(spark, dir).groupBy(col("app_name"))
-        .agg(count(lit(1)).cast("int").as("n_fields")), Seq("app_name"))
-      .select(col("space_app_id"), col("app_name"), col("n_fields"))
+        .agg(count(lit(1)).cast("int").as("n_fields")),
+        Seq("app_name"), "left")
+      .select(col("space_app_id"), col("app_name"),
+        coalesce(col("n_fields"), lit(0)).as("n_fields"))
   }
 
   /** S6: one row per column ("field") with its metadata, mirroring the

@@ -45,26 +45,32 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
 
   val confKey = "spark.graft.optimizer.bandJoinRewrite"
 
+  /** The ONE literal→double coercion both the pattern guard and the
+    * bucket-width builder share — a split pair of coercions could
+    * drift and turn an abstain-miss into a planning-time MatchError.
+    */
+  private def literalAsDouble(e: Expression): Option[Double] = e match {
+    case Literal(v, _: NumericType) if v != null =>
+      v match {
+        case x: Double => Some(x)
+        case x: Float => Some(x.toDouble)
+        case x: Byte => Some(x.toDouble)
+        case x: Short => Some(x.toDouble)
+        case x: Int => Some(x.toDouble)
+        case x: Long => Some(x.toDouble)
+        case x: org.apache.spark.sql.types.Decimal => Some(x.toDouble)
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** (leftExpr, rightExpr, width) when `cond` is exactly a band
     * predicate splitting across the two join inputs.
     */
   private def bandPattern(cond: Expression, l: LogicalPlan,
       r: LogicalPlan): Option[(Expression, Expression, Expression)] = {
-    def positiveNumericLiteral(e: Expression): Boolean = e match {
-      case Literal(v, _: NumericType) if v != null =>
-        val d = v match {
-          case x: Double => x
-          case x: Float => x.toDouble
-          case x: Byte => x.toDouble
-          case x: Short => x.toDouble
-          case x: Int => x.toDouble
-          case x: Long => x.toDouble
-          case x: org.apache.spark.sql.types.Decimal => x.toDouble
-          case _ => return false
-        }
-        d > 0 && !d.isInfinite && !d.isNaN
-      case _ => false
-    }
+    def positiveNumericLiteral(e: Expression): Boolean =
+      literalAsDouble(e).exists(d => d > 0 && !d.isInfinite && !d.isNaN)
     def split(a: Expression, b: Expression)
         : Option[(Expression, Expression)] =
       if (a.references.subsetOf(l.outputSet) && a.references.nonEmpty &&
@@ -103,15 +109,9 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     * membership — so widening it is always sound.
     */
   private def bucketWidth(w: Expression): Expression = {
-    val d = w.eval() match {
-      case x: Double => x
-      case x: Float => x.toDouble
-      case x: Byte => x.toDouble
-      case x: Short => x.toDouble
-      case x: Int => x.toDouble
-      case x: Long => x.toDouble
-      case x: org.apache.spark.sql.types.Decimal => x.toDouble
-    }
+    // bandPattern only accepts widths literalAsDouble coerces, so the
+    // .get can't miss — one shared coercion, no second match to drift
+    val d = literalAsDouble(w).get
     Literal(Math.nextUp(d), DoubleType)
   }
 

@@ -91,12 +91,17 @@ object Versioning {
 
   /** Change feed between two as-of instants — the "what changed
     * between syncs" question a CRM migration asks of its version
-    * history: per key, `added` (absent at `from`, present at `to`),
-    * `changed` / `unchanged` (version identity compared), and with a
-    * soft-delete column present, `removed` / `restored` (tombstone
-    * flipped). Two window snapshots over the pruned history plus one
-    * key equi-join — shuffle-free end to end on a key-bucketed layout,
-    * like every other Versioning op.
+    * history. The diff is over LIVE state (latest version per key,
+    * minus soft-delete tombstones when a `deleted` column exists):
+    * `added` (live at `to` only, never seen before), `restored` (live
+    * at `to`, tombstoned at `from`), `removed` (live at `from`, dead
+    * or absent at `to`), `changed` / `unchanged` (live at both,
+    * version identity compared). Keys live at NEITHER instant — born
+    * dead between syncs, or dead at both — emit no row: they are in
+    * neither live snapshot, and a consumer reconciling a replica has
+    * nothing to do for them. Two window snapshots over the pruned
+    * history plus one key equi-join — shuffle-free end to end on a
+    * key-bucketed layout, like every other Versioning op.
     */
   def versionDiff(history: DataFrame, key: String, ts: String,
       tiebreak: String, from: Column, to: Column): DataFrame = {
@@ -109,12 +114,17 @@ object Versioning {
           col(tiebreak).as(s"${tag}_version"),
           coalesce(del, lit(false)).as(s"_${tag}_del"))
     }
+    // absent side ⇒ null _del; coalesce makes liveness a real boolean
+    val oldLive = col("old_version").isNotNull &&
+      !coalesce(col("_old_del"), lit(false))
+    val newLive = col("new_version").isNotNull &&
+      !coalesce(col("_new_del"), lit(false))
     side(from, "old").join(side(to, "new"), Seq(key), "full")
+      .filter(oldLive || newLive)
       .withColumn("change_type",
-        when(col("old_version").isNull, lit("added"))
-          .when(col("new_version").isNull, lit("removed"))
-          .when(col("_new_del") && !col("_old_del"), lit("removed"))
-          .when(col("_old_del") && !col("_new_del"), lit("restored"))
+        when(!oldLive && col("old_version").isNull, lit("added"))
+          .when(!oldLive, lit("restored"))
+          .when(!newLive, lit("removed"))
           .when(col("old_ts") === col("new_ts") &&
             col("old_version") === col("new_version"), lit("unchanged"))
           .otherwise(lit("changed")))

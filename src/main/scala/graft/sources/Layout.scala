@@ -81,11 +81,14 @@ object Layout {
       s"${zCols.size} columns x $bits bits exceeds a long z-value")
     val k = zCols.size
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // the multi-column overload: ONE scan of df for every column's
+    // boundaries (per-column calls would re-run the upstream lineage
+    // |zCols| times)
+    val allBounds = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
     val z = zCols.zipWithIndex.map { case (c, ci) =>
       // rank = how many boundaries the value has passed (ties between
       // duplicate boundaries just skip buckets — still monotone)
-      val bs = df.stat.approxQuantile(c, probs, 0.001)
-      val bucket = bs.foldLeft(lit(0)) { (acc, b) =>
+      val bucket = allBounds(ci).foldLeft(lit(0)) { (acc, b) =>
         acc + when(df(c).cast("double") >= b, 1).otherwise(0)
       }.cast("long")
       (0 until bits).map { j =>
@@ -138,15 +141,19 @@ object Layout {
     fs.delete(bak, true)
     mustRename(p, bak)
     // rescue everything the rewrite didn't subsume: parquet appended
-    // between the snapshot and the swap, AND every non-parquet
-    // metadata file (layout markers like _GRAFT_BATCH_SIG carry
-    // idempotence state — deleting them with the backup would disarm
-    // their guards). Files the tmp write created itself (_SUCCESS)
-    // are kept from the NEW directory, not overwritten from the old.
+    // between the snapshot and the swap, every non-parquet metadata
+    // file (layout markers like _GRAFT_BATCH_SIG carry idempotence
+    // state — deleting them with the backup would disarm their
+    // guards), AND subdirectories (a mixed dir with nested partition
+    // children must not lose them to the backup delete). Entries the
+    // tmp write created itself (_SUCCESS) are kept from the NEW
+    // directory, not overwritten from the old; one tmp listing, not
+    // an exists() round-trip per backup entry.
     val snapNames = snapshot.map(_.getPath.getName).toSet
+    val tmpNames = fs.listStatus(tmp).map(_.getPath.getName).toSet
     fs.listStatus(bak)
-      .filter(f => f.isFile && !snapNames.contains(f.getPath.getName)
-        && !fs.exists(new org.apache.hadoop.fs.Path(tmp, f.getPath.getName)))
+      .filter(f => !snapNames.contains(f.getPath.getName)
+        && !tmpNames.contains(f.getPath.getName))
       .foreach(f => mustRename(f.getPath,
         new org.apache.hadoop.fs.Path(tmp, f.getPath.getName)))
     // Hadoop rename(tmp, p) onto an EXISTING directory "succeeds" by
@@ -186,9 +193,12 @@ object Layout {
       .foreach { d =>
         val nested = fs.listStatus(d.getPath).exists(c =>
           c.isDirectory && c.getPath.getName.contains("="))
+        // a mixed dir (nested children AND loose data files) gets
+        // both: compact() no-ops when there are no loose files, and
+        // its rescue pass carries child directories through the swap
+        compact(spark, d.getPath.toString, targetFileBytes)
         if (nested)
           compactPartitions(spark, d.getPath.toString, targetFileBytes)
-        else compact(spark, d.getPath.toString, targetFileBytes)
       }
   }
 }

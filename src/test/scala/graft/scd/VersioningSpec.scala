@@ -144,7 +144,12 @@ class VersioningSpec extends SparkSpec {
       // key 4: live at t10, tombstoned at t35 → removed
       (4L, 10L, 400L, false), (4L, 35L, 401L, true),
       // key 5: tombstoned at t15, restored at t30 → restored
-      (5L, 15L, 500L, true), (5L, 30L, 501L, false)
+      (5L, 15L, 500L, true), (5L, 30L, 501L, false),
+      // key 6: born and tombstoned between the instants → live at
+      // NEITHER snapshot, so no diff row (not a spurious 'added')
+      (6L, 25L, 600L, false), (6L, 35L, 601L, true),
+      // key 7: dead at both instants → no diff row
+      (7L, 10L, 700L, true)
     ).toDF("item_id", "ts", "event_id", "deleted")
     val diff = Versioning.versionDiff(hist, "item_id", "ts", "event_id",
         lit(20L), lit(40L))

@@ -121,6 +121,42 @@ class LayoutSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compactPartitions handles a MIXED dir: loose files compact " +
+      "and nested partition children survive the swap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mixed").toString + "/t"
+    // date=… holds BOTH loose parquet (a pre-partitioning writer) and
+    // an hour=… child
+    Seq.tabulate(12)(i => (i.toLong, s"loose$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$root/date=2024-01-01")
+    Seq.tabulate(8)(i => (100L + i, s"nested$i")).toDF("id", "v")
+      .repartition(4).write
+      .parquet(s"$root/date=2024-01-01/hour=00")
+    val expect = (0L until 12L) ++ (100L until 108L)
+    Layout.compactPartitions(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayDir = new org.apache.hadoop.fs.Path(s"$root/date=2024-01-01")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dayDir, "hour=00")),
+      "nested child must survive the parent's compaction swap")
+    assert(fs.listStatus(dayDir)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      === 1, "loose files must compact, not be skipped")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dayDir, "hour=00"))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      === 1, "nested files must compact too")
+    // read each level by explicit file paths: the mixed layout is the
+    // legacy mess being cleaned up, not a hive layout Spark can infer
+    val looseFile = fs.listStatus(dayDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val loose = spark.read.parquet(looseFile: _*).select("id")
+    val nested = spark.read.parquet(s"$root/date=2024-01-01/hour=00")
+      .select("id")
+    assert(loose.union(nested).as[Long].collect().sorted.toSeq
+      === expect.sorted)
+  }
+
   test("z-ordered files keep tight min-max spans on BOTH clustered " +
       "columns; a linear sort only on the leading one") {
     import spark.implicits._
