@@ -221,6 +221,62 @@ class PropertySpec extends SparkSpec {
     assert(newest.values.forall(keptRows.contains))
   }
 
+  test("funnel stage equals brute-force longest-prefix-subsequence " +
+      "on random event sequences") {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val events = (1 to 2000).map { i =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(50).toLong, i.toLong,
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "ts", "event_id", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val got = graft.operators.Funnel
+      .stages(df, "user_id", "ts", "event_id", "event_type", steps)
+      .as[(Long, Int)].collect().toMap
+    // driver-side reference: greedy fold over the (ts, event_id)-
+    // sorted sequence
+    val expect = events.groupBy(_._1).view.mapValues { evs =>
+      evs.sortBy(e => (e._2, e._3)).foldLeft(0) { (st, e) =>
+        if (st < steps.length && e._4 == steps(st)) st + 1 else st
+      }
+    }.toMap
+    assert(got === expect)
+  }
+
+  test("versionDiff partitions exactly the keys live at either " +
+      "instant, consistently with the two snapshots") {
+    val hist = (1 to 1500).map { i =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(100).toLong, i.toLong,
+        rnd.nextInt(4) == 0) // 25% tombstones
+    }
+    val df = hist.toDF("item_id", "ts", "event_id", "deleted")
+    val (from, to) = (30L, 70L)
+    val got = Versioning.versionDiff(df, "item_id", "ts", "event_id",
+        lit(from), lit(to))
+      .select("item_id", "change_type").as[(Long, String)]
+      .collect().toMap
+    // driver-side reference snapshots
+    def snap(asOf: Long): Map[Long, (Long, Boolean)] =
+      hist.filter(_._2 <= asOf).groupBy(_._1).view.mapValues { vs =>
+        val v = vs.maxBy(r => (r._2, r._3)); (v._3, v._4)
+      }.toMap
+    val s1 = snap(from); val s2 = snap(to)
+    def live(s: Map[Long, (Long, Boolean)], k: Long) =
+      s.get(k).exists(!_._2)
+    val keys = (s1.keySet ++ s2.keySet)
+      .filter(k => live(s1, k) || live(s2, k))
+    assert(got.keySet === keys, "exactly the keys live at either instant")
+    keys.foreach { k =>
+      val expect =
+        if (!live(s1, k) && !s1.contains(k)) "added"
+        else if (!live(s1, k)) "restored"
+        else if (!live(s2, k)) "removed"
+        else if (s1(k)._1 == s2(k)._1) "unchanged"
+        else "changed"
+      assert(got(k) === expect, s"key $k: s1=${s1.get(k)} s2=${s2.get(k)}")
+    }
+  }
+
   test("SQ8 recall is monotone non-decreasing in refine depth") {
     val dim = 16
     val embs = (1 to 80).map { i =>
