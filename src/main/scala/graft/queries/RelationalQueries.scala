@@ -1043,6 +1043,38 @@ object RelationalQueries {
       |       ELSE 0 END AS stage
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  /** Cohort retention: users grouped by first-activity week, counted
+    * distinct in each subsequent week offset — the second classic
+    * product-analytics matrix next to the q61 funnel. Two aggregates
+    * (first-touch per user, then cohort × offset) with one join
+    * between them; both shuffle on user_id, so a user_id-bucketed
+    * layout runs it shuffle-free.
+    */
+  val q62CohortRetention: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    ev.join(firsts, Seq("user_id"))
+      .withColumn("week_offset",
+        floor(datediff(to_date(col("ts")), col("cohort_week")) / 7)
+          .cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q62CohortRetentionSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+      |  FROM events GROUP BY user_id)
+      |SELECT f.cohort_week,
+      |  date_diff('day', f.cohort_week, e.ts::DATE) // 7 AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_active
+      |FROM events e JOIN firsts f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   /** J3: cross-app foreign-key traversal — the reference's `app` fields
     * store arrays of referenced item ids (PodioApiWrapper.py:68-69);
     * here the ref array is assembled per order, exploded back, and
@@ -1605,6 +1637,7 @@ object RelationalQueries {
     "q59_snapshot_asof" -> q59SnapshotAsof,
     "q60_version_diff" -> q60VersionDiff,
     "q61_funnel" -> q61Funnel,
+    "q62_cohort_retention" -> q62CohortRetention,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1673,5 +1706,6 @@ object RelationalQueries {
     "q59_snapshot_asof" -> q59SnapshotAsofSql,
     "q60_version_diff" -> q60VersionDiffSql,
     "q61_funnel" -> q61FunnelSql,
+    "q62_cohort_retention" -> q62CohortRetentionSql,
   )
 }
