@@ -1047,8 +1047,10 @@ object RelationalQueries {
     * distinct in each subsequent week offset — the second classic
     * product-analytics matrix next to the q61 funnel. Two aggregates
     * (first-touch per user, then cohort × offset) with one join
-    * between them; both shuffle on user_id, so a user_id-bucketed
-    * layout runs it shuffle-free.
+    * between them; the user_id stages (first-touch agg + join +
+    * countDistinct's partial de-dup keyed by user) run shuffle-free
+    * on a user_id-bucketed layout, leaving only the small cohort ×
+    * offset exchange and the final sort of the matrix itself.
     */
   val q62CohortRetention: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
@@ -1058,8 +1060,7 @@ object RelationalQueries {
         to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
     ev.join(firsts, Seq("user_id"))
       .withColumn("week_offset",
-        floor(datediff(to_date(col("ts")), col("cohort_week")) / 7)
-          .cast("long"))
+        floor(datediff(to_date(col("ts")), col("cohort_week")) / 7))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy(col("cohort_week"), col("week_offset"))
