@@ -1045,20 +1045,18 @@ object RelationalQueries {
 
   /** Cohort retention: users grouped by first-activity week, counted
     * distinct in each subsequent week offset — the second classic
-    * product-analytics matrix next to the q61 funnel. Two aggregates
-    * (first-touch per user, then cohort × offset) with one join
-    * between them; the user_id stages (first-touch agg + join +
-    * countDistinct's partial de-dup keyed by user) run shuffle-free
-    * on a user_id-bucketed layout, leaving only the small cohort ×
-    * offset exchange and the final sort of the matrix itself.
+    * product-analytics matrix next to the q61 funnel. First touch is
+    * a per-user window min — ONE events scan and one user_id shuffle
+    * (a groupBy + self-join would scan and shuffle twice), and that
+    * shuffle disappears on a user_id-bucketed layout; what remains is
+    * the small cohort × offset exchange and the matrix sort.
     */
   val q62CohortRetention: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    val firsts = ev.groupBy(col("user_id"))
-      .agg(min(col("ts")).as("first_ts"))
-      .select(col("user_id"),
-        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
-    ev.join(firsts, Seq("user_id"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("cohort_week",
+        to_date(date_trunc("week", min(col("ts")).over(byUser))))
       .withColumn("week_offset",
         floor(datediff(to_date(col("ts")), col("cohort_week")) / 7))
       .groupBy(col("cohort_week"), col("week_offset"))
