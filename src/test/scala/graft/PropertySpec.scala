@@ -277,6 +277,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("band-join rewrite preserves results exactly on adversarial " +
+      "values for both < and <= widths") {
+    import graft.plans.BandJoinRewrite
+    // mix of uniform doubles, signed zeros, denormal-scale values, and
+    // exact multiples of the width (bucket-edge / |a-b| == w ties)
+    def vals() = Seq.fill(120)(rnd.nextDouble() * 20 - 10) ++
+      Seq(0.0, -0.0, 1e-300, -1e-300) ++
+      Seq.fill(40)((rnd.nextInt(100) - 50) * 2.5)
+    val l = vals().zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("lid", "lv")
+    val r = vals().zipWithIndex.map { case (v, i) => (1000L + i, v) }
+      .toDF("rid", "rv")
+    for (strict <- Seq(true, false)) {
+      val cond =
+        if (strict) abs(col("lv") - col("rv")) < 2.5
+        else abs(col("lv") - col("rv")) <= 2.5
+      val q = l.join(r, cond).select("lid", "rid")
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_br"),
+        "rule must fire")
+      val on = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val off =
+        try {
+          spark.conf.set(BandJoinRewrite.confKey, "false")
+          q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        } finally spark.conf.unset(BandJoinRewrite.confKey)
+      assert(on === off, s"strict=$strict: rewrite changed the result " +
+        s"(missing=${off -- on}, extra=${on -- off})")
+    }
+  }
+
   test("SQ8 recall is monotone non-decreasing in refine depth") {
     val dim = 16
     val embs = (1 to 80).map { i =>
