@@ -75,6 +75,21 @@ class BandJoinRewriteSpec extends SparkSpec {
       .contains("_graft_br"))
   }
 
+  test("register() is idempotent and double injection (extensions + " +
+      "experimental) still rewrites exactly once") {
+    graft.functions.GraftExtensions.register(spark)
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.experimental.extraOptimizations
+      .count(_ eq graft.plans.BandJoinRewrite) === 1,
+      "repeated register() must not stack rule copies")
+    // with BOTH the extensions-injected copy and the experimental copy
+    // active, the join is bucketed once — one Generate, no nested
+    // re-bucketing of an already-rewritten join
+    val plan = thetaJoin.queryExecution.optimizedPlan.toString
+    assert(plan.split("Generate explode").length - 1 === 1,
+      "exactly one bucket explode expected:\n" + plan.take(900))
+  }
+
   test("SQL-written band predicates reach the same rewrite") {
     Seq((1L, 10.0), (2L, 50.0)).toDF("lid", "lv")
       .createOrReplaceTempView("band_l")
