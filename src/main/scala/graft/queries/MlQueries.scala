@@ -270,7 +270,9 @@ object MlQueries {
 
   /** IVF over spherical-k-means-fitted centroids (3 Lloyd rounds from
     * the deterministic seed) — the quality path; improvement-vs-seed
-    * asserted in MlSpec. The fit runs on a HASH-SAMPLED quarter of the
+    * asserted in MlSpec (full-corpus Lloyd monotonicity, plus a
+    * sampled-fit-beats-seed gate mirroring this exact configuration).
+    * The fit runs on a HASH-SAMPLED quarter of the
     * corpus — the documented 100 TB shape (centroids are a model
     * fitted offline on a slice, then broadcast to assign the full
     * corpus), here exercised for real rather than only described.
@@ -281,8 +283,11 @@ object MlQueries {
     */
   val ns8bSimIvfKmeans: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
+    // xxhash64, not pmod(vec_id, 4): sequential ids make a modulo a
+    // systematic every-4th stride, biased wherever id order correlates
+    // with content; hashing first decorrelates the sample
     val cents = Similarity.fitCentroids(
-      emb.filter(pmod(col("vec_id"), lit(4)) === 0),
+      emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0),
       nCells = 16, iters = 3)
     Similarity.withRecall(
       Similarity.ivfTopKWithCentroids(emb, cents, k = 5),

@@ -1049,12 +1049,15 @@ object RelationalQueries {
     * a per-user window min — ONE events scan and one user_id shuffle
     * (a groupBy + self-join would scan and shuffle twice), and that
     * shuffle disappears on a user_id-bucketed layout; what remains is
-    * the small cohort × offset exchange and the matrix sort.
+    * the small cohort × offset exchange and the matrix sort. Null
+    * user_ids are filtered explicitly: the oracle's JOIN ... USING
+    * (user_id) drops them null-unsafely, and partitionBy would
+    * instead pool them into one phantom cohort.
     */
   val q62CohortRetention: Q = (s, dir) => {
-    val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
+    val byUser = Window.partitionBy(col("user_id"))
     Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
       .withColumn("cohort_week",
         to_date(date_trunc("week", min(col("ts")).over(byUser))))
       .withColumn("week_offset",

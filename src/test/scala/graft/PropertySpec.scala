@@ -293,14 +293,22 @@ class PropertySpec extends SparkSpec {
       val cond =
         if (strict) abs(col("lv") - col("rv")) < 2.5
         else abs(col("lv") - col("rv")) <= 2.5
-      val q = l.join(r, cond).select("lid", "rid")
-      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_br"),
+      // def, not val: a Dataset caches its QueryExecution at first
+      // use, so the rewrite-off baseline MUST rebuild the join after
+      // flipping the conf or it silently re-runs the rewritten plan
+      // (and on === off would hold vacuously)
+      def q = l.join(r, cond).select("lid", "rid")
+      val onQ = q
+      assert(onQ.queryExecution.optimizedPlan.toString.contains("_graft_br"),
         "rule must fire")
-      val on = q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val on = onQ.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       val off =
         try {
           spark.conf.set(BandJoinRewrite.confKey, "false")
-          q.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+          val offQ = q
+          assert(!offQ.queryExecution.optimizedPlan.toString
+            .contains("_graft_br"), "rule must abstain when disabled")
+          offQ.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
         } finally spark.conf.unset(BandJoinRewrite.confKey)
       assert(on === off, s"strict=$strict: rewrite changed the result " +
         s"(missing=${off -- on}, extra=${on -- off})")

@@ -85,6 +85,29 @@ class MlSpec extends SparkSpec {
       embs.count())
   }
 
+  test("fit-on-sample centroids (ns8b's exact configuration: hash-" +
+      "sampled quarter, 16 cells, 3 rounds) still beat the seed " +
+      "assignment objective on the FULL corpus") {
+    // mirrors ns8b_sim_ivf_kmeans, which has no oracle (rows-only
+    // gate): without this, a regression in the sampled-fit path would
+    // pass every driver check unnoticed
+    val sampled = embs.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+    assert(sampled.count() >= 16, "sample must cover the cell count")
+    val fitted = Similarity.fitCentroids(sampled, 16, 3)
+    val seed = Similarity.seedCentroids(embs, 16)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignCells(embs, cents)
+        .agg(avg(col("ccos"))).head().getDouble(0)
+    val (o0, o1) = (objective(seed), objective(fitted))
+    // Lloyd on a sample optimizes the sample's objective, so full-
+    // corpus improvement is empirical, not a theorem — but the corpus,
+    // hash, and seed are all deterministic, so this gate is stable
+    assert(o1 > o0, s"sampled-fit objective $o1 <= seed objective $o0")
+    val rows = Similarity.ivfTopKWithCentroids(embs, fitted, 5)
+    assert(rows.select(countDistinct(col("i"))).head().getLong(0) ===
+      embs.count(), "sampled-fit IVF must still cover every query vector")
+  }
+
   test("LSH near-dup pairs are a subset of brute pairs with identical " +
       "cosines and non-trivial recall") {
     val brute = Similarity.nearDupPairs(embs, 0.4)
