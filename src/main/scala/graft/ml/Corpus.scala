@@ -58,10 +58,24 @@ object Corpus {
     * sample is content-independent, reproducible across runs/engines,
     * and stable under corpus append (a doc's rank only grows).
     *
-    * Shape: one tiny per-source count aggregate (≤ |sources| rows,
-    * broadcast back), then one window rank per source partition — a
-    * single shuffle of (doc_id, source). Sources absent from `weights`
-    * are excluded; a WEIGHTED source with zero matching docs drives
+    * Shape: the selection is "the floor(w_s·T) docs with the smallest
+    * (hash, doc_id) per source" — but a direct per-source `row_number`
+    * window hash-partitions on `source`, a handful of distinct values,
+    * so at 100 TB ONE task would sort an entire source. Instead the
+    * rank is computed two-level: a tiny per-(source, hash-bucket)
+    * histogram (≤ |sources|·4096 rows after map-side combine) yields
+    * each bucket's cumulative row offset within its source, and the
+    * expensive window ranks only WITHIN (source, bucket) — 4096-way
+    * parallel per source — with the global rank recovered as
+    * offset + within-bucket rank. The bucket is the hash's top 12 bits
+    * (monotonic in the hash), so concatenating bucket-local
+    * (hash, doc_id) orders reproduces the global order exactly: the
+    * result is bit-identical to the naive single-window rank, which is
+    * what the oracle states. Buckets that lie entirely past a source's
+    * n_target are dropped map-side before the shuffle, so when
+    * n_target ≪ n_available most rows never shuffle at all. Sources
+    * absent from `weights` are excluded; a WEIGHTED source with zero
+    * matching docs drives
     * T to 0 and the result is EMPTY — the contract is "composition
     * matches the weights exactly", and an absent ingredient makes that
     * unsatisfiable at any size (a silent min over present-only sources
@@ -92,10 +106,34 @@ object Corpus {
           .over(Window.partitionBy(lit(1))))
       .withColumn("n_target", floor(col("w") * col("t")).cast("long"))
       .select(col("source"), col("n_target"))
-    val rk = Window.partitionBy(col("source"))
-      .orderBy(HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
-    inScope.join(broadcast(plan), Seq("source"))
-      .withColumn("rk", row_number().over(rk))
+    // Two-level exact rank (see shape note above). The hash's top 12
+    // bits bucket it monotonically, so per-bucket (h, doc_id) order
+    // concatenated in bucket order IS the global per-source order.
+    val h = HashUtils.hash60(col("doc_id").cast("string"))
+    val bucketed = inScope
+      .select(col("doc_id"), col("source"), h.as("h"),
+        shiftrightunsigned(h, 48).as("bkt"))
+    // Tiny histogram: map-side combine collapses each input partition
+    // to ≤ |sources|·4096 rows before the shuffle; the window below
+    // runs over that aggregate, not the corpus.
+    val offsets = bucketed.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("n_bkt"))
+      .withColumn("off",
+        coalesce(
+          sum(col("n_bkt")).over(Window.partitionBy(col("source"))
+            .orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("bkt"), col("off"))
+    val rk = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    bucketed
+      .join(broadcast(plan), Seq("source"))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      // a bucket whose offset already reaches n_target can contribute
+      // nothing — drop it before the shuffle (map-only prune)
+      .filter(col("off") < col("n_target"))
+      .withColumn("rk", row_number().over(rk) + col("off"))
       .filter(col("rk") <= col("n_target"))
       .select(col("doc_id"), col("source"), col("rk"))
   }

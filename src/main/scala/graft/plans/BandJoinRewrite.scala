@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType, NumericType}
 
 /** Optimizer rule: rewrite band theta joins —
   * `L JOIN R ON abs(f(L) - g(R)) < w` — into the bucketed equi-join
@@ -28,12 +28,22 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   *
   * Conservative by design: only fires when the ENTIRE join condition
   * is one band predicate over a positive finite numeric literal width
-  * with one side per input, and both operands are types a Double can
-  * represent EXACTLY (byte/short/int/float/double). Long and Decimal
-  * operands are left alone: beyond 2^53 the bucket computation's
-  * Double cast rounds, two genuinely qualifying rows can land 2
-  * buckets apart, and the residual predicate can only reject false
-  * positives — never recover a pair the equi-join prefilter dropped.
+  * with one side per input, and both operands are float/double.
+  * Long and Decimal operands are left alone: beyond 2^53 the bucket
+  * computation's Double cast rounds, two genuinely qualifying rows
+  * can land 2 buckets apart, and the residual predicate can only
+  * reject false positives — never recover a pair the equi-join
+  * prefilter dropped. Integral operands (byte/short/int) are ALSO
+  * excluded even though a Double represents them exactly: under
+  * default non-ANSI semantics the original plan's integral
+  * Subtract/Abs WRAP on overflow — abs(Int.MinValue − 0) wraps to a
+  * negative that passes `< w`, while the rewrite's exact Double
+  * buckets put the pair ~2^31/W apart so the candidate is never
+  * generated and the residual cannot recover it (and under ANSI the
+  * original throws where the rewrite would silently succeed). Either
+  * way the rewrite would change observable behavior on overflow
+  * inputs, so it abstains. In practice most integral bands coerce to
+  * double anyway via a fractional width literal.
   * Anything else — composite conditions, non-literal widths,
   * same-side operands — is also left to Spark.
   * Disable with `spark.graft.optimizer.bandJoinRewrite=false`.
@@ -87,11 +97,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(w, Abs(Subtract(a, b, _), _)) => Some((a, b, w))
       case _ => None
     }
-    // types whose every value survives a Double round-trip; LongType /
-    // DecimalType excluded (see the soundness note in the object doc)
+    // float/double only: Long/Decimal lose exactness on the Double
+    // cast; integral types wrap on Subtract/Abs overflow under
+    // non-ANSI semantics (see the soundness note in the object doc)
     def doubleExact(t: DataType): Boolean = t match {
-      case ByteType | ShortType | IntegerType | FloatType | DoubleType =>
-        true
+      case FloatType | DoubleType => true
       case _ => false
     }
     absLtW.collect {

@@ -185,16 +185,20 @@ object MlQueries {
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
       .orderBy(col("i"), col("j"))
 
-  /** The `nz` CTE mirrors Similarity.withNorm's zero-norm exclusion
-    * (cosine is undefined for the zero vector, so the engine drops
-    * such rows by contract) — without it the defined semantics would
-    * only coincide while the fixtures happen to contain no all-zero
-    * embedding. Shared by ns6 and ns7/ns7b.
+  /** The `nz` CTE mirrors Similarity.withNorm's degenerate-vector
+    * exclusion: strictly positive AND finite squared norm. Both
+    * halves matter — cosine is undefined for the zero vector, and a
+    * NaN/Inf component poisons every cosine it touches (DuckDB, like
+    * Spark, orders NaN above every double, so `> 0` alone would KEEP
+    * a NaN-norm row the engine drops). withNorm guards sqrt(Σx²);
+    * guarding Σx² here is equivalent: sqrt is monotone and maps
+    * {0→0, Inf→Inf, NaN→NaN}. Shared by ns6 and ns7/ns7b.
     */
   private val duckNonZeroEmb: String =
     """nz AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  WHERE list_sum([x * x FOR x IN embedding::DOUBLE[]]) > 0
+      |    AND isfinite(list_sum([x * x FOR x IN embedding::DOUBLE[]]))
       |)""".stripMargin
 
   val ns6EmbedNearDupSql: String =

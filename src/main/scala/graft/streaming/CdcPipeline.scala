@@ -138,11 +138,17 @@ object CdcPipeline {
           "bucket count (or rewrite the history)"))
     val buckets = batch.select(bk.as("key_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    // absent path = first-ever batch: empty history with the batch's
-    // shape (same absent-as-empty convention as StreamingNearDup's
-    // readStore), so the pipeline can bootstrap
+    // absent path OR a path with no parquet data = first-ever batch:
+    // empty history with the batch's shape (same absent-as-empty
+    // convention as StreamingNearDup's readStore), so the pipeline can
+    // bootstrap. The data-file check matters: writeMergedBuckets
+    // stamps _GRAFT_NBUCKETS before the first data write, so a crash
+    // in that window leaves a marker-only directory — fs.exists alone
+    // would route it to spark.read.parquet, which throws 'unable to
+    // infer schema' on a parquet-less dir and wedges the pipeline
+    // until manual cleanup
     val history =
-      if (fs.exists(root))
+      if (fs.exists(root) && hasParquetData(fs, root))
         spark.read.parquet(historyPath)
           .filter(col("key_bucket").isin(buckets.map(Integer.valueOf): _*))
       else
@@ -151,6 +157,22 @@ object CdcPipeline {
     val merged = mergeBatch(history,
       batch.withColumn("key_bucket", bk), key)
     (merged, buckets)
+  }
+
+  /** Does the tree under `root` hold at least one parquet data file?
+    * Short-circuits at the first hit, so on a healthy bucketed table
+    * this touches one listing page — it is NOT a full-store crawl.
+    * Markers/_SUCCESS (underscore/dot names) don't count as data.
+    */
+  private def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+        !name.startsWith(".")) return true
+    }
+    false
   }
 
   private def nBucketsMarker(root: org.apache.hadoop.fs.Path) =
@@ -174,9 +196,11 @@ object CdcPipeline {
     // verify-or-stamp the layout's bucket count BEFORE the destructive
     // overwrite: a mismatched caller must be stopped while the data is
     // still intact, and stamping first closes the crash window where a
-    // died first write would leave the layout unguarded forever (a
-    // marker with no data is harmless — the next merge of matching n
-    // proceeds; a mismatched one fails loudly, which is the contract)
+    // died first write would leave the layout unguarded forever. A
+    // marker with no data is harmless BECAUSE mergeBatchPruned's
+    // hasParquetData check routes that state to the bootstrap branch
+    // (a crash between stamp and first write recovers on the next
+    // merge of matching n; a mismatched one fails loudly)
     val root = new org.apache.hadoop.fs.Path(historyPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readNBuckets(fs, root) match {

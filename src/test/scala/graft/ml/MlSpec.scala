@@ -315,12 +315,18 @@ class MlSpec extends SparkSpec {
     assert(topk.forall(r => !r.getDouble(3).isNaN))
   }
 
-  test("fixtures contain no zero-norm embedding (the withNorm exclusion " +
+  test("fixtures contain no degenerate embedding (the withNorm exclusion " +
       "and its oracle-side nz mirror are both vacuous on this data)") {
-    val zero = embs.selectExpr("vec_id",
+    // zero, NaN and Inf norms are ALL excluded by withNorm and by the
+    // oracle's `> 0 AND isfinite` nz CTE; this asserts the gate data
+    // exercises neither branch, so engine/oracle agreement on the
+    // fixtures plus this check covers the full contract
+    val degenerate = embs.selectExpr("vec_id",
       "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS ss")
-      .filter(col("ss") === 0.0).count()
-    assert(zero === 0L)
+      .filter(col("ss") === 0.0 || isnan(col("ss")) ||
+        col("ss") === Double.PositiveInfinity)
+      .count()
+    assert(degenerate === 0L)
   }
 
   test("multi-probe IVF: probes=1 degenerates to plain IVF; probes=3 " +

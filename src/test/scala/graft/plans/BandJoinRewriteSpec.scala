@@ -137,6 +137,42 @@ class BandJoinRewriteSpec extends SparkSpec {
       .toSet === Set((1L, 2L)))
   }
 
+  test("Integer operands abstain: non-ANSI Subtract/Abs wrap on " +
+      "overflow, so the original plan matches pairs the exact Double " +
+      "buckets would never generate") {
+    // under non-ANSI, abs(Int.MinValue - 0) wraps to Int.MinValue
+    // (negative) < 5 and the nested-loop plan MATCHES the pair, while
+    // the rewrite's exact Double buckets put the operands ~2^31/W
+    // apart and would silently drop it; under ANSI (this session's
+    // default) the original plan THROWS where the rewrite would
+    // silently succeed. Both ways the rewrite would change observable
+    // behavior, so the rule must leave integer bands alone.
+    def joined = {
+      val l = Seq((1L, Int.MinValue), (2L, 3)).toDF("lid", "lv")
+      val r = Seq((101L, 0), (102L, 4)).toDF("rid", "rv")
+      l.join(r, abs(col("lv") - col("rv")) < 5).select("lid", "rid")
+    }
+    assert(!joined.queryExecution.optimizedPlan.toString
+      .contains("_graft_br"), "must not rewrite Integer operands")
+    // ANSI regime: the overflow surfaces as the error ANSI promises
+    // (SparkArithmeticException is private[spark]; match on the class
+    // of the throwable Spark actually surfaces)
+    val thrown = intercept[Exception] { joined.collect() }
+    assert(thrown.getMessage.contains("ARITHMETIC_OVERFLOW"),
+      s"expected the ANSI overflow error, got: ${thrown.getMessage.take(200)}")
+    // non-ANSI regime: the wrapped pair (1,101) IS in the original
+    // semantics — the abstention preserves it; (1,102) wraps to
+    // +2147483644 ≥ 5 → rejected; close pairs (2,101)/(2,102) match.
+    // Rebuild the Dataset after the conf flip — a cached
+    // QueryExecution would silently re-run the ANSI plan.
+    val got =
+      try {
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        joined.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      } finally spark.conf.unset("spark.sql.ansi.enabled")
+    assert(got === Set((1L, 101L), (2L, 101L), (2L, 102L)))
+  }
+
   test("boundary completeness: every |a-b| just inside / at / outside " +
       "the width behaves exactly like the residual predicate") {
     val width = 2.0

@@ -111,4 +111,31 @@ class MergePruneSpec extends SparkSpec {
       CdcPipeline.mergeBatchPruned(spark, histDir, batch, "item_id", 4)
     }
   }
+
+  test("a marker-only history dir (crash between stamp and first data " +
+      "write) recovers via the bootstrap branch, not a schema error") {
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft_merge_crash").toString + "/history"
+    // simulate writeMergedBuckets dying right after the stamp: the
+    // directory exists and carries _GRAFT_NBUCKETS, but no parquet
+    val root = new org.apache.hadoop.fs.Path(histDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(root, "_GRAFT_NBUCKETS"), "8")
+    val batch = Seq(ev(1L, "2024-01-01 10:00:00", 42L, "v1")).toDF()
+    // before the hasParquetData guard this threw 'unable to infer
+    // schema'; now it must bootstrap like an absent path
+    val (merged, _) =
+      CdcPipeline.mergeBatchPruned(spark, histDir, batch, "item_id", 8)
+    CdcPipeline.writeMergedBuckets(merged, histDir, 8)
+    val out = spark.read.parquet(histDir)
+    assert(out.count() === 1)
+    assert(out.filter(col("current") === 1).count() === 1)
+    // the stamped marker still guards: a mismatched n fails loudly
+    // even in the marker-only state
+    intercept[IllegalArgumentException] {
+      CdcPipeline.mergeBatchPruned(spark, histDir, batch, "item_id", 4)
+    }
+  }
 }
