@@ -4,10 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst dot product over two `array<double>` columns.
@@ -89,6 +89,134 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SQ8 scalar quantization, packed: rescale an `array<double>` vector so
+  * its largest-magnitude component maps to ±127, round each component to
+  * an integer, and emit the result as a BINARY value of signed bytes —
+  * one byte per component instead of the eight an `array<double>` (or
+  * the doubles-holding-integers form this replaces) spends. At 100 TB
+  * the quantized candidate scan is bandwidth-bound, so the packed column
+  * is the whole point: 8× less shuffle/scan traffic for the N² half of
+  * SQ8, with full-precision vectors touched only in the final re-score.
+  *
+  * Rounding is `Math.round` (half-up in the positive direction); cosine
+  * is scale-invariant so the per-vector rescale needs no de-scaling
+  * downstream. The zero vector would divide 0/0 → bytes of 0; callers
+  * exclude zero-norm vectors upstream (Similarity.withNorm) and the
+  * byte-dot norm guard below catches any that slip through.
+  */
+case class PackSq8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8_pack requires an array<double> argument, got " +
+        other.simpleString)
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "graft_sq8_pack"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(x.getDouble(i)); if (a > amax) amax = a; i += 1
+    }
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = Math.round(x.getDouble(i) * 127.0 / amax).toByte; i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val amax = ctx.freshName("amax")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $amax = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = Math.abs($a.getDouble($i));
+         |  if ($v > $amax) $amax = $v;
+         |}
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) Math.round($a.getDouble($i) * 127.0 / $amax);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackSq8 =
+    copy(child = newChild)
+}
+
+/** Integer dot product over two [[PackSq8]]-packed BINARY vectors:
+  * Σ xᵢ·yᵢ with each component a signed byte, accumulated in a long
+  * (exact — |term| ≤ 127² so even 2⁴⁸ dimensions cannot overflow). This
+  * is the int8 sibling of [[DotProduct]] and the hot expression of the
+  * SQ8 candidate scan: a tight primitive byte loop in whole-stage
+  * codegen over 1/8th the bytes the double form reads.
+  */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot8 requires two binary arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_dot8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    // same loud dimension-mismatch contract as graft_dot: a silent
+    // prefix truncation would mis-rank with no diagnostic
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"graft_dot8: dimension mismatch (${x.length} vs ${y.length})")
+    var s = 0L
+    var i = 0
+    while (i < x.length) { s += x(i).toLong * y(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot8: dimension mismatch (" + $a.length + " vs " +
+         |      $b.length + ")");
+         |}
+         |long $s = 0L;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $s += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -98,6 +226,16 @@ object VectorFunctions {
     * points call [[GraftExtensions.register]] idempotently.
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** `sq8Pack(e)`: array<double> → BINARY of per-vector-rescaled signed
+    * bytes (see [[PackSq8]]).
+    */
+  def sq8Pack(e: Column): Column = call_function("graft_sq8_pack", e)
+
+  /** `dot8(a, b)`: integer dot product of two packed BINARY vectors
+    * (see [[DotProductInt8]]); returns long.
+    */
+  def dot8(a: Column, b: Column): Column = call_function("graft_dot8", a, b)
 }
 
 /** Session extensions registering the native functions for SQL and
@@ -107,7 +245,7 @@ object VectorFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotDescriptor)
+    GraftExtensions.functionDescriptors.foreach(ext.injectFunction)
     // band-theta-join → bucketed-equi-join rewrite (the declarative
     // user gets the RangeJoin scale path automatically)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
@@ -115,18 +253,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val dotDescriptor: Descriptor =
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  val sq8PackDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_sq8_pack"),
+      new ExpressionInfo(classOf[PackSq8].getName, "graft_sq8_pack"),
+      (children: Seq[Expression]) => PackSq8(children.head))
+
+  val dot8Descriptor: Descriptor =
+    (new FunctionIdentifier("graft_dot8"),
+      new ExpressionInfo(classOf[DotProductInt8].getName, "graft_dot8"),
+      (children: Seq[Expression]) => DotProductInt8(children(0), children(1)))
+
+  val functionDescriptors: Seq[Descriptor] =
+    Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor)
 
   /** Imperative (idempotent) registration for an already-built session —
     * the fallback when the session was not constructed with
     * `.withExtensions(new GraftExtensions)`.
     */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    functionDescriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     // the optimizer-rule half of the extensions, for sessions not
     // built with spark.sql.extensions: experimental.extraOptimizations
     // runs in the post-optimization user batch (idempotent append; if

@@ -194,22 +194,25 @@ object Similarity {
 
   /** Scalar int8 quantization (SQ8): each vector rescaled so its
     * largest-magnitude component maps to ±127, components rounded to
-    * integers. Cosine is scale-invariant, so the quantized cosine
-    * approximates the exact one with no de-scaling — and at 100 TB the
-    * point is BANDWIDTH: the pair scan reads 1-byte components instead
-    * of 8-byte doubles (4–8× less shuffle/scan traffic), with
-    * full-precision vectors touched only during the final re-score.
-    * (Stored as array<double> holding integer values here — the Spark
-    * shuffle width win needs a binary-packed column, but the plan
-    * shape and the accuracy trade are exactly SQ8's.)
+    * integers, PACKED into a BinaryType column of signed bytes by the
+    * native codegen expression [[graft.functions.PackSq8]]. Cosine is
+    * scale-invariant, so the quantized cosine approximates the exact
+    * one with no de-scaling — and at 100 TB the point is BANDWIDTH:
+    * the candidate pair scan shuffles and dots 1-byte components
+    * instead of 8-byte array<double> elements (8× less traffic on the
+    * N² half), with full-precision vectors touched only during the
+    * final re-score. `qn` is exact: the byte dot is integer arithmetic
+    * ([[graft.functions.DotProductInt8]], long accumulator).
     */
-  private def quantizeSq8(n: DataFrame): DataFrame =
-    n.withColumn("amax",
-        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
-      .withColumn("q", transform(col("e"),
-        x => round(x * lit(127.0) / col("amax")).cast("int").cast("double")))
-      .withColumn("qn", sqrt(dot(col("q"), col("q"))))
+  private def quantizeSq8(n: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{dot8, sq8Pack}
+    n.withColumn("q", sq8Pack(col("e")))
+      .withColumn("qn", sqrt(dot8(col("q"), col("q")).cast("double")))
+      // withNorm already dropped zero vectors, so amax>0 and the max-
+      // magnitude component packs to ±127 — this guard is belt-and-
+      // braces against a caller skipping withNorm
       .filter(col("qn") > 0)
+  }
 
   /** Candidate-generate-with-SQ8, refine-with-exact top-k: rank all
     * pairs by the QUANTIZED cosine, keep `refine` candidates per query,
@@ -231,7 +234,8 @@ object Similarity {
       .orderBy(col("qcos").desc, col("j"))
     val cand = qa.crossJoin(qb).filter(col("i") =!= col("j"))
       .withColumn("qcos",
-        round(dot(col("qa"), col("qb")) / (col("qna") * col("qnb")), 6))
+        round(graft.functions.VectorFunctions.dot8(col("qa"), col("qb"))
+          .cast("double") / (col("qna") * col("qnb")), 6))
       .withColumn("qrk", row_number().over(wApprox))
       .filter(col("qrk") <= refine)
       .select(col("i"), col("j"))

@@ -177,6 +177,93 @@ class MlSpec extends SparkSpec {
     assert(recall > 0.8, s"SQ8 refine=4k recall $recall too low")
   }
 
+  test("PackSq8 packs to the expected signed bytes and graft_dot8 " +
+      "matches graft_dot on the unpacked integer values") {
+    import graft.functions.VectorFunctions.{dot, dot8, sq8Pack}
+    graft.functions.GraftExtensions.register(spark)
+    // amax=2.0 in both: ±2.0 → ±127 exactly; -1.0 → -63.5 →
+    // Math.round → -63 (half-up toward +∞); 0.5 → 31.75 → 32;
+    // 1.0 → 63.5 → 64
+    val df = spark.sql(
+      "SELECT array(2.0D, -1.0D, 0.5D, 0.0D) AS a, " +
+        "array(-2.0D, 1.0D, 1.0D, 2.0D) AS b")
+    val packed = df.select(sq8Pack(col("a")).as("pa"),
+      sq8Pack(col("b")).as("pb"))
+    val Array(row) = packed.collect()
+    assert(row.getAs[Array[Byte]]("pa").toSeq ===
+      Seq[Byte](127, -63, 32, 0))
+    assert(row.getAs[Array[Byte]]("pb").toSeq ===
+      Seq[Byte](-127, 64, 64, 127))
+    // byte dot == double dot over the same integer values (exact: both
+    // are integer arithmetic below 2^53)
+    val d8 = packed.select(dot8(col("pa"), col("pb")).as("d")).collect()
+      .head.getLong(0)
+    val dd = packed.select(dot(
+      expr("transform(array(127, -63, 32, 0), x -> CAST(x AS DOUBLE))"),
+      expr("transform(array(-127, 64, 64, 127), x -> CAST(x AS DOUBLE))"))
+      .as("d")).collect().head.getDouble(0)
+    assert(d8.toDouble === dd)
+    // dimension mismatch fails loudly, same contract as graft_dot
+    // (constant arguments may fold on the driver, so the error can
+    // surface raw rather than wrapped in a SparkException)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dot8(X'0102', X'01')").collect()
+    }
+    assert((Option(err.getMessage) ++
+      Option(err.getCause).flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("dimension mismatch")))
+  }
+
+  test("packed SQ8 shuffles several times fewer bytes than the " +
+      "array<double> quantized form (the bandwidth claim, measured)") {
+    import graft.functions.VectorFunctions.sq8Pack
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    graft.functions.GraftExtensions.register(spark)
+    // shuffle dataSize is the honest metric: parquet dictionary-encodes
+    // the 255-distinct-value doubles down to byte width ON DISK, but
+    // the exchange ships UnsafeRows at full column width — which is
+    // exactly where the N² candidate scan pays at 100 TB
+    def shuffledDataSize(df: org.apache.spark.sql.DataFrame): Long = {
+      val shuffled = df.repartition(8, col("vec_id"))
+      shuffled.collect()
+      // AQE nests materialized stages as LEAF nodes (ResultQueryStage →
+      // ShuffleQueryStage → Exchange), so a plain collect never reaches
+      // the exchanges — descend into each stage's wrapped plan
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+        case q: QueryStageExec => p +: flatten(q.plan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      // only the hash repartition added here carries the q column; the
+      // fixture reader's round-robin shuffle ships the RAW embeddings
+      // identically in both variants and would dilute the ratio
+      val sizes = flatten(shuffled.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike if s.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          s.metrics("dataSize").value
+      }
+      assert(sizes.nonEmpty, "expected a shuffle in the measured plan")
+      sizes.sum
+    }
+    val e = col("embedding").cast("array<double>")
+    // the r4 representation this round replaced: integer-valued
+    // doubles, quantized with the same per-vector amax rescale
+    val asDouble = embs
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("amax",
+        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .select(col("vec_id"), transform(col("e"),
+        x => round(x * lit(127.0) / col("amax")).cast("int").cast("double"))
+        .as("q"))
+    val asBytes = embs.select(col("vec_id"), sq8Pack(e).as("q"))
+    val (dbl, bin) = (shuffledDataSize(asDouble), shuffledDataSize(asBytes))
+    // raw ratio is ~8× on the 64-dim fixtures; require a conservative
+    // 4× so row headers/padding can't flake the assertion
+    assert(bin * 4 < dbl, s"packed=$bin vs array<double>=$dbl")
+  }
+
   test("mixture sampling hits the per-source floor(w*T) targets " +
       "deterministically and excludes unlisted sources") {
     val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
