@@ -26,6 +26,7 @@ object Plans {
   val finalPlanQueries: Seq[String] = Seq(
     "q6_lookup_join", "q8_revenue_brand", "q12_theta_join",
     "q12b_range_join", "q6b_bucketed_join", "q48b_bucketed_join",
+    "q63_zorder_scan",
     "q40_fk_explode", "q48_multi_join", "q49_star_join",
     "ns2_dedup_jaccard", "ns3_dedup_minhash", "ns22_corpus_prep",
     "ns23_contamination", "ns26_release")
@@ -56,6 +57,54 @@ object Plans {
       sb.append("\n```\n")
     }
 
+  /** Measured z-order proof: run the q63 predicate over the z-ordered
+    * orders table AND over a leading-column-sorted baseline of the same
+    * file count, then print each parquet scan's numFiles/numOutputRows
+    * metrics. Rows output by the scan = rows surviving row-group
+    * skipping (PushedFilters prune row groups by min-max before any
+    * decode), so the delta IS the skipping, measured — the span
+    * statistics in LayoutSpec only predict it.
+    */
+  private def zOrderSection(sb: StringBuilder, spark: SparkSession,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.meta.PlanIntrospection.fileScanMetrics
+    try {
+      val pred = col("o_custkey") >= 100 &&
+        col("o_totalprice").between(100000, 150000)
+      // building the registry query writes the z-table on first use;
+      // measure the raw scan (no ORDER BY: q63's global sort would run
+      // the scan a second time for range sampling, doubling the metric)
+      SparkEntry.queries("q63_zorder_scan")(spark, dir)
+      val zDf = spark.read.parquet(RelationalQueries
+        .zOrderedTablePath(spark, dir, "orders_zorder")).filter(pred)
+      val linPath = java.nio.file.Files
+        .createTempDirectory("graft_zproof").toString + "/lin"
+      Tables.orders(spark, dir)
+        .repartitionByRange(32, col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(linPath)
+      val linDf = spark.read.parquet(linPath).filter(pred)
+      val ((zF, zR), (lF, lR)) =
+        (fileScanMetrics(zDf), fileScanMetrics(linDf))
+      val total = Tables.orders(spark, dir).count()
+      sb.append(s"\nPredicate: o_custkey >= 100 AND o_totalprice IN " +
+        s"[100000, 150000] over ${total} orders rows, 32 files each " +
+        "layout.\n\n" +
+        "| layout | files listed | rows read after row-group skip |\n" +
+        "| --- | --- | --- |\n" +
+        s"| z-order (o_custkey, o_totalprice) | $zF | $zR |\n" +
+        s"| lexicographic sort o_custkey | $lF | $lR |\n\n" +
+        s"Skipping ratio: z-order reads ${100 * zR / math.max(1, total)}% " +
+        s"of rows, the leading-column sort ${100 * lR / math.max(1, total)}% " +
+        "(its file min-max can only cut on o_custkey, and the q63 " +
+        "o_custkey band is deliberately near-vacuous).\n")
+    } catch { case e: Throwable =>
+      sb.append(s"(z-order proof failed: " +
+        s"${String.valueOf(e.getMessage).take(200)})\n")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
     // same env override as Bench (SPARK_GRAFT_SF_DIR names the bench
@@ -84,6 +133,9 @@ object Plans {
       "scale.\n")
     section(sb, spark, benchDir,
       finalPlanQueries.filter(SparkEntry.queries.contains), execute = true)
+    sb.append("\n# Section 1b — z-order row-group skipping at bench SF " +
+      "(measured)\n")
+    zOrderSection(sb, spark, benchDir)
     sb.append("\n# Section 2 — AQE initial plans at sf0.001 (all queries)\n")
     section(sb, spark, smallDir,
       SparkEntry.queries.keys.toSeq.sorted, execute = false)

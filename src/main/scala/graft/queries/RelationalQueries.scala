@@ -1077,6 +1077,64 @@ object RelationalQueries {
       |FROM events e JOIN firsts f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Materialize a frame as a z-ordered parquet path once per session
+    * (idempotent by path, the [[bucketedTable]] contract) and return
+    * the read-back frame. Path tables have no catalog entry, so
+    * first-write tracking is a JVM-local set; a stale directory from a
+    * previous run is overwritten by writeZOrdered's Overwrite mode.
+    */
+  private val zOrderedWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Warehouse path a [[zOrderedTable]] write lands at — public so
+    * graft.Plans can measure the raw (sort-free) scan over the same
+    * table the registry query reads: measuring THROUGH the q63 plan
+    * would double-count the scan metric (its global sort adds a
+    * range-partitioner sampling pass that executes the scan subtree a
+    * second time into the same metric).
+    */
+  def zOrderedTablePath(s: SparkSession, dir: String, base: String): String = {
+    val name = (base + "_" + dir).replaceAll("[^A-Za-z0-9]+", "_")
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      name.toLowerCase(java.util.Locale.ROOT)).toString
+  }
+
+  private def zOrderedTable(s: SparkSession, dir: String, base: String,
+      df: => DataFrame, zCols: Seq[String]): DataFrame = {
+    val path = zOrderedTablePath(s, dir, base)
+    if (zOrderedWritten.add(path))
+      graft.sources.Layout.writeZOrdered(df, path, zCols,
+        buckets = 64, targetFiles = 32)
+    s.read.parquet(path)
+  }
+
+  /** Range scan over a [[graft.sources.Layout.writeZOrdered]] orders
+    * table, filtering on BOTH clustered columns — the z-order layout
+    * proof at registry/bench scale (LayoutSpec shows the per-file
+    * min-max mechanics at toy scale). Both predicates reach the
+    * parquet reader as PushedFilters, and because the z-layout keeps
+    * per-file/row-group min-max tight on EACH clustered column, the
+    * scan skips most row groups; a lexicographic sort could prune on
+    * its leading column only (the deliberately near-vacuous
+    * o_custkey >= 100 leaves a leading-column-sorted baseline reading
+    * ~everything — `graft.Plans` dumps the measured rows-read delta).
+    * Same results as a plain scan, stated by the oracle: layout must
+    * never change answers.
+    */
+  val q63ZOrderScan: Q = (s, dir) =>
+    zOrderedTable(s, dir, "orders_zorder", Tables.orders(s, dir),
+      Seq("o_custkey", "o_totalprice"))
+      .filter(col("o_custkey") >= 100 &&
+        col("o_totalprice").between(100000, 150000))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  val q63ZOrderScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey >= 100 AND o_totalprice BETWEEN 100000 AND 150000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** J3: cross-app foreign-key traversal — the reference's `app` fields
     * store arrays of referenced item ids (PodioApiWrapper.py:68-69);
     * here the ref array is assembled per order, exploded back, and
@@ -1640,6 +1698,7 @@ object RelationalQueries {
     "q60_version_diff" -> q60VersionDiff,
     "q61_funnel" -> q61Funnel,
     "q62_cohort_retention" -> q62CohortRetention,
+    "q63_zorder_scan" -> q63ZOrderScan,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1709,5 +1768,6 @@ object RelationalQueries {
     "q60_version_diff" -> q60VersionDiffSql,
     "q61_funnel" -> q61FunnelSql,
     "q62_cohort_retention" -> q62CohortRetentionSql,
+    "q63_zorder_scan" -> q63ZOrderScanSql,
   )
 }

@@ -107,6 +107,14 @@ object Layout {
     * tiny files that tax the scan planner and the namenode; rewrite
     * the table into ~targetFileBytes files.
     *
+    * `zOrderBy` non-empty re-clusters the rewrite through
+    * [[writeZOrdered]] instead of a round-robin repartition — REQUIRED
+    * when compacting a z-ordered table: the plain rewrite scatters
+    * rows arbitrarily across files, silently destroying the min-max
+    * tightness every scan's row-group skipping depends on (appended
+    * post-write files have already diluted it, which is usually why
+    * such a table needs compacting at all).
+    *
     * Safety: the rewrite reads an explicit file snapshot, lands in a
     * temp directory, and files appended AFTER the snapshot are rescued
     * into the new directory before the swap; every rename result is
@@ -116,7 +124,8 @@ object Layout {
     * is the honest limit of directory-of-parquet tables.
     */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zOrderBy: Seq[String] = Nil): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def mustRename(a: org.apache.hadoop.fs.Path,
@@ -133,10 +142,13 @@ object Layout {
     // mergeSchema: an append store may mix files of evolved schemas
     // (StreamingNearDup's legacy/batch_id generations) — sampling one
     // file's footer would silently drop the newer columns
-    spark.read.option("mergeSchema", "true")
+    val merged = spark.read.option("mergeSchema", "true")
       .parquet(snapshot.map(_.getPath.toString): _*)
-      .repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (zOrderBy.nonEmpty)
+      writeZOrdered(merged, tmp.toString, zOrderBy, targetFiles = nFiles)
+    else
+      merged.repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
     fs.delete(bak, true)
     mustRename(p, bak)
@@ -184,7 +196,8 @@ object Layout {
     * that actually holds data files.
     */
   def compactPartitions(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zOrderBy: Seq[String] = Nil): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -196,9 +209,10 @@ object Layout {
         // a mixed dir (nested children AND loose data files) gets
         // both: compact() no-ops when there are no loose files, and
         // its rescue pass carries child directories through the swap
-        compact(spark, d.getPath.toString, targetFileBytes)
+        compact(spark, d.getPath.toString, targetFileBytes, zOrderBy)
         if (nested)
-          compactPartitions(spark, d.getPath.toString, targetFileBytes)
+          compactPartitions(spark, d.getPath.toString, targetFileBytes,
+            zOrderBy)
       }
   }
 }

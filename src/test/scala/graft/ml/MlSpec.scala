@@ -217,8 +217,7 @@ class MlSpec extends SparkSpec {
   test("packed SQ8 shuffles several times fewer bytes than the " +
       "array<double> quantized form (the bandwidth claim, measured)") {
     import graft.functions.VectorFunctions.sq8Pack
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.meta.PlanIntrospection.flatten
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     graft.functions.GraftExtensions.register(spark)
     // shuffle dataSize is the honest metric: parquet dictionary-encodes
@@ -228,14 +227,6 @@ class MlSpec extends SparkSpec {
     def shuffledDataSize(df: org.apache.spark.sql.DataFrame): Long = {
       val shuffled = df.repartition(8, col("vec_id"))
       shuffled.collect()
-      // AQE nests materialized stages as LEAF nodes (ResultQueryStage →
-      // ShuffleQueryStage → Exchange), so a plain collect never reaches
-      // the exchanges — descend into each stage's wrapped plan
-      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
-        case q: QueryStageExec => p +: flatten(q.plan)
-        case _ => p +: p.children.flatMap(flatten)
-      }
       // only the hash repartition added here carries the q column; the
       // fixture reader's round-robin shuffle ships the RAW embeddings
       // identically in both variants and would dilute the ratio

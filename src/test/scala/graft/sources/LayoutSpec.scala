@@ -196,6 +196,74 @@ class LayoutSpec extends SparkSpec {
       .collect().sorted.toSeq === (0L until n))
   }
 
+  // deterministic pseudo-uniform (x, y), independent of each other —
+  // shared by the z-order span/skip/compaction tests
+  private def zTestData(n: Int) = {
+    import spark.implicits._
+    Seq.tabulate(n) { i =>
+      (i.toLong, (i * 7919 % 10007) / 10007.0, (i * 104729 % 10007) / 10007.0)
+    }.toDF("id", "x", "y")
+  }
+
+  test("z-order row-group skipping, measured: a filter on the SECOND " +
+      "clustered column reads a fraction of the rows a leading-column " +
+      "sort must read") {
+    import graft.meta.PlanIntrospection.fileScanMetrics
+    val n = 20000
+    val data = zTestData(n)
+    val zPath = Files.createTempDirectory("graft_zskip").toString + "/t"
+    val linPath = Files.createTempDirectory("graft_zskip_lin").toString + "/t"
+    Layout.writeZOrdered(data, zPath, Seq("x", "y"), buckets = 64,
+      targetFiles = 16)
+    data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(linPath)
+    val pred = col("y") >= 0.4 && col("y") <= 0.45
+    val (_, zRows) = fileScanMetrics(spark.read.parquet(zPath).filter(pred))
+    val (_, linRows) =
+      fileScanMetrics(spark.read.parquet(linPath).filter(pred))
+    // the x-sorted layout has no y selectivity: every row group spans
+    // ~the full y range, so nothing skips; the z-order reads only the
+    // groups whose y min-max intersects the 5% band
+    assert(linRows === n.toLong, s"expected no skipping, read $linRows")
+    assert(zRows * 2 < linRows, s"z-order read $zRows of $linRows")
+  }
+
+  test("compact with zOrderBy re-clusters: appended stragglers fold " +
+      "in, per-file spans stay tight on both columns, rows lossless " +
+      "(a plain compact would scatter them)") {
+    import spark.implicits._
+    val n = 20000
+    val data = zTestData(n)
+    val path = Files.createTempDirectory("graft_zcompact").toString + "/t"
+    Layout.writeZOrdered(data, path, Seq("x", "y"), buckets = 64,
+      targetFiles = 16)
+    // simulate post-write appends that dilute the clustering
+    zTestData(22000).filter(col("id") >= n)
+      .repartition(4).write.mode("append").parquet(path)
+    val dir = new java.io.File(path)
+    def files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.length).sum
+    // aim at ~8 output files so span tightness is non-trivial
+    Layout.compact(spark, path, targetFileBytes = totalBytes / 8,
+      zOrderBy = Seq("x", "y"))
+    assert(files.length <= 10, s"still ${files.length} files")
+    def avgSpan(c: String): Double = {
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col(c)), max(col(c))).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      spans.sum / spans.length
+    }
+    // ~8 files over a 64×64 z-grid: each covers ~1/8 of the z-range —
+    // both columns stay far below the ~full-range span an unclustered
+    // rewrite produces
+    assert(avgSpan("x") < 0.75, s"x span ${avgSpan("x")}")
+    assert(avgSpan("y") < 0.75, s"y span ${avgSpan("y")}")
+    assert(spark.read.parquet(path).select("id").as[Long]
+      .collect().sorted.toSeq === (0L until 22000L))
+  }
+
   test("same-bucketed tables join without an Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
