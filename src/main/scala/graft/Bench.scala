@@ -58,8 +58,14 @@ object Bench {
     // A fully-failed query reports -1.0, never its fast exception
     // time: a deflated "timing" in queries{} would read as a speedup
     // to any consumer that doesn't join against failed[].
+    // 4 decimals (0.1ms): full nanosecond precision printed ~18 chars
+    // per query and the driver captures only a bounded tail of the one
+    // output line — rounding keeps every query visible in it.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def r4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      val shown = if (failed.contains(k)) -1.0 else v
+      val shown = if (failed.contains(k)) "-1.0" else r4(v)
       s"\"" + k + "\":" + shown
     }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -98,7 +104,17 @@ object Bench {
         try q.processAllAvailable() finally q.stop()
         val sec = (System.nanoTime() - t0) / 1e9
         val rps = if (sec > 0) rowsIn / sec else 0.0
-        s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":$sec,"rows_per_sec":$rps}"""
+        // Regression floor (BASELINE.md "Engine streaming throughput
+        // tracking"): half the last recorded round's rate — r4 measured
+        // 936 rows/s at sf0.1. The sandbox noise band never cost a run
+        // 2×, so floor_ok:false is a real regression, not weather. The
+        // floor only applies at the tracked SF; other SFs report it as
+        // ok so a sf0.01 smoke doesn't false-alarm.
+        val floorRps = 468.0
+        val floorOk = !sfDir.endsWith("sf0.1") || rps >= floorRps
+        def fmt(p: String, v: Double) =
+          String.format(java.util.Locale.ROOT, p, Double.box(v))
+        s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":${fmt("%.3f", sec)},"rows_per_sec":${fmt("%.1f", rps)},"floor_rps":$floorRps,"floor_ok":$floorOk}"""
       } catch { case e: Throwable =>
         // full JSON escape (not a partial replaceAll): any raw control
         // char in the message would invalidate the ONE output line and
@@ -114,7 +130,10 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery"}""")
+    // headline fields LAST: the driver's capture keeps the tail of
+    // this (long) line, so the per-query map is what truncation may
+    // cost, never the totals / streaming floor / failure list
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery","value":${r4(total)}}""")
     spark.stop()
   }
 }

@@ -1043,6 +1043,115 @@ object RelationalQueries {
       |       ELSE 0 END AS stage
       |FROM seqs ORDER BY user_id""".stripMargin
 
+  /** Timed funnel (Funnel.stagesTimed): WHEN each greedy-matched step
+    * happened, plus seconds from first to last step for converters.
+    * The oracle re-derives the greedy match with list-position
+    * arithmetic over the time-ordered event list: p1 = first 'view',
+    * p2 = first 'click' AFTER p1, p3 = first 'purchase' after p2 —
+    * greedy earliest-match is exactly what the engine's fold computes.
+    * date_diff('second') counts second boundaries crossed, which for
+    * b >= a equals the engine's floor-epoch difference.
+    */
+  val q64FunnelTimed: Q = (s, dir) =>
+    graft.operators.Funnel.stagesTimed(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage"),
+        try_element_at(col("stage_ts"), lit(1)).as("t_view"),
+        try_element_at(col("stage_ts"), lit(2)).as("t_click"),
+        try_element_at(col("stage_ts"), lit(3)).as("t_purchase"),
+        (unix_timestamp(try_element_at(col("stage_ts"), lit(3))) -
+          unix_timestamp(try_element_at(col("stage_ts"), lit(1))))
+          .as("secs_to_convert"))
+      .orderBy(col("user_id"))
+
+  val q64FunnelTimedSql: String =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    list(event_type ORDER BY ts, event_id) AS evs,
+      |    list(ts ORDER BY ts, event_id) AS tss
+      |  FROM events GROUP BY user_id),
+      |s1 AS (
+      |  SELECT user_id, evs, tss, list_position(evs, 'view') AS p1
+      |  FROM seqs),
+      |s2 AS (
+      |  SELECT *, CASE WHEN p1 IS NULL THEN NULL
+      |    ELSE p1 + list_position(evs[p1+1:], 'click') END AS p2
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, CASE WHEN p2 IS NULL THEN NULL
+      |    ELSE p2 + list_position(evs[p2+1:], 'purchase') END AS p3
+      |  FROM s2)
+      |SELECT user_id,
+      |  CASE WHEN p3 IS NOT NULL THEN 3 WHEN p2 IS NOT NULL THEN 2
+      |       WHEN p1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  tss[p1] AS t_view, tss[p2] AS t_click, tss[p3] AS t_purchase,
+      |  date_diff('second', tss[p1], tss[p3]) AS secs_to_convert
+      |FROM s3 ORDER BY user_id""".stripMargin
+
+  /** Gap-based sessionization (Sessionize.assign): every event
+    * labeled with its key-local session ordinal, 30-minute gap. The
+    * oracle restates the same two-pass window arithmetic; both sides
+    * compare floor-epoch seconds (date_diff('second') ==
+    * unix_timestamp difference) and ::BIGINT matches Spark's long
+    * running sum (DuckDB's sum(int) is HUGEINT).
+    */
+  val q65Sessionize: Q = (s, dir) =>
+    graft.operators.Sessionize.assign(Tables.events(s, dir),
+      "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_n"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  val q65SessionizeSql: String =
+    """WITH marks AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_n
+      |FROM marks ORDER BY user_id, event_id""".stripMargin
+
+  /** Incremental aggregate maintenance (IncrementalAgg): history
+    * partial state (ts < split) merged with a delta batch (ts >=
+    * split) must equal ONE aggregation of the full table — which is
+    * exactly what the oracle computes, so the gate proves the merge
+    * algebra, not just the arithmetic. Values aggregate as
+    * DECIMAL(18,6): decimal addition is exact, so the two-phase
+    * merged sum equals the one-shot sum BIT-identically (doubles
+    * would differ in association order); both sides cast the final
+    * sum to DECIMAL(38,6), Spark's sum-of-sums result type.
+    */
+  val q66IncrementalAgg: Q = (s, dir) => {
+    val split = lit("2024-01-15 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir)
+      .withColumn("v", col("value").cast("decimal(18,6)"))
+    val hist = graft.operators.IncrementalAgg.partial(
+      ev.filter(col("ts") < split), Seq("event_type"), "v")
+    val delta = graft.operators.IncrementalAgg.partial(
+      ev.filter(col("ts") >= split), Seq("event_type"), "v")
+    graft.operators.IncrementalAgg.finish(
+      graft.operators.IncrementalAgg.merge(hist, delta))
+      .select(col("event_type"),
+        col("agg_sum").cast("decimal(38,6)").as("agg_sum"),
+        col("agg_cnt"), col("agg_min"), col("agg_max"), col("agg_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  val q66IncrementalAggSql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS agg_sum,
+      |  count(value) AS agg_cnt,
+      |  min(CAST(value AS DECIMAL(18,6))) AS agg_min,
+      |  max(CAST(value AS DECIMAL(18,6))) AS agg_max,
+      |  CASE WHEN count(value) > 0 THEN
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+      |      AS DOUBLE) / count(value) END AS agg_avg
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Cohort retention: users grouped by first-activity week, counted
     * distinct in each subsequent week offset — the second classic
     * product-analytics matrix next to the q61 funnel. First touch is
@@ -1699,6 +1808,9 @@ object RelationalQueries {
     "q61_funnel" -> q61Funnel,
     "q62_cohort_retention" -> q62CohortRetention,
     "q63_zorder_scan" -> q63ZOrderScan,
+    "q64_funnel_timed" -> q64FunnelTimed,
+    "q65_sessionize" -> q65Sessionize,
+    "q66_incremental_agg" -> q66IncrementalAgg,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1769,5 +1881,8 @@ object RelationalQueries {
     "q61_funnel" -> q61FunnelSql,
     "q62_cohort_retention" -> q62CohortRetentionSql,
     "q63_zorder_scan" -> q63ZOrderScanSql,
+    "q64_funnel_timed" -> q64FunnelTimedSql,
+    "q65_sessionize" -> q65SessionizeSql,
+    "q66_incremental_agg" -> q66IncrementalAggSql,
   )
 }

@@ -55,4 +55,33 @@ class PlanGuardSpec extends SparkSpec {
     assert(hintCount("q49_star_join") === 2)
     assert(hintCount("q7_catalog_join") === 2)
   }
+
+  test("a selective dim filter injects a runtime bloom filter on the " +
+      "fact side once the scan clears the size gate") {
+    // Runtime bloom filters ship with GraftSession's defaults but gate
+    // on a 10GB application-side scan — exactly right at 100TB (a
+    // selective dim predicate prunes the fact shuffle) and free at
+    // bench scale. This pins that the gate is the ONLY thing between
+    // our star-join shape and the filter: lower it and injection must
+    // fire on plain declarative code, no hints.
+    val gate = "spark.sql.optimizer.runtime.bloomFilter" +
+      ".applicationSideScanSizeThreshold"
+    val bhj = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = Seq(gate, bhj).map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(gate, "0")
+      spark.conf.set(bhj, "-1") // broadcast joins skip the bloom path
+      val cust = Tables.customer(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      val j = Tables.orders(spark, dir)
+        .join(cust, org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        "expected a runtime bloom filter on the fact side:\n" + opt.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -41,4 +41,28 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got === Map(1L -> 1))
   }
+
+  test("stagesTimed records the greedy-matched timestamp of each " +
+      "completed step and agrees with stages on the stage count") {
+    val events = Seq(
+      // user 1: full funnel; the SECOND view (t=14) must not replace
+      // the first match, and the click consumed is the first one
+      // after the matched view
+      (1L, 10L, 1L, "view"), (1L, 12L, 2L, "click"),
+      (1L, 14L, 3L, "view"), (1L, 15L, 4L, "purchase"),
+      // user 2: click precedes the only view — click never matches,
+      // stage stops at 1 with only the view's timestamp recorded
+      (2L, 10L, 5L, "click"), (2L, 11L, 6L, "view"),
+      // user 3: nothing matches
+      (3L, 10L, 7L, "signup")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.stagesTimed(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Int, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((3, Seq(10L, 12L, 15L))),
+      2L -> ((1, Seq(11L))),
+      3L -> ((0, Seq.empty[Long]))))
+  }
 }

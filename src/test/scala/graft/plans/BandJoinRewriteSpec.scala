@@ -173,6 +173,67 @@ class BandJoinRewriteSpec extends SparkSpec {
     assert(got === Set((1L, 101L), (2L, 101L), (2L, 102L)))
   }
 
+  test("a skew-heavy band join's rewritten equi-join gets AQE " +
+      "skew-split — the stated reason the rewrite beats BNLJ at scale") {
+    // Half the left rows share ONE band value (one hot bucket, like a
+    // default/sentinel price in real data). The rewrite turns the
+    // band predicate into a hash-partitioned equi-join on the bucket
+    // key, which is exactly the shape AQE's OptimizeSkewedJoin can
+    // split; a BroadcastNestedLoopJoin has no such escape hatch.
+    val pad = "x" * 64
+    def left = spark.range(60000).select(
+      col("id").as("lid"),
+      when(col("id") % 2 === 0, lit(500.0))
+        .otherwise(col("id").cast("double") * 7.3).as("lv"),
+      lit(pad).as("lpad"))
+    def right = spark.range(1000).select(
+      col("id").as("rid"),
+      (col("id").cast("double") % 50 + 480.0).as("rv"),
+      lit(pad).as("rpad"))
+    def banded = left.join(right, abs(col("lv") - col("rv")) < 2.0)
+      .select("lid", "rid")
+    val confs = Seq(
+      // force SMJ: skew splitting only applies to shuffle joins
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // scale the 256MB default thresholds down to fixture size —
+      // the hot partition is ~1MB here, ~GBs at 100TB
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      // the shared test session runs local[4] → 4 shuffle partitions,
+      // where the hot bucket is only ~4x the median (every partition
+      // carries a quarter of the uniform rows) and the default 5x
+      // factor can't see it; 32 partitions restores the production
+      // session's granularity where the hot bucket dominates
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = banded
+      assert(df.queryExecution.optimizedPlan.toString.contains("_graft_br"),
+        "rewrite must fire before skew handling can apply")
+      // execute df's OWN plan (count() builds a new QueryExecution,
+      // which would leave this one un-run and its AQE plan unfinalized)
+      val n = df.queryExecution.executedPlan.execute().count()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE must have split the hot bucket:\n" + finalPlan.take(1200))
+      // results unchanged by the skew split: compare against the
+      // rule-off nested-loop count under default AQE confs
+      val expected =
+        try {
+          saved.foreach { case (k, _) => spark.conf.unset(k) }
+          spark.conf.set(BandJoinRewrite.confKey, "false")
+          banded.count()
+        } finally spark.conf.unset(BandJoinRewrite.confKey)
+      assert(n === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("boundary completeness: every |a-b| just inside / at / outside " +
       "the width behaves exactly like the residual predicate") {
     val width = 2.0
