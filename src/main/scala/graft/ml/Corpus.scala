@@ -49,6 +49,59 @@ object Corpus {
         col("contamination_ratio"))
   }
 
+  /** [[contamination]]'s runtime-filter sibling: identical output, but
+    * the candidate set entering the equi-join is prefiltered by a
+    * Bloom filter of the eval n-gram hashes
+    * ([[graft.functions.BloomFilterBuilder]]). Same results because a
+    * Bloom filter has NO false negatives and the exact join refines
+    * away its false positives — so this registers against the very
+    * same DuckDB oracle as ns23.
+    *
+    * Why it exists: [[contamination]] leans on AQE broadcasting the
+    * eval hash set. When the eval/blocklist side outgrows the
+    * broadcast threshold (a 10^8-hash blocklist is ~1 GB as a hash
+    * relation), the join degrades to shuffling EVERY training n-gram.
+    * The bitset stays m/8 bytes regardless of element count; shipped
+    * as a plan literal it prefilters map-side, so only candidate
+    * grams (true hits + the ~(1-e^{-kn/m})^k false-positive sliver)
+    * ever shuffle. The denominator count rides the same scan — one
+    * pass, map-side combined on doc_id.
+    *
+    * The bitset build collects mBits/8 bytes to the driver — a
+    * BOUNDED driver action (128 KiB at the default 2^20), independent
+    * of eval cardinality.
+    */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, n: Int,
+      mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val evalHashes = eval
+      .select(explode(HashUtils.wordShingles(col("text"), n)).as("s"))
+      .select(HashUtils.hash60(col("s")).as("h"))
+      .distinct()
+    val bloom: Array[Long] = evalHashes
+      .select(col("h")).as[Long](Encoders.scalaLong)
+      .select(new graft.functions.BloomFilterBuilder(mBits, k).toColumn)
+      .head()
+    val t = train
+      .select(col("doc_id"),
+        explode(HashUtils.wordShingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
+    // one scan: every gram counts toward the denominator; only grams
+    // surviving the Bloom prefilter carry a candidate mark into the
+    // (now candidate-only) exact-refine join
+    val cand = t.filter(
+      graft.functions.BloomFilter.mightContain(bloom, col("h"), k, mBits))
+    val hits = cand
+      .join(evalHashes, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_ngrams"), 6))
+      .select(col("doc_id"), col("n_contaminated"), col("n_ngrams"),
+        col("contamination_ratio"))
+  }
+
   /** Deterministic corpus mixture sampling — the data-mixing step of a
     * training run: given target per-source weights, select the largest
     * corpus whose source composition matches them exactly. The
@@ -106,36 +159,96 @@ object Corpus {
           .over(Window.partitionBy(lit(1))))
       .withColumn("n_target", floor(col("w") * col("t")).cast("long"))
       .select(col("source"), col("n_target"))
-    // Two-level exact rank (see shape note above). The hash's top 12
-    // bits bucket it monotonically, so per-bucket (h, doc_id) order
-    // concatenated in bucket order IS the global per-source order.
-    val h = HashUtils.hash60(col("doc_id").cast("string"))
-    val bucketed = inScope
-      .select(col("doc_id"), col("source"), h.as("h"),
-        shiftrightunsigned(h, 48).as("bkt"))
-    // Tiny histogram: map-side combine collapses each input partition
-    // to ≤ |sources|·4096 rows before the shuffle; the window below
-    // runs over that aggregate, not the corpus.
-    val offsets = bucketed.groupBy(col("source"), col("bkt"))
-      .agg(count(lit(1)).as("n_bkt"))
-      .withColumn("off",
-        coalesce(
-          sum(col("n_bkt")).over(Window.partitionBy(col("source"))
-            .orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("source"), col("bkt"), col("off"))
-    val rk = Window.partitionBy(col("source"), col("bkt"))
-      .orderBy(col("h"), col("doc_id"))
-    bucketed
-      .join(broadcast(plan), Seq("source"))
-      .join(broadcast(offsets), Seq("source", "bkt"))
-      // a bucket whose offset already reaches n_target can contribute
-      // nothing — drop it before the shuffle (map-only prune)
-      .filter(col("off") < col("n_target"))
-      .withColumn("rk", row_number().over(rk) + col("off"))
-      .filter(col("rk") <= col("n_target"))
+    // Two-level exact rank (see shape note above); machinery shared
+    // with TextAnalysis.stratifiedSample via cappedHashRank.
+    cappedHashRank(
+      inScope.select(col("doc_id"), col("source")), "doc_id",
+      Seq("source"), plan)
       .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** Per-group exact hash rank with a per-group keep cap, computed
+    * WITHOUT a per-group global window — the shared scale-safe core of
+    * [[mixtureSample]] and [[TextAnalysis.stratifiedSample]]. A direct
+    * `row_number().over(partitionBy(group))` hash-partitions on the
+    * group column — a handful of distinct values — so at 100 TB one
+    * task sorts an entire group. Instead the rank is two-level: the
+    * hash's top 12 bits bucket it monotonically, a tiny per-(group,
+    * bucket) histogram (≤ |groups|·4096 rows after map-side combine)
+    * yields each bucket's cumulative offset, and the expensive window
+    * ranks only WITHIN (group, bucket) — 4096-way parallel per group —
+    * with the global rank recovered as offset + within-bucket rank.
+    * Concatenating bucket-local (hash, id) orders in bucket order
+    * reproduces the global order exactly, so the result is
+    * bit-identical to the naive single-window rank (which is what the
+    * ns17/ns27 oracles state). Buckets lying entirely past a group's
+    * cap are dropped map-side BEFORE the shuffle, so when the cap ≪
+    * group size most rows (payload included) never shuffle at all.
+    *
+    * `targets` must hold `groupCols` + `n_target` and be
+    * broadcast-small (one row per group). Returns `rows`' columns plus
+    * the 1-based `rk`, filtered to `rk <= n_target`.
+    */
+  def cappedHashRank(rows: DataFrame, idCol: String,
+      groupCols: Seq[String], targets: DataFrame): DataFrame = {
+    val h = HashUtils.hash60(col(idCol).cast("string"))
+    val bucketed = rows.withColumn("_h", h)
+      .withColumn("_bkt", shiftrightunsigned(col("_h"), 48))
+    val gb = (groupCols :+ "_bkt").map(col)
+    val offsets = bucketed.groupBy(gb: _*)
+      .agg(count(lit(1)).as("_n_bkt"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n_bkt")).over(
+            Window.partitionBy(groupCols.map(col): _*).orderBy(col("_bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select((groupCols :+ "_bkt" :+ "_off").map(col): _*)
+    val rk = Window.partitionBy(gb: _*).orderBy(col("_h"), col(idCol))
+    bucketed
+      .join(broadcast(targets), groupCols)
+      .join(broadcast(offsets), groupCols :+ "_bkt")
+      // a bucket whose offset already reaches the cap can contribute
+      // nothing — drop it before the shuffle (map-only prune)
+      .filter(col("_off") < col("n_target"))
+      .withColumn("rk", row_number().over(rk) + col("_off"))
+      .filter(col("rk") <= col("n_target"))
+      .drop("_h", "_bkt", "_off", "n_target")
+  }
+
+  /** Per-document average log-probability under the corpus's own
+    * unigram distribution — the classic cheap perplexity proxy for
+    * quality filtering: gibberish / rare-token-heavy documents score
+    * far below fluent ones, and the score needs no trained model, just
+    * the corpus itself. score(d) = Σ_t k_t·ln(cnt_t / N) / Σ_t k_t
+    * over d's terms (k_t = in-doc count, cnt_t = corpus count, N =
+    * total tokens).
+    *
+    * Shape: terms hash to 60-bit longs BEFORE any shuffle (strings
+    * never leave the scan stage); the per-(doc, term) count and the
+    * corpus frequency table both hang off the SAME groupBy(doc_id, h)
+    * subplan, which Spark reuses as one exchange (identical canonical
+    * form → ReusedExchange, the ns2 posting-list pattern), so the
+    * tokenize scan runs once; the total-token count is a one-row
+    * crossJoin broadcast. The frequency join shuffles vocab-bounded
+    * rows, not the corpus.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val th = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"), HashUtils.hash60(col("term")).as("h"))
+    val dt = th.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("k"))
+    val freq = dt.groupBy(col("h")).agg(sum(col("k")).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    dt.join(freq, Seq("h"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        round(
+          sum(col("k") * log(col("cnt").cast("double") / col("total")))
+            / sum(col("k")), 6).as("lm_score"))
+      .select(col("doc_id"), col("n_tokens"), col("lm_score"))
   }
 
   /** Corpus vocabulary statistics: the `limit` most document-frequent

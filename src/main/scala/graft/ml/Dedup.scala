@@ -39,6 +39,47 @@ object Dedup {
     docs.select(col("doc_id"),
       HashUtils.wordShingles(col("text"), n).as("shingles"))
 
+  /** Cross-document duplicated-n-gram fraction — the corpus-level
+    * repetition filter (C4 / Gopher style): for every document, the
+    * fraction of its distinct word n-grams that also occur in at least
+    * `dfThreshold` OTHER documents. Boilerplate (navigation chrome,
+    * license blocks, templated spam) shows up as a high duplicated
+    * fraction even when no single whole document is a near-duplicate,
+    * so this catches what pairwise dedup (ns2/ns3) structurally cannot.
+    *
+    * Shape: shingle → hash60 → ONE groupBy(h) builds the document-
+    * frequency table, an equi-join marks each (doc, gram) with its df,
+    * and ONE groupBy(doc_id) folds the per-doc numerator/denominator —
+    * both shuffles move 8-byte longs, never text. The df table is the
+    * distinct-gram universe (bounded well below corpus size; at 100 TB
+    * it is the piece you'd additionally df-cap like [[jaccardPairs]],
+    * but no cap is needed for correctness — every gram contributes one
+    * posting row, never O(df²) pairs). `dup_frac` is a single division
+    * rounded to 6 — deterministic across engines.
+    */
+  def dupNgramFraction(docs: DataFrame, n: Int,
+      dfThreshold: Long): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(HashUtils.wordShingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
+    // wordShingles is distinct-per-doc, so count(*) per hash IS the
+    // document frequency; "duplicated" means df >= threshold + 1
+    // (the doc itself plus >= dfThreshold others)
+    val df = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(dfThreshold))
+      .withColumn("dup", lit(1))
+    grams.join(df.select(col("h"), col("dup")), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("dup")).as("n_dup"),
+        count(lit(1)).as("n_ngrams"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_ngrams"), 6))
+      .select(col("doc_id"), col("n_dup"), col("n_ngrams"),
+        col("dup_frac"))
+  }
+
   /** Near-dup pairs by n-gram Jaccard ≥ threshold over a
     * document-frequency-capped shingle universe, via an inverted-index
     * join: explode shingles → hash → self-join on the hash → count

@@ -132,14 +132,19 @@ object TextAnalysis {
   /** Deterministic stratified downsample: keep at most `perStratum`
     * docs per stratum, chosen by hash order (stable, engine-agnostic) —
     * the balanced-corpus sampler. Returns the kept rows.
+    *
+    * Rank via [[Corpus.cappedHashRank]]'s two-level bucket scheme, not
+    * a per-stratum global window: strata are low-cardinality (a few
+    * dozen languages), so the naive window would sort an entire
+    * stratum in ONE task at 100 TB. Bit-identical results either way —
+    * the ns17 oracle states the naive rank and still passes.
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String,
       perStratum: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
-    docs.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= perStratum).drop("_rk")
+    val targets = docs.select(col(stratumCol)).distinct()
+      .withColumn("n_target", lit(perStratum.toLong))
+    Corpus.cappedHashRank(docs, "doc_id", Seq(stratumCol), targets)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Rolling polynomial hash over words (Rabin-Karp-flavored): a cheap

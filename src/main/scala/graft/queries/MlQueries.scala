@@ -647,6 +647,71 @@ object MlQueries {
        |  round(n_contaminated::DOUBLE / n_ngrams, 6) AS contamination_ratio
        |FROM hits JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** ns23's Bloom-prefiltered sibling — byte-identical output (no
+    * false negatives + exact refine), hash-compared against the SAME
+    * oracle, proving the runtime-filter path end-to-end.
+    */
+  val ns30ContaminationBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Corpus.contaminationBloom(
+      train = docs.filter(col("doc_id") % 97 =!= 0),
+      eval = docs.filter(col("doc_id") % 97 === 0), n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document duplicated-3-gram fraction (C4/Gopher-style
+    * boilerplate filter): per doc, the share of its distinct 3-grams
+    * occurring in more than 2 documents corpus-wide. Catches templated
+    * boilerplate that pairwise near-dup (ns2/ns3) structurally misses.
+    */
+  val ns28DupNgrams: Q = (s, dir) =>
+    Dedup.dupNgramFraction(Tables.documents(s, dir), n = 3,
+      dfThreshold = 2)
+      .orderBy(col("doc_id"))
+
+  val ns28DupNgramsSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckHash60("s")} AS h
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |), dup AS (
+       |  SELECT h FROM sh GROUP BY h HAVING count(*) > 2
+       |)
+       |SELECT sh.doc_id,
+       |  count(dup.h) AS n_dup,
+       |  count(*) AS n_ngrams,
+       |  round(count(dup.h)::DOUBLE / count(*), 6) AS dup_frac
+       |FROM sh LEFT JOIN dup ON sh.h = dup.h
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
+  /** Unigram-LM quality score (perplexity proxy): per-doc average
+    * ln p(term) under the corpus's own unigram distribution. Both
+    * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
+    * doubles; the 6-decimal round absorbs summation-order jitter.
+    */
+  val ns29LmScore: Q = (s, dir) =>
+    Corpus.unigramLogProb(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val ns29LmScoreSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, ${duckHash60("term")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |), dt AS (
+       |  SELECT doc_id, h, count(*) AS k FROM th GROUP BY 1, 2
+       |), freq AS (
+       |  SELECT h, sum(k)::BIGINT AS cnt FROM dt GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cnt)::DOUBLE AS total FROM freq
+       |)
+       |SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+       |  round(sum(k * ln(cnt::DOUBLE / total)) / sum(k)::DOUBLE, 6)
+       |    AS lm_score
+       |FROM dt JOIN freq USING (h) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: top-200 terms by document frequency (the
     * tokenizer-training / stopword-induction input). TakeOrdered
     * top-k, full (df, total, term) tiebreak, re-sorted by term for the
@@ -924,6 +989,9 @@ object MlQueries {
     "ns25_pack" -> ns25Pack,
     "ns26_release" -> ns26Release,
     "ns27_mixture" -> ns27Mixture,
+    "ns28_dup_ngrams" -> ns28DupNgrams,
+    "ns29_lm_score" -> ns29LmScore,
+    "ns30_contamination_bloom" -> ns30ContaminationBloom,
   )
 
   def oracles: Map[String, String] = Map(
@@ -953,5 +1021,8 @@ object MlQueries {
     "ns25_pack" -> ns25PackSql,
     "ns26_release" -> ns26ReleaseSql,
     "ns27_mixture" -> ns27MixtureSql,
+    "ns28_dup_ngrams" -> ns28DupNgramsSql,
+    "ns29_lm_score" -> ns29LmScoreSql,
+    "ns30_contamination_bloom" -> ns23ContaminationSql,
   )
 }

@@ -1152,6 +1152,49 @@ object RelationalQueries {
       |      AS DOUBLE) / count(value) END AS agg_avg
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Winsorized robust aggregates: per-group p05/p95 bounds, values
+    * clamped into the band, then mean/sum — the standard
+    * outlier-robust statistic for metrics with heavy tails. Two-pass
+    * shape: the bounds aggregate collapses to |groups| rows (tiny →
+    * broadcast back), the clamp is a map-only least/greatest, and the
+    * final agg is one shuffle — no per-group window sort of every
+    * value, which is what a rank-based trim would cost at 100 TB. The
+    * exact percentile pass is the q39 SortAggregate; at scale you'd
+    * swap it for approx_percentile exactly as q39b does — the clamp
+    * and final agg shapes are unchanged.
+    */
+  val q67Winsorize: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("w",
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("w")), 4).as("avg_winsorized"),
+        round(sum(col("w")), 2).as("sum_winsorized"),
+        round(avg(col("l_extendedprice")), 4).as("avg_raw"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q67WinsorizeSql: String =
+    """WITH bounds AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS lo,
+      |    quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |  round(avg(least(greatest(l_extendedprice, lo), hi)), 4)
+      |    AS avg_winsorized,
+      |  round(sum(least(greatest(l_extendedprice, lo), hi)), 2)
+      |    AS sum_winsorized,
+      |  round(avg(l_extendedprice), 4) AS avg_raw
+      |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
   /** Cohort retention: users grouped by first-activity week, counted
     * distinct in each subsequent week offset — the second classic
     * product-analytics matrix next to the q61 funnel. First touch is
@@ -1811,6 +1854,7 @@ object RelationalQueries {
     "q64_funnel_timed" -> q64FunnelTimed,
     "q65_sessionize" -> q65Sessionize,
     "q66_incremental_agg" -> q66IncrementalAgg,
+    "q67_winsorize" -> q67Winsorize,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1884,5 +1928,6 @@ object RelationalQueries {
     "q64_funnel_timed" -> q64FunnelTimedSql,
     "q65_sessionize" -> q65SessionizeSql,
     "q66_incremental_agg" -> q66IncrementalAggSql,
+    "q67_winsorize" -> q67WinsorizeSql,
   )
 }

@@ -445,4 +445,115 @@ class MlSpec extends SparkSpec {
       .select("frame_offset").as[Long].collect().toSeq
     assert(frames === Seq(0L, 100L, 200L))
   }
+
+  test("bloom filter: every inserted hash passes mightContain (no " +
+      "false negatives), Column and JVM probe math agree, FP rate sane") {
+    import spark.implicits._
+    import graft.functions.{BloomFilter, BloomFilterBuilder}
+    val mBits = 1 << 14
+    val k = 4
+    val members = (1L to 2000L).map(x => x * 982451653L % (1L << 60))
+    val bloom = spark.createDataset(members)
+      .select(new BloomFilterBuilder(mBits, k).toColumn).head()
+    // JVM-side: all members present
+    members.foreach { h =>
+      (0 until k).foreach { i =>
+        val idx = BloomFilter.probeIdx(h, i, mBits)
+        assert((bloom(idx >>> 6) >>> (idx & 63) & 1L) === 1L)
+      }
+    }
+    // Column-side: membership of every member, via the same bitset
+    val nMember = spark.createDataset(members).toDF("h")
+      .filter(BloomFilter.mightContain(bloom, col("h"), k, mBits))
+      .count()
+    assert(nMember === members.size.toLong,
+      "Column probe math must match the JVM builder bit-for-bit")
+    // FP rate on disjoint non-members: kn/m = 0.49 → expected fp
+    // ≈ (1-e^-0.49)^4 ≈ 2.3%; assert a loose 3x bound
+    val nonMembers = (1L to 4000L).map(x => x * 715225741L % (1L << 60) + 7)
+      .filterNot(members.toSet)
+    val fp = spark.createDataset(nonMembers).toDF("h")
+      .filter(BloomFilter.mightContain(bloom, col("h"), k, mBits))
+      .count().toDouble / nonMembers.size
+    assert(fp < 0.07, s"false-positive rate $fp implausibly high")
+  }
+
+  test("contaminationBloom equals contamination exactly (bloom has no " +
+      "false negatives; the exact join refines false positives away)") {
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Corpus.contamination(train, eval, 4)
+      .collect().map(_.toSeq).toSet
+    val bloomed = Corpus.contaminationBloom(train, eval, 4)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty, "fixture should plant contamination")
+    assert(bloomed === exact)
+  }
+
+  test("contaminationBloom stays exact even at a deliberately tiny, " +
+      "collision-heavy bitset (false positives only add candidates)") {
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Corpus.contamination(train, eval, 4)
+      .collect().map(_.toSeq).toSet
+    val bloomed = Corpus.contaminationBloom(train, eval, 4,
+      mBits = 256, k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(bloomed === exact)
+  }
+
+  test("stratifiedSample (two-level bucket rank) equals the naive " +
+      "per-stratum window rank bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs.withColumn("_rk",
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(HashUtils.hash60(col("doc_id").cast("string")),
+          col("doc_id"))))
+      .filter(col("_rk") <= 50).drop("_rk")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val twoLevel = TextAnalysis.stratifiedSample(docs, "lang", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twoLevel === naive)
+    // and the corpus-side rank window partitions on (stratum, _bkt),
+    // not the bare low-cardinality stratum (the remaining lang-only
+    // window in the plan runs over the ≤ strata·4096-row histogram)
+    val plan = TextAnalysis.stratifiedSample(docs, "lang", 50)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_bkt"),
+      "two-level bucket rank missing from the plan")
+  }
+
+  test("dupNgramFraction: a planted boilerplate doc shows full overlap, " +
+      "a unique doc none; fractions are [0,1]") {
+    import spark.implicits._
+    val tpl = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, tpl), (2L, tpl), (3L, tpl), // identical boilerplate
+      (4L, "unique words here totally fresh content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupNgramFraction(d, n = 3, dfThreshold = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 1.0 && out(2L) === 1.0 && out(3L) === 1.0)
+    assert(out(4L) === 0.0)
+  }
+
+  test("unigramLogProb: uniform-frequency corpus scores exactly " +
+      "-ln(vocabSize) for every doc; rarer-token docs score lower") {
+    import spark.implicits._
+    // 4 docs, 4 distinct terms, each term appears exactly 4 times
+    val uniform = Seq(
+      (1L, "a b c d"), (2L, "b c d a"), (3L, "c d a b"), (4L, "d a b c"))
+      .toDF("doc_id", "text")
+    val scores = Corpus.unigramLogProb(uniform)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expect = math.log(1.0 / 4)
+    assert(scores.values.forall(v => math.abs(v - expect) < 1e-6),
+      s"$scores vs $expect")
+    // doc of one hapax token scores below a doc of the dominant token
+    val skewed = Seq((1L, "common common common common"), (2L, "rare"))
+      .toDF("doc_id", "text")
+    val s2 = Corpus.unigramLogProb(skewed)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(2L) < s2(1L))
+  }
 }
