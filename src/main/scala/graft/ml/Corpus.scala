@@ -251,6 +251,69 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), col("lm_score"))
   }
 
+  /** Token-budget corpus selection — the data-selection step of a
+    * training run: order documents best-score-first and keep the
+    * maximal prefix whose cumulative token cost fits `budget`. Greedy
+    * prefix semantics (the first overflowing doc and everything after
+    * it are dropped — no knapsack backfill), total order
+    * (score desc, hash60(id), id) so the pick is deterministic and
+    * engine-agnostic.
+    *
+    * Shape: a global `sum().over(orderBy(score))` running total would
+    * sort the corpus into ONE task. Instead the [[cappedHashRank]]
+    * trick transposed to a cumulative SUM: scores quantize into 4096
+    * range buckets (monotone in score, so bucket order concatenates to
+    * the global order; equal scores always share a bucket, so the
+    * cross-bucket order is exact regardless of quantization), a tiny
+    * per-bucket (rows, cost) histogram yields each bucket's cumulative
+    * cost offset, buckets whose offset already exceeds the budget are
+    * dropped map-side, and the running sum is computed only WITHIN
+    * surviving buckets — 4096-way parallel — as offset + local cumsum.
+    * Bit-identical to the naive global-window prefix, which is what
+    * the oracle states. Degenerate all-equal-score corpora collapse to
+    * one bucket (correct, just unparallel — the naive plan anyway).
+    *
+    * Returns the kept rows plus `cum_cost` (the running total through
+    * each row).
+    */
+  def budgetSelect(scored: DataFrame, scoreCol: String, costCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    val nBuckets = 4096
+    val stats = scored.agg(
+      min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
+    val h = HashUtils.hash60(col(idCol).cast("string"))
+    val bucketed = scored.crossJoin(broadcast(stats))
+      .withColumn("_w",
+        greatest((col("_mx") - col("_mn")) / nBuckets, lit(1e-12)))
+      // floor((mx - score)/w): monotone DECREASING in score, so bucket
+      // 0 holds the best scores and ascending buckets walk the
+      // selection order; clamp the max-score edge case into the range
+      .withColumn("_bkt",
+        least(floor((col("_mx") - col(scoreCol)) / col("_w")),
+          lit(nBuckets - 1)).cast("long"))
+      .withColumn("_h", h)
+      .drop("_mn", "_mx", "_w")
+    val offsets = bucketed.groupBy(col("_bkt"))
+      .agg(sum(col(costCol)).as("_c"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_c")).over(Window.orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val local = Window.partitionBy(col("_bkt"))
+      .orderBy(col(scoreCol).desc, col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .join(broadcast(offsets), Seq("_bkt"))
+      // a bucket whose offset alone exceeds the budget cannot
+      // contribute — drop it before the shuffle (map-only prune)
+      .filter(col("_off") < budget)
+      .withColumn("cum_cost", sum(col(costCol)).over(local) + col("_off"))
+      .filter(col("cum_cost") <= budget)
+      .drop("_bkt", "_h", "_off")
+  }
+
   /** Corpus vocabulary statistics: the `limit` most document-frequent
     * terms with their total occurrence counts — the input to tokenizer
     * training and stopword-list induction.

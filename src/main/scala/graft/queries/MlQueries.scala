@@ -712,6 +712,46 @@ object MlQueries {
        |FROM dt JOIN freq USING (h) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Token-budget corpus selection composed on the ns29 score: keep
+    * the best-scoring docs whose cumulative token count fits 8000 —
+    * the greedy data-selection step. The oracle states the naive
+    * global-window prefix; the engine computes it bucketed
+    * (bit-identical), so the gate proves the decomposition.
+    */
+  val ns31BudgetSelect: Q = (s, dir) =>
+    Corpus.budgetSelect(
+      Corpus.unigramLogProb(Tables.documents(s, dir)),
+      "lm_score", "n_tokens", "doc_id", budget = 8000L)
+      .select(col("doc_id"), col("n_tokens"), col("lm_score"),
+        col("cum_cost"))
+      .orderBy(col("doc_id"))
+
+  val ns31BudgetSelectSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, ${duckHash60("term")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |), dt AS (
+       |  SELECT doc_id, h, count(*) AS k FROM th GROUP BY 1, 2
+       |), freq AS (
+       |  SELECT h, sum(k)::BIGINT AS cnt FROM dt GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cnt)::DOUBLE AS total FROM freq
+       |), scored AS (
+       |  SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+       |    round(sum(k * ln(cnt::DOUBLE / total)) / sum(k)::DOUBLE, 6)
+       |      AS lm_score
+       |  FROM dt JOIN freq USING (h) CROSS JOIN tot GROUP BY doc_id
+       |), ord AS (
+       |  SELECT doc_id, n_tokens, lm_score,
+       |    sum(n_tokens) OVER (
+       |      ORDER BY lm_score DESC, ${duckHash60("doc_id::VARCHAR")},
+       |        doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cost
+       |  FROM scored
+       |)
+       |SELECT doc_id, n_tokens, lm_score, cum_cost
+       |FROM ord WHERE cum_cost <= 8000 ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: top-200 terms by document frequency (the
     * tokenizer-training / stopword-induction input). TakeOrdered
     * top-k, full (df, total, term) tiebreak, re-sorted by term for the
@@ -992,6 +1032,7 @@ object MlQueries {
     "ns28_dup_ngrams" -> ns28DupNgrams,
     "ns29_lm_score" -> ns29LmScore,
     "ns30_contamination_bloom" -> ns30ContaminationBloom,
+    "ns31_budget_select" -> ns31BudgetSelect,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1024,5 +1065,6 @@ object MlQueries {
     "ns28_dup_ngrams" -> ns28DupNgramsSql,
     "ns29_lm_score" -> ns29LmScoreSql,
     "ns30_contamination_bloom" -> ns23ContaminationSql,
+    "ns31_budget_select" -> ns31BudgetSelectSql,
   )
 }

@@ -537,6 +537,35 @@ class MlSpec extends SparkSpec {
     assert(out(4L) === 0.0)
   }
 
+  test("budgetSelect (bucketed prefix) equals the naive global-window " +
+      "prefix bit-for-bit, on real scores and on all-equal scores") {
+    import org.apache.spark.sql.expressions.Window
+    def naive(scored: org.apache.spark.sql.DataFrame, budget: Long) = {
+      val w = Window
+        .orderBy(col("lm_score").desc,
+          HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      scored.withColumn("cum_cost", sum(col("n_tokens")).over(w))
+        .filter(col("cum_cost") <= budget)
+        .select("doc_id", "cum_cost")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val scored = Corpus.unigramLogProb(docs)
+    val expected = naive(scored, 8000L)
+    val got = Corpus.budgetSelect(scored, "lm_score", "n_tokens",
+      "doc_id", 8000L)
+      .select("doc_id", "cum_cost")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty && got === expected)
+    // degenerate equal scores → single bucket, still exact
+    val flat = scored.withColumn("lm_score", lit(1.0))
+    assert(Corpus.budgetSelect(flat, "lm_score", "n_tokens",
+      "doc_id", 3000L)
+      .select("doc_id", "cum_cost")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === naive(flat, 3000L))
+  }
+
   test("unigramLogProb: uniform-frequency corpus scores exactly " +
       "-ln(vocabSize) for every doc; rarer-token docs score lower") {
     import spark.implicits._
