@@ -52,4 +52,54 @@ object RangeJoin {
       .filter(abs(col("_band_v") - col("_band_w")) < width)
       .drop("_bucket", "_band_v", "_band_w")
   }
+
+  /** Interval-overlap join: all (left ⋈ right) pairs whose CLOSED
+    * intervals [lStart,lEnd], [rStart,rEnd] intersect — the time-range
+    * correlation primitive (campaign windows × activity windows,
+    * session overlap, validity-range joins) that Spark otherwise plans
+    * as a nested loop, since `ls <= re AND rs <= le` has no equi-key.
+    *
+    * Shape: each side explodes to every `bucketWidth`-sized bucket its
+    * interval covers, the join runs as an equi-join on the bucket id,
+    * and the exact overlap predicate is the residual. Overlapping
+    * pairs share at least one bucket (the one holding
+    * `max(lStart, rStart)`, where the overlap begins), and counting a
+    * pair ONLY in that canonical bucket makes each qualifying pair
+    * match exactly once — no distinct pass over the (large) pair
+    * result. Replication per row = interval length / bucketWidth + 1,
+    * so set `bucketWidth` near the typical interval length: a handful
+    * of copies per row and a hash shuffle versus O(|L|·|R|). Hot
+    * buckets (many concurrent intervals) are plain equi-join skew —
+    * AQE splits them like any other key.
+    *
+    * Degenerate inputs (end < start) describe no time span and join
+    * to nothing; they are dropped up front rather than left to the
+    * overlap predicate, which is only sound for well-formed intervals.
+    */
+  def intervalJoin(left: DataFrame, lStart: Column, lEnd: Column,
+      right: DataFrame, rStart: Column, rEnd: Column,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlap")
+    val reserved = Seq("_ls", "_le", "_rs", "_re", "_b")
+    val taken = (left.columns ++ right.columns).filter(reserved.contains)
+    require(taken.isEmpty,
+      s"inputs may not use the reserved working names $taken")
+    def bkt(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val l = left.withColumn("_ls", lStart).withColumn("_le", lEnd)
+      .filter(col("_le") >= col("_ls"))
+      .withColumn("_b",
+        explode(sequence(bkt(col("_ls")), bkt(col("_le")))))
+    val r = right.withColumn("_rs", rStart).withColumn("_re", rEnd)
+      .filter(col("_re") >= col("_rs"))
+      .withColumn("_b",
+        explode(sequence(bkt(col("_rs")), bkt(col("_re")))))
+    l.join(r, Seq("_b"))
+      .filter(col("_ls") <= col("_re") && col("_rs") <= col("_le"))
+      // canonical bucket: where the overlap starts — each pair once
+      .filter(col("_b") === greatest(bkt(col("_ls")), bkt(col("_rs"))))
+      .drop("_b", "_ls", "_le", "_rs", "_re")
+  }
 }

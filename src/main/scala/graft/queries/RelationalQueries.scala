@@ -1195,6 +1195,46 @@ object RelationalQueries {
       |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 
+  /** Interval-overlap join (RangeJoin.intervalJoin): signup activity
+    * windows × purchase activity windows that intersect in time, each
+    * window [ts, ts + floor(value) seconds]. Arithmetic is integer
+    * MICROSECONDS end to end (unix_micros / epoch_us) — both engines
+    * agree exactly, no float-seconds epsilon. The engine plans the
+    * covered-bucket equi-join with the canonical-bucket dedup; the
+    * oracle states the naive quadratic overlap predicate.
+    */
+  val q68IntervalJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def win(t: String, p: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_s"),
+        (unix_micros(col("ts"))
+          + floor(col("value")).cast("long") * 1000000L).as(s"${p}_e"))
+    graft.operators.RangeJoin.intervalJoin(
+      win("signup", "i"), col("i_s"), col("i_e"),
+      win("purchase", "j"), col("j_s"), col("j_e"),
+      bucketWidth = 600e6) // 600 s of microseconds ≈ 2× window length
+      .select(col("i_id").as("i"), col("j_id").as("j"),
+        (least(col("i_e"), col("j_e"))
+          - greatest(col("i_s"), col("j_s"))).as("overlap_us"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val q68IntervalJoinSql: String =
+    """WITH a AS (
+      |  SELECT event_id AS i, epoch_us(ts) AS s,
+      |    epoch_us(ts) + floor(value)::BIGINT * 1000000 AS e
+      |  FROM events WHERE event_type = 'signup'
+      |), b AS (
+      |  SELECT event_id AS j, epoch_us(ts) AS s2,
+      |    epoch_us(ts) + floor(value)::BIGINT * 1000000 AS e2
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT i, j, least(e, e2) - greatest(s, s2) AS overlap_us
+      |FROM a JOIN b ON s <= e2 AND s2 <= e
+      |ORDER BY i, j""".stripMargin
+
   /** Cohort retention: users grouped by first-activity week, counted
     * distinct in each subsequent week offset — the second classic
     * product-analytics matrix next to the q61 funnel. First touch is
@@ -1855,6 +1895,7 @@ object RelationalQueries {
     "q65_sessionize" -> q65Sessionize,
     "q66_incremental_agg" -> q66IncrementalAgg,
     "q67_winsorize" -> q67Winsorize,
+    "q68_interval_join" -> q68IntervalJoin,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1929,5 +1970,6 @@ object RelationalQueries {
     "q65_sessionize" -> q65SessionizeSql,
     "q66_incremental_agg" -> q66IncrementalAggSql,
     "q67_winsorize" -> q67WinsorizeSql,
+    "q68_interval_join" -> q68IntervalJoinSql,
   )
 }

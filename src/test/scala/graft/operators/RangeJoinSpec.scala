@@ -47,4 +47,54 @@ class RangeJoinSpec extends SparkSpec {
     assert(banded === brute)
     assert(banded.nonEmpty)
   }
+
+  test("intervalJoin equals the nested-loop overlap join: edge-touching " +
+      "pairs included, bucket-spanning intervals once, malformed dropped") {
+    val left = Seq(
+      (1L, 0L, 10L),     // overlaps r10 (touch at 10), r11
+      (2L, 95L, 205L),   // spans 3 buckets at width 100; overlaps r12
+      (3L, 500L, 400L),  // malformed: end < start — must vanish
+      (4L, 300L, 301L))  // tiny; overlaps nothing
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 10L, 20L),   // touches l1 at exactly 10
+      (11L, 5L, 7L),     // inside l1
+      (12L, 200L, 210L), // touches l2 at 200..205
+      (13L, 600L, 650L)) // overlaps only the malformed l3's reversal
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalJoin(left, col("ls"), col("le"),
+      right, col("rs"), col("re"), bucketWidth = 100.0)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "canonical bucket must dedup")
+    val brute = left.filter(col("le") >= col("ls")).crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === brute)
+    assert(got.toSet === Set((1L, 10L), (1L, 11L), (2L, 12L)))
+  }
+
+  test("intervalJoin on testdata matches the quadratic overlap join " +
+      "(the q68 configuration)") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.Tables.events(spark, dir)
+    def win(t: String, p: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_s"),
+        (unix_micros(col("ts"))
+          + floor(col("value")).cast("long") * 1000000L).as(s"${p}_e"))
+    val bucketed = RangeJoin.intervalJoin(
+      win("signup", "i"), col("i_s"), col("i_e"),
+      win("purchase", "j"), col("j_s"), col("j_e"), 600e6)
+      .select("i_id", "j_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = win("signup", "i").crossJoin(win("purchase", "j"))
+      .filter(col("i_s") <= col("j_e") && col("j_s") <= col("i_e"))
+      .select("i_id", "j_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === brute)
+    assert(bucketed.nonEmpty)
+  }
 }
