@@ -271,8 +271,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProductInt8].getName, "graft_dot8"),
       (children: Seq[Expression]) => DotProductInt8(children(0), children(1)))
 
+  val nfcDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
+
   val functionDescriptors: Seq[Descriptor] =
-    Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor)
+    Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor, nfcDescriptor)
 
   /** Imperative (idempotent) registration for an already-built session —
     * the fallback when the session was not constructed with

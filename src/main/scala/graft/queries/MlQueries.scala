@@ -752,6 +752,33 @@ object MlQueries {
        |SELECT doc_id, n_tokens, lm_score, cum_cost
        |FROM ord WHERE cum_cost <= 8000 ORDER BY doc_id""".stripMargin
 
+  /** Unicode NFC normalization via the native `graft_nfc` codegen
+    * expression. The synthetic corpus is ASCII (NFC-invariant), so a
+    * denormalized suffix — "cafe" + COMBINING ACUTE (5 codepoints,
+    * folds to 4) next to precomposed "café" (stays 4) — is planted on
+    * every row: the hash gate then proves real normalization, not an
+    * identity pass. Lengths count codepoints in both engines.
+    */
+  val ns32Normalize: Q = (s, dir) => {
+    graft.functions.GraftExtensions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("raw",
+        concat(col("text"), lit(" cafe\u0301 caf\u00e9")))
+      .withColumn("norm_text", graft.functions.NfcNormalize(col("raw")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("norm_text")).cast("long").as("n_norm"),
+        col("norm_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ns32NormalizeSql: String =
+    """SELECT doc_id,
+      |  length(text || ' cafe' || chr(769) || ' caf' || chr(233)) AS n_raw,
+      |  length(nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233))) AS n_norm,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233)) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: top-200 terms by document frequency (the
     * tokenizer-training / stopword-induction input). TakeOrdered
     * top-k, full (df, total, term) tiebreak, re-sorted by term for the
@@ -1033,6 +1060,7 @@ object MlQueries {
     "ns29_lm_score" -> ns29LmScore,
     "ns30_contamination_bloom" -> ns30ContaminationBloom,
     "ns31_budget_select" -> ns31BudgetSelect,
+    "ns32_normalize" -> ns32Normalize,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1066,5 +1094,6 @@ object MlQueries {
     "ns29_lm_score" -> ns29LmScoreSql,
     "ns30_contamination_bloom" -> ns23ContaminationSql,
     "ns31_budget_select" -> ns31BudgetSelectSql,
+    "ns32_normalize" -> ns32NormalizeSql,
   )
 }
