@@ -105,12 +105,12 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val rps = if (sec > 0) rowsIn / sec else 0.0
         // Regression floor (BASELINE.md "Engine streaming throughput
-        // tracking"): half the last recorded round's rate — r4 measured
-        // 936 rows/s at sf0.1. The sandbox noise band never cost a run
-        // 2×, so floor_ok:false is a real regression, not weather. The
-        // floor only applies at the tracked SF; other SFs report it as
-        // ok so a sf0.01 smoke doesn't false-alarm.
-        val floorRps = 468.0
+        // tracking"): half the last recorded round's rate — r5 measured
+        // 1131 rows/s at sf0.1 (r4: 936). The sandbox noise band never
+        // cost a run 2×, so floor_ok:false is a real regression, not
+        // weather. The floor only applies at the tracked SF; other SFs
+        // report it as ok so a sf0.01 smoke doesn't false-alarm.
+        val floorRps = 565.0
         val floorOk = !sfDir.endsWith("sf0.1") || rps >= floorRps
         def fmt(p: String, v: Double) =
           String.format(java.util.Locale.ROOT, p, Double.box(v))

@@ -52,4 +52,32 @@ object IncrementalAgg {
     state.withColumn("agg_avg",
       when(col("agg_cnt") > 0,
         col("agg_sum").cast("double") / col("agg_cnt")))
+
+  /** COUNT DISTINCT is the one reporting aggregate with NO exact
+    * mergeable partial state (a distinct set is as big as the data),
+    * so the incremental path stores a DataSketches HLL sketch per key
+    * instead: fixed bytes per key, and sketch union is associative +
+    * commutative, so `distinctMerge(distinctPartial(A),
+    * distinctPartial(B))` estimates A ∪ B without rescanning history —
+    * the same algebra as [[partial]]/[[merge]], traded from exact to
+    * ±~1.6% (lgK=12) standard error.
+    */
+  def distinctPartial(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("agg_hll"))
+
+  /** Merge sketch states — union + re-union-aggregate, any merge tree
+    * over any batch split yields the same estimates. */
+  def distinctMerge(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    val keys = states.head.columns.filterNot(_ == "agg_hll")
+    states.reduce(_.unionByName(_)).groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("agg_hll")).as("agg_hll"))
+  }
+
+  /** Read-time estimate from the stored sketch. */
+  def distinctFinish(state: DataFrame): DataFrame =
+    state.withColumn("est_distinct",
+      hll_sketch_estimate(col("agg_hll")))
 }

@@ -1152,6 +1152,34 @@ object RelationalQueries {
       |      AS DOUBLE) / count(value) END AS agg_avg
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q66's COUNT DISTINCT sibling: distinct users per event_type
+    * maintained incrementally as mergeable HLL sketches
+    * (IncrementalAgg.distinctPartial/Merge/Finish — fixed bytes per
+    * key where the exact distinct set would be data-sized). No SQL
+    * oracle can reproduce DataSketches estimates → rows-only gate,
+    * with the exact count and relative error carried IN the result
+    * (the ANN-recall pattern); IncrementalAggSpec asserts the merge
+    * algebra (split-merge == one-shot) and the error bound.
+    */
+  val q69HllIncremental: Q = (s, dir) => {
+    val split = lit("2024-01-15 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir)
+    val hist = graft.operators.IncrementalAgg.distinctPartial(
+      ev.filter(col("ts") < split), Seq("event_type"), "user_id")
+    val delta = graft.operators.IncrementalAgg.distinctPartial(
+      ev.filter(col("ts") >= split), Seq("event_type"), "user_id")
+    val est = graft.operators.IncrementalAgg.distinctFinish(
+      graft.operators.IncrementalAgg.distinctMerge(hist, delta))
+      .select(col("event_type"), col("est_distinct"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, Seq("event_type"))
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct"))
+          .cast("double") / col("exact_distinct"), 6))
+      .orderBy(col("event_type"))
+  }
+
   /** Winsorized robust aggregates: per-group p05/p95 bounds, values
     * clamped into the band, then mean/sum — the standard
     * outlier-robust statistic for metrics with heavy tails. Two-pass
@@ -1165,9 +1193,16 @@ object RelationalQueries {
     */
   val q67Winsorize: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
+    // ONE percentile(array) buffer per group, not two independent
+    // sort-aggregates — this was the whole suite's most expensive
+    // query (3.7 s at sf0.1) with separate p05/p95 calls; a single
+    // sorted buffer serves both cut points
     val bounds = li.groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.05), lit(0.95))).as("b"))
+      .select(col("l_returnflag"),
+        element_at(col("b"), 1).as("lo"),
+        element_at(col("b"), 2).as("hi"))
     li.join(broadcast(bounds), Seq("l_returnflag"))
       .withColumn("w",
         least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
@@ -1896,6 +1931,7 @@ object RelationalQueries {
     "q66_incremental_agg" -> q66IncrementalAgg,
     "q67_winsorize" -> q67Winsorize,
     "q68_interval_join" -> q68IntervalJoin,
+    "q69_hll_incremental" -> q69HllIncremental,
   )
 
   def oracles: Map[String, String] = Map(

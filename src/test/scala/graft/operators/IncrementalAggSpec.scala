@@ -60,4 +60,33 @@ class IncrementalAggSpec extends SparkSpec {
       ("a", Some(1.0), Some(5.0), 2L, Some(3.0)),
       ("b", None, None, 0L, None)))
   }
+
+  test("HLL distinct state: split-merge estimates equal the one-shot " +
+      "sketch exactly, and sit within the published error of exact") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val split = lit("2024-01-15 00:00:00").cast("timestamp")
+    val hist = IncrementalAgg.distinctPartial(
+      ev.filter(col("ts") < split), Seq("event_type"), "user_id")
+    val delta = IncrementalAgg.distinctPartial(
+      ev.filter(col("ts") >= split), Seq("event_type"), "user_id")
+    val merged = IncrementalAgg.distinctFinish(
+      IncrementalAgg.distinctMerge(hist, delta))
+      .select(col("event_type"), col("est_distinct"))
+      .as[(String, Long)].collect().toMap
+    val oneShot = IncrementalAgg.distinctFinish(
+      IncrementalAgg.distinctPartial(ev, Seq("event_type"), "user_id"))
+      .select(col("event_type"), col("est_distinct"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === oneShot,
+      "sketch union must be split-invariant")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(exact.keySet === merged.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(merged(k) - n).toDouble / n
+      // lgK=12 → ~1.6% RSE; 5% is > 3 sigma
+      assert(err < 0.05, s"$k: est=${merged(k)} exact=$n err=$err")
+    }
+  }
 }
