@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -312,6 +312,69 @@ object Corpus {
       .withColumn("cum_cost", sum(col(costCol)).over(local) + col("_off"))
       .filter(col("cum_cost") <= budget)
       .drop("_bkt", "_h", "_off")
+  }
+
+  /** Exact global quantile binning (SQL `ntile` semantics) WITHOUT the
+    * global sort `ntile().over(orderBy(...))` forces into one task —
+    * the corpus-difficulty / quality-tier labeling step (e.g. decile
+    * by LM score for curriculum mixing). Total order is (score desc,
+    * hash60(id), id), ties broken deterministically, so the label is
+    * engine-agnostic and the DuckDB `ntile` window states the oracle.
+    *
+    * Shape: [[budgetSelect]]'s monotone score-bucket decomposition
+    * with ROW COUNTS in place of cost sums — a 4096-bucket histogram
+    * yields each bucket's global row offset, the expensive window
+    * ranks only within buckets, and global rank = offset + local rank
+    * reproduces the single-window rank bit-for-bit. The ntile label
+    * then derives from the rank by the standard remainder rule: with
+    * N rows in n tiles, q = N/n and r = N%n, the first r tiles carry
+    * q+1 rows. N itself is a one-row broadcast.
+    */
+  def ntileByScore(scored: DataFrame, scoreCol: String, idCol: String,
+      tiles: Int): DataFrame = {
+    require(tiles > 0, "need at least one tile")
+    val nBuckets = 4096
+    val stats = scored.agg(
+      min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"),
+      count(lit(1)).as("_n"))
+    val h = HashUtils.hash60(col(idCol).cast("string"))
+    val bucketed = scored.crossJoin(broadcast(stats))
+      .withColumn("_w",
+        greatest((col("_mx") - col("_mn")) / nBuckets, lit(1e-12)))
+      .withColumn("_bkt",
+        least(floor((col("_mx") - col(scoreCol)) / col("_w")),
+          lit(nBuckets - 1)).cast("long"))
+      .withColumn("_h", h)
+      .drop("_mn", "_mx", "_w")
+    val offsets = bucketed.groupBy(col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_c")).over(Window.orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    val local = Window.partitionBy(col("_bkt"))
+      .orderBy(col(scoreCol).desc, col("_h"), col(idCol))
+    val rk = row_number().over(local) + col("_off")
+    // ntile remainder rule on the exact global rank. Integer division
+    // as (a - a%b)/b: the operands are exactly divisible, so the
+    // double quotient is an exact integer (Column `/` is double
+    // division; a raw floor(a/b) could mis-round near huge values)
+    def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val q = idiv(col("_n"), lit(tiles.toLong))
+    val r = col("_n") % tiles
+    val big = r * (q + 1) // rows living in the (q+1)-sized head tiles
+    bucketed
+      .join(broadcast(offsets), Seq("_bkt"))
+      .withColumn("_rk", rk)
+      .withColumn("tile",
+        (when(col("_rk") <= big, idiv(col("_rk") - 1, q + 1))
+          // q = 0 (fewer rows than tiles) puts every row in the head
+          // branch (big = N ≥ rank), so this q divisor is never 0 when
+          // evaluated — CASE branches evaluate lazily per row
+          .otherwise(r + idiv(col("_rk") - big - 1, q)) + 1).cast("int"))
+      .drop("_bkt", "_h", "_off", "_n", "_rk")
   }
 
   /** Corpus vocabulary statistics: the `limit` most document-frequent

@@ -779,6 +779,40 @@ object MlQueries {
       |  nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233)) AS norm_text
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Quality-decile labeling on the ns29 score: exact global ntile(10)
+    * computed bucketed (no single-task global sort), gated against
+    * DuckDB's ntile window — the oracle states the naive global
+    * window, the engine proves the decomposition.
+    */
+  val ns33Ntile: Q = (s, dir) =>
+    Corpus.ntileByScore(
+      Corpus.unigramLogProb(Tables.documents(s, dir)),
+      "lm_score", "doc_id", tiles = 10)
+      .select(col("doc_id"), col("lm_score"), col("tile"))
+      .orderBy(col("doc_id"))
+
+  val ns33NtileSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, ${duckHash60("term")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |), dt AS (
+       |  SELECT doc_id, h, count(*) AS k FROM th GROUP BY 1, 2
+       |), freq AS (
+       |  SELECT h, sum(k)::BIGINT AS cnt FROM dt GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cnt)::DOUBLE AS total FROM freq
+       |), scored AS (
+       |  SELECT doc_id,
+       |    round(sum(k * ln(cnt::DOUBLE / total)) / sum(k)::DOUBLE, 6)
+       |      AS lm_score
+       |  FROM dt JOIN freq USING (h) CROSS JOIN tot GROUP BY doc_id
+       |)
+       |SELECT doc_id, lm_score,
+       |  ntile(10) OVER (ORDER BY lm_score DESC,
+       |    ${duckHash60("doc_id::VARCHAR")}, doc_id)::INT AS tile
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: top-200 terms by document frequency (the
     * tokenizer-training / stopword-induction input). TakeOrdered
     * top-k, full (df, total, term) tiebreak, re-sorted by term for the
@@ -1061,6 +1095,7 @@ object MlQueries {
     "ns30_contamination_bloom" -> ns30ContaminationBloom,
     "ns31_budget_select" -> ns31BudgetSelect,
     "ns32_normalize" -> ns32Normalize,
+    "ns33_ntile" -> ns33Ntile,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1095,5 +1130,6 @@ object MlQueries {
     "ns30_contamination_bloom" -> ns23ContaminationSql,
     "ns31_budget_select" -> ns31BudgetSelectSql,
     "ns32_normalize" -> ns32NormalizeSql,
+    "ns33_ntile" -> ns33NtileSql,
   )
 }

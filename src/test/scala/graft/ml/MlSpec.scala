@@ -566,6 +566,30 @@ class MlSpec extends SparkSpec {
       === naive(flat, 3000L))
   }
 
+  test("ntileByScore (bucketed) equals the naive global ntile window " +
+      "bit-for-bit, on real scores, all-equal scores, and N < tiles") {
+    import org.apache.spark.sql.expressions.Window
+    def naive(scored: org.apache.spark.sql.DataFrame, n: Int) = {
+      val w = Window.orderBy(col("lm_score").desc,
+        HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
+      scored.withColumn("tile", ntile(n).over(w))
+        .select("doc_id", "tile")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    }
+    def bucketed(scored: org.apache.spark.sql.DataFrame, n: Int) =
+      Corpus.ntileByScore(scored, "lm_score", "doc_id", n)
+        .select("doc_id", "tile")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val scored = Corpus.unigramLogProb(docs)
+    assert(bucketed(scored, 10) === naive(scored, 10))
+    // uneven remainder split (500 % 7 != 0) exercises both tile sizes
+    assert(bucketed(scored, 7) === naive(scored, 7))
+    val flat = scored.withColumn("lm_score", lit(1.0))
+    assert(bucketed(flat, 10) === naive(flat, 10))
+    val tiny = scored.limit(3)
+    assert(bucketed(tiny, 10) === naive(tiny, 10))
+  }
+
   test("unigramLogProb: uniform-frequency corpus scores exactly " +
       "-ln(vocabSize) for every doc; rarer-token docs score lower") {
     import spark.implicits._
