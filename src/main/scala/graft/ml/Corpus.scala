@@ -64,8 +64,13 @@ object Corpus {
     * The bitset stays m/8 bytes regardless of element count; shipped
     * as a plan literal it prefilters map-side, so only candidate
     * grams (true hits + the ~(1-e^{-kn/m})^k false-positive sliver)
-    * ever shuffle. The denominator count rides the same scan — one
-    * pass, map-side combined on doc_id.
+    * ever shuffle. The denominator count is a SECOND map-only pass
+    * over the shingle stage (the raw-text exchange is reused; the
+    * explode+hash computes per branch) — deliberately so: the
+    * alternative single-pass form left-joins EVERY gram against the
+    * eval set, which in the beyond-broadcast regime this operator
+    * exists for means shuffling the whole corpus's gram stream. Two
+    * columnar scans beat one corpus-wide shuffle at 100 TB.
     *
     * The bitset build collects mBits/8 bytes to the driver — a
     * BOUNDED driver action (128 KiB at the default 2^20), independent

@@ -84,4 +84,20 @@ class PlanGuardSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("ns29/ns31: the per-doc term count and the corpus frequency " +
+      "table share ONE tokenize exchange (ReusedExchange), so the " +
+      "expensive explode+hash scan runs once") {
+    // exchange reuse is an AQE runtime decision — execute the plan
+    // (Plans.scala's own-QueryExecution rule), THEN read it
+    val qe = run("ns29_lm_score").queryExecution
+    qe.executedPlan.execute().count()
+    val plan = qe.executedPlan.toString
+    // (the executed-plan string re-prints materialized stage subtrees,
+    // so node-count checks are meaningless — the reuse marker is the
+    // guard: with it present the tokenize stage materialized once)
+    assert(plan.contains("ReusedExchange"),
+      "freq branch must reuse the groupBy(doc_id, h) exchange:\n" +
+        plan.take(1500))
+  }
 }
