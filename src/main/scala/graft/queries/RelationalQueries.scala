@@ -1152,6 +1152,31 @@ object RelationalQueries {
       |      AS DOUBLE) / count(value) END AS agg_avg
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Arbitrary GROUPING SETS (the general form of q15's rollup / q16's
+    * cube, gated separately because user-chosen set lists are the
+    * common reporting shape): per (flag, status), per flag, and grand
+    * total in ONE pass — Spark expands the sets with a single Expand
+    * node feeding one aggregation, not one scan per set.
+    */
+  val q70GroupingSets: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q70GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** q66's COUNT DISTINCT sibling: distinct users per event_type
     * maintained incrementally as mergeable HLL sketches
     * (IncrementalAgg.distinctPartial/Merge/Finish — fixed bytes per
@@ -1932,6 +1957,7 @@ object RelationalQueries {
     "q67_winsorize" -> q67Winsorize,
     "q68_interval_join" -> q68IntervalJoin,
     "q69_hll_incremental" -> q69HllIncremental,
+    "q70_grouping_sets" -> q70GroupingSets,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2007,5 +2033,6 @@ object RelationalQueries {
     "q66_incremental_agg" -> q66IncrementalAggSql,
     "q67_winsorize" -> q67WinsorizeSql,
     "q68_interval_join" -> q68IntervalJoinSql,
+    "q70_grouping_sets" -> q70GroupingSetsSql,
   )
 }
