@@ -1177,6 +1177,54 @@ object RelationalQueries {
       |  (l_returnflag), ())
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Time-series gap fill / daily resampling: every (user, day) cell
+    * over the corpus's date span gets a row, zero-filled where no
+    * events landed — the series regularization every downstream
+    * rolling-window or forecasting step assumes. Shape: the dense
+    * calendar is a per-user `sequence(d0, d1)` explode off a one-row
+    * broadcast bounds aggregate (dimension GENERATION, not a stored
+    * calendar table), and the sparse daily aggregate left-joins onto
+    * it by (user, day) — one shuffle each side, no driver loop.
+    */
+  val q71GapFill: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val bounds = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val days = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_raw"),
+        round(sum(col("value")), 2).as("sv_raw"))
+    days.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        coalesce(col("sv_raw"), lit(0.0)).as("sum_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q71GapFillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts::DATE AS day, value FROM events
+      |  WHERE user_id IS NOT NULL
+      |), b AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM ev
+      |), days AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT DISTINCT user_id FROM ev), b
+      |), daily AS (
+      |  SELECT user_id, day, count(*) AS n_raw,
+      |    round(sum(value), 2) AS sv_raw
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT d.user_id, d.day,
+      |  coalesce(n_raw, 0) AS n, coalesce(sv_raw, 0) AS sum_value
+      |FROM days d LEFT JOIN daily USING (user_id, day)
+      |ORDER BY d.user_id, d.day""".stripMargin
+
   /** q66's COUNT DISTINCT sibling: distinct users per event_type
     * maintained incrementally as mergeable HLL sketches
     * (IncrementalAgg.distinctPartial/Merge/Finish — fixed bytes per
@@ -1958,6 +2006,7 @@ object RelationalQueries {
     "q68_interval_join" -> q68IntervalJoin,
     "q69_hll_incremental" -> q69HllIncremental,
     "q70_grouping_sets" -> q70GroupingSets,
+    "q71_gap_fill" -> q71GapFill,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2034,5 +2083,6 @@ object RelationalQueries {
     "q67_winsorize" -> q67WinsorizeSql,
     "q68_interval_join" -> q68IntervalJoinSql,
     "q70_grouping_sets" -> q70GroupingSetsSql,
+    "q71_gap_fill" -> q71GapFillSql,
   )
 }
