@@ -1225,6 +1225,50 @@ object RelationalQueries {
       |FROM days d LEFT JOIN daily USING (user_id, day)
       |ORDER BY d.user_id, d.day""".stripMargin
 
+  /** Forward fill (last observation carried forward) over the q71
+    * dense series: gap days inherit the user's most recent observed
+    * daily sum — the standard imputation before rolling statistics.
+    * `last(_, ignoreNulls).over(rows unbounded preceding)` partitions
+    * on user_id (high-cardinality — the safe window axis; the frame
+    * is RUNNING, so Spark evaluates it in one pass without
+    * re-scanning the partition per row).
+    */
+  val q72Locf: Q = (s, dir) => {
+    val dense = q71GapFill(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .withColumn("obs", when(col("n") > 0, col("sum_value")))
+      .withColumn("sum_value_ff",
+        coalesce(last(col("obs"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("user_id"), col("day"), col("n"), col("sum_value_ff"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q72LocfSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts::DATE AS day, value FROM events
+      |  WHERE user_id IS NOT NULL
+      |), b AS (
+      |  SELECT min(day) AS d0, max(day) AS d1 FROM ev
+      |), days AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT DISTINCT user_id FROM ev), b
+      |), daily AS (
+      |  SELECT user_id, day, count(*) AS n_raw,
+      |    round(sum(value), 2) AS sv_raw
+      |  FROM ev GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT d.user_id, d.day, coalesce(n_raw, 0) AS n, sv_raw
+      |  FROM days d LEFT JOIN daily USING (user_id, day)
+      |)
+      |SELECT user_id, day, n,
+      |  coalesce(last_value(sv_raw IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING), 0) AS sum_value_ff
+      |FROM dense ORDER BY user_id, day""".stripMargin
+
   /** q66's COUNT DISTINCT sibling: distinct users per event_type
     * maintained incrementally as mergeable HLL sketches
     * (IncrementalAgg.distinctPartial/Merge/Finish — fixed bytes per
@@ -2007,6 +2051,7 @@ object RelationalQueries {
     "q69_hll_incremental" -> q69HllIncremental,
     "q70_grouping_sets" -> q70GroupingSets,
     "q71_gap_fill" -> q71GapFill,
+    "q72_locf" -> q72Locf,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2084,5 +2129,6 @@ object RelationalQueries {
     "q68_interval_join" -> q68IntervalJoinSql,
     "q70_grouping_sets" -> q70GroupingSetsSql,
     "q71_gap_fill" -> q71GapFillSql,
+    "q72_locf" -> q72LocfSql,
   )
 }
