@@ -490,6 +490,36 @@ class MlSpec extends SparkSpec {
     assert(bloomed === exact)
   }
 
+  test("bloom prefilter cuts the refine join's input, measured: " +
+      "candidate grams are a small fraction of all grams") {
+    import graft.functions.BloomFilter
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val (mBits, k) = (1 << 20, 4)
+    val evalHashes = eval
+      .select(explode(HashUtils.wordShingles(col("text"), 4)).as("s"))
+      .select(HashUtils.hash60(col("s")).as("h")).distinct()
+    val bloom = evalHashes.select(col("h"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .select(new graft.functions.BloomFilterBuilder(mBits, k).toColumn)
+      .head()
+    val t = train
+      .select(col("doc_id"),
+        explode(HashUtils.wordShingles(col("text"), 4)).as("s"))
+      .select(HashUtils.hash60(col("s")).as("h"))
+    val total = t.count()
+    val candidates = t
+      .filter(BloomFilter.mightContain(bloom, col("h"), k, mBits))
+      .count()
+    val trueHits = t.join(evalHashes, Seq("h")).count()
+    // every true hit survives (no false negatives) ...
+    assert(candidates >= trueHits)
+    // ... and the shuffle-bound candidate set is a fraction of the
+    // corpus gram stream — the measured point of the operator
+    assert(candidates < total / 2,
+      s"prefilter kept $candidates of $total grams — no reduction")
+  }
+
   test("contaminationBloom stays exact even at a deliberately tiny, " +
       "collision-heavy bitset (false positives only add candidates)") {
     val train = docs.filter(col("doc_id") % 97 =!= 0)
@@ -588,6 +618,38 @@ class MlSpec extends SparkSpec {
     assert(bucketed(flat, 10) === naive(flat, 10))
     val tiny = scored.limit(3)
     assert(bucketed(tiny, 10) === naive(tiny, 10))
+  }
+
+  test("budgetSelect and ntileByScore property: random scores with " +
+      "heavy duplicates and negatives still match the naive windows") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    // few distinct score values → many cross-row ties, negative and
+    // positive, exercising the tiebreak across bucket boundaries
+    val scored = (1L to 400L).map { id =>
+      (id, rnd.nextInt(7) - 3.0, 1L + rnd.nextInt(50))
+    }.toDF("doc_id", "lm_score", "n_tokens")
+    val ord = Window.orderBy(col("lm_score").desc,
+      HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
+    val naivePrefix = scored
+      .withColumn("cum_cost", sum(col("n_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_cost") <= 3000)
+      .select("doc_id", "cum_cost")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPrefix = Corpus.budgetSelect(scored, "lm_score", "n_tokens",
+      "doc_id", 3000L)
+      .select("doc_id", "cum_cost")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPrefix === naivePrefix && gotPrefix.nonEmpty)
+    val naiveTiles = scored.withColumn("tile", ntile(9).over(ord))
+      .select("doc_id", "tile")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val gotTiles = Corpus.ntileByScore(scored, "lm_score", "doc_id", 9)
+      .select("doc_id", "tile")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(gotTiles === naiveTiles)
   }
 
   test("unigramLogProb: uniform-frequency corpus scores exactly " +

@@ -75,6 +75,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSet === Set((1L, 10L), (1L, 11L), (2L, 12L)))
   }
 
+  test("intervalJoin property: random intervals at several bucket " +
+      "widths always equal the brute-force overlap join") {
+    val rnd = new scala.util.Random(20260813L)
+    val left = (1L to 120L).map { id =>
+      val s = rnd.nextInt(1000).toLong
+      (id, s, s + rnd.nextInt(80))
+    }.toDF("lid", "ls", "le")
+    val right = (1000L to 1100L).map { id =>
+      val s = rnd.nextInt(1000).toLong
+      (id, s, s + rnd.nextInt(80))
+    }.toDF("rid", "rs", "re")
+    val brute = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    // widths far below, near, and far above the interval lengths —
+    // replication factor and bucket occupancy differ wildly; results
+    // must not
+    for (w <- Seq(7.0, 80.0, 500.0)) {
+      val got = RangeJoin.intervalJoin(left, col("ls"), col("le"),
+        right, col("rs"), col("re"), w)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"dupes at width $w")
+      assert(got.toSet === brute, s"mismatch at width $w")
+    }
+  }
+
   test("intervalJoin on testdata matches the quadratic overlap join " +
       "(the q68 configuration)") {
     val dir = "/root/testdata/sf0.01"
