@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.IncrementalAgg
+
+/** Streaming materialized-view maintenance — [[IncrementalAgg]] driven
+  * by a stream: each micro-batch's partial aggregate merges into a
+  * stored per-key state table, so the "view" (sum/count/min/max/avg
+  * per key) is always one cheap [[IncrementalAgg.finish]] read away
+  * and each trigger costs O(delta + |keys|), never a history rescan.
+  * This is the live form of the q66 algebra, and the operational
+  * answer to the reference's recompute-on-every-sync reporting loop.
+  *
+  * Exactly-once state, from two pieces:
+  *
+  *  - **Atomic-enough swap**: the merged state writes to a temp dir
+  *    (forcing the read of the old state BEFORE anything moves), the
+  *    batch marker is written INSIDE it, and the swap is
+  *    live→bak, tmp→live, drop bak. A crash mid-swap leaves bak;
+  *    [[readState]] restores it. Marker and data travel together, so
+  *    no crash window can commit one without the other.
+  *  - **Replay/reset discipline**: additive aggregates DOUBLE-COUNT if
+  *    a replayed batch merges twice, so the marker records (batchId,
+  *    content fingerprint). Same id + same fingerprint → genuine
+  *    foreachBatch replay, skipped. Same id + different content, or a
+  *    batchId going BACKWARD → a checkpoint reset recycled ids over a
+  *    live state; merging would silently corrupt the counts, so it
+  *    fails loudly (the [[CorpusIngest]] reset rule: point a reset
+  *    stream at a fresh statePath).
+  *
+  * Scale: the state table is |keys| rows (aggregated), the delta is
+  * one map-side-combined aggregation of the trigger's rows, and the
+  * merge shuffles only those two aggregated frames.
+  */
+object StreamingAgg {
+
+  private val MarkerName = "_GRAFT_LAST_BATCH"
+
+  /** Content fingerprint over the batch's key/value columns —
+    * StreamingNearDup.batchSig's xor-of-row-hashes form, on this
+    * operator's columns.
+    */
+  def batchSig(batch: DataFrame, keys: Seq[String],
+      valueCol: String): Long = {
+    val cols = (keys :+ valueCol).map(c => s"`$c`").mkString(", ")
+    val r = batch
+      .agg(coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("x"),
+        count(lit(1)).as("n")).head()
+    r.getLong(0) * 31L + r.getLong(1)
+  }
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def live(statePath: String) = new Path(statePath, "state")
+  private def bak(statePath: String) = new Path(statePath, "state_bak")
+
+  /** Current state (recovering a mid-swap crash if one is on disk);
+    * None before the first committed batch.
+    */
+  def readState(spark: SparkSession, statePath: String)
+      : Option[DataFrame] = {
+    val l = live(statePath)
+    val f = fs(spark, l)
+    if (!f.exists(l) && f.exists(bak(statePath))) {
+      // crash between live→bak and tmp→live: bak IS the last
+      // committed generation — restore it
+      f.rename(bak(statePath), l)
+    }
+    if (f.exists(l)) Some(spark.read.parquet(l.toString)) else None
+  }
+
+  /** The maintained view: per-key finished aggregates. */
+  def read(spark: SparkSession, statePath: String): Option[DataFrame] =
+    readState(spark, statePath).map(IncrementalAgg.finish)
+
+  private def lastMarker(spark: SparkSession, statePath: String)
+      : Option[(Long, Long)] = {
+    val l = live(statePath)
+    graft.sources.Markers.read(fs(spark, l), new Path(l, MarkerName))
+      .map { s =>
+        val Array(id, sig) = s.split(':')
+        (id.toLong, sig.toLong)
+      }
+  }
+
+  /** Pure per-batch body (testable without a streaming runtime). */
+  def mergeBatch(batch: DataFrame, batchId: Long, statePath: String,
+      keys: Seq[String], valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    val sig = batchSig(batch, keys, valueCol)
+    lastMarker(spark, statePath) match {
+      case Some((lastId, lastSig)) if batchId == lastId && sig == lastSig =>
+        return // genuine replay of the committed batch — absorbed
+      case Some((lastId, _)) if batchId <= lastId =>
+        throw new IllegalStateException(
+          s"state $statePath is at batch $lastId but batch $batchId " +
+            "arrived with different content: a checkpoint reset recycled " +
+            "batch ids over live aggregate state — merging would " +
+            "double-count; point the stream at a fresh statePath")
+      case _ => ()
+    }
+    val delta = IncrementalAgg.partial(batch, keys, valueCol)
+    val merged = readState(spark, statePath) match {
+      case Some(state) => IncrementalAgg.merge(state, delta)
+      case None        => delta
+    }
+    val l = live(statePath)
+    val f = fs(spark, l)
+    val tmp = new Path(statePath, s"state_tmp_$batchId")
+    // writing tmp EXECUTES the merge — the old state is fully read
+    // before any path moves
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    graft.sources.Markers.write(f, new Path(tmp, MarkerName), s"$batchId:$sig")
+    if (f.exists(bak(statePath))) f.delete(bak(statePath), true)
+    if (f.exists(l)) require(f.rename(l, bak(statePath)),
+      s"could not stage $l aside")
+    require(f.rename(tmp, l), s"could not commit $tmp to $l")
+    f.delete(bak(statePath), true)
+    ()
+  }
+
+  /** Wire the stream. */
+  def start(events: DataFrame, statePath: String, checkpoint: String,
+      keys: Seq[String], valueCol: String): StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId, statePath, keys, valueCol)
+      }
+      .start()
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.IncrementalAgg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming materialized-view maintenance: per-batch merges must
+  * equal a one-shot aggregation of everything ingested, replays must
+  * be absorbed (no double counting), and checkpoint resets over live
+  * state must fail loudly.
+  */
+class StreamingAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def viewOf(statePath: String) =
+    StreamingAgg.read(spark, statePath).get
+      .select("k", "agg_sum", "agg_cnt", "agg_min", "agg_max")
+      .as[(String, Double, Long, Option[Double], Option[Double])]
+      .collect().toSet
+
+  test("streamed merges equal the one-shot aggregation of all batches") {
+    val statePath = tmp("graft_stream_agg")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingAgg.start(in.toDF().toDF("k", "v"),
+      statePath, tmp("graft_stream_agg_ckpt"), Seq("k"), "v")
+    try {
+      in.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      in.addData(("a", 3.0), ("c", 4.0))
+      q.processAllAvailable()
+      in.addData(("b", -1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = IncrementalAgg.finish(IncrementalAgg.partial(
+      Seq(("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", 4.0), ("b", -1.0))
+        .toDF("k", "v"), Seq("k"), "v"))
+      .select("k", "agg_sum", "agg_cnt", "agg_min", "agg_max")
+      .as[(String, Double, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(viewOf(statePath) === oneShot)
+  }
+
+  test("a replayed batch (same id, same content) is absorbed — no " +
+      "double counting; a recycled id (different content) fails loudly") {
+    val statePath = tmp("graft_agg_replay")
+    val b0 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val b1 = Seq(("a", 10.0)).toDF("k", "v")
+    StreamingAgg.mergeBatch(b0, 0L, statePath, Seq("k"), "v")
+    StreamingAgg.mergeBatch(b1, 1L, statePath, Seq("k"), "v")
+    val before = viewOf(statePath)
+    // crash-after-commit replay: foreachBatch re-runs the last batch
+    StreamingAgg.mergeBatch(b1, 1L, statePath, Seq("k"), "v")
+    assert(viewOf(statePath) === before, "replay must not double-count")
+    // checkpoint reset: id 0 comes around again with different rows
+    val recycled = Seq(("z", 9.0)).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      StreamingAgg.mergeBatch(recycled, 0L, statePath, Seq("k"), "v")
+    }
+    assert(e.getMessage.contains("checkpoint reset"))
+    assert(viewOf(statePath) === before, "failed merge must not mutate")
+  }
+
+  test("a mid-swap crash leaves a recoverable state (bak restored on " +
+      "next read)") {
+    val statePath = tmp("graft_agg_crash")
+    StreamingAgg.mergeBatch(Seq(("a", 1.0)).toDF("k", "v"),
+      0L, statePath, Seq("k"), "v")
+    val before = viewOf(statePath)
+    // simulate the crash window between live→bak and tmp→live
+    val live = new org.apache.hadoop.fs.Path(statePath, "state")
+    val bak = new org.apache.hadoop.fs.Path(statePath, "state_bak")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(live, bak))
+    assert(viewOf(statePath) === before,
+      "read must restore the staged-aside generation")
+    // and the restored state keeps merging normally
+    StreamingAgg.mergeBatch(Seq(("a", 2.0)).toDF("k", "v"),
+      1L, statePath, Seq("k"), "v")
+    assert(viewOf(statePath).exists {
+      case ("a", sum, cnt, _, _) => sum == 3.0 && cnt == 2L
+      case _ => false
+    })
+  }
+}
