@@ -88,11 +88,15 @@ object StreamingAgg {
       }
   }
 
-  /** Pure per-batch body (testable without a streaming runtime). */
-  def mergeBatch(batch: DataFrame, batchId: Long, statePath: String,
-      keys: Seq[String], valueCol: String): Unit = {
+  /** Shared per-batch commit core: replay/reset discipline + the
+    * atomic state swap, parameterized over the mergeable algebra
+    * (sum/count/min/max state and HLL distinct state both ride it).
+    */
+  private def commitBatch(batch: DataFrame, batchId: Long,
+      statePath: String, sig: Long,
+      partialFn: DataFrame => DataFrame,
+      mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val sig = batchSig(batch, keys, valueCol)
     lastMarker(spark, statePath) match {
       case Some((lastId, lastSig)) if batchId == lastId && sig == lastSig =>
         return // genuine replay of the committed batch — absorbed
@@ -104,9 +108,9 @@ object StreamingAgg {
             "double-count; point the stream at a fresh statePath")
       case _ => ()
     }
-    val delta = IncrementalAgg.partial(batch, keys, valueCol)
+    val delta = partialFn(batch)
     val merged = readState(spark, statePath) match {
-      case Some(state) => IncrementalAgg.merge(state, delta)
+      case Some(state) => mergeFn(state, delta)
       case None        => delta
     }
     val l = live(statePath)
@@ -123,6 +127,30 @@ object StreamingAgg {
     f.delete(bak(statePath), true)
     ()
   }
+
+  /** Pure per-batch body (testable without a streaming runtime). */
+  def mergeBatch(batch: DataFrame, batchId: Long, statePath: String,
+      keys: Seq[String], valueCol: String): Unit =
+    commitBatch(batch, batchId, statePath,
+      batchSig(batch, keys, valueCol),
+      b => IncrementalAgg.partial(b, keys, valueCol),
+      (s, d) => IncrementalAgg.merge(s, d))
+
+  /** COUNT DISTINCT sibling: HLL sketch state per key (the q69
+    * algebra, streamed). Same commit discipline; the stored column is
+    * the binary sketch, estimates come from [[readDistinct]].
+    */
+  def mergeBatchDistinct(batch: DataFrame, batchId: Long,
+      statePath: String, keys: Seq[String], valueCol: String): Unit =
+    commitBatch(batch, batchId, statePath,
+      batchSig(batch, keys, valueCol),
+      b => IncrementalAgg.distinctPartial(b, keys, valueCol),
+      (s, d) => IncrementalAgg.distinctMerge(s, d))
+
+  /** The maintained distinct-count view. */
+  def readDistinct(spark: SparkSession, statePath: String)
+      : Option[DataFrame] =
+    readState(spark, statePath).map(IncrementalAgg.distinctFinish)
 
   /** Wire the stream. */
   def start(events: DataFrame, statePath: String, checkpoint: String,

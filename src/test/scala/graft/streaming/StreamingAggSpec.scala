@@ -67,6 +67,28 @@ class StreamingAggSpec extends SparkSpec {
     assert(viewOf(statePath) === before, "failed merge must not mutate")
   }
 
+  test("streamed HLL distinct state: batch merges equal the one-shot " +
+      "sketch and the replay guard holds") {
+    val statePath = tmp("graft_agg_hll")
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "u")
+    val b1 = Seq(("a", 2L), ("a", 3L)).toDF("k", "u")
+    StreamingAgg.mergeBatchDistinct(b0, 0L, statePath, Seq("k"), "u")
+    StreamingAgg.mergeBatchDistinct(b1, 1L, statePath, Seq("k"), "u")
+    def estimates = StreamingAgg.readDistinct(spark, statePath).get
+      .select(col("k"), col("est_distinct"))
+      .as[(String, Long)].collect().toMap
+    val oneShot = IncrementalAgg.distinctFinish(
+      IncrementalAgg.distinctPartial(b0.unionByName(b1), Seq("k"), "u"))
+      .select(col("k"), col("est_distinct"))
+      .as[(String, Long)].collect().toMap
+    assert(estimates === oneShot)
+    assert(estimates === Map("a" -> 3L, "b" -> 1L),
+      "tiny exact-regime sketches must be exact")
+    val before = estimates
+    StreamingAgg.mergeBatchDistinct(b1, 1L, statePath, Seq("k"), "u")
+    assert(estimates === before, "replay must not inflate the sketch")
+  }
+
   test("a mid-swap crash leaves a recoverable state (bak restored on " +
       "next read)") {
     val statePath = tmp("graft_agg_crash")
