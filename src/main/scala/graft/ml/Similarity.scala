@@ -439,4 +439,51 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
+
+  /** Persist the IVF index: vectors + norms written ONCE, partitioned
+    * by cell directory. Every in-memory IVF variant above recomputes
+    * the assignment per query run — fine for batch self-joins, wrong
+    * for serving: at 100 TB the index build is the expensive pass and
+    * queries arrive later and smaller. The `cell=<id>/` layout makes
+    * each probe a PARTITION-PRUNED read — a probes-cells query lists
+    * and decodes only those directories, never the corpus.
+    */
+  def writeIvfIndex(embeddings: DataFrame, cents: DataFrame,
+      path: String): Unit =
+    assignCells(embeddings, cents)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Query a persisted index: rank each query's `probes` nearest
+    * cells, then scan ONLY those `cell=` directories (the probed cell
+    * list — ≤ |queries|·probes entries, the bounded driver action of
+    * the serving path — becomes a static `isin` partition filter;
+    * IvfIndexSpec asserts the scan lists a fraction of the
+    * directories). For corpus-sized query batches skip the collect
+    * and equi-join on cell instead — the directories stop mattering
+    * once every cell is probed anyway.
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, cents: DataFrame, k: Int,
+      probes: Int): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val qr = assignRanked(withNorm(queries), cents, probes)
+      .select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na"), col("cell"))
+    val cells = qr.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(x => x: Any): _*))
+      // directory-name type inference reads `cell=5` back as int —
+      // re-widen so the join key matches the assignment's long
+      .select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb"), col("cell").cast("long").as("cell"))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
 }

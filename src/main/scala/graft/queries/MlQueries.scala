@@ -315,6 +315,29 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  private val ivfIndexWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The SERVED form of ns8c: the IVF index persisted once as a
+    * cell-partitioned parquet table (idempotent per (sf, session) like
+    * q63's z-table), then queried through the partition-pruned read
+    * path — proving index persistence + probe pruning end-to-end
+    * through the driver gate. Same seed centroids/k/probes as ns8c,
+    * so any divergence between the in-memory and served paths fails
+    * the rows gate; MlSpec hash-equates them and measures the pruning.
+    */
+  val ns8dSimIvfServed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index")
+    if (ivfIndexWritten.add(path))
+      Similarity.writeIvfIndex(emb, cents, path)
+    Similarity.withRecall(
+      Similarity.queryIvfIndex(s, path, emb, cents, k = 5, probes = 3),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** Random-hyperplane LSH ANN — approximate, no ANSI oracle; recall
     * in-result like ns8 (sampled reference, same linear-shaped-gate
     * rationale), floor asserted in MlSpec.
@@ -1070,6 +1093,7 @@ object MlQueries {
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
+    "ns8d_sim_ivf_served" -> ns8dSimIvfServed,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,

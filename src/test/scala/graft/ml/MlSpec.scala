@@ -424,6 +424,44 @@ class MlSpec extends SparkSpec {
     assert(r3 > r1, s"multi-probe recall $r3 not above single-probe $r1")
   }
 
+  test("persisted IVF index: querying the written index equals the " +
+      "in-memory multi-probe, and a probe reads a fraction of the " +
+      "cell directories (partition pruning, measured)") {
+    import graft.meta.PlanIntrospection.fileScanMetrics
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString + "/idx"
+    val cents = Similarity.seedCentroids(embs, 16)
+    Similarity.writeIvfIndex(embs, cents, path)
+    // whole-corpus queries: identical to the in-memory operator
+    val served = Similarity.queryIvfIndex(spark, path, embs, cents,
+      k = 5, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inMem = Similarity.ivfTopKMultiProbe(embs, cents, k = 5, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served === inMem && served.nonEmpty)
+    // single served query (built in memory so the ONLY file scan in
+    // the plan is the index read): listed files must be the probed
+    // cells' directories, not the corpus
+    val (totalFiles, totalRows) =
+      fileScanMetrics(spark.read.parquet(path))
+    val oneQuery = embs.limit(1).collect()(0)
+    val qdf = Seq((oneQuery.getLong(0), oneQuery.getSeq[Float](1).toArray))
+      .toDF("vec_id", "embedding")
+    // centroids as a LocalRelation so the probe plan's ONLY file scan
+    // is the index read (cents derives from the embeddings parquet)
+    val centsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val probe = Similarity.queryIvfIndex(spark, path, qdf, centsLocal,
+      k = 5, probes = 3)
+    val (probeFiles, probeRows) = fileScanMetrics(probe)
+    assert(probeFiles < totalFiles,
+      s"probe listed $probeFiles of $totalFiles index files — no pruning")
+    assert(probeFiles <= 3 * (totalFiles / 16 + 1),
+      s"probe listed $probeFiles files for 3 of 16 cells")
+    assert(probeRows < totalRows)
+  }
+
   test("resize keeps every stride-th byte and halves the payload") {
     import spark.implicits._
     val m = Seq((1L, "image", Array[Byte](10, 20, 30, 40, 50), "s", 5L))
