@@ -370,9 +370,22 @@ object Dedup {
     require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
     // The signature is an aggregate output (materialization boundary),
     // so it rides along through the band join for free; the hamming
-    // filter runs inside the join, before the distinct, leaving only
-    // true pairs (plus cross-band duplicates) for the dedup.
+    // filter runs inside the join, leaving only true pairs.
     val banded = simhashBands(sh, nb)
+    // A pair collides in EVERY band where its signatures agree, so a
+    // naive emit needs a distinct() — one more full shuffle of the
+    // pair set. But which bands agree is a pure function of
+    // sig_i ^ sig_j, already in the row: keep the pair only in its
+    // FIRST agreeing band (a matched row's own band agrees, so the
+    // canonical band always exists) — exactly-once emission with a
+    // row-local filter, no dedup exchange at all.
+    val firstAgree = (0 until nb).reverse
+      .foldLeft(lit(-1)) { (acc, b) =>
+        val lo = 60 * b / nb
+        val hi = 60 * (b + 1) / nb
+        when(expr(s"(shiftright(sig_i ^ sig_j, $lo) % ${1L << (hi - lo)})")
+          === 0, lit(b)).otherwise(acc)
+      }
     banded
       .select(col("doc_id").as("i"), col("simhash").as("sig_i"),
         col("band"), col("band_bits"))
@@ -383,6 +396,7 @@ object Dedup {
       .filter(col("i") < col("j"))
       .withColumn("hamming", bit_count(expr("sig_i ^ sig_j")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("i"), col("j"), col("hamming")).distinct()
+      .filter(col("band") === firstAgree)
+      .select(col("i"), col("j"), col("hamming"))
   }
 }
