@@ -379,13 +379,7 @@ object Dedup {
     // FIRST agreeing band (a matched row's own band agrees, so the
     // canonical band always exists) — exactly-once emission with a
     // row-local filter, no dedup exchange at all.
-    val firstAgree = (0 until nb).reverse
-      .foldLeft(lit(-1)) { (acc, b) =>
-        val lo = 60 * b / nb
-        val hi = 60 * (b + 1) / nb
-        when(expr(s"(shiftright(sig_i ^ sig_j, $lo) % ${1L << (hi - lo)})")
-          === 0, lit(b)).otherwise(acc)
-      }
+    val firstAgree = firstAgreeingBand("sig_i", "sig_j", nb)
     banded
       .select(col("doc_id").as("i"), col("simhash").as("sig_i"),
         col("band"), col("band_bits"))
@@ -398,5 +392,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .filter(col("band") === firstAgree)
       .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** Index of the first band (per [[simhashBands]]' ranges) on which
+    * two signatures agree — row-local canonical-band selection shared
+    * by the batch and incremental pair finders.
+    */
+  private def firstAgreeingBand(lSig: String, rSig: String,
+      nb: Int): org.apache.spark.sql.Column =
+    (0 until nb).reverse.foldLeft(lit(-1)) { (acc, b) =>
+      val lo = 60 * b / nb
+      val hi = 60 * (b + 1) / nb
+      when(expr(s"(shiftright($lSig ^ $rSig, $lo) % ${1L << (hi - lo)})")
+        === 0, lit(b)).otherwise(acc)
+    }
+
+  /** Incremental near-dedup — dedup a NEW batch against the EXISTING
+    * corpus without re-pairing the corpus with itself: each new doc is
+    * flagged with its closest old near-duplicate (hamming ≤
+    * maxHamming; ties broken by smallest old doc_id). The realistic
+    * production shape: the corpus was deduped when built, so only
+    * new×old (and new×new, via [[simhashPairsFromSigs]]) pairs need
+    * finding — the old×old quadrant, at 100 TB overwhelmingly the
+    * largest, is never touched. Same pigeonhole banding, new-side
+    * band rows join old-side band rows only; canonical-band filter
+    * keeps emission exactly-once; the best-match pick is a window on
+    * the high-cardinality new-doc axis.
+    */
+  def simhashIncrement(newDocs: DataFrame, corpus: DataFrame,
+      maxHamming: Int, bands: Int = 0): DataFrame = {
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
+    val nB = simhashBands(simhash(newDocs), nb)
+      .select(col("doc_id"), col("simhash").as("sig_n"),
+        col("band"), col("band_bits"))
+    val oB = simhashBands(simhash(corpus), nb)
+      .select(col("doc_id").as("dup_of"), col("simhash").as("sig_o"),
+        col("band"), col("band_bits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("hamming"), col("dup_of"))
+    nB.join(oB, Seq("band", "band_bits"))
+      .withColumn("hamming", bit_count(expr("sig_n ^ sig_o")))
+      .filter(col("hamming") <= maxHamming)
+      .filter(col("band") === firstAgreeingBand("sig_n", "sig_o", nb))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("dup_of"), col("hamming"))
   }
 }

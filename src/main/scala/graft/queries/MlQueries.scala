@@ -179,6 +179,45 @@ object MlQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY i, j""".stripMargin
 
+  /** Incremental near-dedup: new docs (doc_id % 3 == 0) flagged with
+    * their closest near-duplicate in the existing corpus (the rest) —
+    * the production dedup shape that never re-pairs the corpus with
+    * itself. 65 cross-split pairs exist in the fixtures, so the gate
+    * is far from vacuous.
+    */
+  val ns34DedupIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.simhashIncrement(
+      newDocs = docs.filter(col("doc_id") % 3 === 0),
+      corpus = docs.filter(col("doc_id") % 3 =!= 0),
+      maxHamming = 6)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns34DedupIncrementalSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_sum([CASE WHEN len(list_filter(whashes, h -> (h >> j) & 1 = 1)) * 2
+       |        >= len(whashes) THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |      FOR j IN range(0, 60)])::BIGINT AS simhash
+       |  FROM (SELECT doc_id,
+       |      [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
+       |    FROM documents WHERE text IS NOT NULL)
+       |), pairs AS (
+       |  SELECT n.doc_id, o.doc_id AS dup_of,
+       |    bit_count(xor(n.simhash, o.simhash)) AS hamming
+       |  FROM sig n JOIN sig o
+       |    ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+       |  WHERE bit_count(xor(n.simhash, o.simhash)) <= 6
+       |), best AS (
+       |  SELECT doc_id, dup_of, hamming,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hamming, dup_of) AS rk
+       |  FROM pairs
+       |)
+       |SELECT doc_id, dup_of, hamming FROM best WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------- similarity
 
   val ns6EmbedNearDup: Q = (s, dir) =>
@@ -1120,6 +1159,7 @@ object MlQueries {
     "ns31_budget_select" -> ns31BudgetSelect,
     "ns32_normalize" -> ns32Normalize,
     "ns33_ntile" -> ns33Ntile,
+    "ns34_dedup_incremental" -> ns34DedupIncremental,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1155,5 +1195,6 @@ object MlQueries {
     "ns31_budget_select" -> ns31BudgetSelectSql,
     "ns32_normalize" -> ns32NormalizeSql,
     "ns33_ntile" -> ns33NtileSql,
+    "ns34_dedup_incremental" -> ns34DedupIncrementalSql,
   )
 }

@@ -484,6 +484,26 @@ class MlSpec extends SparkSpec {
     assert(frames === Seq(0L, 100L, 200L))
   }
 
+  test("simhashIncrement equals the cross-split slice of the full " +
+      "pair finder with the (hamming, old-id) argmin per new doc") {
+    val isNew = (id: Long) => id % 3 == 0
+    val full = Dedup.simhashPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (new, old, hamming) pairs from the symmetric full result
+    val cross = full.flatMap { case (i, j, h) =>
+      Seq((i, j, h), (j, i, h))
+    }.filter { case (n, o, _) => isNew(n) && !isNew(o) }
+    val expected = cross.groupBy(_._1).map { case (n, ps) =>
+      val best = ps.minBy(p => (p._3, p._2))
+      (n, best._2, best._3)
+    }.toSet
+    val got = Dedup.simhashIncrement(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty && got === expected)
+  }
+
   test("bloom filter: every inserted hash passes mightContain (no " +
       "false negatives), Column and JVM probe math agree, FP rate sane") {
     import spark.implicits._
