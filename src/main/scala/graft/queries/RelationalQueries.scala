@@ -1297,6 +1297,43 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Contribution analysis (percent-of-parent / percent-of-total):
+    * each (returnflag, linestatus) cell's revenue share within its
+    * returnflag and of the grand total. ONE aggregation pass produces
+    * the cells; the parent and total denominators are windows OVER
+    * THE AGGREGATE (a handful of rows), so no second scan of lineitem
+    * and no low-cardinality window ever touches raw data.
+    */
+  val q73Contribution: Q = (s, dir) => {
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice")).as("rev"))
+    val parent = Window.partitionBy(col("l_returnflag"))
+    val total = Window.partitionBy(lit(1))
+    cells
+      .withColumn("pct_of_flag",
+        round(col("rev") / sum(col("rev")).over(parent) * 100, 4))
+      .withColumn("pct_of_total",
+        round(col("rev") / sum(col("rev")).over(total) * 100, 4))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("rev"), 2).as("revenue"),
+        col("pct_of_flag"), col("pct_of_total"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q73ContributionSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    sum(l_extendedprice) AS rev
+      |  FROM lineitem GROUP BY 1, 2
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |  round(rev, 2) AS revenue,
+      |  round(rev / sum(rev) OVER (PARTITION BY l_returnflag) * 100, 4)
+      |    AS pct_of_flag,
+      |  round(rev / sum(rev) OVER () * 100, 4) AS pct_of_total
+      |FROM cells ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** Winsorized robust aggregates: per-group p05/p95 bounds, values
     * clamped into the band, then mean/sum — the standard
     * outlier-robust statistic for metrics with heavy tails. Two-pass
@@ -2052,6 +2089,7 @@ object RelationalQueries {
     "q70_grouping_sets" -> q70GroupingSets,
     "q71_gap_fill" -> q71GapFill,
     "q72_locf" -> q72Locf,
+    "q73_contribution" -> q73Contribution,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2130,5 +2168,6 @@ object RelationalQueries {
     "q70_grouping_sets" -> q70GroupingSetsSql,
     "q71_gap_fill" -> q71GapFillSql,
     "q72_locf" -> q72LocfSql,
+    "q73_contribution" -> q73ContributionSql,
   )
 }
