@@ -192,10 +192,18 @@ object Corpus {
     *
     * `targets` must hold `groupCols` + `n_target` and be
     * broadcast-small (one row per group). Returns `rows`' columns plus
-    * the 1-based `rk`, filtered to `rk <= n_target`.
+    * the 1-based `rk`, filtered to `rk <= n_target`. Null group values
+    * form their own stratum (the joins are null-safe), matching what a
+    * `row_number().over(partitionBy(group))` window — and the ns17
+    * oracle — does with NULL partitions.
     */
   def cappedHashRank(rows: DataFrame, idCol: String,
       groupCols: Seq[String], targets: DataFrame): DataFrame = {
+    val reserved = Seq("_h", "_bkt", "_off", "rk", "n_target", "_o_bkt") ++
+      groupCols.flatMap(c => Seq(s"_t_$c", s"_o_$c"))
+    val taken = rows.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"inputs may not use the reserved working names $taken")
     val h = HashUtils.hash60(col(idCol).cast("string"))
     val bucketed = rows.withColumn("_h", h)
       .withColumn("_bkt", shiftrightunsigned(col("_h"), 48))
@@ -210,15 +218,27 @@ object Corpus {
           lit(0L)))
       .select((groupCols :+ "_bkt" :+ "_off").map(col): _*)
     val rk = Window.partitionBy(gb: _*).orderBy(col("_h"), col(idCol))
+    // prefixed copies of the group columns on the broadcast sides so
+    // the join can be NULL-SAFE (<=>): a plain equi-join would silently
+    // drop every null-keyed stratum that groupBy/Window faithfully kept
+    val tgtR = groupCols.foldLeft(targets)(
+      (d, c) => d.withColumnRenamed(c, s"_t_$c"))
+    val offR = groupCols.foldLeft(offsets)(
+      (d, c) => d.withColumnRenamed(c, s"_o_$c"))
+      .withColumnRenamed("_bkt", "_o_bkt")
     bucketed
-      .join(broadcast(targets), groupCols)
-      .join(broadcast(offsets), groupCols :+ "_bkt")
+      .join(broadcast(tgtR),
+        groupCols.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _))
+      .join(broadcast(offR),
+        (groupCols.map(c => col(c) <=> col(s"_o_$c")) :+
+          (col("_bkt") === col("_o_bkt"))).reduce(_ && _))
       // a bucket whose offset already reaches the cap can contribute
       // nothing — drop it before the shuffle (map-only prune)
       .filter(col("_off") < col("n_target"))
       .withColumn("rk", row_number().over(rk) + col("_off"))
       .filter(col("rk") <= col("n_target"))
-      .drop("_h", "_bkt", "_off", "n_target")
+      .drop(Seq("_h", "_bkt", "_off", "n_target", "_o_bkt") ++
+        groupCols.flatMap(c => Seq(s"_t_$c", s"_o_$c")): _*)
   }
 
   /** Per-document average log-probability under the corpus's own
@@ -280,9 +300,18 @@ object Corpus {
     *
     * Returns the kept rows plus `cum_cost` (the running total through
     * each row).
+    *
+    * `costCol` must be NON-NEGATIVE: the map-side bucket prune assumes
+    * the cumulative cost is monotone along the selection order, which a
+    * negative cost breaks (a later row could re-enter the budget).
+    * Token counts — the intended cost — are non-negative by nature.
     */
   def budgetSelect(scored: DataFrame, scoreCol: String, costCol: String,
       idCol: String, budget: Long): DataFrame = {
+    val reserved = Seq("_mn", "_mx", "_w", "_bkt", "_h", "_off", "cum_cost")
+    val taken = scored.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"input may not use the reserved working names $taken")
     val nBuckets = 4096
     val stats = scored.agg(
       min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
@@ -311,9 +340,12 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, 0)
     bucketed
       .join(broadcast(offsets), Seq("_bkt"))
-      // a bucket whose offset alone exceeds the budget cannot
-      // contribute — drop it before the shuffle (map-only prune)
-      .filter(col("_off") < budget)
+      // a bucket whose offset alone EXCEEDS the budget cannot
+      // contribute — drop it before the shuffle (map-only prune).
+      // <= (not <): a zero-cost row in a bucket whose offset lands
+      // exactly on the budget has cum_cost == budget and must survive,
+      // matching the naive-window oracle at the boundary
+      .filter(col("_off") <= budget)
       .withColumn("cum_cost", sum(col(costCol)).over(local) + col("_off"))
       .filter(col("cum_cost") <= budget)
       .drop("_bkt", "_h", "_off")
@@ -338,6 +370,11 @@ object Corpus {
   def ntileByScore(scored: DataFrame, scoreCol: String, idCol: String,
       tiles: Int): DataFrame = {
     require(tiles > 0, "need at least one tile")
+    val reserved = Seq("_mn", "_mx", "_n", "_w", "_bkt", "_h", "_off",
+      "_rk", "tile")
+    val taken = scored.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"input may not use the reserved working names $taken")
     val nBuckets = 4096
     val stats = scored.agg(
       min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"),
@@ -370,15 +407,18 @@ object Corpus {
     val q = idiv(col("_n"), lit(tiles.toLong))
     val r = col("_n") % tiles
     val big = r * (q + 1) // rows living in the (q+1)-sized head tiles
+    // q = 0 (fewer rows than tiles) puts every row in the head branch
+    // (big = N ≥ rank), so the tail branch's value is never USED then —
+    // but guard its divisor anyway: relying on lazy CASE-branch
+    // evaluation is fragile under ANSI if codegen subexpression
+    // elimination ever evaluates both arms (% 0 would throw)
+    val qSafe = greatest(q, lit(1L))
     bucketed
       .join(broadcast(offsets), Seq("_bkt"))
       .withColumn("_rk", rk)
       .withColumn("tile",
         (when(col("_rk") <= big, idiv(col("_rk") - 1, q + 1))
-          // q = 0 (fewer rows than tiles) puts every row in the head
-          // branch (big = N ≥ rank), so this q divisor is never 0 when
-          // evaluated — CASE branches evaluate lazily per row
-          .otherwise(r + idiv(col("_rk") - big - 1, q)) + 1).cast("int"))
+          .otherwise(r + idiv(col("_rk") - big - 1, qSafe)) + 1).cast("int"))
       .drop("_bkt", "_h", "_off", "_n", "_rk")
   }
 

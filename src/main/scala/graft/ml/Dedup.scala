@@ -418,15 +418,32 @@ object Dedup {
     * band rows join old-side band rows only; canonical-band filter
     * keeps emission exactly-once; the best-match pick is a window on
     * the high-cardinality new-doc axis.
+    *
+    * NOTE: this convenience form recomputes `simhash(corpus)` — a full
+    * corpus tokenize scan — on every batch. Production callers should
+    * persist the corpus signature table once and use
+    * [[simhashIncrementFromSigs]] per batch, so only the PAIRING work
+    * is per-increment, not the signature computation.
     */
   def simhashIncrement(newDocs: DataFrame, corpus: DataFrame,
+      maxHamming: Int, bands: Int = 0): DataFrame =
+    simhashIncrementFromSigs(simhash(newDocs), simhash(corpus),
+      maxHamming, bands)
+
+  /** [[simhashIncrement]] over PRECOMPUTED (doc_id, simhash) frames —
+    * the production per-batch entry point: the corpus signature table
+    * is built once (and appended to as batches are accepted), so each
+    * increment costs one batch signature pass plus the new×old band
+    * join, never a corpus rescan.
+    */
+  def simhashIncrementFromSigs(newSigs: DataFrame, corpusSigs: DataFrame,
       maxHamming: Int, bands: Int = 0): DataFrame = {
     val nb = if (bands > 0) bands else maxHamming + 1
     require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
-    val nB = simhashBands(simhash(newDocs), nb)
+    val nB = simhashBands(newSigs, nb)
       .select(col("doc_id"), col("simhash").as("sig_n"),
         col("band"), col("band_bits"))
-    val oB = simhashBands(simhash(corpus), nb)
+    val oB = simhashBands(corpusSigs, nb)
       .select(col("doc_id").as("dup_of"), col("simhash").as("sig_o"),
         col("band"), col("band_bits"))
     val w = org.apache.spark.sql.expressions.Window

@@ -729,4 +729,76 @@ class MlSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(s2(2L) < s2(1L))
   }
+
+  test("stratifiedSample keeps NULL strata (null-safe join), matching " +
+      "the naive window's NULL-is-its-own-partition semantics") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val d = (1L to 40L).map { id =>
+      (id, if (id % 4 == 0) null else s"lang${id % 3}")
+    }.toDF("doc_id", "lang")
+    val naive = d.withColumn("_rk",
+      row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(HashUtils.hash60(col("doc_id").cast("string")),
+          col("doc_id"))))
+      .filter(col("_rk") <= 5).drop("_rk")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val got = TextAnalysis.stratifiedSample(d, "lang", 5)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === naive)
+    assert(got.count(_._2.isEmpty) === 5, "null stratum must keep 5 rows")
+  }
+
+  test("budgetSelect boundary: a zero-cost row whose bucket offset " +
+      "lands exactly on the budget survives (oracle parity)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // wide score spread → distinct buckets; the zero-cost row scores
+    // lowest so its bucket offset equals the budget exactly
+    val d = Seq(
+      (1L, 3000.0, 500L), (2L, 2000.0, 300L), (3L, 1000.0, 200L),
+      (4L, 0.0, 0L), (5L, -1000.0, 1L))
+      .toDF("doc_id", "lm_score", "n_tokens")
+    val w = Window.orderBy(col("lm_score").desc,
+      HashUtils.hash60(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = d.withColumn("cum_cost", sum(col("n_tokens")).over(w))
+      .filter(col("cum_cost") <= 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Corpus.budgetSelect(d, "lm_score", "n_tokens", "doc_id",
+      1000L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(naive.contains(4L), "fixture must exercise the boundary")
+    assert(got === naive)
+  }
+
+  test("cappedHashRank/budgetSelect/ntileByScore reject caller columns " +
+      "that collide with reserved working names") {
+    import spark.implicits._
+    val clash = Seq((1L, 1.0, "x")).toDF("doc_id", "lm_score", "rk")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedSample(
+        clash.withColumnRenamed("rk", "_bkt"), "lm_score", 5)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.budgetSelect(
+        clash.withColumnRenamed("rk", "cum_cost"), "lm_score",
+        "lm_score", "doc_id", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.ntileByScore(
+        clash.withColumnRenamed("rk", "tile"), "lm_score", "doc_id", 3)
+    }
+  }
+
+  test("simhashIncrementFromSigs over persisted signatures equals the " +
+      "recomputing convenience form") {
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val fromDocs = Dedup.simhashIncrement(newDocs, oldDocs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromSigs = Dedup.simhashIncrementFromSigs(
+      Dedup.simhash(newDocs), Dedup.simhash(oldDocs), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromSigs.nonEmpty && fromSigs === fromDocs)
+  }
 }
