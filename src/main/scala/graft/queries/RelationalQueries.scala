@@ -1339,6 +1339,39 @@ object RelationalQueries {
       |  round(rev / sum(rev) OVER () * 100, 4) AS pct_of_total
       |FROM cells ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Stream-stream enrichment join, batch form: each purchase paired
+    * with the same user's clicks in the preceding 10 minutes, THROUGH
+    * [[graft.streaming.StreamJoin.enrich]] — the exact code path the
+    * streaming runtime executes (the watermark node eliminates under
+    * batch), so the oracle gates the shared join semantics while the
+    * StreamJoinSpec proves the streaming-only behavior (state
+    * eviction, late-row drop). Gap emitted in integer µs so no
+    * timestamp type crosses the engine-compare boundary.
+    */
+  val q74StreamEnrich: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def side(t: String, p: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id").as(s"${p}_id"),
+        col("ts").as(s"${p}_ts"))
+    graft.streaming.StreamJoin.enrich(
+      side("purchase", "p"), side("click", "c"), "user_id",
+      "p_ts", "c_ts", lookbackSec = 600L, watermark = "10 minutes")
+      .select(col("user_id"), col("p_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("gap_us"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val q74StreamEnrichSql: String =
+    """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+      |ORDER BY p_id, c_id""".stripMargin
+
   /** Winsorized robust aggregates: per-group p05/p95 bounds, values
     * clamped into the band, then mean/sum — the standard
     * outlier-robust statistic for metrics with heavy tails. Two-pass
@@ -2095,6 +2128,7 @@ object RelationalQueries {
     "q71_gap_fill" -> q71GapFill,
     "q72_locf" -> q72Locf,
     "q73_contribution" -> q73Contribution,
+    "q74_stream_enrich" -> q74StreamEnrich,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2174,5 +2208,6 @@ object RelationalQueries {
     "q71_gap_fill" -> q71GapFillSql,
     "q72_locf" -> q72LocfSql,
     "q73_contribution" -> q73ContributionSql,
+    "q74_stream_enrich" -> q74StreamEnrichSql,
   )
 }
