@@ -80,6 +80,59 @@ object Dedup {
         col("dup_frac"))
   }
 
+  /** Explode documents into fixed-width word-window "paragraphs" —
+    * the sub-document dedup granularity production corpus pipelines
+    * (C4, RefinedWeb) work at: boilerplate repeats across pages as
+    * whole passages, not whole documents, so document-level ns1–ns5
+    * misses it. A real corpus would split on structural boundaries
+    * (double newline); the synthetic corpus has none, so the unit is
+    * a `paraWords`-word aligned window — same plumbing, same plan
+    * shape. One row per (doc_id, para_idx, para); the last window of
+    * a doc may be short. Map-only (tokenize + slice per row), no
+    * shuffle.
+    */
+  def paragraphs(docs: DataFrame, paraWords: Int): DataFrame = {
+    require(paraWords > 0, "paragraph width must be positive")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("_ws"))
+      .select(col("doc_id"), col("_ws"),
+        explode(sequence(lit(0),
+          (ceil(size(col("_ws")).cast("double") / paraWords) - 1)
+            .cast("int"))).as("para_idx"))
+      .select(col("doc_id"), col("para_idx"),
+        array_join(slice(col("_ws"), col("para_idx") * paraWords + 1,
+          lit(paraWords)), " ").as("para"))
+  }
+
+  /** Per-document duplicated-paragraph fraction: the share of a doc's
+    * [[paragraphs]] that also appear verbatim in ≥1 OTHER document —
+    * the passage-level complement of [[dupNgramFraction]]'s n-gram
+    * form (that one scores token-level boilerplate; this one finds
+    * whole duplicated passages to cut). Paragraphs hash to 60-bit
+    * longs before the shuffle (strings never leave the scan stage);
+    * the cross-doc frequency table is one hash groupBy, and the
+    * flag-back join shuffles 8-byte keys — the ns2/ns28 posting-list
+    * shape, linear at 100 TB.
+    */
+  def dupParagraphFraction(docs: DataFrame, paraWords: Int): DataFrame = {
+    val ph = paragraphs(docs, paraWords)
+      .select(col("doc_id"), HashUtils.hash60(col("para")).as("h"))
+    // cross-doc df, not raw count: a paragraph repeated WITHIN one doc
+    // is that doc's own structure, not corpus boilerplate
+    val dup = ph.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("pdf"))
+      .filter(col("pdf") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    ph.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(col("dup")).as("n_dup_paras"))
+      .withColumn("dup_para_frac",
+        round(col("n_dup_paras").cast("double") / col("n_paras"), 6))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        col("dup_para_frac"))
+  }
+
   /** Near-dup pairs by n-gram Jaccard ≥ threshold over a
     * document-frequency-capped shingle universe, via an inverted-index
     * join: explode shingles → hash → self-join on the hash → count

@@ -747,6 +747,36 @@ object MlQueries {
        |FROM sh LEFT JOIN dup ON sh.h = dup.h
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
 
+  /** Paragraph-level duplication (sub-document granularity): fraction
+    * of each doc's 20-word aligned windows that appear verbatim in ≥1
+    * other doc. Oracle restates the window split with DuckDB list
+    * slicing and the cross-doc df by paragraph string (the engine's
+    * hash60 never crosses the compare boundary).
+    */
+  val ns35DupParagraphs: Q = (s, dir) =>
+    Dedup.dupParagraphFraction(Tables.documents(s, dir), paraWords = 20)
+      .orderBy(col("doc_id"))
+
+  val ns35DupParagraphsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents WHERE text IS NOT NULL
+      |), paras AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(w[(i*20+1):(i*20+20)], ' ')
+      |      FOR i IN range(0, CAST(ceil(len(w)/20.0) AS BIGINT))]) AS para
+      |  FROM base
+      |), d AS (
+      |  SELECT para FROM paras GROUP BY para
+      |  HAVING count(DISTINCT doc_id) >= 2
+      |)
+      |SELECT paras.doc_id,
+      |  count(*) AS n_paras,
+      |  count(d.para) AS n_dup_paras,
+      |  round(count(d.para)::DOUBLE / count(*), 6) AS dup_para_frac
+      |FROM paras LEFT JOIN d ON paras.para = d.para
+      |GROUP BY paras.doc_id ORDER BY paras.doc_id""".stripMargin
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1160,6 +1190,7 @@ object MlQueries {
     "ns32_normalize" -> ns32Normalize,
     "ns33_ntile" -> ns33Ntile,
     "ns34_dedup_incremental" -> ns34DedupIncremental,
+    "ns35_dup_paragraphs" -> ns35DupParagraphs,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1196,5 +1227,6 @@ object MlQueries {
     "ns32_normalize" -> ns32NormalizeSql,
     "ns33_ntile" -> ns33NtileSql,
     "ns34_dedup_incremental" -> ns34DedupIncrementalSql,
+    "ns35_dup_paragraphs" -> ns35DupParagraphsSql,
   )
 }

@@ -790,6 +790,29 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("dupParagraphFraction: a shared passage flags in both docs; " +
+      "a within-doc repeat does not; windows split correctly") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      // doc 1: shared passage + 20 unique words → frac 0.5
+      (1L, shared + " " + (1 to 20).map(i => s"u$i").mkString(" ")),
+      // doc 2: unique 20 + shared passage → frac 0.5
+      (2L, (1 to 20).map(i => s"v$i").mkString(" ") + " " + shared),
+      // doc 3: its own passage repeated twice — within-doc, NOT dup
+      (3L, ((1 to 20).map(i => s"x$i") ++ (1 to 20).map(i => s"x$i"))
+        .mkString(" ")),
+      // doc 4: 30 words → 2 windows (second short), none shared
+      (4L, (1 to 30).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupParagraphFraction(d, paraWords = 20)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((2L, 1L)) && out(2L) === ((2L, 1L)))
+    assert(out(3L) === ((2L, 0L)), "within-doc repeat is not boilerplate")
+    assert(out(4L) === ((2L, 0L)), "30 words must split into 2 windows")
+  }
+
   test("simhashIncrementFromSigs over persisted signatures equals the " +
       "recomputing convenience form") {
     val newDocs = docs.filter(col("doc_id") % 3 === 0)
