@@ -449,10 +449,40 @@ object Similarity {
     * and decodes only those directories, never the corpus.
     */
   def writeIvfIndex(embeddings: DataFrame, cents: DataFrame,
-      path: String): Unit =
+      path: String): Unit = {
     assignCells(embeddings, cents)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // the centroid table IS the index's assignment function — persist
+    // it with the data (underscore prefix: invisible to the parquet
+    // scan) so appends can never silently use a drifted fit
+    cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+  }
+
+  private val CentroidsDir = "_graft_centroids"
+
+  /** Incrementally maintain a persisted IVF index: assign a NEW batch
+    * of vectors to the index's own stored centroids and APPEND them
+    * into their `cell=` directories. No refit, no rewrite — cells the
+    * batch does not touch keep their exact existing files (spec-
+    * measured, the MergePruneSpec pattern), so the maintenance cost is
+    * proportional to the batch, never the corpus: the incremental
+    * counterpart of [[writeIvfIndex]]'s build-once, completing the
+    * same story ns34 tells for dedup and q66/q69 for aggregates.
+    * Because assignment is a pure function of the (immutable) stored
+    * centroids, querying the appended index is IDENTICAL to querying a
+    * from-scratch build of the union corpus — recall cannot drift, it
+    * is the same index. (What an append cannot do is adapt the
+    * centroids to a shifting embedding distribution — that is a refit,
+    * i.e. a new [[writeIvfIndex]], by design.)
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      newEmbeddings: DataFrame, path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/$CentroidsDir")
+    assignCells(newEmbeddings, cents)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
 
   /** Query a persisted index: rank each query's `probes` nearest
     * cells, then scan ONLY those `cell=` directories (the probed cell

@@ -377,6 +377,31 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** Incremental maintenance of the served index: build on 3/4 of the
+    * corpus, [[Similarity.appendIvfIndex]] the remaining quarter
+    * against the STORED centroids (no refit, untouched cells keep
+    * their files — MlSpec measures that), then serve the union. The
+    * recall column gates that the appended index serves the full
+    * corpus as well as a from-scratch build — which MlSpec proves is
+    * bit-identical, since assignment is a pure function of the
+    * persisted centroids.
+    */
+  val ns8eSimIvfAppended: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val initial = emb.filter(col("vec_id") % 4 =!= 0)
+    val cents = Similarity.seedCentroids(initial, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index_inc")
+    if (ivfIndexWritten.add(path)) {
+      Similarity.writeIvfIndex(initial, cents, path)
+      Similarity.appendIvfIndex(s, emb.filter(col("vec_id") % 4 === 0),
+        path)
+    }
+    Similarity.withRecall(
+      Similarity.queryIvfIndex(s, path, emb, cents, k = 5, probes = 3),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** Random-hyperplane LSH ANN — approximate, no ANSI oracle; recall
     * in-result like ns8 (sampled reference, same linear-shaped-gate
     * rationale), floor asserted in MlSpec.
@@ -1163,6 +1188,7 @@ object MlQueries {
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
     "ns8d_sim_ivf_served" -> ns8dSimIvfServed,
+    "ns8e_sim_ivf_appended" -> ns8eSimIvfAppended,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,

@@ -790,6 +790,49 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfIndex: untouched cells keep their exact files, and " +
+      "the appended index serves identically to a from-scratch union " +
+      "build") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def dataFiles(root: String): Map[String, Long] =
+      Files.walk(Paths.get(root)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          p.toString.contains("cell="))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    val initial = embs.filter(col("vec_id") % 4 =!= 0)
+    val batch = embs.filter(col("vec_id") % 4 === 0)
+    val cents = Similarity.seedCentroids(initial, nCells = 16)
+    val inc = Files.createTempDirectory("ivf_inc").toString + "/idx"
+    val full = Files.createTempDirectory("ivf_full").toString + "/idx"
+    Similarity.writeIvfIndex(initial, cents, inc)
+    val before = dataFiles(inc)
+    Similarity.appendIvfIndex(spark, batch, inc)
+    val after = dataFiles(inc)
+    // every pre-existing file survives byte-untouched (same mtime);
+    // the append only ADDED files
+    assert(before.forall { case (f, t) => after.get(f).contains(t) },
+      "append must never rewrite existing cell files")
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty, "append must add files")
+    // and only under the cells the batch actually maps to
+    val batchCells = Similarity.assignCells(batch, cents)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val touched = newFiles.map(f =>
+      "cell=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong)
+    assert(touched.subsetOf(batchCells),
+      s"append wrote cells $touched beyond the batch's $batchCells")
+    // serving equivalence: same centroids → same assignment → the
+    // appended index IS the union index
+    Similarity.writeIvfIndex(embs, cents, full)
+    def serve(path: String) =
+      Similarity.queryIvfIndex(spark, path, embs, cents, k = 5,
+        probes = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(serve(inc) === serve(full))
+  }
+
   test("dupParagraphFraction: a shared passage flags in both docs; " +
       "a within-doc repeat does not; windows split correctly") {
     import spark.implicits._
