@@ -167,4 +167,45 @@ class CdcPipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === 3)
     q.stop()
   }
+
+  test("T8 late-data telemetry: StreamTelemetry counts the rows the " +
+      "watermark discarded, and the input-row total") {
+    val tel = graft.meta.Telemetry.attachStreamTelemetry(spark)
+    val input = MemoryStream[CdcEvent](spark)
+    val counts = CdcPipeline.windowedCounts(input.toDF())
+    val q = counts.writeStream.format("memory")
+      .queryName("late_counts").outputMode("update").start()
+    try {
+      // watch the listener catch up with a bounded poll (delivery is
+      // async on the listener bus)
+      def eventually(cond: => Boolean): Boolean = {
+        val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime < deadline) Thread.sleep(50)
+        cond
+      }
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "item.create", "a"),
+        ev(2, "2024-01-01 12:00:00", 1, "item.update", "b"))
+      q.processAllAvailable()
+      // watermark now 11:50 (12:00 − 10 min). A row is dropped when
+      // its WINDOW is already expired: 10:05 lives in [10:00, 11:00)
+      // whose end ≤ watermark → dropped; 11:00 lives in [11:00, 12:00)
+      // which is still open → accepted even though its ts is behind
+      // the watermark
+      input.addData(
+        ev(3, "2024-01-01 10:05:00", 2, "item.create", "c"),
+        ev(4, "2024-01-01 11:00:00", 2, "item.update", "d"))
+      q.processAllAvailable()
+      assert(eventually(tel.lateDropped("late_counts") === 1L),
+        s"dropped=${tel.lateDropped("late_counts")}")
+      assert(eventually(tel.inputRows("late_counts") === 4L),
+        s"input=${tel.inputRows("late_counts")}")
+      // and the dropped row left no trace: 3 of the 4 inputs counted
+      assert(spark.table("late_counts")
+        .agg(sum(col("n"))).head().getLong(0) === 3L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(tel)
+    }
+  }
 }
