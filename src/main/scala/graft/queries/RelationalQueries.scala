@@ -1422,6 +1422,43 @@ object RelationalQueries {
       |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 
+  /** q67's scale sibling, mirroring q39→q39b: the winsorize cut
+    * points come from approx_percentile (GK sketch, one mergeable
+    * pass, rank error ≤ n/10000) instead of the exact
+    * percentile(array) buffer that holds every group value in memory
+    * — the piece of q67 that cannot survive 100 TB. Clamp and final
+    * aggregate shapes are unchanged. The exact bounds are ALSO
+    * computed here purely as the gate's reference (the ns8-recall
+    * posture): `rel_err` reports the approx-vs-exact winsorized-mean
+    * gap in-result, rows-gated by the driver and bound-asserted in
+    * PercentileSpec; a production run would drop the exact branch.
+    */
+  val q67bWinsorizeApprox: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val pts = array(lit(0.05), lit(0.95))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"), pts, lit(10000))
+          .as("ba"),
+        percentile(col("l_extendedprice"), pts).as("be"))
+      .select(col("l_returnflag"),
+        element_at(col("ba"), 1).as("lo"),
+        element_at(col("ba"), 2).as("hi"),
+        element_at(col("be"), 1).as("lo_e"),
+        element_at(col("be"), 2).as("hi_e"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        avg(least(greatest(col("l_extendedprice"), col("lo")),
+          col("hi"))).as("avg_a"),
+        avg(least(greatest(col("l_extendedprice"), col("lo_e")),
+          col("hi_e"))).as("avg_e"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("avg_a"), 4).as("avg_winsorized_approx"),
+        round(abs(col("avg_a") - col("avg_e")) / abs(col("avg_e")), 6)
+          .as("rel_err"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Interval-overlap join (RangeJoin.intervalJoin): signup activity
     * windows × purchase activity windows that intersect in time, each
     * window [ts, ts + floor(value) seconds]. Arithmetic is integer
@@ -2122,6 +2159,7 @@ object RelationalQueries {
     "q65_sessionize" -> q65Sessionize,
     "q66_incremental_agg" -> q66IncrementalAgg,
     "q67_winsorize" -> q67Winsorize,
+    "q67b_winsorize_approx" -> q67bWinsorizeApprox,
     "q68_interval_join" -> q68IntervalJoin,
     "q69_hll_incremental" -> q69HllIncremental,
     "q70_grouping_sets" -> q70GroupingSets,

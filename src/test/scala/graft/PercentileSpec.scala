@@ -39,4 +39,16 @@ class PercentileSpec extends SparkSpec {
       }
     }
   }
+
+  test("q67b: winsorized mean from sketch bounds stays within 1% of " +
+      "the exact-bounds mean, and the error column is self-reported") {
+    val rows = RelationalQueries.all("q67b_winsorize_approx")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("rel_err")
+      assert(err >= 0 && err < 0.01,
+        s"${r.getAs[String]("l_returnflag")}: rel_err $err out of bound")
+    }
+  }
 }
