@@ -133,7 +133,22 @@ object Bench {
     // headline fields LAST: the driver's capture keeps the tail of
     // this (long) line, so the per-query map is what truncation may
     // cost, never the totals / streaming floor / failure list
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery","value":${r4(total)}}""")
+    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
+    println(full)
+    // The driver keeps only the LAST ~2000 output chars, and the full
+    // line above outgrew that long ago — its head (the ns* timings)
+    // falls out of the capture and the whole line can never re-parse
+    // as JSON from a truncated start. Two remedies: a compact headline
+    // line that fits WHOLLY inside any tail capture (standalone-
+    // parseable totals), and the complete line persisted to a file so
+    // per-query data survives regardless of how stdout is captured.
+    println(s"""{"metric":"total","unit":"sec","value":${r4(total)},"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery"}""")
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_full.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // file copy is best-effort
     spark.stop()
   }
 }
