@@ -842,6 +842,32 @@ object RelationalQueries {
       |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** T8 completion: SLIDING (hopping) windows — q36 covers tumbling
+    * and q37 sessions; the third standard event-time window shape is
+    * the 1-hour window every 30 minutes, where each event lands in
+    * exactly len/slide = 2 windows. Spark's `window(ts, len, slide)`
+    * Expand-s each row into its windows before one aggregation (one
+    * pass, no self-join); the oracle restates that with an explicit
+    * 2-window unnest in pure integer-µs arithmetic (both engines
+    * align window starts to the epoch, which 30 min divides).
+    */
+  val q75SlidingWindow: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  val q75SlidingWindowSql: String =
+    """SELECT (epoch_us(ts) - epoch_us(ts) % 1800000000)
+      |    - i * 1800000000 AS w_start_us,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events, unnest([0, 1]) AS t(i)
+      |GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin
+
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
     * reproduces that with a lag/cumsum session id.
@@ -2167,6 +2193,7 @@ object RelationalQueries {
     "q72_locf" -> q72Locf,
     "q73_contribution" -> q73Contribution,
     "q74_stream_enrich" -> q74StreamEnrich,
+    "q75_sliding_window" -> q75SlidingWindow,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2247,5 +2274,6 @@ object RelationalQueries {
     "q72_locf" -> q72LocfSql,
     "q73_contribution" -> q73ContributionSql,
     "q74_stream_enrich" -> q74StreamEnrichSql,
+    "q75_sliding_window" -> q75SlidingWindowSql,
   )
 }

@@ -34,10 +34,20 @@ object StreamJoin {
     * output. Works identically on batch frames (watermarks eliminate)
     * — the correctness gate runs it that way against a plain SQL
     * interval join.
+    *
+    * `joinType` accepts "inner" (default) and "left_outer": the outer
+    * form emits an event with null change columns once the watermark
+    * PROVES no matching change can still arrive — the streaming
+    * equivalent of "event with no recent item change", which an inner
+    * join silently drops. The null-padded row is necessarily delayed
+    * by the watermark bound (the engine cannot rule out a match
+    * earlier); matched rows still emit immediately.
     */
   def enrich(events: DataFrame, changes: DataFrame, key: String,
       eventTs: String, changeTs: String, lookbackSec: Long,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"unsupported joinType $joinType (inner | left_outer)")
     require(eventTs != changeTs,
       "event and change timestamp columns must have distinct names")
     val overlap =
@@ -57,7 +67,8 @@ object StreamJoin {
         col(key) === col("_ck") &&
           col(changeTs) >= col(eventTs) -
             expr(s"INTERVAL $lookbackSec SECONDS") &&
-          col(changeTs) <= col(eventTs))
+          col(changeTs) <= col(eventTs),
+        joinType)
       .drop("_ck")
   }
 }

@@ -95,6 +95,45 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left_outer: an unmatched event emits null-padded only after " +
+      "the watermark proves no change can still arrive; matched " +
+      "events pair as in the inner join") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[SjEv]
+    val chs = MemoryStream[SjCh]
+    val joined = StreamJoin.enrich(evs.toDF(), chs.toDF(), "user_id",
+      "p_ts", "c_ts", lookbackSec = 600L, watermark = "5 minutes",
+      joinType = "left_outer")
+      .select(col("p_id"), col("c_id"))
+    val q = joined.writeStream.format("memory").queryName("sj_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 matched; user 2's event has no change at all
+      evs.addData(SjEv(1L, 11L, ts(5)), SjEv(2L, 21L, ts(5)))
+      chs.addData(SjCh(1L, 101L, ts(2)))
+      q.processAllAvailable()
+      val early = spark.table("sj_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(early === Set((11L, Some(101L))),
+        s"unmatched event must NOT null-pad while a match is still " +
+          s"possible, got $early")
+      // advance both watermarks far past t+5's match window: the
+      // engine can now prove no change will pair with event 21
+      evs.addData(SjEv(9L, 900L, ts(60)))
+      chs.addData(SjCh(9L, 901L, ts(60)))
+      q.processAllAvailable()
+      // an extra no-data micro-batch lets the evicted state flush
+      evs.addData(SjEv(9L, 902L, ts(61)))
+      q.processAllAvailable()
+      val late = spark.table("sj_outer")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(late.contains((21L, None)),
+        s"closed event must emit null-padded, got $late")
+    } finally q.stop()
+  }
+
   test("reserved/overlapping column names are rejected up front") {
     val spark0 = spark
     import spark0.implicits._
