@@ -802,6 +802,60 @@ object MlQueries {
       |FROM paras LEFT JOIN d ON paras.para = d.para
       |GROUP BY paras.doc_id ORDER BY paras.doc_id""".stripMargin
 
+  /** Paragraph-granularity NEAR-dup pairs — ns35 finds verbatim
+    * repeated passages; this catches passages that differ by a few
+    * words, by running the ns2 capped-Jaccard posting-list machinery
+    * unchanged over the paragraph view (operator reuse, not new
+    * plumbing). Paragraph identity is the composite doc_id·8+para_idx
+    * (≤5 windows per ≤99-word doc, so 3 bits suffice); the oracle
+    * restates the ns2 SQL over the identical window split.
+    */
+  val ns36ParaJaccard: Q = (s, dir) =>
+    Dedup.jaccardPairs(
+      Dedup.paragraphs(Tables.documents(s, dir), paraWords = 20)
+        .select((col("doc_id") * 8 + col("para_idx")).as("doc_id"),
+          col("para").as("text")),
+      n = 3, threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+
+  val ns36ParaJaccardSql: String =
+    s"""WITH docs0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w0
+       |  FROM documents WHERE text IS NOT NULL
+       |), pu AS (
+       |  SELECT doc_id, unnest([struct_pack(i := i,
+       |      p := array_to_string(w0[(i*20+1):(i*20+20)], ' '))
+       |    FOR i IN range(0, CAST(ceil(len(w0)/20.0) AS BIGINT))]) AS u
+       |  FROM docs0
+       |), p2 AS (
+       |  SELECT doc_id * 8 + u.i AS doc_id, string_split(u.p, ' ') AS w
+       |  FROM pu
+       |), sh AS (
+       |  SELECT doc_id, ${duckHash60("s")} AS s
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+       |        FOR i IN range(1, len(w) - 1)])) AS s
+       |    FROM p2)
+       |), keep AS (
+       |  SELECT s, count(*) AS df FROM sh GROUP BY s
+       |  HAVING count(*) <= 1000
+       |), f AS (
+       |  SELECT sh.doc_id, sh.s, keep.df FROM sh JOIN keep USING (s)
+       |), ds AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM f GROUP BY doc_id
+       |), p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*)::DOUBLE AS common
+       |  FROM (SELECT * FROM f WHERE df >= 2) a
+       |  JOIN (SELECT * FROM f WHERE df >= 2) b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i, j,
+       |  round(common / (di.n_sh + dj.n_sh - common), 6) AS jaccard
+       |FROM p JOIN ds di ON di.doc_id = p.i JOIN ds dj ON dj.doc_id = p.j
+       |WHERE round(common / (di.n_sh + dj.n_sh - common), 6) >= 0.5
+       |ORDER BY i, j""".stripMargin
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1217,6 +1271,7 @@ object MlQueries {
     "ns33_ntile" -> ns33Ntile,
     "ns34_dedup_incremental" -> ns34DedupIncremental,
     "ns35_dup_paragraphs" -> ns35DupParagraphs,
+    "ns36_para_jaccard" -> ns36ParaJaccard,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1254,5 +1309,6 @@ object MlQueries {
     "ns33_ntile" -> ns33NtileSql,
     "ns34_dedup_incremental" -> ns34DedupIncrementalSql,
     "ns35_dup_paragraphs" -> ns35DupParagraphsSql,
+    "ns36_para_jaccard" -> ns36ParaJaccardSql,
   )
 }
