@@ -495,19 +495,34 @@ object Similarity {
     */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, cents: DataFrame, k: Int,
+      probes: Int): DataFrame =
+    queryIvfIndexPaths(spark, Seq(path), queries, cents, k, probes)
+
+  /** [[queryIvfIndex]] over the UNION of several index tables — the
+    * serving shape once [[graft.streaming.VectorIngest]] accumulates
+    * streamed appends in a sibling table next to the base build: every
+    * table is cell-partitioned, so the probe filter partition-prunes
+    * each of them independently and the union is a union of pruned
+    * reads, never of full tables.
+    */
+  def queryIvfIndexPaths(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], queries: DataFrame, cents: DataFrame, k: Int,
       probes: Int): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
+    require(paths.nonEmpty, "need at least one index table")
     val qr = assignRanked(withNorm(queries), cents, probes)
       .select(col("vec_id").as("i"), col("e").as("ea"),
         col("nrm").as("na"), col("cell"))
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val index = spark.read.parquet(path)
-      .filter(col("cell").isin(cells.map(x => x: Any): _*))
-      // directory-name type inference reads `cell=5` back as int —
-      // re-widen so the join key matches the assignment's long
-      .select(col("vec_id").as("j"), col("e").as("eb"),
-        col("nrm").as("nb"), col("cell").cast("long").as("cell"))
+    val index = paths.map { p =>
+      spark.read.parquet(p)
+        .filter(col("cell").isin(cells.map(x => x: Any): _*))
+        // directory-name type inference reads `cell=5` back as int —
+        // re-widen so the join key matches the assignment's long
+        .select(col("vec_id").as("j"), col("e").as("eb"),
+          col("nrm").as("nb"), col("cell").cast("long").as("cell"))
+    }.reduce(_.unionByName(_))
     val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
     qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
       .withColumn("cos", pairCos)

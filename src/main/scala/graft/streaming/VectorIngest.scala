@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ml.Similarity
+
+/** Streaming ANN-index maintenance — the live counterpart of
+  * [[graft.ml.Similarity.appendIvfIndex]], completing the triad of
+  * streaming incremental surfaces (StreamingAgg for aggregates,
+  * StreamingNearDup/CorpusIngest for dedup, this for similarity):
+  * each micro-batch of (vec_id, embedding) rows is assigned to the
+  * base index's STORED centroids and lands cell-partitioned in a
+  * sibling `<index>_stream` table; serving reads base ∪ stream with
+  * the same partition-pruned probes.
+  *
+  * Delivery is at-most-once per batch id with replay absorption, the
+  * CorpusIngest discipline: every batch owns the partition directory
+  * `ingest_batch=<id>/` (committed ⇔ `_SUCCESS` exists) and records
+  * its content fingerprint in a `_GRAFT_BATCH_SIG` marker. A genuine
+  * replay (same id, same content, already committed) is skipped; a
+  * RECYCLED id after a checkpoint reset (same id, different content)
+  * fails loudly instead of silently dropping or duplicating vectors.
+  *
+  * Scale: per-trigger work is one broadcast-centroid assignment over
+  * the batch plus one partitioned write — O(batch), never O(index).
+  * The stream table accumulates one small file set per trigger;
+  * re-bin offline with [[graft.sources.Layout.compactPartitions]]
+  * (per-partition, preserving the `ingest_batch=` idempotence keys)
+  * or fold into the base via a fresh
+  * [[graft.ml.Similarity.writeIvfIndex]] refit.
+  */
+object VectorIngest {
+
+  /** The streamed-appends sibling table of a base index. */
+  def streamPath(indexPath: String): String = s"${indexPath}_stream"
+
+  /** Content fingerprint of a vector batch (order-insensitive). */
+  def batchSig(batch: DataFrame): Long = {
+    val r = batch
+      .agg(coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L))
+        .as("x"), count(lit(1)).as("n")).head()
+    r.getLong(0) * 31L + r.getLong(1)
+  }
+
+  /** Pure per-batch body (testable without a streaming runtime). */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String)
+      : Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/_graft_centroids")
+    val part = new org.apache.hadoop.fs.Path(
+      s"${streamPath(indexPath)}/ingest_batch=$batchId")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(part, "_GRAFT_BATCH_SIG")
+    val sig = batchSig(batch)
+    val committed =
+      fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))
+    val recorded =
+      if (committed) graft.sources.Markers.read(fs, marker) else None
+    if (committed && recorded.isDefined) {
+      require(recorded.contains(sig.toString),
+        s"index partition $part is committed with different content " +
+          s"(sig ${recorded.get}, incoming $sig): batch id $batchId was " +
+          "recycled by a checkpoint reset — point the stream at a fresh " +
+          "index, or re-key the existing partitions offline")
+    } else if (committed) {
+      // crash window: _SUCCESS landed but the marker didn't; a genuine
+      // replay recomputes the identical sig, so backfill re-arms the
+      // reset guard (same rationale as CorpusIngest.ingestBatch)
+      graft.sources.Markers.write(fs, marker, sig.toString)
+    }
+    if (!committed) {
+      Similarity.assignCells(batch, cents)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(part.toString)
+      graft.sources.Markers.write(fs, marker, sig.toString)
+    }
+  }
+
+  /** Wire the stream: micro-batches of (vec_id, embedding) append to
+    * the served index's stream table.
+    */
+  def start(streamingVecs: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, indexPath)
+      }
+      .start()
+
+  /** Serve top-k from base ∪ streamed appends (partition-pruned on
+    * both); falls back to the base alone before any batch commits.
+    */
+  def queryServed(spark: SparkSession, indexPath: String,
+      queries: DataFrame, cents: DataFrame, k: Int, probes: Int)
+      : DataFrame = {
+    val sp = new org.apache.hadoop.fs.Path(streamPath(indexPath))
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths =
+      if (fs.exists(sp)) Seq(indexPath, streamPath(indexPath))
+      else Seq(indexPath)
+    Similarity.queryIvfIndexPaths(spark, paths, queries, cents, k, probes)
+  }
+}
