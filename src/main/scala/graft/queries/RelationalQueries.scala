@@ -868,6 +868,43 @@ object RelationalQueries {
       |FROM events, unnest([0, 1]) AS t(i)
       |GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin
 
+  /** UNPIVOT (wide→long melt): the inverse of q38's pivot and the
+    * standard reshape before per-metric aggregation/plotting. Spark's
+    * `unpivot` plans one Expand pass (metrics × rows emitted in a
+    * single scan, no per-metric union re-scan, which is what the
+    * oracle's UNION ALL restatement would cost done literally). The
+    * value column is rounded like every gated double (registry
+    * guard); metric order inside a row is made deterministic by the
+    * final sort.
+    */
+  val q76Unpivot: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount")),
+        "metric", "value")
+      .withColumn("value", round(col("value"), 6))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  val q76UnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |    l_quantity::DOUBLE AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |    l_extendedprice::DOUBLE FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount',
+      |    l_discount::DOUBLE FROM lineitem
+      |)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
     * reproduces that with a lag/cumsum session id.
@@ -2194,6 +2231,7 @@ object RelationalQueries {
     "q73_contribution" -> q73Contribution,
     "q74_stream_enrich" -> q74StreamEnrich,
     "q75_sliding_window" -> q75SlidingWindow,
+    "q76_unpivot" -> q76Unpivot,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2275,5 +2313,6 @@ object RelationalQueries {
     "q73_contribution" -> q73ContributionSql,
     "q74_stream_enrich" -> q74StreamEnrichSql,
     "q75_sliding_window" -> q75SlidingWindowSql,
+    "q76_unpivot" -> q76UnpivotSql,
   )
 }
