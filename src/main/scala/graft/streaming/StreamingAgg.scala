@@ -152,6 +152,68 @@ object StreamingAgg {
       : Option[DataFrame] =
     readState(spark, statePath).map(IncrementalAgg.distinctFinish)
 
+  /** Heavy-hitters sibling: the corpus vocabulary maintained as
+    * space-saving sketch state ([[graft.functions.SpaceSavingTopTerms]]
+    * streamed) — the third sketch the commit core carries, next to the
+    * decimal partials and HLL. Stored state is the sketch's own
+    * (term, cnt, err) rows, ≤ capacity of them, so state stays O(1)
+    * regardless of how much vocabulary has streamed past. The merge is
+    * the mergeable-summaries rule re-expressed relationally: a term
+    * absent from one side is credited that side's floor (its minimum
+    * tracked count if full, 0 otherwise) in both count and err, then
+    * the union truncates back to capacity by (count desc, term) —
+    * exactly the Aggregator's merge, so the streamed sketch keeps the
+    * same never-undercount / bounded-overcount / heavy-term-present
+    * guarantees through any batch arrival order (StreamingAggSpec
+    * asserts them against exact whole-history counts).
+    */
+  def mergeBatchTopTerms(batch: DataFrame, batchId: Long,
+      statePath: String, capacity: Int): Unit =
+    commitBatch(batch, batchId, statePath,
+      batchSig(batch, Seq("doc_id"), "text"),
+      b => sketchPartial(b, capacity),
+      (s, d) => sketchMerge(s, d, capacity))
+
+  private def sketchPartial(docs: DataFrame, capacity: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the batch's own sketch via the shared Aggregator; the head() is
+    // the capacity-bounded model-summary action vocabularySketch
+    // documents (never corpus-proportional)
+    val rows = docs
+      .select(explode(split(col("text"), " ")).as("term")).as[String]
+      .select(new graft.functions.SpaceSavingTopTerms(capacity).toColumn)
+      .head()
+    spark.createDataset(rows).toDF("term", "cnt", "err")
+  }
+
+  private def sketchMerge(state: DataFrame, delta: DataFrame,
+      capacity: Int): DataFrame = {
+    // a FULL sketch bounds any untracked term's count by its minimum
+    // tracked count; a non-full sketch tracked everything it saw
+    def floorOf(df: DataFrame, as: String) = df.agg(
+      when(count(lit(1)) >= capacity, coalesce(min(col("cnt")), lit(0L)))
+        .otherwise(lit(0L)).as(as))
+    state.select(col("term"), col("cnt").as("ca"), col("err").as("ea"))
+      .join(delta.select(col("term"), col("cnt").as("cb"),
+        col("err").as("eb")), Seq("term"), "full_outer")
+      .crossJoin(broadcast(floorOf(state, "fla")))
+      .crossJoin(broadcast(floorOf(delta, "flb")))
+      .select(col("term"),
+        (coalesce(col("ca"), col("fla"))
+          + coalesce(col("cb"), col("flb"))).as("cnt"),
+        (coalesce(col("ea"), col("fla"))
+          + coalesce(col("eb"), col("flb"))).as("err"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(capacity)
+  }
+
+  /** The maintained top-terms view (count-descending). */
+  def readTopTerms(spark: SparkSession, statePath: String, topK: Int)
+      : Option[DataFrame] =
+    readState(spark, statePath).map(
+      _.orderBy(col("cnt").desc, col("term")).limit(topK))
+
   /** Wire the stream. */
   def start(events: DataFrame, statePath: String, checkpoint: String,
       keys: Seq[String], valueCol: String): StreamingQuery =

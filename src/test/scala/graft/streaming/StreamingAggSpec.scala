@@ -110,4 +110,53 @@ class StreamingAggSpec extends SparkSpec {
       case _ => false
     })
   }
+
+  test("streamed top-terms sketch keeps the space-saving guarantees " +
+      "across batch merges, and is exact when capacity covers the " +
+      "vocabulary") {
+    val rnd = new scala.util.Random(11L)
+    // zipf-ish skew split across 3 batches in shuffled order
+    val terms = (1 to 60).flatMap(i => Seq.fill(600 / i)(s"t$i"))
+    val shuffled = rnd.shuffle(terms)
+    val docs = shuffled.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    val batches = docs.grouped((docs.length + 2) / 3).toSeq
+    val truth = terms.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val n = terms.length.toLong
+    val capacity = 24
+    val statePath = tmp("graft_topterms")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingAgg.mergeBatchTopTerms(b.toDF("doc_id", "text"), i.toLong,
+        statePath, capacity)
+    }
+    val sketch = StreamingAgg.readTopTerms(spark, statePath, capacity)
+      .get.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sketch.length === capacity)
+    sketch.foreach { case (t, c, e) =>
+      assert(c >= truth(t), s"$t undercounted")
+      assert(c - e <= truth(t), s"$t overcount exceeds err bound")
+    }
+    val est = sketch.map { case (t, c, _) => t -> c }.toMap
+    truth.filter(_._2 > n / capacity).keys.foreach { t =>
+      assert(est.contains(t), s"frequent term $t evicted")
+    }
+    // replay absorption holds for sketch state too
+    StreamingAgg.mergeBatchTopTerms(
+      batches.last.toDF("doc_id", "text"), (batches.length - 1).toLong,
+      statePath, capacity)
+    val replayed = StreamingAgg.readTopTerms(spark, statePath, capacity)
+      .get.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(replayed.toSet === sketch.toSet, "replay must not re-merge")
+    // wide capacity ⇒ nothing ever evicts ⇒ exact counts, zero err
+    val wide = tmp("graft_topterms_wide")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingAgg.mergeBatchTopTerms(b.toDF("doc_id", "text"), i.toLong,
+        wide, capacity = 1000)
+    }
+    val exact = StreamingAgg.readTopTerms(spark, wide, 1000)
+      .get.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.map(x => x._1 -> x._2).toMap === truth)
+    assert(exact.forall(_._3 === 0L), "no eviction ⇒ zero err")
+  }
 }
