@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * plan without a shuffle.
   */
 class LayoutSpec extends SparkSpec {
+  // Isolated SQLConf over the shared SparkContext: suites run in
+  // parallel against ONE session, and several flip session confs
+  // temporarily (broadcast threshold, bloom gates, overwrite mode).
+  // This suite both mutates confs itself and asserts byte-sized file
+  // layout — the one combination a concurrent conf flip can perturb
+  // (the rare z-compact span flake under full-suite load). newSession
+  // shares the context and graft extensions but owns its conf.
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    SparkSpec.session.newSession()
   private val dir = "/root/testdata/sf0.001"
 
   test("partitioned write + read prunes partitions for date predicates") {
@@ -233,34 +242,45 @@ class LayoutSpec extends SparkSpec {
       "(a plain compact would scatter them)") {
     import spark.implicits._
     val n = 20000
-    val data = zTestData(n)
-    val path = Files.createTempDirectory("graft_zcompact").toString + "/t"
-    Layout.writeZOrdered(data, path, Seq("x", "y"), buckets = 64,
-      targetFiles = 16)
-    // simulate post-write appends that dilute the clustering
-    zTestData(22000).filter(col("id") >= n)
-      .repartition(4).write.mode("append").parquet(path)
-    val dir = new java.io.File(path)
-    def files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
-    val totalBytes = files.map(_.length).sum
-    // aim at ~8 output files so span tightness is non-trivial
-    Layout.compact(spark, path, targetFileBytes = totalBytes / 8,
-      zOrderBy = Seq("x", "y"))
-    assert(files.length <= 10, s"still ${files.length} files")
-    def avgSpan(c: String): Double = {
-      val spans = files.map { f =>
+    def diluted(): String = {
+      val p = Files.createTempDirectory("graft_zcompact").toString + "/t"
+      Layout.writeZOrdered(zTestData(n), p, Seq("x", "y"), buckets = 64,
+        targetFiles = 16)
+      // simulate post-write appends that dilute the clustering
+      zTestData(22000).filter(col("id") >= n)
+        .repartition(4).write.mode("append").parquet(p)
+      p
+    }
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    def avgSpan(p: String, c: String): Double = {
+      val spans = files(p).map { f =>
         val r = spark.read.parquet(f.getPath)
           .agg(min(col(c)), max(col(c))).head()
         r.getDouble(1) - r.getDouble(0)
       }
       spans.sum / spans.length
     }
-    // ~8 files over a 64×64 z-grid: each covers ~1/8 of the z-range —
-    // both columns stay far below the ~full-range span an unclustered
-    // rewrite produces
-    assert(avgSpan("x") < 0.75, s"x span ${avgSpan("x")}")
-    assert(avgSpan("y") < 0.75, s"y span ${avgSpan("y")}")
-    assert(spark.read.parquet(path).select("id").as[Long]
+    val zPath = diluted()
+    val totalBytes = files(zPath).map(_.length).sum
+    // aim at ~8 output files so span tightness is non-trivial
+    Layout.compact(spark, zPath, targetFileBytes = totalBytes / 8,
+      zOrderBy = Seq("x", "y"))
+    assert(files(zPath).length <= 10, s"still ${files(zPath).length} files")
+    // the counterfactual this test's name claims: the SAME diluted
+    // table plain-compacted (no re-cluster) scatters both columns.
+    // The bound is COMPARATIVE — z-span well below plain-span — not a
+    // fixed constant: range-partition sampling shifts file boundaries
+    // run to run (the old 0.75 absolute bound flaked at 0.755 under
+    // full-suite load), while the ~2× clustering gap never closes.
+    val pPath = diluted()
+    Layout.compact(spark, pPath, targetFileBytes = totalBytes / 8)
+    Seq("x", "y").foreach { c =>
+      val (z, p) = (avgSpan(zPath, c), avgSpan(pPath, c))
+      assert(z < 0.8 * p && z < 0.9,
+        s"$c: z-compacted span $z vs plain-compacted $p")
+    }
+    assert(spark.read.parquet(zPath).select("id").as[Long]
       .collect().sorted.toSeq === (0L until 22000L))
   }
 
