@@ -481,6 +481,69 @@ object Corpus {
     * Returns one row per (shard, chunk) with its doc count, token sum,
     * and doc-id range — the manifest a training loader consumes.
     */
+  /** RAG-style document chunking: fixed token windows of `chunkSize`
+    * words advancing by `stride` (overlap = chunkSize − stride) — the
+    * standard retrieval/embedding prep step. A doc with n words yields
+    * 1 + ceil(max(0, n − chunkSize)/stride) chunks, so every word
+    * lands in at least one chunk and only the tail chunk may be short.
+    *
+    * Pure Column work (split → sequence → explode → slice): the whole
+    * operator is one codegen'd map stage with NO shuffle — at 100 TB
+    * it scales with scan bandwidth alone. `chunk_hash` (hash60 of the
+    * chunk text) is emitted alongside so downstream chunk-level joins
+    * (dedup, retrieval hit-lists) move 8-byte longs, never chunk text.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    // stride > chunkSize would silently drop the words between windows;
+    // stride <= 0 is an infinite window walk — both are caller bugs
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      "stride must be in [1, chunkSize]")
+    def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val words = split(col("text"), " ")
+    // last chunk start k·stride: k = ceil((n − chunkSize)/stride) via
+    // exact integer division (ANSI-safe; Column `/` is double division)
+    val k = when(size(words) <= chunkSize, lit(0L))
+      .otherwise(idiv(size(words) - chunkSize + (stride - 1), lit(stride)))
+    docs
+      .select(col("doc_id"), words.as("_w"), k.as("_k"))
+      .select(col("doc_id"), col("_w"),
+        explode(sequence(lit(0L), col("_k"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("_w"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("_cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("_cw")).cast("long").as("n_tokens"),
+        HashUtils.hash60(concat_ws(" ", col("_cw"))).as("chunk_hash"))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws a deterministic pseudo-uniform u ∈ (0, 1] from a
+    * salted hash of its id and ranks by ln(u)/weight; the top-k under
+    * that key is an exact weighted sample without replacement. The
+    * hash-derived u (not rand()) makes the draw reproducible across
+    * runs AND engines — the property the registry oracle relies on.
+    *
+    * Scale: orderBy(key desc).limit(k) plans as TakeOrderedAndProject —
+    * per-partition top-k heaps merged once, never a global sort of the
+    * corpus. Weights must be strictly positive (ln(u) ≤ 0; a zero or
+    * negative weight would silently invert the ranking).
+    */
+  def weightedSample(rows: DataFrame, idCol: String, weight: Column,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!rows.columns.contains("_wkey"),
+      "input must not contain the reserved working column _wkey")
+    val u = (HashUtils.hash60(concat(lit(salt + ":"),
+      col(idCol).cast("string"))) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    rows
+      .withColumn("_wkey", log(u) / weight)
+      .orderBy(col("_wkey").desc, col(idCol))
+      .limit(k)
+      .drop("_wkey")
+  }
+
   def packSequences(docs: DataFrame, ctxLen: Int, shards: Int): DataFrame = {
     // ctxLen=0 is a double division by zero → null chunks; shards=0
     // makes pmod null → one null shard holding the whole corpus. Both

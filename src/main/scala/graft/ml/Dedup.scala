@@ -510,4 +510,41 @@ object Dedup {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("dup_of"), col("hamming"))
   }
+
+  /** Entity-resolution candidate pairs within Levenshtein distance 1
+    * via symmetric-delete blocking (the SymSpell construction): every
+    * string emits itself plus each single-character deletion; any two
+    * strings within edit distance 1 — substitution, insertion, or
+    * deletion — share at least one variant, so an equi-join on the
+    * hashed variant finds every true pair with zero recall loss, and an
+    * exact levenshtein() verify drops the false candidates (shared
+    * variants can sit at distance 2, e.g. transpositions, and hash60
+    * collisions only ever ADD candidates, never hide pairs).
+    *
+    * Shape at 100 TB: explode (len+1 variants per string) → hash60 →
+    * self-join on the 8-byte hash → distinct pair → codegen'd
+    * levenshtein. No quadratic anywhere; join fan-out is bounded by
+    * variant-group sizes (how many strings share one deletion), the
+    * same posting-list profile jaccardPairs already manages.
+    */
+  def editDistancePairs(rows: DataFrame, strCol: String): DataFrame = {
+    val strings = rows.select(col(strCol).as("s"))
+      .where(col("s").isNotNull).distinct()
+    // position-i deletion (1-based); i=0 keeps the string itself
+    val variants = concat(array(col("s")),
+      transform(sequence(lit(1), length(col("s"))), i =>
+        concat(col("s").substr(lit(1), i - 1),
+          col("s").substr(i + 1, length(col("s"))))))
+    // distinct (s, h): repeated letters yield the same deletion twice —
+    // emitting it once halves the posting list for no recall cost
+    val sv = strings
+      .select(col("s"), explode(variants).as("v"))
+      .select(col("s"), HashUtils.hash60(col("v")).as("h"))
+      .distinct()
+    sv.as("a").join(sv.as("b"),
+        col("a.h") === col("b.h") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct()
+      .where(levenshtein(col("s1"), col("s2")) <= 1)
+  }
 }

@@ -856,6 +856,60 @@ object MlQueries {
        |WHERE round(common / (di.n_sh + dj.n_sh - common), 6) >= 0.5
        |ORDER BY i, j""".stripMargin
 
+  /** RAG-style chunking: overlapping 32-token windows advancing by 24
+    * (8-token overlap) over every document — the retrieval/embedding
+    * prep step between cleaning and encoding. Shuffle-free single map
+    * stage (Corpus.chunkTokens); the oracle restates the window
+    * arithmetic with generate_series + list_slice and hashes each
+    * chunk's text with the shared md5-based hash60.
+    */
+  val ns37Chunks: Q = (s, dir) =>
+    Corpus.chunkTokens(Tables.documents(s, dir),
+      chunkSize = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val ns37ChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), n AS (
+       |  SELECT doc_id, w,
+       |    CASE WHEN len(w) <= 32 THEN 0
+       |      ELSE ((len(w) - 32 + 23) - ((len(w) - 32 + 23) % 24)) // 24
+       |    END AS k
+       |  FROM d
+       |), ch AS (
+       |  SELECT doc_id, unnest(generate_series(0, k)) AS chunk_idx, w
+       |  FROM n
+       |)
+       |SELECT doc_id, chunk_idx,
+       |  len(list_slice(w, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS n_tokens,
+       |  ${duckHash60("array_to_string(list_slice(w, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')")} AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Quality-weighted corpus sampling without replacement: 100 docs
+    * drawn with probability ∝ (n_chars + 1) by Efraimidis–Spirakis
+    * A-ES over deterministic hash-uniforms (Corpus.weightedSample) —
+    * reproducible across runs and engines, unlike rand(). The output
+    * carries no doubles (the SELECTION is the assertion); the oracle
+    * replays the identical ln(u)/w ranking and top-k.
+    */
+  val ns38WeightedSample: Q = (s, dir) =>
+    Corpus.weightedSample(Tables.documents(s, dir), "doc_id",
+      col("n_chars") + lit(1), k = 100, salt = "ws")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val ns38WeightedSampleSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ln((${duckHash60("'ws:' || doc_id::VARCHAR")} + 1)
+       |      / 1152921504606846976.0) / (n_chars + 1) AS k
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, n_chars FROM
+       |  (SELECT * FROM scored ORDER BY k DESC, doc_id LIMIT 100)
+       |ORDER BY doc_id""".stripMargin
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1272,6 +1326,8 @@ object MlQueries {
     "ns34_dedup_incremental" -> ns34DedupIncremental,
     "ns35_dup_paragraphs" -> ns35DupParagraphs,
     "ns36_para_jaccard" -> ns36ParaJaccard,
+    "ns37_chunks" -> ns37Chunks,
+    "ns38_weighted_sample" -> ns38WeightedSample,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1310,5 +1366,7 @@ object MlQueries {
     "ns34_dedup_incremental" -> ns34DedupIncrementalSql,
     "ns35_dup_paragraphs" -> ns35DupParagraphsSql,
     "ns36_para_jaccard" -> ns36ParaJaccardSql,
+    "ns37_chunks" -> ns37ChunksSql,
+    "ns38_weighted_sample" -> ns38WeightedSampleSql,
   )
 }

@@ -905,6 +905,112 @@ object RelationalQueries {
       |)
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  /** Rolling time-range aggregate: per-user 7-day trailing sum/count
+    * via a RANGE window frame over integer-µs event time — the "rolling
+    * revenue / rolling activity" shape a CRM reports on. RANGE (not
+    * ROWS) so ties at the boundary are peers on both engines.
+    *
+    * Scale: one hash partition on the high-cardinality user_id, one
+    * WindowExec pass with a running frame — no self-join, no
+    * per-row rescan of the partition, no global sort.
+    */
+  val q77RollingRange: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-604800000000L, 0) // 7 days in µs, inclusive
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        round(sum(col("value")).over(w), 2).as("roll_sum_7d"),
+        count(lit(1)).over(w).as("roll_cnt_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  val q77RollingRangeSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  round(sum(value) OVER w, 2) AS roll_sum_7d,
+      |  count(*) OVER w AS roll_cnt_7d
+      |FROM events WHERE user_id IS NOT NULL
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Join-key skew profiler: per-key-count distribution summaries for
+    * the FK columns the engine's joins shuffle on. skew_ratio =
+    * max_cnt / mean_cnt is the number AQE's skew-join threshold and
+    * the salting bucket count are tuned from — profiling it is the
+    * data-engineering step BEFORE the 100 TB join, run here with the
+    * same two-level aggregation (per-key partial+final count, then a
+    * scalar summary — nothing data-sized ever reaches one task).
+    */
+  val q78SkewProfile: Q = (s, dir) => {
+    def profile(df: org.apache.spark.sql.DataFrame, key: String,
+        name: String) =
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("total_rows"),
+          max(col("c")).as("max_cnt"),
+          round(avg(col("c")), 4).as("avg_cnt"),
+          round(max(col("c")) * count(lit(1)) /
+            sum(col("c")).cast("double"), 4).as("skew_ratio"))
+        .select(lit(name).as("key_name"), col("n_keys"),
+          col("total_rows"), col("max_cnt"), col("avg_cnt"),
+          col("skew_ratio"))
+    profile(Tables.events(s, dir), "user_id", "events.user_id")
+      .unionAll(profile(Tables.lineitem(s, dir), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .unionAll(profile(Tables.lineitem(s, dir), "l_partkey",
+        "lineitem.l_partkey"))
+      .unionAll(profile(Tables.orders(s, dir), "o_custkey",
+        "orders.o_custkey"))
+      .orderBy(col("key_name"))
+  }
+
+  val q78SkewProfileSql: String =
+    """WITH p1 AS (SELECT count(*) AS c FROM events
+      |    WHERE user_id IS NOT NULL GROUP BY user_id),
+      |  p2 AS (SELECT count(*) AS c FROM lineitem
+      |    WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey),
+      |  p3 AS (SELECT count(*) AS c FROM lineitem
+      |    WHERE l_partkey IS NOT NULL GROUP BY l_partkey),
+      |  p4 AS (SELECT count(*) AS c FROM orders
+      |    WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
+      |SELECT * FROM (
+      |  SELECT 'events.user_id' AS key_name, count(*) AS n_keys,
+      |    sum(c)::BIGINT AS total_rows, max(c) AS max_cnt,
+      |    round(avg(c), 4) AS avg_cnt,
+      |    round(max(c) * count(*) / sum(c)::DOUBLE, 4) AS skew_ratio
+      |  FROM p1
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey', count(*), sum(c)::BIGINT, max(c),
+      |    round(avg(c), 4), round(max(c) * count(*) / sum(c)::DOUBLE, 4)
+      |  FROM p2
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey', count(*), sum(c)::BIGINT, max(c),
+      |    round(avg(c), 4), round(max(c) * count(*) / sum(c)::DOUBLE, 4)
+      |  FROM p3
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey', count(*), sum(c)::BIGINT, max(c),
+      |    round(avg(c), 4), round(max(c) * count(*) / sum(c)::DOUBLE, 4)
+      |  FROM p4
+      |) ORDER BY key_name""".stripMargin
+
+  /** Fuzzy entity resolution on customer names: every pair of c_name
+    * values within Levenshtein distance 1 — the CRM "possible duplicate
+    * account" report — found by Dedup.editDistancePairs' symmetric-
+    * delete blocking (never the quadratic the oracle restates).
+    */
+  val q79FuzzyDedup: Q = (s, dir) =>
+    graft.ml.Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")
+      .select(col("s1").as("name_a"), col("s2").as("name_b"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val q79FuzzyDedupSql: String =
+    """SELECT a.c_name AS name_a, b.c_name AS name_b
+      |FROM customer a JOIN customer b
+      |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY name_a, name_b""".stripMargin
+
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
     * reproduces that with a lag/cumsum session id.
@@ -2232,6 +2338,9 @@ object RelationalQueries {
     "q74_stream_enrich" -> q74StreamEnrich,
     "q75_sliding_window" -> q75SlidingWindow,
     "q76_unpivot" -> q76Unpivot,
+    "q77_rolling_range" -> q77RollingRange,
+    "q78_skew_profile" -> q78SkewProfile,
+    "q79_fuzzy_dedup" -> q79FuzzyDedup,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2314,5 +2423,8 @@ object RelationalQueries {
     "q74_stream_enrich" -> q74StreamEnrichSql,
     "q75_sliding_window" -> q75SlidingWindowSql,
     "q76_unpivot" -> q76UnpivotSql,
+    "q77_rolling_range" -> q77RollingRangeSql,
+    "q78_skew_profile" -> q78SkewProfileSql,
+    "q79_fuzzy_dedup" -> q79FuzzyDedupSql,
   )
 }
