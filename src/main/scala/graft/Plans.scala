@@ -31,7 +31,8 @@ object Plans {
     "ns2_dedup_jaccard", "ns3_dedup_minhash", "ns22_corpus_prep",
     "ns23_contamination", "ns26_release",
     "ns30_contamination_bloom", "ns31_budget_select", "q68_interval_join",
-    "q74_stream_enrich", "ns35_dup_paragraphs", "q67b_winsorize_approx")
+    "q74_stream_enrich", "ns35_dup_paragraphs", "q67b_winsorize_approx",
+    "q80_incremental_join", "q82_basket")
 
   private def section(sb: StringBuilder, spark: SparkSession,
       dir: String, names: Seq[String], execute: Boolean): Unit =

@@ -1011,6 +1011,170 @@ object RelationalQueries {
       |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** Incremental JOIN-view maintenance (IncrementalJoin): the stored
+    * orders⋈lineitem view absorbs insert-only deltas on BOTH sides via
+    * the three delta quadrants — the old×old quadrant (at 100 TB, the
+    * whole cost) is never re-joined. The oracle is the full join of the
+    * union, so the gate proves the quadrant algebra produces every row
+    * exactly once. Splits are arbitrary mod classes on independent
+    * columns so all three quadrants are non-empty.
+    */
+  val q80IncrementalJoin: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .withColumnRenamed("o_orderkey", "orderkey")
+    val l = Tables.lineitem(s, dir)
+      .withColumnRenamed("l_orderkey", "orderkey")
+    val (oldA, dA) = (o.filter(col("orderkey") % 5 =!= 0),
+      o.filter(col("orderkey") % 5 === 0))
+    val (oldB, dB) = (l.filter(col("l_suppkey") % 7 =!= 0),
+      l.filter(col("l_suppkey") % 7 === 0))
+    val view = oldA.join(oldB, Seq("orderkey"))
+    graft.operators.IncrementalJoin.maintain(view,
+      graft.operators.IncrementalJoin.delta(oldA, dA, oldB, dB,
+        Seq("orderkey")))
+      .select(col("orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_partkey"), round(col("l_extendedprice"), 2).as("price"),
+        col("o_orderpriority"))
+      .orderBy(col("orderkey"), col("l_linenumber"))
+  }
+
+  val q80IncrementalJoinSql: String =
+    """SELECT o_orderkey AS orderkey, l_linenumber, o_custkey,
+      |  l_partkey, round(l_extendedprice, 2) AS price, o_orderpriority
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |ORDER BY orderkey, l_linenumber""".stripMargin
+
+  /** RFM segmentation — the CRM scoring classic: per customer,
+    * Recency (latest order time), Frequency (order count), Monetary
+    * (exact decimal revenue), each cut into quintiles by the EXACT
+    * global ntile (Corpus.ntileByScore — the monotone-bucket
+    * decomposition, never a single-partition global window), composed
+    * into the familiar 3-digit RFM code. Ties are broken by the shared
+    * md5 hash60 of the customer key so both engines walk the identical
+    * total order.
+    */
+  val q81Rfm: Q = (s, dir) => {
+    val byCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      // o_orderdate is TIMESTAMP_NTZ in the fixtures; the session is
+      // pinned UTC so the cast is the same instant DuckDB's epoch_us
+      // reads from its naive TIMESTAMP
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
+          .as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("monetary"))
+    // Three INDEPENDENT ntile branches joined on the key — chaining
+    // them (tile(tile(tile(df)))) nests each pass's 3 references to
+    // its input and the plan grows exponentially with depth (67 scans
+    // / 939 plan lines measured vs ~15/200 here); sibling branches
+    // stay linear and the repeated byCust aggregation dedups to one
+    // execution via ReusedExchange.
+    def tiles(scoreCol: String, name: String) =
+      graft.ml.Corpus.ntileByScore(
+        byCust.select(col("o_custkey"), col(scoreCol)),
+        scoreCol, "o_custkey", 5)
+        .select(col("o_custkey"), col("tile").as(name))
+    byCust
+      .join(tiles("recency", "r_tile"), Seq("o_custkey"))
+      .join(tiles("frequency", "f_tile"), Seq("o_custkey"))
+      .join(tiles("monetary", "m_tile"), Seq("o_custkey"))
+      .select(col("o_custkey"), col("recency"), col("frequency"),
+        col("monetary"), col("r_tile"), col("f_tile"), col("m_tile"),
+        (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+          .as("rfm_code"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q81RfmSql: String =
+    """WITH byc AS (
+      |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS recency,
+      |    count(*)::BIGINT AS frequency,
+      |    sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS monetary,
+      |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o_custkey, recency, frequency, monetary,
+      |  r_tile, f_tile, m_tile,
+      |  r_tile*100 + f_tile*10 + m_tile AS rfm_code
+      |FROM (
+      |  SELECT o_custkey, recency, frequency, monetary,
+      |    ntile(5) OVER (ORDER BY recency DESC, h, o_custkey)::INT
+      |      AS r_tile,
+      |    ntile(5) OVER (ORDER BY frequency DESC, h, o_custkey)::INT
+      |      AS f_tile,
+      |    ntile(5) OVER (ORDER BY monetary DESC, h, o_custkey)::INT
+      |      AS m_tile
+      |  FROM byc
+      |)
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Market-basket brand co-occurrence with support + lift — which
+    * part brands are ordered together. Per-order distinct brands are
+    * paired within the order (fan-out bounded by basket size, never a
+    * corpus-wide quadratic), with the A-priori prune applied first:
+    * a pair can only reach min support if BOTH items do, so low-
+    * support brands are dropped before pairing — at 100 TB that prune
+    * (a broadcast semi-join of a tiny frequent-item list) is what
+    * keeps the pair space tractable.
+    */
+  val q82Basket: Q = (s, dir) => {
+    val minSupport = 50L
+    val baskets = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemFreq = baskets.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_item"))
+    val kept = baskets.join(
+      broadcast(itemFreq.filter(col("n_item") >= minSupport)
+        .select(col("brand"))), Seq("brand"))
+    kept.as("a").join(kept.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"),
+        col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(broadcast(itemFreq.select(col("brand").as("brand_a"),
+        col("n_item").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(itemFreq.select(col("brand").as("brand_b"),
+        col("n_item").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        round(col("support") * col("n_orders") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  val q82BasketSql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), item AS (
+      |  SELECT brand, count(*)::BIGINT AS n_item FROM baskets GROUP BY 1
+      |), tot AS (
+      |  SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM baskets
+      |), pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |    count(*)::BIGINT AS support
+      |  FROM baskets a JOIN baskets b
+      |    ON a.ok = b.ok AND a.brand < b.brand
+      |  WHERE a.brand IN (SELECT brand FROM item WHERE n_item >= 50)
+      |    AND b.brand IN (SELECT brand FROM item WHERE n_item >= 50)
+      |  GROUP BY 1, 2 HAVING count(*) >= 50
+      |)
+      |SELECT brand_a, brand_b, support,
+      |  round(support * n_orders / (ia.n_item * ib.n_item)::DOUBLE, 6)
+      |    AS lift
+      |FROM pairs
+      |JOIN item ia ON ia.brand = brand_a
+      |JOIN item ib ON ib.brand = brand_b
+      |CROSS JOIN tot
+      |ORDER BY brand_a, brand_b""".stripMargin
+
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
     * reproduces that with a lag/cumsum session id.
@@ -2341,6 +2505,9 @@ object RelationalQueries {
     "q77_rolling_range" -> q77RollingRange,
     "q78_skew_profile" -> q78SkewProfile,
     "q79_fuzzy_dedup" -> q79FuzzyDedup,
+    "q80_incremental_join" -> q80IncrementalJoin,
+    "q81_rfm" -> q81Rfm,
+    "q82_basket" -> q82Basket,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2426,5 +2593,8 @@ object RelationalQueries {
     "q77_rolling_range" -> q77RollingRangeSql,
     "q78_skew_profile" -> q78SkewProfileSql,
     "q79_fuzzy_dedup" -> q79FuzzyDedupSql,
+    "q80_incremental_join" -> q80IncrementalJoinSql,
+    "q81_rfm" -> q81RfmSql,
+    "q82_basket" -> q82BasketSql,
   )
 }
