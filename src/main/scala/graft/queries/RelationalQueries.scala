@@ -1175,6 +1175,109 @@ object RelationalQueries {
       |CROSS JOIN tot
       |ORDER BY brand_a, brand_b""".stripMargin
 
+  /** Declarative data-quality gate (meta.Expectations): two tables'
+    * publish-contract suites — completeness, key uniqueness, regex
+    * conformance, domain membership, value bounds, row count — each
+    * suite ONE aggregation pass regardless of check count. The value
+    * bound on events is deliberately tighter than the data so the
+    * report exercises its failing branch (observed < 1, passed =
+    * false); the oracle restates every check as a scalar aggregate.
+    */
+  val q83Expectations: Q = (s, dir) => {
+    import graft.meta.Expectations._
+    val cust = run(Tables.customer(s, dir), Seq(
+      RowCount(100L, 100000000L),
+      Uniqueness(Seq("c_custkey"), 1.0),
+      Completeness("c_name", 1.0),
+      PatternRatio("c_name", "^Customer#[0-9]+$", 0.99),
+      InSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY"), 1.0),
+      Between("c_acctbal", -1000.0, 10000.0)))
+      .withColumn("table_name", lit("customer"))
+    val ev = run(Tables.events(s, dir), Seq(
+      Uniqueness(Seq("event_id"), 1.0),
+      Completeness("user_id", 0.9),
+      InSet("event_type", Seq("click", "view", "purchase", "signup",
+        "error"), 1.0),
+      Between("value", 0.0, 100.0)))
+      .withColumn("table_name", lit("events"))
+    cust.unionByName(ev)
+      .select(col("table_name"), col("check_idx"), col("check_name"),
+        col("col_name"), col("observed"), col("threshold"),
+        col("passed"))
+      .orderBy(col("table_name"), col("check_idx"))
+  }
+
+  val q83ExpectationsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS table_name, 0 AS check_idx,
+      |    'row_count' AS check_name, '*' AS col_name,
+      |    round(count(*)::DOUBLE, 6) AS observed, 100.0::DOUBLE AS threshold,
+      |    count(*) >= 100 AND count(*) <= 100000000 AS passed
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'customer', 1, 'uniqueness', 'c_custkey',
+      |    round(count(DISTINCT c_custkey)::DOUBLE / count(*), 6), 1.0::DOUBLE,
+      |    count(DISTINCT c_custkey)::DOUBLE / count(*) >= 1.0
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'customer', 2, 'completeness', 'c_name',
+      |    round(count(c_name)::DOUBLE / count(*), 6), 1.0::DOUBLE,
+      |    count(c_name)::DOUBLE / count(*) >= 1.0
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'customer', 3, 'pattern', 'c_name',
+      |    round(count(CASE WHEN regexp_matches(c_name,
+      |      '^Customer#[0-9]+$') THEN 1 END)::DOUBLE
+      |      / count(c_name), 6), 0.99::DOUBLE,
+      |    count(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$')
+      |      THEN 1 END)::DOUBLE / count(c_name) >= 0.99
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'customer', 4, 'in_set', 'c_mktsegment',
+      |    round(count(CASE WHEN c_mktsegment IN ('AUTOMOBILE',
+      |      'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')
+      |      THEN 1 END)::DOUBLE / count(c_mktsegment), 6), 1.0::DOUBLE,
+      |    count(CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+      |      'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 1 END)::DOUBLE
+      |      / count(c_mktsegment) >= 1.0
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'customer', 5, 'between', 'c_acctbal',
+      |    round(count(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0
+      |      THEN 1 END)::DOUBLE / count(c_acctbal), 6), 1.0::DOUBLE,
+      |    count(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0
+      |      THEN 1 END)::DOUBLE / count(c_acctbal) >= 1.0
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'events', 0, 'uniqueness', 'event_id',
+      |    round(count(DISTINCT event_id)::DOUBLE / count(*), 6), 1.0::DOUBLE,
+      |    count(DISTINCT event_id)::DOUBLE / count(*) >= 1.0
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'events', 1, 'completeness', 'user_id',
+      |    round(count(user_id)::DOUBLE / count(*), 6), 0.9::DOUBLE,
+      |    count(user_id)::DOUBLE / count(*) >= 0.9
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'events', 2, 'in_set', 'event_type',
+      |    round(count(CASE WHEN event_type IN ('click', 'view',
+      |      'purchase', 'signup', 'error') THEN 1 END)::DOUBLE
+      |      / count(event_type), 6), 1.0::DOUBLE,
+      |    count(CASE WHEN event_type IN ('click', 'view', 'purchase',
+      |      'signup', 'error') THEN 1 END)::DOUBLE
+      |      / count(event_type) >= 1.0
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'events', 3, 'between', 'value',
+      |    round(count(CASE WHEN value BETWEEN 0.0 AND 100.0
+      |      THEN 1 END)::DOUBLE / count(value), 6), 1.0::DOUBLE,
+      |    count(CASE WHEN value BETWEEN 0.0 AND 100.0
+      |      THEN 1 END)::DOUBLE / count(value) >= 1.0
+      |  FROM events
+      |)
+      |ORDER BY table_name, check_idx""".stripMargin
+
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
     * reproduces that with a lag/cumsum session id.
@@ -2508,6 +2611,7 @@ object RelationalQueries {
     "q80_incremental_join" -> q80IncrementalJoin,
     "q81_rfm" -> q81Rfm,
     "q82_basket" -> q82Basket,
+    "q83_expectations" -> q83Expectations,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2596,5 +2700,6 @@ object RelationalQueries {
     "q80_incremental_join" -> q80IncrementalJoinSql,
     "q81_rfm" -> q81RfmSql,
     "q82_basket" -> q82BasketSql,
+    "q83_expectations" -> q83ExpectationsSql,
   )
 }
