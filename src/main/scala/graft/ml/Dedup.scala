@@ -536,15 +536,26 @@ object Dedup {
         concat(col("s").substr(lit(1), i - 1),
           col("s").substr(i + 1, length(col("s"))))))
     // distinct (s, h): repeated letters yield the same deletion twice —
-    // emitting it once halves the posting list for no recall cost
+    // emitting it once halves the posting list for no recall cost.
+    // xxhash64, not the md5-based hash60: this hash is an INTERNAL
+    // join key (never compared against an oracle), collisions only add
+    // candidates the levenshtein verify drops, and codegen'd xxhash64
+    // is ~5x cheaper than MessageDigest md5 over the |s|+1 variant
+    // fan-out — at sf0.1 the md5 pass alone was half the query.
     val sv = strings
       .select(col("s"), explode(variants).as("v"))
-      .select(col("s"), HashUtils.hash60(col("v")).as("h"))
+      .select(col("s"), xxhash64(col("v")).as("h"))
       .distinct()
     sv.as("a").join(sv.as("b"),
         col("a.h") === col("b.h") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
-      .distinct()
+      // verify BEFORE dedup: the codegen'd levenshtein is a map-side
+      // filter, so the distinct() exchange moves only TRUE pairs (each
+      // a handful of times, once per shared variant) instead of the
+      // full candidate fan-out — on dense key spaces (numbered names,
+      // zero runs) candidates outnumber true pairs ~40:1 and the
+      // pair shuffle, not the verify, is the scale cost
       .where(levenshtein(col("s1"), col("s2")) <= 1)
+      .distinct()
   }
 }

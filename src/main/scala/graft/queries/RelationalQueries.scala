@@ -1003,7 +1003,11 @@ object RelationalQueries {
   val q79FuzzyDedup: Q = (s, dir) =>
     graft.ml.Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")
       .select(col("s1").as("name_a"), col("s2").as("name_b"))
-      .orderBy(col("name_a"), col("name_b"))
+      // no orderBy: the gate sorts rows itself, and a global sort's
+      // rangepartitioning SAMPLING pass would re-execute the whole
+      // join pipeline a second time (~40% of the query's cost here —
+      // the one output in the registry big enough over an expensive
+      // enough upstream for that to matter)
 
   val q79FuzzyDedupSql: String =
     """SELECT a.c_name AS name_a, b.c_name AS name_b
@@ -1277,6 +1281,56 @@ object RelationalQueries {
       |  FROM events
       |)
       |ORDER BY table_name, check_idx""".stripMargin
+
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent marketing touch (click/view/signup) within
+    * a 7-day lookback — purchases with no touch in the window are
+    * 'direct'. Pure reuse of AsOfJoin.asofBackward with tolerance
+    * (one key-partitioned union+window pass, no per-purchase rescan),
+    * then a per-channel rollup of count and exact decimal revenue.
+    */
+  val q84Attribution: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val touches = ev
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type").as("touch_type"))
+    graft.operators.AsOfJoin.asofBackward(
+      purchases, touches,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      payload = Seq("touch_type"), tiebreak = "event_id",
+      tolerance = Some("INTERVAL 7 DAYS"))
+      .groupBy(coalesce(col("asof_touch_type"), lit("direct"))
+        .as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  val q84AttributionSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+      |), t AS (
+      |  SELECT event_id, user_id, ts, event_type FROM events
+      |  WHERE user_id IS NOT NULL
+      |    AND event_type IN ('click', 'view', 'signup')
+      |), att AS (
+      |  SELECT p.value,
+      |    (SELECT (max({'ts': t.ts, 'e': t.event_id,
+      |        'et': t.event_type})).et
+      |     FROM t WHERE t.user_id = p.user_id AND t.ts <= p.ts
+      |       AND t.ts >= p.ts - INTERVAL 7 DAY) AS ch
+      |  FROM p
+      |)
+      |SELECT coalesce(ch, 'direct') AS channel,
+      |  count(*)::BIGINT AS purchases,
+      |  sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS revenue
+      |FROM att GROUP BY channel ORDER BY channel""".stripMargin
 
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
@@ -2612,6 +2666,7 @@ object RelationalQueries {
     "q81_rfm" -> q81Rfm,
     "q82_basket" -> q82Basket,
     "q83_expectations" -> q83Expectations,
+    "q84_attribution" -> q84Attribution,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2701,5 +2756,6 @@ object RelationalQueries {
     "q81_rfm" -> q81RfmSql,
     "q82_basket" -> q82BasketSql,
     "q83_expectations" -> q83ExpectationsSql,
+    "q84_attribution" -> q84AttributionSql,
   )
 }
