@@ -1332,6 +1332,82 @@ object RelationalQueries {
       |  sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS revenue
       |FROM att GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Distribution-drift detection (PSI — population stability index):
+    * bin the metric by the REFERENCE period's deciles, compare the
+    * current period's bin shares, psi_term = (p_cur − p_ref) ·
+    * ln(p_cur/p_ref) per bin (Σ > 0.2 is the conventional "retrain /
+    * investigate" alarm). The decile edges are a 9-element broadcast
+    * literal, binning is a pure map stage, and each side is one
+    * aggregation pass — monitoring 100 TB costs two scans. Exact
+    * ref-deciles share q39's percentile caveat; the ε floor keeps
+    * empty current bins finite and is restated identically in the
+    * oracle.
+    */
+  val q85Drift: Q = (s, dir) => {
+    val split = lit("2024-01-15 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).select(col("ts"), col("value"))
+    val ref = ev.filter(col("ts") < split)
+    val cur = ev.filter(col("ts") >= split)
+    val edges = ref.agg(percentile(col("value"),
+      lit((1 to 9).map(_ / 10.0).toArray)).as("qs"))
+    def binCounts(df: DataFrame, cntName: String) =
+      df.crossJoin(broadcast(edges))
+        .select(size(filter(col("qs"), e => e < col("value")))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cntName))
+    val totals = ref.agg(count(lit(1)).as("n_ref"))
+      .crossJoin(cur.agg(count(lit(1)).as("n_cur")))
+    val eps = lit(1e-6)
+    binCounts(ref, "ref_cnt")
+      .join(binCounts(cur, "cur_cnt"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round(col("ref_cnt") / col("n_ref").cast("double"), 6)
+          .as("p_ref"),
+        round(col("cur_cnt") / col("n_cur").cast("double"), 6)
+          .as("p_cur"),
+        round((col("cur_cnt") / col("n_cur").cast("double") -
+          col("ref_cnt") / col("n_ref").cast("double")) *
+          log(greatest(col("cur_cnt") / col("n_cur").cast("double"),
+            eps) /
+            greatest(col("ref_cnt") / col("n_ref").cast("double"),
+              eps)), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  val q85DriftSql: String =
+    """WITH ref AS (
+      |  SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-15'
+      |), cur AS (
+      |  SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+      |), e AS (
+      |  SELECT quantile_cont(value,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |  FROM ref
+      |), rb AS (
+      |  SELECT len(list_filter(qs, x -> x < value))::INT AS bin,
+      |    count(*)::BIGINT AS ref_cnt FROM ref, e GROUP BY 1
+      |), cb AS (
+      |  SELECT len(list_filter(qs, x -> x < value))::INT AS bin,
+      |    count(*)::BIGINT AS cur_cnt FROM cur, e GROUP BY 1
+      |), t AS (
+      |  SELECT (SELECT count(*) FROM ref)::DOUBLE AS n_ref,
+      |    (SELECT count(*) FROM cur)::DOUBLE AS n_cur
+      |)
+      |SELECT coalesce(rb.bin, cb.bin) AS bin,
+      |  coalesce(ref_cnt, 0) AS ref_cnt,
+      |  coalesce(cur_cnt, 0) AS cur_cnt,
+      |  round(coalesce(ref_cnt, 0) / n_ref, 6) AS p_ref,
+      |  round(coalesce(cur_cnt, 0) / n_cur, 6) AS p_cur,
+      |  round((coalesce(cur_cnt, 0) / n_cur -
+      |    coalesce(ref_cnt, 0) / n_ref) *
+      |    ln(greatest(coalesce(cur_cnt, 0) / n_cur, 0.000001) /
+      |      greatest(coalesce(ref_cnt, 0) / n_ref, 0.000001)), 6)
+      |    AS psi_term
+      |FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin CROSS JOIN t
+      |ORDER BY bin""".stripMargin
+
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
     * reproduces that with a lag/cumsum session id.
@@ -2667,6 +2743,7 @@ object RelationalQueries {
     "q82_basket" -> q82Basket,
     "q83_expectations" -> q83Expectations,
     "q84_attribution" -> q84Attribution,
+    "q85_drift" -> q85Drift,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2757,5 +2834,6 @@ object RelationalQueries {
     "q82_basket" -> q82BasketSql,
     "q83_expectations" -> q83ExpectationsSql,
     "q84_attribution" -> q84AttributionSql,
+    "q85_drift" -> q85DriftSql,
   )
 }
