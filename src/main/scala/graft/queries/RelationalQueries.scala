@@ -1408,6 +1408,49 @@ object RelationalQueries {
       |FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin CROSS JOIN t
       |ORDER BY bin""".stripMargin
 
+  /** Robust outlier detection: flag events whose MAD-based robust
+    * z-score (0.6745·(v − median)/MAD — the consistent-estimator
+    * form) exceeds 3.5 within their event type. Median/MAD, not
+    * mean/stddev: a CRM's value column is exactly where the outliers
+    * ARE, and moment-based z-scores let the outliers inflate their own
+    * yardstick. Two 5-row aggregates broadcast back over one fact
+    * scan; the oracle restates MAD manually (median of abs deviations)
+    * so both engines walk the identical arithmetic. Exact per-group
+    * percentile carries q39's scale caveat — at 100 TB swap in
+    * approx_percentile exactly as q39b/q67b do.
+    */
+  val q86Outliers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val stats = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"))
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5))
+        .as("mad"))
+    val z = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("mad") > 0 && abs(z) > 3.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), round(z, 4).as("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
+  val q86OutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+      |), stats AS (
+      |  SELECT e.event_type, any_value(med.med) AS med,
+      |    median(abs(e.value - med.med)) AS mad
+      |  FROM events e JOIN med USING (event_type)
+      |  GROUP BY e.event_type
+      |)
+      |SELECT event_id, e.event_type, round(value, 2) AS value,
+      |  round(0.6745 * (value - s.med) / s.mad, 4) AS robust_z
+      |FROM events e JOIN stats s USING (event_type)
+      |WHERE s.mad > 0 AND abs(0.6745 * (value - s.med) / s.mad) > 3.5
+      |ORDER BY event_id""".stripMargin
+
   /** T8: session windows (30-minute inactivity gap) per user — Spark's
     * session_window merges events whose gap is < 30 min; the oracle
     * reproduces that with a lag/cumsum session id.
@@ -2744,6 +2787,7 @@ object RelationalQueries {
     "q83_expectations" -> q83Expectations,
     "q84_attribution" -> q84Attribution,
     "q85_drift" -> q85Drift,
+    "q86_outliers" -> q86Outliers,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2835,5 +2879,6 @@ object RelationalQueries {
     "q83_expectations" -> q83ExpectationsSql,
     "q84_attribution" -> q84AttributionSql,
     "q85_drift" -> q85DriftSql,
+    "q86_outliers" -> q86OutliersSql,
   )
 }
