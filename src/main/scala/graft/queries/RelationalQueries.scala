@@ -1436,6 +1436,109 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The incremental triad COMPOSED into one maintained reporting MV:
+    * a join view absorbed through IncrementalJoin.delta feeds
+    * IncrementalAgg partial/merge state — history is never re-joined
+    * NOR re-aggregated when deltas land on both base tables. This is
+    * the full materialized-view story for the reference's reporting
+    * extract (join orders×lineitem, aggregate by priority/returnflag)
+    * as one delta-proportional update; the oracle recomputes the whole
+    * thing from scratch, so the gate proves the composed algebra.
+    */
+  val q87IncrementalMv: Q = (s, dir) => {
+    import graft.operators.{IncrementalAgg, IncrementalJoin}
+    val o = Tables.orders(s, dir)
+      .withColumnRenamed("o_orderkey", "orderkey")
+    val l = Tables.lineitem(s, dir)
+      .withColumnRenamed("l_orderkey", "orderkey")
+    val (oldA, dA) = (o.filter(col("orderkey") % 5 =!= 0),
+      o.filter(col("orderkey") % 5 === 0))
+    val (oldB, dB) = (l.filter(col("l_suppkey") % 7 =!= 0),
+      l.filter(col("l_suppkey") % 7 === 0))
+    val keys = Seq("o_orderpriority", "l_returnflag")
+    def valued(df: DataFrame) = df.withColumn("v",
+      col("l_extendedprice").cast("decimal(18,6)"))
+    val state0 = IncrementalAgg.partial(
+      valued(oldA.join(oldB, Seq("orderkey"))), keys, "v")
+    val deltaState = IncrementalAgg.partial(
+      valued(IncrementalJoin.delta(oldA, dA, oldB, dB,
+        Seq("orderkey"))), keys, "v")
+    IncrementalAgg.finish(IncrementalAgg.merge(state0, deltaState))
+      .select(col("o_orderpriority"), col("l_returnflag"),
+        col("agg_sum").cast("decimal(38,6)").as("agg_sum"),
+        col("agg_cnt"), col("agg_min"), col("agg_max"),
+        round(col("agg_avg"), 6).as("agg_avg"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+  }
+
+  val q87IncrementalMvSql: String =
+    """SELECT o_orderpriority, l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |    AS DECIMAL(38,6)) AS agg_sum,
+      |  count(l_extendedprice) AS agg_cnt,
+      |  min(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_min,
+      |  max(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_max,
+      |  round(CASE WHEN count(l_extendedprice) > 0 THEN
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |      AS DECIMAL(38,6)) AS DOUBLE) / count(l_extendedprice)
+      |    END, 6) AS agg_avg
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority, l_returnflag
+      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
+
+  /** Multi-touch (linear) attribution — q84's last-touch sibling:
+    * every touch in the 7-day lookback shares the purchase's value
+    * equally. The purchase×touch pairing is an equi-join on the
+    * high-cardinality user key with a time-range residual (bounded
+    * per-user fan-out, never a time-only range explosion); per-row
+    * credit is rounded to a fixed 6dp DECIMAL before the sum so the
+    * rollup is order-independent and exact on both engines.
+    */
+  val q88MultiTouch: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("ts").as("pts"), col("value"))
+    val touches = ev
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val paired = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val credits = paired
+      .withColumn("k", count(lit(1))
+        .over(Window.partitionBy(col("pid"))))
+      .withColumn("credit",
+        round(col("value") / col("k"), 6).cast("decimal(18,6)"))
+    credits.groupBy(col("channel"))
+      .agg(countDistinct(col("pid")).as("touched_purchases"),
+        count(lit(1)).as("touches"),
+        sum(col("credit")).cast("decimal(38,6)").as("credited_revenue"))
+      .orderBy(col("channel"))
+  }
+
+  val q88MultiTouchSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS pid, user_id, ts AS pts, value FROM events
+      |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+      |), t AS (
+      |  SELECT user_id, ts AS tts, event_type AS channel FROM events
+      |  WHERE user_id IS NOT NULL
+      |    AND event_type IN ('click', 'view', 'signup')
+      |), paired AS (
+      |  SELECT pid, value, channel,
+      |    count(*) OVER (PARTITION BY pid) AS k
+      |  FROM p JOIN t USING (user_id)
+      |  WHERE tts <= pts AND tts >= pts - INTERVAL 7 DAY
+      |)
+      |SELECT channel,
+      |  count(DISTINCT pid)::BIGINT AS touched_purchases,
+      |  count(*)::BIGINT AS touches,
+      |  CAST(sum(round(value / k, 6)::DECIMAL(18,6)) AS DECIMAL(38,6))
+      |    AS credited_revenue
+      |FROM paired GROUP BY channel ORDER BY channel""".stripMargin
+
   val q86OutliersSql: String =
     """WITH med AS (
       |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
@@ -2788,6 +2891,8 @@ object RelationalQueries {
     "q84_attribution" -> q84Attribution,
     "q85_drift" -> q85Drift,
     "q86_outliers" -> q86Outliers,
+    "q87_incremental_mv" -> q87IncrementalMv,
+    "q88_multi_touch" -> q88MultiTouch,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2880,5 +2985,7 @@ object RelationalQueries {
     "q84_attribution" -> q84AttributionSql,
     "q85_drift" -> q85DriftSql,
     "q86_outliers" -> q86OutliersSql,
+    "q87_incremental_mv" -> q87IncrementalMvSql,
+    "q88_multi_touch" -> q88MultiTouchSql,
   )
 }
