@@ -37,10 +37,10 @@ object SparkEntry {
     * north-star dedup/similarity/text/multimodal operators.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ MlQueries.all
+    RelationalQueries.all ++ MlQueries.all ++ StatsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ MlQueries.oracles
+    RelationalQueries.oracles ++ MlQueries.oracles ++ StatsQueries.oracles
 }

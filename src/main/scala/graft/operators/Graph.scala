@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over co-occurrence graphs derived from
+  * relational tables (reference anchor: the item-relationship traversal
+  * the CRM's app/field cross-references imply — PodioApiGateway's
+  * item_values link fields — generalized to whole-graph statistics).
+  *
+  * The graph representation is a plain edge DataFrame `(p1, p2)` with
+  * `p1 < p2`, one row per distinct undirected edge — no adjacency
+  * materialization, so every algorithm here is a sequence of joins and
+  * aggregations that Catalyst plans like any other query (AQE picks the
+  * join strategies; the edge list shuffles on node ids).
+  *
+  * Scale posture at 100 TB:
+  *  - [[coOccurrenceEdges]] pairs items within a bag, so the blowup is
+  *    bounded by max-bag-size squared per bag (order baskets: ≤ ~20
+  *    lines → ≤ 190 pairs), never corpus-quadratic.
+  *  - [[triangleStats]] uses the degree-ordered node-iterator: each
+  *    edge is oriented from its lower-(degree, id) endpoint to the
+  *    higher, so the wedge fan-out around a node is its OUT-degree, and
+  *    the candidate-wedge total drops from Σ d² (hub-dominated) to
+  *    Σ outdeg² ≤ O(m^1.5) — the classical bound that makes triangle
+  *    counting feasible on power-law graphs where a single celebrity
+  *    node would otherwise generate d² ≈ 10^12 wedges.
+  *  - [[pageRank]] is the standard power iteration as a fixed number of
+  *    (join + groupBy) rounds; state per node is one double, edges are
+  *    re-read from a `localCheckpoint` so the plan does not re-derive
+  *    the edge list every round.
+  */
+object Graph {
+
+  /** Distinct undirected co-occurrence edges from a bag/item table:
+    * two items are connected iff they appear in the same bag. Output
+    * `(p1, p2)` with `p1 < p2`, one row per edge.
+    *
+    * The self-join is keyed on the bag id, so the shuffle is one pass
+    * of the (bag, item) pairs and the pair fan-out is per-bag
+    * quadratic only — the `p1 < p2` predicate halves it and drops
+    * self-pairs before the distinct.
+    */
+  def coOccurrenceEdges(bags: DataFrame, bagCol: String,
+      itemCol: String): DataFrame = {
+    val bi = bags.select(col(bagCol).as("_bag"), col(itemCol).as("_item"))
+      .distinct()
+    bi.select(col("_bag"), col("_item").as("p1"))
+      .join(bi.select(col("_bag"), col("_item").as("p2")), Seq("_bag"))
+      .filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2"))
+      .distinct()
+  }
+
+  /** Per-node degree of an undirected `(p1, p2)` edge list. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("p1").as("node"))
+      .unionAll(edges.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Exact triangle count + global clustering coefficient, one output
+    * row: (n_nodes, n_edges, n_wedges, n_triangles, global_cc).
+    *
+    * Degree-ordered orientation: every edge points from its lower
+    * (deg, id) endpoint to the higher (packed into one long key —
+    * `deg * 2^32 + id` — so the comparison is a single primitive
+    * column op; both deg and id fit 32 bits at any plausible node
+    * count). A triangle {x ≺ y ≺ z} in that total order is counted
+    * exactly once: as the wedge (x→y, x→z) closed by the edge between
+    * y and z. Wedge generation joins the oriented list with itself on
+    * the source node; the close check is a left-semi join back to the
+    * undirected edge list — no row payloads beyond two longs anywhere.
+    *
+    * n_wedges is Σ d(d−1)/2 over the UNDIRECTED degrees (the
+    * clustering-coefficient denominator), computed from the degree
+    * aggregate — the oriented wedge join never materializes it.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val keyed = deg.select(col("node"),
+      (col("deg") * lit(4294967296L) + col("node")).as("okey"))
+    val e = edges
+      .join(keyed.select(col("node").as("p1"), col("okey").as("k1")),
+        Seq("p1"))
+      .join(keyed.select(col("node").as("p2"), col("okey").as("k2")),
+        Seq("p2"))
+    val oriented = e.select(
+      when(col("k1") < col("k2"), col("p1")).otherwise(col("p2"))
+        .as("src"),
+      when(col("k1") < col("k2"), col("p2")).otherwise(col("p1"))
+        .as("dst"),
+      greatest(col("k1"), col("k2")).as("dkey"))
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dkey") < col("b.dkey"))
+      .select(least(col("a.dst"), col("b.dst")).as("p1"),
+        greatest(col("a.dst"), col("b.dst")).as("p2"))
+    val tri = wedges.join(edges, Seq("p1", "p2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // d*(d-1) stays exact in a long; the sum is widened to decimal to
+    // survive extreme degree skew, halved exactly (always even), and
+    // narrowed back
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum((col("deg") * (col("deg") - 1)).cast("decimal(38,0)")) / 2)
+        .cast("long").as("n_wedges"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_cc"))
+  }
+
+  /** PageRank over an undirected `(p1, p2)` edge list: a fixed number
+    * of power iterations with the standard damping, restricted to
+    * nodes with ≥ 1 edge (no dangling mass, so each round conserves
+    * probability exactly and the oracle restatement is a plain join
+    * chain). Output (node, deg, pr_norm) where pr_norm = pr · N, i.e.
+    * 1.0 = the uniform-random-surfer share — the normalized form keeps
+    * every value O(1) so a fixed 6-dp rounding carries the same
+    * relative precision at any graph size.
+    *
+    * Each round is one equi-join (edge src → current pr) + one
+    * groupBy(dst) — both shuffle on node id only, state is a single
+    * double per node. The edge list and degree table are
+    * `localCheckpoint`ed once up front: without the cut, round k's
+    * plan would re-derive the co-occurrence self-join k times.
+    * Iteration count is a compile-time constant (driver-side loop
+    * bound, not data-dependent), so the plan depth is fixed.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val directed = edges
+      .select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst")))
+      .localCheckpoint()
+    val deg = directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.agg(count(lit(1)).cast("double").as("n"))
+    var pr = deg.crossJoin(broadcast(n))
+      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = directed
+        .join(pr.select(col("node").as("src"),
+          (col("pr") / col("deg")).as("share")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("mass"))
+      pr = deg.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"), col("deg"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+    }
+    pr.crossJoin(broadcast(n))
+      .select(col("node"), col("deg"),
+        round(col("pr") * col("n"), 6).as("pr_norm"))
+  }
+}

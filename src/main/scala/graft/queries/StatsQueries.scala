@@ -1,0 +1,360 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Statistical-analytics registry: closed-form model fitting,
+  * ranking-quality and significance testing, and whole-graph
+  * statistics — the "analyst asks a modeling question of the CRM data"
+  * tier above the relational registry (reference anchor: the filtered
+  * read API `get_filtered_items` at PodioConnector.py:60 feeds exactly
+  * this kind of downstream analysis; the engine runs it in place).
+  *
+  * Everything here is exact distributed algebra — single-pass
+  * aggregates, broadcast-sized marginals, or fixed-depth join chains —
+  * no sampling, no driver-side math beyond literal constants. Floating
+  * outputs are rounded to 6 dp on both engine sides (FIXTURES.md
+  * determinism rules).
+  */
+object StatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------- q89 OLS regression
+
+  /** Per-brand ordinary-least-squares fit of extended price on
+    * quantity via the SQL-standard regr_* aggregates — one pass, five
+    * running sums per group (count, Σx, Σy, Σxy, Σx²), all map-side
+    * combinable; nothing about the shape changes at 100 TB beyond the
+    * shuffle of ~50 brand keys.
+    */
+  val q89Regression: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        regr_count(col("l_extendedprice"), col("l_quantity"))
+          .cast("long").as("n_pts"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("avg_x"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("avg_y"))
+      .orderBy(col("p_brand"))
+
+  val q89RegressionSql: String =
+    """SELECT p_brand,
+      |  regr_count(l_extendedprice, l_quantity)::BIGINT AS n_pts,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6)
+      |    AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+      |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------- q90 ROC-AUC
+
+  /** Per-segment ROC-AUC of `value` as a purchase classifier, via the
+    * Mann-Whitney rank-sum identity: AUC = (Σ rank⁺ − P(P+1)/2)/(P·N)
+    * with midranks for ties (rank() + (ties−1)/2 — every term is a
+    * half-integer, so the double sums are exact below 2^52 and the
+    * single final division is the only rounding site).
+    *
+    * Scale shape: the rank window partitions by segment, so one
+    * segment = one sort partition. At 100 TB the continuation is the
+    * same monotone-bucket decomposition used by Corpus.ntileByScore
+    * (bucket histogram → offset prefix-sum → within-bucket window);
+    * the rank-sum ALGEBRA this query gates is unchanged by that
+    * substitution, which is why the window form is the registry entry.
+    */
+  val q90Auc: Q = (s, dir) => {
+    val scored = Tables.events(s, dir)
+      .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"),
+        col("value").as("score"))
+    val ranked = scored
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("segment")).orderBy(col("score"))))
+      .withColumn("nties", count(lit(1)).over(
+        Window.partitionBy(col("segment"), col("score"))))
+    ranked.groupBy(col("segment"))
+      .agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+        sum((col("rnk") + (col("nties") - 1) / 2.0) * col("pos"))
+          .as("rank_sum"))
+      .select(col("segment"), col("n_pos"), col("n_neg"),
+        round((col("rank_sum") -
+            col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+      .orderBy(col("segment"))
+  }
+
+  val q90AucSql: String =
+    """WITH scored AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+      |    value AS score
+      |  FROM events JOIN customer ON user_id = c_custkey
+      |), ranked AS (
+      |  SELECT segment, pos,
+      |    rank() OVER (PARTITION BY segment ORDER BY score) AS rnk,
+      |    count(*) OVER (PARTITION BY segment, score) AS nties
+      |  FROM scored
+      |)
+      |SELECT segment, sum(pos)::BIGINT AS n_pos,
+      |  (count(*) - sum(pos))::BIGINT AS n_neg,
+      |  round((sum((rnk + (nties - 1) / 2.0) * pos)
+      |      - CAST(sum(pos) AS DOUBLE) * (sum(pos) + 1) / 2.0)
+      |    / (CAST(sum(pos) AS DOUBLE) * (count(*) - sum(pos))), 6)
+      |    AS auc
+      |FROM ranked GROUP BY 1 ORDER BY segment""".stripMargin
+
+  // ------------------------- q91 conversion: Wilson CI + z vs pooled
+
+  /** Per-segment conversion rate with a Wilson 95% interval and a
+    * two-proportion z-statistic against the pooled rate. One groupBy
+    * for the per-segment counts; the pooled totals are a 1-row
+    * broadcast; all the interval arithmetic is per-row Column math on
+    * 5 rows. The z = 1.96 critical value is a shared literal on both
+    * engine sides, so the comparison is bit-deterministic after the
+    * 6-dp round.
+    */
+  val q91Conversion: Q = (s, dir) => {
+    val seg = Tables.events(s, dir)
+      .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_conv"))
+    val tot = seg.agg(sum(col("n_events")).as("n_tot"),
+      sum(col("n_conv")).as("x_tot"))
+    val z = lit(1.96)
+    val p = col("n_conv") / col("n_events").cast("double")
+    val n = col("n_events").cast("double")
+    val center = p + z * z / (lit(2.0) * n)
+    val half = z * sqrt((p * (lit(1.0) - p) + z * z / (lit(4.0) * n)) / n)
+    val denom = lit(1.0) + z * z / n
+    val p0 = col("x_tot") / col("n_tot").cast("double")
+    seg.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_events"), col("n_conv"),
+        round(p, 6).as("cvr"),
+        round((center - half) / denom, 6).as("wilson_lo"),
+        round((center + half) / denom, 6).as("wilson_hi"),
+        round((p - p0) / sqrt(p0 * (lit(1.0) - p0) *
+          (lit(1.0) / n + lit(1.0) / col("n_tot").cast("double"))), 6)
+          .as("z_vs_pool"))
+      .orderBy(col("segment"))
+  }
+
+  val q91ConversionSql: String =
+    """WITH seg AS (
+      |  SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_events,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      ::BIGINT AS n_conv
+      |  FROM events JOIN customer ON user_id = c_custkey GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(n_events)::BIGINT AS n_tot,
+      |    sum(n_conv)::BIGINT AS x_tot FROM seg
+      |)
+      |SELECT segment, n_events, n_conv,
+      |  round(n_conv / CAST(n_events AS DOUBLE), 6) AS cvr,
+      |  round(((n_conv / CAST(n_events AS DOUBLE))
+      |      + 1.96 * 1.96 / (2.0 * n_events)
+      |      - 1.96 * sqrt(((n_conv / CAST(n_events AS DOUBLE))
+      |          * (1.0 - (n_conv / CAST(n_events AS DOUBLE)))
+      |          + 1.96 * 1.96 / (4.0 * n_events)) / n_events))
+      |    / (1.0 + 1.96 * 1.96 / n_events), 6) AS wilson_lo,
+      |  round(((n_conv / CAST(n_events AS DOUBLE))
+      |      + 1.96 * 1.96 / (2.0 * n_events)
+      |      + 1.96 * sqrt(((n_conv / CAST(n_events AS DOUBLE))
+      |          * (1.0 - (n_conv / CAST(n_events AS DOUBLE)))
+      |          + 1.96 * 1.96 / (4.0 * n_events)) / n_events))
+      |    / (1.0 + 1.96 * 1.96 / n_events), 6) AS wilson_hi,
+      |  round(((n_conv / CAST(n_events AS DOUBLE))
+      |      - (x_tot / CAST(n_tot AS DOUBLE)))
+      |    / sqrt((x_tot / CAST(n_tot AS DOUBLE))
+      |      * (1.0 - (x_tot / CAST(n_tot AS DOUBLE)))
+      |      * (1.0 / n_events + 1.0 / n_tot)), 6) AS z_vs_pool
+      |FROM seg CROSS JOIN tot ORDER BY segment""".stripMargin
+
+  // ------------------------------- q92 chi-square independence test
+
+  /** Chi-square test of independence between customer nation and event
+    * type: the full contingency table with observed counts, expected
+    * counts under independence (row·col/N), and each cell's χ²
+    * contribution. The marginals are two tiny aggregates broadcast
+    * back onto the cells — at 100 TB the only full-data pass is the
+    * one groupBy building the observed cells; everything after
+    * operates on |nations| × |event types| rows.
+    */
+  val q92ChiSquare: Q = (s, dir) => {
+    val joined = Tables.events(s, dir)
+      .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("event_type"))
+    val cells = joined.groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = joined.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("row_tot"))
+    val colTot = joined.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("col_tot"))
+    val tot = joined.agg(count(lit(1)).as("n"))
+    val expected = col("row_tot") * col("col_tot") / col("n").cast("double")
+    cells
+      .join(broadcast(rowTot), Seq("n_name"))
+      .join(broadcast(colTot), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_name"), col("event_type"), col("obs"),
+        round(expected, 6).as("exp"),
+        round(pow(col("obs") - expected, 2) / expected, 6)
+          .as("contrib"))
+      .orderBy(col("n_name"), col("event_type"))
+  }
+
+  val q92ChiSquareSql: String =
+    """WITH joined AS (
+      |  SELECT n_name, event_type
+      |  FROM events JOIN customer ON user_id = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |), cells AS (
+      |  SELECT n_name, event_type, count(*)::BIGINT AS obs
+      |  FROM joined GROUP BY 1, 2
+      |), rt AS (SELECT n_name, count(*)::BIGINT AS row_tot
+      |  FROM joined GROUP BY 1),
+      |ct AS (SELECT event_type, count(*)::BIGINT AS col_tot
+      |  FROM joined GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS n FROM joined)
+      |SELECT n_name, event_type, obs,
+      |  round(row_tot * col_tot / CAST(n AS DOUBLE), 6) AS exp,
+      |  round(pow(obs - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+      |    / (row_tot * col_tot / CAST(n AS DOUBLE)), 6) AS contrib
+      |FROM cells JOIN rt USING (n_name) JOIN ct USING (event_type)
+      |CROSS JOIN tot ORDER BY n_name, event_type""".stripMargin
+
+  // ----------------------------------------- q93 triangle statistics
+
+  /** Triangle census of the part co-purchase graph (parts connected
+    * iff some order contains both): exact triangle count and global
+    * clustering coefficient via [[Graph.triangleStats]]'s
+    * degree-ordered node-iterator. The oracle restates the count with
+    * the simpler lexicographic orientation (p1 < p2 < p3 three-way
+    * join) — a different enumeration order of the SAME set, so equal
+    * counts also certify the degree-ordering logic.
+    */
+  val q93Triangles: Q = (s, dir) => {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    Graph.triangleStats(Graph.coOccurrenceEdges(op, "ok", "pk"))
+  }
+
+  val q93TrianglesSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |), deg AS (
+      |  SELECT pk, count(*)::BIGINT AS d FROM (
+      |    SELECT p1 AS pk FROM edges
+      |    UNION ALL SELECT p2 FROM edges) GROUP BY 1
+      |), tri AS (
+      |  SELECT count(*)::BIGINT AS n_triangles FROM edges e1
+      |  JOIN edges e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+      |  JOIN edges e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n_nodes,
+      |    CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg
+      |)
+      |SELECT n_nodes,
+      |  (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+      |  n_wedges, n_triangles,
+      |  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
+      |FROM st CROSS JOIN tri""".stripMargin
+
+  // --------------------------------------------------- q94 PageRank
+
+  /** Three power iterations of damped PageRank on the part
+    * co-purchase graph, normalized so 1.0 = the uniform share (see
+    * [[Graph.pageRank]] for the scale shape). The oracle unrolls the
+    * identical three rounds as chained CTEs — fixed iteration count is
+    * what makes the semantics ANSI-expressible at all.
+    */
+  val q94PageRank: Q = (s, dir) => {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    Graph.pageRank(Graph.coOccurrenceEdges(op, "ok", "pk"),
+        iters = 3, damping = 0.85)
+      .withColumnRenamed("node", "part_key")
+      .orderBy(col("part_key"))
+  }
+
+  val q94PageRankSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), eu AS (
+      |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |), edges AS (
+      |  SELECT p1 AS src, p2 AS dst FROM eu
+      |  UNION ALL SELECT p2, p1 FROM eu
+      |), deg AS (
+      |  SELECT src AS node, count(*)::BIGINT AS deg
+      |  FROM edges GROUP BY 1
+      |), nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+      |pr0 AS (
+      |  SELECT node, deg, 1.0 / n AS pr FROM deg CROSS JOIN nn
+      |), pr1 AS (
+      |  SELECT d.node, d.deg, 0.15 / n + 0.85 * coalesce(s.mass, 0)
+      |    AS pr
+      |  FROM deg d CROSS JOIN nn
+      |  LEFT JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS mass
+      |    FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY 1) s
+      |    ON d.node = s.node
+      |), pr2 AS (
+      |  SELECT d.node, d.deg, 0.15 / n + 0.85 * coalesce(s.mass, 0)
+      |    AS pr
+      |  FROM deg d CROSS JOIN nn
+      |  LEFT JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS mass
+      |    FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY 1) s
+      |    ON d.node = s.node
+      |), pr3 AS (
+      |  SELECT d.node, d.deg, 0.15 / n + 0.85 * coalesce(s.mass, 0)
+      |    AS pr
+      |  FROM deg d CROSS JOIN nn
+      |  LEFT JOIN (SELECT e.dst AS node, sum(p.pr / p.deg) AS mass
+      |    FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY 1) s
+      |    ON d.node = s.node
+      |)
+      |SELECT node AS part_key, deg, round(pr * n, 6) AS pr_norm
+      |FROM pr3 CROSS JOIN nn ORDER BY part_key""".stripMargin
+
+  def all: Map[String, Q] = Map(
+    "q89_regression" -> q89Regression,
+    "q90_auc" -> q90Auc,
+    "q91_conversion" -> q91Conversion,
+    "q92_chi_square" -> q92ChiSquare,
+    "q93_triangles" -> q93Triangles,
+    "q94_pagerank" -> q94PageRank,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q89_regression" -> q89RegressionSql,
+    "q90_auc" -> q90AucSql,
+    "q91_conversion" -> q91ConversionSql,
+    "q92_chi_square" -> q92ChiSquareSql,
+    "q93_triangles" -> q93TrianglesSql,
+    "q94_pagerank" -> q94PageRankSql,
+  )
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Graph operators against brute-force restatements on small graphs
+  * whose answers are computable by hand or by an O(n³) enumeration.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("coOccurrenceEdges pairs within bags, dedups across bags") {
+    // bag 1: {1,2,3} → edges 12 13 23; bag 2: {2,3} → edge 23 (dup);
+    // bag 3: {4} → no edge; item 2 repeated inside bag 1 → no self-edge
+    val bags = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L),
+      (2L, 2L), (2L, 3L), (3L, 4L)).toDF("bag", "item")
+    val edges = Graph.coOccurrenceEdges(bags, "bag", "item")
+      .as[(Long, Long)].collect().sorted
+    assert(edges.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("triangleStats matches brute-force enumeration on K4 plus tail") {
+    // K4 on {1,2,3,4} (4 triangles) + tail 4-5 (0 triangles).
+    // Degrees: 3,3,3,4,1 → wedges = 3+3+3+6+0 = 15.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("p1", "p2")
+    val r = Graph.triangleStats(edges).head()
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    assert(r.getAs[Long]("n_wedges") === 15L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    assert(r.getAs[Double]("global_cc") === 0.8) // 3*4/15
+  }
+
+  test("triangleStats equals the O(n^3) count on a pseudo-random graph") {
+    // deterministic edge set: (i,j) present iff md5-ish hash parity —
+    // seeded via Spark's sha2 on the pair, no Random (replay-safe)
+    val n = 40
+    val pairs = for (i <- 1 to n; j <- (i + 1) to n) yield (i.toLong, j.toLong)
+    val all = pairs.toDF("p1", "p2")
+      .filter(substring(sha2(concat_ws("-", col("p1"), col("p2")), 256),
+        1, 1).isin("0", "1", "2", "3", "4", "5"))
+    val edges = all.cache()
+    val es = edges.as[(Long, Long)].collect().toSet
+    val brute = (for {
+      i <- 1 to n; j <- (i + 1) to n; k <- (j + 1) to n
+      if es((i.toLong, j.toLong)) && es((i.toLong, k.toLong)) &&
+        es((j.toLong, k.toLong))
+    } yield 1).size.toLong
+    val r = Graph.triangleStats(edges).head()
+    assert(r.getAs[Long]("n_triangles") === brute)
+    edges.unpersist()
+  }
+
+  test("pageRank on a regular graph is uniform 1.0") {
+    // 6-cycle: every node degree 2 → PageRank is exactly uniform at
+    // every iteration, so pr_norm = 1.0 for all nodes
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 6L)).toDF("p1", "p2")
+    val pr = Graph.pageRank(edges, iters = 3)
+      .select("pr_norm").as[Double].collect()
+    assert(pr.length === 6)
+    assert(pr.forall(_ === 1.0))
+  }
+
+  test("pageRank conserves total mass and ranks the hub highest") {
+    // star 1-{2..6} plus edge 2-3: node 1 is the hub
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L)).toDF("p1", "p2")
+    val rows = Graph.pageRank(edges, iters = 3)
+      .select("node", "pr_norm").as[(Long, Double)].collect().toMap
+    // pr_norm sums to N (pr sums to 1): no dangling mass in a graph
+    // restricted to degree ≥ 1 nodes — tolerance covers the per-node
+    // 6-dp output rounding (≤ 5e-7 each)
+    assert(math.abs(rows.values.sum - 6.0) < 6 * 5e-7 + 1e-9)
+    assert(rows(1L) === rows.values.max)
+    // symmetric leaves tie exactly
+    assert(rows(4L) === rows(5L) && rows(5L) === rows(6L))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hand-computable cases for the statistical algebra behind the q89+
+  * registry entries. The DuckDB gate proves cross-engine equality at
+  * sf0.01; these prove the formulas themselves on inputs whose answers
+  * are known a priori.
+  */
+class StatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** The q90 midrank AUC, inlined over a (pos, score) frame. */
+  private def auc(rows: Seq[(Long, Double)]): Double = {
+    val df = rows.toDF("pos", "score")
+      .withColumn("rnk", rank().over(Window.orderBy(col("score"))))
+      .withColumn("nties",
+        count(lit(1)).over(Window.partitionBy(col("score"))))
+    val r = df.agg(sum(col("pos")).as("p"),
+      (count(lit(1)) - sum(col("pos"))).as("n"),
+      sum((col("rnk") + (col("nties") - 1) / 2.0) * col("pos"))
+        .as("rs")).head()
+    val (p, n, rs) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    (rs - p.toDouble * (p + 1) / 2.0) / (p.toDouble * n)
+  }
+
+  test("AUC is 1 for perfect separation, 0 for inverted, 0.5 for ties") {
+    val perfect = Seq((0L, 1.0), (0L, 2.0), (1L, 3.0), (1L, 4.0))
+    assert(auc(perfect) === 1.0)
+    val inverted = perfect.map { case (p, s) => (1L - p, s) }
+    assert(auc(inverted) === 0.0)
+    val allTied = Seq((0L, 7.0), (1L, 7.0), (0L, 7.0), (1L, 7.0))
+    assert(auc(allTied) === 0.5)
+  }
+
+  test("AUC matches the pair-counting definition on a mixed case") {
+    val rows = Seq((1L, 3.0), (0L, 3.0), (1L, 5.0), (0L, 2.0), (0L, 5.0))
+    // pairs (pos, neg): wins + half-ties over 2*3 pairs
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    val expected = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+      (pos.size * neg.size)
+    assert(math.abs(auc(rows) - expected) < 1e-12)
+  }
+
+  test("chi-square contributions are zero under exact independence") {
+    // 2×2 table with perfectly proportional cells → exp == obs
+    val rows = (Seq.fill(40)(("a", "x")) ++ Seq.fill(60)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(30)(("b", "y")))
+      .toDF("r", "c")
+    val cells = rows.groupBy("r", "c").agg(count(lit(1)).as("obs"))
+    val rt = rows.groupBy("r").agg(count(lit(1)).as("row_tot"))
+    val ct = rows.groupBy("c").agg(count(lit(1)).as("col_tot"))
+    val n = rows.count().toDouble
+    val contrib = cells.join(rt, "r").join(ct, "c")
+      .select(pow(col("obs") - col("row_tot") * col("col_tot") / n, 2) /
+        (col("row_tot") * col("col_tot") / n))
+      .as[Double].collect()
+    assert(contrib.forall(_ === 0.0))
+  }
+
+  test("Wilson interval brackets the point estimate and is in [0,1]") {
+    val rows = SparkEntry.queries("q91_conversion")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cvr, lo, hi) = (r.getAs[Double]("cvr"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo < cvr && cvr < hi)
+    }
+  }
+
+  test("regression registry entry recovers a planted exact line") {
+    // y = 3x + 7 exactly → slope 3, intercept 7, r2 1 regardless of x
+    val df = (1 to 50).map(i => (i.toDouble, 3.0 * i + 7.0))
+      .toDF("x", "y")
+    val r = df.agg(
+      round(regr_slope(col("y"), col("x")), 6).as("s"),
+      round(regr_intercept(col("y"), col("x")), 6).as("i"),
+      round(regr_r2(col("y"), col("x")), 6).as("r2")).head()
+    assert(r.getDouble(0) === 3.0 && r.getDouble(1) === 7.0 &&
+      r.getDouble(2) === 1.0)
+  }
+}
