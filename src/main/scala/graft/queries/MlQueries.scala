@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ml.{Corpus, Dedup, Multimodal, SetSimJoin, Similarity, TextAnalysis}
 
 /** North-star query registry: dedup, similarity search, text analysis,
   * multimodal plumbing over `documents` / `embeddings` (builder prompt +
@@ -910,6 +910,40 @@ object MlQueries {
        |  (SELECT * FROM scored ORDER BY k DESC, doc_id LIMIT 100)
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact-Jaccard near-dup pairs by PREFIX FILTERING
+    * (SetSimJoin.prefixJaccardJoin): candidates must share one of each
+    * other's rarest-(df) prefix tokens, then exact verification — no
+    * df cap (ns2's approximation) and no recall loss (ns3's tradeoff).
+    * The oracle is the brute restatement: join on ANY shared shingle,
+    * exact Jaccard — equality proves the prefix theorem pruned only
+    * sub-threshold pairs.
+    */
+  val ns39PrefixJoin: Q = (s, dir) =>
+    SetSimJoin.prefixJaccardJoin(Tables.documents(s, dir), n = 3,
+        threshold = 0.5)
+      .orderBy(col("i"), col("j"))
+
+  val ns39PrefixJoinSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${duckHash60("s")} AS h
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+       |        FOR i IN range(1, len(w) - 1)])) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |      FROM documents))
+       |), ds AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*)::DOUBLE AS common
+       |  FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i, j,
+       |  round(common / (di.sz + dj.sz - common), 6) AS jaccard
+       |FROM p JOIN ds di ON di.doc_id = p.i
+       |JOIN ds dj ON dj.doc_id = p.j
+       |WHERE round(common / (di.sz + dj.sz - common), 6) >= 0.5
+       |ORDER BY i, j""".stripMargin
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1328,6 +1362,7 @@ object MlQueries {
     "ns36_para_jaccard" -> ns36ParaJaccard,
     "ns37_chunks" -> ns37Chunks,
     "ns38_weighted_sample" -> ns38WeightedSample,
+    "ns39_prefix_join" -> ns39PrefixJoin,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1368,5 +1403,6 @@ object MlQueries {
     "ns36_para_jaccard" -> ns36ParaJaccardSql,
     "ns37_chunks" -> ns37ChunksSql,
     "ns38_weighted_sample" -> ns38WeightedSampleSql,
+    "ns39_prefix_join" -> ns39PrefixJoinSql,
   )
 }
