@@ -276,6 +276,61 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), col("lm_score"))
   }
 
+  /** Interpolated bigram-LM quality score — the order-sensitive
+    * upgrade of [[unigramLogProb]]: per-doc average
+    * ln(λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N) over the doc's bigram
+    * POSITIONS (a multiset, not the distinct-set universe the dedup
+    * operators use — word order and repetition are the signal here).
+    * The unigram interpolation floor keeps every term finite without
+    * add-k smoothing: any bigram present in a doc is present in the
+    * corpus counts too (they are built from the same rows), and its
+    * unigram term is always > 0.
+    *
+    * Scale shape: bigram occurrences group to (doc, h12) with
+    * multiplicity BEFORE joining the corpus count tables, so the three
+    * count joins move one row per distinct bigram per doc, not one per
+    * token position; all hashes are 60-bit longs (the md5 convention
+    * the DuckDB gate shares); the totals row broadcasts.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), split(col("text"), " ").as("_ws"))
+    val bg = words.filter(size(col("_ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("_ws")) - 2),
+          i => struct(element_at(col("_ws"), i + 1).as("w1"),
+            element_at(col("_ws"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"),
+        HashUtils.hash60(col("p.w1")).as("h1"),
+        HashUtils.hash60(col("p.w2")).as("h2"),
+        HashUtils.hash60(concat_ws(" ", col("p.w1"), col("p.w2")))
+          .as("h12"))
+    val db = bg.groupBy(col("doc_id"), col("h1"), col("h2"), col("h12"))
+      .agg(count(lit(1)).as("k"))
+    val big = db.groupBy(col("h12")).agg(sum(col("k")).as("c12"))
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .select(HashUtils.hash60(col("term")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("total"))
+    // the default λ = 0.75 and its complement 0.25 are both exact
+    // binary fractions, so the engine's double literals and the
+    // oracle's decimal-parsed literals are the same IEEE values —
+    // 0.7/0.3 would differ by one ulp between the engines
+    val lam1 = 1.0 - lambda
+    db.join(big, Seq("h12"))
+      .join(uni.select(col("h").as("h1"), col("cu").as("c1")), Seq("h1"))
+      .join(uni.select(col("h").as("h2"), col("cu").as("c2")), Seq("h2"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(sum(col("k") * log(
+          lit(lambda) * col("c12") / col("c1") +
+            lit(lam1) * col("c2") / col("total"))) / sum(col("k")), 6)
+          .as("lm2_score"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm2_score"))
+  }
+
   /** Token-budget corpus selection — the data-selection step of a
     * training run: order documents best-score-first and keep the
     * maximal prefix whose cumulative token cost fits `budget`. Greedy

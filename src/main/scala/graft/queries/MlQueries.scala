@@ -944,6 +944,46 @@ object MlQueries {
        |WHERE round(common / (di.sz + dj.sz - common), 6) >= 0.5
        |ORDER BY i, j""".stripMargin
 
+  /** Interpolated bigram-LM score (Corpus.bigramLogProb): per-doc
+    * average ln(0.75·c₁₂/c₁ + 0.25·c₂/N) over bigram positions —
+    * ns29's order-sensitive upgrade. λ = 0.75 keeps both λ literals
+    * exact in binary so the engines' doubles agree bit-for-bit before
+    * the 6-dp round.
+    */
+  val ns40BigramLm: Q = (s, dir) =>
+    Corpus.bigramLogProb(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val ns40BigramLmSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), bg AS (
+       |  SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w
+       |  WHERE len(ws) >= 2
+       |), bh AS (
+       |  SELECT doc_id,
+       |    ${duckHash60("ws[i]")} AS h1,
+       |    ${duckHash60("ws[i+1]")} AS h2,
+       |    ${duckHash60("ws[i] || ' ' || ws[i+1]")} AS h12
+       |  FROM bg
+       |), db AS (
+       |  SELECT doc_id, h1, h2, h12, count(*)::BIGINT AS k
+       |  FROM bh GROUP BY 1, 2, 3, 4
+       |), big AS (SELECT h12, sum(k)::BIGINT AS c12 FROM db GROUP BY 1),
+       |uni AS (
+       |  SELECT ${duckHash60("term")} AS h, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+       |    FROM documents) GROUP BY 1
+       |), tot AS (SELECT sum(cu)::DOUBLE AS total FROM uni)
+       |SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+       |  round(sum(k * ln(0.75 * c12 / c1.cu
+       |    + 0.25 * c2.cu / total)) / sum(k), 6) AS lm2_score
+       |FROM db JOIN big USING (h12)
+       |JOIN uni c1 ON db.h1 = c1.h
+       |JOIN uni c2 ON db.h2 = c2.h
+       |CROSS JOIN tot
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1363,6 +1403,7 @@ object MlQueries {
     "ns37_chunks" -> ns37Chunks,
     "ns38_weighted_sample" -> ns38WeightedSample,
     "ns39_prefix_join" -> ns39PrefixJoin,
+    "ns40_bigram_lm" -> ns40BigramLm,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1404,5 +1445,6 @@ object MlQueries {
     "ns37_chunks" -> ns37ChunksSql,
     "ns38_weighted_sample" -> ns38WeightedSampleSql,
     "ns39_prefix_join" -> ns39PrefixJoinSql,
+    "ns40_bigram_lm" -> ns40BigramLmSql,
   )
 }

@@ -340,6 +340,111 @@ object StatsQueries {
       |SELECT node AS part_key, deg, round(pr * n, 6) AS pr_norm
       |FROM pr3 CROSS JOIN nn ORDER BY part_key""".stripMargin
 
+  // ------------------------------------ q95 Kaplan-Meier survival
+
+  /** Kaplan-Meier survival curves per segment for time-from-signup to
+    * first purchase, with right-censoring at the end of the
+    * observation window (users who never purchase after signup
+    * contribute their observed time to the risk sets but no death
+    * step). The product-limit estimator is computed as
+    * exp(Σ ln(1 − d/n)) over cumulative windows — a distributed
+    * cumulative PRODUCT via the log identity, since neither engine has
+    * a product aggregate — with two guards: risk-set rows where the
+    * whole set dies (d = n) would be ln(0), so they are excluded from
+    * the sum and a cumulative flag pins the curve to exactly 0.0 from
+    * that step on.
+    *
+    * Scale shape: per-user reduction (3 small aggregates), one
+    * broadcast observation-end row, then all windows run over the
+    * per-(segment, time) GROUPED risk table — rows = distinct event
+    * times, not subjects — partitioned by segment.
+    */
+  val q95Survival: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val death = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("death_ts"))
+    val obsEnd = ev.agg(max(col("ts")).as("end_ts"))
+    val subj = su.join(death, Seq("user_id"), "left")
+      .join(Tables.customer(s, dir), col("user_id") === col("c_custkey"))
+      .crossJoin(broadcast(obsEnd))
+      .select(col("c_mktsegment").as("segment"),
+        when(col("death_ts").isNotNull, 1L).otherwise(0L).as("event"),
+        when(col("death_ts").isNotNull,
+          col("death_ts").cast("long") - col("signup_ts").cast("long"))
+          .otherwise(col("end_ts").cast("long") -
+            col("signup_ts").cast("long")).as("t_s"))
+    val grp = subj.groupBy(col("segment"), col("t_s"))
+      .agg(sum(col("event")).as("d"),
+        (count(lit(1)) - sum(col("event"))).as("c"))
+    val tot = grp.groupBy(col("segment"))
+      .agg(sum(col("d") + col("c")).as("n0"))
+    val wPrev = Window.partitionBy(col("segment")).orderBy(col("t_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("segment")).orderBy(col("t_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp.join(tot, Seq("segment"))
+      .withColumn("n_risk", (col("n0") -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .cast("long"))
+      .withColumn("surv",
+        when(max(when(col("d") === col("n_risk"), 1).otherwise(0))
+          .over(wCum) === 1, lit(0.0))
+        .otherwise(exp(sum(
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            log(lit(1.0) - col("d") / col("n_risk").cast("double")))
+            .otherwise(lit(0.0))).over(wCum))))
+      .filter(col("d") > 0)
+      .select(col("segment"), col("t_s"), col("n_risk"), col("d"),
+        round(col("surv"), 6).as("surv"))
+      .orderBy(col("segment"), col("t_s"))
+  }
+
+  val q95SurvivalSql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), death AS (
+      |  SELECT e.user_id, min(e.ts) AS death_ts
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      |  GROUP BY 1
+      |), obs_end AS (SELECT max(ts) AS end_ts FROM events),
+      |subj AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CASE WHEN death_ts IS NOT NULL THEN 1 ELSE 0 END AS event,
+      |    CASE WHEN death_ts IS NOT NULL
+      |      THEN date_diff('second', signup_ts, death_ts)
+      |      ELSE date_diff('second', signup_ts, end_ts) END AS t_s
+      |  FROM su LEFT JOIN death USING (user_id)
+      |  JOIN customer ON user_id = c_custkey CROSS JOIN obs_end
+      |), grp AS (
+      |  SELECT segment, t_s, sum(event)::BIGINT AS d,
+      |    (count(*) - sum(event))::BIGINT AS c
+      |  FROM subj GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT segment, sum(d + c)::BIGINT AS n0 FROM grp GROUP BY 1
+      |), risk AS (
+      |  SELECT g.segment, t_s, d,
+      |    CAST(n0 - coalesce(sum(d + c) OVER (PARTITION BY g.segment
+      |      ORDER BY t_s ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM grp g JOIN tot ON g.segment = tot.segment
+      |), km AS (
+      |  SELECT segment, t_s, d, n_risk,
+      |    CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY segment ORDER BY t_s) = 1 THEN 0.0
+      |      ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+      |        THEN ln(1 - d / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+      |        OVER (PARTITION BY segment ORDER BY t_s)) END AS surv
+      |  FROM risk
+      |)
+      |SELECT segment, t_s, n_risk, d, round(surv, 6) AS surv
+      |FROM km WHERE d > 0 ORDER BY segment, t_s""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q89_regression" -> q89Regression,
     "q90_auc" -> q90Auc,
@@ -347,6 +452,7 @@ object StatsQueries {
     "q92_chi_square" -> q92ChiSquare,
     "q93_triangles" -> q93Triangles,
     "q94_pagerank" -> q94PageRank,
+    "q95_survival" -> q95Survival,
   )
 
   def oracles: Map[String, String] = Map(
@@ -356,5 +462,6 @@ object StatsQueries {
     "q92_chi_square" -> q92ChiSquareSql,
     "q93_triangles" -> q93TrianglesSql,
     "q94_pagerank" -> q94PageRankSql,
+    "q95_survival" -> q95SurvivalSql,
   )
 }

@@ -81,6 +81,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProb matches the hand-computed interpolated LM on a " +
+      "tiny corpus and drops sub-bigram docs") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "b a"),
+      (3L, "solo")).toDF("doc_id", "text")
+    // corpus counts over docs 1-3: bigrams {a b: 1, b a: 2};
+    // unigrams {a: 3, b: 2, solo: 1}, N = 6
+    val n = 6.0
+    val pAb = 0.75 * 1.0 / 3.0 + 0.25 * 2.0 / n
+    val pBa = 0.75 * 2.0 / 2.0 + 0.25 * 3.0 / n
+    val out = Corpus.bigramLogProb(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("lm2_score")))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      (1L, 2L, r6((math.log(pAb) + math.log(pBa)) / 2.0)),
+      (2L, 1L, r6(math.log(pBa)))))
+  }
+
   test("packSequences shards are deterministic and partition the corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val packed = Corpus.packSequences(docs, 2048, 8)

@@ -73,6 +73,59 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q95 survival matches a naive driver-side Kaplan-Meier at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val seg = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val signup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val death = ev.filter(_._2 == "purchase").groupBy(_._1).flatMap {
+      case (u, xs) => signup.get(u).flatMap { s0 =>
+        val ds = xs.map(_._3).filter(_ >= s0)
+        if (ds.isEmpty) None else Some(u -> ds.min)
+      }
+    }
+    val obsEnd = ev.map(_._3).max
+    val subj = signup.toSeq.flatMap { case (u, s0) =>
+      seg.get(u).map { mkt =>
+        death.get(u) match {
+          case Some(d) => (mkt, d - s0, 1)
+          case None    => (mkt, obsEnd - s0, 0)
+        }
+      }
+    }
+    val expected = subj.groupBy(_._1).toSeq.flatMap { case (mkt, xs) =>
+      val steps = xs.groupBy(_._2).toSeq.sortBy(_._1).map { case (t, ys) =>
+        (t, ys.count(_._3 == 1).toLong, ys.size.toLong) }
+      var atRisk = xs.size.toLong
+      // exp of the running ln-sum, not a running product: bit-matches
+      // the engine's distributed cumulative-product-via-logs identity
+      var logSum = 0.0
+      var dead = false
+      steps.flatMap { case (t, d, tot) =>
+        val row = if (d > 0) {
+          if (d == atRisk) dead = true
+          else logSum += math.log(1.0 - d.toDouble / atRisk)
+          Some((mkt, t, atRisk, d,
+            r6(if (dead) 0.0 else math.exp(logSum))))
+        } else None
+        atRisk -= tot
+        row
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(subj.nonEmpty && expected.nonEmpty)
+    val got = graft.SparkEntry.queries("q95_survival")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+  }
+
   test("regression registry entry recovers a planted exact line") {
     // y = 3x + 7 exactly → slope 3, intercept 7, r2 1 regardless of x
     val df = (1 to 50).map(i => (i.toDouble, 3.0 * i + 7.0))
