@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoder
+
+/** K-minimum-values distinct-count sketch — the set-operation-capable
+  * sibling of the HLL path (q69): where HLL unions but cannot
+  * intersect, a KMV sketch supports BOTH, so audience-overlap
+  * questions ("how many users are in segment A ∩ segment B?") run
+  * from k-sized summaries instead of a full distinct shuffle per pair
+  * (reference anchor: the per-field member lists that
+  * PodioConnector.py:60's filtered reads are used to cross-tabulate).
+  *
+  * The sketch is the k smallest DISTINCT 60-bit hashes of the group's
+  * values, kept sorted ascending. With uniform hashes, the kth
+  * minimum r_k (normalized to (0, 1]) estimates the distinct count as
+  * (k−1)/r_k; for two sketches, the k smallest of their union is
+  * exactly the KMV sketch of A ∪ B, and the fraction ρ of those that
+  * appear in both input sketches estimates the Jaccard similarity, so
+  * |A ∩ B| ≈ ρ · |A ∪ B| (Beyer et al., "On Synopses for Distinct-
+  * Value Estimation Under Multiset Operations", SIGMOD 2007).
+  *
+  * Scale shape: the buffer is a bounded sorted array, so partial
+  * aggregation ships at most k longs per group per partition and
+  * merges are linear two-pointer passes — a mergeable summary in the
+  * same sense as the space-saving sketch (ns24b). When a group has
+  * fewer than k distinct values the sketch IS the exact distinct hash
+  * set, and downstream estimators switch to exact set algebra — the
+  * query layer (q96) encodes that branch explicitly so small groups
+  * lose nothing to estimation.
+  *
+  * The output encoder is an ExpressionEncoder (ArrayType(LongType)),
+  * NOT kryo: the aggregated frame is tiny (one row per group) and the
+  * pairwise overlap arithmetic downstream runs on native
+  * array_union / array_intersect / element_at over that column —
+  * keeping the whole estimator inside Catalyst instead of round-
+  * tripping through opaque binary.
+  */
+class KmvSketch(k: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k > 1, "k must be > 1: the (k-1)/r_k estimator degenerates")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) buf // already one of the minima
+    else {
+      val ins = -pos - 1
+      if (buf.length >= k && ins >= k) buf // above the current kth min
+      else {
+        val out = new Array[Long](math.min(buf.length + 1, k))
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        if (ins < out.length - 1)
+          System.arraycopy(buf, ins, out, ins + 1, out.length - ins - 1)
+        out
+      }
+    }
+  }
+
+  /** Two-pointer merge of two sorted distinct arrays, capped at k. */
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val take =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v } // shared minimum
+      out(n) = take; n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}

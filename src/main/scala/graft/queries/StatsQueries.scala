@@ -445,6 +445,136 @@ object StatsQueries {
       |SELECT segment, t_s, n_risk, d, round(surv, 6) AS surv
       |FROM km WHERE d > 0 ORDER BY segment, t_s""".stripMargin
 
+  // ------------------------------------ q96 KMV audience overlap
+
+  /** Audience overlap from KMV sketches — the distinct users behind
+    * each event type's high-value slice (value ≥ 95) summarized by
+    * [[graft.functions.KmvSketch]], then every audience pair's union
+    * AND intersection cardinality estimated from the two k-long
+    * summaries alone. This is the set-operation question HLL (q69)
+    * cannot answer: intersections of HLLs don't compose, KMV sketches
+    * do. Exact counts ride along in the same result so the output
+    * itself documents the estimation error.
+    *
+    * Scale shape: the only full-data pass is the distinct (audience,
+    * user) reduction; the sketch aggregation ships ≤ k longs per
+    * audience per partition (map-side combine), and all pairwise
+    * estimator arithmetic runs on the |audiences|-row aggregated frame
+    * with native array functions — at 100 TB the pair stage touches
+    * kilobytes. The exact-intersection columns are the oracle anchor
+    * (one self-join of the distinct frame); a production caller at
+    * scale would drop them and keep only the sketch path.
+    *
+    * The estimator is deterministic given the md5-based hash60, so the
+    * naive SQL restatement (rank ≤ k per audience = the same sketch)
+    * reproduces it bit-for-bit — this is hash-gated, not rows+recall.
+    */
+  val q96KmvOverlap: Q = (s, dir) => {
+    val k = 64
+    val su = Tables.events(s, dir)
+      .filter(col("value") >= 95.0)
+      .select(col("event_type").as("seg"), col("user_id"))
+      .distinct()
+    val sh = su.withColumn(
+      "h", graft.ml.HashUtils.hash60(col("user_id").cast("string")))
+    val kmv = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = sh.groupBy(col("seg"))
+      .agg(kmv(col("h")).as("sk"), count(lit(1)).as("n"))
+    val a = sk.select(col("seg").as("seg_a"), col("sk").as("sk_a"),
+      col("n").as("n_a"))
+    val b = sk.select(col("seg").as("seg_b"), col("sk").as("sk_b"),
+      col("n").as("n_b"))
+    val ex = su.select(col("seg").as("seg_a"), col("user_id"))
+      .join(su.select(col("seg").as("seg_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // 63·2^60 is exact in a double (6-bit mantissa), so the literal is
+    // the same IEEE value the oracle's 63 * pow(2.0, 60) produces
+    val scaleNum = lit((k - 1).toDouble * math.pow(2.0, 60))
+    a.crossJoin(b).filter(col("seg_a") < col("seg_b"))
+      .join(ex, Seq("seg_a", "seg_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("u",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("nu", size(col("u")))
+      .withColumn("c", size(array_intersect(col("u"),
+        array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
+      // sketches shorter than k are the exact distinct hash sets, so
+      // the estimators collapse to exact set algebra on that branch
+      .withColumn("est_u", when(col("nu") < k, col("nu").cast("double"))
+        .otherwise(scaleNum /
+          (element_at(col("u"), k) + lit(1L)).cast("double")))
+      .withColumn("est_i", when(col("nu") < k, col("c").cast("double"))
+        .otherwise((col("c").cast("double") / lit(k.toDouble)) *
+          col("est_u")))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("exact_inter"),
+        (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),
+        round(col("est_u"), 6).as("est_union"),
+        round(col("est_i"), 6).as("est_inter"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
+  val q96KmvOverlapSql: String =
+    """WITH su AS (
+      |  SELECT DISTINCT event_type AS seg, user_id FROM events
+      |  WHERE value >= 95.0
+      |), sh AS (
+      |  SELECT seg, user_id,
+      |    ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT AS h
+      |  FROM su
+      |), ranked AS (
+      |  SELECT seg, h,
+      |    row_number() OVER (PARTITION BY seg ORDER BY h) AS r,
+      |    count(*) OVER (PARTITION BY seg) AS n
+      |  FROM sh
+      |), sk AS (SELECT seg, h FROM ranked WHERE r <= 64),
+      |ns AS (SELECT seg, max(n) AS n FROM ranked GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b
+      |  FROM ns a JOIN ns b ON a.seg < b.seg
+      |), ex AS (
+      |  SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS exact_inter
+      |  FROM su a JOIN su b
+      |    ON a.user_id = b.user_id AND a.seg < b.seg
+      |  GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT seg_a, seg_b, h,
+      |    row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS r
+      |  FROM (SELECT DISTINCT p.seg_a, p.seg_b, s.h
+      |        FROM pairs p JOIN sk s
+      |          ON s.seg = p.seg_a OR s.seg = p.seg_b)
+      |), uk AS (
+      |  SELECT seg_a, seg_b, max(h) AS u_max, count(*) AS nu
+      |  FROM uni WHERE r <= 64 GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT u.seg_a, u.seg_b, count(*) AS c
+      |  FROM uni u
+      |  JOIN sk sa ON sa.seg = u.seg_a AND sa.h = u.h
+      |  JOIN sk sb ON sb.seg = u.seg_b AND sb.h = u.h
+      |  WHERE u.r <= 64 GROUP BY 1, 2
+      |)
+      |SELECT p.seg_a, p.seg_b, p.n_a::BIGINT AS n_a,
+      |  p.n_b::BIGINT AS n_b,
+      |  coalesce(ex.exact_inter, 0)::BIGINT AS exact_inter,
+      |  (p.n_a + p.n_b - coalesce(ex.exact_inter, 0))::BIGINT
+      |    AS exact_union,
+      |  round(CASE WHEN uk.nu < 64 THEN uk.nu::DOUBLE
+      |    ELSE 63 * pow(2.0, 60) / ((uk.u_max + 1)::DOUBLE) END, 6)
+      |    AS est_union,
+      |  round(CASE WHEN uk.nu < 64 THEN coalesce(cc.c, 0)::DOUBLE
+      |    ELSE (coalesce(cc.c, 0)::DOUBLE / 64) *
+      |      (63 * pow(2.0, 60) / ((uk.u_max + 1)::DOUBLE)) END, 6)
+      |    AS est_inter
+      |FROM pairs p
+      |JOIN uk ON p.seg_a = uk.seg_a AND p.seg_b = uk.seg_b
+      |LEFT JOIN cc ON p.seg_a = cc.seg_a AND p.seg_b = cc.seg_b
+      |LEFT JOIN ex ON p.seg_a = ex.seg_a AND p.seg_b = ex.seg_b
+      |ORDER BY 1, 2""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q89_regression" -> q89Regression,
     "q90_auc" -> q90Auc,
@@ -453,6 +583,7 @@ object StatsQueries {
     "q93_triangles" -> q93Triangles,
     "q94_pagerank" -> q94PageRank,
     "q95_survival" -> q95Survival,
+    "q96_kmv_overlap" -> q96KmvOverlap,
   )
 
   def oracles: Map[String, String] = Map(
@@ -463,5 +594,6 @@ object StatsQueries {
     "q93_triangles" -> q93TrianglesSql,
     "q94_pagerank" -> q94PageRankSql,
     "q95_survival" -> q95SurvivalSql,
+    "q96_kmv_overlap" -> q96KmvOverlapSql,
   )
 }
