@@ -575,6 +575,57 @@ object StatsQueries {
       |LEFT JOIN ex ON p.seg_a = ex.seg_a AND p.seg_b = ex.seg_b
       |ORDER BY 1, 2""".stripMargin
 
+  // -------------------------- q97 next-event transition matrix
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: P(next event type | current), with the top-3 most likely
+    * next steps per state — the "what does a user do after X"
+    * question behind session-based recommendation.
+    *
+    * Scale shape: the lead() window partitions by user (bounded
+    * per-user history, no global sort); the transition counts then
+    * collapse to a |types|²-row frame, so the probability and ranking
+    * windows run over a handful of rows no matter the input size.
+    */
+  val q97Transitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnts = Tables.events(s, dir)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wTot = Window.partitionBy(col("cur"))
+    val wRnk = Window.partitionBy(col("cur"))
+      .orderBy(col("cnt").desc, col("nxt"))
+    cnts
+      .withColumn("p", round(col("cnt") / sum(col("cnt")).over(wTot), 6))
+      .withColumn("rk", row_number().over(wRnk).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("cur"), col("nxt"), col("cnt"), col("p"), col("rk"))
+      .orderBy(col("cur"), col("rk"))
+  }
+
+  val q97TransitionsSql: String =
+    """WITH tr AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events
+      |), cnts AS (
+      |  SELECT cur, nxt, count(*)::BIGINT AS cnt
+      |  FROM tr WHERE nxt IS NOT NULL GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT cur, nxt, cnt,
+      |    round(cnt / CAST(sum(cnt) OVER (PARTITION BY cur) AS DOUBLE),
+      |      6) AS p,
+      |    row_number() OVER (PARTITION BY cur
+      |      ORDER BY cnt DESC, nxt) AS rk
+      |  FROM cnts
+      |)
+      |SELECT cur, nxt, cnt, p, rk FROM ranked
+      |WHERE rk <= 3 ORDER BY cur, rk""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q89_regression" -> q89Regression,
     "q90_auc" -> q90Auc,
@@ -584,6 +635,7 @@ object StatsQueries {
     "q94_pagerank" -> q94PageRank,
     "q95_survival" -> q95Survival,
     "q96_kmv_overlap" -> q96KmvOverlap,
+    "q97_transitions" -> q97Transitions,
   )
 
   def oracles: Map[String, String] = Map(
@@ -595,5 +647,6 @@ object StatsQueries {
     "q94_pagerank" -> q94PageRankSql,
     "q95_survival" -> q95SurvivalSql,
     "q96_kmv_overlap" -> q96KmvOverlapSql,
+    "q97_transitions" -> q97TransitionsSql,
   )
 }
