@@ -984,6 +984,55 @@ object MlQueries {
        |CROSS JOIN tot
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** Naive Bayes language ID (Classify.naiveBayes): multinomial NB
+    * with add-one smoothing, trained on the doc_id % 5 ≠ 0 folds and
+    * applied to the held-out fold. Scores round to 6 dp BEFORE the
+    * argmax with a label tie-break, so the predicted label is
+    * cross-engine deterministic.
+    */
+  val ns41NaiveBayes: Q = (s, dir) =>
+    graft.ml.Classify.naiveBayes(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+
+  val ns41NaiveBayesSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, lang AS l, ${duckHash60("w")} AS h
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |), cl AS (
+       |  SELECT l, h, count(*)::BIGINT AS c FROM words
+       |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+       |), nl AS (SELECT l, sum(c)::BIGINT AS n_l FROM cl GROUP BY 1),
+       |v AS (SELECT count(DISTINCT h)::BIGINT AS v FROM cl),
+       |pri AS (
+       |  SELECT lang AS l, count(*)::BIGINT AS dl FROM documents
+       |  WHERE doc_id % 5 <> 0 GROUP BY 1
+       |), dt AS (SELECT sum(dl)::BIGINT AS dt FROM pri),
+       |labels AS (
+       |  SELECT pri.l, dl, n_l, v, dt
+       |  FROM pri JOIN nl ON pri.l = nl.l CROSS JOIN v CROSS JOIN dt
+       |), dw AS (
+       |  SELECT doc_id, h, count(*)::BIGINT AS k FROM words
+       |  WHERE doc_id % 5 = 0 GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT dw.doc_id, lb.l,
+       |    round(ln(dl::DOUBLE / dt::DOUBLE) +
+       |      sum(k * ln((coalesce(c, 0) + 1)::DOUBLE /
+       |        (n_l + v)::DOUBLE)), 6) AS score
+       |  FROM dw CROSS JOIN labels lb
+       |  LEFT JOIN cl ON cl.l = lb.l AND cl.h = dw.h
+       |  GROUP BY dw.doc_id, lb.l, dl, dt, n_l, v
+       |), best AS (
+       |  SELECT doc_id, l, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, l) AS rk
+       |  FROM scored
+       |)
+       |SELECT b.doc_id, d.lang AS actual, b.l AS predicted, b.score,
+       |  CASE WHEN b.l = d.lang THEN 1 ELSE 0 END AS hit
+       |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+       |WHERE rk = 1 ORDER BY b.doc_id""".stripMargin
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1404,6 +1453,7 @@ object MlQueries {
     "ns38_weighted_sample" -> ns38WeightedSample,
     "ns39_prefix_join" -> ns39PrefixJoin,
     "ns40_bigram_lm" -> ns40BigramLm,
+    "ns41_naive_bayes" -> ns41NaiveBayes,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1446,5 +1496,6 @@ object MlQueries {
     "ns38_weighted_sample" -> ns38WeightedSampleSql,
     "ns39_prefix_join" -> ns39PrefixJoinSql,
     "ns40_bigram_lm" -> ns40BigramLmSql,
+    "ns41_naive_bayes" -> ns41NaiveBayesSql,
   )
 }
