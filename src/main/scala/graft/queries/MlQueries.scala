@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Corpus, Dedup, Multimodal, SetSimJoin, Similarity, TextAnalysis}
+import graft.ml.{Bpe, Corpus, Dedup, Multimodal, SetSimJoin, Similarity, TextAnalysis}
 
 /** North-star query registry: dedup, similarity search, text analysis,
   * multimodal plumbing over `documents` / `embeddings` (builder prompt +
@@ -1033,6 +1033,16 @@ object MlQueries {
        |FROM best b JOIN documents d ON b.doc_id = d.doc_id
        |WHERE rk = 1 ORDER BY b.doc_id""".stripMargin
 
+  /** BPE vocabulary training (Bpe.learn): the rank-ordered merge
+    * table learned from the corpus word-frequency table. The
+    * iterative argmax is not SQL-expressible, so this entry is
+    * rows-gated; the exactness gate is BpeSpec's independent naive
+    * BPE equality, and determinism comes from the (count desc, left,
+    * right) tie-break.
+    */
+  val ns42Bpe: Q = (s, dir) =>
+    Bpe.learn(Tables.documents(s, dir), 20).orderBy(col("rank"))
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1454,6 +1464,7 @@ object MlQueries {
     "ns39_prefix_join" -> ns39PrefixJoin,
     "ns40_bigram_lm" -> ns40BigramLm,
     "ns41_naive_bayes" -> ns41NaiveBayes,
+    "ns42_bpe" -> ns42Bpe,
   )
 
   def oracles: Map[String, String] = Map(

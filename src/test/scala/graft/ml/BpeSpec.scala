@@ -1,0 +1,88 @@
+package graft.ml
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-side BPE: hash-map pair counting over a
+    * word-frequency table, (count desc, left, right) tie-break,
+    * left-to-right non-overlapping merge application.
+    */
+  private def naive(wordFreq: Map[String, Long], m: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < m && !done) {
+      val counts = mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((rank, l, r, l + r, c))
+        def app(syms: Vector[String]): Vector[String] = {
+          val b = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }
+        words = words.map { case (s, f) => (app(s), f) }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("the learned merge table equals an independent naive BPE, " +
+      "including tie-breaks, on a mixed corpus") {
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "newer newest low new"),
+      (3L, "wide wider widest new")
+    ).toDF("doc_id", "text")
+    val freq = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val got = Bpe.learn(docs, 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === naive(freq, 12))
+  }
+
+  test("overlapping pairs count per position and merge " +
+      "left-to-right non-overlapping") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = Bpe.learn(docs, 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    // "a a a a": (a,a) counts 3 positions; merging gives "aa aa",
+    // whose only pair is (aa,aa) once
+    assert(got === Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+
+  test("segment applies merges rank-ascending inside word boundaries " +
+      "and preserves word order") {
+    val train = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val merges = Bpe.learn(train, 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = Bpe.segment(
+      Seq((7L, "ab cd ab"), (8L, "abq")).toDF("doc_id", "text"), merges)
+      .orderBy("doc_id").collect()
+    // (a,b) then (ab,ab) learned; "ab" segments as one token, the
+    // pair never merges ACROSS the word gap in "ab cd ab"
+    assert(seg(0).getSeq[String](1) === Seq("ab", "cd", "ab"))
+    assert(seg(0).getInt(2) === 3)
+    // unseen symbol passes through untouched
+    assert(seg(1).getSeq[String](1) === Seq("ab", "q"))
+  }
+}
