@@ -71,4 +71,67 @@ object Classify {
         col("score"),
         (col("l") === col("actual")).cast("int").as("hit"))
   }
+
+  /** Binary logistic regression by full-batch gradient descent — the
+    * iterative-optimization counterpart of the closed-form OLS tier
+    * (q89): each step is ONE aggregate pass computing the mean
+    * gradient ∂/∂w of the log-loss with the CURRENT coefficients
+    * inlined as plan literals, so unlike the BPE loop the plan never
+    * grows — no checkpointing needed, the data is scanned as-is every
+    * step (cache it upstream for a real run) and only the
+    * (#features+1)-value gradient row reaches the driver.
+    *
+    * Features are standardized in-plan from one preliminary
+    * mean/stddev aggregate (zero-variance features guard to a unit
+    * divisor instead of dividing by zero). The returned single row
+    * carries the fitted coefficients ON THE STANDARDIZED scale plus
+    * training log-loss and accuracy at threshold 0.5.
+    */
+  def logisticRegression(data: DataFrame, labelCol: String,
+      features: Seq[String], steps: Int = 15, lr: Double = 1.0)
+      : DataFrame = {
+    require(features.nonEmpty && steps > 0 && lr > 0,
+      "need features, steps > 0, lr > 0")
+    val y = col(labelCol).cast("double")
+    // bounded driver action: one row of 2·k moments
+    val mo = data.agg(
+      count(lit(1)).cast("long").as("n"),
+      features.flatMap(f => Seq(
+        avg(col(f)).as(s"mu_$f"),
+        stddev_pop(col(f)).as(s"sd_$f"))): _*).head()
+    val n = mo.getLong(0)
+    val xs = features.zipWithIndex.map { case (f, i) =>
+      val mu = mo.getDouble(1 + 2 * i)
+      val sd = math.max(mo.getDouble(2 + 2 * i), 1e-12)
+      (col(f).cast("double") - lit(mu)) / lit(sd)
+    }
+    var w = Array.fill(features.length + 1)(0.0)
+    def margin(wv: Array[Double]) =
+      xs.zipWithIndex.foldLeft(lit(wv(0)): org.apache.spark.sql.Column) {
+        case (acc, (x, i)) => acc + lit(wv(i + 1)) * x
+      }
+    var step = 0
+    while (step < steps) {
+      val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
+      val err = p - y
+      val g = data.agg(avg(err).as("g0"),
+        xs.zipWithIndex.map { case (x, i) =>
+          avg(err * x).as(s"g${i + 1}") }: _*).head()
+      w = w.indices.map(i => w(i) - lr * g.getDouble(i)).toArray
+      step += 1
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
+    val eps = lit(1e-15) // clamp keeps the loss finite at p → 0/1
+    val out = data.agg(
+      avg(-(y * log(greatest(p, eps)) +
+        (lit(1.0) - y) * log(greatest(lit(1.0) - p, eps))))
+        .as("log_loss"),
+      avg(when((p >= 0.5) === (y === 1.0), 1.0).otherwise(0.0))
+        .as("accuracy"))
+    out.select(
+      (lit(n).as("n") +: w.toSeq.zipWithIndex.map { case (v, i) =>
+        round(lit(v), 6).as(s"w$i") } :+
+        round(col("log_loss"), 6).as("log_loss") :+
+        round(col("accuracy"), 6).as("accuracy")): _*)
+  }
 }

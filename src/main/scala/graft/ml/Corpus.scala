@@ -331,6 +331,52 @@ object Corpus {
       .select(col("doc_id"), col("n_bigrams"), col("lm2_score"))
   }
 
+  /** Collocation mining via pointwise mutual information — the
+    * word2phrase step of corpus preparation: bigrams whose observed
+    * frequency beats the independence expectation get merged into
+    * phrase tokens downstream. PMI = ln(P(w₁w₂)/(P(w₁)P(w₂))) with
+    * bigram positions as the joint space and unigram occurrences as
+    * the marginals, emitted only for pairs seen ≥ minCount times (the
+    * standard noise floor — rare pairs have unstable PMI).
+    *
+    * Scale shape: bigrams group on their 60-bit hash (the shuffle key
+    * is 8 bytes; the words ride as map-side-combined min() payloads),
+    * the two marginal joins are hash-keyed, and the totals rows
+    * broadcast. The PMI is computed as a SUM OF LOGS, never a product
+    * of counts — c₁₂·N² overflows a long at corpus scale under ANSI,
+    * ln(c₁₂)−ln(N_b)−ln(c₁)−ln(c₂)+2ln(N_u) never does.
+    */
+  def collocations(docs: DataFrame, minCount: Long): DataFrame = {
+    val ws = docs.select(split(col("text"), " ").as("_ws"))
+    val bg = ws.filter(size(col("_ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("_ws")) - 2),
+        i => struct(element_at(col("_ws"), i + 1).as("w1"),
+          element_at(col("_ws"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        HashUtils.hash60(concat_ws(" ", col("p.w1"), col("p.w2")))
+          .as("h12"))
+    val big = bg.groupBy(col("h12"))
+      .agg(count(lit(1)).as("c12"),
+        min(col("w1")).as("w1"), min(col("w2")).as("w2"))
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(HashUtils.hash60(col("w")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cu"))
+    val nb = big.agg(sum(col("c12")).as("nb"))
+    val nu = uni.agg(sum(col("cu")).as("nu"))
+    big.filter(col("c12") >= minCount)
+      .withColumn("h1", HashUtils.hash60(col("w1")))
+      .withColumn("h2", HashUtils.hash60(col("w2")))
+      .join(uni.select(col("h").as("h1"), col("cu").as("c1")), Seq("h1"))
+      .join(uni.select(col("h").as("h2"), col("cu").as("c2")), Seq("h2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(log(col("c12").cast("double")) -
+          log(col("nb").cast("double")) -
+          log(col("c1").cast("double")) -
+          log(col("c2").cast("double")) +
+          lit(2.0) * log(col("nu").cast("double")), 6).as("pmi"))
+  }
+
   /** Token-budget corpus selection — the data-selection step of a
     * training run: order documents best-score-first and keep the
     * maximal prefix whose cumulative token cost fits `budget`. Greedy

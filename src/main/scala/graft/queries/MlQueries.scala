@@ -1043,6 +1043,39 @@ object MlQueries {
   val ns42Bpe: Q = (s, dir) =>
     Bpe.learn(Tables.documents(s, dir), 20).orderBy(col("rank"))
 
+  /** PMI collocation mining (Corpus.collocations): bigram pairs ≥ 25
+    * occurrences with ln-space pointwise mutual information — the
+    * word2phrase step before tokenizer training. The log-sum form and
+    * identical left-assoc arithmetic keep the doubles bit-equal
+    * across engines before the 6-dp round.
+    */
+  val ns43Collocations: Q = (s, dir) =>
+    Corpus.collocations(Tables.documents(s, dir), minCount = 25L)
+      .orderBy(col("w1"), col("w2"))
+
+  val ns43CollocationsSql: String =
+    """WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |), bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+      |        WHERE len(ws) >= 2)
+      |), big AS (
+      |  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w, count(*)::BIGINT AS cu
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents) GROUP BY 1
+      |), nb AS (SELECT sum(c12)::BIGINT AS nb FROM big),
+      |nu AS (SELECT sum(cu)::BIGINT AS nu FROM uni)
+      |SELECT big.w1, big.w2, c12, u1.cu AS c1, u2.cu AS c2,
+      |  round(ln(c12::DOUBLE) - ln(nb::DOUBLE) - ln(u1.cu::DOUBLE)
+      |    - ln(u2.cu::DOUBLE) + 2.0 * ln(nu::DOUBLE), 6) AS pmi
+      |FROM big JOIN uni u1 ON big.w1 = u1.w
+      |JOIN uni u2 ON big.w2 = u2.w
+      |CROSS JOIN nb CROSS JOIN nu
+      |WHERE c12 >= 25 ORDER BY w1, w2""".stripMargin
+
   /** Unigram-LM quality score (perplexity proxy): per-doc average
     * ln p(term) under the corpus's own unigram distribution. Both
     * engines hash terms to 60-bit longs and sum k·ln(cnt/N) in
@@ -1465,6 +1498,7 @@ object MlQueries {
     "ns40_bigram_lm" -> ns40BigramLm,
     "ns41_naive_bayes" -> ns41NaiveBayes,
     "ns42_bpe" -> ns42Bpe,
+    "ns43_collocations" -> ns43Collocations,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1508,5 +1542,6 @@ object MlQueries {
     "ns39_prefix_join" -> ns39PrefixJoinSql,
     "ns40_bigram_lm" -> ns40BigramLmSql,
     "ns41_naive_bayes" -> ns41NaiveBayesSql,
+    "ns43_collocations" -> ns43CollocationsSql,
   )
 }

@@ -626,6 +626,88 @@ object StatsQueries {
       |SELECT cur, nxt, cnt, p, rk FROM ranked
       |WHERE rk <= 3 ORDER BY cur, rk""".stripMargin
 
+  // --------------------------- q98 calibration / lift by decile
+
+  /** Score-decile calibration and lift: users ranked by mean event
+    * value, cut into exact global deciles via Corpus.ntileByScore (the
+    * bucket-histogram decomposition — no single-task global sort),
+    * then per-decile conversion to "made a high-value purchase", lift
+    * vs the base rate, and cumulative capture. The model-evaluation
+    * companion of q90's AUC: AUC says whether the score ranks, this
+    * says where the cutoff pays.
+    *
+    * The score is rounded to 6 dp BEFORE bucketing so both engines
+    * bucket identical doubles; the decile frame is 10 rows, so the
+    * cumulative window is driver-trivial (the same benign
+    * no-partition window as ns33's histogram).
+    */
+  val q98Calibration: Q = (s, dir) => {
+    val su = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(round(avg(col("value")), 6).as("score"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") >= 95.0, 1L).otherwise(0L)).as("pos"))
+    val tiled = graft.ml.Corpus.ntileByScore(su, "score", "user_id", 10)
+    val agg = tiled.groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
+    val tot = agg.agg(sum(col("n_users")).as("nt"),
+      sum(col("n_pos")).as("pt"))
+    val wCum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.crossJoin(broadcast(tot))
+      .select(col("tile"), col("n_users"), col("n_pos"),
+        round(col("n_pos") / col("n_users").cast("double"), 6).as("cvr"),
+        round((col("n_pos") / col("n_users").cast("double")) /
+          (col("pt") / col("nt").cast("double")), 6).as("lift"),
+        round(sum(col("n_pos")).over(wCum) / col("pt").cast("double"), 6)
+          .as("capture"))
+      .orderBy(col("tile"))
+  }
+
+  val q98CalibrationSql: String =
+    """WITH su AS (
+      |  SELECT user_id, round(avg(value), 6) AS score,
+      |    max(CASE WHEN event_type = 'purchase' AND value >= 95.0
+      |      THEN 1 ELSE 0 END)::BIGINT AS pos
+      |  FROM events GROUP BY 1
+      |), tiled AS (
+      |  SELECT pos, ntile(10) OVER (ORDER BY score DESC,
+      |    ('0x'||substr(md5(user_id::VARCHAR),1,15))::BIGINT,
+      |    user_id)::INT AS tile
+      |  FROM su
+      |), agg AS (
+      |  SELECT tile, count(*)::BIGINT AS n_users,
+      |    sum(pos)::BIGINT AS n_pos
+      |  FROM tiled GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(n_users)::BIGINT AS nt, sum(n_pos)::BIGINT AS pt
+      |  FROM agg
+      |)
+      |SELECT tile, n_users, n_pos,
+      |  round(n_pos / CAST(n_users AS DOUBLE), 6) AS cvr,
+      |  round((n_pos / CAST(n_users AS DOUBLE)) /
+      |    (pt / CAST(nt AS DOUBLE)), 6) AS lift,
+      |  round(sum(n_pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED
+      |    PRECEDING AND CURRENT ROW) / CAST(pt AS DOUBLE), 6)
+      |    AS capture
+      |FROM agg CROSS JOIN tot ORDER BY tile""".stripMargin
+
+  // ----------------------- q99 logistic regression (gradient descent)
+
+  /** Binary logistic fit of order status on standardized total price —
+    * the engine's iterative-optimization flagship
+    * (Classify.logisticRegression): 15 full-batch GD steps, each one
+    * aggregate pass with the coefficients inlined as literals, only a
+    * 2-double gradient row ever reaching the driver. Rows-gated (the
+    * loop is not SQL-expressible); ClassifySpec gates exactness
+    * against an independent naive implementation and separability.
+    */
+  val q99Logit: Q = (s, dir) =>
+    graft.ml.Classify.logisticRegression(
+      Tables.orders(s, dir).select(col("o_totalprice"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)
+          .as("label")),
+      "label", Seq("o_totalprice"))
+
   def all: Map[String, Q] = Map(
     "q89_regression" -> q89Regression,
     "q90_auc" -> q90Auc,
@@ -636,6 +718,8 @@ object StatsQueries {
     "q95_survival" -> q95Survival,
     "q96_kmv_overlap" -> q96KmvOverlap,
     "q97_transitions" -> q97Transitions,
+    "q98_calibration" -> q98Calibration,
+    "q99_logit" -> q99Logit,
   )
 
   def oracles: Map[String, String] = Map(
@@ -648,5 +732,6 @@ object StatsQueries {
     "q95_survival" -> q95SurvivalSql,
     "q96_kmv_overlap" -> q96KmvOverlapSql,
     "q97_transitions" -> q97TransitionsSql,
+    "q98_calibration" -> q98CalibrationSql,
   )
 }

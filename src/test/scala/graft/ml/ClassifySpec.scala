@@ -54,4 +54,62 @@ class ClassifySpec extends SparkSpec {
     val r = Classify.naiveBayes(sym).collect()(0)
     assert(r.getString(2) === "animal")
   }
+
+  /** Independent naive full-batch GD on standardized x, mirroring the
+    * operator's update rule exactly (population stddev, mean
+    * gradient, lr sweep).
+    */
+  private def naiveLogit(xy: Seq[(Double, Double)], steps: Int,
+      lr: Double): (Double, Double, Double, Double) = {
+    val n = xy.length
+    val mu = xy.map(_._1).sum / n
+    val sd = math.max(
+      math.sqrt(xy.map(p => (p._1 - mu) * (p._1 - mu)).sum / n), 1e-12)
+    val std = xy.map { case (x, y) => ((x - mu) / sd, y) }
+    var w0 = 0.0; var w1 = 0.0
+    for (_ <- 1 to steps) {
+      val ps = std.map { case (x, y) =>
+        (1.0 / (1.0 + math.exp(-(w0 + w1 * x))) - y, x) }
+      w0 -= lr * ps.map(_._1).sum / n
+      w1 -= lr * ps.map(p => p._1 * p._2).sum / n
+    }
+    val loss = std.map { case (x, y) =>
+      val p = 1.0 / (1.0 + math.exp(-(w0 + w1 * x)))
+      -(y * math.log(math.max(p, 1e-15)) +
+        (1 - y) * math.log(math.max(1 - p, 1e-15)))
+    }.sum / n
+    val acc = std.count { case (x, y) =>
+      (1.0 / (1.0 + math.exp(-(w0 + w1 * x))) >= 0.5) == (y == 1.0)
+    }.toDouble / n
+    (w0, w1, loss, acc)
+  }
+
+  test("logistic GD matches an independent naive implementation and " +
+      "separates a separable feature") {
+    val xy = Seq(1.0 -> 0.0, 2.0 -> 0.0, 3.0 -> 0.0, 4.0 -> 0.0,
+      7.0 -> 1.0, 8.0 -> 1.0, 9.0 -> 1.0, 11.0 -> 1.0)
+    val df = xy.toDF("x", "label")
+    val got = Classify.logisticRegression(df, "label", Seq("x"),
+      steps = 50, lr = 1.0).collect()(0)
+    val (w0, w1, loss, acc) = naiveLogit(xy, 50, 1.0)
+    assert(got.getLong(0) === 8L)
+    assert(math.abs(got.getDouble(1) - w0) < 1e-5, "w0")
+    assert(math.abs(got.getDouble(2) - w1) < 1e-5, "w1")
+    assert(math.abs(got.getDouble(3) - loss) < 1e-5, "log_loss")
+    assert(got.getDouble(4) === 1.0, "separable data classifies fully")
+    assert(got.getDouble(2) > 0, "positive slope on the positive class")
+  }
+
+  test("a zero-variance feature fits the base rate without NaN") {
+    val df = Seq(5.0 -> 1.0, 5.0 -> 1.0, 5.0 -> 1.0, 5.0 -> 0.0)
+      .toDF("x", "label")
+    val got = Classify.logisticRegression(df, "label", Seq("x"),
+      steps = 30, lr = 1.0).collect()(0)
+    // x standardizes to all-zero, so w1 never moves and the intercept
+    // converges toward logit(0.75)
+    assert(got.getDouble(2) === 0.0)
+    assert(!got.getDouble(3).isNaN && !got.getDouble(1).isNaN)
+    assert(math.abs(got.getDouble(1) - math.log(3.0)) < 0.3)
+    assert(got.getDouble(4) === 0.75)
+  }
 }
