@@ -32,7 +32,12 @@ object Plans {
     "ns23_contamination", "ns26_release",
     "ns30_contamination_bloom", "ns31_budget_select", "q68_interval_join",
     "q74_stream_enrich", "ns35_dup_paragraphs", "q67b_winsorize_approx",
-    "q80_incremental_join", "q82_basket")
+    "q80_incremental_join", "q82_basket",
+    // round-6 heavies: the oriented wedge join, the blocked
+    // edit-distance join, and the prefix-filtered set-sim join are the
+    // three most expensive new shapes at sf0.1 — their runtime join
+    // strategies are the thing to audit
+    "q93_triangles", "q79_fuzzy_dedup", "ns39_prefix_join")
 
   private def section(sb: StringBuilder, spark: SparkSession,
       dir: String, names: Seq[String], execute: Boolean): Unit =
