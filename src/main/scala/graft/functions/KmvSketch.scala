@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.functions._
 
 /** K-minimum-values distinct-count sketch — the set-operation-capable
   * sibling of the HLL path (q69): where HLL unions but cannot
@@ -84,4 +85,39 @@ class KmvSketch(k: Int)
     ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Array[Long]] =
     ExpressionEncoder[Array[Long]]()
+}
+
+object KmvSketch {
+
+  /** Pairwise union/intersection estimates over a `(key, sk)` frame of
+    * KMV sketches — the estimator arithmetic shared by the q96 batch
+    * query and the streaming state reader
+    * ([[graft.streaming.StreamingAgg.readOverlap]]). For each key pair:
+    * the k smallest of the two sketches' union IS the union's KMV
+    * sketch, `nu < k` means both inputs were exact sets (estimates
+    * collapse to exact algebra), and ρ = c/k of shared minima scales
+    * the union estimate down to the intersection. Outputs are
+    * UNROUNDED; callers round at their gate boundary.
+    */
+  def overlapEstimates(sketches: DataFrame, keyCol: String, k: Int)
+      : DataFrame = {
+    val a = sketches.select(col(keyCol).as("key_a"), col("sk").as("sk_a"))
+    val b = sketches.select(col(keyCol).as("key_b"), col("sk").as("sk_b"))
+    a.crossJoin(b).filter(col("key_a") < col("key_b"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("nu", size(col("u")))
+      .withColumn("c", size(array_intersect(col("u"),
+        array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
+      .withColumn("est_union",
+        when(col("nu") < k, col("nu").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 60)) /
+            (element_at(col("u"), k) + lit(1L)).cast("double")))
+      .withColumn("est_inter",
+        when(col("nu") < k, col("c").cast("double"))
+          .otherwise((col("c").cast("double") / lit(k.toDouble)) *
+            col("est_union")))
+      .select(col("key_a"), col("key_b"), col("nu"), col("c"),
+        col("est_union"), col("est_inter"))
+  }
 }

@@ -481,35 +481,25 @@ object StatsQueries {
       org.apache.spark.sql.Encoders.scalaLong)
     val sk = sh.groupBy(col("seg"))
       .agg(kmv(col("h")).as("sk"), count(lit(1)).as("n"))
-    val a = sk.select(col("seg").as("seg_a"), col("sk").as("sk_a"),
-      col("n").as("n_a"))
-    val b = sk.select(col("seg").as("seg_b"), col("sk").as("sk_b"),
-      col("n").as("n_b"))
     val ex = su.select(col("seg").as("seg_a"), col("user_id"))
       .join(su.select(col("seg").as("seg_b"), col("user_id")),
         Seq("user_id"))
       .filter(col("seg_a") < col("seg_b"))
       .groupBy(col("seg_a"), col("seg_b"))
       .agg(count(lit(1)).as("exact_inter"))
-    // 63·2^60 is exact in a double (6-bit mantissa), so the literal is
-    // the same IEEE value the oracle's 63 * pow(2.0, 60) produces
-    val scaleNum = lit((k - 1).toDouble * math.pow(2.0, 60))
-    a.crossJoin(b).filter(col("seg_a") < col("seg_b"))
+    // the estimator arithmetic is the shared KmvSketch.overlapEstimates
+    // (63·2^60 is exact in a double, so its literal equals the oracle's
+    // 63 * pow(2.0, 60) bit-for-bit; nu < k collapses to exact algebra)
+    val ov = graft.functions.KmvSketch
+      .overlapEstimates(sk.select(col("seg"), col("sk")), "seg", k)
+      .select(col("key_a").as("seg_a"), col("key_b").as("seg_b"),
+        col("est_union").as("est_u"), col("est_inter").as("est_i"))
+    ov.join(sk.select(col("seg").as("seg_a"), col("n").as("n_a")),
+        Seq("seg_a"))
+      .join(sk.select(col("seg").as("seg_b"), col("n").as("n_b")),
+        Seq("seg_b"))
       .join(ex, Seq("seg_a", "seg_b"), "left")
       .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
-      .withColumn("u",
-        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
-      .withColumn("nu", size(col("u")))
-      .withColumn("c", size(array_intersect(col("u"),
-        array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
-      // sketches shorter than k are the exact distinct hash sets, so
-      // the estimators collapse to exact set algebra on that branch
-      .withColumn("est_u", when(col("nu") < k, col("nu").cast("double"))
-        .otherwise(scaleNum /
-          (element_at(col("u"), k) + lit(1L)).cast("double")))
-      .withColumn("est_i", when(col("nu") < k, col("c").cast("double"))
-        .otherwise((col("c").cast("double") / lit(k.toDouble)) *
-          col("est_u")))
       .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
         col("exact_inter"),
         (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),

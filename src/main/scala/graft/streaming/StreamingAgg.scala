@@ -152,6 +152,54 @@ object StreamingAgg {
       : Option[DataFrame] =
     readState(spark, statePath).map(IncrementalAgg.distinctFinish)
 
+  /** Set-operation-capable distinct sibling: KMV sketch state per key
+    * (the q96 algebra, streamed). Where the HLL state answers "how
+    * many distinct per key", the stored KMV minima arrays also answer
+    * "how many distinct SHARED between two keys" after the fact —
+    * [[readOverlap]] estimates every key pair's union and intersection
+    * straight from the state table, no raw-data rescan. State is ≤ k
+    * longs per key; the relational merge (union → sort → first k,
+    * array_union dedups) is exactly the Aggregator's two-pointer
+    * merge, so streamed state equals the batch sketch over the whole
+    * history regardless of arrival order.
+    */
+  def mergeBatchKmv(batch: DataFrame, batchId: Long, statePath: String,
+      keyCol: String, valueCol: String, k: Int): Unit =
+    commitBatch(batch, batchId, statePath,
+      batchSig(batch, Seq(keyCol), valueCol),
+      b => kmvPartial(b, keyCol, valueCol, k),
+      (s, d) => kmvMerge(s, d, keyCol, k))
+
+  private def kmvPartial(batch: DataFrame, keyCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    batch.select(col(keyCol),
+      graft.ml.HashUtils.hash60(col(valueCol).cast("string")).as("h"))
+      .groupBy(col(keyCol)).agg(kmv(col("h")).as("sk"))
+  }
+
+  private def kmvMerge(state: DataFrame, delta: DataFrame,
+      keyCol: String, k: Int): DataFrame = {
+    val empty = array().cast("array<long>")
+    state.select(col(keyCol), col("sk").as("sk_a"))
+      .join(delta.select(col(keyCol), col("sk").as("sk_b")),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        slice(array_sort(array_union(
+          coalesce(col("sk_a"), empty),
+          coalesce(col("sk_b"), empty))), 1, k).as("sk"))
+  }
+
+  /** The maintained pairwise audience-overlap view (estimates from
+    * state alone — [[graft.functions.KmvSketch.overlapEstimates]]).
+    */
+  def readOverlap(spark: SparkSession, statePath: String,
+      keyCol: String, k: Int): Option[DataFrame] =
+    readState(spark, statePath).map(st =>
+      graft.functions.KmvSketch.overlapEstimates(
+        st.select(col(keyCol), col("sk")), keyCol, k))
+
   /** Heavy-hitters sibling: the corpus vocabulary maintained as
     * space-saving sketch state ([[graft.functions.SpaceSavingTopTerms]]
     * streamed) — the third sketch the commit core carries, next to the

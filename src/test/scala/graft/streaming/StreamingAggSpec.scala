@@ -67,6 +67,44 @@ class StreamingAggSpec extends SparkSpec {
     assert(viewOf(statePath) === before, "failed merge must not mutate")
   }
 
+  test("streamed KMV state equals the batch sketch over the whole " +
+      "history, and readOverlap estimates pair intersections from " +
+      "state alone") {
+    val statePath = tmp("graft_agg_kmv")
+    val k = 16
+    // audiences: 'a' sees users 1-30, 'b' sees 21-50 (overlap 10),
+    // split across two out-of-order batches
+    def rows(pairs: Seq[(String, Long)]) = pairs.toDF("aud", "u")
+    val all = (1L to 30L).map(("a", _)) ++ (21L to 50L).map(("b", _))
+    val (b0, b1) = all.splitAt(17)
+    StreamingAgg.mergeBatchKmv(rows(b1), 0L, statePath, "aud", "u", k)
+    StreamingAgg.mergeBatchKmv(rows(b0), 1L, statePath, "aud", "u", k)
+    // state equals the one-shot Aggregator sketch over all rows
+    val kmv = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val oneShot = rows(all)
+      .select(col("aud"),
+        graft.ml.HashUtils.hash60(col("u").cast("string")).as("h"))
+      .groupBy(col("aud")).agg(kmv(col("h")).as("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    val st = StreamingAgg.readState(spark, statePath).get
+      .as[(String, Seq[Long])].collect().toMap
+    assert(st === oneShot)
+    // overlap estimate from state alone: both sketches are full
+    // (30 > k), so the estimator path runs; truth is |a∩b| = 10,
+    // |a∪b| = 50 — KMV at k=16 is coarse, assert the loose bound
+    val ov = StreamingAgg.readOverlap(spark, statePath, "aud", k).get
+      .collect()(0)
+    val (estU, estI) = (ov.getDouble(4), ov.getDouble(5))
+    assert(estU > 25 && estU < 100, s"union estimate $estU off truth 50")
+    assert(estI >= 0 && estI < 30, s"inter estimate $estI off truth 10")
+    // a replay of the last batch is absorbed bit-for-bit
+    StreamingAgg.mergeBatchKmv(rows(b0), 1L, statePath, "aud", "u", k)
+    val replayed = StreamingAgg.readState(spark, statePath).get
+      .as[(String, Seq[Long])].collect().toMap
+    assert(replayed === st)
+  }
+
   test("streamed HLL distinct state: batch merges equal the one-shot " +
       "sketch and the replay guard holds") {
     val statePath = tmp("graft_agg_hll")
