@@ -41,6 +41,9 @@ import org.apache.spark.sql.functions._
 class KmvSketch(k: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k > 1, "k must be > 1: the (k-1)/r_k estimator degenerates")
+  // input contract: values are hash60 outputs, i.e. uniform in
+  // [0, 2^60) — the downstream estimators normalize by 2^60, so raw
+  // (possibly negative) longs would sketch fine but estimate garbage
 
   override def zero: Array[Long] = Array.emptyLongArray
 
@@ -101,6 +104,16 @@ object KmvSketch {
     */
   def overlapEstimates(sketches: DataFrame, keyCol: String, k: Int)
       : DataFrame = {
+    require(k > 1, "k must match the sketches' k and exceed 1")
+    require(sketches.columns.contains(keyCol) &&
+      sketches.columns.contains("sk"),
+      s"need ($keyCol, sk) columns, got ${sketches.columns.toSeq}")
+    // same reserved-working-name contract as RangeJoin.intervalJoin:
+    // a caller key named like an internal column would corrupt output
+    val reserved = Seq("key_a", "key_b", "sk_a", "sk_b", "u", "nu", "c",
+      "est_union", "est_inter")
+    require(!reserved.contains(keyCol),
+      s"keyCol may not use the reserved working names $reserved")
     val a = sketches.select(col(keyCol).as("key_a"), col("sk").as("sk_a"))
     val b = sketches.select(col(keyCol).as("key_b"), col("sk").as("sk_b"))
     a.crossJoin(b).filter(col("key_a") < col("key_b"))

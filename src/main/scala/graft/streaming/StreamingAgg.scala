@@ -172,6 +172,8 @@ object StreamingAgg {
 
   private def kmvPartial(batch: DataFrame, keyCol: String,
       valueCol: String, k: Int): DataFrame = {
+    require(keyCol != "h" && keyCol != "sk",
+      "keyCol may not use the reserved working names h/sk")
     val kmv = udaf(new graft.functions.KmvSketch(k),
       org.apache.spark.sql.Encoders.scalaLong)
     batch.select(col(keyCol),
