@@ -48,14 +48,30 @@ object Bpe {
     // plan size stays O(1) across rounds; on a multi-executor cluster
     // the reliable checkpoint() variant trades speed for surviving
     // executor loss mid-loop.
-    var words = docs
+    val sc = spark.sparkContext
+    // eager-checkpoint a new generation and FREE the previous one:
+    // the old blocks are unreachable once the new generation exists,
+    // but without an explicit unpersist they linger until driver GC
+    // happens to collect the dropped reference — at large numMerges
+    // that accumulates up to numMerges stale copies in storage. The
+    // before/after diff of getPersistentRDDs scopes the unpersist to
+    // blocks THIS checkpoint created, never other cached work.
+    def checkpointGen(df: DataFrame, prev: Set[Int])
+        : (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      val mine = sc.getPersistentRDDs.keySet.toSet -- before
+      prev.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      (out, mine)
+    }
+    var (words, gen) = checkpointGen(docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "),
         trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
-        .as("syms"), col("freq"))
-      .localCheckpoint(true)
+        .as("syms"), col("freq")), Set.empty)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     while (rank < numMerges) {
@@ -78,27 +94,87 @@ object Bpe {
         merges += ((rank, l, r, cnt))
         val pat = " " + Pattern.quote(l) + " " + Pattern.quote(r) + "(?= )"
         val rep = Matcher.quoteReplacement(" " + l + r)
-        words = words
-          .withColumn("syms", regexp_replace(col("syms"), pat, rep))
-          .localCheckpoint(true) // eager: one bounded job per round
+        val (nw, ng) = checkpointGen(words
+          .withColumn("syms", regexp_replace(col("syms"), pat, rep)), gen)
+        words = nw; gen = ng
         rank += 1
       }
     }
+    // the merge table is already on the driver; free the last
+    // generation's blocks too
+    gen.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     merges.result()
       .toDF("rank", "left", "right", "pair_count")
       .select(col("rank").cast("long"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
   }
 
-  /** Segment text with a learned merge table: words explode with
-    * their position (merges never cross word boundaries, exactly as
-    * in training), the rank-ascending regex fold stacks numMerges
-    * regexp_replace calls into ONE codegen projection, and the
-    * per-doc token stream reassembles order-deterministically via
-    * array_sort on (position, tokens). One explode + one groupBy —
-    * no other shuffle.
+  /** Segment text with a learned merge table, rank-ascending and
+    * never across word boundaries (exactly the training semantics).
+    * Two physical strategies behind one contract:
+    *
+    *  - ≤ `regexFoldLimit` merges: the regex fold — numMerges stacked
+    *    regexp_replace calls collapsing into ONE codegen projection.
+    *    Zero per-row interpretation overhead, but the expression tree
+    *    is as deep as the merge table, and Catalyst's recursive
+    *    analysis stack-overflows in the thousands — fine for the
+    *    demo-sized tables the registry trains, fatal for a production
+    *    30k-merge tokenizer.
+    *  - beyond the limit: a typed map applying the same left-to-right
+    *    non-overlapping merges imperatively per word (O(merges ·
+    *    word_len), the standard encoder cost) with the merge table
+    *    broadcast once. Still a single map stage, no shuffle; this is
+    *    the legitimate per-row-imperative seam, like the image
+    *    decoder.
+    *
+    * Both paths drop documents with no words and emit identical
+    * (doc_id, tokens, n_tokens) rows — BpeSpec pins the equality.
     */
-  def segment(docs: DataFrame,
+  def segment(docs: DataFrame, merges: Seq[(String, String)],
+      regexFoldLimit: Int = 256): DataFrame =
+    if (merges.length <= regexFoldLimit) segmentRegex(docs, merges)
+    else segmentImperative(docs, merges)
+
+  private def segmentImperative(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Array.newBuilder[String]
+        text.split(" ").foreach { wd =>
+          if (wd.nonEmpty) {
+            var syms: Array[String] = wd.map(_.toString).toArray
+            val ms = bc.value
+            var mi = 0
+            while (mi < ms.length) {
+              val (l, r) = ms(mi)
+              if (syms.length >= 2) {
+                val b = Array.newBuilder[String]
+                var i = 0
+                var changed = false
+                while (i < syms.length) {
+                  if (i + 1 < syms.length && syms(i) == l &&
+                      syms(i + 1) == r) {
+                    b += (l + r); i += 2; changed = true
+                  } else { b += syms(i); i += 1 }
+                }
+                if (changed) syms = b.result()
+              }
+              mi += 1
+            }
+            toks ++= syms
+          }
+        }
+        val t = toks.result()
+        if (t.isEmpty) None else Some((id, t, t.length))
+      }.toDF("doc_id", "tokens", "n_tokens")
+  }
+
+  private def segmentRegex(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val w = docs
       .select(col("doc_id"),

@@ -38,6 +38,9 @@ object Classify {
       "need a non-trivial holdout split")
     val words = docs.select(col("doc_id"), col(labelCol).as("l"),
         explode(split(col("text"), " ")).as("w"))
+      // same tokenization contract as Bpe.learn: irregular whitespace
+      // must not mint a bogus "" vocabulary word that shifts V and N_l
+      .filter(length(col("w")) > 0)
       .select(col("doc_id"), col("l"), HashUtils.hash60(col("w")).as("h"))
     val isTest = col("doc_id") % holdoutMod === fold
     val cl = words.filter(!isTest)
@@ -100,7 +103,12 @@ object Classify {
         avg(col(f)).as(s"mu_$f"),
         stddev_pop(col(f)).as(s"sd_$f"))): _*).head()
     val n = mo.getLong(0)
+    require(n > 0, "cannot fit on an empty dataset")
     val xs = features.zipWithIndex.map { case (f, i) =>
+      // a NULL moment means the feature column held no non-null value
+      // — fail with the column name instead of an opaque NPE below
+      require(!mo.isNullAt(1 + 2 * i),
+        s"feature '$f' has no non-null values")
       val mu = mo.getDouble(1 + 2 * i)
       val sd = math.max(mo.getDouble(2 + 2 * i), 1e-12)
       (col(f).cast("double") - lit(mu)) / lit(sd)

@@ -402,21 +402,43 @@ object Corpus {
     * Returns the kept rows plus `cum_cost` (the running total through
     * each row).
     *
+    * `scoreCol` and `idCol` must be NON-NULL (the [[scoreBucketed]]
+    * contract: a null would silently vanish in the bucket equi-join
+    * instead of sorting last like the naive window).
     * `costCol` must be NON-NEGATIVE: the map-side bucket prune assumes
     * the cumulative cost is monotone along the selection order, which a
     * negative cost breaks (a later row could re-enter the budget).
     * Token counts — the intended cost — are non-negative by nature.
     */
-  def budgetSelect(scored: DataFrame, scoreCol: String, costCol: String,
-      idCol: String, budget: Long): DataFrame = {
-    val reserved = Seq("_mn", "_mx", "_w", "_bkt", "_h", "_off", "cum_cost")
-    val taken = scored.columns.filter(reserved.contains)
-    require(taken.isEmpty,
-      s"input may not use the reserved working names $taken")
+  /** Exact integer division as (a − a%b)/b: the operands are exactly
+    * divisible, so the double quotient is an exact integer (Column `/`
+    * is double division; a raw floor(a/b) could mis-round near huge
+    * values). Shared by every chunk/tile derivation in this file.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** Shared monotone score-bucket decomposition behind
+    * [[budgetSelect]] and [[ntileByScore]]: 4096 buckets walk the
+    * (score desc) selection order, `weight` aggregates each bucket's
+    * contribution (cost sum or row count), and `_off` is the
+    * exclusive prefix total over all better buckets — so the
+    * expensive window runs within buckets only and global position =
+    * _off + local position. `extraStats` ride the same one-pass
+    * stats aggregate and stay on the bucketed frame.
+    *
+    * Scores and ids must be NON-NULL: a null score (or a null id,
+    * whose hash60 is null) buckets to NULL and would silently vanish
+    * in the _bkt equi-join instead of sorting last like the naive
+    * window forms — the gated callers all feed rounded, non-null
+    * scores, and new callers must too.
+    */
+  private def scoreBucketed(scored: DataFrame, scoreCol: String,
+      idCol: String, weight: Column, extraStats: Seq[Column] = Nil)
+      : (DataFrame, DataFrame) = {
     val nBuckets = 4096
-    val stats = scored.agg(
-      min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"))
-    val h = HashUtils.hash60(col(idCol).cast("string"))
+    val stats = scored.agg(min(col(scoreCol)).as("_mn"),
+      (max(col(scoreCol)).as("_mx") +: extraStats): _*)
     val bucketed = scored.crossJoin(broadcast(stats))
       .withColumn("_w",
         greatest((col("_mx") - col("_mn")) / nBuckets, lit(1e-12)))
@@ -426,16 +448,27 @@ object Corpus {
       .withColumn("_bkt",
         least(floor((col("_mx") - col(scoreCol)) / col("_w")),
           lit(nBuckets - 1)).cast("long"))
-      .withColumn("_h", h)
+      .withColumn("_h", HashUtils.hash60(col(idCol).cast("string")))
       .drop("_mn", "_mx", "_w")
     val offsets = bucketed.groupBy(col("_bkt"))
-      .agg(sum(col(costCol)).as("_c"))
+      .agg(weight.as("_c"))
       .withColumn("_off",
         coalesce(
           sum(col("_c")).over(Window.orderBy(col("_bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("_bkt"), col("_off"))
+    (bucketed, offsets)
+  }
+
+  def budgetSelect(scored: DataFrame, scoreCol: String, costCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    val reserved = Seq("_mn", "_mx", "_w", "_bkt", "_h", "_off", "cum_cost")
+    val taken = scored.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"input may not use the reserved working names $taken")
+    val (bucketed, offsets) =
+      scoreBucketed(scored, scoreCol, idCol, sum(col(costCol)))
     val local = Window.partitionBy(col("_bkt"))
       .orderBy(col(scoreCol).desc, col("_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -458,6 +491,8 @@ object Corpus {
     * by LM score for curriculum mixing). Total order is (score desc,
     * hash60(id), id), ties broken deterministically, so the label is
     * engine-agnostic and the DuckDB `ntile` window states the oracle.
+    * `scoreCol` and `idCol` must be NON-NULL (the [[scoreBucketed]]
+    * contract).
     *
     * Shape: [[budgetSelect]]'s monotone score-bucket decomposition
     * with ROW COUNTS in place of cost sums — a 4096-bucket histogram
@@ -476,35 +511,13 @@ object Corpus {
     val taken = scored.columns.filter(reserved.contains)
     require(taken.isEmpty,
       s"input may not use the reserved working names $taken")
-    val nBuckets = 4096
-    val stats = scored.agg(
-      min(col(scoreCol)).as("_mn"), max(col(scoreCol)).as("_mx"),
-      count(lit(1)).as("_n"))
-    val h = HashUtils.hash60(col(idCol).cast("string"))
-    val bucketed = scored.crossJoin(broadcast(stats))
-      .withColumn("_w",
-        greatest((col("_mx") - col("_mn")) / nBuckets, lit(1e-12)))
-      .withColumn("_bkt",
-        least(floor((col("_mx") - col(scoreCol)) / col("_w")),
-          lit(nBuckets - 1)).cast("long"))
-      .withColumn("_h", h)
-      .drop("_mn", "_mx", "_w")
-    val offsets = bucketed.groupBy(col("_bkt"))
-      .agg(count(lit(1)).as("_c"))
-      .withColumn("_off",
-        coalesce(
-          sum(col("_c")).over(Window.orderBy(col("_bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("_bkt"), col("_off"))
+    val (bucketed, offsets) = scoreBucketed(scored, scoreCol, idCol,
+      count(lit(1)), extraStats = Seq(count(lit(1)).as("_n")))
     val local = Window.partitionBy(col("_bkt"))
       .orderBy(col(scoreCol).desc, col("_h"), col(idCol))
     val rk = row_number().over(local) + col("_off")
-    // ntile remainder rule on the exact global rank. Integer division
-    // as (a - a%b)/b: the operands are exactly divisible, so the
-    // double quotient is an exact integer (Column `/` is double
-    // division; a raw floor(a/b) could mis-round near huge values)
-    def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    // ntile remainder rule on the exact global rank, via the shared
+    // exact integer division
     val q = idiv(col("_n"), lit(tiles.toLong))
     val r = col("_n") % tiles
     val big = r * (q + 1) // rows living in the (q+1)-sized head tiles
@@ -567,21 +580,6 @@ object Corpus {
     sketch.take(topK).toDF("term", "est_count", "max_overcount")
   }
 
-  /** Sequence packing — the concat-and-chunk step that turns variable-
-    * length documents into fixed-capacity training rows: documents are
-    * laid out in a deterministic order and cut into chunks of
-    * `ctxLen` tokens; a document's chunk is `floor(tokens_before /
-    * ctxLen)` within its shard.
-    *
-    * Packing is inherently sequential, so the scale move is to shard
-    * FIRST (deterministic hash of doc_id) and pack within each shard:
-    * the window is partitionBy(shard) — parallel across shards, no
-    * global single-partition sort. Shard count = writer parallelism at
-    * 100 TB (thousands), here a parameter.
-    *
-    * Returns one row per (shard, chunk) with its doc count, token sum,
-    * and doc-id range — the manifest a training loader consumes.
-    */
   /** RAG-style document chunking: fixed token windows of `chunkSize`
     * words advancing by `stride` (overlap = chunkSize − stride) — the
     * standard retrieval/embedding prep step. A doc with n words yields
@@ -600,7 +598,6 @@ object Corpus {
     require(chunkSize > 0, "chunkSize must be positive")
     require(stride > 0 && stride <= chunkSize,
       "stride must be in [1, chunkSize]")
-    def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
     val words = split(col("text"), " ")
     // last chunk start k·stride: k = ceil((n − chunkSize)/stride) via
     // exact integer division (ANSI-safe; Column `/` is double division)
@@ -645,6 +642,21 @@ object Corpus {
       .drop("_wkey")
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns variable-
+    * length documents into fixed-capacity training rows: documents are
+    * laid out in a deterministic order and cut into chunks of
+    * `ctxLen` tokens; a document's chunk is `floor(tokens_before /
+    * ctxLen)` within its shard.
+    *
+    * Packing is inherently sequential, so the scale move is to shard
+    * FIRST (deterministic hash of doc_id) and pack within each shard:
+    * the window is partitionBy(shard) — parallel across shards, no
+    * global single-partition sort. Shard count = writer parallelism at
+    * 100 TB (thousands), here a parameter.
+    *
+    * Returns one row per (shard, chunk) with its doc count, token sum,
+    * and doc-id range — the manifest a training loader consumes.
+    */
   def packSequences(docs: DataFrame, ctxLen: Int, shards: Int): DataFrame = {
     // ctxLen=0 is a double division by zero → null chunks; shards=0
     // makes pmod null → one null shard holding the whole corpus. Both
@@ -659,8 +671,11 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks
       .withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("chunk", ((col("cum") - col("toks")) / ctxLen)
-        .cast("long"))
+      // tokens_before / ctxLen via the shared exact integer division:
+      // the raw double quotient could mis-round once a shard's running
+      // token total crosses 2^53
+      .withColumn("chunk",
+        idiv(col("cum") - col("toks"), lit(ctxLen.toLong)))
       .groupBy(col("shard"), col("chunk"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

@@ -1000,6 +1000,7 @@ object MlQueries {
        |  FROM (SELECT doc_id, lang,
        |          unnest(string_split(text, ' ')) AS w
        |        FROM documents)
+       |  WHERE w <> ''
        |), cl AS (
        |  SELECT l, h, count(*)::BIGINT AS c FROM words
        |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2

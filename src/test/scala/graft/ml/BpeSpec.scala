@@ -85,4 +85,33 @@ class BpeSpec extends SparkSpec {
     // unseen symbol passes through untouched
     assert(seg(1).getSeq[String](1) === Seq("ab", "q"))
   }
+
+  test("the imperative segmentation path (large merge tables) emits " +
+      "exactly what the regex fold emits") {
+    val train = Seq((1L, "low lower lowest low new newer newest wide"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learn(train, 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = Seq((1L, "lower newest unseen"), (2L, "wide low qq"),
+      (3L, "")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1), r.getInt(2))).toSeq
+    val viaRegex = rows(Bpe.segment(docs, merges))
+    val viaMap = rows(Bpe.segment(docs, merges, regexFoldLimit = 0))
+    assert(viaMap === viaRegex)
+    assert(viaRegex.map(_._1) === Seq(1L, 2L),
+      "both paths drop the wordless doc")
+  }
+
+  test("learn releases each checkpoint generation: persisted-RDD " +
+      "count does not grow with the merge count") {
+    val docs = Seq((1L, "low lower lowest low new newer newest"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Bpe.learn(docs, 12)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before,
+      s"stale checkpoint generations linger: $before -> $after")
+  }
 }
