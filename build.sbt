@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench driver captures the tail of `sbt "runMain
+// graft.Bench"` stdout and tries to parse the last line as JSON. Six
+// rounds of BENCH_r*.json carry `parsed: null` because (a) the forked
+// program's output is routed through sbt's logger and arrives
+// `[info]`-prefixed, and (b) sbt appends a final `[success] Total
+// time` line after it. StdoutOutput makes the forked process inherit
+// stdout (no prefix); showSuccess=false drops the trailer — so the
+// bench's compact headline JSON really is the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

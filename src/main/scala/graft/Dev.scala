@@ -15,9 +15,11 @@ object Dev {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      println(s"[dev] $name rows=${spark.read.parquet(s"$outDir/$name").count()}")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[dev] $name rows=${spark.read.parquet(s"$outDir/$name").count()} sec=$sec%.2f")
     }
     val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${Verify.jsonQuote(k)}: ${Verify.jsonQuote(v)}" }

@@ -35,24 +35,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is physically parquet INT64 TIMESTAMP(NANOS), which
-    * Spark 4 rejects at schema inference (PARQUET_TYPE_ILLEGAL). The
-    * `spark.sql.legacy.parquet.nanosAsLong` conf reads the nanos as
-    * long; the testdata carries only microsecond precision inside the
-    * nano field, so rebuilding a proper TimestampType column via
-    * integer division is lossless. [[GraftSession]] sets the conf at
-    * session build; for sessions built elsewhere (the driver's own
-    * smoke harness) we set it only if it isn't already true — a
-    * guarded fallback, not an unconditional per-call flip, and the
-    * conf changes behavior ONLY for NANOS columns, which no other
-    * table in this corpus has.
+  /** `events.ts` has shipped under two physical parquet types across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (rounds ≤6), which
+    * Spark 4 rejects at schema inference unless
+    * `spark.sql.legacy.parquet.nanosAsLong` reads the nanos as long —
+    * the micros-precision payload then rebuilds losslessly via integer
+    * division — and plain TIMESTAMP(MICROS) (round 7 regeneration),
+    * which Spark reads directly as TIMESTAMP_NTZ. Dispatch on the
+    * INFERRED type so either generation loads, and normalize both to
+    * TimestampType: the session is pinned UTC, so the NTZ→LTZ cast is
+    * the same instant, and every downstream comparison/window keeps
+    * the exact semantics (and parquet INT96 output type) the oracle
+    * gate has been green against. [[GraftSession]] sets the conf at
+    * session build; the guarded set here covers sessions built
+    * elsewhere (the driver's own smoke harness), and the conf changes
+    * behavior ONLY for NANOS columns, which no current table has.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   /** documents/embeddings arrive as ONE parquet file each, i.e. one
     * input split — every map-side ML pipeline (shingling, hashing,

@@ -525,11 +525,42 @@ object Dedup {
     * self-join on the 8-byte hash → distinct pair → codegen'd
     * levenshtein. No quadratic anywhere; join fan-out is bounded by
     * variant-group sizes (how many strings share one deletion), the
-    * same posting-list profile jaccardPairs already manages.
+    * same posting-list profile jaccardPairs already manages — and
+    * `maxVariantDf` bounds it STRUCTURALLY: buckets shared by more
+    * than that many strings are dropped before the join, capping the
+    * per-bucket fan-out at maxVariantDf² no matter how dense the key
+    * space gets (numbered names collide heavily on digit-deletion
+    * variants; unbounded, a hot bucket's candidate count grows
+    * quadratically with data scale).
+    *
+    * Recall contract under the cap: a true distance-≤1 pair is
+    * reported iff at least ONE of its shared deletion variants is in
+    * an uncapped bucket. A substitution pair shares exactly the
+    * variants deleting the substituted position (plus hash-collision
+    * accidents); an insert/delete pair shares the shorter string
+    * itself as a variant. So a pair is lost only when EVERY witness
+    * variant is shared by > maxVariantDf strings — both strings sit
+    * inside a dense family of near-identical keys, exactly the
+    * boilerplate case entity resolution wants to down-weight anyway.
+    * With `None` (the default) the join is exact. q79 gates the capped
+    * form with a cap chosen above the fixture's max bucket (38 at
+    * sf0.1), so its exact quadratic oracle remains valid while the
+    * 100 TB bound is exercised in the executed plan.
     */
-  def editDistancePairs(rows: DataFrame, strCol: String): DataFrame = {
+  def editDistancePairs(rows: DataFrame, strCol: String,
+      maxVariantDf: Option[Int] = None): DataFrame = {
     val strings = rows.select(col(strCol).as("s"))
       .where(col("s").isNotNull).distinct()
+      // The distinct's exchange is tiny (distinct keys), so AQE
+      // coalesces it to ~1 partition — but everything DOWNSTREAM
+      // (variant explode, the hash-probe over the full candidate
+      // fan-out, the levenshtein verify) is CPU-bound, not IO-bound,
+      // and was measured running near-serial at sf0.1 (7.7s of the
+      // bench). An explicit numbered repartition is exempt from AQE
+      // coalescing and keeps the probe on every core; on a real
+      // multi-file table the upstream scan is already parallel and
+      // this exchange moves only distinct keys.
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
     // position-i deletion (1-based); i=0 keeps the string itself
     val variants = concat(array(col("s")),
       transform(sequence(lit(1), length(col("s"))), i =>
@@ -542,10 +573,21 @@ object Dedup {
     // candidates the levenshtein verify drops, and codegen'd xxhash64
     // is ~5x cheaper than MessageDigest md5 over the |s|+1 variant
     // fan-out — at sf0.1 the md5 pass alone was half the query.
-    val sv = strings
+    val sv0 = strings
       .select(col("s"), explode(variants).as("v"))
       .select(col("s"), xxhash64(col("v")).as("h"))
       .distinct()
+    val sv = maxVariantDf match {
+      case Some(c) =>
+        // the df pass and the anti-join both shuffle only (s, h) /
+        // (h) rows — the ns2 posting-list cap shape
+        val hot = sv0.groupBy(col("h"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > c)
+          .select(col("h"))
+        sv0.join(hot, Seq("h"), "left_anti")
+      case None => sv0
+    }
     sv.as("a").join(sv.as("b"),
         col("a.h") === col("b.h") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s1"), col("b.s").as("s2"))
@@ -553,9 +595,14 @@ object Dedup {
       // filter, so the distinct() exchange moves only TRUE pairs (each
       // a handful of times, once per shared variant) instead of the
       // full candidate fan-out — on dense key spaces (numbered names,
-      // zero runs) candidates outnumber true pairs ~40:1 and the
-      // pair shuffle, not the verify, is the scale cost
-      .where(levenshtein(col("s1"), col("s2")) <= 1)
+      // zero runs) candidates outnumber true pairs ~40:1.
+      // THRESHOLDED levenshtein: the unbounded form fills the full
+      // |s1|×|s2| DP matrix (measured 5.5s of the 7.7s query at sf0.1
+      // — the verify, not the shuffle, was the cost); the bounded form
+      // walks only the diagonal band and exits early, O(len) per pair.
+      // Strings are distinct and s1 < s2, so distance 0 cannot occur
+      // and `== 1` is exactly `levenshtein <= 1`.
+      .where(levenshtein(col("s1"), col("s2"), 1) === 1)
       .distinct()
   }
 }

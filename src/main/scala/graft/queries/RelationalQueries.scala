@@ -1001,7 +1001,11 @@ object RelationalQueries {
     * delete blocking (never the quadratic the oracle restates).
     */
   val q79FuzzyDedup: Q = (s, dir) =>
-    graft.ml.Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")
+    // cap=64 > the fixture's max variant bucket (38 at sf0.1), so the
+    // exact quadratic oracle stays valid while the plan exercises the
+    // 100 TB fan-out bound (see editDistancePairs' recall contract)
+    graft.ml.Dedup.editDistancePairs(Tables.customer(s, dir), "c_name",
+      maxVariantDf = Some(64))
       .select(col("s1").as("name_a"), col("s2").as("name_b"))
       // no orderBy: the gate sorts rows itself, and a global sort's
       // rangepartitioning SAMPLING pass would re-execute the whole
@@ -1060,14 +1064,21 @@ object RelationalQueries {
   val q81Rfm: Q = (s, dir) => {
     val byCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
-      // o_orderdate is TIMESTAMP_NTZ in the fixtures; the session is
-      // pinned UTC so the cast is the same instant DuckDB's epoch_us
-      // reads from its naive TIMESTAMP
-      .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
-          .as("recency"),
+      // recency is emitted as the RAW max timestamp (not epoch
+      // micros): r6's hash-red persisted with every column already an
+      // exact type, so the de-risk is to drop the oracle-side
+      // epoch_us() call entirely — a timestamp value compares as the
+      // same naive instant in both engines with zero arithmetic. The
+      // micros sibling below exists only to feed the numeric ntile.
+      .agg(max(col("o_orderdate")).as("recency"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("decimal(38,2)").as("monetary"))
+      // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC so
+      // unix_micros(cast) is order-isomorphic to the raw timestamp —
+      // the tile computed on micros equals a tile ordered by recency
+      .withColumn("recency_us",
+        unix_micros(col("recency").cast("timestamp")))
     // Three INDEPENDENT ntile branches joined on the key — chaining
     // them (tile(tile(tile(df)))) nests each pass's 3 references to
     // its input and the plan grows exponentially with depth (67 scans
@@ -1080,7 +1091,7 @@ object RelationalQueries {
         scoreCol, "o_custkey", 5)
         .select(col("o_custkey"), col("tile").as(name))
     byCust
-      .join(tiles("recency", "r_tile"), Seq("o_custkey"))
+      .join(tiles("recency_us", "r_tile"), Seq("o_custkey"))
       .join(tiles("frequency", "f_tile"), Seq("o_custkey"))
       .join(tiles("monetary", "m_tile"), Seq("o_custkey"))
       .select(col("o_custkey"), col("recency"), col("frequency"),
@@ -1092,7 +1103,7 @@ object RelationalQueries {
 
   val q81RfmSql: String =
     """WITH byc AS (
-      |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS recency,
+      |  SELECT o_custkey, max(o_orderdate) AS recency,
       |    count(*)::BIGINT AS frequency,
       |    sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS monetary,
       |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
@@ -1112,6 +1123,59 @@ object RelationalQueries {
       |  FROM byc
       |)
       |ORDER BY o_custkey""".stripMargin
+
+  /** q81 bisect diagnostics (r6 verdict task 1): every q81 column is
+    * an exact type, so the divergence is a VALUE difference in the
+    * driver's DuckDB — these isolate the three candidate constructs.
+    * d1 = the epoch_us() recency arithmetic the main query no longer
+    * uses; d2 = the md5-hex-cast tiebreak hash itself; d3 = one tile
+    * branch with no timestamp involvement (monetary). Remove once
+    * driver-green.
+    */
+  val q81d1EpochUs: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
+        .as("recency_us"))
+      .orderBy(col("o_custkey"))
+
+  val q81d1EpochUsSql: String =
+    """SELECT o_custkey, max(epoch_us(o_orderdate)) AS recency_us
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  val q81d2TiebreakHash: Q = (s, dir) =>
+    Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      .withColumn("h",
+        graft.ml.HashUtils.hash60(col("o_custkey").cast("string")))
+      .orderBy(col("o_custkey"))
+
+  val q81d2TiebreakHashSql: String =
+    """SELECT DISTINCT o_custkey,
+      |  ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
+      |FROM orders ORDER BY o_custkey""".stripMargin
+
+  val q81d3MonetaryTile: Q = (s, dir) => {
+    val byCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").as("monetary"))
+    graft.ml.Corpus.ntileByScore(byCust, "monetary", "o_custkey", 5)
+      .select(col("o_custkey"), col("monetary"),
+        col("tile").as("m_tile"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q81d3MonetaryTileSql: String =
+    """WITH byc AS (
+      |  SELECT o_custkey,
+      |    sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS monetary,
+      |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o_custkey, monetary,
+      |  ntile(5) OVER (ORDER BY monetary DESC, h, o_custkey)::INT
+      |    AS m_tile
+      |FROM byc ORDER BY o_custkey""".stripMargin
 
   /** Market-basket brand co-occurrence with support + lift — which
     * part brands are ordered together. Per-order distinct brands are
@@ -1467,7 +1531,8 @@ object RelationalQueries {
       .select(col("o_orderpriority"), col("l_returnflag"),
         col("agg_sum").cast("decimal(38,6)").as("agg_sum"),
         col("agg_cnt"), col("agg_min"), col("agg_max"),
-        round(col("agg_avg"), 6).as("agg_avg"))
+        // DECIMAL, not DOUBLE — see q66's rationale (r6 verdict)
+        round(col("agg_avg"), 6).cast("decimal(18,6)").as("agg_avg"))
       .orderBy(col("o_orderpriority"), col("l_returnflag"))
   }
 
@@ -1478,6 +1543,37 @@ object RelationalQueries {
       |  count(l_extendedprice) AS agg_cnt,
       |  min(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_min,
       |  max(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_max,
+      |  CAST(round(CASE WHEN count(l_extendedprice) > 0 THEN
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |      AS DECIMAL(38,6)) AS DOUBLE) / count(l_extendedprice)
+      |    END, 6) AS DECIMAL(18,6)) AS agg_avg
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority, l_returnflag
+      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
+
+  /** q87 bisect diagnostics — same split as q66d1/q66d2 (r6 verdict
+    * task 1). Remove once driver-green. */
+  val q87d1DecimalState: Q = (s, dir) =>
+    q87IncrementalMv(s, dir).drop("agg_avg")
+
+  val q87d1DecimalStateSql: String =
+    """SELECT o_orderpriority, l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |    AS DECIMAL(38,6)) AS agg_sum,
+      |  count(l_extendedprice) AS agg_cnt,
+      |  min(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_min,
+      |  max(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_max
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority, l_returnflag
+      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
+
+  val q87d2AvgDouble: Q = (s, dir) =>
+    q87IncrementalMv(s, dir)
+      .select(col("o_orderpriority"), col("l_returnflag"),
+        round(col("agg_avg").cast("double"), 6).as("agg_avg"))
+
+  val q87d2AvgDoubleSql: String =
+    """SELECT o_orderpriority, l_returnflag,
       |  round(CASE WHEN count(l_extendedprice) > 0 THEN
       |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
       |      AS DECIMAL(38,6)) AS DOUBLE) / count(l_extendedprice)
@@ -1850,11 +1946,13 @@ object RelationalQueries {
       .select(col("event_type"),
         col("agg_sum").cast("decimal(38,6)").as("agg_sum"),
         col("agg_cnt"), col("agg_min"), col("agg_max"),
-        // Rounded on BOTH engine sides: an unrounded double is the one
-        // place a DuckDB-build ulp difference can surface in the hash
-        // gate (round-5 verdict), and the registry guard spec now
-        // forbids it outright.
-        round(col("agg_avg"), 6).as("agg_avg"))
+        // Emitted as DECIMAL, never DOUBLE: r6 proved the rounded
+        // double STILL hash-diverges across DuckDB builds (an ulp in
+        // their round()/cast implementations), while a decimal hashes
+        // its exact unscaled integer. round-to-6dp then cast is robust
+        // to a 1-ulp input difference because adjacent 6dp decimals
+        // are ~1e6 ulps apart at these magnitudes.
+        round(col("agg_avg"), 6).cast("decimal(18,6)").as("agg_avg"))
       .orderBy(col("event_type"))
   }
 
@@ -1864,6 +1962,35 @@ object RelationalQueries {
       |  count(value) AS agg_cnt,
       |  min(CAST(value AS DECIMAL(18,6))) AS agg_min,
       |  max(CAST(value AS DECIMAL(18,6))) AS agg_max,
+      |  CAST(round(CASE WHEN count(value) > 0 THEN
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+      |      AS DOUBLE) / count(value) END, 6) AS DECIMAL(18,6)) AS agg_avg
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Driver-bisect diagnostics for the r6 hash-red rows (VERDICT r6
+    * task 1): q66 split per column class so CORRECTNESS_r7 itself
+    * localizes the divergent column. d1 = decimal state only (no
+    * derived avg), d2 = the r6 failing form isolated (rounded DOUBLE
+    * avg). Remove once q66/q87/q81 are driver-green.
+    */
+  val q66d1DecimalState: Q = (s, dir) =>
+    q66IncrementalAgg(s, dir).drop("agg_avg")
+
+  val q66d1DecimalStateSql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS agg_sum,
+      |  count(value) AS agg_cnt,
+      |  min(CAST(value AS DECIMAL(18,6))) AS agg_min,
+      |  max(CAST(value AS DECIMAL(18,6))) AS agg_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val q66d2AvgDouble: Q = (s, dir) =>
+    q66IncrementalAgg(s, dir)
+      .select(col("event_type"),
+        round(col("agg_avg").cast("double"), 6).as("agg_avg"))
+
+  val q66d2AvgDoubleSql: String =
+    """SELECT event_type,
       |  round(CASE WHEN count(value) > 0 THEN
       |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
       |      AS DOUBLE) / count(value) END, 6) AS agg_avg
@@ -2870,6 +2997,8 @@ object RelationalQueries {
     "q64_funnel_timed" -> q64FunnelTimed,
     "q65_sessionize" -> q65Sessionize,
     "q66_incremental_agg" -> q66IncrementalAgg,
+    "q66d1_decimal_state" -> q66d1DecimalState,
+    "q66d2_avg_double" -> q66d2AvgDouble,
     "q67_winsorize" -> q67Winsorize,
     "q67b_winsorize_approx" -> q67bWinsorizeApprox,
     "q68_interval_join" -> q68IntervalJoin,
@@ -2886,12 +3015,17 @@ object RelationalQueries {
     "q79_fuzzy_dedup" -> q79FuzzyDedup,
     "q80_incremental_join" -> q80IncrementalJoin,
     "q81_rfm" -> q81Rfm,
+    "q81d1_epoch_us" -> q81d1EpochUs,
+    "q81d2_tiebreak_hash" -> q81d2TiebreakHash,
+    "q81d3_monetary_tile" -> q81d3MonetaryTile,
     "q82_basket" -> q82Basket,
     "q83_expectations" -> q83Expectations,
     "q84_attribution" -> q84Attribution,
     "q85_drift" -> q85Drift,
     "q86_outliers" -> q86Outliers,
     "q87_incremental_mv" -> q87IncrementalMv,
+    "q87d1_decimal_state" -> q87d1DecimalState,
+    "q87d2_avg_double" -> q87d2AvgDouble,
     "q88_multi_touch" -> q88MultiTouch,
   )
 
@@ -2966,6 +3100,8 @@ object RelationalQueries {
     "q64_funnel_timed" -> q64FunnelTimedSql,
     "q65_sessionize" -> q65SessionizeSql,
     "q66_incremental_agg" -> q66IncrementalAggSql,
+    "q66d1_decimal_state" -> q66d1DecimalStateSql,
+    "q66d2_avg_double" -> q66d2AvgDoubleSql,
     "q67_winsorize" -> q67WinsorizeSql,
     "q68_interval_join" -> q68IntervalJoinSql,
     "q70_grouping_sets" -> q70GroupingSetsSql,
@@ -2980,12 +3116,17 @@ object RelationalQueries {
     "q79_fuzzy_dedup" -> q79FuzzyDedupSql,
     "q80_incremental_join" -> q80IncrementalJoinSql,
     "q81_rfm" -> q81RfmSql,
+    "q81d1_epoch_us" -> q81d1EpochUsSql,
+    "q81d2_tiebreak_hash" -> q81d2TiebreakHashSql,
+    "q81d3_monetary_tile" -> q81d3MonetaryTileSql,
     "q82_basket" -> q82BasketSql,
     "q83_expectations" -> q83ExpectationsSql,
     "q84_attribution" -> q84AttributionSql,
     "q85_drift" -> q85DriftSql,
     "q86_outliers" -> q86OutliersSql,
     "q87_incremental_mv" -> q87IncrementalMvSql,
+    "q87d1_decimal_state" -> q87d1DecimalStateSql,
+    "q87d2_avg_double" -> q87d2AvgDoubleSql,
     "q88_multi_touch" -> q88MultiTouchSql,
   )
 }

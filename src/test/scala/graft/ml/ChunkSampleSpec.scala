@@ -106,4 +106,34 @@ class ChunkSampleSpec extends SparkSpec {
       s"missing=${brute -- got} extra=${got -- brute}")
     assert(!got.contains(("act", "cat")), "transpositions are distance 2")
   }
+
+  test("editDistancePairs maxVariantDf cap: generous cap is exact, " +
+    "binding cap drops only dense-family pairs") {
+    // a dense family: k0..k9 all share the deletion variant "k" (df
+    // 10) plus pairwise substitution variants (df 2); an isolated pair
+    // far from the family survives any cap >= 2
+    val strings = (0 to 9).map(i => s"k$i") ++ Seq("solo", "soloX")
+    val rows = strings.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    val exact = Dedup.editDistancePairs(rows, "name")
+      .as[(String, String)].collect().toSet
+    // cap far above every bucket: identical to exact
+    val generous = Dedup.editDistancePairs(rows, "name", Some(100))
+      .as[(String, String)].collect().toSet
+    assert(generous == exact, "non-binding cap must not change results")
+    // cap=5: the shared "k" variant (df 10) is dropped, but each kI/kJ
+    // substitution pair still shares the "delete position 2" variant
+    // "k" — no wait, deleting the digit leaves "k" for all; deleting
+    // "k" leaves the digit (df 1 each). kI~kJ differ in position 2
+    // (substitution), witnessed by variant "k" ONLY → all family pairs
+    // drop; solo~soloX (insertion, witnessed by "solo" itself, df 2)
+    // survives.
+    val capped = Dedup.editDistancePairs(rows, "name", Some(5))
+      .as[(String, String)].collect().toSet
+    assert(capped.contains(("solo", "soloX")),
+      "pair outside hot buckets must survive the cap")
+    assert(capped == exact.filterNot { case (a, b) =>
+      a.startsWith("k") && b.startsWith("k") },
+      s"capped=$capped")
+  }
 }
