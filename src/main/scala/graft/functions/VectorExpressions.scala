@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst dot product over two `array<double>` columns.
@@ -217,6 +217,138 @@ case class DotProductInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack product-quantization code words into a BINARY value: an
+  * `array<long>` of codes (each 0..255, one per subspace) becomes one
+  * unsigned byte each. The PQ index stores ONLY this column plus a
+  * reconstructed norm — for a 64-dim vector at 8 subspaces that is 8
+  * bytes against SQ8's 64 and the raw array's 512, and at 100 TB the
+  * candidate scan is bandwidth-bound, so the bytes ARE the speedup.
+  * Out-of-range codes throw: a code wider than a byte means the
+  * caller's codebook size and the pack width have drifted, which would
+  * otherwise corrupt every downstream ADC lookup silently.
+  */
+case class PackCodes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pack_codes requires an array<long> argument, got " +
+        other.simpleString)
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "graft_pack_codes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = x.getLong(i)
+      if (c < 0L || c > 255L)
+        throw new IllegalArgumentException(
+          s"graft_pack_codes: code $c out of byte range")
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $c = $a.getLong($i);
+         |  if ($c < 0L || $c > 255L) {
+         |    throw new IllegalArgumentException(
+         |      "graft_pack_codes: code " + $c + " out of byte range");
+         |  }
+         |  $out[$i] = (byte) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PackCodes =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance-computation (ADC) lookup, the PQ scoring
+  * kernel: given a query's flattened lookup table `lut` (array<double>
+  * of nSub·k entries, entry `sub·k + code` = dot(query subvector,
+  * codebook centroid)) and an index vector's packed `codes` (BINARY,
+  * one unsigned byte per subspace), the approximate dot product is
+  * Σ_sub lut[sub·k + codes[sub]] — nSub array reads and adds per
+  * candidate instead of a dim-length float loop, over an 8-byte code
+  * column instead of a 512-byte vector. Tight loop in whole-stage
+  * codegen, the [[DotProductInt8]] pattern. A lut/codes size mismatch
+  * throws (same loud contract as graft_dot: silent misindexing would
+  * mis-rank every candidate with no diagnostic).
+  */
+case class AdcLookup(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), BinaryType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r, kk) => TypeCheckResult.TypeCheckFailure(
+        s"graft_adc requires (array<double>, binary, int), got " +
+          s"(${l.simpleString}, ${r.simpleString}, ${kk.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_adc"
+
+  override def nullSafeEval(l: Any, r: Any, kk: Any): Any = {
+    val lut = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[Array[Byte]]
+    val kv = kk.asInstanceOf[Int]
+    if (lut.numElements() != codes.length * kv)
+      throw new IllegalArgumentException(
+        s"graft_adc: lut size ${lut.numElements()} != " +
+          s"${codes.length} subspaces * $kv codes")
+    var s = 0.0
+    var m = 0
+    while (m < codes.length) {
+      s += lut.getDouble(m * kv + (codes(m) & 0xFF)); m += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes, kv) => {
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($lut.numElements() != $codes.length * $kv) {
+         |  throw new IllegalArgumentException(
+         |    "graft_adc: lut size " + $lut.numElements() + " != " +
+         |      $codes.length + " subspaces * " + $kv + " codes");
+         |}
+         |double $s = 0.0;
+         |for (int $m = 0; $m < $codes.length; $m++) {
+         |  $s += $lut.getDouble($m * $kv + ($codes[$m] & 0xFF));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): AdcLookup =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -236,6 +368,19 @@ object VectorFunctions {
     * (see [[DotProductInt8]]); returns long.
     */
   def dot8(a: Column, b: Column): Column = call_function("graft_dot8", a, b)
+
+  /** `packCodes(codes)`: array<long> of PQ code words → BINARY, one
+    * unsigned byte per subspace (see [[PackCodes]]).
+    */
+  def packCodes(codes: Column): Column =
+    call_function("graft_pack_codes", codes)
+
+  /** `adc(lut, codes, k)`: PQ asymmetric-distance lookup score — the
+    * approximate dot product of a query (via its flattened nSub·k
+    * lookup table) against a packed code word (see [[AdcLookup]]).
+    */
+  def adc(lut: Column, codes: Column, k: Column): Column =
+    call_function("graft_adc", lut, codes, k)
 }
 
 /** Session extensions registering the native functions for SQL and
@@ -276,8 +421,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head))
 
+  val packCodesDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_pack_codes"),
+      new ExpressionInfo(classOf[PackCodes].getName, "graft_pack_codes"),
+      (children: Seq[Expression]) => PackCodes(children.head))
+
+  val adcDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcLookup].getName, "graft_adc"),
+      (children: Seq[Expression]) =>
+        AdcLookup(children(0), children(1), children(2)))
+
   val functionDescriptors: Seq[Descriptor] =
-    Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor, nfcDescriptor)
+    Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor, nfcDescriptor,
+      packCodesDescriptor, adcDescriptor)
 
   /** Imperative (idempotent) registration for an already-built session —
     * the fallback when the session was not constructed with

@@ -498,6 +498,221 @@ object Similarity {
       probes: Int): DataFrame =
     queryIvfIndexPaths(spark, Seq(path), queries, cents, k, probes)
 
+  // ----------------------------------------------- product quantization
+
+  /** Per-vector subspace slices: (vec_id, sub, sv) with `sv` the
+    * sub-th of `nSub` contiguous equal-width slices of the vector.
+    * Dimension must divide evenly — a ragged last subspace would make
+    * the codebook layout ambiguous, so it is rejected loudly via the
+    * dimension check every dot product already performs.
+    */
+  private def subVectors(n: DataFrame, nSub: Int): DataFrame =
+    n.select(col("vec_id"), col("e"),
+      (size(col("e")) / nSub).cast("int").as("_sd"))
+      .select(col("vec_id"), col("e"), col("_sd"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("e"), col("sub") * col("_sd") + 1, col("_sd")).as("sv"))
+
+  /** Nearest-codeword assignment per (vector, subspace), L2 objective
+    * with the deterministic (rounded-distance, code) tiebreak:
+    * ‖s−c‖² = s·s − 2·s·c + c·c over the broadcast codebook — the PQ
+    * sibling of [[assignRanked]]'s cosine cell assignment.
+    */
+  private def assignPqCodes(svs: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    svs.join(broadcast(codebook), Seq("sub"))
+      // round like fitCentroids' means: an unrounded last-ulp wobble
+      // in the distance would flip near-boundary code assignments
+      .withColumn("d2", round(dot(col("sv"), col("sv"))
+        - lit(2.0) * dot(col("sv"), col("ce")) + col("cn2"), 6))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("sub"), col("sv"), col("code"))
+  }
+
+  /** Train a product-quantization codebook: `codesPerSub` centroids
+    * per each of `nSub` subspaces, plain (L2) Lloyd from the
+    * deterministic seed (the codesPerSub smallest vec_ids'
+    * subvectors). Returns (sub, code, ce, cn2) with EVERY (sub, code)
+    * slot always present — a code word that loses all members keeps
+    * its previous centroid rather than vanishing, because the ADC
+    * lookup table is laid out positionally as sub·k + code and a
+    * missing slot would shift every entry after it.
+    *
+    * Like [[fitCentroids]], fit this on a hash-sampled slice at scale:
+    * the codebook is a model (nSub·codesPerSub small arrays,
+    * kilobytes), broadcast to encode the full corpus.
+    */
+  def fitPqCodebook(embeddings: DataFrame, nSub: Int, codesPerSub: Int,
+      iters: Int): DataFrame = {
+    require(nSub >= 1 && codesPerSub >= 1 && codesPerSub <= 256,
+      "need 1..256 codes per subspace (codes pack to one byte)")
+    val n = withNorm(embeddings)
+    val svs = subVectors(n, nSub)
+    val seedIds = n.orderBy(col("vec_id")).limit(codesPerSub)
+      .select(col("vec_id"))
+    val codeW = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+    var cb = svs.join(seedIds, Seq("vec_id"))
+      .withColumn("code", row_number().over(codeW) - 1)
+      .select(col("sub"), col("code"), col("sv").as("ce"))
+      .withColumn("cn2", dot(col("ce"), col("ce")))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val mean = assignPqCodes(svs, cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("me"))
+      cb = cb.select(col("sub"), col("code"), col("ce").as("_old"))
+        .join(mean, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("me"), col("_old")).as("ce"))
+        .withColumn("cn2", dot(col("ce"), col("ce")))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Encode vectors against a fitted codebook: (vec_id, codes, rnrm)
+    * with `codes` the packed one-byte-per-subspace word
+    * ([[graft.functions.PackCodes]]) and `rnrm` the norm of the
+    * RECONSTRUCTED vector (√Σ_sub ‖c_sub‖² — exact at encode time, so
+    * ADC cosine needs no index-side float data at all). This row is
+    * the whole PQ index payload: nSub bytes + one double per vector.
+    */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame,
+      nSub: Int): DataFrame = {
+    import graft.functions.VectorFunctions.packCodes
+    val assigned = assignPqCodes(subVectors(withNorm(embeddings), nSub),
+      codebook)
+      .join(broadcast(codebook.select(col("sub"), col("code"),
+        col("cn2"))), Seq("sub", "code"))
+    assigned.groupBy(col("vec_id"))
+      .agg(
+        packCodes(transform(
+          array_sort(collect_list(struct(col("sub"), col("code")))),
+          x => x.getField("code").cast("long"))).as("codes"),
+        sqrt(sum(col("cn2"))).as("rnrm"))
+      // all-zero codewords reconstruct to the zero vector — no
+      // direction, same guard (and rationale) as withNorm
+      .filter(col("rnrm") > 0 && !isnan(col("rnrm")))
+  }
+
+  /** Per-query ADC lookup tables: (vec_id, lut) with lut[sub·k + code]
+    * = dot(query subvector, codebook centroid) — nSub·k doubles per
+    * QUERY (not per candidate), computed in one broadcast pass; every
+    * candidate is then scored by nSub array reads
+    * ([[graft.functions.AdcLookup]]). Public because a serving caller
+    * with its own query batch builds LUTs through this exact layout —
+    * and the MlSpec ADC-equals-reconstructed-dot proof pins it.
+    * Expects the (vec_id, embedding) shape of the embeddings table.
+    */
+  def pqLut(embeddings: DataFrame, codebook: DataFrame, nSub: Int,
+      codesPerSub: Int): DataFrame =
+    pqLutNormed(withNorm(embeddings), codebook, nSub, codesPerSub)
+
+  private def pqLutNormed(n: DataFrame, codebook: DataFrame, nSub: Int,
+      codesPerSub: Int): DataFrame =
+    subVectors(n, nSub).join(broadcast(codebook), Seq("sub"))
+      .withColumn("_idx", col("sub") * codesPerSub + col("code"))
+      .withColumn("_v", dot(col("sv"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_idx"), col("_v")))),
+        x => x.getField("_v")).as("lut"))
+
+  /** IVF-PQ top-k — the industry-standard quantized serving layout:
+    * IVF bounds WHICH candidates are scored (probed cells only), PQ
+    * bounds the BYTES each scoring touches (nSub code bytes + one
+    * norm, vs SQ8's dim bytes and the raw vector's 8·dim). Candidates
+    * are ranked by the ADC cosine adc/(‖q‖·rnrm), the top `refine`
+    * per query re-scored with full-precision vectors (late
+    * materialization, ns7c's shape), exact top-k of those. Approximate
+    * on two axes (cell recall × quantization recall) — gated like
+    * every ANN sibling: rows + in-result recall vs brute.
+    */
+  def ivfPqTopK(embeddings: DataFrame, cents: DataFrame,
+      codebook: DataFrame, nSub: Int, codesPerSub: Int, k: Int,
+      refine: Int, probes: Int): DataFrame = {
+    require(refine >= k, "refine depth must be >= k")
+    require(probes >= 1, "probes must be >= 1")
+    import graft.functions.VectorFunctions.adc
+    val n = withNorm(embeddings)
+    val ranked = assignRanked(n, cents, probes)
+    val index = ranked.filter(col("crk") === 1)
+      .select(col("vec_id").as("j"), col("cell"))
+      .join(pqEncode(embeddings, codebook, nSub)
+        .select(col("vec_id").as("j"), col("codes"), col("rnrm")),
+        Seq("j"))
+    val queries = ranked
+      .select(col("vec_id").as("i"), col("nrm").as("na"), col("cell"))
+      .join(pqLutNormed(n, codebook, nSub, codesPerSub)
+        .select(col("vec_id").as("i"), col("lut")), Seq("i"))
+    val wA = Window.partitionBy(col("i")).orderBy(col("acos").desc, col("j"))
+    val cand = queries.join(index, Seq("cell"))
+      .filter(col("i") =!= col("j"))
+      .withColumn("acos", round(
+        adc(col("lut"), col("codes"), lit(codesPerSub))
+          / (col("na") * col("rnrm")), 6))
+      .withColumn("_ark", row_number().over(wA))
+      .filter(col("_ark") <= refine)
+      .select(col("i"), col("j"))
+    val wE = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    cand
+      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
+  /** Semantic deduplication over embeddings (the SemDeDup shape):
+    * assign every vector to its IVF cell, find cosine-≥-threshold
+    * pairs ONLY within each cell, and greedily keep the earliest
+    * member of every duplicate star — a vector is dropped iff some
+    * SMALLER vec_id in its cell sits above the threshold, and its
+    * `exemplar` is the earliest such neighbor (itself when kept). The
+    * lexical dedup tier (shingles/MinHash/SimHash) cannot see
+    * paraphrases; this is the embedding-space complement, and the
+    * cluster prune is what makes it scale: candidate pairs are
+    * Σ|cell|² ≪ N², the exact trade ns8's IVF search makes, with the
+    * same boundary caveat (a cross-cell duplicate pair is missed —
+    * recall vs the unclustered quadratic is the measured, not
+    * asserted, quantity).
+    *
+    * Greedy-by-id is deterministic and single-pass (no iterative
+    * connected components): within a duplicate chain a→b→c the kept
+    * set is exactly the chain heads, matching the quadratic oracle
+    * restatement clause "no earlier above-threshold neighbor".
+    */
+  def semDedup(embeddings: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignCells(embeddings, cents)
+    val a = assigned.select(col("cell"), col("vec_id").as("i"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("j"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val earliest = a.join(b, Seq("cell")).filter(col("i") < col("j"))
+      .withColumn("cos", pairCos)
+      .filter(col("cos") >= threshold)
+      .groupBy(col("j")).agg(min(col("i")).as("_ex"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(earliest.withColumnRenamed("j", "vec_id"), Seq("vec_id"),
+        "left")
+      .withColumn("keep", col("_ex").isNull)
+      .withColumn("exemplar", coalesce(col("_ex"), col("vec_id")))
+      .select(col("vec_id"), col("cell"), col("keep"), col("exemplar"))
+  }
+
   /** [[queryIvfIndex]] over the UNION of several index tables — the
     * serving shape once [[graft.streaming.VectorIngest]] accumulates
     * streamed appends in a sibling table next to the base build: every

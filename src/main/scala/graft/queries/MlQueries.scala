@@ -248,6 +248,55 @@ object MlQueries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
       |ORDER BY i, j""".stripMargin
 
+  /** Semantic dedup (SemDeDup): IVF-cell-pruned intra-cell cosine
+    * threshold, greedy keep-earliest per duplicate star — the
+    * embedding-space complement of the lexical ns1–ns5 tier. The
+    * oracle RESTATES the whole pipeline declaratively: seed-centroid
+    * assignment as an argmax window over the vector×centroid cross
+    * join, then the quadratic intra-cell pair scan and the "no
+    * earlier above-threshold neighbor" keep rule — so the hash gate
+    * proves the cell-pruned engine equals the naive quadratic
+    * restatement exactly (the cluster prune is the engine's plan
+    * shape, not a semantic deviation, within cells). MlSpec measures
+    * recall of the cell prune against the UNclustered quadratic.
+    */
+  val ns44SemDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semDedup(emb, Similarity.seedCentroids(emb, nCells = 16),
+      threshold = 0.4)
+      .orderBy(col("vec_id"))
+  }
+
+  val ns44SemDedupSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |cents AS (
+      |  SELECT vec_id AS cell, embedding AS ce FROM nz
+      |  ORDER BY vec_id LIMIT 16
+      |),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk = 1
+      |),
+      |earliest AS (
+      |  SELECT y.vec_id AS j, min(x.vec_id) AS ex
+      |  FROM assign x JOIN assign y
+      |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  JOIN nz a ON a.vec_id = x.vec_id
+      |  JOIN nz b ON b.vec_id = y.vec_id
+      |  WHERE round(list_cosine_similarity(
+      |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |  GROUP BY y.vec_id
+      |)
+      |SELECT s.vec_id, s.cell, e.ex IS NULL AS keep,
+      |  coalesce(e.ex, s.vec_id) AS exemplar
+      |FROM assign s LEFT JOIN earliest e ON e.j = s.vec_id
+      |ORDER BY s.vec_id""".stripMargin
+
   /** ns6's scale path: LSH band-collision candidates + exact cosine
     * re-score (subset of ns6 by construction — a pair missed by every
     * band is lost). No oracle (approximate); MlSpec asserts the subset
@@ -290,6 +339,32 @@ object MlQueries {
     val emb = Tables.embeddings(s, dir)
     Similarity.withRecall(
       Similarity.sq8TopK(emb, k = 5, refine = 20),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  /** IVF-PQ top-k — the quantized serving layout: IVF cells bound the
+    * candidate set, an 8-subspace × 16-codeword product quantizer
+    * bounds the bytes per candidate (8 code bytes + one reconstructed
+    * norm vs SQ8's 64 bytes and the raw vector's 512 — MlSpec measures
+    * the shrink), ADC-ranked candidates re-scored exactly. Codebook
+    * fitted on the hash-sampled quarter (the ns8b shape: a model
+    * fitted offline on a slice, broadcast to encode the corpus).
+    * Approximate → rows + in-result recall, floor in MlSpec; the
+    * recall CEILING is the probed cells (ns8c with the same
+    * cells/probes and no quantization measures ~0.39 on this
+    * fixture), and refine=50 brings the ADC path to ~0.96 of that
+    * ceiling — the quantization's own loss is the small residual,
+    * which MlSpec pins against ns8c directly.
+    */
+  val ns7dSimIvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Similarity.fitPqCodebook(
+      emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0),
+      nSub = 8, codesPerSub = 16, iters = 2)
+    Similarity.withRecall(
+      Similarity.ivfPqTopK(emb, Similarity.seedCentroids(emb, nCells = 16),
+        cb, nSub = 8, codesPerSub = 16, k = 5, refine = 50, probes = 3),
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
@@ -1459,6 +1534,7 @@ object MlQueries {
     "ns7_sim_topk" -> ns7SimTopk,
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8,
+    "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
@@ -1500,6 +1576,7 @@ object MlQueries {
     "ns41_naive_bayes" -> ns41NaiveBayes,
     "ns42_bpe" -> ns42Bpe,
     "ns43_collocations" -> ns43Collocations,
+    "ns44_semdedup" -> ns44SemDedup,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1544,5 +1621,6 @@ object MlQueries {
     "ns40_bigram_lm" -> ns40BigramLmSql,
     "ns41_naive_bayes" -> ns41NaiveBayesSql,
     "ns43_collocations" -> ns43CollocationsSql,
+    "ns44_semdedup" -> ns44SemDedupSql,
   )
 }

@@ -214,6 +214,178 @@ class MlSpec extends SparkSpec {
       .exists(_.contains("dimension mismatch")))
   }
 
+  test("PackCodes packs code words to unsigned bytes and graft_adc " +
+      "computes the positional lookup sum; both fail loudly on abuse") {
+    import graft.functions.VectorFunctions.{adc, packCodes}
+    graft.functions.GraftExtensions.register(spark)
+    // 2 subspaces, k=4: codes (3, 200) → bytes 0x03, 0xC8 (unsigned)
+    val df = spark.sql(
+      "SELECT array(3L, 200L) AS codes, " +
+        // lut laid out sub*k + code over k=4... sub 0 slots 0..3,
+        // sub 1 slots 4..7 — here k=256 to exercise the unsigned read:
+        // lut[3] = 1.5, lut[256 + 200] = 2.25
+        "transform(sequence(0, 511), " +
+        "  i -> CASE WHEN i = 3 THEN 1.5D WHEN i = 456 THEN 2.25D " +
+        "       ELSE 0.0D END) AS lut")
+    val packed = df.select(packCodes(col("codes")).as("c"), col("lut"))
+    val row = packed.collect().head
+    assert(row.getAs[Array[Byte]]("c").toSeq ===
+      Seq[Byte](3, -56)) // 200 as signed byte is -56; ADC reads & 0xFF
+    val score = packed.select(adc(col("lut"), col("c"), lit(256)).as("s"))
+      .collect().head.getDouble(0)
+    assert(score === 3.75) // 1.5 + 2.25 — the unsigned read worked
+    // out-of-range code refuses to pack
+    val packErr = intercept[Exception] {
+      spark.sql("SELECT graft_pack_codes(array(256L))").collect()
+    }
+    assert((Option(packErr.getMessage) ++ Option(packErr.getCause)
+      .flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("out of byte range")))
+    // lut/codes size mismatch fails loudly (graft_dot contract)
+    val adcErr = intercept[Exception] {
+      spark.sql("SELECT graft_adc(array(1.0D, 2.0D), X'0101', 4)")
+        .collect()
+    }
+    assert((Option(adcErr.getMessage) ++ Option(adcErr.getCause)
+      .flatMap(c => Option(c.getMessage)))
+      .exists(_.contains("lut size")))
+  }
+
+  test("PQ: ADC score equals the exact dot against the reconstructed " +
+      "vector (lut layout is dense and positional)") {
+    import graft.functions.VectorFunctions.adc
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val nSub = 8; val k = 16
+    val cb = Similarity.fitPqCodebook(embs, nSub, k, iters = 1)
+    // every (sub, code) slot survives Lloyd — positional ADC layout
+    assert(cb.count() === nSub * k)
+    val enc = Similarity.pqEncode(embs, cb, nSub)
+    // reconstruct each encoded vector by concatenating its codewords,
+    // then compare dot(q, recon(x)) against adc(lut_q, codes_x) for a
+    // deterministic slice of query×index pairs. Codes unpack driver-
+    // side (binary is opaque to transform(); 500 tiny rows)
+    val codeArr = enc.select(col("vec_id"), col("codes")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Array[Byte]](1).map(b => (b & 0xFF)).toSeq))
+      .toSeq.toDF("vec_id", "carr")
+    val recon = codeArr
+      .select(col("vec_id"), posexplode(col("carr")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
+      .join(cb.select(col("sub"), col("code"), col("ce")), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("ce")))),
+        x => x.getField("ce"))).as("recon"))
+    import graft.functions.VectorFunctions.{dot, packCodes}
+    val q = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+    val luts = Similarity.pqLut(embs.filter(col("vec_id") < 10),
+      cb, nSub, k)
+    val pairs = q.join(luts.select(col("vec_id").as("qid"), col("lut")),
+      Seq("qid"))
+      .crossJoin(recon.join(codeArr, Seq("vec_id"))
+        .select(col("vec_id").as("xid"), col("recon"),
+          packCodes(transform(col("carr"), x => x.cast("long")))
+            .as("codes")))
+      .withColumn("adc_score", adc(col("lut"), col("codes"), lit(k)))
+      .withColumn("exact", dot(col("qe"), col("recon")))
+    val bad = pairs
+      .filter(abs(col("adc_score") - col("exact")) > 1e-8).count()
+    assert(bad === 0, "ADC must equal the reconstructed dot product")
+  }
+
+  test("IVF-PQ: probing every cell with full refine recovers brute " +
+      "exactly; ns7d's configuration keeps most of the cell-bounded " +
+      "recall ceiling and shrinks index bytes 8x vs SQ8") {
+    import graft.functions.VectorFunctions.sq8Pack
+    graft.functions.GraftExtensions.register(spark)
+    val nSub = 8; val k = 16
+    val cb = Similarity.fitPqCodebook(embs, nSub, k, iters = 1)
+    val cents = Similarity.seedCentroids(embs, 16)
+    val n = embs.count().toInt
+    val brute = Similarity.bruteTopK(embs, 5)
+      .select("i", "rk", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probes=nCells + refine=corpus → no candidate is ever cut → the
+    // exact re-score reproduces brute bit-for-bit (quantization only
+    // affects candidate ORDER)
+    val deep = Similarity.ivfPqTopK(embs, cents, cb, nSub, k,
+      k = 5, refine = n, probes = 16)
+      .select("i", "rk", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(deep === brute)
+    // ns7d's shallow configuration: recall within 0.08 of the pure
+    // cell ceiling (same cells/probes, no quantization) — the PQ loss
+    // is the residual, not the headline
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteIj = brute.map { case (i, _, j) => (i, j) }
+      (bruteIj intersect got).size.toDouble / bruteIj.size
+    }
+    val ceiling = recallOf(
+      Similarity.ivfTopKMultiProbe(embs, cents, 5, probes = 3))
+    val pq = recallOf(Similarity.ivfPqTopK(embs, cents, cb, nSub, k,
+      k = 5, refine = 50, probes = 3))
+    assert(pq >= ceiling - 0.08,
+      s"PQ recall $pq too far below the cell ceiling $ceiling")
+    // the bytes claim, structural: 8 code bytes vs 64 SQ8 bytes per
+    // vector (both plus one norm double)
+    val pqBytes = Similarity.pqEncode(embs, cb, nSub)
+      .agg(avg(octet_length(col("codes")))).collect().head.getDouble(0)
+    val sqBytes = embs
+      .select(sq8Pack(col("embedding").cast("array<double>")).as("q"))
+      .agg(avg(octet_length(col("q")))).collect().head.getDouble(0)
+    assert(pqBytes * 8 <= sqBytes,
+      s"PQ $pqBytes bytes vs SQ8 $sqBytes bytes")
+  }
+
+  test("semDedup: drops exactly the vectors with an earlier same-cell " +
+      "neighbor above threshold; cell prune keeps most of the " +
+      "unclustered dedup's drops") {
+    val t = 0.4
+    val cents = Similarity.seedCentroids(embs, 16)
+    val result = Similarity.semDedup(embs, cents, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3))).toSeq
+    // brute restatement: same-cell pairs above threshold
+    val cells = Similarity.assignCells(embs, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = Similarity.nearDupPairs(embs, t)
+      .select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val intraCell = pairs.filter { case (i, j) => cells(i) == cells(j) }
+    val expectExemplar = intraCell.groupBy(_._2)
+      .map { case (j, ps) => j -> ps.map(_._1).min }
+    assert(result.nonEmpty)
+    result.foreach { case (v, cell, keep, ex) =>
+      assert(cells(v) == cell)
+      expectExemplar.get(v) match {
+        case Some(e) => assert(!keep && ex == e,
+          s"vec $v should drop with exemplar $e, got keep=$keep ex=$ex")
+        case None => assert(keep && ex == v,
+          s"vec $v should be kept, got keep=$keep ex=$ex")
+      }
+    }
+    // the fixtures plant embedding near-dups (ns6 is non-empty) and
+    // most planted pairs are true duplicates of each other — the cell
+    // prune must catch a non-trivial share of what the unclustered
+    // greedy would drop (the boundary-loss metric, measured)
+    val globalDrops = pairs.groupBy(_._2).keySet
+    val cellDrops = result.filter(!_._3).map(_._1).toSet
+    assert(cellDrops.subsetOf(globalDrops),
+      "cell-pruned drops must be a subset of unclustered drops")
+    if (globalDrops.nonEmpty) {
+      val recall = cellDrops.size.toDouble / globalDrops.size
+      assert(recall > 0.3,
+        s"cell prune caught $recall of unclustered drops " +
+          s"(${cellDrops.size}/${globalDrops.size})")
+    }
+  }
+
   test("packed SQ8 shuffles several times fewer bytes than the " +
       "array<double> quantized form (the bandwidth claim, measured)") {
     import graft.functions.VectorFunctions.sq8Pack
