@@ -34,30 +34,39 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Learned merge table: rank-ordered pairs with their counts. */
-  def learn(docs: DataFrame, numMerges: Int): DataFrame = {
+  def learn(docs: DataFrame, numMerges: Int,
+      reliable: Boolean = false): DataFrame = {
     require(numMerges > 0, "need at least one merge")
     val spark = docs.sparkSession
     import spark.implicits._
     // distinct words with corpus frequencies, as space-joined symbol
     // strings bracketed by one space each side (the regex boundary)
-    // localCheckpoint, NOT persist: each round must TRUNCATE lineage,
+    // checkpoint, NOT persist: each round must TRUNCATE lineage,
     // not just cache it — a persisted iterate still nests the whole
     // prior plan inside its InMemoryRelation, and by ~20 rounds the
     // accumulated analysis state OOMs the driver (reproduced at
     // sf0.01). Checkpointing collapses the iterate to an RDD scan so
-    // plan size stays O(1) across rounds; on a multi-executor cluster
-    // the reliable checkpoint() variant trades speed for surviving
-    // executor loss mid-loop.
+    // plan size stays O(1) across rounds. `reliable = false` uses
+    // localCheckpoint (executor-storage blocks — fast, lost with an
+    // executor, right for local mode); `reliable = true` writes each
+    // generation through checkpoint() to the fault-tolerant dir so a
+    // 30k-merge training loop survives executor loss mid-run.
     val sc = spark.sparkContext
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      "reliable=true needs sc.setCheckpointDir(...) before the loop")
     // eager-checkpoint a new generation and FREE the previous one:
     // the old blocks are unreachable once the new generation exists,
     // but without an explicit unpersist they linger until driver GC
     // happens to collect the dropped reference — at large numMerges
     // that accumulates up to numMerges stale copies in storage. The
     // before/after diff of getPersistentRDDs scopes the unpersist to
-    // blocks THIS checkpoint created, never other cached work.
+    // blocks THIS checkpoint created, never other cached work. (The
+    // reliable path has no storage blocks to free — generations are
+    // files under the checkpoint dir, reclaimed with the dir; the
+    // gen set is simply empty there.)
     def checkpointGen(df: DataFrame, prev: Set[Int])
         : (DataFrame, Set[Int]) = {
+      if (reliable) return (df.checkpoint(true), Set.empty)
       val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint(true)
       val mine = sc.getPersistentRDDs.keySet.toSet -- before

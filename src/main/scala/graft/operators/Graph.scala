@@ -123,19 +123,32 @@ object Graph {
     * Each round is one equi-join (edge src → current pr) + one
     * groupBy(dst) — both shuffle on node id only, state is a single
     * double per node. The edge list and degree table are
-    * `localCheckpoint`ed once up front: without the cut, round k's
-    * plan would re-derive the co-occurrence self-join k times.
-    * Iteration count is a compile-time constant (driver-side loop
-    * bound, not data-dependent), so the plan depth is fixed.
+    * checkpointed once up front: without the cut, round k's plan
+    * would re-derive the co-occurrence self-join k times. Iteration
+    * count is a compile-time constant (driver-side loop bound, not
+    * data-dependent), so the plan depth is fixed.
+    *
+    * `reliable = false` (default) uses `localCheckpoint` — blocks live
+    * in executor storage, fast, but a lost executor loses them and the
+    * TRUNCATED lineage cannot recompute: correct for local mode and
+    * short loops. On a real cluster pass `reliable = true` to write
+    * the cut through `checkpoint()` to the fault-tolerant checkpoint
+    * dir (`sc.setCheckpointDir` must be set — required up front, not
+    * discovered by a mid-loop crash); the extra write is the price of
+    * surviving executor loss mid-iteration.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
-    val directed = edges
+      damping: Double = 0.85, reliable: Boolean = false): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      "reliable=true needs sc.setCheckpointDir(...) before the loop")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val directed = cut(edges
       .select(col("p1").as("src"), col("p2").as("dst"))
-      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst")))
-      .localCheckpoint()
-    val deg = directed.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+    val deg = cut(directed.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")))
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
     var pr = deg.crossJoin(broadcast(n))
       .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))

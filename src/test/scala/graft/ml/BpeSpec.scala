@@ -60,6 +60,32 @@ class BpeSpec extends SparkSpec {
     assert(got === naive(freq, 12))
   }
 
+  test("learn reliable=true (fault-tolerant checkpoint generations) " +
+      "equals the localCheckpoint path; missing dir is rejected") {
+    val docs = Seq(
+      (1L, "low lower lowest low"),
+      (2L, "newer newest low new")
+    ).toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Bpe.learn(docs, 2, reliable = true)
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_bpe").toString
+    try {
+      sc.setCheckpointDir(dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(rows(Bpe.learn(docs, 8, reliable = true)) ===
+        rows(Bpe.learn(docs, 8)))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("overlapping pairs count per position and merge " +
       "left-to-right non-overlapping") {
     val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")

@@ -78,4 +78,33 @@ class GraphSpec extends SparkSpec {
     // symmetric leaves tie exactly
     assert(rows(4L) === rows(5L) && rows(5L) === rows(6L))
   }
+
+  test("pageRank reliable=true (fault-tolerant checkpoint) equals the " +
+      "localCheckpoint path bit-for-bit; missing dir is rejected") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L)).toDF("p1", "p2")
+    val sc = spark.sparkContext
+    // reliable without a checkpoint dir must fail up front, not
+    // mid-loop (getCheckpointDir may linger from an earlier suite —
+    // only assert the guard when it is actually unset)
+    if (sc.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        Graph.pageRank(edges, iters = 1, reliable = true)
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    try {
+      sc.setCheckpointDir(dir)
+      val local = Graph.pageRank(edges, iters = 3)
+        .select("node", "deg", "pr_norm")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val rel = Graph.pageRank(edges, iters = 3, reliable = true)
+        .select("node", "deg", "pr_norm")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(rel === local)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }

@@ -64,6 +64,63 @@ class StreamingSessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parity with Spark's built-in session_window aggregation on the " +
+      "same feed (where the gap semantics coincide)") {
+    // Two deliberate boundary differences exist and are avoided here,
+    // making everything else comparable: (a) the built-in merges only
+    // when the next event is STRICTLY inside last_ts + gap while the
+    // custom state merges inclusively at exactly-gap — so no two
+    // events in this feed are exactly 10 minutes apart; (b) the
+    // built-in reports window.end = last_ts + gap while the custom
+    // operator reports the last event time — so the comparison shifts
+    // the built-in end back by the gap. Within that, both must close
+    // identical sessions with identical aggregates via the watermark.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      Seq(SEvent(1L, ts(0), 1.0), SEvent(1L, ts(1), 2.0),
+        SEvent(1L, ts(2), 3.0), SEvent(1L, ts(30), 4.0),
+        SEvent(1L, ts(31), 5.0), SEvent(2L, ts(5), 7.0)),
+      Seq(SEvent(7L, ts(120), 0.0)),
+      Seq(SEvent(7L, ts(121), 0.0)))
+    // custom operator
+    val evsA = MemoryStream[SEvent]
+    val qA = StreamingSessionize.sessions(evsA.toDS(),
+      gapSeconds = 600L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ss_parity_custom")
+      .outputMode(OutputMode.Append).start()
+    // built-in session_window aggregation, identical feed
+    val evsB = MemoryStream[SEvent]
+    val qB = evsB.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("user_id"), col("w.start").as("s"),
+        col("w.end").as("e"), col("n"), col("v"))
+      .writeStream.format("memory").queryName("ss_parity_builtin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      feed.foreach { batch =>
+        evsA.addData(batch); evsB.addData(batch)
+        qA.processAllAvailable(); qB.processAllAvailable()
+      }
+      val custom = spark.table("ss_parity_custom").as[Closed].collect()
+        .filter(_.user_id != 7L)
+        .map(c => (c.user_id, c.session_start.getTime,
+          c.session_end.getTime, c.n_events, c.value_sum)).toSet
+      val builtin = spark.table("ss_parity_builtin")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .filter(_._1 != 7L)
+        .map { case (u, s, e, n, v) =>
+          (u, s.getTime, e.getTime - 600000L, n, v) }.toSet
+      assert(custom.nonEmpty, "watermark should have closed sessions")
+      assert(custom === builtin,
+        s"custom=$custom\nbuiltin=$builtin")
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("an out-of-order event inside the watermark bridges two open " +
       "fragments into one session") {
     val spark0 = spark
