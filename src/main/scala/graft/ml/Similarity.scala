@@ -675,6 +675,84 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  private val PqCodebookDir = "_graft_pq_codebook"
+
+  /** Persist the IVF-PQ index: the [[writeIvfIndex]] layout with the
+    * PQ payload instead of raw vectors — each `cell=` directory holds
+    * (vec_id, codes, rnrm), nSub bytes + one double per vector, the
+    * ~64× (vs raw) storage/scan shrink that makes 100 TB of
+    * embeddings servable. The centroid table AND the codebook persist
+    * under underscore-prefixed sibling dirs (invisible to the parquet
+    * scan): assignment and encoding are pure functions of both, so a
+    * query can never silently use a drifted fit.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, cents: DataFrame,
+      codebook: DataFrame, nSub: Int, path: String): Unit = {
+    assignCells(embeddings, cents).select(col("vec_id"), col("cell"))
+      .join(pqEncode(embeddings, codebook, nSub), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("rnrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+    codebook.write.mode("overwrite").parquet(s"$path/$PqCodebookDir")
+  }
+
+  /** Query a persisted IVF-PQ index: rank each query's `probes`
+    * nearest cells against the STORED centroids, partition-prune the
+    * code read to those `cell=` directories, ADC-score the codes
+    * against per-query lookup tables built from the STORED codebook,
+    * keep `refine` per query, and re-score those exactly against
+    * `rescoreFrom` (the raw-vector table — the PQ index itself never
+    * stores a float vector; in a serving deployment this is the
+    * source-of-truth embedding store, touched only for ~refine rows
+    * per query instead of scanned). nSub/codesPerSub are read off the
+    * codebook itself (a one-row bounded aggregate), so a caller
+    * cannot mis-declare the layout.
+    */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, rescoreFrom: DataFrame, k: Int,
+      refine: Int, probes: Int): DataFrame = {
+    require(refine >= k, "refine depth must be >= k")
+    require(probes >= 1, "probes must be >= 1")
+    import graft.functions.VectorFunctions.adc
+    val cents = spark.read.parquet(s"$path/$CentroidsDir")
+    val codebook = spark.read.parquet(s"$path/$PqCodebookDir")
+    val dims = codebook
+      .agg((max(col("sub")) + 1).cast("int").as("nsub"),
+        (max(col("code")) + 1).cast("int").as("k")).head()
+    val (nSub, codesPerSub) = (dims.getInt(0), dims.getInt(1))
+    val nq = withNorm(queries)
+    val qr = assignRanked(nq, cents, probes)
+      .select(col("vec_id").as("i"), col("nrm").as("na"), col("cell"))
+      .join(pqLutNormed(nq, codebook, nSub, codesPerSub)
+        .select(col("vec_id").as("i"), col("lut")), Seq("i"))
+    val cells = qr.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(cells.map(x => x: Any): _*))
+      .select(col("vec_id").as("j"), col("codes"), col("rnrm"),
+        col("cell").cast("long").as("cell"))
+    val wA = Window.partitionBy(col("i")).orderBy(col("acos").desc, col("j"))
+    val cand = qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
+      .withColumn("acos", round(
+        adc(col("lut"), col("codes"), lit(codesPerSub))
+          / (col("na") * col("rnrm")), 6))
+      .withColumn("_ark", row_number().over(wA))
+      .filter(col("_ark") <= refine)
+      .select(col("i"), col("j"))
+    val nr = withNorm(rescoreFrom)
+    val wE = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    cand
+      .join(nq.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(nr.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(wE))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
   /** Semantic deduplication over embeddings (the SemDeDup shape):
     * assign every vector to its IVF cell, find cosine-≥-threshold
     * pairs ONLY within each cell, and greedily keep the earliest

@@ -369,6 +369,34 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** The SERVED form of ns7d (the ns8d pattern applied to PQ): the
+    * cell-partitioned index persists only (vec_id, codes, rnrm) —
+    * nSub bytes + a double per vector — with centroids and codebook
+    * stored alongside; queries partition-prune to probed cells,
+    * ADC-rank, and re-score the refine set against the raw embedding
+    * table (touched for ~refine rows per query, never scanned).
+    * MlSpec pins served == in-memory bit-for-bit.
+    */
+  val ns7eSimIvfPqServed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivfpq_index")
+    if (ivfIndexWritten.add(path)) {
+      // the fit lives INSIDE the build-once block: at query time the
+      // codebook (like the centroids) is read back off the index —
+      // training is an index-build cost, never a per-query one
+      val cb = Similarity.fitPqCodebook(
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0),
+        nSub = 8, codesPerSub = 16, iters = 2)
+      Similarity.writeIvfPqIndex(emb,
+        Similarity.seedCentroids(emb, nCells = 16), cb, nSub = 8, path)
+    }
+    Similarity.withRecall(
+      Similarity.queryIvfPqIndex(s, path, emb, emb, k = 5, refine = 50,
+        probes = 3),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** IVF ANN — approximate, no ANSI oracle, but recall-vs-brute is
     * emitted as a column of the result itself (driver rows check now
     * carries the recall number in the dumped parquet); the MlSpec
@@ -1535,6 +1563,7 @@ object MlQueries {
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
+    "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,

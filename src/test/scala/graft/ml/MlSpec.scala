@@ -342,6 +342,31 @@ class MlSpec extends SparkSpec {
       s"PQ $pqBytes bytes vs SQ8 $sqBytes bytes")
   }
 
+  test("served IVF-PQ index: write + partition-pruned query equals " +
+      "the in-memory ivfPqTopK bit-for-bit (layout is derived from " +
+      "the stored codebook, not caller-declared)") {
+    val nSub = 8; val k = 16
+    val cents = Similarity.seedCentroids(embs, 16)
+    val cb = Similarity.fitPqCodebook(embs, nSub, k, iters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString
+    try {
+      Similarity.writeIvfPqIndex(embs, cents, cb, nSub, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("i", "rk", "j", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val mem = rows(Similarity.ivfPqTopK(embs, cents, cb, nSub, k,
+        k = 5, refine = 50, probes = 3))
+      val served = rows(Similarity.queryIvfPqIndex(spark, dir, embs,
+        embs, k = 5, refine = 50, probes = 3))
+      assert(served === mem)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("semDedup: drops exactly the vectors with an earlier same-cell " +
       "neighbor above threshold; cell prune keeps most of the " +
       "unclustered dedup's drops") {
