@@ -37,7 +37,10 @@ object Plans {
     // edit-distance join, and the prefix-filtered set-sim join are the
     // three most expensive new shapes at sf0.1 — their runtime join
     // strategies are the thing to audit
-    "q93_triangles", "q79_fuzzy_dedup", "ns39_prefix_join")
+    "q93_triangles", "q79_fuzzy_dedup", "ns39_prefix_join",
+    // round-7: the quantized ANN serving path (ADC candidate join +
+    // exact re-score) and the cell-pruned semantic dedup pair scan
+    "ns7d_sim_ivfpq", "ns44_semdedup")
 
   private def section(sb: StringBuilder, spark: SparkSession,
       dir: String, names: Seq[String], execute: Boolean): Unit =
