@@ -696,6 +696,28 @@ object Similarity {
     codebook.write.mode("overwrite").parquet(s"$path/$PqCodebookDir")
   }
 
+  /** Incrementally maintain a persisted IVF-PQ index: encode a NEW
+    * batch against the index's own stored centroids AND codebook and
+    * append into the `cell=` directories — [[appendIvfIndex]]'s exact
+    * contract carried to the quantized layout. Assignment and encoding
+    * are pure functions of the two stored models, so the appended
+    * index serves identically to a from-scratch build of the union
+    * corpus (spec-pinned); what an append cannot do is adapt the
+    * codebook to a drifted embedding distribution — that is a refit,
+    * i.e. a new [[writeIvfPqIndex]], by design.
+    */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      newEmbeddings: DataFrame, path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/$CentroidsDir")
+    val codebook = spark.read.parquet(s"$path/$PqCodebookDir")
+    val nSub = codebook
+      .agg((max(col("sub")) + 1).cast("int").as("n")).head().getInt(0)
+    assignCells(newEmbeddings, cents).select(col("vec_id"), col("cell"))
+      .join(pqEncode(newEmbeddings, codebook, nSub), Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("rnrm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Query a persisted IVF-PQ index: rank each query's `probes`
     * nearest cells against the STORED centroids, partition-prune the
     * code read to those `cell=` directories, ADC-score the codes

@@ -367,6 +367,36 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("appendIvfPqIndex: a built-then-appended PQ index serves " +
+      "identically to a from-scratch build of the union corpus") {
+    val nSub = 8; val k = 16
+    val cents = Similarity.seedCentroids(embs, 16)
+    val cb = Similarity.fitPqCodebook(embs, nSub, k, iters = 1)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_inc").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_full").toString
+    try {
+      // build on 3/4, append the rest vs build on everything — the
+      // same centroids+codebook, so the indexes must be row-identical
+      Similarity.writeIvfPqIndex(embs.filter(col("vec_id") % 4 =!= 0),
+        cents, cb, nSub, dirA)
+      Similarity.appendIvfPqIndex(spark,
+        embs.filter(col("vec_id") % 4 === 0), dirA)
+      Similarity.writeIvfPqIndex(embs, cents, cb, nSub, dirB)
+      def rows(dir: String) = Similarity.queryIvfPqIndex(spark, dir,
+        embs, embs, k = 5, refine = 50, probes = 3)
+        .select("i", "rk", "j", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows(dirA) === rows(dirB))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirB)).deleteRecursively()
+    }
+  }
+
   test("semDedup: drops exactly the vectors with an earlier same-cell " +
       "neighbor above threshold; cell prune keeps most of the " +
       "unclustered dedup's drops") {
