@@ -732,12 +732,28 @@ object Similarity {
     */
   def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, rescoreFrom: DataFrame, k: Int,
-      refine: Int, probes: Int): DataFrame = {
+      refine: Int, probes: Int): DataFrame =
+    queryIvfPqIndexPaths(spark, Seq(path), queries, rescoreFrom, k,
+      refine, probes)
+
+  /** [[queryIvfPqIndex]] over the UNION of several PQ-code tables —
+    * the [[queryIvfIndexPaths]] shape for the quantized layout, used
+    * once [[graft.streaming.VectorIngest]] accumulates streamed PQ
+    * appends beside the base build. The FIRST path is the model
+    * authority: its centroids/codebook define assignment, encoding,
+    * and the ADC layout, so sibling tables must have been encoded
+    * against it (which the ingest path guarantees by reading the
+    * models off the base index).
+    */
+  def queryIvfPqIndexPaths(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], queries: DataFrame, rescoreFrom: DataFrame,
+      k: Int, refine: Int, probes: Int): DataFrame = {
     require(refine >= k, "refine depth must be >= k")
     require(probes >= 1, "probes must be >= 1")
+    require(paths.nonEmpty, "need at least one index table")
     import graft.functions.VectorFunctions.adc
-    val cents = spark.read.parquet(s"$path/$CentroidsDir")
-    val codebook = spark.read.parquet(s"$path/$PqCodebookDir")
+    val cents = spark.read.parquet(s"${paths.head}/$CentroidsDir")
+    val codebook = spark.read.parquet(s"${paths.head}/$PqCodebookDir")
     val dims = codebook
       .agg((max(col("sub")) + 1).cast("int").as("nsub"),
         (max(col("code")) + 1).cast("int").as("k")).head()
@@ -749,10 +765,12 @@ object Similarity {
         .select(col("vec_id").as("i"), col("lut")), Seq("i"))
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val index = spark.read.parquet(path)
-      .filter(col("cell").isin(cells.map(x => x: Any): _*))
-      .select(col("vec_id").as("j"), col("codes"), col("rnrm"),
-        col("cell").cast("long").as("cell"))
+    val index = paths.map { p =>
+      spark.read.parquet(p)
+        .filter(col("cell").isin(cells.map(x => x: Any): _*))
+        .select(col("vec_id").as("j"), col("codes"), col("rnrm"),
+          col("cell").cast("long").as("cell"))
+    }.reduce(_.unionByName(_))
     val wA = Window.partitionBy(col("i")).orderBy(col("acos").desc, col("j"))
     val cand = qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
       .withColumn("acos", round(

@@ -46,9 +46,43 @@ object VectorIngest {
 
   /** Pure per-batch body (testable without a streaming runtime). */
   def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String)
-      : Unit = {
+      : Unit =
+    committedBatchWrite(batch, batchId, indexPath) { (b, part) =>
+      val cents = b.sparkSession
+        .read.parquet(s"$indexPath/_graft_centroids")
+      Similarity.assignCells(b, cents)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(part)
+    }
+
+  /** [[ingestBatch]] for a PQ-quantized base index
+    * ([[graft.ml.Similarity.writeIvfPqIndex]]): the batch is assigned
+    * AND encoded against the base's stored centroids + codebook, so
+    * streamed appends land as (vec_id, codes, rnrm) cell partitions —
+    * per-trigger bytes shrink with the same ~8×-vs-SQ8 factor as the
+    * base, and serving stays pure-function-of-the-stored-models.
+    */
+  def ingestBatchPq(batch: DataFrame, batchId: Long, indexPath: String)
+      : Unit =
+    committedBatchWrite(batch, batchId, indexPath) { (b, part) =>
+      val spark = b.sparkSession
+      val cents = spark.read.parquet(s"$indexPath/_graft_centroids")
+      val codebook = spark.read.parquet(s"$indexPath/_graft_pq_codebook")
+      val nSub = codebook.agg((max(col("sub")) + 1).cast("int").as("n"))
+        .head().getInt(0)
+      Similarity.assignCells(b, cents).select(col("vec_id"), col("cell"))
+        .join(Similarity.pqEncode(b, codebook, nSub), Seq("vec_id"))
+        .select(col("vec_id"), col("codes"), col("rnrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(part)
+    }
+
+  /** The at-most-once-per-batch-id commit discipline shared by the raw
+    * and PQ ingest bodies: partition dir ownership, `_SUCCESS` ⇔
+    * committed, content-fingerprint marker, recycled-id refusal.
+    */
+  private def committedBatchWrite(batch: DataFrame, batchId: Long,
+      indexPath: String)(write: (DataFrame, String) => Unit): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$indexPath/_graft_centroids")
     val part = new org.apache.hadoop.fs.Path(
       s"${streamPath(indexPath)}/ingest_batch=$batchId")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,10 +105,7 @@ object VectorIngest {
       graft.sources.Markers.write(fs, marker, sig.toString)
     }
     if (!committed) {
-      Similarity.assignCells(batch, cents)
-        .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(part.toString)
+      write(batch, part.toString)
       graft.sources.Markers.write(fs, marker, sig.toString)
     }
   }
@@ -91,17 +122,39 @@ object VectorIngest {
       }
       .start()
 
+  /** [[start]] against a PQ-quantized base index. */
+  def startPq(streamingVecs: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchPq(batch, batchId, indexPath)
+      }
+      .start()
+
   /** Serve top-k from base ∪ streamed appends (partition-pruned on
     * both); falls back to the base alone before any batch commits.
     */
   def queryServed(spark: SparkSession, indexPath: String,
       queries: DataFrame, cents: DataFrame, k: Int, probes: Int)
-      : DataFrame = {
+      : DataFrame =
+    Similarity.queryIvfIndexPaths(spark, servePaths(spark, indexPath),
+      queries, cents, k, probes)
+
+  /** [[queryServed]] for a PQ base: ADC over base ∪ streamed codes,
+    * exact re-score from `rescoreFrom` (the raw embedding store).
+    */
+  def queryServedPq(spark: SparkSession, indexPath: String,
+      queries: DataFrame, rescoreFrom: DataFrame, k: Int, refine: Int,
+      probes: Int): DataFrame =
+    Similarity.queryIvfPqIndexPaths(spark, servePaths(spark, indexPath),
+      queries, rescoreFrom, k, refine, probes)
+
+  private def servePaths(spark: SparkSession, indexPath: String)
+      : Seq[String] = {
     val sp = new org.apache.hadoop.fs.Path(streamPath(indexPath))
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths =
-      if (fs.exists(sp)) Seq(indexPath, streamPath(indexPath))
-      else Seq(indexPath)
-    Similarity.queryIvfIndexPaths(spark, paths, queries, cents, k, probes)
+    if (fs.exists(sp)) Seq(indexPath, streamPath(indexPath))
+    else Seq(indexPath)
   }
 }

@@ -63,6 +63,43 @@ class VectorIngestSpec extends SparkSpec {
     assert(served() === fromScratch)
   }
 
+  test("PQ streamed appends (codes encoded against the stored " +
+      "codebook) serve identically to a from-scratch PQ union build") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = embs.filter(col("vec_id") % 4 =!= 0)
+    val cents = Similarity.seedCentroids(initial, nCells = 16)
+    val cb = Similarity.fitPqCodebook(initial, nSub = 8,
+      codesPerSub = 16, iters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("vec_ingest_pq")
+    val idx = tmp.resolve("idx").toString
+    Similarity.writeIvfPqIndex(initial, cents, cb, nSub = 8, idx)
+    def served() = VectorIngest.queryServedPq(spark, idx, embs, embs,
+      k = 5, refine = 50, probes = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // before any batch: the base alone
+    val baseOnly = Similarity.queryIvfPqIndex(spark, idx, embs, embs,
+      k = 5, refine = 50, probes = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served() === baseOnly)
+    val rest = vecRows(embs.filter(col("vec_id") % 4 === 0))
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val in = MemoryStream[VecRow]
+    val q = VectorIngest.startPq(in.toDF(), idx,
+      tmp.resolve("ckpt").toString)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val full = tmp.resolve("full").toString
+    Similarity.writeIvfPqIndex(embs, cents, cb, nSub = 8, full)
+    val fromScratch = Similarity.queryIvfPqIndex(spark, full, embs,
+      embs, k = 5, refine = 50, probes = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served() === fromScratch)
+  }
+
   test("a replayed batch is absorbed; a recycled batch id with " +
       "different content fails loudly") {
     val initial = embs.filter(col("vec_id") % 4 =!= 0)
