@@ -163,12 +163,20 @@ object Graph {
     var pr = deg.crossJoin(broadcast(n))
       .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to iters) {
+      // shuffle_hash on the per-node state sides: the checkpointed
+      // edge list reports the default (huge) size estimate, so the
+      // planner falls back to sort-merge and SORTS the 2|E| edge rows
+      // every round. Hash-building on the O(|V|) state side skips the
+      // sort at the same shuffle cost, and unlike a broadcast stays
+      // memory-safe however large the graph grows (state/partitions
+      // per build).
       val contrib = directed
         .join(pr.select(col("node").as("src"),
-          (col("pr") / col("deg")).as("share")), Seq("src"))
+          (col("pr") / col("deg")).as("share")).hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("mass"))
-      pr = deg.join(contrib, Seq("node"), "left")
+      pr = deg.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"), col("deg"),
           (lit(1.0 - damping) / col("n") +
