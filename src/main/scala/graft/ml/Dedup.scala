@@ -312,12 +312,19 @@ object Dedup {
     var changed = true
     var iter = 0
     while (changed && iter < maxIters) {
+      // shuffle_hash on the O(V) label-state side: the checkpointed
+      // edge list reports the default (huge) size estimate, so the
+      // planner's sort-merge would SORT the edge rows every round —
+      // hash-building on the per-node state skips the sorts at the
+      // same shuffle cost and, unlike a broadcast, stays memory-safe
+      // at any graph size (Graph.pageRank's rationale)
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"),
-          col("cluster_id").as("nbl")), Seq("b"))
+          col("cluster_id").as("nbl")).hint("shuffle_hash"), Seq("b"))
         .groupBy(col("a")).agg(min(col("nbl")).as("nbl"))
         .select(col("a").as("doc_id"), col("nbl"))
-      val viaNbr = labels.join(nbrMin, Seq("doc_id"), "left")
+      val viaNbr = labels.join(nbrMin.hint("shuffle_hash"),
+          Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id")))
             .as("cluster_id"))
