@@ -675,6 +675,38 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Fixed-seed random projection planes — shared by [[randomProject]]
+    * and its oracle restatement so the two are literal-identical (the
+    * java.util.Random LCG is specified, so the planes are stable
+    * across JVMs/runs). Same generator family as [[lshBanded]].
+    */
+  def projectionPlanes(outDim: Int, dim: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(outDim, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Johnson–Lindenstrauss random projection: embed `dim`-dimensional
+    * vectors into `outDim` coordinates, each the dot product against a
+    * fixed-seed random plane — the standard cheap dimensionality
+    * reduction before pairwise-heavy downstream work (JL: pairwise
+    * distances concentrate around a constant rescale for outDim =
+    * O(log N / ε²)). Map-only: outDim codegen dot products per row
+    * against broadcast literal planes, no shuffle, no fit — the
+    * projection is a pure function, so unlike PQ/IVF there is no model
+    * to store or drift. Coordinates round to 6dp, making the operator
+    * hash-gateable against a literal-plane oracle restatement (the one
+    * ANN-adjacent entry with an exact cross-engine gate).
+    */
+  def randomProject(embeddings: DataFrame, outDim: Int, dim: Int,
+      seed: Long = 42L): DataFrame = {
+    graft.functions.GraftExtensions.register(embeddings.sparkSession)
+    val planes = projectionPlanes(outDim, dim, seed)
+    val e = col("embedding").cast("array<double>")
+    embeddings.select(col("vec_id"),
+      array(planes.map(p => round(dot(e, lit(p)), 6)): _*).as("proj"))
+  }
+
   private val PqCodebookDir = "_graft_pq_codebook"
 
   /** Persist the IVF-PQ index: the [[writeIvfIndex]] layout with the

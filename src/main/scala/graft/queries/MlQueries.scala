@@ -248,6 +248,37 @@ object MlQueries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
       |ORDER BY i, j""".stripMargin
 
+  /** JL random projection 64→16 — hash-gated EXACTLY (unlike the ANN
+    * siblings): the fixed-seed planes are embedded as literals in both
+    * the Spark plan and the oracle SQL, and both engines evaluate the
+    * same sequential dot product, so round-6dp coordinates compare
+    * bit-for-bit. MlSpec asserts the JL property (projected cosines
+    * track exact cosines) on the fixtures.
+    */
+  val ns45RandomProjection: Q = (s, dir) => {
+    // one scalar column per coordinate, not an array<double>: the two
+    // engines' arrow writers NAME the list element differently
+    // (Spark "element", DuckDB "l") and the type-sensitive hash gate
+    // would red on the name alone — scalars sidestep the entire class
+    val proj = Similarity.randomProject(Tables.embeddings(s, dir),
+      outDim = 16, dim = 64)
+    proj.select(col("vec_id") +:
+        (0 until 16).map(i =>
+          element_at(col("proj"), i + 1).as(f"p$i%02d")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val ns45RandomProjectionSql: String = {
+    val planes = Similarity.projectionPlanes(16, 64)
+    val coords = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(v => java.lang.Double.toString(v)).mkString(", ")
+      f"round(list_dot_product(embedding::DOUBLE[], [$lits]), 6) AS p$i%02d"
+    }.mkString(",\n      |  ")
+    s"""SELECT vec_id,
+      |  $coords
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** Semantic dedup (SemDeDup): IVF-cell-pruned intra-cell cosine
     * threshold, greedy keep-earliest per duplicate star — the
     * embedding-space complement of the lexical ns1–ns5 tier. The
@@ -1606,6 +1637,7 @@ object MlQueries {
     "ns42_bpe" -> ns42Bpe,
     "ns43_collocations" -> ns43Collocations,
     "ns44_semdedup" -> ns44SemDedup,
+    "ns45_random_projection" -> ns45RandomProjection,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1651,5 +1683,6 @@ object MlQueries {
     "ns41_naive_bayes" -> ns41NaiveBayesSql,
     "ns43_collocations" -> ns43CollocationsSql,
     "ns44_semdedup" -> ns44SemDedupSql,
+    "ns45_random_projection" -> ns45RandomProjectionSql,
   )
 }
