@@ -37,4 +37,23 @@ object PlanIntrospection {
     require(scans.nonEmpty, "no parquet scan in the executed plan")
     (scans.map(_._1).sum, scans.map(_._2).sum)
   }
+
+  /** [[fileScanMetrics]] restricted to scans rooted under
+    * `pathSubstring`, excluding the `_graft_*` model sidecars — for
+    * plans that legitimately read several tables (a PQ probe reads
+    * index cells + stored centroids + codebook + the re-score store)
+    * where only ONE scan's pruning is under test.
+    */
+  def fileScanMetricsFor(df: DataFrame, pathSubstring: String)
+      : (Long, Long) = {
+    df.queryExecution.executedPlan.execute().count()
+    val scans = flatten(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(p => p.toString.contains(pathSubstring) &&
+            !p.toString.contains("_graft_")) =>
+        (f.metrics("numFiles").value, f.metrics("numOutputRows").value)
+    }
+    require(scans.nonEmpty, s"no parquet scan under $pathSubstring")
+    (scans.map(_._1).sum, scans.map(_._2).sum)
+  }
 }

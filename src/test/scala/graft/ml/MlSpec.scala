@@ -367,6 +367,36 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("PQ probe reads a fraction of the index cell directories " +
+      "(partition pruning through the quantized serving path, measured)") {
+    import graft.meta.PlanIntrospection.fileScanMetricsFor
+    import spark.implicits._
+    val nSub = 8; val k = 16
+    val cents = Similarity.seedCentroids(embs, 16)
+    val cb = Similarity.fitPqCodebook(embs, nSub, k, iters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_prune").toString + "/idx"
+    try {
+      Similarity.writeIvfPqIndex(embs, cents, cb, nSub, dir)
+      val (totalFiles, totalRows) =
+        fileScanMetricsFor(spark.read.parquet(dir), dir)
+      val one = embs.limit(1).collect()(0)
+      val qdf = Seq((one.getLong(0), one.getSeq[Float](1).toArray))
+        .toDF("vec_id", "embedding")
+      val probe = Similarity.queryIvfPqIndex(spark, dir, qdf, embs,
+        k = 5, refine = 50, probes = 3)
+      val (probeFiles, probeRows) = fileScanMetricsFor(probe, dir)
+      assert(probeFiles < totalFiles,
+        s"probe listed $probeFiles of $totalFiles index files — no pruning")
+      assert(probeFiles <= 3 * (totalFiles / 16 + 1),
+        s"probe listed $probeFiles files for 3 of 16 cells")
+      assert(probeRows < totalRows)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir).getParentFile).deleteRecursively()
+    }
+  }
+
   test("appendIvfPqIndex: a built-then-appended PQ index serves " +
       "identically to a from-scratch build of the union corpus") {
     val nSub = 8; val k = 16
