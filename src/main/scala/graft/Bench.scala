@@ -130,10 +130,25 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
+    // Provenance (r7 verdict item 5): round-over-round totals are only
+    // comparable when measured against the same registry AND the same
+    // generated testdata — r7's 336 s vs r6's 132 s was mostly 11 new
+    // entries plus a full testdata regen, which the bench JSON could
+    // not attest. registry = hash of the sorted query-name list (+
+    // count), data_mtime = newest parquet mtime under the SF dir.
+    val registryHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(SparkEntry.queries.keys.toSeq.sorted.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val dataMtime =
+      try Option(new java.io.File(sfDir).listFiles())
+        .map(_.map(_.lastModified()).max / 1000L).getOrElse(0L)
+      catch { case _: Throwable => 0L }
+    val prov = s""""registry_n":${SparkEntry.queries.size},"registry":"$registryHash","data_mtime":$dataMtime"""
     // headline fields LAST: the driver's capture keeps the tail of
     // this (long) line, so the per-query map is what truncation may
     // cost, never the totals / streaming floor / failure list
-    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
     println(full)
     // The driver keeps only the LAST ~2000 output chars, and the full
     // line above outgrew that long ago — its head (the ns* timings)
@@ -142,7 +157,7 @@ object Bench {
     // line that fits WHOLLY inside any tail capture (standalone-
     // parseable totals), and the complete line persisted to a file so
     // per-query data survives regardless of how stdout is captured.
-    println(s"""{"metric":"total","unit":"sec","value":${r4(total)},"failed":$fs,"streaming":$streaming,"sf":"$sfDir","stat":"min_of_$runsPerQuery"}""")
+    println(s"""{"metric":"total","unit":"sec","value":${r4(total)},"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery"}""")
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_full.json")

@@ -4,11 +4,12 @@ import java.text.Normalizer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode NFC normalization as a native Catalyst expression —
@@ -70,4 +71,99 @@ object NfcNormalize {
 
   /** Column wrapper (function-registry route, like `Vectors.dot`). */
   def apply(c: Column): Column = call_function("graft_nfc", c)
+}
+
+/** Word n-gram shingle statistics in ONE text pass —
+  * `graft_shingle_stats(text, n)` → struct<n_grams int, n_distinct int>.
+  *
+  * The repetition-ratio quality gate (ns20) only needs two counts:
+  * total word n-grams and DISTINCT word n-grams. Expressing those
+  * through the `split → transform(sequence) → array_distinct` HOF
+  * pipeline is a 100 TB scale-killer the hard way: the HOFs are
+  * non-codegen (CodegenFallback), so no subexpression elimination
+  * applies, CollapseProject inlines the whole pipeline into every
+  * consumer (ratio numerator AND the surfaced count), and inside each
+  * lambda `element_at(split(text), i+o)` re-splits the text per
+  * shingle index — measured 97.6 s for 5k short docs at sf0.1 where
+  * sibling map-only text queries run 0.6–2.5 s (r7 verdict; SURVEY §9
+  * documents the trap). This expression splits once, counts distinct
+  * shingles with one hash set, stays inside whole-stage codegen, and
+  * — being codegen-capable — is deduplicated by subexpression
+  * elimination when a projection reads both struct fields.
+  *
+  * Semantics match [[graft.ml.HashUtils.wordShingles]] exactly: words
+  * are `split(text, " ")` (empty tokens kept, like Spark/DuckDB), a
+  * doc with fewer than n words has 0 shingles, shingles are the
+  * space-joined n consecutive words. DuckDB oracle: `len(w) - n + 1`
+  * and `len(list_distinct([array_to_string(w[i:i+n-1], ' ') FOR ...]))`
+  * over `string_split(text, ' ')` (ns20's oracle, unchanged).
+  */
+case class ShingleStats(text: Expression, n: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = n
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, n.dataType) match {
+      case (_: StringType, IntegerType) if n.foldable =>
+        val nv = n.eval()
+        if (nv != null && nv.asInstanceOf[Int] >= 1)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_shingle_stats n must be a literal >= 1, got $nv")
+      case (t, nt) => TypeCheckResult.TypeCheckFailure(
+        "graft_shingle_stats requires (string, literal int), got " +
+          s"(${t.simpleString}, ${nt.simpleString})")
+    }
+
+  override def dataType: DataType = ShingleStats.schema
+
+  override def prettyName: String = "graft_shingle_stats"
+
+  override def nullSafeEval(t: Any, nv: Any): Any =
+    ShingleStats.stats(t.asInstanceOf[UTF8String], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, nv) =>
+      s"${ev.value} = graft.functions.ShingleStats.stats($t, $nv);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShingleStats =
+    copy(text = newLeft, n = newRight)
+}
+
+object ShingleStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
+
+  /** Shared by interpreted and codegen paths. One split, one pass. */
+  def stats(s: UTF8String, n: Int): InternalRow = {
+    // limit -1 keeps trailing empty tokens — Spark split() / DuckDB
+    // string_split parity (" " is a literal under regex rules)
+    val words = s.toString.split(" ", -1)
+    val total = words.length - n + 1
+    if (total <= 0) return InternalRow(0, 0)
+    val seen = new java.util.HashSet[String](
+      math.min(total * 2, 1 << 20))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    InternalRow(total, seen.size)
+  }
+
+  def apply(text: Column, n: Int): Column =
+    call_function("graft_shingle_stats", text, lit(n))
 }

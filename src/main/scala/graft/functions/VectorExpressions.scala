@@ -246,6 +246,11 @@ case class PackCodes(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      // a null element would read as code 0 and pack silently —
+      // same loud-failure contract as the out-of-range check
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_pack_codes: null code at index $i")
       val c = x.getLong(i)
       if (c < 0L || c > 255L)
         throw new IllegalArgumentException(
@@ -266,6 +271,10 @@ case class PackCodes(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_pack_codes: null code at index " + $i);
+         |  }
          |  long $c = $a.getLong($i);
          |  if ($c < 0L || $c > 255L) {
          |    throw new IllegalArgumentException(
@@ -432,9 +441,16 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         AdcLookup(children(0), children(1), children(2)))
 
+  val shingleStatsDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_shingle_stats"),
+      new ExpressionInfo(classOf[ShingleStats].getName,
+        "graft_shingle_stats"),
+      (children: Seq[Expression]) =>
+        ShingleStats(children(0), children(1)))
+
   val functionDescriptors: Seq[Descriptor] =
     Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor, nfcDescriptor,
-      packCodesDescriptor, adcDescriptor)
+      packCodesDescriptor, adcDescriptor, shingleStatsDescriptor)
 
   /** Imperative (idempotent) registration for an already-built session —
     * the fallback when the session was not constructed with

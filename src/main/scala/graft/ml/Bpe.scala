@@ -51,36 +51,18 @@ object Bpe {
     // executor, right for local mode); `reliable = true` writes each
     // generation through checkpoint() to the fault-tolerant dir so a
     // 30k-merge training loop survives executor loss mid-run.
-    val sc = spark.sparkContext
-    require(!reliable || sc.getCheckpointDir.isDefined,
-      "reliable=true needs sc.setCheckpointDir(...) before the loop")
-    // eager-checkpoint a new generation and FREE the previous one:
-    // the old blocks are unreachable once the new generation exists,
-    // but without an explicit unpersist they linger until driver GC
-    // happens to collect the dropped reference — at large numMerges
-    // that accumulates up to numMerges stale copies in storage. The
-    // before/after diff of getPersistentRDDs scopes the unpersist to
-    // blocks THIS checkpoint created, never other cached work. (The
-    // reliable path has no storage blocks to free — generations are
-    // files under the checkpoint dir, reclaimed with the dir; the
-    // gen set is simply empty there.)
-    def checkpointGen(df: DataFrame, prev: Set[Int])
-        : (DataFrame, Set[Int]) = {
-      if (reliable) return (df.checkpoint(true), Set.empty)
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint(true)
-      val mine = sc.getPersistentRDDs.keySet.toSet -- before
-      prev.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      (out, mine)
-    }
-    var (words, gen) = checkpointGen(docs
+    // eager-checkpoint each generation and FREE the previous one —
+    // the [[GenCheckpointer]] contract (storage blocks locally,
+    // rdd-<id> snapshot dirs on disk under reliable=true; a 30k-merge
+    // run would otherwise accumulate 30k stale corpus copies)
+    val ckpt = new GenCheckpointer(spark, reliable)
+    var words = ckpt.cut(docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "),
         trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
-        .as("syms"), col("freq")), Set.empty)
+        .as("syms"), col("freq")))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     while (rank < numMerges) {
@@ -103,16 +85,14 @@ object Bpe {
         merges += ((rank, l, r, cnt))
         val pat = " " + Pattern.quote(l) + " " + Pattern.quote(r) + "(?= )"
         val rep = Matcher.quoteReplacement(" " + l + r)
-        val (nw, ng) = checkpointGen(words
-          .withColumn("syms", regexp_replace(col("syms"), pat, rep)), gen)
-        words = nw; gen = ng
+        words = ckpt.cut(words
+          .withColumn("syms", regexp_replace(col("syms"), pat, rep)))
         rank += 1
       }
     }
     // the merge table is already on the driver; free the last
-    // generation's blocks too
-    gen.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // generation (storage blocks or checkpoint files) too
+    ckpt.close()
     merges.result()
       .toDF("rank", "left", "right", "pair_count")
       .select(col("rank").cast("long"), col("left"), col("right"),

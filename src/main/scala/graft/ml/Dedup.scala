@@ -293,14 +293,26 @@ object Dedup {
     * @param docs  all documents (doc_id); isolated docs become their
     *              own singleton cluster
     * @param pairs undirected near-dup edges (i, j)
+    * @param reliable write each generation through the fault-tolerant
+    *              checkpoint dir instead of executor-local blocks
+    *              (Bpe.learn / Graph.pageRank's knob; requires
+    *              `sc.setCheckpointDir`). Either way superseded label
+    *              generations are reclaimed per round via
+    *              [[GenCheckpointer]] — without that a deep loop
+    *              keeps every iteration's label table alive.
     */
   def clusters(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).localCheckpoint()
+      maxIters: Int = 20, reliable: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    // two checkpointers: the edge list is cut ONCE and must survive
+    // the whole loop; the label chain advances (and frees) per round
+    val edgeCkpt = new GenCheckpointer(spark, reliable)
+    val labelCkpt = new GenCheckpointer(spark, reliable)
+    val edges = edgeCkpt.cut(
+      pairs.select(col("i").as("a"), col("j").as("b"))
+        .union(pairs.select(col("j").as("a"), col("i").as("b"))))
+    var labels = labelCkpt.cut(docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id")))
     // Convergence probe: labels only ever DECREASE (least of self and
     // neighbors), so the label sum strictly decreases iff any node
     // changed — one exact decimal aggregate per round instead of a
@@ -340,12 +352,12 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
-      val newSum = labelSum(updated)
+      val checkpointed = labelCkpt.cut(updated)
+      val newSum = labelSum(checkpointed)
       changed = newSum == null != (prevSum == null) ||
         (newSum != null && newSum.compareTo(prevSum) != 0)
       prevSum = newSum
-      labels = updated
+      labels = checkpointed
       iter += 1
     }
     require(!changed,

@@ -503,12 +503,20 @@ object Similarity {
   /** Per-vector subspace slices: (vec_id, sub, sv) with `sv` the
     * sub-th of `nSub` contiguous equal-width slices of the vector.
     * Dimension must divide evenly — a ragged last subspace would make
-    * the codebook layout ambiguous, so it is rejected loudly via the
-    * dimension check every dot product already performs.
+    * the codebook layout ambiguous. floor(dim/nSub) would silently
+    * DROP the trailing dim % nSub coordinates (both encode and query
+    * slice with the same width, so no dot-length mismatch ever fires
+    * — only recall degrades), so the divisibility is enforced
+    * explicitly per row; raise_error lives inside the _sd projection
+    * the slices consume, where column pruning cannot drop it.
     */
   private def subVectors(n: DataFrame, nSub: Int): DataFrame =
     n.select(col("vec_id"), col("e"),
-      (size(col("e")) / nSub).cast("int").as("_sd"))
+      when(size(col("e")) % nSub === 0,
+        (size(col("e")) / nSub).cast("int"))
+        .otherwise(raise_error(concat(
+          lit(s"PQ nSub=$nSub does not divide vector dimension "),
+          size(col("e")).cast("string")))).as("_sd"))
       .select(col("vec_id"), col("e"), col("_sd"),
         explode(sequence(lit(0), lit(nSub - 1))).as("sub"))
       .select(col("vec_id"), col("sub"),

@@ -760,17 +760,22 @@ object MlQueries {
 
   /** Repetition detection (C4-style quality gate): the distinct-to-
     * total 3-gram ratio; template/boilerplate text repeats shingles
-    * and scores low.
+    * and scores low. Counts come from the native one-pass
+    * `graft_shingle_stats` kernel — the HOF shingle pipeline this
+    * replaced was re-splitting the text per shingle index inside
+    * non-codegen lambdas and re-ran in full for every consumer
+    * (97.6 s for 5k docs at sf0.1; r7 verdict item 2).
     */
   val ns20Repetition: Q = (s, dir) => {
-    val w = split(col("text"), " ")
-    val total = greatest(size(w) - 2, lit(0))
-    val distinctSh = size(graft.ml.HashUtils.wordShingles(col("text"), 3))
+    val st = graft.functions.ShingleStats(col("text"), 3)
     Tables.documents(s, dir)
-      .select(col("doc_id"), total.as("n_grams"),
-        distinctSh.as("n_distinct"),
-        when(total > 0, round(distinctSh.cast("double") / total, 6))
-          .as("distinct_ratio"))
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_grams").as("n_grams"),
+        col("st.n_distinct").as("n_distinct"),
+        when(col("st.n_grams") > 0,
+          round(col("st.n_distinct").cast("double") / col("st.n_grams"),
+            6)).as("distinct_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -830,6 +835,28 @@ object MlQueries {
       Multimodal.mediaTable(Tables.documents(s, dir)), stride = 2)
       .toDF()
       .orderBy(col("media_id"))
+
+  /** ns21's hash-gated sibling (r7 verdict item 7): everything about
+    * the resize EXCEPT the output bytes is deterministic arithmetic —
+    * input size and the stepped-copy output size ⌈n/stride⌉ — so
+    * those columns get a cross-engine oracle through the SAME
+    * mapPartitions resize path, leaving only `sig_out` spec-only
+    * (MlSpec byte-exactness).
+    */
+  val ns21bResizeDims: Q = (s, dir) =>
+    Multimodal.resize(
+      Multimodal.mediaTable(Tables.documents(s, dir)), stride = 2)
+      .toDF()
+      .select(col("media_id"), col("media_type"),
+        col("n_bytes_in"), col("n_bytes_out"))
+      .orderBy(col("media_id"))
+
+  val ns21bResizeDimsSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+      |  octet_length(encode(text))::BIGINT AS n_bytes_in,
+      |  ((octet_length(encode(text)) + 1) // 2)::BIGINT AS n_bytes_out
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** Benchmark decontamination: docs sharing any distinct word 4-gram
     * with the "benchmark" slice (every 97th doc stands in for an eval
@@ -1613,6 +1640,7 @@ object MlQueries {
     "ns19_redact" -> ns19Redact,
     "ns20_repetition" -> ns20Repetition,
     "ns21_resize" -> ns21Resize,
+    "ns21b_resize_dims" -> ns21bResizeDims,
     "ns22_corpus_prep" -> ns22CorpusPrep,
     "ns23_contamination" -> ns23Contamination,
     "ns24_vocab" -> ns24Vocab,
@@ -1660,6 +1688,7 @@ object MlQueries {
     "ns18_tfidf" -> ns18TfidfSql,
     "ns19_redact" -> ns19RedactSql,
     "ns20_repetition" -> ns20RepetitionSql,
+    "ns21b_resize_dims" -> ns21bResizeDimsSql,
     "ns22_corpus_prep" -> ns22CorpusPrepSql,
     "ns23_contamination" -> ns23ContaminationSql,
     "ns24_vocab" -> ns24VocabSql,

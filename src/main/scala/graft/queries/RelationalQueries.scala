@@ -1095,7 +1095,11 @@ object RelationalQueries {
       .join(tiles("frequency", "f_tile"), Seq("o_custkey"))
       .join(tiles("monetary", "m_tile"), Seq("o_custkey"))
       .select(col("o_custkey"), col("recency"), col("frequency"),
-        col("monetary"), col("r_tile"), col("f_tile"), col("m_tile"),
+        // tile is computed on the exact DECIMAL; the SURFACED value
+        // is a 2dp-rounded double — the r7 bisect proved decimal
+        // output columns hash-diverge at the driver (q81d3 red)
+        round(col("monetary").cast("double"), 2).as("monetary"),
+        col("r_tile"), col("f_tile"), col("m_tile"),
         (col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
           .as("rfm_code"))
       .orderBy(col("o_custkey"))
@@ -1109,7 +1113,8 @@ object RelationalQueries {
       |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
       |  FROM orders GROUP BY o_custkey
       |)
-      |SELECT o_custkey, recency, frequency, monetary,
+      |SELECT o_custkey, recency, frequency,
+      |  round(monetary::DOUBLE, 2) AS monetary,
       |  r_tile, f_tile, m_tile,
       |  r_tile*100 + f_tile*10 + m_tile AS rfm_code
       |FROM (
@@ -1123,59 +1128,6 @@ object RelationalQueries {
       |  FROM byc
       |)
       |ORDER BY o_custkey""".stripMargin
-
-  /** q81 bisect diagnostics (r6 verdict task 1): every q81 column is
-    * an exact type, so the divergence is a VALUE difference in the
-    * driver's DuckDB — these isolate the three candidate constructs.
-    * d1 = the epoch_us() recency arithmetic the main query no longer
-    * uses; d2 = the md5-hex-cast tiebreak hash itself; d3 = one tile
-    * branch with no timestamp involvement (monetary). Remove once
-    * driver-green.
-    */
-  val q81d1EpochUs: Q = (s, dir) =>
-    Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))
-        .as("recency_us"))
-      .orderBy(col("o_custkey"))
-
-  val q81d1EpochUsSql: String =
-    """SELECT o_custkey, max(epoch_us(o_orderdate)) AS recency_us
-      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
-
-  val q81d2TiebreakHash: Q = (s, dir) =>
-    Tables.orders(s, dir).select(col("o_custkey")).distinct()
-      .withColumn("h",
-        graft.ml.HashUtils.hash60(col("o_custkey").cast("string")))
-      .orderBy(col("o_custkey"))
-
-  val q81d2TiebreakHashSql: String =
-    """SELECT DISTINCT o_custkey,
-      |  ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
-      |FROM orders ORDER BY o_custkey""".stripMargin
-
-  val q81d3MonetaryTile: Q = (s, dir) => {
-    val byCust = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)").as("monetary"))
-    graft.ml.Corpus.ntileByScore(byCust, "monetary", "o_custkey", 5)
-      .select(col("o_custkey"), col("monetary"),
-        col("tile").as("m_tile"))
-      .orderBy(col("o_custkey"))
-  }
-
-  val q81d3MonetaryTileSql: String =
-    """WITH byc AS (
-      |  SELECT o_custkey,
-      |    sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS monetary,
-      |    ('0x'||substr(md5(o_custkey::VARCHAR),1,15))::BIGINT AS h
-      |  FROM orders GROUP BY o_custkey
-      |)
-      |SELECT o_custkey, monetary,
-      |  ntile(5) OVER (ORDER BY monetary DESC, h, o_custkey)::INT
-      |    AS m_tile
-      |FROM byc ORDER BY o_custkey""".stripMargin
 
   /** Market-basket brand co-occurrence with support + lift — which
     * part brands are ordered together. Per-order distinct brands are
@@ -1370,8 +1322,12 @@ object RelationalQueries {
       .groupBy(coalesce(col("asof_touch_type"), lit("direct"))
         .as("channel"))
       .agg(count(lit(1)).as("purchases"),
-        sum(col("value").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("revenue"))
+        // exact decimal sum internally; surfaced as a 2dp-rounded
+        // double — no DecimalType may reach a hash-gated output
+        // (r7 bisect: driver's DuckDB hash-canonicalizes decimals
+        // differently; rounded doubles are build-stable)
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"),
+          2).as("revenue"))
       .orderBy(col("channel"))
   }
 
@@ -1393,7 +1349,7 @@ object RelationalQueries {
       |)
       |SELECT coalesce(ch, 'direct') AS channel,
       |  count(*)::BIGINT AS purchases,
-      |  sum(value::DECIMAL(18,2))::DECIMAL(38,2) AS revenue
+      |  round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS revenue
       |FROM att GROUP BY channel ORDER BY channel""".stripMargin
 
   /** Distribution-drift detection (PSI — population stability index):
@@ -1529,55 +1485,28 @@ object RelationalQueries {
         Seq("orderkey"))), keys, "v")
     IncrementalAgg.finish(IncrementalAgg.merge(state0, deltaState))
       .select(col("o_orderpriority"), col("l_returnflag"),
-        col("agg_sum").cast("decimal(38,6)").as("agg_sum"),
-        col("agg_cnt"), col("agg_min"), col("agg_max"),
-        // DECIMAL, not DOUBLE — see q66's rationale (r6 verdict)
-        round(col("agg_avg"), 6).cast("decimal(18,6)").as("agg_avg"))
+        // decimal state stays internal; surfaced as 6dp-rounded
+        // doubles — see q66's rationale (r7 bisect verdict)
+        round(col("agg_sum").cast("double"), 6).as("agg_sum"),
+        col("agg_cnt"),
+        round(col("agg_min").cast("double"), 6).as("agg_min"),
+        round(col("agg_max").cast("double"), 6).as("agg_max"),
+        round(col("agg_avg"), 6).as("agg_avg"))
       .orderBy(col("o_orderpriority"), col("l_returnflag"))
   }
 
   val q87IncrementalMvSql: String =
     """SELECT o_orderpriority, l_returnflag,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-      |    AS DECIMAL(38,6)) AS agg_sum,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |    AS DOUBLE), 6) AS agg_sum,
       |  count(l_extendedprice) AS agg_cnt,
-      |  min(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_min,
-      |  max(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_max,
-      |  CAST(round(CASE WHEN count(l_extendedprice) > 0 THEN
-      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-      |      AS DECIMAL(38,6)) AS DOUBLE) / count(l_extendedprice)
-      |    END, 6) AS DECIMAL(18,6)) AS agg_avg
-      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |GROUP BY o_orderpriority, l_returnflag
-      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
-
-  /** q87 bisect diagnostics — same split as q66d1/q66d2 (r6 verdict
-    * task 1). Remove once driver-green. */
-  val q87d1DecimalState: Q = (s, dir) =>
-    q87IncrementalMv(s, dir).drop("agg_avg")
-
-  val q87d1DecimalStateSql: String =
-    """SELECT o_orderpriority, l_returnflag,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-      |    AS DECIMAL(38,6)) AS agg_sum,
-      |  count(l_extendedprice) AS agg_cnt,
-      |  min(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_min,
-      |  max(CAST(l_extendedprice AS DECIMAL(18,6))) AS agg_max
-      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |GROUP BY o_orderpriority, l_returnflag
-      |ORDER BY o_orderpriority, l_returnflag""".stripMargin
-
-  val q87d2AvgDouble: Q = (s, dir) =>
-    q87IncrementalMv(s, dir)
-      .select(col("o_orderpriority"), col("l_returnflag"),
-        round(col("agg_avg").cast("double"), 6).as("agg_avg"))
-
-  val q87d2AvgDoubleSql: String =
-    """SELECT o_orderpriority, l_returnflag,
+      |  round(CAST(min(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |    AS DOUBLE), 6) AS agg_min,
+      |  round(CAST(max(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |    AS DOUBLE), 6) AS agg_max,
       |  round(CASE WHEN count(l_extendedprice) > 0 THEN
-      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-      |      AS DECIMAL(38,6)) AS DOUBLE) / count(l_extendedprice)
-      |    END, 6) AS agg_avg
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      / count(l_extendedprice) END, 6) AS agg_avg
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority, l_returnflag
       |ORDER BY o_orderpriority, l_returnflag""".stripMargin
@@ -1610,7 +1539,11 @@ object RelationalQueries {
     credits.groupBy(col("channel"))
       .agg(countDistinct(col("pid")).as("touched_purchases"),
         count(lit(1)).as("touches"),
-        sum(col("credit")).cast("decimal(38,6)").as("credited_revenue"))
+        // exact 6dp-decimal rollup internally (order-independent);
+        // surfaced as a 6dp-rounded double — no DecimalType in
+        // hash-gated outputs (r7 bisect verdict)
+        round(sum(col("credit")).cast("double"), 6)
+          .as("credited_revenue"))
       .orderBy(col("channel"))
   }
 
@@ -1631,7 +1564,7 @@ object RelationalQueries {
       |SELECT channel,
       |  count(DISTINCT pid)::BIGINT AS touched_purchases,
       |  count(*)::BIGINT AS touches,
-      |  CAST(sum(round(value / k, 6)::DECIMAL(18,6)) AS DECIMAL(38,6))
+      |  round(sum(round(value / k, 6)::DECIMAL(18,6))::DOUBLE, 6)
       |    AS credited_revenue
       |FROM paired GROUP BY channel ORDER BY channel""".stripMargin
 
@@ -1930,8 +1863,14 @@ object RelationalQueries {
     * algebra, not just the arithmetic. Values aggregate as
     * DECIMAL(18,6): decimal addition is exact, so the two-phase
     * merged sum equals the one-shot sum BIT-identically (doubles
-    * would differ in association order); both sides cast the final
-    * sum to DECIMAL(38,6), Spark's sum-of-sums result type.
+    * would differ in association order). The decimals stay INTERNAL:
+    * the r7 per-column bisect (q66d1 red / q66d2 green) proved the
+    * driver's DuckDB build hash-canonicalizes DECIMAL output columns
+    * differently, while 6dp-rounded doubles are stable — so every
+    * surfaced column is round(cast(x AS DOUBLE), 6) on both engines.
+    * That cast is safe: the exact decimal maps to the same nearest
+    * double in both engines, and round-to-6dp of an exact-6dp value
+    * is boundary-free (adjacent 6dp decimals are ~1e6 ulps apart).
     */
   val q66IncrementalAgg: Q = (s, dir) => {
     val split = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -1944,56 +1883,26 @@ object RelationalQueries {
     graft.operators.IncrementalAgg.finish(
       graft.operators.IncrementalAgg.merge(hist, delta))
       .select(col("event_type"),
-        col("agg_sum").cast("decimal(38,6)").as("agg_sum"),
-        col("agg_cnt"), col("agg_min"), col("agg_max"),
-        // Emitted as DECIMAL, never DOUBLE: r6 proved the rounded
-        // double STILL hash-diverges across DuckDB builds (an ulp in
-        // their round()/cast implementations), while a decimal hashes
-        // its exact unscaled integer. round-to-6dp then cast is robust
-        // to a 1-ulp input difference because adjacent 6dp decimals
-        // are ~1e6 ulps apart at these magnitudes.
-        round(col("agg_avg"), 6).cast("decimal(18,6)").as("agg_avg"))
+        round(col("agg_sum").cast("double"), 6).as("agg_sum"),
+        col("agg_cnt"),
+        round(col("agg_min").cast("double"), 6).as("agg_min"),
+        round(col("agg_max").cast("double"), 6).as("agg_max"),
+        round(col("agg_avg"), 6).as("agg_avg"))
       .orderBy(col("event_type"))
   }
 
   val q66IncrementalAggSql: String =
     """SELECT event_type,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS agg_sum,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |    AS agg_sum,
       |  count(value) AS agg_cnt,
-      |  min(CAST(value AS DECIMAL(18,6))) AS agg_min,
-      |  max(CAST(value AS DECIMAL(18,6))) AS agg_max,
-      |  CAST(round(CASE WHEN count(value) > 0 THEN
-      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
-      |      AS DOUBLE) / count(value) END, 6) AS DECIMAL(18,6)) AS agg_avg
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
-
-  /** Driver-bisect diagnostics for the r6 hash-red rows (VERDICT r6
-    * task 1): q66 split per column class so CORRECTNESS_r7 itself
-    * localizes the divergent column. d1 = decimal state only (no
-    * derived avg), d2 = the r6 failing form isolated (rounded DOUBLE
-    * avg). Remove once q66/q87/q81 are driver-green.
-    */
-  val q66d1DecimalState: Q = (s, dir) =>
-    q66IncrementalAgg(s, dir).drop("agg_avg")
-
-  val q66d1DecimalStateSql: String =
-    """SELECT event_type,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS agg_sum,
-      |  count(value) AS agg_cnt,
-      |  min(CAST(value AS DECIMAL(18,6))) AS agg_min,
-      |  max(CAST(value AS DECIMAL(18,6))) AS agg_max
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
-
-  val q66d2AvgDouble: Q = (s, dir) =>
-    q66IncrementalAgg(s, dir)
-      .select(col("event_type"),
-        round(col("agg_avg").cast("double"), 6).as("agg_avg"))
-
-  val q66d2AvgDoubleSql: String =
-    """SELECT event_type,
+      |  round(CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |    AS agg_min,
+      |  round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |    AS agg_max,
       |  round(CASE WHEN count(value) > 0 THEN
-      |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
-      |      AS DOUBLE) / count(value) END, 6) AS agg_avg
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      / count(value) END, 6) AS agg_avg
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Arbitrary GROUPING SETS (the general form of q15's rollup / q16's
@@ -2997,8 +2906,6 @@ object RelationalQueries {
     "q64_funnel_timed" -> q64FunnelTimed,
     "q65_sessionize" -> q65Sessionize,
     "q66_incremental_agg" -> q66IncrementalAgg,
-    "q66d1_decimal_state" -> q66d1DecimalState,
-    "q66d2_avg_double" -> q66d2AvgDouble,
     "q67_winsorize" -> q67Winsorize,
     "q67b_winsorize_approx" -> q67bWinsorizeApprox,
     "q68_interval_join" -> q68IntervalJoin,
@@ -3015,17 +2922,12 @@ object RelationalQueries {
     "q79_fuzzy_dedup" -> q79FuzzyDedup,
     "q80_incremental_join" -> q80IncrementalJoin,
     "q81_rfm" -> q81Rfm,
-    "q81d1_epoch_us" -> q81d1EpochUs,
-    "q81d2_tiebreak_hash" -> q81d2TiebreakHash,
-    "q81d3_monetary_tile" -> q81d3MonetaryTile,
     "q82_basket" -> q82Basket,
     "q83_expectations" -> q83Expectations,
     "q84_attribution" -> q84Attribution,
     "q85_drift" -> q85Drift,
     "q86_outliers" -> q86Outliers,
     "q87_incremental_mv" -> q87IncrementalMv,
-    "q87d1_decimal_state" -> q87d1DecimalState,
-    "q87d2_avg_double" -> q87d2AvgDouble,
     "q88_multi_touch" -> q88MultiTouch,
   )
 
@@ -3100,8 +3002,6 @@ object RelationalQueries {
     "q64_funnel_timed" -> q64FunnelTimedSql,
     "q65_sessionize" -> q65SessionizeSql,
     "q66_incremental_agg" -> q66IncrementalAggSql,
-    "q66d1_decimal_state" -> q66d1DecimalStateSql,
-    "q66d2_avg_double" -> q66d2AvgDoubleSql,
     "q67_winsorize" -> q67WinsorizeSql,
     "q68_interval_join" -> q68IntervalJoinSql,
     "q70_grouping_sets" -> q70GroupingSetsSql,
@@ -3116,17 +3016,12 @@ object RelationalQueries {
     "q79_fuzzy_dedup" -> q79FuzzyDedupSql,
     "q80_incremental_join" -> q80IncrementalJoinSql,
     "q81_rfm" -> q81RfmSql,
-    "q81d1_epoch_us" -> q81d1EpochUsSql,
-    "q81d2_tiebreak_hash" -> q81d2TiebreakHashSql,
-    "q81d3_monetary_tile" -> q81d3MonetaryTileSql,
     "q82_basket" -> q82BasketSql,
     "q83_expectations" -> q83ExpectationsSql,
     "q84_attribution" -> q84AttributionSql,
     "q85_drift" -> q85DriftSql,
     "q86_outliers" -> q86OutliersSql,
     "q87_incremental_mv" -> q87IncrementalMvSql,
-    "q87d1_decimal_state" -> q87d1DecimalStateSql,
-    "q87d2_avg_double" -> q87d2AvgDoubleSql,
     "q88_multi_touch" -> q88MultiTouchSql,
   )
 }

@@ -42,33 +42,38 @@ class RegistryGuardSpec extends SparkSpec {
       s"unrounded double in hash-gated output: ${offenders.mkString(", ")}")
   }
 
-  test("decimal-derived averages are emitted as DECIMAL, not DOUBLE") {
-    // r6 proved the stronger rule: even a ROUNDED double hash-diverges
-    // across oracle-engine builds (their round()/cast differ by an
-    // ulp), while a decimal hashes its exact unscaled integer. Any
-    // avg/ratio column derived from decimal arithmetic in a hash-gated
-    // query must therefore surface as DecimalType. The q66d2/q87d2
-    // entries are the EXPLICIT driver-bisect diagnostics for the double
-    // class and are exempt until the bisect concludes.
-    val exempt = Set("q66d2_avg_double", "q87d2_avg_double")
-    for (name <- Seq("q66_incremental_agg", "q87_incremental_mv")) {
-      val f = SparkEntry.queries(name)(spark, dir)
-        .schema.fields.find(_.name == "agg_avg").get
-      assert(f.dataType.isInstanceOf[
-          org.apache.spark.sql.types.DecimalType],
-        s"$name.agg_avg must be DecimalType, was ${f.dataType}")
+  test("no hash-gated query emits a DecimalType column") {
+    // r7's per-column driver bisect settled the decimal question in
+    // the OPPOSITE direction from the r6 theory: diagnostics emitting
+    // only DECIMAL columns (q66d1/q87d1 sum/min/max state, q81d3
+    // monetary) came back hash-RED at the driver while their
+    // rounded-double siblings (q66d2/q87d2) were GREEN — the driver's
+    // DuckDB build hash-canonicalizes DECIMAL values differently,
+    // while 6dp-rounded doubles are build-stable. The rule that kills
+    // the class: decimal arithmetic stays INTERNAL (exactness,
+    // order-independence), but every surfaced column of a hash-gated
+    // query is round(cast(x AS DOUBLE), <=6) on both engine sides.
+    def decimalFields(dt: org.apache.spark.sql.types.DataType,
+        path: String): Seq[String] = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => Seq(path)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap(f =>
+          decimalFields(f.dataType, s"$path.${f.name}"))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        decimalFields(a.elementType, s"$path[]")
+      case m: org.apache.spark.sql.types.MapType =>
+        decimalFields(m.keyType, s"$path.key") ++
+          decimalFields(m.valueType, s"$path.value")
+      case _ => Nil
     }
-    // q81's columns are all exact types by construction — keep it so
-    val q81Floats = SparkEntry.queries("q81_rfm")(spark, dir)
-      .schema.fields.collect {
-        case f if f.dataType == DoubleType || f.dataType == FloatType =>
-          f.name
-      }
-    assert(q81Floats.isEmpty,
-      s"q81_rfm must emit only exact types, found float cols: " +
-        q81Floats.mkString(", "))
-    assert(exempt.subsetOf(SparkEntry.oracleSql.keySet),
-      "bisect diagnostics should stay registered until driver-green")
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap {
+      name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.schema.fields.flatMap(f =>
+          decimalFields(f.dataType, s"$name.${f.name}"))
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType in hash-gated output: ${offenders.mkString(", ")}")
   }
 
   test("README registry counts match SparkEntry (no doc drift)") {

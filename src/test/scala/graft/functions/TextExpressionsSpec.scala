@@ -32,4 +32,51 @@ class TextExpressionsSpec extends SparkSpec {
     val in = UTF8String.fromString("plain")
     assert(NfcNormalize.nfc(in) eq in)
   }
+
+  test("graft_shingle_stats matches the HOF wordShingles pipeline " +
+      "on real documents and on edge cases") {
+    GraftExtensions.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (n <- Seq(2, 3)) {
+      val w = split(col("text"), " ")
+      val hof = docs.select(col("doc_id"),
+        greatest(size(w) - (n - 1), lit(0)).as("n_grams"),
+        size(graft.ml.HashUtils.wordShingles(col("text"), n))
+          .as("n_distinct"))
+      val native = docs.select(col("doc_id"),
+        ShingleStats(col("text"), n).as("st"))
+        .select(col("doc_id"), col("st.n_grams").as("n_grams"),
+          col("st.n_distinct").as("n_distinct"))
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+        s"n=$n: native shingle stats diverge from the HOF pipeline")
+    }
+    // edge cases: repeats, short docs, empty string, empty tokens
+    // (consecutive spaces — split keeps them, so shingles can contain
+    // empty words), and null
+    val edge = Seq("a b a b a b", "a b", "", "x  y  z", "w w w w", null)
+      .toDF("text")
+      .select(ShingleStats(col("text"), 3).as("st"))
+      .select(col("st.n_grams"), col("st.n_distinct")).collect()
+    assert(edge(0).getInt(0) === 4 && edge(0).getInt(1) === 2) // aba/bab
+    assert(edge(1).getInt(0) === 0 && edge(1).getInt(1) === 0) // too short
+    assert(edge(2).getInt(0) === 0 && edge(2).getInt(1) === 0) // [""] len 1
+    assert(edge(3).getInt(0) === 3 && edge(3).getInt(1) === 3) // x,"",y...
+    assert(edge(4).getInt(0) === 2 && edge(4).getInt(1) === 1) // w w w x2
+    assert(edge(5).isNullAt(0) && edge(5).isNullAt(1), "null in, null out")
+    // SQL route through the registered function
+    val viaSql = spark.sql(
+      "SELECT graft_shingle_stats('a b c d', 2) AS st").select(
+      col("st.n_grams"), col("st.n_distinct")).collect()(0)
+    assert(viaSql.getInt(0) === 3 && viaSql.getInt(1) === 3)
+    // interpreted path agrees with codegen
+    val row = ShingleStats.stats(UTF8String.fromString("a b a b a b"), 3)
+    assert(row.getInt(0) === 4 && row.getInt(1) === 2)
+    // the ns20 plan must evaluate ONE split: the codegen'd kernel is
+    // subexpression-eliminated; the old HOF pipeline put 14 split()
+    // calls in the Project (r7 verdict)
+    val plan = graft.MlQueries.all("ns20_repetition")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    assert(!plan.toString.contains("split("),
+      "ns20 should carry no HOF split() pipeline in its physical plan")
+  }
 }

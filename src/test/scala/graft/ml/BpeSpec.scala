@@ -80,6 +80,19 @@ class BpeSpec extends SparkSpec {
           r.getString(3), r.getLong(4))).toSeq
       assert(rows(Bpe.learn(docs, 8, reliable = true)) ===
         rows(Bpe.learn(docs, 8)))
+      // superseded generations are DELETED as the loop advances, and
+      // the last one on close(): a 30k-merge run must not leave 30k
+      // corpus snapshots behind (round-7 advice). getCheckpointDir is
+      // a file: URI, so count through Hadoop FS; no checkpointed
+      // part files may survive.
+      val cd = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      val cfs = cd.getFileSystem(sc.hadoopConfiguration)
+      var leftover = 0
+      val it = cfs.listFiles(cd, true)
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) leftover += 1
+      assert(leftover === 0,
+        s"reliable BPE left $leftover checkpointed part files behind")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()

@@ -585,6 +585,35 @@ class MlSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters reliable=true (fault-tolerant checkpoint) equals the " +
+      "local path; missing checkpoint dir rejected up front") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).toDF("doc_id")
+    // a 7-node chain forces several pointer-doubling rounds, so the
+    // reliable path exercises multiple generation handoffs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("i", "j")
+    val sc = spark.sparkContext
+    val saved = sc.getCheckpointDir
+    if (saved.isEmpty)
+      intercept[IllegalArgumentException] {
+        Dedup.clusters(d, pairs, reliable = true)
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_clusters").toString
+    try {
+      sc.setCheckpointDir(dir)
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rel = m(Dedup.clusters(d, pairs, reliable = true))
+      assert(rel === m(Dedup.clusters(d, pairs)))
+      assert(rel(7L) === 1L && rel(8L) === 8L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("cosine matches a hand computation") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0), Array(0.6, 0.8))).toDF("a", "b")
