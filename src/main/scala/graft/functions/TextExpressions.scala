@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode NFC normalization as a native Catalyst expression —
@@ -132,6 +132,103 @@ case class ShingleStats(text: Expression, n: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ShingleStats =
     copy(text = newLeft, n = newRight)
+}
+
+/** Distinct, order-stable word n-gram shingles in ONE text pass —
+  * `graft_shingles(text, n)` → array<string>.
+  *
+  * The array sibling of [[ShingleStats]], for the consumers that need
+  * the shingles THEMSELVES (minhash/Jaccard/paragraph dedup,
+  * contamination, set-sim join — every `explode(wordShingles(...))`
+  * site). The declarative form those call sites used —
+  * `array_distinct(transform(sequence(...), i =>
+  * concat_ws(element_at(split(text), i+o)...)))` — re-evaluates
+  * `split(text)` for EVERY element of the transform lambda (HOFs are
+  * non-codegen, no subexpression elimination inside the lambda), so
+  * shingling a doc of L words costs O(L²) character work. Fine at the
+  * fixtures' 54-word mean; a scale-killer on real corpora where docs
+  * run 10³–10⁵ words. This kernel splits once and builds the
+  * first-occurrence-ordered distinct shingle list in O(L).
+  *
+  * Semantics are IDENTICAL to the HOF form (spec-pinned): words =
+  * split on single spaces keeping empty tokens, fewer than n words →
+  * empty array, shingles joined with one space, `array_distinct`
+  * keeps first occurrence — a LinkedHashSet reproduces exactly that
+  * order.
+  */
+case class Shingles(text: Expression, n: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = n
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, n.dataType) match {
+      case (_: StringType, IntegerType) if n.foldable =>
+        val nv = n.eval()
+        if (nv != null && nv.asInstanceOf[Int] >= 1)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_shingles n must be a literal >= 1, got $nv")
+      case (t, nt) => TypeCheckResult.TypeCheckFailure(
+        "graft_shingles requires (string, literal int), got " +
+          s"(${t.simpleString}, ${nt.simpleString})")
+    }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(t: Any, nv: Any): Any =
+    Shingles.shingles(t.asInstanceOf[UTF8String], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, nv) =>
+      s"${ev.value} = graft.functions.Shingles.shingles($t, $nv);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Shingles =
+    copy(text = newLeft, n = newRight)
+}
+
+object Shingles {
+  /** Shared by interpreted and codegen paths. One split, one pass,
+    * first-occurrence order (array_distinct parity). */
+  def shingles(s: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val total = words.length - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](
+      math.min(total * 2, 1 << 20))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next()); k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
 }
 
 object ShingleStats {

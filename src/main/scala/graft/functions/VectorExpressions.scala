@@ -448,9 +448,16 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         ShingleStats(children(0), children(1)))
 
+  val shinglesDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        Shingles(children(0), children(1)))
+
   val functionDescriptors: Seq[Descriptor] =
     Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor, nfcDescriptor,
-      packCodesDescriptor, adcDescriptor, shingleStatsDescriptor)
+      packCodesDescriptor, adcDescriptor, shingleStatsDescriptor,
+      shinglesDescriptor)
 
   /** Imperative (idempotent) registration for an already-built session —
     * the fallback when the session was not constructed with

@@ -21,19 +21,18 @@ object HashUtils {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Distinct, order-stable word n-gram shingles of a text column.
-    * `array_distinct` keeps first occurrence; the downstream set
-    * operations (intersection sizes, min-hash) are order-insensitive.
+  /** Distinct, order-stable word n-gram shingles of a text column
+    * (first occurrence kept; the downstream set operations —
+    * intersection sizes, min-hash — are order-insensitive).
+    *
+    * Delegates to the native one-pass `graft_shingles` kernel. The
+    * previous declarative form (`array_distinct(transform(sequence,
+    * i => concat_ws(element_at(split(text), i+o)...)))`) re-evaluated
+    * `split(text)` per lambda element — O(L²) character work per doc,
+    * invisible at the fixtures' doc lengths and ruinous at real
+    * corpus lengths (the ns20 trap, SURVEY §9). The kernel is
+    * spec-pinned equal to the HOF form on real documents.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    // element_at + concat_ws, not slice + array_join: building the
-    // n-gram directly skips one array allocation per shingle (~40% of
-    // the shingling stage at sf0.1)
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ",
-            (1 to n).map(o => element_at(words, i + o)): _*))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.Shingles(text, n)
 }

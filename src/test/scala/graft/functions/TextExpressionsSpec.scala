@@ -79,4 +79,37 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!plan.toString.contains("split("),
       "ns20 should carry no HOF split() pipeline in its physical plan")
   }
+
+  test("graft_shingles (the wordShingles kernel) equals the HOF " +
+      "array_distinct/transform pipeline element-for-element") {
+    GraftExtensions.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (n <- Seq(2, 3, 4)) {
+      // the pre-kernel declarative form, restated inline as the oracle
+      val words = split(col("text"), " ")
+      val hof = when(size(words) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ",
+              (1 to n).map(o => element_at(words, i + o)): _*))))
+      val diff = docs.select(col("doc_id"),
+        graft.ml.HashUtils.wordShingles(col("text"), n).as("k"),
+        hof.as("h"))
+        .filter(not(col("k") <=> col("h"))).count()
+      assert(diff === 0,
+        s"n=$n: kernel shingles diverge from the HOF pipeline " +
+          "(order or content)")
+    }
+    // edge cases: first-occurrence order, short, empty-token words
+    val got = Seq("b a b a c a", "a b", "x  y")
+      .toDF("text")
+      .select(graft.ml.HashUtils.wordShingles(col("text"), 2).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("b a", "a b", "a c", "c a"))
+    assert(got(1) === Seq("a b"))
+    assert(got(2) === Seq("x ", " y")) // empty middle token kept
+    // SQL route
+    assert(spark.sql("SELECT graft_shingles('a b a', 2) AS s")
+      .collect()(0).getSeq[String](0) === Seq("a b", "b a"))
+  }
 }
