@@ -134,6 +134,69 @@ case class ShingleStats(text: Expression, n: Expression)
     copy(text = newLeft, n = newRight)
 }
 
+/** 60-bit md5 hash of a binary value — `graft_hash60(bytes)` → long.
+  *
+  * [[graft.ml.HashUtils.hash60]]'s contract is "the first 15 hex
+  * chars of md5, parsed as an unsigned integer" (chosen because
+  * DuckDB can restate it: `('0x'||substr(md5(s),1,15))::BIGINT`).
+  * The declarative form pays for that portability per call: md5()
+  * allocates a 32-char hex STRING, substring slices it, conv()
+  * parses digits back into a long — three string round-trips per
+  * hashed word/shingle, and the hash runs per word in simhash,
+  * minhash, fingerprinting, bigram LMs, contamination. This kernel
+  * computes the identical value arithmetically: the first 15 hex
+  * chars are digest bytes 0..6 plus the high nibble of byte 7, i.e.
+  * the big-endian unsigned value of d[0..7] >>> 4 — no hex string,
+  * no parse, one thread-local MessageDigest. Spec-pinned equal to
+  * the conv form; the DuckDB oracle side is unchanged.
+  */
+case class Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_hash60 requires a binary argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_hash60"
+
+  override def nullSafeEval(v: Any): Any =
+    Hash60.hash(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60.hash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Hash60 = copy(child = newChild)
+}
+
+object Hash60 {
+  // MessageDigest is stateful and not thread-safe; one per executor
+  // thread, reset by digest() itself
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared by interpreted and codegen paths. */
+  def hash(bytes: Array[Byte]): Long = {
+    val d = md.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4 // 64 big-endian bits of d[0..7] minus the 16th nibble
+  }
+
+  def apply(c: Column): Column = call_function("graft_hash60", c)
+}
+
 /** Distinct, order-stable word n-gram shingles in ONE text pass —
   * `graft_shingles(text, n)` → array<string>.
   *

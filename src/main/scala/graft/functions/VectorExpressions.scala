@@ -454,10 +454,15 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         Shingles(children(0), children(1)))
 
+  val hash60Descriptor: Descriptor =
+    (new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head))
+
   val functionDescriptors: Seq[Descriptor] =
     Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor, nfcDescriptor,
       packCodesDescriptor, adcDescriptor, shingleStatsDescriptor,
-      shinglesDescriptor)
+      shinglesDescriptor, hash60Descriptor)
 
   /** Imperative (idempotent) registration for an already-built session —
     * the fallback when the session was not constructed with

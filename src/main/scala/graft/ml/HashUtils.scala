@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object HashUtils {
 
-  /** 60-bit non-negative hash of a string column, identical in DuckDB. */
+  /** 60-bit non-negative hash of a string column, identical in DuckDB.
+    *
+    * Delegates to the native `graft_hash60` kernel — arithmetically
+    * the same value as `conv(substring(md5(c), 1, 15), 16, 10)`
+    * (spec-pinned) without the per-call hex-string allocation and
+    * digit re-parse; the hash runs per WORD in the dedup/LM
+    * operators, so those round-trips were the hot path's constant.
+    */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.Hash60(c.cast("binary"))
 
   /** Distinct, order-stable word n-gram shingles of a text column
     * (first occurrence kept; the downstream set operations —

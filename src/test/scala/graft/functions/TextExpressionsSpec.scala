@@ -112,4 +112,38 @@ class TextExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_shingles('a b a', 2) AS s")
       .collect()(0).getSeq[String](0) === Seq("a b", "b a"))
   }
+
+  test("graft_hash60 equals conv(substring(md5, 1, 15), 16, 10) on " +
+      "corpus words, unicode, empty, and null") {
+    GraftExtensions.register(spark)
+    val convForm = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    // every word of the corpus (the real per-word hot path input)
+    val words = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val diff = words.select(
+      graft.ml.HashUtils.hash60(col("w")).as("k"),
+      convForm(col("w")).as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(diff === 0, "kernel hash60 diverges from the conv form")
+    // edge values + the DuckDB-documented example
+    val edge = Seq("", "café élève", "a", null)
+      .toDF("s")
+      .select(graft.ml.HashUtils.hash60(col("s")).as("k"),
+        convForm(col("s")).as("c")).collect()
+    edge.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0), "null in, null out")
+      else assert(r.getLong(0) === r.getLong(1))
+    }
+    // hashes are 60-bit: always non-negative
+    assert(words.select(graft.ml.HashUtils.hash60(col("w")).as("k"))
+      .filter(col("k") < 0).count() === 0)
+    // SQL route
+    val viaSql = spark.sql(
+      "SELECT graft_hash60(cast('a' AS BINARY)) AS h").collect()(0)
+    assert(viaSql.getLong(0) ===
+      java.lang.Long.parseLong(
+        // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex
+        "0cc175b9c0f1b6a", 16))
+  }
 }
