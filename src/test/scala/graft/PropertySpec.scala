@@ -315,6 +315,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native text kernels equal their declarative forms on random " +
+      "adversarial strings (unicode, repeated/leading/trailing spaces, " +
+      "regex specials)") {
+    // the corpus fixtures are space-normalized ASCII; the kernels'
+    // parity guarantees must hold on the shapes the fixtures never
+    // produce — empty tokens,  , combining marks, regex
+    // metacharacters, 1-word and 0-char docs
+    val pieces = Seq("a", "bb", "é", "汉", "é", ".*", "[", "\\",
+      "$1", " ", "x y", "")
+    val texts = (1 to 400).map { _ =>
+      (0 until rnd.nextInt(12))
+        .map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(" ") + (if (rnd.nextBoolean()) " " else "")
+    } ++ Seq("", " ", "  ", "a")
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val words = split(col("text"), " ")
+      val hof = when(size(words) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ",
+              (1 to n).map(o => element_at(words, i + o)): _*))))
+      val bad = df.select(
+        graft.ml.HashUtils.wordShingles(col("text"), n).as("k"),
+        hof.as("h"),
+        graft.functions.ShingleStats(col("text"), n).as("st"),
+        greatest(size(words) - (n - 1), lit(0)).as("tot"))
+        .filter(not(col("k") <=> col("h")) ||
+          col("st.n_grams") =!= col("tot") ||
+          col("st.n_distinct") =!= size(col("k")))
+        .count()
+      assert(bad === 0, s"n=$n: kernel/HOF divergence on random text")
+    }
+    val hashBad = df.select(
+      graft.ml.HashUtils.hash60(col("text")).as("k"),
+      conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(hashBad === 0, "hash60 kernel/conv divergence on random text")
+  }
+
   test("SQ8 recall is monotone non-decreasing in refine depth") {
     val dim = 16
     val embs = (1 to 80).map { i =>
