@@ -140,9 +140,14 @@ object Bench {
       .digest(SparkEntry.queries.keys.toSeq.sorted.mkString(",")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles())
+          .map(_.foldLeft(f.lastModified())(_ max newestMtime(_)))
+          .getOrElse(f.lastModified())
+      else f.lastModified()
     val dataMtime =
-      try Option(new java.io.File(sfDir).listFiles())
-        .map(_.map(_.lastModified()).max / 1000L).getOrElse(0L)
+      try newestMtime(new java.io.File(sfDir)) / 1000L
       catch { case _: Throwable => 0L }
     val prov = s""""registry_n":${SparkEntry.queries.size},"registry":"$registryHash","data_mtime":$dataMtime"""
     // headline fields LAST: the driver's capture keeps the tail of

@@ -194,7 +194,10 @@ object Hash60 {
     v >>> 4 // 64 big-endian bits of d[0..7] minus the 16th nibble
   }
 
-  def apply(c: Column): Column = call_function("graft_hash60", c)
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Hash60(ColumnBridge.expression(c)))
+  }
 }
 
 /** Distinct, order-stable word n-gram shingles in ONE text pass —
@@ -257,15 +260,17 @@ case class Shingles(text: Expression, n: Expression)
 }
 
 object Shingles {
-  /** Shared by interpreted and codegen paths. One split, one pass,
-    * first-occurrence order (array_distinct parity). */
-  def shingles(s: UTF8String, n: Int)
-      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+  /** The ONE shingle-enumeration core both kernels share — any change
+    * to tokenization or join semantics lands in stats() and
+    * shingles() together, so `n_distinct == size(shingles)` can never
+    * silently desynchronize. Returns (total n-gram count,
+    * first-occurrence-ordered distinct shingles).
+    */
+  private[functions] def enumerate(s: UTF8String, n: Int)
+      : (Int, java.util.LinkedHashSet[String]) = {
     val words = s.toString.split(" ", -1)
     val total = words.length - n + 1
-    if (total <= 0)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Any])
+    if (total <= 0) return (0, new java.util.LinkedHashSet[String](0))
     val seen = new java.util.LinkedHashSet[String](
       math.min(total * 2, 1 << 20))
     val sb = new java.lang.StringBuilder
@@ -281,6 +286,14 @@ object Shingles {
       seen.add(sb.toString)
       i += 1
     }
+    (total, seen)
+  }
+
+  /** Shared by interpreted and codegen paths. One split, one pass,
+    * first-occurrence order (array_distinct parity). */
+  def shingles(s: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val seen = enumerate(s, n)._2
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -290,8 +303,11 @@ object Shingles {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  def apply(text: Column, n: Int): Column =
-    call_function("graft_shingles", text, lit(n))
+  def apply(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Shingles(ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+  }
 }
 
 object ShingleStats {
@@ -299,31 +315,18 @@ object ShingleStats {
     StructField("n_grams", IntegerType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false)))
 
-  /** Shared by interpreted and codegen paths. One split, one pass. */
+  /** Shared by interpreted and codegen paths. One split, one pass —
+    * delegates to [[Shingles.enumerate]], the single enumeration core
+    * (split on literal spaces with limit -1: Spark split() / DuckDB
+    * string_split parity, trailing empty tokens kept). */
   def stats(s: UTF8String, n: Int): InternalRow = {
-    // limit -1 keeps trailing empty tokens — Spark split() / DuckDB
-    // string_split parity (" " is a literal under regex rules)
-    val words = s.toString.split(" ", -1)
-    val total = words.length - n + 1
-    if (total <= 0) return InternalRow(0, 0)
-    val seen = new java.util.HashSet[String](
-      math.min(total * 2, 1 << 20))
-    val sb = new java.lang.StringBuilder
-    var i = 0
-    while (i < total) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
+    val (total, seen) = Shingles.enumerate(s, n)
     InternalRow(total, seen.size)
   }
 
-  def apply(text: Column, n: Int): Column =
-    call_function("graft_shingle_stats", text, lit(n))
+  def apply(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ShingleStats(ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+  }
 }

@@ -363,6 +363,11 @@ object Dedup {
     require(!changed,
       s"label propagation did not converge in $maxIters rounds " +
         "(component diameter exceeds maxIters) — raise maxIters")
+    // the doubled edge list (the largest artifact here) is dead once
+    // the loop exits — labels is independently checkpointed, so a
+    // long-lived session calling clusters() per batch must not
+    // accumulate one edge snapshot per call
+    edgeCkpt.close()
     labels
   }
 

@@ -27,6 +27,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver (BPE's merge table); SKIP it when the returned DataFrame
   * IS the last generation (label propagation) — the caller still
   * reads those blocks/files.
+  *
+  * SINGLE-CALLER contract: the snapshot-diff claims everything that
+  * appeared between `before` and `after` as this loop's generation,
+  * so two concurrent driver threads checkpointing against the same
+  * SparkContext could claim (and later delete) each other's
+  * artifacts. The iterative operators built on this (BPE training,
+  * label propagation) are whole-cluster driver loops — run one at a
+  * time per context, or give each its own checkpoint dir.
   */
 private[graft] final class GenCheckpointer(spark: SparkSession,
     reliable: Boolean) {

@@ -24,6 +24,9 @@ object HashUtils {
     * (spec-pinned) without the per-call hex-string allocation and
     * digit re-parse; the hash runs per WORD in the dedup/LM
     * operators, so those round-trips were the hot path's constant.
+    * Built expression-direct (ColumnBridge), NOT via call_function:
+    * these helpers back every public ml API, which must keep working
+    * on sessions that never registered GraftExtensions.
     */
   def hash60(c: Column): Column =
     graft.functions.Hash60(c.cast("binary"))
@@ -38,7 +41,9 @@ object HashUtils {
     * `split(text)` per lambda element — O(L²) character work per doc,
     * invisible at the fixtures' doc lengths and ruinous at real
     * corpus lengths (the ns20 trap, SURVEY §9). The kernel is
-    * spec-pinned equal to the HOF form on real documents.
+    * spec-pinned equal to the HOF form on real documents. Built
+    * expression-direct (ColumnBridge, not call_function) so the ml
+    * APIs carry no session-registration precondition.
     */
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.Shingles(text, n)

@@ -841,7 +841,10 @@ object MlQueries {
     * input size and the stepped-copy output size ⌈n/stride⌉ — so
     * those columns get a cross-engine oracle through the SAME
     * mapPartitions resize path, leaving only `sig_out` spec-only
-    * (MlSpec byte-exactness).
+    * (MlSpec byte-exactness). The oracle coalesces a NULL payload to
+    * 0 bytes because that is what resize() does (explicit empty-bytes
+    * fallback) — the current fixtures carry no null text, but a
+    * regen that adds one must not flip this row hash-red.
     */
   val ns21bResizeDims: Q = (s, dir) =>
     Multimodal.resize(
@@ -854,8 +857,9 @@ object MlQueries {
   val ns21bResizeDimsSql: String =
     """SELECT doc_id AS media_id,
       |  ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
-      |  octet_length(encode(text))::BIGINT AS n_bytes_in,
-      |  ((octet_length(encode(text)) + 1) // 2)::BIGINT AS n_bytes_out
+      |  coalesce(octet_length(encode(text)), 0)::BIGINT AS n_bytes_in,
+      |  ((coalesce(octet_length(encode(text)), 0) + 1) // 2)::BIGINT
+      |    AS n_bytes_out
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Benchmark decontamination: docs sharing any distinct word 4-gram

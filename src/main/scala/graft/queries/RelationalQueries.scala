@@ -1485,9 +1485,14 @@ object RelationalQueries {
         Seq("orderkey"))), keys, "v")
     IncrementalAgg.finish(IncrementalAgg.merge(state0, deltaState))
       .select(col("o_orderpriority"), col("l_returnflag"),
-        // decimal state stays internal; surfaced as 6dp-rounded
-        // doubles — see q66's rationale (r7 bisect verdict)
-        round(col("agg_sum").cast("double"), 6).as("agg_sum"),
+        // decimal state stays internal; surfaced as rounded doubles
+        // (r7 bisect verdict). The sum rounds at 2dp, not 6: the
+        // group sums here are already ~2.2e8 at sf0.01, and 6dp
+        // rounding leaves only 26× headroom to the 2^53 bound past
+        // which cross-engine round(x, d) stops being bit-identical —
+        // see q66's rationale; prices are 2dp-exact so nothing is
+        // lost. min/max/avg are value-bounded, 6dp safe.
+        round(col("agg_sum").cast("double"), 2).as("agg_sum"),
         col("agg_cnt"),
         round(col("agg_min").cast("double"), 6).as("agg_min"),
         round(col("agg_max").cast("double"), 6).as("agg_max"),
@@ -1498,7 +1503,7 @@ object RelationalQueries {
   val q87IncrementalMvSql: String =
     """SELECT o_orderpriority, l_returnflag,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-      |    AS DOUBLE), 6) AS agg_sum,
+      |    AS DOUBLE), 2) AS agg_sum,
       |  count(l_extendedprice) AS agg_cnt,
       |  round(CAST(min(CAST(l_extendedprice AS DECIMAL(18,6)))
       |    AS DOUBLE), 6) AS agg_min,
@@ -1541,7 +1546,10 @@ object RelationalQueries {
         count(lit(1)).as("touches"),
         // exact 6dp-decimal rollup internally (order-independent);
         // surfaced as a 6dp-rounded double — no DecimalType in
-        // hash-gated outputs (r7 bisect verdict)
+        // hash-gated outputs (r7 bisect verdict). 6dp is required
+        // here (credits are genuine 6dp quotients) and safe: per-
+        // channel purchase-value sums stay < ~1e9 even at 1000×,
+        // under the |x|·10^6 < 2^53 cross-engine round bound (q66)
         round(sum(col("credit")).cast("double"), 6)
           .as("credited_revenue"))
       .orderBy(col("channel"))
@@ -1883,7 +1891,15 @@ object RelationalQueries {
     graft.operators.IncrementalAgg.finish(
       graft.operators.IncrementalAgg.merge(hist, delta))
       .select(col("event_type"),
-        round(col("agg_sum").cast("double"), 6).as("agg_sum"),
+        // SUM is the one magnitude-growing column, and cross-engine
+        // round(x, d) is only guaranteed identical while |x|·10^d <
+        // 2^53 (beyond that DuckDB's scaled-multiply rounding and
+        // Spark's BigDecimal path can differ by an ulp). The source
+        // values are exact 2dp money, so the decimal sum is 2dp-exact
+        // and rounding at 2 loses nothing while extending the safe
+        // magnitude 10^4×. min/max/avg are value-bounded (never grow
+        // with row count) — 6dp is safe there at any corpus size.
+        round(col("agg_sum").cast("double"), 2).as("agg_sum"),
         col("agg_cnt"),
         round(col("agg_min").cast("double"), 6).as("agg_min"),
         round(col("agg_max").cast("double"), 6).as("agg_max"),
@@ -1893,7 +1909,7 @@ object RelationalQueries {
 
   val q66IncrementalAggSql: String =
     """SELECT event_type,
-      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
       |    AS agg_sum,
       |  count(value) AS agg_cnt,
       |  round(CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)

@@ -146,4 +146,32 @@ class TextExpressionsSpec extends SparkSpec {
         // md5("a") = 0cc175b9c0f1b6a831c399e269772661; first 15 hex
         "0cc175b9c0f1b6a", 16))
   }
+
+  test("ml Column helpers carry no function-registry precondition: " +
+      "hash60/wordShingles work on a session without graft functions") {
+    // the public ml APIs (Dedup, Corpus, SetSimJoin, ...) build their
+    // hash/shingle columns through HashUtils; those must not require
+    // GraftExtensions registration (a plain SparkSession.builder()
+    // session never registers it). Simulate one: a newSession() with
+    // the graft functions explicitly dropped from its registry.
+    val s2 = spark.newSession()
+    for (f <- Seq("graft_hash60", "graft_shingles",
+        "graft_shingle_stats"))
+      s2.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f))
+    import s2.implicits._
+    val out = Seq((1L, "a b a b")).toDF("doc_id", "text")
+      .select(graft.ml.HashUtils.hash60(col("text")).as("h"),
+        graft.ml.HashUtils.wordShingles(col("text"), 2).as("s"),
+        ShingleStats(col("text"), 2).as("st"))
+      .collect()(0)
+    assert(out.getLong(0) > 0L)
+    assert(out.getSeq[String](1) === Seq("a b", "b a"))
+    assert(out.getStruct(2).getInt(0) === 3)
+    // and a registry-dependent SQL call on that session DOES fail —
+    // proving the drop took effect and the Column route is what works
+    intercept[Exception] {
+      s2.sql("SELECT graft_hash60(cast('a' AS BINARY))").collect()
+    }
+  }
 }

@@ -67,7 +67,8 @@ class BpeSpec extends SparkSpec {
       (2L, "newer newest low new")
     ).toDF("doc_id", "text")
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
+    val saved = sc.getCheckpointDir
+    if (saved.isEmpty)
       intercept[IllegalArgumentException] {
         Bpe.learn(docs, 2, reliable = true)
       }
@@ -94,6 +95,9 @@ class BpeSpec extends SparkSpec {
       assert(leftover === 0,
         s"reliable BPE left $leftover checkpointed part files behind")
     } finally {
+      // restore the session's prior checkpoint dir (later suites
+      // must not inherit one pointing at this deleted tmp dir)
+      saved.foreach(sc.setCheckpointDir)
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
     }

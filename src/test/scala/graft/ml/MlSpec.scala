@@ -595,6 +595,10 @@ class MlSpec extends SparkSpec {
       (6L, 7L)).toDF("i", "j")
     val sc = spark.sparkContext
     val saved = sc.getCheckpointDir
+    // the missing-dir require is constructor-level and can only be
+    // exercised if no earlier suite set a dir on the shared session
+    // (suite-order dependent — GenCheckpointer's own require is the
+    // real guard); the parity assertion below always runs
     if (saved.isEmpty)
       intercept[IllegalArgumentException] {
         Dedup.clusters(d, pairs, reliable = true)
@@ -609,6 +613,9 @@ class MlSpec extends SparkSpec {
       assert(rel === m(Dedup.clusters(d, pairs)))
       assert(rel(7L) === 1L && rel(8L) === 8L)
     } finally {
+      // restore whatever dir the session had: later suites must not
+      // inherit a checkpoint dir pointing at this test's deleted tmp
+      saved.foreach(sc.setCheckpointDir)
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
