@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -69,8 +68,12 @@ object NfcNormalize {
       Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
-  /** Column wrapper (function-registry route, like `Vectors.dot`). */
-  def apply(c: Column): Column = call_function("graft_nfc", c)
+  /** Column wrapper — expression-direct (no registration
+    * precondition), like the other kernel wrappers. */
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  }
 }
 
 /** Word n-gram shingle statistics in ONE text pass —

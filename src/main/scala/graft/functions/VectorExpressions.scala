@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
@@ -358,38 +357,45 @@ case class AdcLookup(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
-/** Column-level entry points for the native vector expressions. */
+/** Column-level entry points for the native vector expressions.
+  *
+  * Built expression-direct through
+  * [[org.apache.spark.sql.graft.ColumnBridge]], NOT via
+  * `call_function`: these back the public ml APIs ([[graft.ml.Similarity]],
+  * the PQ/IVF index builders), which must work on any SparkSession —
+  * the function-REGISTRY route (for SQL-text callers) remains
+  * available via [[GraftExtensions]] registration.
+  */
 object VectorFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
-  /** `dot(a, b)` over two array<double> columns. Resolved through the
-    * session function registry (see [[GraftExtensions]]), so the
-    * session must have the graft functions registered — query entry
-    * points call [[GraftExtensions.register]] idempotently.
-    */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  /** `dot(a, b)` over two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
 
   /** `sq8Pack(e)`: array<double> → BINARY of per-vector-rescaled signed
     * bytes (see [[PackSq8]]).
     */
-  def sq8Pack(e: Column): Column = call_function("graft_sq8_pack", e)
+  def sq8Pack(e: Column): Column = column(PackSq8(expression(e)))
 
   /** `dot8(a, b)`: integer dot product of two packed BINARY vectors
     * (see [[DotProductInt8]]); returns long.
     */
-  def dot8(a: Column, b: Column): Column = call_function("graft_dot8", a, b)
+  def dot8(a: Column, b: Column): Column =
+    column(DotProductInt8(expression(a), expression(b)))
 
   /** `packCodes(codes)`: array<long> of PQ code words → BINARY, one
     * unsigned byte per subspace (see [[PackCodes]]).
     */
   def packCodes(codes: Column): Column =
-    call_function("graft_pack_codes", codes)
+    column(PackCodes(expression(codes)))
 
   /** `adc(lut, codes, k)`: PQ asymmetric-distance lookup score — the
     * approximate dot product of a query (via its flattened nSub·k
     * lookup table) against a packed code word (see [[AdcLookup]]).
     */
   def adc(lut: Column, codes: Column, k: Column): Column =
-    call_function("graft_adc", lut, codes, k)
+    column(AdcLookup(expression(lut), expression(codes), expression(k)))
 }
 
 /** Session extensions registering the native functions for SQL and
