@@ -52,8 +52,15 @@ object Versioning {
       : DataFrame = {
     val marked = deleteKeys.select(col(key)).distinct()
       .withColumn("_del", lit(true))
+    // coalesce, not the raw column: history written before the
+    // deleted column existed reads back null-filled under mergeSchema,
+    // and false || NULL = NULL would leave every legacy row's flag
+    // NULL — silently dropped by any !deleted live-view filter
+    // (three-valued logic). versionDiff coalesces for the same reason.
     val prior =
-      if (df.columns.contains("deleted")) col("deleted") else lit(false)
+      if (df.columns.contains("deleted"))
+        coalesce(col("deleted"), lit(false))
+      else lit(false)
     val isCurrent =
       if (df.columns.contains("current")) col("current") === 1 else lit(true)
     df.join(marked, Seq(key), "left")

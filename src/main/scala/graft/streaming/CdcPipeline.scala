@@ -55,10 +55,15 @@ object CdcPipeline {
   }
 
   /** App-event split: the structural events that should trigger a
-    * schema re-crawl rather than a data merge.
+    * schema re-crawl rather than a data merge. Dead-lettered events
+    * (at/over the retry limit) are excluded for the same reason
+    * [[route]] excludes them from the live stream — an event the
+    * pipeline has declared dead must not keep firing catalog
+    * re-crawls on every replay of its batch.
     */
-  def routeApp(events: DataFrame): DataFrame =
-    events.filter(col("event_type").isin(appTypes: _*))
+  def routeApp(events: DataFrame, retryLimit: Int = 10): DataFrame =
+    events.filter(col("event_type").isin(appTypes: _*) &&
+      col("failed_attempts") < retryLimit)
 
   /** The app-event action: given the previously-crawled field catalog
     * and a batch containing app events, re-crawl the catalog and emit
@@ -162,15 +167,26 @@ object CdcPipeline {
   /** Does the tree under `root` hold at least one parquet data file?
     * Short-circuits at the first hit, so on a healthy bucketed table
     * this touches one listing page — it is NOT a full-store crawl.
-    * Markers/_SUCCESS (underscore/dot names) don't count as data.
+    * Markers/_SUCCESS (underscore/dot names) don't count as data, and
+    * neither does anything under a HIDDEN directory: a crash mid-job
+    * can leave task files under `_temporary/` whose leaf names look
+    * like data, but Spark's FileIndex will ignore them — counting
+    * them here would route a marker-only directory away from the
+    * bootstrap branch and wedge every retry on "unable to infer
+    * schema".
     */
   private def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Boolean = {
+    val qRoot = fs.makeQualified(root)
+    def visible(p: org.apache.hadoop.fs.Path): Boolean =
+      p == null || p == qRoot || {
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".") && visible(p.getParent)
+      }
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith("_") &&
-        !name.startsWith(".")) return true
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") && visible(p)) return true
     }
     false
   }
@@ -212,17 +228,16 @@ object CdcPipeline {
         graft.sources.Markers.write(fs, nBucketsMarker(root),
           nBuckets.toString)
     }
-    val confKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "dynamic")
-    try
-      merged.localCheckpoint()
-        .write.mode("overwrite").partitionBy("key_bucket")
-        .parquet(historyPath)
-    finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
-    }
+    // per-WRITER dynamic overwrite, never a session-conf toggle: two
+    // pipelines sharing one SparkSession could interleave a set /
+    // restore, and a writer that plans under the restored STATIC mode
+    // deletes every untouched bucket of its history table — the
+    // writer option binds the mode to this write alone
+    merged.localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("key_bucket")
+      .parquet(historyPath)
   }
 
   /** T8 extension: tumbling-window event counts with a watermark. */

@@ -48,39 +48,12 @@ object CorpusIngest {
     val gated = batch.filter(length(col("text")) >= minChars &&
       TextAnalysis.langId(col("text")) === lang)
     StreamingNearDup.processBatchWithSig(gated, batchId, storePath,
-      maxHamming, (novel, bid, sig) => {
-        val spark = novel.sparkSession
-        val part = new org.apache.hadoop.fs.Path(
-          s"$corpusPath/ingest_batch=$bid")
-        val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(part, "_GRAFT_BATCH_SIG")
-        def writeMarker(): Unit =
-          graft.sources.Markers.write(fs, marker, sig.toString)
-        val committed =
-          fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))
-        val recorded =
-          if (committed) graft.sources.Markers.read(fs, marker) else None
-        if (committed && recorded.isDefined) {
-          require(recorded.contains(sig.toString),
-            s"corpus partition $part is committed with different content " +
-              s"(sig ${recorded.get}, incoming $sig): batch id $bid was " +
-              "recycled by a checkpoint reset — point the stream at a " +
-              "fresh corpusPath, or re-key the existing partitions offline")
-        } else if (committed) {
-          // crash window: _SUCCESS landed but the marker write didn't.
-          // A genuine replay recomputes the identical sig, so
-          // backfilling here re-arms the reset guard instead of
-          // leaving this batch id unprotected forever. (If the id was
-          // ALREADY recycled inside this narrow window the ambiguity
-          // is unresolvable from disk — the backfill at least stops
-          // it widening.)
-          writeMarker()
-        }
-        if (!committed) {
-          novel.write.mode("overwrite").parquet(part.toString)
-          writeMarker()
-        }
-      })
+      maxHamming, (novel, bid, sig) =>
+        BatchCommit.committedWrite(novel.sparkSession, corpusPath, bid,
+          sig, "point the stream at a fresh corpusPath, or re-key " +
+            "the existing partitions offline") { part =>
+          novel.write.mode("overwrite").parquet(part)
+        })
   }
 
   def start(streamingDocs: DataFrame, corpusPath: String,

@@ -68,8 +68,16 @@ object StreamingAgg {
     val f = fs(spark, l)
     if (!f.exists(l) && f.exists(bak(statePath))) {
       // crash between live→bak and tmp→live: bak IS the last
-      // committed generation — restore it
-      f.rename(bak(statePath), l)
+      // committed generation — restore it. The rename must be
+      // CHECKED: an unchecked false (quota/permissions, or a racing
+      // restorer that won) would make this look like a first batch,
+      // and the next commit would then delete bak — the only
+      // committed state — while resetting aggregates to one delta.
+      // Losing the race is fine only if live now exists.
+      val renamed = f.rename(bak(statePath), l)
+      require(renamed || f.exists(l),
+        s"could not restore $statePath state_bak to live after a " +
+          "mid-swap crash — refusing to proceed as if state were empty")
     }
     if (f.exists(l)) Some(spark.read.parquet(l.toString)) else None
   }
@@ -88,15 +96,40 @@ object StreamingAgg {
       }
   }
 
+  private val ShapeName = "_GRAFT_SHAPE"
+
+  /** The stored state's shape stamp (sketch family + its size
+    * parameters); None before the first committed batch. */
+  private def readShape(spark: SparkSession, statePath: String)
+      : Option[String] = {
+    val l = live(statePath)
+    graft.sources.Markers.read(fs(spark, l), new Path(l, ShapeName))
+  }
+
   /** Shared per-batch commit core: replay/reset discipline + the
     * atomic state swap, parameterized over the mergeable algebra
     * (sum/count/min/max state and HLL distinct state both ride it).
+    *
+    * `shape` names the algebra AND its size parameters ("kmv:64:...",
+    * "topterms:100"): sketch guarantees are only valid when every
+    * merge uses the parameters the stored state was built with (a
+    * space-saving sketch merged at a larger capacity than it was
+    * filled at, for instance, silently re-admits evicted terms below
+    * their floor). The shape is stamped into the state dir and a
+    * mismatched caller fails loudly BEFORE touching state — the
+    * _GRAFT_NBUCKETS rule, applied to sketch layout.
     */
   private def commitBatch(batch: DataFrame, batchId: Long,
-      statePath: String, sig: Long,
+      statePath: String, sig: Long, shape: String,
       partialFn: DataFrame => DataFrame,
       mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
+    readShape(spark, statePath).foreach { recorded =>
+      require(recorded == shape,
+        s"state $statePath was built as '$recorded'; refusing to " +
+          s"merge as '$shape' — mismatched sketch parameters would " +
+          "silently void the sketch's guarantees")
+    }
     lastMarker(spark, statePath) match {
       case Some((lastId, lastSig)) if batchId == lastId && sig == lastSig =>
         return // genuine replay of the committed batch — absorbed
@@ -120,10 +153,19 @@ object StreamingAgg {
     // before any path moves
     merged.write.mode("overwrite").parquet(tmp.toString)
     graft.sources.Markers.write(f, new Path(tmp, MarkerName), s"$batchId:$sig")
+    graft.sources.Markers.write(f, new Path(tmp, ShapeName), shape)
     if (f.exists(bak(statePath))) f.delete(bak(statePath), true)
     if (f.exists(l)) require(f.rename(l, bak(statePath)),
       s"could not stage $l aside")
     require(f.rename(tmp, l), s"could not commit $tmp to $l")
+    // rename-onto-an-existing-dir NESTS the source inside the target
+    // on HDFS-like filesystems instead of failing (the Layout.compact
+    // edge). Live can reappear mid-swap if a concurrent reader
+    // "recovers" bak — single-writer is the contract, and this makes
+    // a violation abort loudly instead of corrupting the state dir.
+    require(!f.exists(new Path(l, tmp.getName)),
+      s"commit of $tmp nested inside $l — a concurrent reader/writer " +
+        s"raced this swap on $statePath")
     f.delete(bak(statePath), true)
     ()
   }
@@ -133,6 +175,7 @@ object StreamingAgg {
       keys: Seq[String], valueCol: String): Unit =
     commitBatch(batch, batchId, statePath,
       batchSig(batch, keys, valueCol),
+      s"agg:${keys.mkString(",")}:$valueCol",
       b => IncrementalAgg.partial(b, keys, valueCol),
       (s, d) => IncrementalAgg.merge(s, d))
 
@@ -144,6 +187,7 @@ object StreamingAgg {
       statePath: String, keys: Seq[String], valueCol: String): Unit =
     commitBatch(batch, batchId, statePath,
       batchSig(batch, keys, valueCol),
+      s"hll:${keys.mkString(",")}:$valueCol",
       b => IncrementalAgg.distinctPartial(b, keys, valueCol),
       (s, d) => IncrementalAgg.distinctMerge(s, d))
 
@@ -167,6 +211,7 @@ object StreamingAgg {
       keyCol: String, valueCol: String, k: Int): Unit =
     commitBatch(batch, batchId, statePath,
       batchSig(batch, Seq(keyCol), valueCol),
+      s"kmv:$k:$keyCol:$valueCol",
       b => kmvPartial(b, keyCol, valueCol, k),
       (s, d) => kmvMerge(s, d, keyCol, k))
 
@@ -197,10 +242,18 @@ object StreamingAgg {
     * state alone — [[graft.functions.KmvSketch.overlapEstimates]]).
     */
   def readOverlap(spark: SparkSession, statePath: String,
-      keyCol: String, k: Int): Option[DataFrame] =
+      keyCol: String, k: Int): Option[DataFrame] = {
+    // estimates computed against a different k than the stored minima
+    // were kept at are silently wrong — verify against the stamp
+    readShape(spark, statePath).foreach { recorded =>
+      require(recorded.startsWith(s"kmv:$k:"),
+        s"state $statePath was built as '$recorded'; readOverlap " +
+          s"called with k=$k")
+    }
     readState(spark, statePath).map(st =>
       graft.functions.KmvSketch.overlapEstimates(
         st.select(col(keyCol), col("sk")), keyCol, k))
+  }
 
   /** Heavy-hitters sibling: the corpus vocabulary maintained as
     * space-saving sketch state ([[graft.functions.SpaceSavingTopTerms]]
@@ -221,6 +274,7 @@ object StreamingAgg {
       statePath: String, capacity: Int): Unit =
     commitBatch(batch, batchId, statePath,
       batchSig(batch, Seq("doc_id"), "text"),
+      s"topterms:$capacity",
       b => sketchPartial(b, capacity),
       (s, d) => sketchMerge(s, d, capacity))
 

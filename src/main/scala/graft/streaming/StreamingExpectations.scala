@@ -40,12 +40,18 @@ object StreamingExpectations {
   /** Content fingerprint over ALL columns of the batch (a quality
     * report depends on every column a check might read).
     */
-  def batchSig(batch: DataFrame): Long = {
+  def batchSig(batch: DataFrame): Long = sigAndCount(batch)._1
+
+  /** One aggregate pass yields BOTH the fingerprint and the row count
+    * — monitorBatch needs both, and a separate batch.count() would be
+    * a third full scan of every trigger's delta.
+    */
+  private def sigAndCount(batch: DataFrame): (Long, Long) = {
     val cols = batch.columns.map(c => s"`$c`").mkString(", ")
     val r = batch
       .agg(coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("x"),
         count(lit(1)).as("n")).head()
-    r.getLong(0) * 31L + r.getLong(1)
+    (r.getLong(0) * 31L + r.getLong(1), r.getLong(1))
   }
 
   private def lastMarker(spark: SparkSession, outPath: String)
@@ -64,7 +70,7 @@ object StreamingExpectations {
   def monitorBatch(batch: DataFrame, batchId: Long, outPath: String,
       checks: Seq[Check]): Unit = {
     val spark = batch.sparkSession
-    val sig = batchSig(batch)
+    val (sig, nRows) = sigAndCount(batch)
     lastMarker(spark, outPath) match {
       case Some((lastId, lastSig)) if batchId == lastId && sig == lastSig =>
         return // genuine foreachBatch replay — report already written
@@ -77,15 +83,14 @@ object StreamingExpectations {
       case _ => ()
     }
     val report = Expectations.run(batch, checks)
-      .withColumn("batch_id", lit(batchId))
-      .withColumn("batch_rows",
-        lit(batch.count())) // context column for rate-style reading
+      // context column for rate-style reading; the count rode along
+      // in the fingerprint aggregate — no extra batch scan
+      .withColumn("batch_rows", lit(nRows))
     val dir = new Path(outPath, s"batch_id=$batchId")
     // overwrite, not error-if-exists: a crash after this write but
     // before the marker leaves an orphan directory that this replay
     // legitimately rewrites (same content → byte-same report)
-    report.drop("batch_id").write.mode("overwrite")
-      .parquet(dir.toString)
+    report.write.mode("overwrite").parquet(dir.toString)
     graft.sources.Markers.write(fs(spark, new Path(outPath)),
       new Path(outPath, MarkerName), s"$batchId:$sig")
   }

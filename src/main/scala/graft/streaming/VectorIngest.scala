@@ -76,39 +76,19 @@ object VectorIngest {
         .write.mode("overwrite").partitionBy("cell").parquet(part)
     }
 
-  /** The at-most-once-per-batch-id commit discipline shared by the raw
-    * and PQ ingest bodies: partition dir ownership, `_SUCCESS` ⇔
-    * committed, content-fingerprint marker, recycled-id refusal.
+  /** The at-most-once-per-batch-id commit discipline ([[BatchCommit]],
+    * shared with [[CorpusIngest]]): partition dir ownership,
+    * `_SUCCESS` ⇔ committed, content-fingerprint marker, recycled-id
+    * refusal.
     */
   private def committedBatchWrite(batch: DataFrame, batchId: Long,
-      indexPath: String)(write: (DataFrame, String) => Unit): Unit = {
-    val spark = batch.sparkSession
-    val part = new org.apache.hadoop.fs.Path(
-      s"${streamPath(indexPath)}/ingest_batch=$batchId")
-    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(part, "_GRAFT_BATCH_SIG")
-    val sig = batchSig(batch)
-    val committed =
-      fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS"))
-    val recorded =
-      if (committed) graft.sources.Markers.read(fs, marker) else None
-    if (committed && recorded.isDefined) {
-      require(recorded.contains(sig.toString),
-        s"index partition $part is committed with different content " +
-          s"(sig ${recorded.get}, incoming $sig): batch id $batchId was " +
-          "recycled by a checkpoint reset — point the stream at a fresh " +
-          "index, or re-key the existing partitions offline")
-    } else if (committed) {
-      // crash window: _SUCCESS landed but the marker didn't; a genuine
-      // replay recomputes the identical sig, so backfill re-arms the
-      // reset guard (same rationale as CorpusIngest.ingestBatch)
-      graft.sources.Markers.write(fs, marker, sig.toString)
+      indexPath: String)(write: (DataFrame, String) => Unit): Unit =
+    BatchCommit.committedWrite(batch.sparkSession,
+      streamPath(indexPath), batchId, batchSig(batch),
+      "point the stream at a fresh index, or re-key the existing " +
+        "partitions offline") { part =>
+      write(batch, part)
     }
-    if (!committed) {
-      write(batch, part.toString)
-      graft.sources.Markers.write(fs, marker, sig.toString)
-    }
-  }
 
   /** Wire the stream: micro-batches of (vec_id, embedding) append to
     * the served index's stream table.
@@ -150,11 +130,28 @@ object VectorIngest {
     Similarity.queryIvfPqIndexPaths(spark, servePaths(spark, indexPath),
       queries, rescoreFrom, k, refine, probes)
 
+  /** The paths the serving joins may read: the base index plus only
+    * the COMMITTED streamed partitions. Committed ⇔ `_SUCCESS` — that
+    * is this file's own commit discipline ([[committedBatchWrite]]),
+    * and reading the whole stream table would break it: a write that
+    * died during job commit can leave data files in an
+    * `ingest_batch=N` dir with no `_SUCCESS`, and serving would
+    * return a partial vector set until the stream happens to replay
+    * that batch.
+    */
   private def servePaths(spark: SparkSession, indexPath: String)
       : Seq[String] = {
     val sp = new org.apache.hadoop.fs.Path(streamPath(indexPath))
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(sp)) Seq(indexPath, streamPath(indexPath))
-    else Seq(indexPath)
+    if (!fs.exists(sp)) Seq(indexPath)
+    else {
+      val committed = fs.listStatus(sp).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("ingest_batch="))
+        .filter(st => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+      indexPath +: committed
+    }
   }
 }

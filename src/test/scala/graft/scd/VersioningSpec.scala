@@ -71,6 +71,25 @@ class VersioningSpec extends SparkSpec {
     assert(out === Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("T9: softDelete coalesces a NULL prior deleted flag — legacy " +
+      "rows (null-filled under mergeSchema) never stay NULL") {
+    // history written before the deleted column existed reads back
+    // with NULL deleted; false || NULL = NULL would silently drop
+    // those rows from any !deleted live-view filter
+    val hist = Seq(
+      (1L, "a", Some(true)),  // already tombstoned
+      (2L, "b", None),        // legacy row: null deleted
+      (3L, "c", Some(false))
+    ).toDF("item_id", "v", "deleted")
+    val out = Versioning.softDelete(hist,
+      Seq(Tuple1(3L)).toDF("item_id"), "item_id")
+    val flags = out.select("item_id", "deleted")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> true),
+      "no NULL flags may survive softDelete")
+  }
+
   test("invariantViolations also flags keys with ZERO current rows " +
       "(the all-demoted failure mode a current=1 pre-filter would hide)") {
     val df = Seq(

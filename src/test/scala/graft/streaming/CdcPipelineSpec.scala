@@ -119,6 +119,13 @@ class CdcPipelineSpec extends SparkSpec {
     assert(CdcPipeline.routeApp(appEv)
       .select("event_id").as[Long].collect().toSeq === Seq(10L))
     assert(CdcPipeline.routeApp(itemEv).isEmpty)
+    // a dead-lettered app event must NOT keep triggering re-crawls on
+    // every replay of its batch — route() declared it dead
+    val deadApp = Seq(
+      ev(13, "2024-01-01 10:00:03", 7, "app.update", "poison",
+        fails = 10)).toDF()
+    assert(CdcPipeline.routeApp(deadApp).isEmpty,
+      "dead-lettered app events may not reach the re-crawl hook")
     // the previous crawl is missing a field the live schema has → the
     // app-event-triggered re-crawl must report it as "added"
     val before = graft.meta.Catalog.fields(spark, dir)

@@ -138,4 +138,30 @@ class MergePruneSpec extends SparkSpec {
       CdcPipeline.mergeBatchPruned(spark, histDir, batch, "item_id", 4)
     }
   }
+
+  test("leftover task files under _temporary do not count as data: " +
+      "the bootstrap branch still fires (crashed first parquet job)") {
+    val histDir = java.nio.file.Files
+      .createTempDirectory("graft_merge_tmpfiles").toString + "/history"
+    val root = new org.apache.hadoop.fs.Path(histDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the stamp landing and the first parquet job dying
+    // mid-task: FileOutputCommitter leaves task files (no underscore
+    // prefix on the LEAF name) under _temporary, which Spark's
+    // FileIndex ignores — so counting them as data would route away
+    // from bootstrap and wedge on 'unable to infer schema'
+    fs.mkdirs(root)
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(root, "_GRAFT_NBUCKETS"), "8")
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      "_temporary/0/task_0000/part-00000.parquet")
+    fs.mkdirs(orphan.getParent)
+    val os = fs.create(orphan)
+    os.write(Array[Byte](1, 2, 3)); os.close()
+    val batch = Seq(ev(1L, "2024-01-01 10:00:00", 42L, "v1")).toDF()
+    val (merged, _) =
+      CdcPipeline.mergeBatchPruned(spark, histDir, batch, "item_id", 8)
+    CdcPipeline.writeMergedBuckets(merged, histDir, 8)
+    assert(spark.read.parquet(histDir).count() === 1)
+  }
 }

@@ -197,4 +197,32 @@ class StreamingAggSpec extends SparkSpec {
     assert(exact.map(x => x._1 -> x._2).toMap === truth)
     assert(exact.forall(_._3 === 0L), "no eviction ⇒ zero err")
   }
+
+  test("sketch shape is stamped with the state: merging with different " +
+      "parameters fails loudly instead of voiding the guarantees") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "b d e f")).toDF("doc_id", "text")
+    val statePath = tmp("graft_shape_tt")
+    StreamingAgg.mergeBatchTopTerms(docs, 0L, statePath, capacity = 4)
+    // a restart that passes a different capacity would re-admit
+    // evicted terms below their floor — must be refused
+    intercept[IllegalArgumentException] {
+      StreamingAgg.mergeBatchTopTerms(docs, 1L, statePath, capacity = 8)
+    }
+    // same shape continues fine
+    StreamingAgg.mergeBatchTopTerms(
+      Seq((3L, "a f g")).toDF("doc_id", "text"), 1L, statePath, 4)
+    // KMV: k is part of the shape for merge AND for read-time
+    // estimates (kth-minimum math against the wrong k is silent)
+    val kmvPath = tmp("graft_shape_kmv")
+    val rows = Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("aud", "u")
+    StreamingAgg.mergeBatchKmv(rows, 0L, kmvPath, "aud", "u", k = 16)
+    intercept[IllegalArgumentException] {
+      StreamingAgg.mergeBatchKmv(rows, 1L, kmvPath, "aud", "u", k = 32)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingAgg.readOverlap(spark, kmvPath, "aud", k = 32)
+    }
+    assert(StreamingAgg.readOverlap(spark, kmvPath, "aud", 16).isDefined)
+  }
 }
