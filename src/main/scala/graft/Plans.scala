@@ -40,7 +40,10 @@ object Plans {
     "q93_triangles", "q79_fuzzy_dedup", "ns39_prefix_join",
     // round-7: the quantized ANN serving path (ADC candidate join +
     // exact re-score) and the cell-pruned semantic dedup pair scan
-    "ns7d_sim_ivfpq", "ns44_semdedup")
+    "ns7d_sim_ivfpq", "ns44_semdedup",
+    // round-8: the broadcast-pruned posting join behind BM25 and the
+    // frontier/anti-join rounds of BFS — both join-strategy-sensitive
+    "ns46_bm25", "q101_reachability")
 
   private def section(sb: StringBuilder, spark: SparkSession,
       dir: String, names: Seq[String], execute: Boolean): Unit =

@@ -23,6 +23,12 @@ object Verify {
     require(args.length == 2,
       s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
     val Array(sfDir, outDir) = args
+    // dev-loop filter: SPARK_GRAFT_ONLY=q1_agg,ns46_bm25 restricts the
+    // dump (and the oracle json) to the named queries — the driver
+    // never sets it, so driver runs always dump the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", "graft-verify",
       uiEnabled = false)
@@ -47,13 +53,16 @@ object Verify {
       System.err.println(s"[verify] pre-clean failed: ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (keep(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

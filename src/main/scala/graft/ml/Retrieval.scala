@@ -1,0 +1,88 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus — the inverted-index
+  * complement of the embedding-space ANN tier in [[Similarity]]
+  * (reference anchor: the filtered item search `get_filtered_items`
+  * at PodioApiWrapper.py:104-167 is the CRM's "find records matching
+  * terms" surface; this is the ranked generalization a training-data /
+  * RAG pipeline needs).
+  *
+  * Scale posture at 100 TB:
+  *  - The term → posting-list join is keyed on the term string; the
+  *    QUERY term set (small by construction — queries are human- or
+  *    template-sized) broadcasts, so the corpus-side posting scan
+  *    prunes map-side before anything shuffles. Candidate volume is
+  *    Σ df(query term), never corpus-sized.
+  *  - Document statistics (tf, dl) are one tokenize + two aggregates —
+  *    map-side combinable, shuffled on (doc, term) / doc hashes. In a
+  *    standing index deployment these materialize once
+  *    ([[graft.sources.Layout]] bucketing by term) and queries reuse
+  *    them; here they derive in-plan so the gate covers the whole
+  *    pipeline.
+  *  - Top-k per query is a window over query_id partitions — thousands
+  *    of queries parallelize across partitions, and no global sort of
+  *    the candidate set ever happens.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query (a bag of terms), the `k`
+    * highest-scoring documents with
+    * score(q,d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard
+    * Robertson/Sparck-Jones form, non-negative for all df.
+    *
+    * `docs` needs (doc_id, text) — whitespace-tokenized, matching the
+    * corpus-wide convention of [[Corpus]]/[[TextAnalysis]]; `queries`
+    * needs (query_id, terms: array&lt;string&gt;). Query terms are
+    * deduplicated (bag-of-unique-terms; standard practice — repeating
+    * a query term does not double its contribution). Scores round to
+    * 6 dp BEFORE ranking on both engine sides, with doc_id as the
+    * total tiebreak, so the cut is cross-engine deterministic. A query
+    * whose terms hit no document is absent from the output.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qterms = queries.select(col("query_id"),
+      explode(col("terms")).as("term")).distinct()
+    // the map-side prune: only postings for query terms survive the
+    // scan (broadcast semi-join), so df and the scoring join are both
+    // bounded by Σ df(query term)
+    val posting = tf.join(
+      broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    // df counts over the WHOLE corpus for those terms (posting keeps
+    // every doc per surviving term); ≤ |distinct query terms| rows
+    val docFreq = posting.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = posting
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(docFreq), Seq("term"))
+      .join(dl.hint("shuffle_hash"), Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))), 6)
+        .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -904,4 +904,35 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
+
+  /** Per-key mean-pooled prototype embeddings (class centroids):
+    * element-wise average of `embedding` over every row sharing
+    * `keyCol` — the Rocchio/prototype step of nearest-centroid
+    * classification, and the pooling step that turns chunk embeddings
+    * into document embeddings. Output (key, n_vecs, centroid:
+    * array&lt;double&gt;), one row per key.
+    *
+    * Shape: posexplode → (key, pos) hash aggregate → re-assemble in
+    * pos order. The exploded stream is dim·N rows of 20-ish bytes with
+    * map-side partial averaging, so the shuffle carries |keys|·dim
+    * partial states — never vectors — and no row ever holds more than
+    * one coordinate until the final |keys|-sized re-assembly. Ragged
+    * inputs fail loudly (coordinate counts per key must agree) rather
+    * than averaging a truncated tail silently.
+    */
+  def centroidsByKey(vecs: DataFrame, keyCol: String): DataFrame = {
+    val byPos = vecs
+      .select(col(keyCol).as("key"), posexplode(col("embedding")))
+      .groupBy(col("key"), col("pos"))
+      .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+    byPos.groupBy(col("key"))
+      .agg(min(col("n")).as("_nmin"), max(col("n")).as("_nmax"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      .select(col("key"),
+        when(col("_nmin") === col("_nmax"), col("_nmax"))
+          .otherwise(raise_error(concat(lit("ragged embeddings under key "),
+            col("key").cast("string")))).as("n_vecs"),
+        col("centroid"))
+  }
 }

@@ -52,6 +52,79 @@ object Graph {
       .distinct()
   }
 
+  /** [[coOccurrenceEdges]] thresholded on co-occurrence support: keep
+    * an edge only if the pair shares at least `minSupport` bags. The
+    * threshold is evaluated on the pair aggregate BEFORE any
+    * downstream traversal, so dense accidental-co-occurrence cliques
+    * (every pair sharing one order) never reach the algorithms that
+    * walk the graph — at 100 TB this is what keeps frontier expansion
+    * proportional to the *signal* graph, not the noise one.
+    */
+  def coOccurrenceEdgesMinSupport(bags: DataFrame, bagCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
+    val bi = bags.select(col(bagCol).as("_bag"), col(itemCol).as("_item"))
+      .distinct()
+    bi.select(col("_bag"), col("_item").as("p1"))
+      .join(bi.select(col("_bag"), col("_item").as("p2")), Seq("_bag"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("_sup"))
+      .filter(col("_sup") >= minSupport)
+      .select(col("p1"), col("p2"))
+  }
+
+  /** Multi-source BFS: minimum hop count from any seed to every
+    * reachable node within `maxDepth` hops, over an undirected
+    * `(p1, p2)` edge list. Output `(node, hops)`, seeds at hops = 0;
+    * unreachable (or beyond-depth) nodes are absent. Seeds need not
+    * touch any edge — an isolated seed still reports hops = 0.
+    *
+    * Classic frontier expansion: each round joins the CURRENT frontier
+    * (not the visited set) against the edge list, then anti-joins the
+    * visited set so a node is expanded exactly once — total join work
+    * is Σ|frontier_d|·avg-degree ≤ |E| per direction regardless of
+    * depth, never depth·|E|. Per-round state is (node, hops) pairs —
+    * 12 bytes a node, shuffled on node id; both frontier and visited
+    * are checkpointed each round so round k's plan never re-derives
+    * rounds 1..k-1 (the same lineage-cut discipline as [[pageRank]],
+    * incl. the `reliable` fault-tolerant knob). `maxDepth` is a
+    * compile-time constant, so plan depth is fixed and the semantics
+    * stay ANSI-restatable as an unrolled CTE chain (the q101 oracle).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val sc = edges.sparkSession.sparkContext
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      "reliable=true needs sc.setCheckpointDir(...) before the loop")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val directed = cut(edges
+      .select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+    var visited = cut(seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)))
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth) {
+      d += 1
+      // shuffle_hash on the state sides for the same reason as
+      // pageRank: the checkpointed edge list defeats size estimation,
+      // and sorting 2|E| rows per round for a sort-merge join is pure
+      // waste when the build side is the O(|V|)-bounded frontier.
+      val next = cut(directed
+        .join(frontier.select(col("node").as("src")).hint("shuffle_hash"),
+          Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .withColumn("hops", lit(d)))
+      visited = cut(visited.unionAll(next))
+      frontier = next
+    }
+    visited
+  }
+
   /** Per-node degree of an undirected `(p1, p2)` edge list. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("p1").as("node"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Bpe, Corpus, Dedup, Multimodal, SetSimJoin, Similarity, TextAnalysis}
+import graft.ml.{Bpe, Corpus, Dedup, Multimodal, Retrieval, SetSimJoin, Similarity, TextAnalysis}
 
 /** North-star query registry: dedup, similarity search, text analysis,
   * multimodal plumbing over `documents` / `embeddings` (builder prompt +
@@ -1611,6 +1611,89 @@ object MlQueries {
        |FROM cum GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
   }
 
+  // --------------------------------------- ns46 BM25 lexical retrieval
+
+  /** Okapi BM25 top-5 retrieval ([[graft.ml.Retrieval.bm25TopK]]):
+    * every 50th document becomes a query (its first four words,
+    * deduplicated), run against the whole corpus — the inverted-index
+    * lexical tier next to the embedding-space ANN family. The oracle
+    * restates the full pipeline (tokenize → tf/dl/df → the BM25
+    * closed form → rank) with scores rounded to 6 dp BEFORE ranking on
+    * both sides, so the top-k cut itself is hash-gated, not just the
+    * score arithmetic.
+    */
+  val ns46Bm25: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.bm25TopK(docs, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ns46Bm25Sql: String =
+    """WITH qd AS (
+      |  SELECT DISTINCT doc_id AS query_id, unnest(list_slice(
+      |    string_split(text, ' '), 1, 4)) AS term
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf
+      |  FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+      |), dfq AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1
+      |), sc AS (
+      |  SELECT query_id, tf.doc_id,
+      |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+      |      AS score
+      |  FROM qd JOIN tf USING (term) JOIN dfq USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |  GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT query_id, doc_id, score, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id)::INT
+      |    AS rank
+      |  FROM sc
+      |)
+      |SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------- ns47 prototype (centroid) embeddings
+
+  /** Per-label mean-pooled prototype embeddings
+    * ([[Similarity.centroidsByKey]]) — the Rocchio/class-prototype
+    * step, gated in long form (label, pos, mean_x, n_vecs): one row
+    * per coordinate, because the driver's type-sensitive hash compare
+    * reds on arrow list-element NAMES (ns45's scalar-columns note),
+    * and 10 labels × 64 dims in long form gates every coordinate the
+    * array API returns. The engine side goes through the REAL array
+    * API and unpivots with posexplode, so the gate covers
+    * centroidsByKey itself, not a parallel reimplementation.
+    */
+  val ns47Centroids: Q = (s, dir) =>
+    Similarity.centroidsByKey(
+        Tables.embeddings(s, dir).withColumnRenamed("label", "key"), "key")
+      .select(col("key").as("label"), col("n_vecs"),
+        posexplode(col("centroid")))
+      .select(col("label"), col("pos"),
+        round(col("col"), 6).as("mean_x"), col("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  val ns47CentroidsSql: String =
+    """SELECT label, (i - 1)::INT AS pos,
+      |  round(avg(embedding[i]::DOUBLE), 6) AS mean_x,
+      |  count(*)::BIGINT AS n_vecs
+      |FROM embeddings, generate_series(1, 64) AS gs(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -1670,6 +1753,8 @@ object MlQueries {
     "ns43_collocations" -> ns43Collocations,
     "ns44_semdedup" -> ns44SemDedup,
     "ns45_random_projection" -> ns45RandomProjection,
+    "ns46_bm25" -> ns46Bm25,
+    "ns47_centroids" -> ns47Centroids,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1717,5 +1802,7 @@ object MlQueries {
     "ns43_collocations" -> ns43CollocationsSql,
     "ns44_semdedup" -> ns44SemDedupSql,
     "ns45_random_projection" -> ns45RandomProjectionSql,
+    "ns46_bm25" -> ns46Bm25Sql,
+    "ns47_centroids" -> ns47CentroidsSql,
   )
 }

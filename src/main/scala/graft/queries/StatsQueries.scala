@@ -698,6 +698,171 @@ object StatsQueries {
           .as("label")),
       "label", Seq("o_totalprice"))
 
+  // -------------------- q100 Kolmogorov–Smirnov two-sample drift test
+
+  /** Exact two-sample KS: D = sup over x of |F_a(x) − F_b(x)| between
+    * the ECDFs of `v` where `ia` is true vs false. Input needs columns
+    * (v: double, ia: boolean). Output is one row: n_a, n_b, d_stat,
+    * ks_scaled = D·sqrt(n_a·n_b/(n_a+n_b)), and the asymptotic
+    * two-sided p ≈ min(1, 2·exp(−2·ks_scaled²)) — PSI's (q85)
+    * distribution-free exact sibling for drift detection.
+    *
+    * The sup over a total order is the house global-order problem
+    * (SURVEY §9): naively one cumulative window over every distinct
+    * value — a single task sorting the domain. Decomposition: distinct
+    * values aggregate first (per-value n_a/n_b), quantize into 1024
+    * fixed-width buckets off a broadcast (min, max) row, a 1024-row
+    * histogram window yields each bucket's starting cumulative counts,
+    * and the per-value cumulative sums run only WITHIN buckets —
+    * thousands-way parallel, bit-identical to the naive window (the
+    * oracle states the naive form). The bucket ids never surface, so
+    * float boundary placement cannot affect the result. Division of
+    * exact integer cumulative counts is IEEE-identical on both
+    * engines; only exp carries a ulp, absorbed by the 6 dp round.
+    * An empty side leaves the statistic undefined and surfaces as the
+    * IEEE NaN (0/0 on the empty group's ECDF), never a wrong number.
+    */
+  def ksTwoSample(xs: DataFrame): DataFrame = {
+    val nBuckets = 1024
+    val pv = xs.groupBy(col("v")).agg(
+      sum(when(col("ia"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("ia"), 1L).otherwise(0L)).as("nb"))
+    val bounds = pv.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // degenerate single-value domains collapse into bucket 0 via the
+    // width floor (no divide-by-zero, result unaffected)
+    val width = greatest((col("mx") - col("mn")) / lit(nBuckets.toDouble),
+      lit(java.lang.Double.MIN_NORMAL))
+    val bucketed = pv.crossJoin(broadcast(bounds))
+      .withColumn("_bkt", least(
+        floor((col("v") - col("mn")) / width).cast("long"),
+        lit(nBuckets - 1L)))
+      .drop("mn", "mx")
+    val wOff = Window.orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤1024 rows: the no-partition window is constant-size (ns33's
+    // histogram precedent), never data-sized
+    val offsets = bucketed.groupBy(col("_bkt"))
+      .agg(sum(col("na")).as("_ba"), sum(col("nb")).as("_bb"))
+      .select(col("_bkt"),
+        coalesce(sum(col("_ba")).over(wOff), lit(0L)).as("_offa"),
+        coalesce(sum(col("_bb")).over(wOff), lit(0L)).as("_offb"))
+    val tot = pv.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    val wCum = Window.partitionBy(col("_bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scaled = bucketed.join(broadcast(offsets), Seq("_bkt"))
+      .select(col("v"),
+        (sum(col("na")).over(wCum) + col("_offa")).as("ca"),
+        (sum(col("nb")).over(wCum) + col("_offb")).as("cb"))
+      .crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("ca") / col("n_a").cast("double") -
+          col("cb") / col("n_b").cast("double"))).as("d"))
+    scaled.select(col("n_a"), col("n_b"),
+        round(col("d"), 6).as("d_stat"),
+        round(col("d") * sqrt(col("n_a") * col("n_b") /
+          (col("n_a") + col("n_b")).cast("double")), 6).as("ks_scaled"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) *
+          pow(col("d") * sqrt(col("n_a") * col("n_b") /
+            (col("n_a") + col("n_b")).cast("double")), 2))), 6)
+          .as("p_approx"))
+  }
+
+  /** Order-value distribution drift between the BUILDING and MACHINERY
+    * market segments (exact KS over o_totalprice). */
+  val q100KsDrift: Q = (s, dir) =>
+    ksTwoSample(Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("o_totalprice").as("v"),
+        (col("c_mktsegment") === "BUILDING").as("ia")))
+
+  val q100KsDriftSql: String =
+    """WITH xs AS (
+      |  SELECT o_totalprice AS v, (c_mktsegment = 'BUILDING') AS ia
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |), pv AS (
+      |  SELECT v,
+      |    sum(CASE WHEN ia THEN 1 ELSE 0 END)::BIGINT AS na,
+      |    sum(CASE WHEN NOT ia THEN 1 ELSE 0 END)::BIGINT AS nb
+      |  FROM xs GROUP BY 1
+      |), cum AS (
+      |  SELECT
+      |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS ca,
+      |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cb
+      |  FROM pv
+      |), tot AS (
+      |  SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM pv
+      |), d AS (
+      |  SELECT n_a, n_b,
+      |    max(abs(ca / CAST(n_a AS DOUBLE) - cb / CAST(n_b AS DOUBLE)))
+      |      AS dd
+      |  FROM cum CROSS JOIN tot GROUP BY 1, 2
+      |)
+      |SELECT n_a, n_b, round(dd, 6) AS d_stat,
+      |  round(dd * sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE)), 6)
+      |    AS ks_scaled,
+      |  round(least(1.0, 2.0 * exp(-2.0 * pow(dd * sqrt(n_a * n_b /
+      |    CAST(n_a + n_b AS DOUBLE)), 2))), 6) AS p_approx
+      |FROM d""".stripMargin
+
+  // --------------------------- q101 multi-source BFS / reachability
+
+  /** Minimum co-purchase distance from "anchor" parts (every 500th
+    * part key) to every part reachable within 4 hops over the STRONG
+    * co-purchase graph — edges kept only when the pair shares ≥ 2
+    * orders ([[Graph.coOccurrenceEdgesMinSupport]]), which turns the
+    * dense accidental-co-occurrence clique soup into a sparse signal
+    * graph where hop distance means something. The oracle unrolls the
+    * same 4 frontier expansions as chained CTEs and takes min(depth)
+    * per node — fixed depth is what keeps BFS ANSI-restatable.
+    */
+  val q101Reachability: Q = (s, dir) => {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val strong = Graph.coOccurrenceEdgesMinSupport(op, "ok", "pk",
+      minSupport = 2L)
+    val seeds = op.select(col("pk").as("node")).distinct()
+      .filter(col("node") % 500 === 0)
+    Graph.bfsHops(strong, seeds, maxDepth = 4)
+      .withColumnRenamed("node", "part_key")
+      .orderBy(col("part_key"))
+  }
+
+  val q101ReachabilitySql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), e0 AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), edges AS (
+      |  SELECT p1 AS s, p2 AS t FROM e0
+      |  UNION ALL SELECT p2, p1 FROM e0
+      |), f0 AS (
+      |  SELECT DISTINCT pk AS node, 0 AS d FROM op WHERE pk % 500 = 0
+      |), f1 AS (
+      |  SELECT DISTINCT t AS node, 1 AS d
+      |  FROM f0 JOIN edges ON s = f0.node
+      |), f2 AS (
+      |  SELECT DISTINCT t AS node, 2 AS d
+      |  FROM f1 JOIN edges ON s = f1.node
+      |), f3 AS (
+      |  SELECT DISTINCT t AS node, 3 AS d
+      |  FROM f2 JOIN edges ON s = f2.node
+      |), f4 AS (
+      |  SELECT DISTINCT t AS node, 4 AS d
+      |  FROM f3 JOIN edges ON s = f3.node
+      |), allf AS (
+      |  SELECT * FROM f0 UNION ALL SELECT * FROM f1
+      |  UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+      |  UNION ALL SELECT * FROM f4
+      |)
+      |SELECT node AS part_key, min(d)::INT AS hops
+      |FROM allf GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q89_regression" -> q89Regression,
     "q90_auc" -> q90Auc,
@@ -710,6 +875,8 @@ object StatsQueries {
     "q97_transitions" -> q97Transitions,
     "q98_calibration" -> q98Calibration,
     "q99_logit" -> q99Logit,
+    "q100_ks_drift" -> q100KsDrift,
+    "q101_reachability" -> q101Reachability,
   )
 
   def oracles: Map[String, String] = Map(
@@ -723,5 +890,7 @@ object StatsQueries {
     "q96_kmv_overlap" -> q96KmvOverlapSql,
     "q97_transitions" -> q97TransitionsSql,
     "q98_calibration" -> q98CalibrationSql,
+    "q100_ks_drift" -> q100KsDriftSql,
+    "q101_reachability" -> q101ReachabilitySql,
   )
 }

@@ -1198,4 +1198,28 @@ class MlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(fromSigs.nonEmpty && fromSigs === fromDocs)
   }
+
+  test("centroidsByKey: exact element-wise means in coordinate order, " +
+      "singleton passthrough, ragged input fails loudly") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("a", Seq(1.0f, 2.0f, 30.0f)),
+      ("a", Seq(3.0f, 6.0f, 10.0f)),
+      ("b", Seq(5.0f, 5.0f, 5.0f))).toDF("key", "embedding")
+    val got = Similarity.centroidsByKey(vecs, "key")
+      .orderBy("key")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Double](2).toSeq)).toSeq
+    // exact in doubles: the inputs are small integers
+    assert(got === Seq(("a", 2L, Seq(2.0, 4.0, 20.0)),
+      ("b", 1L, Seq(5.0, 5.0, 5.0))))
+    // a key whose rows disagree on dimension must throw, not silently
+    // average a truncated tail
+    val ragged = Seq(("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f)))
+      .toDF("key", "embedding")
+    val e = intercept[Exception] {
+      Similarity.centroidsByKey(ragged, "key").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

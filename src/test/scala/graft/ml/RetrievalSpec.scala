@@ -1,0 +1,102 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval against an independent in-driver reimplementation on
+  * a tiny corpus (the same naive-equality discipline as BpeSpec /
+  * ChunkSampleSpec: the distributed plan must equal the obvious
+  * sequential computation exactly, after the shared 6-dp round).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "red fox jumps over the lazy dog"),
+    (2L, "red red wine stays red"),
+    (3L, "the quick brown fox"),
+    (4L, "lazy sunday morning"),
+    (5L, "dog eats dog in a dog world"))
+
+  /** Sequential BM25 over the same corpus: tf per doc, df over all
+    * docs, ln(1 + (N−df+.5)/(df+.5)) idf — mirrors the operator's
+    * documented formula, written against plain Scala collections.
+    */
+  private def naive(queries: Map[Long, Seq[String]], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): Seq[(Long, Int, Long, Double)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    queries.toSeq.flatMap { case (qid, terms) =>
+      val scored = toks.toSeq.flatMap { case (did, ws) =>
+        val s = terms.distinct.flatMap { t =>
+          val tf = ws.count(_ == t)
+          if (tf == 0 || !df.contains(t)) None
+          else {
+            val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+            Some(idf * tf * (k1 + 1) /
+              (tf + k1 * (1 - b + b * ws.size / avgdl)))
+          }
+        }.sum
+        if (s == 0.0) None
+        else Some((did, BigDecimal(s).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      scored.sortBy { case (did, s) => (-s, did) }.take(k).zipWithIndex
+        .map { case ((did, s), i) => (qid, i + 1, did, s) }
+    }.sortBy { case (q, r, _, _) => (q, r) }
+  }
+
+  private def run(queries: Map[Long, Seq[String]], k: Int) = {
+    val docs = corpus.toDF("doc_id", "text")
+    val qdf = queries.toSeq.map { case (q, ts) => (q, ts) }
+      .toDF("query_id", "terms")
+    Retrieval.bm25TopK(docs, qdf, k)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+  }
+
+  test("bm25TopK equals the sequential computation, ranks the " +
+      "rare-term doc first, and cuts at k") {
+    val queries = Map(10L -> Seq("red", "fox"), 20L -> Seq("dog"))
+    assert(run(queries, 3) === naive(queries, 3))
+    // 'wine' appears only in doc 2 → doc 2 must top a wine query
+    val wine = run(Map(30L -> Seq("wine", "the")), 5)
+    assert(wine.head._3 === 2L)
+    // k=1 keeps exactly one row per query
+    assert(run(queries, 1).map(_._1).distinct.size ===
+      run(queries, 1).size)
+  }
+
+  test("query terms are deduplicated (bag-of-unique-terms), unknown " +
+      "terms drop out, and an all-unknown query is absent") {
+    // repeating 'dog' must not change any score
+    val once = run(Map(1L -> Seq("dog")), 5)
+    val twice = run(Map(1L -> Seq("dog", "dog")), 5)
+    assert(once === twice)
+    // a term absent from the corpus contributes nothing
+    assert(run(Map(1L -> Seq("dog", "zzz")), 5) === once)
+    // a query with no matching term produces no rows at all
+    assert(run(Map(1L -> Seq("zzz")), 5).isEmpty)
+  }
+
+  test("tf saturation: higher raw tf scores higher but sub-linearly " +
+      "(the k1 damping), and doc_id breaks exact ties") {
+    // 'dog' tf: doc1=1 (len 7), doc5=3 (len 7) → doc5 first, but its
+    // score is far below 3× doc1's
+    val r = run(Map(1L -> Seq("dog")), 5)
+    val byDoc = r.map(x => x._3 -> x._4).toMap
+    assert(r.head._3 === 5L)
+    assert(byDoc(5L) > byDoc(1L) && byDoc(5L) < 3 * byDoc(1L))
+    // symmetric docs tie on score → doc_id ascending decides the rank
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val q = Seq((1L, Seq("alpha"))).toDF("query_id", "terms")
+    val tie = Retrieval.bm25TopK(docs, q, 2)
+      .orderBy(col("rank")).as[(Long, Int, Long, Double)].collect()
+    assert(tie.map(_._3).toSeq === Seq(1L, 2L))
+    assert(tie(0)._4 === tie(1)._4)
+  }
+}

@@ -107,4 +107,57 @@ class GraphSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("coOccurrenceEdgesMinSupport keeps only pairs sharing enough bags") {
+    // pair (1,2) in bags 1,2 (support 2); (1,3) only in bag 1; (2,3)
+    // only in bag 1 → threshold 2 keeps exactly (1,2)
+    val bags = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 4L)).toDF("bag", "item")
+    val strong = Graph.coOccurrenceEdgesMinSupport(bags, "bag", "item", 2L)
+      .as[(Long, Long)].collect().sorted
+    assert(strong.toSeq === Seq((1L, 2L)))
+    // threshold 1 degenerates to the plain co-occurrence edge set
+    val all = Graph.coOccurrenceEdgesMinSupport(bags, "bag", "item", 1L)
+      .as[(Long, Long)].collect().sorted
+    val plain = Graph.coOccurrenceEdges(bags, "bag", "item")
+      .as[(Long, Long)].collect().sorted
+    assert(all.toSeq === plain.toSeq)
+  }
+
+  test("bfsHops on a path graph labels exact hop distances and " +
+      "respects maxDepth") {
+    // path 1-2-3-4-5, seed {1}: hops 0,1,2,3,4 — with maxDepth 3 node
+    // 5 must be absent, everything else exact
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxDepth = 3)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("bfsHops takes the MINIMUM hop count over multiple seeds and " +
+      "keeps isolated seeds at hops 0") {
+    // path 1-2-3-4-5 with seeds {1, 5}: node 3 is 2 hops from either
+    // end; node 9 is an isolated seed (touches no edge) → hops 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("p1", "p2")
+    val seeds = Seq(1L, 5L, 9L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxDepth = 4)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 0),
+      (9L, 0)))
+  }
+
+  test("bfsHops never revisits: cycle distances are shortest-path, " +
+      "and unreachable components are absent") {
+    // 6-cycle seeded at 1 → max hop 3 (opposite node); separate
+    // component {7,8} unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 6L), (7L, 8L)).toDF("p1", "p2")
+    val got = Graph.bfsHops(edges, Seq(1L).toDF("node"), maxDepth = 10)
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 2),
+      (6L, 1)))
+  }
 }

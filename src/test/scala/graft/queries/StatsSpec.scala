@@ -137,4 +137,61 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(0) === 3.0 && r.getDouble(1) === 7.0 &&
       r.getDouble(2) === 1.0)
   }
+
+  private def ks(rows: Seq[(Double, Boolean)]) =
+    StatsQueries.ksTwoSample(rows.toDF("v", "ia")).head()
+
+  test("KS is 0 for identical samples and 1 for disjoint ranges") {
+    val same = ks(Seq(1.0, 2.0, 3.0).flatMap(v =>
+      Seq((v, true), (v, false))))
+    assert(same.getAs[Double]("d_stat") === 0.0)
+    assert(same.getAs[Double]("p_approx") === 1.0)
+    // every a-value below every b-value → the ECDFs separate fully
+    val disjoint = ks(Seq((1.0, true), (2.0, true), (10.0, false),
+      (11.0, false)))
+    assert(disjoint.getAs[Double]("d_stat") === 1.0)
+    assert(disjoint.getAs[Long]("n_a") === 2L)
+    assert(disjoint.getAs[Long]("n_b") === 2L)
+  }
+
+  test("KS matches a hand-computed mixed case (unequal sizes, ties " +
+      "across groups)") {
+    // a = {1, 2, 3}; b = {2, 4}. ECDF steps at v=1: |1/3−0|=1/3;
+    // v=2: |2/3−1/2|=1/6; v=3: |1−1/2|=1/2 (the sup); v=4: |1−1|=0.
+    val r = ks(Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (4.0, false)))
+    assert(r.getAs[Double]("d_stat") === 0.5)
+    val scaled = 0.5 * math.sqrt(3.0 * 2.0 / 5.0)
+    assert(math.abs(r.getAs[Double]("ks_scaled") - scaled) < 5e-7)
+    val p = math.min(1.0, 2.0 * math.exp(-2.0 * scaled * scaled))
+    assert(math.abs(r.getAs[Double]("p_approx") - p) < 5e-7)
+  }
+
+  test("KS bucket decomposition equals the naive single-window form " +
+      "on a pseudo-random sample, and survives a single-value domain") {
+    // deterministic values via a hash mix — no Random (replay-safe)
+    val rows = (1 to 400).map { i =>
+      val v = ((i * 2654435761L) % 1000).toDouble / 10.0
+      (v, i % 3 == 0)
+    }
+    val got = ks(rows)
+    // naive: one cumulative window over distinct values
+    val pv = rows.toDF("v", "ia").groupBy(col("v"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("ia"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pv.agg(sum("na"), sum("nb")).as[(Long, Long)].head()
+    val naive = pv
+      .select((sum(col("na")).over(w) / lit(tot._1.toDouble) -
+        sum(col("nb")).over(w) / lit(tot._2.toDouble)).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(got.getAs[Double]("d_stat") ===
+      BigDecimal(naive).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // degenerate domain (every value identical): width floor guards
+    // the bucket divisor; D must be exactly 0
+    val flat = ks(Seq((5.0, true), (5.0, false), (5.0, true)))
+    assert(flat.getAs[Double]("d_stat") === 0.0)
+  }
 }
