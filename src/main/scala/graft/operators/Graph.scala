@@ -102,27 +102,30 @@ object Graph {
     val directed = cut(edges
       .select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst"))))
-    var visited = cut(seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0)))
-    var frontier = visited
+    var frontiers = List(cut(seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0))))
     var d = 0
     while (d < maxDepth) {
       d += 1
+      // visited = union of the already-checkpointed frontiers: each
+      // union leg re-reads materialized blocks, so NOT re-checkpointing
+      // the growing visited set every round saves O(|V|·depth) write
+      // work — only each (smaller) frontier is ever materialized once
+      val visited = frontiers.map(_.select(col("node")))
+        .reduce(_.unionAll(_))
       // shuffle_hash on the state sides for the same reason as
       // pageRank: the checkpointed edge list defeats size estimation,
       // and sorting 2|E| rows per round for a sort-merge join is pure
       // waste when the build side is the O(|V|)-bounded frontier.
       val next = cut(directed
-        .join(frontier.select(col("node").as("src")).hint("shuffle_hash"),
-          Seq("src"))
+        .join(frontiers.head.select(col("node").as("src"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")).hint("shuffle_hash"),
-          Seq("node"), "left_anti")
+        .join(visited.hint("shuffle_hash"), Seq("node"), "left_anti")
         .withColumn("hops", lit(d)))
-      visited = cut(visited.unionAll(next))
-      frontier = next
+      frontiers ::= next
     }
-    visited
+    frontiers.reverse.reduce(_.unionAll(_))
   }
 
   /** Per-node degree of an undirected `(p1, p2)` edge list. */
