@@ -142,4 +142,50 @@ object Classify {
         round(col("log_loss"), 6).as("log_loss") :+
         round(col("accuracy"), 6).as("accuracy")): _*)
   }
+
+  /** Nearest-centroid (Rocchio) classification over embeddings: fit =
+    * per-label mean-pooled prototypes ([[Similarity.centroidsByKey]]
+    * on the train split), predict = cosine argmax of each test vector
+    * against the |labels|-row broadcast prototype frame. Inputs need
+    * (vec_id, embedding, label); output is one row per test vector:
+    * (vec_id, true_label, pred_label, cos).
+    *
+    * Shape at 100 TB: train collapses to |labels|·dim partial averages
+    * (the centroidsByKey shuffle), the prototype frame is model-sized
+    * and broadcasts, and predict is a map-only codegen-dot pass over
+    * the test vectors — no test-side shuffle at all until a consumer
+    * aggregates. Cosines round to 6 dp BEFORE the argmax and ties
+    * break on label, so the winner is cross-engine deterministic (the
+    * naiveBayes argmax discipline). Degenerate vectors (zero/NaN/Inf
+    * norm) are excluded on BOTH sides: a broken embedding must not
+    * poison a prototype or rank first via NaN ordering.
+    */
+  def nearestCentroid(train: DataFrame, test: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(train.sparkSession)
+    def finite(df: DataFrame): DataFrame = {
+      val nrm = sqrt(graft.functions.VectorFunctions.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")))
+      df.withColumn("_nrm", nrm)
+        .filter(col("_nrm") > 0 && !isnan(col("_nrm")) &&
+          col("_nrm") < lit(Double.PositiveInfinity))
+    }
+    val cents = Similarity.centroidsByKey(
+        finite(train).drop("_nrm"), "label")
+      .select(col("key"), col("centroid"),
+        sqrt(graft.functions.VectorFunctions.dot(col("centroid"), col("centroid")))
+          .as("cnorm"))
+    val te = finite(test).select(col("vec_id"),
+      col("label").as("true_label"),
+      col("embedding").cast("array<double>").as("e"), col("_nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("key"))
+    te.crossJoin(broadcast(cents))
+      .withColumn("cos", round(graft.functions.VectorFunctions.dot(col("e"), col("centroid"))
+        / (col("_nrm") * col("cnorm")), 6))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("true_label"),
+        col("key").as("pred_label"), col("cos"))
+  }
 }

@@ -1694,6 +1694,59 @@ object MlQueries {
       |FROM embeddings, generate_series(1, 64) AS gs(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------- ns48 nearest-centroid (Rocchio) classifier
+
+  /** Nearest-centroid classification on a vec_id % 5 holdout
+    * ([[graft.ml.Classify.nearestCentroid]]): ns47's prototypes put to
+    * work — fit on the train split, cosine-argmax each held-out vector,
+    * gate the confusion matrix (true_label, pred_label, n, avg_cos).
+    * The oracle recomputes the centroids coordinate-wise, the cosines
+    * with sequential list kernels, and the same rounded-argmax with
+    * label tiebreak, so the whole fit→predict→evaluate pipeline is
+    * hash-gated. Degenerate (zero/NaN-norm) vectors are excluded on
+    * both sides — the ns6/ns7 guard.
+    */
+  val ns48Rocchio: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    graft.ml.Classify.nearestCentroid(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 6).as("avg_cos"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  val ns48RocchioSql: String =
+    """WITH nz AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE list_sum([x * x FOR x IN embedding::DOUBLE[]]) > 0
+      |    AND isfinite(list_sum([x * x FOR x IN embedding::DOUBLE[]]))
+      |), tr AS (
+      |  SELECT * FROM nz WHERE vec_id % 5 <> 0
+      |), te AS (
+      |  SELECT * FROM nz WHERE vec_id % 5 = 0
+      |), m AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+      |  FROM tr, generate_series(1, 64) AS gs(i) GROUP BY 1, 2
+      |), c AS (
+      |  SELECT label AS cand, list(m ORDER BY i) AS cent FROM m
+      |  GROUP BY 1
+      |), sc AS (
+      |  SELECT te.vec_id, te.label AS true_label, c.cand,
+      |    round(list_dot_product(te.embedding::DOUBLE[], c.cent) /
+      |      (sqrt(list_dot_product(te.embedding::DOUBLE[],
+      |        te.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(c.cent, c.cent))), 6) AS cos
+      |  FROM te CROSS JOIN c
+      |), pk AS (
+      |  SELECT true_label, cand AS pred_label, cos, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos DESC, cand) AS rk
+      |  FROM sc
+      |)
+      |SELECT true_label, pred_label, count(*)::BIGINT AS n,
+      |  round(avg(cos), 6) AS avg_cos
+      |FROM pk WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -1755,6 +1808,7 @@ object MlQueries {
     "ns45_random_projection" -> ns45RandomProjection,
     "ns46_bm25" -> ns46Bm25,
     "ns47_centroids" -> ns47Centroids,
+    "ns48_rocchio" -> ns48Rocchio,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1804,5 +1858,6 @@ object MlQueries {
     "ns45_random_projection" -> ns45RandomProjectionSql,
     "ns46_bm25" -> ns46Bm25Sql,
     "ns47_centroids" -> ns47CentroidsSql,
+    "ns48_rocchio" -> ns48RocchioSql,
   )
 }

@@ -112,4 +112,50 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(got.getDouble(1) - math.log(3.0)) < 0.3)
     assert(got.getDouble(4) === 0.75)
   }
+
+  test("nearestCentroid classifies planted clusters, excludes " +
+      "degenerate vectors from fit and predict, and matches a " +
+      "hand-computed cosine") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(0.0f, 0.0f), 1) // zero norm: must not dilute label 1
+    ).toDF("vec_id", "embedding", "label")
+    val test_ = Seq(
+      (10L, Seq(0.8f, 0.2f), 0),
+      (11L, Seq(0.2f, 0.8f), 1),
+      (12L, Seq(Float.NaN, 1.0f), 0) // NaN norm: absent from output
+    ).toDF("vec_id", "embedding", "label")
+    val got = Classify.nearestCentroid(train, test_)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(x => (x._1, x._3)) === Seq((10L, 0), (11L, 1)))
+    // hand cosine of vec 11 against the label-1 centroid — which is
+    // the mean of (0,1) and (0.1,0.9) ONLY (the zero vector excluded):
+    // (0.05, 0.95). The float inputs are exact in binary? 0.1f/0.9f
+    // are not — recompute through the same float->double path.
+    val c = Array((0.0f.toDouble + 0.1f.toDouble) / 2,
+      (1.0f.toDouble + 0.9f.toDouble) / 2)
+    val e = Array(0.2f.toDouble, 0.8f.toDouble)
+    val cos = (e(0) * c(0) + e(1) * c(1)) /
+      (math.sqrt(e(0) * e(0) + e(1) * e(1)) *
+        math.sqrt(c(0) * c(0) + c(1) * c(1)))
+    val expect = BigDecimal(cos).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.find(_._1 == 11L).get._4 === expect)
+  }
+
+  test("nearestCentroid breaks exact cosine ties on the smaller label") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f), 7),
+      (2L, Seq(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+    val test_ = Seq((9L, Seq(1.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val got = Classify.nearestCentroid(train, test_).head()
+    // cos = 1/sqrt(2) against BOTH prototypes -> label 3 wins the tie
+    assert(got.getInt(2) === 3)
+  }
 }
