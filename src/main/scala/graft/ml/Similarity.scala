@@ -905,6 +905,97 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Top principal component of the (mean-centered) embedding cloud by
+    * distributed power iteration — the PCA step an embedding pipeline
+    * runs before whitening, compression, or projection-based dedup.
+    * Output is ONE row: the unit component as p00..p{dim-1} (6 dp,
+    * sign-fixed so the largest-magnitude coordinate is positive),
+    * `eigenvalue` (the Rayleigh quotient v·Av = Var(c·v)), `n_vecs`,
+    * and `rel_residual` = ‖Av − λv‖/λ — in-result convergence
+    * evidence, the ANN entries' recall-column discipline.
+    *
+    * Iteration shape is the [[Classify.logisticRegression]] template:
+    * each step is ONE aggregate pass with the current vector inlined
+    * as a plan literal (v′_i = E[c_i·(c·v)], then a driver-side
+    * normalize of the dim-sized row), so the plan never grows and only
+    * dim doubles reach the driver per step. The covariance matrix is
+    * NEVER materialized — at dim = 4096 that's the difference between
+    * shipping 32 KB per step and 128 MB ever. The per-row work is two
+    * codegen dots over a centered array built once per row
+    * (whole-stage CSE dedups the shared subexpressions). Data is
+    * rescanned per step — cache upstream for a real run (the GD note).
+    * Degenerate (zero/NaN/Inf-norm) vectors are excluded: one NaN
+    * coordinate would poison every mean.
+    */
+  def pcaTopComponent(embeddings: DataFrame, dim: Int, iters: Int = 10)
+      : DataFrame = {
+    require(dim >= 1 && iters >= 1, "need dim >= 1 and iters >= 1")
+    val spark = embeddings.sparkSession
+    val e = withNorm(embeddings)
+      .select(col("e"), size(col("e")).as("_sz"))
+      // a wrong-dim vector would surface as NULL coordinates and
+      // silently NaN the fit — fail with the observed size instead
+      .select(col("e"),
+        when(col("_sz") === dim, col("e"))
+          .otherwise(raise_error(concat(
+            lit(s"pcaTopComponent: expected dim $dim, found "),
+            col("_sz").cast("string")))).as("_ck"))
+      .select(col("_ck").as("e"))
+    val idx = 0 until dim
+    // every driver round-trip is a posexplode → groupBy(pos) pass: the
+    // plan is dim-independent and literal-light, so whole-stage
+    // codegen compiles a SMALL kernel once per step (a dim-wide
+    // one-aggregate-per-coordinate formulation measured 4s/step at
+    // sf0.1 — nearly all Janino compilation of the 64-aggregate
+    // operator, recompiled every step because the inlined literals
+    // change). The exploded stream is dim·N rows of ~20 bytes with
+    // map-side partial averaging — dim·|partitions| partials shuffle.
+    def byPos(df: DataFrame, value: Column): Array[Double] = {
+      val rows = df.select(posexplode(col("c")), col("_p"))
+        .groupBy(col("pos")).agg(avg(value).as("m"))
+        .collect()
+      require(rows.length == dim,
+        s"pcaTopComponent: expected $dim coordinates, got ${rows.length}")
+      val out = new Array[Double](dim)
+      rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+      out
+    }
+    val nVecs = e.count()
+    require(nVecs > 0, "cannot fit PCA on an empty embedding set")
+    val mu = byPos(e.select(col("e").as("c"), lit(1.0).as("_p")),
+      col("col"))
+    val centered = array(idx.map(i =>
+      element_at(col("e"), i + 1) - lit(mu(i))): _*)
+    def step(v: Array[Double]): Array[Double] = {
+      val base = e.select(centered.as("c"))
+      byPos(base.select(col("c"), dot(col("c"), lit(v)).as("_p")),
+        col("col") * col("_p"))
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val w = step(v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      // a zero image (data spread orthogonal collapse / all-equal
+      // cloud) cannot normalize — keep the previous direction, the
+      // residual column reports the (non-)convergence honestly
+      if (nrm > 0) v = w.map(_ / nrm)
+    }
+    val av = step(v) // A·v with the FINAL direction, for λ and residual
+    val lambda = idx.map(i => av(i) * v(i)).sum
+    val resid = math.sqrt(idx.map(i =>
+      math.pow(av(i) - lambda * v(i), 2)).sum)
+    val relResid = if (lambda > 0) resid / lambda else Double.NaN
+    // deterministic sign: the largest-|coordinate| (first such index
+    // on ties) points positive
+    val pivot = idx.maxBy(i => (math.abs(v(i)), -i))
+    val sgn = if (v(pivot) < 0) -1.0 else 1.0
+    spark.range(1).select(
+      lit(nVecs).as("n_vecs") +:
+        round(lit(lambda), 6).as("eigenvalue") +:
+        round(lit(relResid), 6).as("rel_residual") +:
+        idx.map(i => round(lit(sgn * v(i)), 6).as(f"p$i%02d")): _*)
+  }
+
   /** Per-key mean-pooled prototype embeddings (class centroids):
     * element-wise average of `embedding` over every row sharing
     * `keyCol` — the Rocchio/prototype step of nearest-centroid

@@ -1747,6 +1747,21 @@ object MlQueries {
       |  round(avg(cos), 6) AS avg_cos
       |FROM pk WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------- ns49 PCA top component (power iteration)
+
+  /** Top principal component of the embedding cloud
+    * ([[Similarity.pcaTopComponent]], 10 power iterations) — rows-
+    * gated like the other iterative entries (ns42 BPE, q99 GD): the
+    * driver-side normalize between aggregate passes is not ANSI-
+    * restatable without compounding cross-engine ulps through every
+    * iteration. The row carries its own `rel_residual` convergence
+    * evidence (the ANN recall-column discipline) and MlSpec gates the
+    * math against a planted dominant direction.
+    */
+  val ns49PcaPower: Q = (s, dir) =>
+    Similarity.pcaTopComponent(Tables.embeddings(s, dir), dim = 64,
+      iters = 10)
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -1809,6 +1824,7 @@ object MlQueries {
     "ns46_bm25" -> ns46Bm25,
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
+    "ns49_pca_power" -> ns49PcaPower,
   )
 
   def oracles: Map[String, String] = Map(

@@ -1222,4 +1222,40 @@ class MlSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("pcaTopComponent recovers a planted dominant direction with a " +
+      "positive-pivot sign, unit norm, and small residual") {
+    import spark.implicits._
+    val dim = 8
+    // planted unit direction u; vectors = t·u + small noise, all
+    // deterministic from a seeded generator (replay-safe)
+    val rnd = new java.util.Random(7)
+    val u0 = Array.fill(dim)(rnd.nextGaussian())
+    val un = math.sqrt(u0.map(x => x * x).sum)
+    val u = u0.map(_ / un)
+    val vecs = (1 to 300).map { i =>
+      val t = rnd.nextGaussian() * 5.0
+      val noise = Array.fill(dim)(rnd.nextGaussian() * 0.05)
+      (i.toLong, u.indices.map(j => (t * u(j) + noise(j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.pcaTopComponent(vecs, dim, iters = 15).head()
+    val p = (0 until dim).map(j => r.getDouble(3 + j)).toArray
+    val pn = math.sqrt(p.map(x => x * x).sum)
+    assert(math.abs(pn - 1.0) < 1e-4) // unit up to the 6dp rounding
+    val cosU = math.abs(p.zip(u).map { case (a, b) => a * b }.sum)
+    assert(cosU > 0.999, s"component misaligned: |cos|=$cosU")
+    // the pivot (largest-|coordinate|) is positive by the sign rule
+    val pivot = (0 until dim).maxBy(j => (math.abs(p(j)), -j))
+    assert(p(pivot) > 0)
+    assert(r.getAs[Double]("rel_residual") < 0.01)
+    // eigenvalue ≈ Var(t·(u·v)) ≈ Var(t) = 25 — loose band, the noise
+    // and sampling shift it a little
+    val lam = r.getAs[Double]("eigenvalue")
+    assert(lam > 15 && lam < 40, s"eigenvalue off: $lam")
+    assert(r.getAs[Long]("n_vecs") === 300L)
+    // wrong declared dim fails loudly, not as NaN output
+    intercept[Exception] {
+      Similarity.pcaTopComponent(vecs, dim + 1, iters = 1).collect()
+    }
+  }
 }
