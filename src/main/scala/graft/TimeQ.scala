@@ -12,7 +12,10 @@ object TimeQ {
       "usage: graft.TimeQ <name[,name...]> (SPARK_GRAFT_SF_DIR to set data)")
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.create("local[32]", "graft-timeq",
+    // same parallelism knob as Bench: a before/after pair is only
+    // comparable to a Bench baseline taken at the same core count
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.create(s"local[$cpus]", "graft-timeq",
       uiEnabled = false)
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(n: String): Unit = {

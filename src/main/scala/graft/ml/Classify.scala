@@ -161,7 +161,6 @@ object Classify {
     * poison a prototype or rank first via NaN ordering.
     */
   def nearestCentroid(train: DataFrame, test: DataFrame): DataFrame = {
-    graft.functions.GraftExtensions.register(train.sparkSession)
     def finite(df: DataFrame): DataFrame = {
       val nrm = sqrt(graft.functions.VectorFunctions.dot(
         col("embedding").cast("array<double>"),
@@ -175,6 +174,13 @@ object Classify {
       .select(col("key"), col("centroid"),
         sqrt(graft.functions.VectorFunctions.dot(col("centroid"), col("centroid")))
           .as("cnorm"))
+      // a label whose finite train vectors AVERAGE to the zero vector
+      // has a directionless prototype: its cosine is 0/0 = NaN, and
+      // NaN orders above every double, so it would win rank 1 for
+      // every test row. Cosine-Rocchio has no answer for such a label
+      // — exclude the prototype (same rule as the per-vector guard)
+      .filter(col("cnorm") > 0 && !isnan(col("cnorm")) &&
+        col("cnorm") < lit(Double.PositiveInfinity))
     val te = finite(test).select(col("vec_id"),
       col("label").as("true_label"),
       col("embedding").cast("array<double>").as("e"), col("_nrm"))

@@ -1008,12 +1008,23 @@ object Similarity {
     * map-side partial averaging, so the shuffle carries |keys|·dim
     * partial states — never vectors — and no row ever holds more than
     * one coordinate until the final |keys|-sized re-assembly. Ragged
-    * inputs fail loudly (coordinate counts per key must agree) rather
-    * than averaging a truncated tail silently.
+    * inputs fail loudly (coordinate counts per key must agree), and so
+    * do NULL/empty embeddings (which posexplode would otherwise
+    * silently drop from both the means and n_vecs) — never a silent
+    * truncated or partial average.
     */
   def centroidsByKey(vecs: DataFrame, keyCol: String): DataFrame = {
     val byPos = vecs
-      .select(col(keyCol).as("key"), posexplode(col("embedding")))
+      // a NULL or empty embedding would posexplode to NO rows and
+      // silently vanish from both the means and n_vecs — the same
+      // loud-failure contract as the ragged check below
+      .select(col(keyCol).as("key"),
+        when(col("embedding").isNotNull && size(col("embedding")) > 0,
+          col("embedding"))
+          .otherwise(raise_error(concat(
+            lit("centroidsByKey: NULL/empty embedding under key "),
+            col(keyCol).cast("string")))).as("embedding"))
+      .select(col("key"), posexplode(col("embedding")))
       .groupBy(col("key"), col("pos"))
       .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
     byPos.groupBy(col("key"))

@@ -42,15 +42,8 @@ object Graph {
     * self-pairs before the distinct.
     */
   def coOccurrenceEdges(bags: DataFrame, bagCol: String,
-      itemCol: String): DataFrame = {
-    val bi = bags.select(col(bagCol).as("_bag"), col(itemCol).as("_item"))
-      .distinct()
-    bi.select(col("_bag"), col("_item").as("p1"))
-      .join(bi.select(col("_bag"), col("_item").as("p2")), Seq("_bag"))
-      .filter(col("p1") < col("p2"))
-      .select(col("p1"), col("p2"))
-      .distinct()
-  }
+      itemCol: String): DataFrame =
+    coOccurrenceEdgesMinSupport(bags, bagCol, itemCol, 1L)
 
   /** [[coOccurrenceEdges]] thresholded on co-occurrence support: keep
     * an edge only if the pair shares at least `minSupport` bags. The
@@ -105,7 +98,10 @@ object Graph {
     var frontiers = List(cut(seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0))))
     var d = 0
-    while (d < maxDepth) {
+    // the frontier is already materialized by cut(), so the isEmpty
+    // probe is one cheap partition peek — without it every round past
+    // exhaustion still pays a full 2|E| edge scan plus a checkpoint
+    while (d < maxDepth && !frontiers.head.isEmpty) {
       d += 1
       // visited = union of the already-checkpointed frontiers: each
       // union leg re-reads materialized blocks, so NOT re-checkpointing

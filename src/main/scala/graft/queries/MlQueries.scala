@@ -1731,6 +1731,10 @@ object MlQueries {
       |), c AS (
       |  SELECT label AS cand, list(m ORDER BY i) AS cent FROM m
       |  GROUP BY 1
+      |  HAVING sqrt(list_dot_product(list(m ORDER BY i),
+      |    list(m ORDER BY i))) > 0
+      |   AND isfinite(sqrt(list_dot_product(list(m ORDER BY i),
+      |    list(m ORDER BY i))))
       |), sc AS (
       |  SELECT te.vec_id, te.label AS true_label, c.cand,
       |    round(list_dot_product(te.embedding::DOUBLE[], c.cent) /

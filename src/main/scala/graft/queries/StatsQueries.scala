@@ -759,10 +759,12 @@ object StatsQueries {
           col("cb") / col("n_b").cast("double"))).as("d"))
     scaled.select(col("n_a"), col("n_b"),
         round(col("d"), 6).as("d_stat"),
-        round(col("d") * sqrt(col("n_a") * col("n_b") /
+        // n_a·n_b multiplies as DOUBLE: two ~3e9-row sides would wrap
+        // a long product silently (the BandJoinRewrite overflow rule)
+        round(col("d") * sqrt(col("n_a").cast("double") * col("n_b") /
           (col("n_a") + col("n_b")).cast("double")), 6).as("ks_scaled"),
         round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) *
-          pow(col("d") * sqrt(col("n_a") * col("n_b") /
+          pow(col("d") * sqrt(col("n_a").cast("double") * col("n_b") /
             (col("n_a") + col("n_b")).cast("double")), 2))), 6)
           .as("p_approx"))
   }
@@ -802,10 +804,10 @@ object StatsQueries {
       |  FROM cum CROSS JOIN tot GROUP BY 1, 2
       |)
       |SELECT n_a, n_b, round(dd, 6) AS d_stat,
-      |  round(dd * sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE)), 6)
-      |    AS ks_scaled,
-      |  round(least(1.0, 2.0 * exp(-2.0 * pow(dd * sqrt(n_a * n_b /
-      |    CAST(n_a + n_b AS DOUBLE)), 2))), 6) AS p_approx
+      |  round(dd * sqrt(n_a::DOUBLE * n_b / CAST(n_a + n_b AS DOUBLE)),
+      |    6) AS ks_scaled,
+      |  round(least(1.0, 2.0 * exp(-2.0 * pow(dd * sqrt(n_a::DOUBLE *
+      |    n_b / CAST(n_a + n_b AS DOUBLE)), 2))), 6) AS p_approx
       |FROM d""".stripMargin
 
   // --------------------------- q101 multi-source BFS / reachability

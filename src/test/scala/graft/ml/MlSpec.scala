@@ -1221,6 +1221,13 @@ class MlSpec extends SparkSpec {
       Similarity.centroidsByKey(ragged, "key").collect()
     }
     assert(e.getMessage != null)
+    // an EMPTY embedding would posexplode to no rows and silently
+    // vanish from the pool — it must fail loudly instead
+    val withEmpty = Seq(("a", Seq(1.0f)), ("a", Seq.empty[Float]))
+      .toDF("key", "embedding")
+    intercept[Exception] {
+      Similarity.centroidsByKey(withEmpty, "key").collect()
+    }
   }
 
   test("pcaTopComponent recovers a planted dominant direction with a " +
