@@ -372,4 +372,74 @@ class PropertySpec extends SparkSpec {
       s"recall must not decrease with refine depth: $recalls")
     assert(recalls.last === 1.0, "refine = corpus size must be exact")
   }
+
+  test("bfsHops equals brute-force BFS on random graphs with random " +
+      "seed sets and depths") {
+    import graft.operators.Graph
+    (1 to 4).foreach { trial =>
+      val n = 12 + rnd.nextInt(10)
+      val edges = (for {
+        i <- 1 to n; j <- (i + 1) to n if rnd.nextInt(100) < 18
+      } yield (i.toLong, j.toLong))
+      val seeds = (1 to n).filter(_ => rnd.nextInt(100) < 15)
+        .map(_.toLong) match {
+        case Nil => Seq(1L)
+        case xs => xs
+      }
+      val depth = rnd.nextInt(5)
+      // driver-side BFS over the adjacency map
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      (1 to depth).foreach { d =>
+        val next = frontier.flatMap(x => adj.getOrElse(x, Nil))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> d)
+        frontier = next
+      }
+      val got = Graph.bfsHops(
+        edges.toDF("p1", "p2"), seeds.toDF("node"), depth)
+        .as[(Long, Int)].collect().toMap
+      assert(got === dist, s"trial $trial n=$n depth=$depth")
+    }
+  }
+
+  test("bm25TopK equals a driver-side naive BM25 on random corpora " +
+      "and random queries") {
+    import graft.ml.Retrieval
+    val vocab = Vector("ax", "bv", "ce", "dr", "ek", "fo", "gu", "hm")
+    (1 to 3).foreach { trial =>
+      val corpus = (1 to 25).map(i => (i.toLong,
+        Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val queries = (1 to 5).map(q => (q.toLong,
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))))
+      val k = 1 + rnd.nextInt(4)
+      val (k1, b) = (1.2, 0.75)
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+      val nD = corpus.size.toDouble
+      val avgdl = toks.map(_._2.size).sum / nD
+      val df = toks.flatMap(_._2.distinct).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size }
+      val naive = queries.flatMap { case (qid, terms) =>
+        toks.flatMap { case (did, ws) =>
+          val sc = terms.distinct.collect {
+            case t if ws.contains(t) =>
+              val tf = ws.count(_ == t)
+              math.log(1.0 + (nD - df(t) + 0.5) / (df(t) + 0.5)) *
+                tf * (k1 + 1) / (tf + k1 * (1 - b + b * ws.size / avgdl))
+          }.sum
+          if (sc == 0.0) None else Some((did, BigDecimal(sc).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }.sortBy { case (did, sc) => (-sc, did) }.take(k).zipWithIndex
+          .map { case ((did, sc), r) => (qid, r + 1, did, sc) }
+      }.sortBy(x => (x._1, x._2))
+      val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+          queries.toDF("query_id", "terms"), k)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got === naive, s"trial $trial k=$k")
+    }
+  }
 }
