@@ -46,7 +46,16 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, "k must be at least 1")
+    val (tf, dl, stats) = corpusStats(docs)
+    scoreFromStats(tf, dl, stats, queries, k, k1, b)
+  }
+
+  /** The standing-index statistics of a corpus: per-(doc, term)
+    * counts, per-doc lengths, and the (n_docs, avgdl) scalar row —
+    * everything BM25 needs beyond the query itself.
+    */
+  private def corpusStats(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
@@ -54,6 +63,13 @@ object Retrieval {
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
+    (tf, dl, stats)
+  }
+
+  private def scoreFromStats(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, queries: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(k >= 1, "k must be at least 1")
     val qterms = queries.select(col("query_id"),
       explode(col("terms")).as("term")).distinct()
     // the map-side prune: only postings for query terms survive the
@@ -84,5 +100,57 @@ object Retrieval {
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  private val DocsDir = "_graft_bm25_docs"
+  private val StatsDir = "_graft_bm25_stats"
+
+  /** Persist the inverted index: the posting table partitioned by
+    * `bkt = pmod(xxhash64(term), nBuckets)` directories, with the
+    * doc-length table and the (n_docs, avgdl, n_buckets) scalar row
+    * under underscore-prefixed sibling dirs (invisible to the parquet
+    * scan — the [[Similarity.writeIvfIndex]] layout discipline;
+    * persisting n_buckets WITH the index means a query can never hash
+    * terms against a drifted bucket count). Queries then read only the
+    * `bkt=` directories their terms hash into, so serving cost follows
+    * the query's term set, not the corpus — the lexical counterpart of
+    * the cell-partition-pruned ANN serving path.
+    */
+  def writeBm25Index(docs: DataFrame, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, "need at least one term bucket")
+    val (tf, dl, stats) = corpusStats(docs)
+    tf.withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+    dl.write.mode("overwrite").parquet(s"$path/$DocsDir")
+    stats.withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** Query a persisted BM25 index: hash the query terms with the
+    * index's OWN stored bucket count, turn the (small) distinct bucket
+    * set into a static partition filter, and score from the pruned
+    * postings exactly as [[bm25TopK]] does in-plan — df stays corpus-
+    * exact because every posting of a term lives wholly inside its
+    * bucket directory. The bucket-id collect is the serving path's
+    * bounded driver action (≤ distinct query terms), the ANN serving
+    * precedent. Output contract is identical to [[bm25TopK]]'s —
+    * RetrievalSpec pins served == in-plan row for row.
+    */
+  def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val statsFull = spark.read.parquet(s"$path/$StatsDir")
+    val nBuckets = statsFull.head().getAs[Int]("n_buckets")
+    val bkts = queries
+      .select(explode(col("terms")).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val tf = spark.read.parquet(path)
+      .filter(col("bkt").cast("long").isin(bkts.map(x => x: Any): _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = spark.read.parquet(s"$path/$DocsDir")
+    scoreFromStats(tf, dl, statsFull.select(col("n_docs"), col("avgdl")),
+      queries, k, k1, b)
   }
 }

@@ -1694,6 +1694,26 @@ object MlQueries {
       |FROM embeddings, generate_series(1, 64) AS gs(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ns46's serving path: the same queries answered from a PERSISTED
+    * term-bucketed inverted index ([[Retrieval.writeBm25Index]] /
+    * `queryBm25Index`) — scoring reads only the `bkt=` directories the
+    * query terms hash into (RetrievalSpec measures the directory
+    * pruning). Gated on ns46's own oracle SQL: the output contract is
+    * identical, so hash-equality proves the served path end to end —
+    * the q6b/ns7b same-oracle discipline.
+    */
+  val ns46bBm25Served: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bm25_index")
+    if (ivfIndexWritten.add(path))
+      Retrieval.writeBm25Index(docs, path, nBuckets = 64)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.queryBm25Index(s, path, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------- ns48 nearest-centroid (Rocchio) classifier
 
   /** Nearest-centroid classification on a vec_id % 5 holdout
@@ -1826,6 +1846,7 @@ object MlQueries {
     "ns44_semdedup" -> ns44SemDedup,
     "ns45_random_projection" -> ns45RandomProjection,
     "ns46_bm25" -> ns46Bm25,
+    "ns46b_bm25_served" -> ns46bBm25Served,
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
     "ns49_pca_power" -> ns49PcaPower,
@@ -1877,6 +1898,7 @@ object MlQueries {
     "ns44_semdedup" -> ns44SemDedupSql,
     "ns45_random_projection" -> ns45RandomProjectionSql,
     "ns46_bm25" -> ns46Bm25Sql,
+    "ns46b_bm25_served" -> ns46Bm25Sql,
     "ns47_centroids" -> ns47CentroidsSql,
     "ns48_rocchio" -> ns48RocchioSql,
   )

@@ -99,4 +99,48 @@ class RetrievalSpec extends SparkSpec {
     assert(tie.map(_._3).toSeq === Seq(1L, 2L))
     assert(tie(0)._4 === tie(1)._4)
   }
+
+  test("served index equals the in-plan scorer row for row, reads " +
+      "only the query terms' bucket directories, and rejects a " +
+      "missing index loudly") {
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Map(10L -> Seq("red", "fox"), 20L -> Seq("dog"))
+      .toSeq.toDF("query_id", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25")
+    try {
+      val path = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(docs, path, nBuckets = 16)
+      val served = Retrieval.queryBm25Index(spark, path, queries, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val inPlan = Retrieval.bm25TopK(docs, queries, 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(served === inPlan && served.nonEmpty)
+      // directory pruning is physically real: the scan's partition
+      // filter admits at most |distinct query terms| of the bucket
+      // dirs actually written
+      val written = new java.io.File(path).listFiles()
+        .count(_.getName.startsWith("bkt="))
+      assert(written > 3, s"corpus too small to prove pruning: $written")
+      val pruned = Retrieval.queryBm25Index(spark, path, queries, k = 3)
+        .queryExecution.executedPlan.toString
+      val m = """PartitionFilters: \[[^\]]*\]""".r.findFirstIn(pruned)
+      assert(m.nonEmpty && m.get.contains("bkt"),
+        s"no bucket partition filter in the served scan:\n$pruned")
+      // a query set hitting ONE term reads one bucket's postings: the
+      // pruned row count is that term's df, not the posting total
+      val one = Retrieval.queryBm25Index(spark, path,
+        Seq((1L, Seq("wine"))).toDF("query_id", "terms"), k = 5)
+        .as[(Long, Int, Long, Double)].collect()
+      assert(one.map(_._3).toSeq === Seq(2L)) // only doc 2 has 'wine'
+      intercept[Exception] {
+        Retrieval.queryBm25Index(spark, tmp.resolve("nope").toString,
+          queries, k = 3).collect()
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }
