@@ -119,12 +119,47 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, "need at least one term bucket")
-    val (tf, dl, stats) = corpusStats(docs)
+    val (tf, dl, _) = corpusStats(docs)
     tf.withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("bkt").parquet(path)
     dl.write.mode("overwrite").parquet(s"$path/$DocsDir")
-    stats.withColumn("n_buckets", lit(nBuckets))
+    // ONLY the immutable bucket count persists as index metadata:
+    // n_docs/avgdl derive from the doc table at query time, so an
+    // append can never leave stale scoring scalars behind (a
+    // persisted avgdl would silently mis-score every query after the
+    // first append)
+    docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/$StatsDir")
+  }
+
+  /** Incrementally maintain a persisted BM25 index: tokenize a NEW
+    * batch of documents, hash its postings with the index's OWN stored
+    * bucket count, and APPEND them into their `bkt=` directories (plus
+    * the doc-length sibling). Buckets the batch's terms miss keep
+    * their exact existing files — maintenance cost follows the batch,
+    * never the corpus (the [[Similarity.appendIvfIndex]] story for the
+    * lexical tier). Because df and (n_docs, avgdl) derive from the
+    * stored tables at query time, the appended index serves the union
+    * corpus IDENTICALLY to a from-scratch rebuild — RetrievalSpec pins
+    * that bit-for-bit. Batch doc_ids must be NEW: re-appending an
+    * indexed doc would double its postings, so overlap fails loudly
+    * (one batch-sized semi-join, the bounded pre-check).
+    */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String): Unit = {
+    val nBuckets = spark.read.parquet(s"$path/$StatsDir")
+      .head().getAs[Int]("n_buckets")
+    val existing = spark.read.parquet(s"$path/$DocsDir")
+    val dup = newDocs.select(col("doc_id"))
+      .join(existing.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      "appendBm25Index: batch contains doc_ids already indexed — " +
+        "re-appending would double their postings")
+    val (tf, dl, _) = corpusStats(newDocs)
+    tf.withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("bkt").parquet(path)
+    dl.write.mode("append").parquet(s"$path/$DocsDir")
   }
 
   /** Query a persisted BM25 index: hash the query terms with the
@@ -140,8 +175,8 @@ object Retrieval {
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val statsFull = spark.read.parquet(s"$path/$StatsDir")
-    val nBuckets = statsFull.head().getAs[Int]("n_buckets")
+    val nBuckets = spark.read.parquet(s"$path/$StatsDir")
+      .head().getAs[Int]("n_buckets")
     val bkts = queries
       .select(explode(col("terms")).as("term"))
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bkt"))
@@ -150,7 +185,10 @@ object Retrieval {
       .filter(col("bkt").cast("long").isin(bkts.map(x => x: Any): _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val dl = spark.read.parquet(s"$path/$DocsDir")
-    scoreFromStats(tf, dl, statsFull.select(col("n_docs"), col("avgdl")),
-      queries, k, k1, b)
+    // scoring scalars derive from the stored doc table, never from
+    // persisted values that an append could have staled
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    scoreFromStats(tf, dl, stats, queries, k, k1, b)
   }
 }

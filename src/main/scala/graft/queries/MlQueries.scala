@@ -1714,6 +1714,31 @@ object MlQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental maintenance of the served BM25 index: build on 3/4
+    * of the corpus, [[Retrieval.appendBm25Index]] the remaining
+    * quarter (postings hashed with the STORED bucket count, untouched
+    * buckets keep their files — RetrievalSpec measures that), then
+    * serve the union. Gated on ns46's oracle again: df and the
+    * scoring scalars derive from the stored tables at query time, so
+    * the appended index must answer EXACTLY like the from-scratch
+    * one — the ns8e discipline for the lexical tier.
+    */
+  val ns46cBm25Appended: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bm25_index_inc")
+    if (ivfIndexWritten.add(path)) {
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 0),
+        path, nBuckets = 64)
+      Retrieval.appendBm25Index(s, docs.filter(col("doc_id") % 4 === 0),
+        path)
+    }
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.queryBm25Index(s, path, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------- ns48 nearest-centroid (Rocchio) classifier
 
   /** Nearest-centroid classification on a vec_id % 5 holdout
@@ -1847,6 +1872,7 @@ object MlQueries {
     "ns45_random_projection" -> ns45RandomProjection,
     "ns46_bm25" -> ns46Bm25,
     "ns46b_bm25_served" -> ns46bBm25Served,
+    "ns46c_bm25_appended" -> ns46cBm25Appended,
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
     "ns49_pca_power" -> ns49PcaPower,
@@ -1899,6 +1925,7 @@ object MlQueries {
     "ns45_random_projection" -> ns45RandomProjectionSql,
     "ns46_bm25" -> ns46Bm25Sql,
     "ns46b_bm25_served" -> ns46Bm25Sql,
+    "ns46c_bm25_appended" -> ns46Bm25Sql,
     "ns47_centroids" -> ns47CentroidsSql,
     "ns48_rocchio" -> ns48RocchioSql,
   )

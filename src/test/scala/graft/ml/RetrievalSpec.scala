@@ -143,4 +143,47 @@ class RetrievalSpec extends SparkSpec {
       new Directory(tmp.toFile).deleteRecursively()
     }
   }
+
+  test("appended index serves the union corpus identically to a " +
+      "from-scratch build, leaves untouched buckets byte-identical, " +
+      "and rejects re-appending an indexed doc") {
+    val docs = corpus.toDF("doc_id", "text")
+    val initial = corpus.filter(_._1 <= 3).toDF("doc_id", "text")
+    val batch = corpus.filter(_._1 > 3).toDF("doc_id", "text")
+    val queries = Map(10L -> Seq("red", "fox"), 20L -> Seq("dog"))
+      .toSeq.toDF("query_id", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_inc")
+    def bucketFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("bkt=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    try {
+      val inc = tmp.resolve("inc").toString
+      val full = tmp.resolve("full").toString
+      Retrieval.writeBm25Index(initial, inc, nBuckets = 16)
+      val before = bucketFiles(inc)
+      Retrieval.appendBm25Index(spark, batch, inc)
+      val after = bucketFiles(inc)
+      // every pre-append file survives the append bit-for-bit (same
+      // path, same size, same mtime) — only new files appear
+      before.foreach { case (p, meta) =>
+        assert(after.get(p).contains(meta), s"append rewrote $p")
+      }
+      Retrieval.writeBm25Index(docs, full, nBuckets = 16)
+      val servedInc = Retrieval.queryBm25Index(spark, inc, queries, 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val servedFull = Retrieval.queryBm25Index(spark, full, queries, 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(servedInc === servedFull && servedInc.nonEmpty)
+      // an overlapping batch must fail loudly, not double postings
+      intercept[IllegalArgumentException] {
+        Retrieval.appendBm25Index(spark, initial, inc)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }
