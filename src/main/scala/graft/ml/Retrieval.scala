@@ -54,7 +54,7 @@ object Retrieval {
     * counts, per-doc lengths, and the (n_docs, avgdl) scalar row —
     * everything BM25 needs beyond the query itself.
     */
-  private def corpusStats(docs: DataFrame)
+  private[graft] def corpusStats(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
@@ -102,8 +102,8 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
-  private val DocsDir = "_graft_bm25_docs"
-  private val StatsDir = "_graft_bm25_stats"
+  private[graft] val DocsDir = "_graft_bm25_docs"
+  private[graft] val StatsDir = "_graft_bm25_stats"
 
   /** Persist the inverted index: the posting table partitioned by
     * `bkt = pmod(xxhash64(term), nBuckets)` directories, with the
@@ -177,16 +177,38 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     val nBuckets = spark.read.parquet(s"$path/$StatsDir")
       .head().getAs[Int]("n_buckets")
+    queryBm25IndexFrom(spark, nBuckets, Seq(path), Seq(s"$path/$DocsDir"),
+      queries, k, k1, b)
+  }
+
+  /** The multi-root serving core ([[Similarity.queryIvfIndexPaths]]'s
+    * shape): postings from every root in `postingPaths` (each pruned
+    * to the query terms' `bkt=` directories), doc lengths from every
+    * root in `docPaths` — the base-∪-streamed-appends read of
+    * [[graft.streaming.Bm25Ingest]]. Scoring scalars always derive
+    * from the unioned doc table, never from persisted values an
+    * append could have staled.
+    */
+  private[graft] def queryBm25IndexFrom(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
+      postingPaths: Seq[String], docPaths: Seq[String],
+      queries: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    require(postingPaths.nonEmpty && docPaths.nonEmpty,
+      "need at least one posting and one doc-length root")
+    // bounded driver action of the serving path: the distinct bucket
+    // ids of the query's terms (≤ distinct query terms)
     val bkts = queries
       .select(explode(col("terms")).as("term"))
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val tf = spark.read.parquet(path)
-      .filter(col("bkt").cast("long").isin(bkts.map(x => x: Any): _*))
-      .select(col("doc_id"), col("term"), col("tf"))
-    val dl = spark.read.parquet(s"$path/$DocsDir")
-    // scoring scalars derive from the stored doc table, never from
-    // persisted values that an append could have staled
+    val tf = postingPaths.map { p =>
+      spark.read.parquet(p)
+        // directory-name type inference reads `bkt=5` back as int —
+        // re-widen so the static filter matches the long hash
+        .filter(col("bkt").cast("long").isin(bkts.map(x => x: Any): _*))
+        .select(col("doc_id"), col("term"), col("tf"))
+    }.reduce(_.unionByName(_))
+    val dl = docPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     scoreFromStats(tf, dl, stats, queries, k, k1, b)

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.ml.Retrieval
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class DocRow(doc_id: Long, text: String)
+
+/** Streaming BM25 maintenance: micro-batches of documents append to
+  * the served index's stream table hashed with the STORED bucket
+  * count; serving base ∪ stream equals a from-scratch build of the
+  * union corpus exactly (df and scoring scalars derive from stored
+  * tables); replays absorb; recycled batch ids fail loudly; a
+  * partition without its manual `_SUCCESS` is never served.
+  */
+class Bm25IngestSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, dir)
+    .select(col("doc_id"), col("text"))
+
+  private def queriesDf = {
+    val spark0 = spark
+    import spark0.implicits._
+    docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+  }
+
+  private def docRows(df: org.apache.spark.sql.DataFrame): Seq[DocRow] = {
+    val spark0 = spark
+    import spark0.implicits._
+    df.as[(Long, String)].collect().toSeq
+      .map { case (id, t) => DocRow(id, t) }
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = {
+    val spark0 = spark
+    import spark0.implicits._
+    df.orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+  }
+
+  test("streamed documents serve identically to a from-scratch union " +
+      "build; pre-stream queries fall back to the base alone") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = docs.filter(col("doc_id") % 4 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_ingest")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(initial, idx, nBuckets = 32)
+      // before any batch: identical to querying the base index
+      assert(rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5)) ===
+        rows(Retrieval.queryBm25Index(spark, idx, queriesDf, 5)))
+      val rest = docRows(docs.filter(col("doc_id") % 4 === 0))
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      val in = MemoryStream[DocRow]
+      val q = Bm25Ingest.start(in.toDF(), idx,
+        tmp.resolve("ckpt").toString)
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val full = tmp.resolve("full").toString
+      Retrieval.writeBm25Index(docs, full, nBuckets = 32)
+      val served = rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5))
+      assert(served === rows(
+        Retrieval.queryBm25Index(spark, full, queriesDf, 5)))
+      assert(served.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
+  test("a replayed batch is absorbed; a recycled batch id fails " +
+      "loudly; an uncommitted partition (no _SUCCESS) is not served") {
+    val initial = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_replay")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(initial, idx, nBuckets = 32)
+      Bm25Ingest.ingestBatch(batch, 0L, idx)
+      val afterOne = rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5))
+      // replay: same id, same content — absorbed, results unchanged
+      Bm25Ingest.ingestBatch(batch, 0L, idx)
+      assert(rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5)) ===
+        afterOne)
+      // recycled id: same id, DIFFERENT content — loud failure
+      intercept[IllegalArgumentException] {
+        Bm25Ingest.ingestBatch(batch.limit(3), 0L, idx)
+      }
+      // a partition that lost its _SUCCESS (simulated partial commit)
+      // must drop out of serving entirely, not serve partial postings
+      val part = new java.io.File(
+        Bm25Ingest.streamPath(idx), "ingest_batch=0")
+      assert(new java.io.File(part, "_SUCCESS").delete())
+      assert(rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5)) ===
+        rows(Retrieval.queryBm25Index(spark, idx, queriesDf, 5)))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+}
