@@ -43,7 +43,11 @@ object Plans {
     "ns7d_sim_ivfpq", "ns44_semdedup",
     // round-8: the broadcast-pruned posting join behind BM25 and the
     // frontier/anti-join rounds of BFS — both join-strategy-sensitive
-    "ns46_bm25", "q101_reachability")
+    "ns46_bm25", "q101_reachability",
+    // the weighted-relaxation rounds (improved-frontier joins) and the
+    // two-retriever fusion: whether the semantic side's query filter
+    // reaches below the cross-join is visible only in the real plan
+    "q102_shortest_paths", "ns50_hybrid_rrf")
 
   private def section(sb: StringBuilder, spark: SparkSession,
       dir: String, names: Seq[String], execute: Boolean): Unit =

@@ -102,6 +102,42 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Reciprocal-rank fusion of ranked retrieval lists — the standard
+    * hybrid-search combiner (Cormack/Clarke/Buettcher's RRF):
+    * rrf(q, d) = Σ_lists 1/(c + rank_list(q, d)), summing only over
+    * the lists that retrieved d for q. Rank-based fusion needs no
+    * score calibration between heterogeneous retrievers (BM25 log
+    * scores vs cosine in [−1, 1]), which is exactly why it is the
+    * default way to merge a lexical and a semantic candidate list.
+    *
+    * Each input needs (query_id, doc_id, rank); output is the fused
+    * top-k per query as (query_id, rank, doc_id, rrf), with rrf
+    * rounded to 6 dp BEFORE ranking and doc_id as the total tiebreak
+    * (the [[bm25TopK]] determinism discipline — the cut itself is
+    * cross-engine gateable). The fusion is one union + one groupBy on
+    * (query, doc) — candidate-list-sized, never corpus-sized — and
+    * the per-query top-k window parallelizes across query partitions.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60)
+      : DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k >= 1, "k must be at least 1")
+    require(c >= 0, "rrf constant must be non-negative")
+    val stacked = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionAll(_))
+    // sum of ≤ |rankings| doubles of the form 1/(c+r): IEEE addition
+    // is commutative, so with the two-list hybrid the accumulation
+    // order cannot diverge between engines; round before ranking
+    val fused = stacked.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   private[graft] val DocsDir = "_graft_bm25_docs"
   private[graft] val StatsDir = "_graft_bm25_stats"
 

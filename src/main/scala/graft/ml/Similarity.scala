@@ -1037,4 +1037,52 @@ object Similarity {
             col("key").cast("string")))).as("n_vecs"),
         col("centroid"))
   }
+
+  /** Per-label embedding outlier detection — the embed-quality gate a
+    * training pipeline runs before trusting vectors: each vector's
+    * cosine to its OWN label's mean-pooled centroid
+    * ([[centroidsByKey]]), z-scored within the label, flagged when the
+    * rounded z falls below `zThresh`. A mislabeled, corrupted, or
+    * off-manifold embedding sits far from its class prototype and
+    * surfaces with z ≪ 0 regardless of the label's absolute coherence
+    * (tight and loose clusters both get their own scale).
+    *
+    * Output (vec_id, label, cos_c, z, is_outlier). Determinism: cos_c
+    * rounds to 6 dp FIRST, the label mean/stddev aggregate over those
+    * rounded values, z rounds to 6 dp, and the flag compares the
+    * ROUNDED z — so every cross-engine comparison happens on 6dp
+    * numbers and the boolean can only straddle if a z lands exactly on
+    * the threshold. A zero-variance label (all vectors at one cosine)
+    * z-scores to 0 — no outliers, not a division by zero. Degenerate
+    * vectors and directionless centroids are excluded by the
+    * [[Classify.nearestCentroid]] finite-norm rules. Scale shape: the
+    * centroid build shuffles |labels|·dim partial averages, the
+    * centroid and stats joins broadcast |labels|-sized tables, and
+    * everything else is a map — one pass over N vectors.
+    */
+  def outliersByLabel(vecs: DataFrame, zThresh: Double = -2.0)
+      : DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val fin = vecs.withColumn("_nrm", sqrt(dot(e, e)))
+      .filter(col("_nrm") > 0 && !isnan(col("_nrm")) &&
+        col("_nrm") < lit(Double.PositiveInfinity))
+    val cents = centroidsByKey(fin.drop("_nrm"), "label")
+      .select(col("key").as("label"), col("centroid"),
+        sqrt(dot(col("centroid"), col("centroid"))).as("_cn"))
+      .filter(col("_cn") > 0 && !isnan(col("_cn")) &&
+        col("_cn") < lit(Double.PositiveInfinity))
+    val scored = fin
+      .select(col("vec_id"), col("label"), e.as("_e"), col("_nrm"))
+      .join(broadcast(cents), Seq("label"))
+      .withColumn("cos_c", round(
+        dot(col("_e"), col("centroid")) / (col("_nrm") * col("_cn")), 6))
+    val stats = scored.groupBy(col("label"))
+      .agg(avg(col("cos_c")).as("_m"), stddev_pop(col("cos_c")).as("_s"))
+    scored.join(broadcast(stats), Seq("label"))
+      .withColumn("z", round(
+        when(col("_s") > 0, (col("cos_c") - col("_m")) / col("_s"))
+          .otherwise(lit(0.0)), 6))
+      .select(col("vec_id"), col("label"), col("cos_c"), col("z"),
+        (col("z") < lit(zThresh)).as("is_outlier"))
+  }
 }

@@ -54,6 +54,15 @@ object Graph {
     * proportional to the *signal* graph, not the noise one.
     */
   def coOccurrenceEdgesMinSupport(bags: DataFrame, bagCol: String,
+      itemCol: String, minSupport: Long): DataFrame =
+    coOccurrenceEdgesWithSupport(bags, bagCol, itemCol, minSupport)
+      .select(col("p1"), col("p2"))
+
+  /** [[coOccurrenceEdgesMinSupport]] keeping the co-occurrence count:
+    * output `(p1, p2, support)` — the form weighted traversals
+    * ([[shortestPathsBounded]]) derive edge costs from.
+    */
+  def coOccurrenceEdgesWithSupport(bags: DataFrame, bagCol: String,
       itemCol: String, minSupport: Long): DataFrame = {
     val bi = bags.select(col(bagCol).as("_bag"), col(itemCol).as("_item"))
       .distinct()
@@ -61,9 +70,8 @@ object Graph {
       .join(bi.select(col("_bag"), col("_item").as("p2")), Seq("_bag"))
       .filter(col("p1") < col("p2"))
       .groupBy(col("p1"), col("p2"))
-      .agg(count(lit(1)).as("_sup"))
-      .filter(col("_sup") >= minSupport)
-      .select(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
   }
 
   /** Multi-source BFS: minimum hop count from any seed to every
@@ -122,6 +130,68 @@ object Graph {
       frontiers ::= next
     }
     frontiers.reverse.reduce(_.unionAll(_))
+  }
+
+  /** Bounded multi-source weighted shortest paths — Bellman-Ford with
+    * frontier-pruned relaxation: the minimum total edge weight from
+    * any seed to every node reachable within `rounds` edges. `edges`
+    * needs `(p1, p2, w)` (undirected; INTEGER weights, so every
+    * distance is exact arithmetic and the cross-engine gate never
+    * meets float-sum ordering); `seeds` needs `(node)`. Output
+    * `(node, dist)` — seeds at 0, absent = not reachable in `rounds`.
+    *
+    * Round r relaxes only the nodes IMPROVED in round r−1 (the
+    * frontier), not all settled state: a node whose dist did not
+    * change re-offers exactly the candidates it offered when it last
+    * improved, and those are already folded into the running min —
+    * pruning them is result-identical to textbook Bellman-Ford
+    * (induction: any ≤r-edge path's last relaxation fires in the
+    * round after its prefix-end node last improved, which is ≤ r).
+    * At scale that turns each round from a full 2|E| re-relaxation
+    * into the shockwave of newly-reached nodes — the same reason
+    * [[bfsHops]] walks frontiers. State per node is one long;
+    * every join shuffles node ids and hash-builds on the O(|V|)
+    * state side (`shuffle_hash` — the checkpointed edge list defeats
+    * size estimation, same as [[pageRank]]). The materialized
+    * frontier makes the `isEmpty` early-exit probe one partition
+    * peek, so exhausted graphs stop paying edge scans.
+    */
+  def shortestPathsBounded(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, reliable: Boolean = false): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val sc = edges.sparkSession.sparkContext
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      "reliable=true needs sc.setCheckpointDir(...) before the loop")
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val directed = cut(edges
+      .select(col("p1").as("src"), col("p2").as("dst"), col("w"))
+      .unionAll(edges
+        .select(col("p2").as("src"), col("p1").as("dst"), col("w"))))
+    var dist = cut(seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      r += 1
+      val cand = directed
+        .join(frontier.select(col("node").as("src"), col("dist"))
+          .hint("shuffle_hash"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cut(cand
+        .join(dist.select(col("node"), col("dist").as("_old"))
+          .hint("shuffle_hash"), Seq("node"), "left")
+        .filter(col("_old").isNull || col("dist") < col("_old"))
+        .select(col("node"), col("dist")))
+      dist = cut(dist
+        .join(improved.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
+        .unionAll(improved))
+      frontier = improved
+    }
+    dist
   }
 
   /** Per-node degree of an undirected `(p1, p2)` edge list. */

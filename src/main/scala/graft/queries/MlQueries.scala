@@ -1811,6 +1811,138 @@ object MlQueries {
     Similarity.pcaTopComponent(Tables.embeddings(s, dir), dim = 64,
       iters = 10)
 
+  // --------------------------- ns50 hybrid retrieval (RRF fusion)
+
+  /** Hybrid lexical+semantic retrieval ([[Retrieval.rrfFuse]]): ns46's
+    * BM25 candidates and ns7's exact-cosine candidates (both cut at
+    * k=20, the standard over-retrieve) fused by reciprocal-rank —
+    * rrf(q,d) = Σ 1/(60 + rank) over the lists that surfaced d — and
+    * re-cut at 5. doc_id and vec_id are the aligned document key, so
+    * the lexical list retrieves over `documents` while the semantic
+    * one runs over `embeddings`, the two-tower shape a RAG stack
+    * actually deploys. Per the operators' own contracts the lexical
+    * list may retrieve the query's own document while the semantic
+    * one excludes self (i ≠ j) — the oracle restates both pipelines
+    * verbatim (round-before-rank on each side and on the fused
+    * score), so the fusion arithmetic AND both cuts are hash-gated.
+    * The semantic query subset is a filter on the brute top-k's
+    * partition key, which Catalyst pushes below the window and into
+    * the cross-join's left side — only query rows ever rank.
+    */
+  val ns50HybridRrf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    val lex = Retrieval.bm25TopK(docs, queries, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = Similarity.bruteTopK(Tables.embeddings(s, dir), k = 20)
+      .filter(col("i") % 50 === 0)
+      .select(col("i").as("query_id"), col("j").as("doc_id"),
+        col("rk").as("rank"))
+    Retrieval.rrfFuse(Seq(lex, sem), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ns50HybridRrfSql: String =
+    s"""WITH $duckNonZeroEmb, qd AS (
+      |  SELECT DISTINCT doc_id AS query_id, unnest(list_slice(
+      |    string_split(text, ' '), 1, 4)) AS term
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf
+      |  FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+      |), dfq AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1
+      |), sc AS (
+      |  SELECT query_id, tf.doc_id,
+      |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+      |      AS score
+      |  FROM qd JOIN tf USING (term) JOIN dfq USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+      |  GROUP BY 1, 2
+      |), lex AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |    FROM sc) WHERE rank <= 20
+      |), sem AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rank
+      |    FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      |    WHERE a.vec_id % 50 = 0) WHERE rank <= 20
+      |), fused AS (
+      |  SELECT query_id, doc_id,
+      |    round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
+      |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+      |  GROUP BY 1, 2
+      |), rk AS (
+      |  SELECT query_id, doc_id, rrf, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY rrf DESC, doc_id)::INT AS rank
+      |  FROM fused
+      |)
+      |SELECT query_id, rank, doc_id, rrf FROM rk WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------ ns51 embedding outliers (per-label z)
+
+  /** Embedding-quality gate ([[Similarity.outliersByLabel]]): cosine
+    * of every vector to its own label centroid, z-scored within the
+    * label, flagged below z = −2 — the scrub that catches mislabeled
+    * or corrupted embeddings before they train. The oracle recomputes
+    * the centroids coordinate-wise (ns47's form), the cosines with
+    * DuckDB's list kernel, and the same round-then-aggregate-then-
+    * round ladder, so the whole score→standardize→flag pipeline is
+    * hash-gated, boolean included.
+    */
+  val ns51EmbedOutliers: Q = (s, dir) =>
+    Similarity.outliersByLabel(Tables.embeddings(s, dir))
+      .orderBy(col("vec_id"))
+
+  val ns51EmbedOutliersSql: String =
+    """WITH nzl AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE list_sum([x * x FOR x IN embedding::DOUBLE[]]) > 0
+      |    AND isfinite(list_sum([x * x FOR x IN embedding::DOUBLE[]]))
+      |), cent AS (
+      |  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
+      |  FROM nzl, generate_series(1, 64) AS gs(i)
+      |  GROUP BY 1, 2
+      |), cvec AS (
+      |  SELECT label, array_agg(m ORDER BY pos) AS c
+      |  FROM cent GROUP BY 1
+      |), cnz AS (
+      |  SELECT label, c FROM cvec
+      |  WHERE list_sum([x * x FOR x IN c]) > 0
+      |    AND isfinite(list_sum([x * x FOR x IN c]))
+      |), sc AS (
+      |  SELECT vec_id, label, round(list_cosine_similarity(
+      |    embedding::DOUBLE[], c), 6) AS cos_c
+      |  FROM nzl JOIN cnz USING (label)
+      |), st AS (
+      |  SELECT label, avg(cos_c) AS m, stddev_pop(cos_c) AS s
+      |  FROM sc GROUP BY 1
+      |), zz AS (
+      |  SELECT vec_id, label, cos_c,
+      |    round(CASE WHEN s > 0 THEN (cos_c - m) / s ELSE 0.0 END, 6)
+      |      AS z
+      |  FROM sc JOIN st USING (label)
+      |)
+      |SELECT vec_id, label, cos_c, z, z < -2.0 AS is_outlier
+      |FROM zz ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -1876,6 +2008,8 @@ object MlQueries {
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
     "ns49_pca_power" -> ns49PcaPower,
+    "ns50_hybrid_rrf" -> ns50HybridRrf,
+    "ns51_embed_outliers" -> ns51EmbedOutliers,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1928,5 +2062,7 @@ object MlQueries {
     "ns46c_bm25_appended" -> ns46Bm25Sql,
     "ns47_centroids" -> ns47CentroidsSql,
     "ns48_rocchio" -> ns48RocchioSql,
+    "ns50_hybrid_rrf" -> ns50HybridRrfSql,
+    "ns51_embed_outliers" -> ns51EmbedOutliersSql,
   )
 }

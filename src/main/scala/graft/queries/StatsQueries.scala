@@ -865,6 +865,75 @@ object StatsQueries {
       |SELECT node AS part_key, min(d)::INT AS hops
       |FROM allf GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------ q102 bounded weighted shortest paths
+
+  /** Minimum-cost co-purchase distance from the q101 anchor parts to
+    * every part reachable within 4 edges, where an edge costs
+    * `ceil(10 / support)` — strong pairs (many shared orders) are
+    * cheap to cross, marginal ones (support 2) cost 5 — over the same
+    * strong co-purchase graph as q101 ([[Graph
+    * .coOccurrenceEdgesWithSupport]], support ≥ 2). Weighted distance
+    * ranks "how commercially close" two parts are, where q101's hop
+    * count only ranks "whether". Costs are integers so every distance
+    * is exact arithmetic (no float-sum ordering in the gate), and the
+    * division is IEEE-identical in both engines so the ceil never
+    * straddles. The engine side is [[Graph.shortestPathsBounded]]
+    * (frontier-pruned Bellman-Ford); the oracle unrolls the UNPRUNED
+    * textbook form — 4 chained relax-all CTEs with a running min —
+    * which the frontier pruning provably equals (see the operator's
+    * Scaladoc), so hash-equality gates the pruning argument itself.
+    */
+  val q102ShortestPaths: Q = (s, dir) => {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val weighted = Graph.coOccurrenceEdgesWithSupport(op, "ok", "pk",
+        minSupport = 2L)
+      .select(col("p1"), col("p2"),
+        ceil(lit(10.0) / col("support")).as("w"))
+    val seeds = op.select(col("pk").as("node")).distinct()
+      .filter(col("node") % 500 === 0)
+    Graph.shortestPathsBounded(weighted, seeds, rounds = 4)
+      .withColumnRenamed("node", "part_key")
+      .orderBy(col("part_key"))
+  }
+
+  val q102ShortestPathsSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), e0 AS (
+      |  SELECT a.pk AS p1, b.pk AS p2,
+      |    CAST(ceil(10.0::DOUBLE / count(*)) AS BIGINT) AS w
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), edges AS (
+      |  SELECT p1 AS s, p2 AS t, w FROM e0
+      |  UNION ALL SELECT p2, p1, w FROM e0
+      |), d0 AS (
+      |  SELECT DISTINCT pk AS node, 0::BIGINT AS dist
+      |  FROM op WHERE pk % 500 = 0
+      |), d1 AS (
+      |  SELECT node, min(dist)::BIGINT AS dist FROM (
+      |    SELECT node, dist FROM d0
+      |    UNION ALL SELECT t, dist + w FROM d0 JOIN edges ON s = d0.node
+      |  ) GROUP BY 1
+      |), d2 AS (
+      |  SELECT node, min(dist)::BIGINT AS dist FROM (
+      |    SELECT node, dist FROM d1
+      |    UNION ALL SELECT t, dist + w FROM d1 JOIN edges ON s = d1.node
+      |  ) GROUP BY 1
+      |), d3 AS (
+      |  SELECT node, min(dist)::BIGINT AS dist FROM (
+      |    SELECT node, dist FROM d2
+      |    UNION ALL SELECT t, dist + w FROM d2 JOIN edges ON s = d2.node
+      |  ) GROUP BY 1
+      |), d4 AS (
+      |  SELECT node, min(dist)::BIGINT AS dist FROM (
+      |    SELECT node, dist FROM d3
+      |    UNION ALL SELECT t, dist + w FROM d3 JOIN edges ON s = d3.node
+      |  ) GROUP BY 1
+      |)
+      |SELECT node AS part_key, dist FROM d4 ORDER BY 1""".stripMargin
+
   def all: Map[String, Q] = Map(
     "q89_regression" -> q89Regression,
     "q90_auc" -> q90Auc,
@@ -879,6 +948,7 @@ object StatsQueries {
     "q99_logit" -> q99Logit,
     "q100_ks_drift" -> q100KsDrift,
     "q101_reachability" -> q101Reachability,
+    "q102_shortest_paths" -> q102ShortestPaths,
   )
 
   def oracles: Map[String, String] = Map(
@@ -894,5 +964,6 @@ object StatsQueries {
     "q98_calibration" -> q98CalibrationSql,
     "q100_ks_drift" -> q100KsDriftSql,
     "q101_reachability" -> q101ReachabilitySql,
+    "q102_shortest_paths" -> q102ShortestPathsSql,
   )
 }

@@ -1265,4 +1265,37 @@ class MlSpec extends SparkSpec {
       Similarity.pcaTopComponent(vecs, dim + 1, iters = 1).collect()
     }
   }
+
+  test("outliersByLabel flags the planted off-cluster vector, z-scores " +
+      "a zero-variance label to 0, and excludes degenerate vectors") {
+    import spark.implicits._
+    // label 0: nine vectors clustered near (1, 0) plus ONE pointing
+    // the opposite way. With stddev_pop the largest attainable |z| in
+    // a sample of n is sqrt(n-1), so n = 10 leaves the planted
+    // outlier near z ~ -3 — safely below the -2 flag line — while the
+    // cluster members sit near +1/3. label 1: two copies of one
+    // vector (zero variance) — z must be exactly 0, never NaN. A
+    // zero vector must be excluded entirely.
+    val cluster = (1 to 9).map { i =>
+      (i.toLong, Seq(1.0f, 0.01f * i), 0)
+    }
+    val vecs = (cluster ++ Seq(
+      (10L, Seq(-1.0f, 0.0f), 0), // planted outlier
+      (11L, Seq(0.0f, 1.0f), 1),
+      (12L, Seq(0.0f, 1.0f), 1),
+      (13L, Seq(0.0f, 0.0f), 1)   // zero norm: excluded
+    )).toDF("vec_id", "embedding", "label")
+    val got = Similarity.outliersByLabel(vecs).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got.map(_._1) === (1L to 12L))
+    val flagged = got.filter(_._4).map(_._1)
+    assert(flagged === Seq(10L), s"flagged $flagged, want only 10")
+    assert(got.find(_._1 == 10L).get._3 < -2.5)
+    got.filter(x => x._1 <= 9L).foreach(x => assert(x._3 > -1.0))
+    // zero-variance label: z exactly 0, no NaN, no flags
+    got.filter(_._2 == 1).foreach { x =>
+      assert(x._3 === 0.0 && !x._4)
+    }
+  }
 }

@@ -186,4 +186,35 @@ class RetrievalSpec extends SparkSpec {
       new Directory(tmp.toFile).deleteRecursively()
     }
   }
+
+  test("rrfFuse matches the hand-computed reciprocal-rank sum, " +
+      "breaks ties on doc_id, and cuts at k") {
+    // query 10: doc 1 in both lists (1/61 + 1/62), doc 2 lexical-only
+    //   rank 2 (1/62), doc 3 semantic-only rank 1 (1/61) — 2 and 3
+    //   differ, no tie; doc 4 and doc 5 each semantic-only at ranks
+    //   3 and 3 in DIFFERENT lists can't happen within one list, so
+    //   the tie case: doc 4 lexical rank 3, doc 5 semantic rank 3 —
+    //   equal rrf 1/63, doc_id 4 must rank first
+    val lex = Seq((10L, 1L, 1), (10L, 2L, 2), (10L, 4L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((10L, 3L, 1), (10L, 1L, 2), (10L, 5L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      (10L, 1, 1L, r6(1.0 / 61 + 1.0 / 62)),
+      (10L, 2, 3L, r6(1.0 / 61)),
+      (10L, 3, 2L, r6(1.0 / 62)),
+      (10L, 4, 4L, r6(1.0 / 63)),
+      (10L, 5, 5L, r6(1.0 / 63)))
+    val got = Retrieval.rrfFuse(Seq(lex, sem), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // the cut: k=2 keeps exactly the two highest fused scores
+    val cut = Retrieval.rrfFuse(Seq(lex, sem), k = 2)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(cut === expected.take(2))
+  }
 }

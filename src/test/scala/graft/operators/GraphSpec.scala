@@ -160,4 +160,56 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 2),
       (6L, 1)))
   }
+
+  test("shortestPathsBounded prefers a cheap long path over an " +
+      "expensive direct edge, and respects the round bound") {
+    // 1-3 direct costs 10; 1-2-3 costs 1+1=2 → dist(3)=2 needs two
+    // rounds; with rounds=1 only the direct edge has fired (dist 10)
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("p1", "p2", "w")
+    val seeds = Seq(1L).toDF("node")
+    val r2 = Graph.shortestPathsBounded(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r2 === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    val r1 = Graph.shortestPathsBounded(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r1 === Seq((1L, 0L), (2L, 1L), (3L, 10L)))
+  }
+
+  test("shortestPathsBounded equals brute-force min over all ≤R-edge " +
+      "paths on a pseudo-random weighted graph, multi-seed") {
+    // deterministic sparse graph: same sha2-parity edge filter as the
+    // triangle property test, weight = 1 + (first hex digit mod 4)
+    val n = 25
+    val pairs = for (i <- 1 to n; j <- (i + 1) to n)
+      yield (i.toLong, j.toLong)
+    val all = pairs.toDF("p1", "p2")
+      .withColumn("h", substring(
+        sha2(concat_ws("-", col("p1"), col("p2")), 256), 1, 1))
+      .filter(col("h").isin("0", "1", "2"))
+      .withColumn("w", (conv(col("h"), 16, 10).cast("long") % 4) + 1)
+      .select(col("p1"), col("p2"), col("w"))
+    val es = all.as[(Long, Long, Long)].collect()
+    val adj = (es.map { case (a, b, w) => (a, (b, w)) } ++
+      es.map { case (a, b, w) => (b, (a, w)) })
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    val seeds = Seq(1L, 20L)
+    val rounds = 3
+    // textbook UNPRUNED Bellman-Ford: every round relaxes every
+    // settled node again — after R rounds best(v) = min cost over all
+    // ≤R-edge paths, the exact contract the frontier-pruned engine
+    // form claims to preserve
+    var best = seeds.map(s => s -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val next = scala.collection.mutable.Map(best.toSeq: _*)
+      for ((u, du) <- best;
+          (v, w) <- adj.getOrElse(u, Array.empty[(Long, Long)]))
+        next(v) = math.min(next.getOrElse(v, Long.MaxValue), du + w)
+      best = next.toMap
+    }
+    val got = Graph.shortestPathsBounded(all,
+        seeds.toDF("node"), rounds)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === best.toSeq.sortBy(_._1))
+  }
 }
