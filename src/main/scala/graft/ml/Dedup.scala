@@ -629,4 +629,35 @@ object Dedup {
       .where(levenshtein(col("s1"), col("s2"), 1) === 1)
       .distinct()
   }
+
+  /** Survivor selection over resolved duplicate clusters — the policy
+    * step after [[clusters]]: within each cluster keep exactly ONE
+    * document, the highest-`score` member (doc_id as the total
+    * tiebreak), and mark the rest for drop. `members` needs
+    * (doc_id, cluster_id); `scored` needs (doc_id, score) covering
+    * every member. Output (doc_id, cluster_id, score, n_members,
+    * keep) — one row per member, so the caller can either filter
+    * `keep` for the deduplicated corpus or audit what was dropped
+    * and why (the drop manifest a training-data pipeline has to be
+    * able to produce).
+    *
+    * Scale: one equi-join on doc_id plus one window partitioned by
+    * cluster_id — the window's skew is bounded by the largest
+    * duplicate cluster, which the pair-finding caps (df cap, band
+    * width) already bound upstream. Singleton clusters pass through
+    * with keep = true, so the operator is total over the corpus.
+    */
+  def keepRepresentatives(members: DataFrame, scored: DataFrame)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    members.join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(cw))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        col("n_members"), col("keep"))
+  }
 }

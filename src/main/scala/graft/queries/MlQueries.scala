@@ -1943,6 +1943,49 @@ object MlQueries {
       |SELECT vec_id, label, cos_c, z, z < -2.0 AS is_outlier
       |FROM zz ORDER BY vec_id""".stripMargin
 
+  // --------------------- ns52 dedup survivor selection (keep policy)
+
+  /** The step after cluster resolution: ns16's duplicate clusters with
+    * a keep-ONE-per-cluster policy ([[Dedup.keepRepresentatives]]) —
+    * survivor = the longest member (length(text), doc_id tiebreak),
+    * everything else marked for drop, n_members as the audit column.
+    * The oracle extends ns16's recursive-CTE clustering with the same
+    * window, so the whole pair→cluster→select pipeline is hash-gated
+    * end to end, keep flags included. Integer scores — no float
+    * anywhere in the policy.
+    */
+  val ns52DedupSurvivors: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val members = Dedup.clusters(docs,
+      Dedup.minhashPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.5))
+    Dedup.keepRepresentatives(members,
+      docs.select(col("doc_id"), length(col("text")).as("score")))
+      .orderBy(col("doc_id"))
+  }
+
+  val ns52DedupSurvivorsSql: String =
+    s"""WITH RECURSIVE ${minhashCteBody()},
+       |pairs AS (
+       |  SELECT i, j FROM verified
+       |  WHERE round(common / (ni + nj - common), 6) >= 0.5
+       |), edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs
+       |), reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+       |), members AS (
+       |  SELECT node AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY node
+       |)
+       |SELECT m.doc_id, m.cluster_id, length(d.text)::INT AS score,
+       |  count(*) OVER (PARTITION BY m.cluster_id) AS n_members,
+       |  row_number() OVER (PARTITION BY m.cluster_id
+       |    ORDER BY length(d.text) DESC, m.doc_id) = 1 AS keep
+       |FROM members m JOIN documents d ON d.doc_id = m.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -2010,6 +2053,7 @@ object MlQueries {
     "ns49_pca_power" -> ns49PcaPower,
     "ns50_hybrid_rrf" -> ns50HybridRrf,
     "ns51_embed_outliers" -> ns51EmbedOutliers,
+    "ns52_dedup_survivors" -> ns52DedupSurvivors,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2064,5 +2108,6 @@ object MlQueries {
     "ns48_rocchio" -> ns48RocchioSql,
     "ns50_hybrid_rrf" -> ns50HybridRrfSql,
     "ns51_embed_outliers" -> ns51EmbedOutliersSql,
+    "ns52_dedup_survivors" -> ns52DedupSurvivorsSql,
   )
 }

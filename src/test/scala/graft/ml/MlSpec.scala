@@ -1298,4 +1298,25 @@ class MlSpec extends SparkSpec {
       assert(x._3 === 0.0 && !x._4)
     }
   }
+
+  test("keepRepresentatives keeps exactly the best-scored member per " +
+      "cluster, breaks score ties on the lower doc_id, and passes " +
+      "singletons through") {
+    import spark.implicits._
+    // cluster 1 = {1,2,3}: scores 5,9,9 — 2 and 3 tie at 9, doc 2
+    // must win; cluster 7 = {7}: singleton keeps itself
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 5), (2L, 9), (3L, 9), (7L, 1))
+      .toDF("doc_id", "score")
+    val got = Dedup.keepRepresentatives(members, scored)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 5, 3L, false),
+      (2L, 1L, 9, 3L, true),
+      (3L, 1L, 9, 3L, false),
+      (7L, 7L, 1, 1L, true)))
+  }
 }
