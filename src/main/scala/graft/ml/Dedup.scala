@@ -635,7 +635,9 @@ object Dedup {
     * document, the highest-`score` member (doc_id as the total
     * tiebreak), and mark the rest for drop. `members` needs
     * (doc_id, cluster_id); `scored` needs (doc_id, score) covering
-    * every member. Output (doc_id, cluster_id, score, n_members,
+    * every member — a member with a missing or NULL score fails
+    * loudly rather than silently vanishing from the manifest or
+    * sorting on NULL. Output (doc_id, cluster_id, score, n_members,
     * keep) — one row per member, so the caller can either filter
     * `keep` for the deduplicated corpus or audit what was dropped
     * and why (the drop manifest a training-data pipeline has to be
@@ -654,7 +656,17 @@ object Dedup {
       .orderBy(col("score").desc, col("doc_id"))
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-    members.join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+    // a member with no (or a NULL) score would either vanish from the
+    // manifest (inner join) or sort unpredictably (NULL ordering) —
+    // both silently corrupt the drop audit, so the coverage contract
+    // fails loudly instead (the centroidsByKey discipline)
+    members
+      .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"),
+        "left")
+      .withColumn("score", when(col("score").isNotNull, col("score"))
+        .otherwise(raise_error(concat(
+          lit("keepRepresentatives: no score for doc "),
+          col("doc_id").cast("string")))))
       .withColumn("n_members", count(lit(1)).over(cw))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster_id"), col("score"),

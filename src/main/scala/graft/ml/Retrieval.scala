@@ -126,11 +126,20 @@ object Retrieval {
     val stacked = rankings
       .map(_.select(col("query_id"), col("doc_id"), col("rank")))
       .reduce(_.unionAll(_))
-    // sum of ≤ |rankings| doubles of the form 1/(c+r): IEEE addition
-    // is commutative, so with the two-list hybrid the accumulation
-    // order cannot diverge between engines; round before ranking
+    // IEEE addition is commutative but NOT associative, so a plain
+    // sum() of 3+ contributions would associate in partition-dependent
+    // order and could ulp-shift across a rounding boundary between
+    // runs or engines. Folding the SORTED contribution list fixes one
+    // canonical accumulation order whatever the partitioning; the
+    // per-(query, doc) list is ≤ |rankings| elements, and for the
+    // two-list case the fold equals any engine's plain sum exactly
+    // (two-operand addition is order-free), so SQL oracles restate it
+    // as sum(). Round before ranking, doc_id as the total tiebreak.
     val fused = stacked.groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf"))
+      .agg(collect_list(lit(1.0) / (lit(c) + col("rank"))).as("_cs"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(sort_array(col("_cs")), lit(0.0),
+          (acc, x) => acc + x), 6).as("rrf"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w).cast("int"))

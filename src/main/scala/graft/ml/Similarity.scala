@@ -84,7 +84,27 @@ object Similarity {
     */
   def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val n = withNorm(embeddings)
-    val a = n.select(col("vec_id").as("i"), col("e").as("ea"), col("nrm").as("na"))
+    bruteTopKSides(n, n, k)
+  }
+
+  /** [[bruteTopK]] restricted to a query subset: exact cosine top-k
+    * over the whole corpus for ONLY the vectors whose `vec_id` appears
+    * in `queryIds`. The subset lands structurally on the pair scan's
+    * query side (a semi-join BEFORE the cross join), so the
+    * |queries|·N — not N² — pair count is guaranteed by construction,
+    * not by an optimizer pushdown surviving future refactors.
+    */
+  def bruteTopKForQueries(embeddings: DataFrame, queryIds: DataFrame,
+      k: Int): DataFrame = {
+    val n = withNorm(embeddings)
+    bruteTopKSides(
+      n.join(queryIds.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+      n, k)
+  }
+
+  private def bruteTopKSides(qn: DataFrame, n: DataFrame, k: Int)
+      : DataFrame = {
+    val a = qn.select(col("vec_id").as("i"), col("e").as("ea"), col("nrm").as("na"))
     val b = n.select(col("vec_id").as("j"), col("e").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("i"))
       .orderBy(col("cos").desc, col("j"))
@@ -1057,8 +1077,9 @@ object Similarity {
     * vectors and directionless centroids are excluded by the
     * [[Classify.nearestCentroid]] finite-norm rules. Scale shape: the
     * centroid build shuffles |labels|·dim partial averages, the
-    * centroid and stats joins broadcast |labels|-sized tables, and
-    * everything else is a map — one pass over N vectors.
+    * centroid join broadcasts a |labels|-sized table, and the label
+    * stats are window aggregates over the scored stream (one exchange
+    * on label) — each vector is scored exactly once.
     */
   def outliersByLabel(vecs: DataFrame, zThresh: Double = -2.0)
       : DataFrame = {
@@ -1076,9 +1097,14 @@ object Similarity {
       .join(broadcast(cents), Seq("label"))
       .withColumn("cos_c", round(
         dot(col("_e"), col("centroid")) / (col("_nrm") * col("_cn")), 6))
-    val stats = scored.groupBy(col("label"))
-      .agg(avg(col("cos_c")).as("_m"), stddev_pop(col("cos_c")).as("_s"))
-    scored.join(broadcast(stats), Seq("label"))
+    // label mean/stddev as WINDOW aggregates over the scored stream —
+    // a groupBy + self-join would re-execute the whole scoring subtree
+    // (scan, centroid join, N·dim dot products) once per branch; the
+    // window costs one exchange on label and scores each vector once
+    val lw = Window.partitionBy(col("label"))
+    scored
+      .withColumn("_m", avg(col("cos_c")).over(lw))
+      .withColumn("_s", stddev_pop(col("cos_c")).over(lw))
       .withColumn("z", round(
         when(col("_s") > 0, (col("cos_c") - col("_m")) / col("_s"))
           .otherwise(lit(0.0)), 6))

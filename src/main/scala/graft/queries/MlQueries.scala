@@ -1825,9 +1825,10 @@ object MlQueries {
     * one excludes self (i ≠ j) — the oracle restates both pipelines
     * verbatim (round-before-rank on each side and on the fused
     * score), so the fusion arithmetic AND both cuts are hash-gated.
-    * The semantic query subset is a filter on the brute top-k's
-    * partition key, which Catalyst pushes below the window and into
-    * the cross-join's left side — only query rows ever rank.
+    * The semantic query subset is applied STRUCTURALLY
+    * ([[Similarity.bruteTopKForQueries]]: a semi-join before the pair
+    * scan), so the |queries|·N pair bound holds by construction, not
+    * by an optimizer pushdown surviving refactors.
     */
   val ns50HybridRrf: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
@@ -1836,8 +1837,10 @@ object MlQueries {
         slice(split(col("text"), " "), 1, 4).as("terms"))
     val lex = Retrieval.bm25TopK(docs, queries, k = 20)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val sem = Similarity.bruteTopK(Tables.embeddings(s, dir), k = 20)
-      .filter(col("i") % 50 === 0)
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity.bruteTopKForQueries(emb,
+        emb.filter(col("vec_id") % 50 === 0).select(col("vec_id")),
+        k = 20)
       .select(col("i").as("query_id"), col("j").as("doc_id"),
         col("rk").as("rank"))
     Retrieval.rrfFuse(Seq(lex, sem), k = 5)

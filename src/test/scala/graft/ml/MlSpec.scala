@@ -1318,5 +1318,25 @@ class MlSpec extends SparkSpec {
       (2L, 1L, 9, 3L, true),
       (3L, 1L, 9, 3L, false),
       (7L, 7L, 1, 1L, true)))
+    // a member the score table misses must fail loudly, not vanish
+    // from the keep/drop manifest
+    val ex = intercept[Exception] {
+      Dedup.keepRepresentatives(members, scored.filter($"doc_id" =!= 3L))
+        .collect()
+    }
+    assert(ex.getMessage.contains("no score for doc"))
+  }
+
+  test("bruteTopKForQueries equals bruteTopK restricted to the query " +
+      "set — the structural semi-join prune loses nothing") {
+    val q = embs.filter(col("vec_id") % 100 === 0).select("vec_id")
+    val sub = Similarity.bruteTopKForQueries(embs, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val full = Similarity.bruteTopK(embs, k = 3)
+      .filter(col("i") % 100 === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(sub === full && sub.nonEmpty)
   }
 }

@@ -216,5 +216,13 @@ class RetrievalSpec extends SparkSpec {
       .orderBy(col("query_id"), col("rank"))
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(cut === expected.take(2))
+    // three lists: the fused score must equal the SORTED-order fold
+    // of the three contributions (the canonical accumulation order
+    // that makes 3+-list fusion run- and engine-deterministic)
+    val third = Seq((10L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val top3 = Retrieval.rrfFuse(Seq(lex, sem, third), k = 1)
+      .as[(Long, Int, Long, Double)].collect().head
+    val cs = Seq(1.0 / 61, 1.0 / 62, 1.0 / 61).sorted
+    assert(top3 === ((10L, 1, 1L, r6(cs.foldLeft(0.0)(_ + _)))))
   }
 }

@@ -212,4 +212,34 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(got === best.toSeq.sortBy(_._1))
   }
+
+  test("shortestPathsBounded reliable=true (fault-tolerant checkpoint) " +
+      "equals the localCheckpoint path bit-for-bit") {
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 2L)).toDF("p1", "p2", "w")
+    val seeds = Seq(1L).toDF("node")
+    val sc = spark.sparkContext
+    val saved = sc.getCheckpointDir
+    if (saved.isEmpty)
+      intercept[IllegalArgumentException] {
+        Graph.shortestPathsBounded(edges, seeds, 1, reliable = true)
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    try {
+      sc.setCheckpointDir(dir)
+      val local = Graph.shortestPathsBounded(edges, seeds, 3)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val rel = Graph.shortestPathsBounded(edges, seeds, 3,
+          reliable = true)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(rel === local && local.nonEmpty)
+    } finally {
+      // restore whatever dir the session had: later suites must not
+      // inherit a checkpoint dir pointing at this test's deleted tmp
+      saved.foreach(sc.setCheckpointDir)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
