@@ -129,6 +129,24 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Near-dup-leakage-free train/val/test split: [[splitAssign]]
+    * keyed on the duplicate CLUSTER's id (from [[Dedup.clusters]])
+    * instead of the document's own, so every member of a near-dup
+    * cluster lands on the SAME side of the boundary — a per-doc hash
+    * split leaks test content into training whenever a near-copy of
+    * a test doc exists, and at web-corpus dup rates that is the rule,
+    * not the edge case. `members` needs (doc_id, cluster_id); output
+    * (doc_id, cluster_id, split) one row per doc. Singleton clusters
+    * (cluster_id = doc_id under the min-label convention) degrade to
+    * exactly the per-doc split, so the operator is a strict
+    * refinement, not a different sampler. Map-only over the cluster
+    * assignment — the split itself adds no shuffle.
+    */
+  def splitByCluster(members: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame =
+    members.select(col("doc_id"), col("cluster_id"),
+      splitAssign(col("cluster_id"), trainPct, valPct).as("split"))
+
   /** Deterministic stratified downsample: keep at most `perStratum`
     * docs per stratum, chosen by hash order (stable, engine-agnostic) —
     * the balanced-corpus sampler. Returns the kept rows.

@@ -1989,6 +1989,49 @@ object MlQueries {
        |FROM members m JOIN documents d ON d.doc_id = m.doc_id
        |ORDER BY m.doc_id""".stripMargin
 
+  // ------------------- ns53 leakage-free split (by dup cluster)
+
+  /** Near-dup-leakage-free corpus split
+    * ([[TextAnalysis.splitByCluster]]): ns16's duplicate clusters
+    * hashed into train/val/test by CLUSTER id, so a test document's
+    * near-copies can never sit in train — the contamination a per-doc
+    * hash split (ns17) structurally cannot prevent. Gated per-doc
+    * (doc_id, cluster_id, split); the oracle extends ns16's recursive
+    * CTE with the same hash CASE, so cluster resolution AND the
+    * assignment rule are hash-gated together. MlSpec asserts the
+    * no-straddle invariant directly on the near-dup pairs.
+    */
+  val ns53LeakFreeSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val members = Dedup.clusters(docs,
+      Dedup.minhashPairs(docs, n = 3, k = 16, bands = 4, threshold = 0.5))
+    TextAnalysis.splitByCluster(members)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns53LeakFreeSplitSql: String = {
+    val h = duckHash60("cluster_id::VARCHAR")
+    s"""WITH RECURSIVE ${minhashCteBody()},
+       |pairs AS (
+       |  SELECT i, j FROM verified
+       |  WHERE round(common / (ni + nj - common), 6) >= 0.5
+       |), edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs
+       |), reach(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+       |), members AS (
+       |  SELECT node AS doc_id, min(lab) AS cluster_id
+       |  FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN $h % 100 < 90 THEN 'train'
+       |    WHEN $h % 100 < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM members ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -2057,6 +2100,7 @@ object MlQueries {
     "ns50_hybrid_rrf" -> ns50HybridRrf,
     "ns51_embed_outliers" -> ns51EmbedOutliers,
     "ns52_dedup_survivors" -> ns52DedupSurvivors,
+    "ns53_leakfree_split" -> ns53LeakFreeSplit,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2112,5 +2156,6 @@ object MlQueries {
     "ns50_hybrid_rrf" -> ns50HybridRrfSql,
     "ns51_embed_outliers" -> ns51EmbedOutliersSql,
     "ns52_dedup_survivors" -> ns52DedupSurvivorsSql,
+    "ns53_leakfree_split" -> ns53LeakFreeSplitSql,
   )
 }

@@ -1339,4 +1339,31 @@ class MlSpec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(sub === full && sub.nonEmpty)
   }
+
+  test("splitByCluster never straddles a near-dup pair across the " +
+      "train/val/test boundary, and singleton clusters equal the " +
+      "per-doc split") {
+    val members = Dedup.clusters(docs,
+      Dedup.minhashPairs(docs, 3, 16, 4, 0.5))
+    val split = TextAnalysis.splitByCluster(members)
+    // every near-dup pair gets ONE split — the leakage the operator
+    // exists to prevent (a per-doc split would straddle some of them)
+    val pairs = Dedup.minhashPairs(docs, 3, 16, 4, 0.5)
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("i"), col("split").as("si")),
+        Seq("i"))
+      .join(split.select(col("doc_id").as("j"), col("split").as("sj")),
+        Seq("j"))
+      .filter(col("si") =!= col("sj")).count()
+    assert(straddling === 0L)
+    assert(pairs.count() > 0, "testdata should contain planted near-dups")
+    // a singleton cluster's id IS its doc_id (min-label convention),
+    // so its assignment equals the plain per-doc splitAssign
+    val singletons = split
+      .join(pairs.select(col("i").as("doc_id")), Seq("doc_id"), "left_anti")
+      .join(pairs.select(col("j").as("doc_id")), Seq("doc_id"), "left_anti")
+    val mismatched = singletons.filter(col("split") =!=
+      TextAnalysis.splitAssign(col("doc_id"))).count()
+    assert(mismatched === 0L && singletons.count() > 0)
+  }
 }
