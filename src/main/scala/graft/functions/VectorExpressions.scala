@@ -97,8 +97,13 @@ case class DotProduct(left: Expression, right: Expression)
   * is the whole point: 8× less shuffle/scan traffic for the N² half of
   * SQ8, with full-precision vectors touched only in the final re-score.
   *
-  * Rounding is `Math.round` (half-up in the positive direction); cosine
-  * is scale-invariant so the per-vector rescale needs no de-scaling
+  * Rounding is `floor(x + 0.5)` (half-up toward +∞) — deliberately NOT
+  * `Math.round`: the two differ only where Java's anti-double-rounding
+  * special case fires (x within one ulp below k+0.5), but `floor(x +
+  * 0.5)` is the identical IEEE expression in ANSI SQL, which is what
+  * lets the SQ8 pipeline be restated verbatim in a DuckDB oracle and
+  * hash-gated (ns7c) instead of trusted rows-only. Cosine is
+  * scale-invariant so the per-vector rescale needs no de-scaling
   * downstream. The zero vector would divide 0/0 → bytes of 0; callers
   * exclude zero-norm vectors upstream (Similarity.withNorm) and the
   * byte-dot norm guard below catches any that slip through.
@@ -127,7 +132,8 @@ case class PackSq8(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n)
     i = 0
     while (i < n) {
-      out(i) = Math.round(x.getDouble(i) * 127.0 / amax).toByte; i += 1
+      out(i) = Math.floor(x.getDouble(i) * 127.0 / amax + 0.5).toInt.toByte
+      i += 1
     }
     out
   }
@@ -148,7 +154,8 @@ case class PackSq8(child: Expression) extends UnaryExpression {
          |}
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (byte) Math.round($a.getDouble($i) * 127.0 / $amax);
+         |  $out[$i] = (byte) (int) Math.floor(
+         |    $a.getDouble($i) * 127.0 / $amax + 0.5);
          |}
          |${ev.value} = $out;
        """.stripMargin

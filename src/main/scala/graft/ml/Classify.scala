@@ -166,8 +166,7 @@ object Classify {
         col("embedding").cast("array<double>"),
         col("embedding").cast("array<double>")))
       df.withColumn("_nrm", nrm)
-        .filter(col("_nrm") > 0 && !isnan(col("_nrm")) &&
-          col("_nrm") < lit(Double.PositiveInfinity))
+        .filter(Similarity.finitePositiveNorm(col("_nrm")))
     }
     val cents = Similarity.centroidsByKey(
         finite(train).drop("_nrm"), "label")
@@ -179,8 +178,7 @@ object Classify {
       // NaN orders above every double, so it would win rank 1 for
       // every test row. Cosine-Rocchio has no answer for such a label
       // — exclude the prototype (same rule as the per-vector guard)
-      .filter(col("cnorm") > 0 && !isnan(col("cnorm")) &&
-        col("cnorm") < lit(Double.PositiveInfinity))
+      .filter(Similarity.finitePositiveNorm(col("cnorm")))
     val te = finite(test).select(col("vec_id"),
       col("label").as("true_label"),
       col("embedding").cast("array<double>").as("e"), col("_nrm"))

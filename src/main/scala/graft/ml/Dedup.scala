@@ -659,10 +659,21 @@ object Dedup {
     // a member with no (or a NULL) score would either vanish from the
     // manifest (inner join) or sort unpredictably (NULL ordering) —
     // both silently corrupt the drop audit, so the coverage contract
-    // fails loudly instead (the centroidsByKey discipline)
+    // fails loudly instead (the centroidsByKey discipline). The dual
+    // corruption — a DUPLICATE doc_id in `scored` — would fan the
+    // member out through the join, inflating n_members and duplicating
+    // manifest rows, so it fails just as loudly: one count window on
+    // the (small, one-double-per-doc) score table before the join.
+    val sdw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val scores = scored.select(col("doc_id"), col("score"))
+      .withColumn("score",
+        when(count(lit(1)).over(sdw) === 1, col("score"))
+          .otherwise(raise_error(concat(
+            lit("keepRepresentatives: duplicate score rows for doc "),
+            col("doc_id").cast("string")))))
     members
-      .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"),
-        "left")
+      .join(scores, Seq("doc_id"), "left")
       .withColumn("score", when(col("score").isNotNull, col("score"))
         .otherwise(raise_error(concat(
           lit("keepRepresentatives: no score for doc "),

@@ -82,19 +82,29 @@ object Retrieval {
     // every doc per surviving term); ≤ |distinct query terms| rows
     val docFreq = posting.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // IEEE addition is not associative, so a plain sum() of 3+ per-term
+    // contributions would associate in partition-dependent order and
+    // could ulp-shift across the 6 dp rounding boundary between runs —
+    // the rrfFuse discipline applies here too: fold the SORTED
+    // contribution list (≤ |query terms| elements per (query, doc)
+    // group) so the accumulation order is canonical whatever the
+    // partitioning. The oracle mirrors the same sorted fold with
+    // list_reduce/list_sort, so the gate compares identical sequences.
     val scored = posting
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(docFreq), Seq("term"))
       .join(dl.hint("shuffle_hash"), Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(
+      .agg(collect_list(
         log(lit(1.0) +
           (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))), 6)
-        .as("score"))
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("_cs"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(sort_array(col("_cs")), lit(0.0),
+          (acc, x) => acc + x), 6).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
@@ -123,9 +133,28 @@ object Retrieval {
     require(rankings.nonEmpty, "need at least one ranking to fuse")
     require(k >= 1, "k must be at least 1")
     require(c >= 0, "rrf constant must be non-negative")
-    val stacked = rankings
-      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+    // CONTRACT: each input list holds at most one row per
+    // (query_id, doc_id) — a ranked list by definition. A duplicate
+    // would silently add an extra 1/(c+rank) contribution and skew the
+    // fused score, so the precondition fails loudly instead (the
+    // keepRepresentatives discipline): one count window per stacked
+    // row, on the same (list, query, doc) keys the fusion groups by.
+    val dupW = Window.partitionBy(col("_list"), col("query_id"),
+      col("doc_id"))
+    val stacked = rankings.zipWithIndex
+      .map { case (df, idx) =>
+        df.select(col("query_id"), col("doc_id"), col("rank"))
+          .withColumn("_list", lit(idx))
+      }
       .reduce(_.unionAll(_))
+      .withColumn("rank",
+        when(count(lit(1)).over(dupW) === 1, col("rank"))
+          .otherwise(raise_error(concat(
+            lit("rrfFuse: duplicate (query_id, doc_id) in ranking "),
+            col("_list").cast("string"), lit(" for query "),
+            col("query_id").cast("string"), lit(", doc "),
+            col("doc_id").cast("string")))))
+      .drop("_list")
     // IEEE addition is commutative but NOT associative, so a plain
     // sum() of 3+ contributions would associate in partition-dependent
     // order and could ulp-shift across a rounding boundary between

@@ -50,13 +50,22 @@ object Similarity {
     * a broken upstream embed; a similarity operator's contract is over
     * finite nonzero vectors.
     */
+  /** The degenerate-vector guard, shared by every consumer of a norm
+    * ([[withNorm]], [[fitCentroids]], [[outliersByLabel]]): strictly
+    * positive AND finite — `> 0` alone keeps NaN (Spark orders NaN
+    * above every double) and +Inf, both of which poison every cosine
+    * they touch. One definition so a future change to the
+    * degenerate-vector rules cannot drift between call sites.
+    */
+  private[ml] def finitePositiveNorm(nrm: Column): Column =
+    nrm > 0 && !isnan(nrm) && nrm < lit(Double.PositiveInfinity)
+
   private def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftExtensions.register(embeddings.sparkSession)
     val e = col("embedding").cast("array<double>")
     embeddings.select(col("vec_id"), e.as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      .filter(col("nrm") > 0 && !isnan(col("nrm")) &&
-        col("nrm") < lit(Double.PositiveInfinity))
+      .filter(finitePositiveNorm(col("nrm")))
   }
 
   private def pairCos: Column =
@@ -392,10 +401,8 @@ object Similarity {
         .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
         // a cell whose members cancel to the zero vector has no
         // direction — drop it rather than emit undefined cosines
-        // (finite-norm guard for the same NaN-ordering reason as
-        // withNorm)
-        .filter(col("cn") > 0 && !isnan(col("cn")) &&
-          col("cn") < lit(Double.PositiveInfinity))
+        // (the shared finitePositiveNorm guard)
+        .filter(finitePositiveNorm(col("cn")))
         .localCheckpoint()
     }
     cents
@@ -628,7 +635,7 @@ object Similarity {
         sqrt(sum(col("cn2"))).as("rnrm"))
       // all-zero codewords reconstruct to the zero vector — no
       // direction, same guard (and rationale) as withNorm
-      .filter(col("rnrm") > 0 && !isnan(col("rnrm")))
+      .filter(finitePositiveNorm(col("rnrm")))
   }
 
   /** Per-query ADC lookup tables: (vec_id, lut) with lut[sub·k + code]
@@ -1085,13 +1092,11 @@ object Similarity {
       : DataFrame = {
     val e = col("embedding").cast("array<double>")
     val fin = vecs.withColumn("_nrm", sqrt(dot(e, e)))
-      .filter(col("_nrm") > 0 && !isnan(col("_nrm")) &&
-        col("_nrm") < lit(Double.PositiveInfinity))
+      .filter(finitePositiveNorm(col("_nrm")))
     val cents = centroidsByKey(fin.drop("_nrm"), "label")
       .select(col("key").as("label"), col("centroid"),
         sqrt(dot(col("centroid"), col("centroid"))).as("_cn"))
-      .filter(col("_cn") > 0 && !isnan(col("_cn")) &&
-        col("_cn") < lit(Double.PositiveInfinity))
+      .filter(finitePositiveNorm(col("_cn")))
     val scored = fin
       .select(col("vec_id"), col("label"), e.as("_e"), col("_nrm"))
       .join(broadcast(cents), Seq("label"))

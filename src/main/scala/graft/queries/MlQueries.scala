@@ -328,6 +328,42 @@ object MlQueries {
       |FROM assign s LEFT JOIN earliest e ON e.j = s.vec_id
       |ORDER BY s.vec_id""".stripMargin
 
+  /** The ns44 seed-centroid CTE, shared by every IVF hash gate: the 16
+    * smallest-vec_id non-degenerate vectors, exactly
+    * [[Similarity.seedCentroids]].
+    */
+  private val duckSeedCents16: String =
+    """cents AS (
+      |  SELECT vec_id AS cell, embedding AS ce FROM nz
+      |  ORDER BY vec_id LIMIT 16
+      |)""".stripMargin
+
+  /** DuckDB restatement of [[Similarity.withRecall]] (sampleMod = 5)
+    * over an upstream CTE named `approx` with (i, j) columns: the
+    * sampled brute-force reference, per-query hit counts, and the
+    * 4 dp recall — so the recall COLUMN of the ANN gates is itself
+    * hash-proven, not just carried as evidence.
+    */
+  private val duckSampledRecall: String =
+    """brute AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rk
+      |    FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      |    WHERE a.vec_id % 5 = 0) WHERE rk <= 5
+      |), hits AS (
+      |  SELECT ap.i, count(*) AS n_hits
+      |  FROM approx ap JOIN brute bt ON ap.i = bt.i AND ap.j = bt.j
+      |  GROUP BY ap.i
+      |), recalls AS (
+      |  SELECT bt.i, round(coalesce(h.n_hits, 0)::DOUBLE / bt.n_true, 4)
+      |    AS recall
+      |  FROM (SELECT i, count(*) AS n_true FROM brute GROUP BY i) bt
+      |  LEFT JOIN hits h ON h.i = bt.i
+      |)""".stripMargin
+
   /** ns6's scale path: LSH band-collision candidates + exact cosine
     * re-score (subset of ns6 by construction — a pair missed by every
     * band is lost). No oracle (approximate); MlSpec asserts the subset
@@ -363,8 +399,13 @@ object MlQueries {
 
   /** SQ8-quantized top-k: candidates ranked by int8-quantized cosine
     * (the N² scan touches 1-byte components — the 100 TB bandwidth
-    * play), refine=4k re-scored exactly. Approximate → no oracle;
-    * in-result recall + MlSpec floor and error-bound tests.
+    * play), refine=4k re-scored exactly. Quantization is EXACT
+    * arithmetic — floor(x·127/amax + 0.5) per component, integer dot
+    * products below 2^53 — so since r9 the whole chain (quantize →
+    * approximate rank → refine cut → exact re-score → recall) is
+    * restated in DuckDB and HASH-GATED; "approximate" refers only to
+    * the recall lost to the refine cut, which the gated recall column
+    * measures (MlSpec keeps the floor and error-bound tests).
     */
   val ns7cSimTopkSq8: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -373,6 +414,39 @@ object MlQueries {
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
+
+  val ns7cSimTopkSq8Sql: String =
+    s"""WITH $duckNonZeroEmb,
+      |qz AS (
+      |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM (
+      |    SELECT vec_id,
+      |      [floor(x * 127.0 / amax + 0.5) FOR x IN e] AS q FROM (
+      |      SELECT vec_id, embedding::DOUBLE[] AS e,
+      |        list_max([abs(x) FOR x IN embedding::DOUBLE[]]) AS amax
+      |      FROM nz))
+      |  WHERE sqrt(list_dot_product(q, q)) > 0
+      |), cand AS (
+      |  SELECT i, j FROM (
+      |    SELECT za.vec_id AS i, zb.vec_id AS j,
+      |      row_number() OVER (PARTITION BY za.vec_id
+      |        ORDER BY round(list_dot_product(za.q, zb.q)
+      |          / (za.qn * zb.qn), 6) DESC, zb.vec_id) AS qrk
+      |    FROM qz za JOIN qz zb ON za.vec_id <> zb.vec_id) WHERE qrk <= 20
+      |), approx AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT c.i, c.j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+      |    FROM cand c JOIN nz a ON a.vec_id = c.i
+      |    JOIN nz b ON b.vec_id = c.j) WHERE rk <= 5
+      |),
+      |$duckSampledRecall
+      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 2""".stripMargin
 
   /** IVF-PQ top-k — the quantized serving layout: IVF cells bound the
     * candidate set, an 8-subspace × 16-codeword product quantizer
@@ -428,14 +502,19 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
-  /** IVF ANN — approximate, no ANSI oracle, but recall-vs-brute is
-    * emitted as a column of the result itself (driver rows check now
-    * carries the recall number in the dumped parquet); the MlSpec
-    * floor asserts it stays non-trivial. The recall reference is
-    * SAMPLED (every 5th query vector) so the gate itself is
-    * linear-shaped — the brute pass is the quadratic part and sampling
-    * divides its cost by sampleMod; unsampled vectors keep their ANN
-    * rows with a null recall.
+  /** IVF ANN — "approximate" only in the sense that cell pruning loses
+    * recall vs brute force; given its DETERMINISTIC seed centroids the
+    * result is a pure function of the data, so since r9 the entire
+    * pipeline — argmax cell assignment, intra-cell top-k, and the
+    * sampled recall column itself — is restated in DuckDB and
+    * HASH-GATED (the ns44/ns45 graduation pattern), not rows-only.
+    * The recall reference is SAMPLED (every 5th query vector) so the
+    * gate itself is linear-shaped — the brute pass is the quadratic
+    * part and sampling divides its cost by sampleMod; unsampled
+    * vectors keep their ANN rows with a null recall, and a query
+    * vector with zero in-cell neighbors still appears (null neighbor
+    * columns) via the full join — survivorship bias is part of the
+    * gated contract.
     */
   val ns8SimIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -444,6 +523,36 @@ object MlQueries {
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
+
+  val ns8SimIvfSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |$duckSeedCents16,
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk = 1
+      |), approx AS (
+      |  SELECT i, cell, rk, j, cos FROM (
+      |    SELECT xa.vec_id AS i, xa.cell, xb.vec_id AS j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY xa.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, xb.vec_id) AS rk
+      |    FROM assign xa JOIN assign xb
+      |      ON xa.cell = xb.cell AND xa.vec_id <> xb.vec_id
+      |    JOIN nz a ON a.vec_id = xa.vec_id
+      |    JOIN nz b ON b.vec_id = xb.vec_id) WHERE rk <= 5
+      |),
+      |$duckSampledRecall
+      |SELECT coalesce(ap.i, r.i) AS i, ap.cell, ap.rk, ap.j, ap.cos,
+      |  r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 3""".stripMargin
 
   /** IVF over spherical-k-means-fitted centroids (3 Lloyd rounds from
     * the deterministic seed) — the quality path; improvement-vs-seed
@@ -487,6 +596,61 @@ object MlQueries {
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
+
+  /** ns8c hash gate (r9 graduation): one RANKED assignment CTE serves
+    * both sides — the query side probes its crk ≤ 3 cells, the index
+    * side is the crk = 1 slice — then the same top-k cut and recall
+    * restatement as ns8. A neighbor lives in exactly one index cell,
+    * so the probe join yields each (query, neighbor) pair at most
+    * once, mirroring the operator's no-dedup-needed argument.
+    * Parameterized on the centroid CTE because the same restatement
+    * gates three entries: ns8c (seed centroids over the full corpus),
+    * ns8d (the SERVED index — assignment is a pure function of the
+    * persisted centroids, so the served result must equal ns8c's), and
+    * ns8e (the appended index, whose centroids were seeded from the
+    * INITIAL 3/4 corpus slice before the append).
+    */
+  private def ivfMultiProbeSql(centsCte: String): String =
+    s"""WITH $duckNonZeroEmb,
+      |$centsCte,
+      |ranked AS (
+      |  SELECT vec_id, cell, crk FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk <= 3
+      |), approx AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT q.vec_id AS i, ix.vec_id AS j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, ix.vec_id) AS rk
+      |    FROM ranked q JOIN ranked ix
+      |      ON q.cell = ix.cell AND ix.crk = 1 AND q.vec_id <> ix.vec_id
+      |    JOIN nz a ON a.vec_id = q.vec_id
+      |    JOIN nz b ON b.vec_id = ix.vec_id) WHERE rk <= 5
+      |),
+      |$duckSampledRecall
+      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 2""".stripMargin
+
+  val ns8cSimIvfMultiProbeSql: String = ivfMultiProbeSql(duckSeedCents16)
+
+  /** ns8e's centroids: [[Similarity.seedCentroids]] over the initial
+    * (vec_id % 4 ≠ 0) build slice — the 16 smallest surviving ids
+    * there, which differ from the full-corpus seed set.
+    */
+  val ns8eSimIvfAppendedSql: String = ivfMultiProbeSql(
+    """cents AS (
+      |  SELECT vec_id AS cell, embedding AS ce FROM nz
+      |  WHERE vec_id % 4 <> 0
+      |  ORDER BY vec_id LIMIT 16
+      |)""".stripMargin)
 
   private val ivfIndexWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -1651,9 +1815,10 @@ object MlQueries {
       |  WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1
       |), sc AS (
       |  SELECT query_id, tf.doc_id,
-      |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-      |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
-      |      AS score
+      |    round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(
+      |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))),
+      |      (a, x) -> a + x), 6) AS score
       |  FROM qd JOIN tf USING (term) JOIN dfq USING (term)
       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
       |  GROUP BY 1, 2
@@ -1867,9 +2032,10 @@ object MlQueries {
       |  WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1
       |), sc AS (
       |  SELECT query_id, tf.doc_id,
-      |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-      |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
-      |      AS score
+      |    round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(
+      |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))),
+      |      (a, x) -> a + x), 6) AS score
       |  FROM qd JOIN tf USING (term) JOIN dfq USING (term)
       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
       |  GROUP BY 1, 2
@@ -2112,6 +2278,11 @@ object MlQueries {
     "ns6_embed_neardup" -> ns6EmbedNearDupSql,
     "ns7_sim_topk" -> ns7SimTopkSql,
     "ns7b_sim_topk_agg" -> ns7SimTopkSql,
+    "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8Sql,
+    "ns8_sim_ivf" -> ns8SimIvfSql,
+    "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbeSql,
+    "ns8d_sim_ivf_served" -> ns8cSimIvfMultiProbeSql,
+    "ns8e_sim_ivf_appended" -> ns8eSimIvfAppendedSql,
     "ns9_lang_id" -> ns9LangIdSql,
     "ns10_quality" -> ns10QualitySql,
     "ns11_tokens" -> ns11TokensSql,

@@ -182,7 +182,7 @@ class MlSpec extends SparkSpec {
     import graft.functions.VectorFunctions.{dot, dot8, sq8Pack}
     graft.functions.GraftExtensions.register(spark)
     // amax=2.0 in both: ±2.0 → ±127 exactly; -1.0 → -63.5 →
-    // Math.round → -63 (half-up toward +∞); 0.5 → 31.75 → 32;
+    // floor(x + 0.5) → -63 (half-up toward +∞); 0.5 → 31.75 → 32;
     // 1.0 → 63.5 → 64
     val df = spark.sql(
       "SELECT array(2.0D, -1.0D, 0.5D, 0.0D) AS a, " +
@@ -1325,6 +1325,14 @@ class MlSpec extends SparkSpec {
         .collect()
     }
     assert(ex.getMessage.contains("no score for doc"))
+    // the dual corruption — a DUPLICATE score row — would fan the
+    // member out through the join (inflated n_members, duplicated
+    // manifest rows): equally loud
+    val dup = intercept[Exception] {
+      Dedup.keepRepresentatives(members,
+        scored.unionAll(Seq((2L, 4)).toDF("doc_id", "score"))).collect()
+    }
+    assert(dup.getMessage.contains("duplicate score rows for doc"))
   }
 
   test("bruteTopKForQueries equals bruteTopK restricted to the query " +

@@ -187,6 +187,20 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("the sorted-fold score equals the plain-sum form at the 6 dp " +
+      "contract on 5-term matches (accumulation-order hardening)") {
+    // doc 1 matches all five query terms, so its score folds FIVE
+    // double contributions — the regime where a plain sum() would
+    // associate in partition-dependent order. naive() sums in query-
+    // term order (the plain-sum form); the operator folds the SORTED
+    // contribution list. Equality at the 6 dp contract proves the
+    // hardening changed the accumulation ORDER, not the score.
+    val q = Map(40L -> Seq("red", "fox", "the", "lazy", "dog"))
+    val got = run(q, 5)
+    assert(got === naive(q, 5))
+    assert(got.head._3 === 1L) // the 5-term match ranks first
+  }
+
   test("rrfFuse matches the hand-computed reciprocal-rank sum, " +
       "breaks ties on doc_id, and cuts at k") {
     // query 10: doc 1 in both lists (1/61 + 1/62), doc 2 lexical-only
@@ -224,5 +238,19 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().head
     val cs = Seq(1.0 / 61, 1.0 / 62, 1.0 / 61).sorted
     assert(top3 === ((10L, 1, 1L, r6(cs.foldLeft(0.0)(_ + _)))))
+  }
+
+  test("rrfFuse rejects a duplicate (query_id, doc_id) within one " +
+      "ranking loudly instead of double-counting its contribution") {
+    val lex = Seq((10L, 1L, 1), (10L, 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val dup = Seq((10L, 1L, 1), (10L, 1L, 3)).toDF("query_id", "doc_id", "rank")
+    val ex = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(lex, dup), k = 5).collect()
+    }
+    assert(ex.getMessage.contains("duplicate (query_id, doc_id)"))
+    // the same doc at the same rank in DIFFERENT lists is the normal
+    // hybrid case and must still fuse
+    val sem = Seq((10L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    assert(Retrieval.rrfFuse(Seq(lex, sem), k = 5).count() === 2L)
   }
 }
