@@ -100,7 +100,12 @@ object Graph {
       "reliable=true needs sc.setCheckpointDir(...) before the loop")
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val directed = cut(edges
+    // every frontier generation is RETAINED by design — the union of
+    // frontiers is both the visited set and the result — so no
+    // per-round reclamation applies here (unlike shortestPathsBounded);
+    // only the edge snapshot is freeable once expansion ends
+    val edgeCk = new graft.ml.GenCheckpointer(edges.sparkSession, reliable)
+    val directed = edgeCk.cut(edges
       .select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst"))))
     var frontiers = List(cut(seeds.select(col("node")).distinct()
@@ -129,6 +134,9 @@ object Graph {
         .withColumn("hops", lit(d)))
       frontiers ::= next
     }
+    // the result unions the (materialized) frontiers; the edge
+    // snapshot backs none of them once expansion stops
+    edgeCk.close()
     frontiers.reverse.reduce(_.unionAll(_))
   }
 
@@ -159,16 +167,25 @@ object Graph {
   def shortestPathsBounded(edges: DataFrame, seeds: DataFrame,
       rounds: Int, reliable: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
-    val sc = edges.sparkSession.sparkContext
-    require(!reliable || sc.getCheckpointDir.isDefined,
-      "reliable=true needs sc.setCheckpointDir(...) before the loop")
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    val directed = cut(edges
+    val spark = edges.sparkSession
+    // Generation-scoped checkpointers (the BPE / label-propagation
+    // reclamation discipline): each iterate's superseded generation is
+    // freed once its successor is materialized, so a deep-rounds
+    // caller holds THREE O(|V|)-or-|E| snapshots at any moment
+    // (edges, current dist, current frontier) instead of one per
+    // round. One checkpointer per iterate — cuts are sequential on
+    // this driver thread, so each snapshot-diff claims only its own
+    // generation. The edge list gets its own so it can be freed when
+    // the loop ends (the returned dist is materialized and no longer
+    // references it).
+    val edgeCk = new graft.ml.GenCheckpointer(spark, reliable)
+    val distCk = new graft.ml.GenCheckpointer(spark, reliable)
+    val frontCk = new graft.ml.GenCheckpointer(spark, reliable)
+    val directed = edgeCk.cut(edges
       .select(col("p1").as("src"), col("p2").as("dst"), col("w"))
       .unionAll(edges
         .select(col("p2").as("src"), col("p1").as("dst"), col("w"))))
-    var dist = cut(seeds.select(col("node")).distinct()
+    var dist = distCk.cut(seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
     var frontier = dist
     var r = 0
@@ -180,17 +197,23 @@ object Graph {
         .select(col("dst").as("node"),
           (col("dist") + col("w")).as("dist"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val improved = cut(cand
+      val improved = frontCk.cut(cand
         .join(dist.select(col("node"), col("dist").as("_old"))
           .hint("shuffle_hash"), Seq("node"), "left")
         .filter(col("_old").isNull || col("dist") < col("_old"))
         .select(col("node"), col("dist")))
-      dist = cut(dist
+      dist = distCk.cut(dist
         .join(improved.select(col("node")).hint("shuffle_hash"),
           Seq("node"), "left_anti")
         .unionAll(improved))
       frontier = improved
     }
+    // the final dist generation is fully materialized, so neither the
+    // last frontier nor the edge snapshot backs it — free both; dist's
+    // own generation stays (the caller consumes it), which is why
+    // distCk is never closed
+    frontCk.close()
+    edgeCk.close()
     dist
   }
 
@@ -291,12 +314,21 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, reliable: Boolean = false): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
-    require(!reliable || sc.getCheckpointDir.isDefined,
-      "reliable=true needs sc.setCheckpointDir(...) before the loop")
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val directed = cut(edges
+    // the rank iterate goes through a generation-scoped checkpointer
+    // (the shortestPathsBounded discipline): each round's cut both
+    // fixes the plan depth at one round (the previous lazy form
+    // re-derived all earlier rounds into one ever-deeper plan) and
+    // frees the superseded rank snapshot, so a deep-iters caller
+    // holds one O(|V|) rank generation, not iters of them. deg stays
+    // on the plain cut: the RETURNED plan still reads it (n derives
+    // from deg at the end), so it must outlive the loop. The
+    // checkpoint-dir requirement moved into GenCheckpointer's
+    // constructor — still checked up front, not discovered mid-loop.
+    val prCk = new graft.ml.GenCheckpointer(edges.sparkSession, reliable)
+    val edgeCk = new graft.ml.GenCheckpointer(edges.sparkSession, reliable)
+    val directed = edgeCk.cut(edges
       .select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst"))))
     val deg = cut(directed.groupBy(col("src").as("node"))
@@ -318,12 +350,18 @@ object Graph {
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("mass"))
-      pr = deg.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      pr = prCk.cut(deg.join(contrib.hint("shuffle_hash"), Seq("node"),
+          "left")
         .crossJoin(broadcast(n))
         .select(col("node"), col("deg"),
           (lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr")))
     }
+    // prCk is never closed: the returned plan reads the final rank
+    // generation (only superseded ones were freed round by round).
+    // The edge snapshot backs nothing after the loop — deg and every
+    // surviving rank generation are materialized — so it is freed.
+    edgeCk.close()
     pr.crossJoin(broadcast(n))
       .select(col("node"), col("deg"),
         round(col("pr") * col("n"), 6).as("pr_norm"))

@@ -242,4 +242,26 @@ class GraphSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("iterative loops reclaim superseded checkpoint generations: " +
+      "net persisted-RDD growth is the live state, not one per round") {
+    // deep rounds on a graph the loops cannot exhaust early (a long
+    // path keeps the frontier non-empty), so every round really cuts
+    val path = (1L to 30L).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "w")
+    val sc = spark.sparkContext
+    val b1 = sc.getPersistentRDDs.size
+    Graph.shortestPathsBounded(path, Seq(1L).toDF("node"), rounds = 8)
+      .count()
+    // retained: ONLY the final dist generation — the 8 frontier
+    // generations, 8 superseded dist generations, and the edge
+    // snapshot are all freed (pre-fix this grew by ~18)
+    val a1 = sc.getPersistentRDDs.size
+    assert(a1 <= b1 + 1, s"shortestPathsBounded leaks state: $b1 -> $a1")
+    val b2 = sc.getPersistentRDDs.size
+    Graph.pageRank(path.drop("w"), iters = 8).count()
+    // retained: deg (the returned plan derives n from it) + the final
+    // rank generation; superseded ranks and the edge snapshot freed
+    val a2 = sc.getPersistentRDDs.size
+    assert(a2 <= b2 + 2, s"pageRank leaks rank generations: $b2 -> $a2")
+  }
 }
