@@ -178,6 +178,49 @@ object Retrieval {
 
   private[graft] val DocsDir = "_graft_bm25_docs"
   private[graft] val StatsDir = "_graft_bm25_stats"
+  private[graft] val DeletedDir = "_graft_bm25_deleted"
+
+  /** Soft-delete documents from a persisted BM25 index: the ids land
+    * in an underscore-prefixed tombstone table beside the postings and
+    * every serving read masks postings AND doc-lengths against them —
+    * so df, n_docs, and avgdl all re-derive from the surviving corpus
+    * and the index answers EXACTLY like a from-scratch build without
+    * the deleted docs (the gate proves it). No `bkt=` partition is
+    * rewritten: a takedown against a 100 TB standing index costs one
+    * id-sized append, and every posting file stays byte-identical
+    * (spec-measured). The [[graft.ml.Similarity.deleteFromIvfIndex]]
+    * semantics apply verbatim: idempotent (unknown/already-deleted
+    * ids are a no-op), loud on NULL ids, tombstones are compaction
+    * debt until the next [[writeBm25Index]] rebuild, and re-appending
+    * a deleted doc_id cannot resurrect it (the append pre-check still
+    * sees its physical doc-length row and rejects the overlap).
+    * Reference anchor: the soft-delete path at
+    * PodioApiGateway.py:161-178.
+    */
+  def deleteBm25Docs(spark: org.apache.spark.sql.SparkSession,
+      docIds: DataFrame, path: String): Unit =
+    docIds.select(
+        when(col("doc_id").isNotNull, col("doc_id"))
+          .otherwise(raise_error(
+            lit("deleteBm25Docs: null doc_id in delete batch")))
+          .as("doc_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/$DeletedDir")
+
+  /** The union of tombstone tables under the posting roots (roots
+    * without one contribute nothing). */
+  private def deletedDocs(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Option[DataFrame] = {
+    val present = paths.filter { p =>
+      val dir = new org.apache.hadoop.fs.Path(s"$p/$DeletedDir")
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(dir)
+    }
+    if (present.isEmpty) None
+    else Some(present.map(p => spark.read.parquet(s"$p/$DeletedDir"))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id")).distinct())
+  }
 
   /** Persist the inverted index: the posting table partitioned by
     * `bkt = pmod(xxhash64(term), nBuckets)` directories, with the
@@ -275,14 +318,26 @@ object Retrieval {
       .select(explode(col("terms")).as("term"))
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val tf = postingPaths.map { p =>
+    val tf0 = postingPaths.map { p =>
       spark.read.parquet(p)
         // directory-name type inference reads `bkt=5` back as int —
         // re-widen so the static filter matches the long hash
         .filter(col("bkt").cast("long").isin(bkts.map(x => x: Any): _*))
         .select(col("doc_id"), col("term"), col("tf"))
     }.reduce(_.unionByName(_))
-    val dl = docPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val dl0 = docPaths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // tombstone mask on BOTH tables, BEFORE any statistic derives:
+    // df, n_docs, and avgdl then describe exactly the surviving
+    // corpus, which is what makes a soft delete serve identically to
+    // a rebuild. The anti-join's build side is the tombstone set —
+    // bounded by deletions since the last rebuild, so AQE broadcasts
+    // it while it stays small (large tombstones = time to compact).
+    val (tf, dl) = deletedDocs(spark, postingPaths) match {
+      case Some(dead) =>
+        (tf0.join(dead, Seq("doc_id"), "left_anti"),
+          dl0.join(dead, Seq("doc_id"), "left_anti"))
+      case None => (tf0, dl0)
+    }
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     scoreFromStats(tf, dl, stats, queries, k, k1, b)

@@ -511,6 +511,74 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  private val DeletedDir = "_graft_deleted"
+
+  /** Soft-delete vectors from a persisted IVF or IVF-PQ index: the
+    * ids land in an underscore-prefixed tombstone table beside the
+    * data (invisible to the cell scan — the [[writeIvfIndex]] sibling-
+    * dir discipline) and every serving read anti-joins its candidates
+    * against them. NO `cell=` partition is rewritten — a takedown
+    * against a 100 TB standing index costs one id-sized append, never
+    * a rebuild, and untouched files stay byte-identical (spec-
+    * measured). This is the reference's soft-delete idea
+    * (PodioApiGateway.py:161-178) applied to the index tier.
+    *
+    * Semantics: deletion is logical and IDEMPOTENT — deleting an
+    * unknown or already-deleted id is a no-op (the tombstone matches
+    * nothing new), matching REST DELETE semantics; an existence
+    * pre-check would cost a corpus-wide id scan, which is exactly
+    * what a delete must not cost. A NULL id fails loudly (a null
+    * tombstone matches nothing and would silently hide the caller's
+    * bug). Tombstones are compaction debt: serving equals a rebuild
+    * without the deleted vectors (the gate proves it), but the dead
+    * rows still occupy storage until the next [[writeIvfIndex]]
+    * refit. Re-appending a deleted vec_id resurrects nothing — the
+    * tombstone also masks the new rows — so resurrection requires a
+    * rebuild, stated here rather than discovered.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      vecIds: DataFrame, path: String): Unit =
+    vecIds.select(
+        when(col("vec_id").isNotNull, col("vec_id"))
+          .otherwise(raise_error(
+            lit("deleteFromIvfIndex: null vec_id in delete batch")))
+          .as("vec_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/$DeletedDir")
+
+  /** The union of the tombstone tables under `paths` (roots without
+    * one contribute nothing — streamed append siblings never carry
+    * their own). Distinct so repeated/overlapping delete batches
+    * collapse to one mask row per id.
+    */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Option[DataFrame] = {
+    val present = paths.filter { p =>
+      val dir = new org.apache.hadoop.fs.Path(s"$p/$DeletedDir")
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(dir)
+    }
+    if (present.isEmpty) None
+    else Some(present.map(p => spark.read.parquet(s"$p/$DeletedDir"))
+      .reduce(_.unionByName(_))
+      .select(col("vec_id")).distinct())
+  }
+
+  /** Mask tombstoned ids out of a pruned index read. The anti-join's
+    * build side is the tombstone set — bounded by deletions since the
+    * last rebuild, so AQE broadcasts it while it stays small; a
+    * tombstone table grown large enough to shuffle is the signal to
+    * compact (rebuild) anyway.
+    */
+  private def maskDeleted(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], index: DataFrame, idCol: String): DataFrame =
+    tombstones(spark, paths) match {
+      case Some(t) =>
+        index.join(t.withColumnRenamed("vec_id", idCol), Seq(idCol),
+          "left_anti")
+      case None => index
+    }
+
   /** Query a persisted index: rank each query's `probes` nearest
     * cells, then scan ONLY those `cell=` directories (the probed cell
     * list — ≤ |queries|·probes entries, the bounded driver action of
@@ -832,12 +900,12 @@ object Similarity {
         .select(col("vec_id").as("i"), col("lut")), Seq("i"))
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val index = paths.map { p =>
+    val index = maskDeleted(spark, paths, paths.map { p =>
       spark.read.parquet(p)
         .filter(col("cell").isin(cells.map(x => x: Any): _*))
         .select(col("vec_id").as("j"), col("codes"), col("rnrm"),
           col("cell").cast("long").as("cell"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)), "j")
     val wA = Window.partitionBy(col("i")).orderBy(col("acos").desc, col("j"))
     val cand = qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
       .withColumn("acos", round(
@@ -915,14 +983,14 @@ object Similarity {
         col("nrm").as("na"), col("cell"))
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val index = paths.map { p =>
+    val index = maskDeleted(spark, paths, paths.map { p =>
       spark.read.parquet(p)
         .filter(col("cell").isin(cells.map(x => x: Any): _*))
         // directory-name type inference reads `cell=5` back as int —
         // re-widen so the join key matches the assignment's long
         .select(col("vec_id").as("j"), col("e").as("eb"),
           col("nrm").as("nb"), col("cell").cast("long").as("cell"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)), "j")
     val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
     qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
       .withColumn("cos", pairCos)

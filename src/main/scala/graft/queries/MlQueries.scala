@@ -342,16 +342,19 @@ object MlQueries {
     * over an upstream CTE named `approx` with (i, j) columns: the
     * sampled brute-force reference, per-query hit counts, and the
     * 4 dp recall — so the recall COLUMN of the ANN gates is itself
-    * hash-proven, not just carried as evidence.
+    * hash-proven, not just carried as evidence. Parameterized on the
+    * corpus CTE (`nz`, or the tombstone-surviving `alive` for ns8f,
+    * where the fair reference is brute force over what a rebuild
+    * would index).
     */
-  private val duckSampledRecall: String =
-    """brute AS (
+  private def sampledRecallSql(corpus: String): String =
+    s"""brute AS (
       |  SELECT i, j FROM (
       |    SELECT a.vec_id AS i, b.vec_id AS j,
       |      row_number() OVER (PARTITION BY a.vec_id
       |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
       |          b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rk
-      |    FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      |    FROM $corpus a JOIN $corpus b ON a.vec_id <> b.vec_id
       |    WHERE a.vec_id % 5 = 0) WHERE rk <= 5
       |), hits AS (
       |  SELECT ap.i, count(*) AS n_hits
@@ -363,6 +366,8 @@ object MlQueries {
       |  FROM (SELECT i, count(*) AS n_true FROM brute GROUP BY i) bt
       |  LEFT JOIN hits h ON h.i = bt.i
       |)""".stripMargin
+
+  private val duckSampledRecall: String = sampledRecallSql("nz")
 
   /** ns6's scale path: LSH band-collision candidates + exact cosine
     * re-score (subset of ns6 by construction — a pair missed by every
@@ -603,15 +608,20 @@ object MlQueries {
     * restatement as ns8. A neighbor lives in exactly one index cell,
     * so the probe join yields each (query, neighbor) pair at most
     * once, mirroring the operator's no-dedup-needed argument.
-    * Parameterized on the centroid CTE because the same restatement
-    * gates three entries: ns8c (seed centroids over the full corpus),
-    * ns8d (the SERVED index — assignment is a pure function of the
-    * persisted centroids, so the served result must equal ns8c's), and
-    * ns8e (the appended index, whose centroids were seeded from the
-    * INITIAL 3/4 corpus slice before the append).
+    * Parameterized on the centroid CTE and the corpus CTE because the
+    * same restatement gates four entries: ns8c (seed centroids over
+    * the full corpus), ns8d (the SERVED index — assignment is a pure
+    * function of the persisted centroids, so the served result must
+    * equal ns8c's), ns8e (the appended index, whose centroids were
+    * seeded from the INITIAL 3/4 corpus slice before the append), and
+    * ns8f (the tombstoned index: centroids stay the FULL-corpus seed
+    * set — deletion never rewrites the assignment function — while
+    * index, queries, and brute reference range over the `alive`
+    * survivors, i.e. exactly a rebuild without the deleted vectors).
     */
-  private def ivfMultiProbeSql(centsCte: String): String =
-    s"""WITH $duckNonZeroEmb,
+  private def ivfMultiProbeSql(centsCte: String, corpus: String = "nz",
+      pre: String = ""): String =
+    s"""WITH $duckNonZeroEmb,$pre
       |$centsCte,
       |ranked AS (
       |  SELECT vec_id, cell, crk FROM (
@@ -620,7 +630,7 @@ object MlQueries {
       |        ORDER BY round(list_cosine_similarity(
       |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
       |          c.cell) AS crk
-      |    FROM nz v CROSS JOIN cents c) WHERE crk <= 3
+      |    FROM $corpus v CROSS JOIN cents c) WHERE crk <= 3
       |), approx AS (
       |  SELECT i, rk, j, cos FROM (
       |    SELECT q.vec_id AS i, ix.vec_id AS j,
@@ -631,15 +641,22 @@ object MlQueries {
       |          b.embedding::DOUBLE[]), 6) DESC, ix.vec_id) AS rk
       |    FROM ranked q JOIN ranked ix
       |      ON q.cell = ix.cell AND ix.crk = 1 AND q.vec_id <> ix.vec_id
-      |    JOIN nz a ON a.vec_id = q.vec_id
-      |    JOIN nz b ON b.vec_id = ix.vec_id) WHERE rk <= 5
+      |    JOIN $corpus a ON a.vec_id = q.vec_id
+      |    JOIN $corpus b ON b.vec_id = ix.vec_id) WHERE rk <= 5
       |),
-      |$duckSampledRecall
+      |${sampledRecallSql(corpus)}
       |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 2""".stripMargin
 
   val ns8cSimIvfMultiProbeSql: String = ivfMultiProbeSql(duckSeedCents16)
+
+  val ns8fSimIvfDeletedSql: String = ivfMultiProbeSql(
+    duckSeedCents16, corpus = "alive",
+    pre = """
+      |alive AS (
+      |  SELECT * FROM nz WHERE vec_id % 7 <> 0
+      |),""".stripMargin)
 
   /** ns8e's centroids: [[Similarity.seedCentroids]] over the initial
     * (vec_id % 4 ≠ 0) build slice — the 16 smallest surviving ids
@@ -697,6 +714,34 @@ object MlQueries {
     Similarity.withRecall(
       Similarity.queryIvfIndex(s, path, emb, cents, k = 5, probes = 3),
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  /** Tombstone deletion on the served IVF index
+    * ([[Similarity.deleteFromIvfIndex]]): build on the FULL corpus,
+    * soft-delete every 7th vector, then serve the survivors' queries.
+    * The centroids stay the full-corpus seed set (deletion never
+    * rewrites the assignment function — the index files are
+    * spec-pinned byte-identical), so the oracle is the multi-probe
+    * restatement with full-seed centroids over the `alive` corpus:
+    * hash-equality proves the tombstoned index answers EXACTLY like a
+    * from-scratch build without the deleted vectors, recall column
+    * included. The takedown story a 100 TB standing index needs —
+    * one id-sized tombstone append, zero partitions rewritten.
+    */
+  val ns8fSimIvfDeleted: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index_del")
+    if (ivfIndexWritten.add(path)) {
+      Similarity.writeIvfIndex(emb, cents, path)
+      Similarity.deleteFromIvfIndex(s,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), path)
+    }
+    val alive = emb.filter(col("vec_id") % 7 =!= 0)
+    Similarity.withRecall(
+      Similarity.queryIvfIndex(s, path, alive, cents, k = 5, probes = 3),
+      Similarity.bruteTopK(alive, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
 
@@ -1795,14 +1840,22 @@ object MlQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val ns46Bm25Sql: String =
-    """WITH qd AS (
+  /** The ns46 oracle, parameterized on the indexed-corpus predicate:
+    * `TRUE` for ns46/ns46b/ns46c (full corpus; append proves
+    * rebuild-equality through the same SQL), `doc_id %% 7 <> 0` for
+    * ns46d (the tombstoned index must score over exactly the
+    * surviving corpus — df, n_docs, avgdl and all). The query set is
+    * NOT filtered: queries are external inputs, independent of what
+    * the index retains.
+    */
+  private def bm25Sql(corpusPred: String): String =
+    s"""WITH qd AS (
       |  SELECT DISTINCT doc_id AS query_id, unnest(list_slice(
       |    string_split(text, ' '), 1, 4)) AS term
       |  FROM documents WHERE doc_id % 50 = 0
       |), tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |  FROM documents
+      |  FROM documents WHERE $corpusPred
       |), tf AS (
       |  SELECT doc_id, term, count(*)::BIGINT AS tf
       |  FROM tok GROUP BY 1, 2
@@ -1830,6 +1883,10 @@ object MlQueries {
       |)
       |SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  val ns46Bm25Sql: String = bm25Sql("TRUE")
+
+  val ns46dBm25DeletedSql: String = bm25Sql("doc_id % 7 <> 0")
 
   // ---------------------------- ns47 prototype (centroid) embeddings
 
@@ -1896,6 +1953,31 @@ object MlQueries {
         path, nBuckets = 64)
       Retrieval.appendBm25Index(s, docs.filter(col("doc_id") % 4 === 0),
         path)
+    }
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.queryBm25Index(s, path, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Tombstone deletion on the served BM25 index
+    * ([[Retrieval.deleteBm25Docs]]): build on the full corpus,
+    * soft-delete every 7th document, serve the same query set. Gated
+    * on the ns46 oracle with the corpus predicate `doc_id %% 7 <> 0` —
+    * hash-equality proves the tombstoned index scores over exactly
+    * the surviving corpus (df, n_docs, avgdl re-derived), i.e.
+    * answers identically to a from-scratch build without the deleted
+    * docs, while every posting file stays byte-identical
+    * (RetrievalSpec measures that).
+    */
+  val ns46dBm25Deleted: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bm25_index_del")
+    if (ivfIndexWritten.add(path)) {
+      Retrieval.writeBm25Index(docs, path, nBuckets = 64)
+      Retrieval.deleteBm25Docs(s,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), path)
     }
     val queries = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"),
@@ -2218,6 +2300,7 @@ object MlQueries {
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
     "ns8d_sim_ivf_served" -> ns8dSimIvfServed,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppended,
+    "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeleted,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,
@@ -2260,6 +2343,7 @@ object MlQueries {
     "ns46_bm25" -> ns46Bm25,
     "ns46b_bm25_served" -> ns46bBm25Served,
     "ns46c_bm25_appended" -> ns46cBm25Appended,
+    "ns46d_bm25_deleted" -> ns46dBm25Deleted,
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
     "ns49_pca_power" -> ns49PcaPower,
@@ -2283,6 +2367,7 @@ object MlQueries {
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbeSql,
     "ns8d_sim_ivf_served" -> ns8cSimIvfMultiProbeSql,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppendedSql,
+    "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeletedSql,
     "ns9_lang_id" -> ns9LangIdSql,
     "ns10_quality" -> ns10QualitySql,
     "ns11_tokens" -> ns11TokensSql,
@@ -2322,6 +2407,7 @@ object MlQueries {
     "ns46_bm25" -> ns46Bm25Sql,
     "ns46b_bm25_served" -> ns46Bm25Sql,
     "ns46c_bm25_appended" -> ns46Bm25Sql,
+    "ns46d_bm25_deleted" -> ns46dBm25DeletedSql,
     "ns47_centroids" -> ns47CentroidsSql,
     "ns48_rocchio" -> ns48RocchioSql,
     "ns50_hybrid_rrf" -> ns50HybridRrfSql,

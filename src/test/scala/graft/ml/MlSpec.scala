@@ -793,6 +793,58 @@ class MlSpec extends SparkSpec {
     assert(probeRows < totalRows)
   }
 
+  test("deleteFromIvfIndex: the tombstoned index (raw and PQ) serves " +
+      "bit-identically to a from-scratch build without the deleted " +
+      "vectors, and rewrites no cell file") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_del")
+    def cellFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    try {
+      val alive = embs.filter(col("vec_id") % 7 =!= 0)
+      // centroids = the FULL-corpus seed set on BOTH sides: deletion
+      // never rewrites the assignment function, so the fair rebuild
+      // keeps it too
+      val cents = Similarity.seedCentroids(embs, 16)
+      val del = tmp.resolve("del").toString
+      val rebuilt = tmp.resolve("rebuilt").toString
+      Similarity.writeIvfIndex(embs, cents, del)
+      val before = cellFiles(del)
+      Similarity.deleteFromIvfIndex(spark,
+        embs.filter(col("vec_id") % 7 === 0).select("vec_id"), del)
+      assert(cellFiles(del) === before, "delete rewrote a cell file")
+      Similarity.writeIvfIndex(alive, cents, rebuilt)
+      def serve(p: String) = Similarity.queryIvfIndex(spark, p, alive,
+          cents, k = 5, probes = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val served = serve(del)
+      assert(served === serve(rebuilt) && served.nonEmpty)
+      assert(!served.exists(_._3 % 7 == 0), "a deleted vector surfaced")
+      // same contract on the quantized layout: tombstones mask the
+      // code rows, rebuild encodes with the SAME stored models
+      val cb = Similarity.fitPqCodebook(embs, nSub = 8, codesPerSub = 16,
+        iters = 1)
+      val pqDel = tmp.resolve("pq_del").toString
+      val pqRebuilt = tmp.resolve("pq_rebuilt").toString
+      Similarity.writeIvfPqIndex(embs, cents, cb, nSub = 8, pqDel)
+      Similarity.deleteFromIvfIndex(spark,
+        embs.filter(col("vec_id") % 7 === 0).select("vec_id"), pqDel)
+      Similarity.writeIvfPqIndex(alive, cents, cb, nSub = 8, pqRebuilt)
+      def servePq(p: String) = Similarity.queryIvfPqIndex(spark, p,
+          alive, alive, k = 5, refine = 20, probes = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val servedPq = servePq(pqDel)
+      assert(servedPq === servePq(pqRebuilt) && servedPq.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("resize keeps every stride-th byte and halves the payload") {
     import spark.implicits._
     val m = Seq((1L, "image", Array[Byte](10, 20, 30, 40, 50), "s", 5L))

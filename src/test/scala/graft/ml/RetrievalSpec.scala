@@ -187,6 +187,62 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("deleteBm25Docs: the tombstoned index serves exactly like a " +
+      "from-scratch build without the deleted docs, rewrites no " +
+      "posting file, is idempotent, and still rejects re-append") {
+    val docs = corpus.toDF("doc_id", "text")
+    val alive = corpus.filter(x => x._1 != 2L && x._1 != 5L)
+      .toDF("doc_id", "text")
+    val queries = Map(10L -> Seq("red", "fox"), 20L -> Seq("dog"))
+      .toSeq.toDF("query_id", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_del")
+    def bucketFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("bkt=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    try {
+      val del = tmp.resolve("del").toString
+      val rebuilt = tmp.resolve("rebuilt").toString
+      Retrieval.writeBm25Index(docs, del, nBuckets = 16)
+      val before = bucketFiles(del)
+      Retrieval.deleteBm25Docs(spark,
+        Seq(2L, 5L).toDF("doc_id"), del)
+      // the soft delete touched NO posting file (tombstones are a
+      // sibling table) — every pre-delete file survives bit-for-bit
+      assert(bucketFiles(del) === before)
+      def serve(p: String) = Retrieval.queryBm25Index(spark, p, queries, 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      Retrieval.writeBm25Index(alive, rebuilt, nBuckets = 16)
+      val served = serve(del)
+      assert(served === serve(rebuilt) && served.nonEmpty)
+      // deleted docs are gone from every result (doc 2 was the top
+      // 'red' hit; doc 5 the top 'dog' hit — both must vanish, and
+      // df/n_docs/avgdl re-derive so the SCORES match the rebuild,
+      // which the equality above already proves)
+      assert(!served.exists(r => r._3 == 2L || r._3 == 5L))
+      // idempotent: re-deleting (plus an id that never existed)
+      // changes nothing
+      Retrieval.deleteBm25Docs(spark,
+        Seq(2L, 999L).toDF("doc_id"), del)
+      assert(serve(del) === served)
+      // a deleted doc still cannot be re-appended (its physical
+      // doc-length row remains): resurrection requires a rebuild
+      intercept[IllegalArgumentException] {
+        Retrieval.appendBm25Index(spark,
+          corpus.filter(_._1 == 2L).toDF("doc_id", "text"), del)
+      }
+      // a NULL id in the delete batch fails loudly
+      intercept[Exception] {
+        Retrieval.deleteBm25Docs(spark,
+          Seq(Some(1L), None).toDF("doc_id"), del)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("the sorted-fold score equals the plain-sum form at the 6 dp " +
       "contract on 5-term matches (accumulation-order hardening)") {
     // doc 1 matches all five query terms, so its score folds FIVE
