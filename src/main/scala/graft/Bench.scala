@@ -36,8 +36,18 @@ object Bench {
     // regression. Runs iterate per-query (not two full passes) so both
     // samples share warm caches.
     val runsPerQuery = 2
+    // Dev/scale-probe filter (mirrors Verify's SPARK_GRAFT_ONLY): a
+    // comma list restricts the timed set — used by the sfN scaling
+    // runs so a 3×-data probe times only the scale-sensitive tier.
+    // The driver never sets it, so official rounds always time the
+    // full registry; a filtered run also skips the streaming smoke
+    // (its number is only tracked on full sf0.1 runs).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // keep the sorted Seq (a Map would scramble the printed key order)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -79,30 +89,42 @@ object Bench {
     // tracked perf number. rows/sec counts INPUT rows: the operator's
     // job is to gate and dedup, so its denominator is what it ingested,
     // not what survived. Failure reports failed:true, never a number.
-    val streaming = {
+    val streaming = if (only.isDefined)
+      """{"op":"corpus_ingest","skipped":"filtered_run"}"""
+    else {
       var tmp: java.nio.file.Path = null
       try {
         tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
         val docsPath = new java.io.File(sfDir, "documents.parquet").getPath
-        // the file stream source requires a DIRECTORY (its basePath);
-        // stage the single-file table into one — the copy is the feed
-        // directory a real deployment would have anyway
-        val feedDir = tmp.resolve("feed")
-        java.nio.file.Files.createDirectory(feedDir)
-        java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
-          feedDir.resolve("documents.parquet"))
         val schema = spark.read.parquet(docsPath).schema
         val rowsIn = spark.read.parquet(docsPath).count()
-        val t0 = System.nanoTime()
-        val q = graft.streaming.CorpusIngest.start(
-          spark.readStream.schema(schema).parquet(feedDir.toString),
-          corpusPath = tmp.resolve("corpus").toString,
-          storePath = tmp.resolve("store").toString,
-          checkpoint = tmp.resolve("ckpt").toString)
-        // stop in finally: a micro-batch failure must not leave the
-        // query's foreachBatch thread retrying behind the bench
-        try q.processAllAvailable() finally q.stop()
-        val sec = (System.nanoTime() - t0) / 1e9
+        // THREE full ingest runs, report the MIN: eight r8 runs spanned
+        // 630–1375 rows/s with no code change (2.2×), so a single
+        // sample made the floor assertion track sandbox weather; min
+        // of 3 is the same noise-is-additive statistic the query
+        // timings already use. Each run gets fresh feed/corpus/store/
+        // checkpoint dirs — state reuse would turn runs 2-3 into
+        // no-op replays.
+        val secs = (1 to 3).map { i =>
+          // the file stream source requires a DIRECTORY (its
+          // basePath); stage the single-file table into one — the
+          // copy is the feed directory a real deployment would have
+          val feedDir = tmp.resolve(s"feed$i")
+          java.nio.file.Files.createDirectory(feedDir)
+          java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
+            feedDir.resolve("documents.parquet"))
+          val t0 = System.nanoTime()
+          val q = graft.streaming.CorpusIngest.start(
+            spark.readStream.schema(schema).parquet(feedDir.toString),
+            corpusPath = tmp.resolve(s"corpus$i").toString,
+            storePath = tmp.resolve(s"store$i").toString,
+            checkpoint = tmp.resolve(s"ckpt$i").toString)
+          // stop in finally: a micro-batch failure must not leave the
+          // query's foreachBatch thread retrying behind the bench
+          try q.processAllAvailable() finally q.stop()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = secs.min
         val rps = if (sec > 0) rowsIn / sec else 0.0
         // Regression floor (BASELINE.md "Engine streaming throughput
         // tracking"): half the last recorded round's rate — r5 measured
@@ -114,7 +136,7 @@ object Bench {
         val floorOk = !sfDir.endsWith("sf0.1") || rps >= floorRps
         def fmt(p: String, v: Double) =
           String.format(java.util.Locale.ROOT, p, Double.box(v))
-        s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":${fmt("%.3f", sec)},"rows_per_sec":${fmt("%.1f", rps)},"floor_rps":$floorRps,"floor_ok":$floorOk}"""
+        s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":${fmt("%.3f", sec)},"rows_per_sec":${fmt("%.1f", rps)},"stat":"min_of_3","floor_rps":$floorRps,"floor_ok":$floorOk}"""
       } catch { case e: Throwable =>
         // full JSON escape (not a partial replaceAll): any raw control
         // char in the message would invalidate the ONE output line and
@@ -150,10 +172,20 @@ object Bench {
       try newestMtime(new java.io.File(sfDir)) / 1000L
       catch { case _: Throwable => 0L }
     val prov = s""""registry_n":${SparkEntry.queries.size},"registry":"$registryHash","data_mtime":$dataMtime"""
+    // Per-entry gate map (r8 verdict item 7): "oracle" = driver-hash-
+    // gated DuckDB SQL exists; anything else carries its declared
+    // rows-only gate from SparkEntry.rowsOnlyGate (RegistryGuardSpec
+    // pins that the two exactly partition the registry). Emitted only
+    // in the FULL line/file — the compact tail-safe line stays short.
+    val gates = results.map { case (k, _) =>
+      val g = if (SparkEntry.oracleSql.contains(k)) "oracle"
+        else SparkEntry.rowsOnlyGate.getOrElse(k, "UNDECLARED")
+      s"\"" + k + "\":\"" + g + "\""
+    }.mkString("{", ",", "}")
     // headline fields LAST: the driver's capture keeps the tail of
     // this (long) line, so the per-query map is what truncation may
     // cost, never the totals / streaming floor / failure list
-    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"gates":$gates,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
     println(full)
     // The driver keeps only the LAST ~2000 output chars, and the full
     // line above outgrew that long ago — its head (the ns* timings)

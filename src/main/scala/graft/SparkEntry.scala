@@ -43,4 +43,37 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ MlQueries.oracles ++ StatsQueries.oracles
+
+  /** The declared correctness gate of every query NOT in [[oracleSql]]
+    * — machine-readable so the bench JSON can carry a per-entry `gate`
+    * field instead of leaving the oracle/rows-only split to be derived
+    * from prose. Values:
+    *  - `rows+recall`: genuinely approximate ANN (random planes,
+    *    fitted k-means, PQ codebook) with the per-query recall emitted
+    *    as a column of the result itself;
+    *  - `rows+error`: sketch entries carrying in-result error evidence
+    *    against their exact sibling;
+    *  - `rows+spec`: iterative entries gated by a ScalaTest equality
+    *    against an independent implementation;
+    *  - `rows+bytes`: byte-level output pinned byte-exact in a spec
+    *    (the size arithmetic is oracle-gated separately, ns21b).
+    * RegistryGuardSpec asserts this map and oracleSql exactly
+    * partition the registry — a new query must declare its gate or
+    * carry an oracle, never silently neither.
+    */
+  def rowsOnlyGate: Map[String, String] = Map(
+    "ns6b_embed_neardup_lsh" -> "rows+recall",
+    "ns7d_sim_ivfpq" -> "rows+recall",
+    "ns7e_sim_ivfpq_served" -> "rows+recall",
+    "ns8b_sim_ivf_kmeans" -> "rows+recall",
+    "ns15_lsh_ann" -> "rows+recall",
+    "q19b_approx_distinct" -> "rows+error",
+    "q39b_approx_percentile" -> "rows+error",
+    "q67b_winsorize_approx" -> "rows+error",
+    "q69_hll_incremental" -> "rows+error",
+    "ns42_bpe" -> "rows+spec",
+    "ns49_pca_power" -> "rows+spec",
+    "q99_logit" -> "rows+spec",
+    "ns21_resize" -> "rows+bytes",
+  )
 }

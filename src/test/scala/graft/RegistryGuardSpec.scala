@@ -94,4 +94,23 @@ class RegistryGuardSpec extends SparkSpec {
       s"README says ${m.group(2)} oracle-gated, registry has " +
         s"${SparkEntry.oracleSql.size}")
   }
+
+  test("oracleSql and rowsOnlyGate exactly partition the registry: " +
+      "every query either carries an oracle or declares its gate") {
+    // the bench JSON's per-entry gate field is derived from these two
+    // maps — an entry in neither would silently emit "UNDECLARED",
+    // an entry in both would contradict itself
+    val oracle = SparkEntry.oracleSql.keySet
+    val declared = SparkEntry.rowsOnlyGate.keySet
+    val all = SparkEntry.queries.keySet
+    assert((oracle intersect declared).isEmpty,
+      s"both oracle-gated AND rows-only-declared: " +
+        s"${(oracle intersect declared).toSeq.sorted.mkString(", ")}")
+    assert((all -- oracle -- declared).isEmpty,
+      s"no declared gate: ${(all -- oracle -- declared).toSeq.sorted
+        .mkString(", ")}")
+    assert((oracle ++ declared -- all).isEmpty,
+      s"gate declared for unknown query: ${(oracle ++ declared -- all)
+        .toSeq.sorted.mkString(", ")}")
+  }
 }
