@@ -207,6 +207,97 @@ object Retrieval {
       .distinct()
       .write.mode("append").parquet(s"$path/$DeletedDir")
 
+  /** Reclaim the compaction debt [[deleteBm25Docs]] accrues:
+    * physically rewrite ONLY the `bkt=` partitions holding postings
+    * of tombstoned docs (detected by a column-pruned (doc_id, bkt)
+    * scan), rewrite the doc-length sibling without the dead rows
+    * (its narrow (doc_id, dl) table is unavoidable — n_docs/avgdl
+    * derive from it — and goes through the live→bak, tmp→live,
+    * drop-bak swap the StreamingAgg state commit uses, with mid-swap
+    * crash recovery at the next entry), drop any bucket directory
+    * left empty, then drop the tombstone table LAST — so serving is
+    * result-identical at every crash point (the mask still covers
+    * whatever a partial run left) and a re-run converges. Cost
+    * follows the dirty buckets; clean buckets keep their exact files
+    * (spec-measured byte-identical). After compaction a formerly-
+    * deleted doc_id may be re-appended — its physical rows are gone,
+    * so the append pre-check sees a genuinely new doc. Single-writer
+    * maintenance op. Returns the number of bucket partitions
+    * rewritten or removed.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val docsLive = new org.apache.hadoop.fs.Path(s"$path/$DocsDir")
+    val docsBak = new org.apache.hadoop.fs.Path(s"$path/${DocsDir}_bak")
+    val docsTmp = new org.apache.hadoop.fs.Path(s"$path/${DocsDir}_tmp")
+    val fs = docsLive
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a mid-swap crash first: live missing + bak present means
+    // the previous run died between the two renames — bak IS the
+    // committed pre-swap state, and its tombstones are still on disk,
+    // so restoring it restores correct (masked) serving
+    if (!fs.exists(docsLive) && fs.exists(docsBak)) {
+      val ok = fs.rename(docsBak, docsLive)
+      require(ok || fs.exists(docsLive),
+        s"could not restore $docsBak after a mid-swap crash")
+    }
+    deletedDocs(spark, Seq(path)) match {
+      case None => 0L
+      case Some(dead) =>
+        val tf = spark.read.parquet(path)
+        val dirty = tf.select(col("doc_id"), col("bkt"))
+          .join(dead, Seq("doc_id"))
+          .select(col("bkt").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (dirty.nonEmpty) {
+          // literals in the partition column's inferred type so the
+          // rewrite scan partition-prunes to the dirty buckets
+          val bktIsDirty = col("bkt").isin(dirty.map[Any] { b =>
+            tf.schema("bkt").dataType match {
+              case org.apache.spark.sql.types.IntegerType => b.toInt
+              case _ => b
+            }
+          }: _*)
+          val survivors = tf.filter(bktIsDirty)
+            .join(dead, Seq("doc_id"), "left_anti")
+            .localCheckpoint() // materialize before overwriting the
+          // partitions it reads
+          survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bkt").parquet(path)
+          val alive = survivors.select(col("bkt").cast("long"))
+            .distinct().collect().map(_.getLong(0)).toSet
+          (dirty.toSet -- alive).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/bkt=$b"),
+              true)
+            ()
+          }
+        }
+        // doc-length swap: materialize the survivor table into tmp,
+        // then the two renames (each atomic on the FS)
+        fs.delete(docsTmp, true)
+        spark.read.parquet(docsLive.toString)
+          .join(dead, Seq("doc_id"), "left_anti")
+          .write.parquet(docsTmp.toString)
+        if (fs.exists(docsLive)) {
+          // a stale bak (crash after tmp→live, before bak drop) must
+          // go first — rename onto an existing dir NESTS the source
+          // inside the target (the StreamingAgg swap's FileSystem
+          // edge), which would corrupt the staging
+          fs.delete(docsBak, true)
+          require(fs.rename(docsLive, docsBak),
+            s"could not stage $docsLive aside")
+        }
+        require(fs.rename(docsTmp, docsLive),
+          s"could not commit $docsTmp to $docsLive")
+        fs.delete(docsBak, true)
+        // tombstones go LAST (see compactIvfIndex)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$DeletedDir"),
+          true)
+        dirty.length.toLong
+    }
+  }
+
   /** The union of tombstone tables under the posting roots (roots
     * without one contribute nothing). */
   private def deletedDocs(spark: org.apache.spark.sql.SparkSession,

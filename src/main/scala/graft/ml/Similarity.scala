@@ -564,11 +564,76 @@ object Similarity {
       .select(col("vec_id")).distinct())
   }
 
+  /** Reclaim the compaction debt [[deleteFromIvfIndex]] accrues:
+    * physically rewrite ONLY the `cell=` partitions that contain
+    * tombstoned rows (detected by a column-pruned (vec_id, cell)
+    * scan), drop any cell directory left empty, then drop the
+    * tombstone table itself. Cost follows the DIRTY cells, never the
+    * corpus — clean cells keep their exact files (spec-measured
+    * byte-identical) — and serving is result-identical at every
+    * stage: before (tombstones mask), after (rows are gone), and
+    * across a crash at any point, because the tombstones are deleted
+    * LAST — a re-run then converges (already-clean cells rewrite
+    * nothing). The per-writer dynamic partition overwrite is the SCD2
+    * merge's idiom: only partitions present in the written data are
+    * replaced. After compaction a formerly-deleted vec_id MAY be
+    * re-appended — its physical rows are gone, so it is a genuinely
+    * new vector; before compaction the tombstone still masks it.
+    * Single-writer maintenance op, like the append paths. Returns the
+    * number of cell partitions rewritten or removed.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = tombstones(spark, Seq(path)) match {
+    case None => 0L
+    case Some(dead) =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idx = spark.read.parquet(path)
+      // bounded driver action: the distinct dirty-cell ids (≤ nCells)
+      val dirty = idx.select(col("vec_id"), col("cell"))
+        .join(dead, Seq("vec_id"))
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      if (dirty.nonEmpty) {
+        // literals in the partition column's own inferred type (int
+        // for small directory values): a cast on the COLUMN side
+        // would not reliably partition-prune, and the rewrite must
+        // scan only the dirty cells for its cost story to hold
+        val cellIsDirty = col("cell").isin(dirty.map[Any] { c =>
+          idx.schema("cell").dataType match {
+            case org.apache.spark.sql.types.IntegerType => c.toInt
+            case _ => c
+          }
+        }: _*)
+        val survivors = idx
+          .filter(cellIsDirty)
+          .join(dead, Seq("vec_id"), "left_anti")
+          .localCheckpoint() // materialize BEFORE overwriting the
+        // partitions it was read from — a lazy plan would scan dirs
+        // the write is concurrently replacing
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(path)
+        // a cell whose every row was deleted emits no rows, so the
+        // dynamic overwrite never touches its directory — drop it
+        val alive = survivors.select(col("cell").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        (dirty.toSet -- alive).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
+          ()
+        }
+      }
+      // tombstones go LAST: every earlier crash point leaves them in
+      // place, so the mask keeps serving correct and a re-run converges
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$DeletedDir"), true)
+      dirty.length.toLong
+  }
+
   /** Mask tombstoned ids out of a pruned index read. The anti-join's
     * build side is the tombstone set — bounded by deletions since the
     * last rebuild, so AQE broadcasts it while it stays small; a
     * tombstone table grown large enough to shuffle is the signal to
-    * compact (rebuild) anyway.
+    * [[compactIvfIndex]].
     */
   private def maskDeleted(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], index: DataFrame, idCol: String): DataFrame =

@@ -745,6 +745,32 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** ns8f's debt-reclaim step ([[Similarity.compactIvfIndex]]): same
+    * build + delete, then COMPACT — dirty cells physically rewritten,
+    * tombstone table dropped — and serve. Gated on ns8f's exact
+    * oracle: hash-equality proves compaction is invisible to queries
+    * (delete-then-compact-then-serve == rebuild-without-deleted),
+    * while MlSpec pins the physical claims (clean cells byte-
+    * identical, emptied cell dirs gone, tombstones gone, cost =
+    * dirty-cell count).
+    */
+  val ns8gSimIvfCompacted: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index_cmp")
+    if (ivfIndexWritten.add(path)) {
+      Similarity.writeIvfIndex(emb, cents, path)
+      Similarity.deleteFromIvfIndex(s,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), path)
+      Similarity.compactIvfIndex(s, path)
+    }
+    val alive = emb.filter(col("vec_id") % 7 =!= 0)
+    Similarity.withRecall(
+      Similarity.queryIvfIndex(s, path, alive, cents, k = 5, probes = 3),
+      Similarity.bruteTopK(alive, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** Random-hyperplane LSH ANN — approximate, no ANSI oracle; recall
     * in-result like ns8 (sampled reference, same linear-shaped-gate
     * rationale), floor asserted in MlSpec.
@@ -1986,6 +2012,29 @@ object MlQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ns46d's debt-reclaim step ([[Retrieval.compactBm25Index]]): same
+    * build + delete, then COMPACT — dirty buckets rewritten, the
+    * doc-length sibling swapped without the dead rows, tombstones
+    * dropped — and serve. Gated on ns46d's exact oracle: compaction
+    * must be invisible to queries; RetrievalSpec pins the physical
+    * claims.
+    */
+  val ns46eBm25Compacted: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bm25_index_cmp")
+    if (ivfIndexWritten.add(path)) {
+      Retrieval.writeBm25Index(docs, path, nBuckets = 64)
+      Retrieval.deleteBm25Docs(s,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), path)
+      Retrieval.compactBm25Index(s, path)
+    }
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.queryBm25Index(s, path, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------- ns48 nearest-centroid (Rocchio) classifier
 
   /** Nearest-centroid classification on a vec_id % 5 holdout
@@ -2301,6 +2350,7 @@ object MlQueries {
     "ns8d_sim_ivf_served" -> ns8dSimIvfServed,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppended,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeleted,
+    "ns8g_sim_ivf_compacted" -> ns8gSimIvfCompacted,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,
@@ -2344,6 +2394,7 @@ object MlQueries {
     "ns46b_bm25_served" -> ns46bBm25Served,
     "ns46c_bm25_appended" -> ns46cBm25Appended,
     "ns46d_bm25_deleted" -> ns46dBm25Deleted,
+    "ns46e_bm25_compacted" -> ns46eBm25Compacted,
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
     "ns49_pca_power" -> ns49PcaPower,
@@ -2368,6 +2419,7 @@ object MlQueries {
     "ns8d_sim_ivf_served" -> ns8cSimIvfMultiProbeSql,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppendedSql,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeletedSql,
+    "ns8g_sim_ivf_compacted" -> ns8fSimIvfDeletedSql,
     "ns9_lang_id" -> ns9LangIdSql,
     "ns10_quality" -> ns10QualitySql,
     "ns11_tokens" -> ns11TokensSql,
@@ -2408,6 +2460,7 @@ object MlQueries {
     "ns46b_bm25_served" -> ns46Bm25Sql,
     "ns46c_bm25_appended" -> ns46Bm25Sql,
     "ns46d_bm25_deleted" -> ns46dBm25DeletedSql,
+    "ns46e_bm25_compacted" -> ns46dBm25DeletedSql,
     "ns47_centroids" -> ns47CentroidsSql,
     "ns48_rocchio" -> ns48RocchioSql,
     "ns50_hybrid_rrf" -> ns50HybridRrfSql,

@@ -845,6 +845,61 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("compactIvfIndex rewrites only the dirty cells, drops emptied " +
+      "cell dirs and the tombstones, and serving is unchanged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_cmp")
+    def cellFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("cell=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    try {
+      val cents = Similarity.seedCentroids(embs, 16)
+      val path = tmp.resolve("idx").toString
+      Similarity.writeIvfIndex(embs, cents, path)
+      // dead set: EVERY member of one chosen cell (so its dir must
+      // vanish) plus every 7th vector (so several cells are dirty
+      // but survive)
+      val byCell = Similarity.assignCells(embs, cents)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val emptiedCell = byCell.groupBy(_._2).minBy(_._2.length)._1
+      val dead = (byCell.filter(_._2 == emptiedCell).map(_._1) ++
+        byCell.map(_._1).filter(_ % 7 == 0)).distinct
+      val dirtyCells = byCell.filter(p => dead.contains(p._1))
+        .map(_._2).distinct.toSet
+      Similarity.deleteFromIvfIndex(spark, dead.toSeq.toDF("vec_id"),
+        path)
+      val alive = embs.filter(!col("vec_id").isin(dead.map(x => x: Any): _*))
+      def serve() = Similarity.queryIvfIndex(spark, path, alive, cents,
+          k = 5, probes = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val before = serve()
+      val filesBefore = cellFiles(path)
+      val rewritten = Similarity.compactIvfIndex(spark, path)
+      assert(rewritten === dirtyCells.size.toLong,
+        s"compaction touched $rewritten cells, ${dirtyCells.size} dirty")
+      // tombstones gone, emptied dir gone, clean cells byte-identical
+      assert(!new java.io.File(path, "_graft_deleted").exists())
+      assert(!new java.io.File(path, s"cell=$emptiedCell").exists())
+      val filesAfter = cellFiles(path)
+      filesBefore.foreach { case (p, meta) =>
+        val cell = p.replaceAll(".*cell=([0-9]+)/.*", "$1").toLong
+        if (!dirtyCells.contains(cell))
+          assert(filesAfter.get(p).contains(meta),
+            s"compaction rewrote clean-cell file $p")
+      }
+      assert(serve() === before && before.nonEmpty,
+        "compaction changed query results")
+      // idempotent: a second compaction finds no tombstones
+      assert(Similarity.compactIvfIndex(spark, path) === 0L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("resize keeps every stride-th byte and halves the payload") {
     import spark.implicits._
     val m = Seq((1L, "image", Array[Byte](10, 20, 30, 40, 50), "s", 5L))

@@ -243,6 +243,69 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("compactBm25Index rewrites only dirty buckets, swaps the " +
+      "doc-length table, drops the tombstones, serving is unchanged, " +
+      "and a compacted-away doc may be re-appended") {
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Map(10L -> Seq("red", "fox"), 20L -> Seq("dog"))
+      .toSeq.toDF("query_id", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_cmp")
+    def bucketFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("bkt=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    try {
+      val path = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(docs, path, nBuckets = 16)
+      Retrieval.deleteBm25Docs(spark, Seq(2L, 5L).toDF("doc_id"), path)
+      def serve() = Retrieval.queryBm25Index(spark, path, queries, 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val before = serve()
+      val filesBefore = bucketFiles(path)
+      val dirty = spark.read.parquet(path)
+        .filter(col("doc_id").isin(2L, 5L))
+        .select(col("bkt").cast("long")).distinct()
+        .as[Long].collect().toSet
+      val rewritten = Retrieval.compactBm25Index(spark, path)
+      assert(rewritten === dirty.size.toLong)
+      assert(!new java.io.File(path, "_graft_bm25_deleted").exists())
+      assert(!new java.io.File(path, "_graft_bm25_docs_bak").exists())
+      // dl holds exactly the survivors now
+      val dlIds = spark.read.parquet(s"$path/_graft_bm25_docs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(dlIds === Set(1L, 3L, 4L))
+      val filesAfter = bucketFiles(path)
+      filesBefore.foreach { case (p, meta) =>
+        val b = p.replaceAll(".*bkt=([0-9]+)/.*", "$1").toLong
+        if (!dirty.contains(b))
+          assert(filesAfter.get(p).contains(meta),
+            s"compaction rewrote clean-bucket file $p")
+      }
+      assert(serve() === before && before.nonEmpty)
+      // second compaction: nothing to do
+      assert(Retrieval.compactBm25Index(spark, path) === 0L)
+      // resurrection after compaction is legitimate — the physical
+      // rows are gone, so doc 2 appends as a genuinely new doc and
+      // the index matches a from-scratch build of {1,2,3,4}
+      Retrieval.appendBm25Index(spark,
+        corpus.filter(_._1 == 2L).toDF("doc_id", "text"), path)
+      val full = tmp.resolve("full").toString
+      Retrieval.writeBm25Index(
+        corpus.filter(_._1 != 5L).toDF("doc_id", "text"), full,
+        nBuckets = 16)
+      val servedRes = serve()
+      val servedFull = Retrieval.queryBm25Index(spark, full, queries, 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(servedRes === servedFull)
+      assert(servedRes.exists(_._3 == 2L), "resurrected doc absent")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("the sorted-fold score equals the plain-sum form at the 6 dp " +
       "contract on 5-term matches (accumulation-order hardening)") {
     // doc 1 matches all five query terms, so its score folds FIVE

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Self-generated scale points above sf0.1 (round-9 verdict item 5).
+
+/root/testdata stops at sf0.1, so the 100 TB scaling arguments had no
+empirical point past it. This builds xK replicas (K=1,2,3) of the
+sf0.1 tables the scale-sensitive bench tier reads, under /tmp by
+default (NEVER under /root/testdata — read-only):
+
+  lineitem  - l_orderkey/l_partkey offset per replica: the order count
+              AND the part space both scale, the TPC-H scaling model,
+              so the co-purchase graph grows ~linearly in SF (K
+              disjoint components of the x1 graph — proportionate
+              growth, the honest replica semantics).
+  part      - p_partkey offset to match; p_brand kept, so q82's
+              baskets-per-brand scale linearly at fixed brand count.
+  documents - doc_id offset; for replicas k>0 every 3rd word gets a
+              ~k suffix, so EVERY word 3-gram differs across replicas
+              (no cross-replica shingle collisions: the dedup tier
+              sees K independent corpora, and pair volume scales
+              linearly like a real corpus, instead of the x9
+              everything-is-a-duplicate artifact literal copies would
+              create). Word count, doc length shape, and within-
+              replica near-dup structure are preserved exactly.
+              ns46's query set (every 50th doc) scales WITH the
+              corpus, so BM25 candidate volume = queries x sum(df)
+              grows ~quadratically in SF by design — documented as
+              that query's expected exponent, not a surprise.
+
+x1 is byte-for-byte the sf0.1 inputs re-emitted through the same
+writer, so the three points are generator-consistent and exponent
+fits (log t ~ e log K) are meaningful.
+
+Usage: python3 tools/make_scaledata.py [outRoot=/tmp/scaledata]
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main(out_root):
+    con = duckdb.connect()
+    for k in (1, 2, 3):
+        d = os.path.join(out_root, f"x{k}")
+        os.makedirs(d, exist_ok=True)
+        reps = ", ".join(str(r) for r in range(k))
+        con.execute(f"""
+            COPY (
+              WITH bounds AS (
+                SELECT (max(l_orderkey) + 1) AS ok_off,
+                       (SELECT max(p_partkey) + 1
+                        FROM '{SRC}/part.parquet') AS pk_off
+                FROM '{SRC}/lineitem.parquet')
+              SELECT l_orderkey + r * ok_off AS l_orderkey,
+                     l_partkey + r * pk_off AS l_partkey,
+                     l_suppkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax, l_returnflag,
+                     l_linestatus, l_shipdate
+              FROM '{SRC}/lineitem.parquet'
+              CROSS JOIN bounds CROSS JOIN unnest([{reps}]) AS t(r)
+            ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+            COPY (
+              WITH bounds AS (
+                SELECT (max(p_partkey) + 1) AS pk_off
+                FROM '{SRC}/part.parquet')
+              SELECT p_partkey + r * pk_off AS p_partkey, p_name,
+                     p_brand, p_type, p_size, p_retailprice
+              FROM '{SRC}/part.parquet'
+              CROSS JOIN bounds CROSS JOIN unnest([{reps}]) AS t(r)
+            ) TO '{d}/part.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+            COPY (
+              WITH bounds AS (
+                SELECT (max(doc_id) + 1) AS id_off
+                FROM '{SRC}/documents.parquet')
+              SELECT doc_id + r * id_off AS doc_id,
+                     CASE WHEN r = 0 THEN text
+                          ELSE array_to_string(list_transform(
+                            string_split(text, ' '),
+                            (w, i) -> CASE WHEN i % 3 = 0
+                                      THEN w || '~' || r
+                                      ELSE w END), ' ') END AS text,
+                     lang, source,
+                     length(CASE WHEN r = 0 THEN text
+                          ELSE array_to_string(list_transform(
+                            string_split(text, ' '),
+                            (w, i) -> CASE WHEN i % 3 = 0
+                                      THEN w || '~' || r
+                                      ELSE w END), ' ') END)::BIGINT
+                       AS n_chars
+              FROM '{SRC}/documents.parquet'
+              CROSS JOIN bounds CROSS JOIN unnest([{reps}]) AS t(r)
+            ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+        for t in ("lineitem", "part", "documents"):
+            n = con.execute(
+                f"SELECT count(*) FROM '{d}/{t}.parquet'").fetchone()[0]
+            print(f"x{k} {t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata")
