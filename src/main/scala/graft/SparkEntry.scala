@@ -62,11 +62,9 @@ object SparkEntry {
     * carry an oracle, never silently neither.
     */
   def rowsOnlyGate: Map[String, String] = Map(
-    "ns6b_embed_neardup_lsh" -> "rows+recall",
     "ns7d_sim_ivfpq" -> "rows+recall",
     "ns7e_sim_ivfpq_served" -> "rows+recall",
     "ns8b_sim_ivf_kmeans" -> "rows+recall",
-    "ns15_lsh_ann" -> "rows+recall",
     "q19b_approx_distinct" -> "rows+error",
     "q39b_approx_percentile" -> "rows+error",
     "q67b_winsorize_approx" -> "rows+error",

@@ -170,10 +170,21 @@ object Similarity {
     * Planes are fixed-seed pseudo-random (the java.util.Random LCG is
     * specified, so buckets are deterministic across runs/JVMs).
     */
+  /** The fixed-seed LSH hyperplanes — exposed (package-private) so the
+    * DuckDB oracles can embed the IDENTICAL values as literals (the
+    * ns45 literal-plane pattern): the java.util.Random LCG is
+    * specified, so both engines band on the same planes and the whole
+    * LSH pipeline becomes hash-gateable despite being "random".
+    */
+  private[graft] def lshPlanes(nBands: Int, bitsPerBand: Int,
+      dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Array.fill(nBands * bitsPerBand, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
   private def lshBanded(n: DataFrame, nBands: Int, bitsPerBand: Int,
       dim: Int): DataFrame = {
-    val rnd = new java.util.Random(42L)
-    val planes = Array.fill(nBands * bitsPerBand, dim)(rnd.nextDouble() * 2 - 1)
+    val planes = lshPlanes(nBands, bitsPerBand, dim)
     val bandCol = (b: Int) => (0 until bitsPerBand).map { p =>
       when(dot(col("e"), lit(planes(b * bitsPerBand + p))) > 0,
         lit(1 << p)).otherwise(lit(0))

@@ -371,13 +371,53 @@ object MlQueries {
 
   /** ns6's scale path: LSH band-collision candidates + exact cosine
     * re-score (subset of ns6 by construction — a pair missed by every
-    * band is lost). No oracle (approximate); MlSpec asserts the subset
-    * property and recall; driver records rows.
+    * band is lost). Since r9 this is HASH-GATED despite the "random"
+    * hyperplanes: the fixed-seed planes are embedded as literals in
+    * the oracle (the ns45 pattern via [[Similarity.lshPlanes]]), the
+    * sign-bit banding is a CASE sum over the identical sequential dot
+    * products, and the band-collision join + exact re-score restate
+    * declaratively — so the candidate cut itself is driver-proven,
+    * not just its recall (which MlSpec still asserts).
     */
   val ns6bEmbedNearDupLsh: Q = (s, dir) =>
     Similarity.nearDupPairsLsh(Tables.embeddings(s, dir),
       threshold = 0.4, nBands = 8, bitsPerBand = 4, dim = 64)
       .orderBy(col("i"), col("j"))
+
+  /** The banded CTE shared by the ns6b/ns15 LSH oracles: one UNION ALL
+    * leg per band, bucket = Σ 2^p · [dot(e, plane_{b,p}) > 0] with the
+    * plane values inlined as literals from the SAME generator the
+    * engine uses.
+    */
+  private def lshBandedSql(nBands: Int, bitsPerBand: Int,
+      dim: Int): String = {
+    val planes = Similarity.lshPlanes(nBands, bitsPerBand, dim)
+    (0 until nBands).map { b =>
+      val bits = (0 until bitsPerBand).map { p =>
+        val lits = planes(b * bitsPerBand + p)
+          .map(v => java.lang.Double.toString(v)).mkString(", ")
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], [$lits]) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $b AS band, $bits AS bucket FROM nz"
+    }.mkString("banded AS (\n", "\n  UNION ALL\n", "\n)")
+  }
+
+  val ns6bEmbedNearDupLshSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |${lshBandedSql(nBands = 8, bitsPerBand = 4, dim = 64)},
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id
+      |)
+      |SELECT i, j,
+      |  round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |    y.embedding::DOUBLE[]), 6) AS cos
+      |FROM cand JOIN nz x ON x.vec_id = i JOIN nz y ON y.vec_id = j
+      |WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |  y.embedding::DOUBLE[]), 6) >= 0.4
+      |ORDER BY i, j""".stripMargin
 
   val ns7SimTopk: Q = (s, dir) =>
     Similarity.bruteTopK(Tables.embeddings(s, dir), k = 5)
@@ -771,9 +811,11 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
-  /** Random-hyperplane LSH ANN — approximate, no ANSI oracle; recall
-    * in-result like ns8 (sampled reference, same linear-shaped-gate
-    * rationale), floor asserted in MlSpec.
+  /** Random-hyperplane LSH ANN — "random" but fixed-seed, so since r9
+    * it is HASH-GATED like ns6b: the plane literals band identically
+    * on both engines, the collision join + top-k cut restate
+    * declaratively, and the sampled recall column is itself
+    * hash-proven (sampledRecallSql). Recall floor stays in MlSpec.
     */
   val ns15LshAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -782,6 +824,30 @@ object MlQueries {
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
+
+  val ns15LshAnnSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |${lshBandedSql(nBands = 4, bitsPerBand = 6, dim = 64)},
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.vec_id <> b.vec_id
+      |), approx AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT c.i, c.j,
+      |      round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |        y.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |          y.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+      |    FROM cand c JOIN nz x ON x.vec_id = c.i
+      |    JOIN nz y ON y.vec_id = c.j) WHERE rk <= 5
+      |),
+      |${sampledRecallSql("nz")}
+      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------ text analysis
 
@@ -2411,6 +2477,8 @@ object MlQueries {
     "ns4_simhash" -> ns4SimhashSql,
     "ns5_simhash_pairs" -> ns5SimhashPairsSql,
     "ns6_embed_neardup" -> ns6EmbedNearDupSql,
+    "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLshSql,
+    "ns15_lsh_ann" -> ns15LshAnnSql,
     "ns7_sim_topk" -> ns7SimTopkSql,
     "ns7b_sim_topk_agg" -> ns7SimTopkSql,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8Sql,
