@@ -244,6 +244,15 @@ object Retrieval {
     deletedDocs(spark, Seq(path)) match {
       case None => 0L
       case Some(dead) =>
+        // same stream-sibling refusal as compactIvfIndex: the
+        // tombstones also mask streamed postings, which this
+        // compaction never rewrites
+        require(!fs.exists(
+            new org.apache.hadoop.fs.Path(s"${path}_stream")),
+          s"compactBm25Index: streamed-appends sibling ${path}_stream " +
+            "exists — compacting the base alone would un-mask deleted " +
+            "rows in streamed partitions; fold the stream into the " +
+            "base (fresh writeBm25Index) first")
         val tf = spark.read.parquet(path)
         val dirty = tf.select(col("doc_id"), col("bkt"))
           .join(dead, Seq("doc_id"))

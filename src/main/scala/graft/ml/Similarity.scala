@@ -599,6 +599,16 @@ object Similarity {
     case Some(dead) =>
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a streamed-appends sibling serves through the SAME tombstone
+      // table (the mask covers the union read), so dropping the
+      // tombstones here would silently un-mask deleted rows held in
+      // streamed partitions this compaction never rewrites — refuse
+      // loudly; fold the stream into the base (rebuild) first
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}_stream")),
+        s"compactIvfIndex: streamed-appends sibling ${path}_stream " +
+          "exists — compacting the base alone would un-mask deleted " +
+          "rows in streamed partitions; fold the stream into the base " +
+          "(fresh writeIvfIndex) first")
       val idx = spark.read.parquet(path)
       // bounded driver action: the distinct dirty-cell ids (≤ nCells)
       val dirty = idx.select(col("vec_id"), col("cell"))

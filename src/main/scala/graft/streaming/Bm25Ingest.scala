@@ -82,6 +82,29 @@ object Bm25Ingest {
       }
       .start()
 
+  /** Wire a DELETE stream: each micro-batch of (doc_id) rows lands in
+    * the base index's tombstone table
+    * ([[Retrieval.deleteBm25Docs]]) — the CDC `item.delete` feed
+    * applied to the index tier. No [[BatchCommit]] partition protocol
+    * here, deliberately: tombstone appends are idempotent AT READ
+    * (the serving mask distincts the ids), so an at-least-once replay
+    * after a crash costs duplicate tombstone rows, never
+    * correctness — the one streamed write where plain append IS the
+    * whole delivery story. The mask covers base AND streamed
+    * postings, because serving reads the tombstones against the
+    * union ([[Retrieval.queryBm25IndexFrom]]) — spec-pinned for a doc
+    * that arrived via a streamed append.
+    */
+  def startDeletes(streamingIds: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingIds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Retrieval.deleteBm25Docs(batch.sparkSession,
+          batch.select(col("doc_id")), indexPath)
+      }
+      .start()
+
   /** Serve top-k from base ∪ committed streamed appends (term-bucket
     * pruned on every root); falls back to the base alone before any
     * batch commits. Committed ⇔ the partition's manual `_SUCCESS` —

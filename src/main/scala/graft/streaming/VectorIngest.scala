@@ -112,6 +112,28 @@ object VectorIngest {
       }
       .start()
 
+  /** Wire a DELETE stream: each micro-batch of (vec_id) rows lands in
+    * the base index's tombstone table
+    * ([[Similarity.deleteFromIvfIndex]]) — works unchanged for raw
+    * and PQ bases, since both serve through the same mask. No
+    * [[BatchCommit]] partition protocol, deliberately: tombstone
+    * appends are idempotent AT READ (the serving mask distincts), so
+    * at-least-once replay costs duplicate tombstone rows, never
+    * correctness. The mask covers base AND streamed partitions
+    * (serving reads it against the union) — spec-pinned for a vector
+    * that arrived via a streamed append.
+    */
+  def startDeletes(streamingIds: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingIds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.deleteFromIvfIndex(batch.sparkSession,
+          batch.select(org.apache.spark.sql.functions.col("vec_id")),
+          indexPath)
+      }
+      .start()
+
   /** Serve top-k from base ∪ streamed appends (partition-pruned on
     * both); falls back to the base alone before any batch commits.
     */

@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 
 case class DocRow(doc_id: Long, text: String)
 
+case class DocIdRow(doc_id: Long)
+
 /** Streaming BM25 maintenance: micro-batches of documents append to
   * the served index's stream table hashed with the STORED bucket
   * count; serving base ∪ stream equals a from-scratch build of the
@@ -100,6 +102,51 @@ class Bm25IngestSpec extends SparkSpec {
       assert(new java.io.File(part, "_SUCCESS").delete())
       assert(rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5)) ===
         rows(Retrieval.queryBm25Index(spark, idx, queriesDf, 5)))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
+  test("streamed deletes mask base AND streamed docs; compaction " +
+      "refuses while the stream sibling exists") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = docs.filter(col("doc_id") % 4 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_sdel")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(initial, idx, nBuckets = 32)
+      // the held-out quarter arrives via a streamed APPEND, so some
+      // deletable docs live only in stream partitions
+      Bm25Ingest.ingestBatch(docs.filter(col("doc_id") % 4 === 0),
+        0L, idx)
+      // delete stream: one base doc (id % 4 != 0) and one streamed
+      // doc (id % 4 == 0), in two micro-batches
+      val dead = Seq(3L, 4L)
+      val in = MemoryStream[DocIdRow]
+      val q = Bm25Ingest.startDeletes(in.toDF(), idx,
+        tmp.resolve("dckpt").toString)
+      try {
+        in.addData(DocIdRow(3L)); q.processAllAvailable()
+        in.addData(DocIdRow(4L)); q.processAllAvailable()
+      } finally q.stop()
+      val served = rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5))
+      val full = tmp.resolve("full").toString
+      Retrieval.writeBm25Index(
+        docs.filter(!col("doc_id").isin(dead.map(x => x: Any): _*)),
+        full, nBuckets = 32)
+      assert(served === rows(
+        Retrieval.queryBm25Index(spark, full, queriesDf, 5)))
+      assert(served.nonEmpty)
+      assert(!served.exists(r => dead.contains(r._3)))
+      // compacting the base alone would un-mask the streamed copy of
+      // doc 4 the moment the tombstones drop — must refuse
+      val ex = intercept[IllegalArgumentException] {
+        Retrieval.compactBm25Index(spark, idx)
+      }
+      assert(ex.getMessage.contains("_stream"))
     } finally {
       import scala.reflect.io.Directory
       new Directory(tmp.toFile).deleteRecursively()

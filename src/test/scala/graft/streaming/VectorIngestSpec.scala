@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 
 case class VecRow(vec_id: Long, embedding: Array[Float])
 
+case class VecIdRow(vec_id: Long)
+
 /** Streaming IVF maintenance: micro-batches of vectors append to the
   * served index's stream table against the STORED centroids; serving
   * base ∪ stream equals a from-scratch build of the union (assignment
@@ -116,6 +118,51 @@ class VectorIngestSpec extends SparkSpec {
     // recycled id: same id, DIFFERENT content — loud failure
     intercept[IllegalArgumentException] {
       VectorIngest.ingestBatch(batch.limit(3), 0L, idx)
+    }
+  }
+
+  test("streamed deletes mask base AND streamed vectors; compaction " +
+      "refuses while the stream sibling exists") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = embs.filter(col("vec_id") % 4 =!= 0)
+    val cents = Similarity.seedCentroids(initial, nCells = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("vec_sdel")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Similarity.writeIvfIndex(initial, cents, idx)
+      // the held-out quarter arrives via a streamed append
+      VectorIngest.ingestBatch(embs.filter(col("vec_id") % 4 === 0),
+        0L, idx)
+      // delete one base vector and one streamed vector via the stream
+      val dead = Seq(3L, 4L)
+      val in = MemoryStream[VecIdRow]
+      val q = VectorIngest.startDeletes(in.toDF(), idx,
+        tmp.resolve("dckpt").toString)
+      try {
+        in.addData(VecIdRow(3L)); q.processAllAvailable()
+        in.addData(VecIdRow(4L)); q.processAllAvailable()
+      } finally q.stop()
+      val alive = embs.filter(!col("vec_id").isin(dead.map(x => x: Any): _*))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val served = rows(VectorIngest.queryServed(spark, idx, alive,
+        cents, k = 5, probes = 3))
+      val full = tmp.resolve("full").toString
+      Similarity.writeIvfIndex(alive, cents, full)
+      assert(served === rows(Similarity.queryIvfIndex(spark, full,
+        alive, cents, k = 5, probes = 3)))
+      assert(served.nonEmpty)
+      assert(!served.exists(r => dead.contains(r._3)))
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.compactIvfIndex(spark, idx)
+      }
+      assert(ex.getMessage.contains("_stream"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
     }
   }
 }
