@@ -47,7 +47,12 @@ object Plans {
     // the weighted-relaxation rounds (improved-frontier joins) and the
     // two-retriever fusion: whether the semantic side's query filter
     // reaches below the cross-join is visible only in the real plan
-    "q102_shortest_paths", "ns50_hybrid_rrf")
+    "q102_shortest_paths", "ns50_hybrid_rrf",
+    // round-9: the tombstoned serving paths — the thing to audit is
+    // the tombstone anti-join's runtime strategy (AQE should
+    // broadcast the id-sized build side) on both the lexical and the
+    // vector index
+    "ns46d_bm25_deleted", "ns8f_sim_ivf_deleted")
 
   private def section(sb: StringBuilder, spark: SparkSession,
       dir: String, names: Seq[String], execute: Boolean): Unit =
