@@ -172,6 +172,70 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** Temperature-weighted (α-smoothed) corpus mixture WITH
+    * up-sampling — the other standard data-mixing shape next to
+    * [[mixtureSample]]'s explicit weights: source s gets weight
+    * w_s ∝ n_s^α (α < 1 flattens the source distribution toward
+    * uniform — the mC4/multilingual smoothing; α = 1 is proportional),
+    * and contributes n_target = ⌊w_s · budget⌋ EXAMPLES, which for a
+    * rare source may exceed its n_s docs: the source is repeated —
+    * ⌊n_target / n_s⌋ full passes (every doc, epoch = 0, 1, …) plus a
+    * partial epoch of the n_target mod n_s docs with the smallest
+    * md5-hash rank (the [[cappedHashRank]] machinery, so the partial
+    * pass is content-independent, reproducible, and never sorts a
+    * whole source in one task). Output is one row per (doc_id,
+    * epoch) — the repetition manifest a training loader consumes, and
+    * the doc-level form of what epoch-weighted corpus specs (Pile,
+    * ROOTS) publish as a table.
+    *
+    * Determinism: the normalized weight is rounded to 9 dp before the
+    * ⌊w · budget⌋ cut — pow() is ≤1-ulp on both engines rather than
+    * correctly rounded, and the rounding makes the two engines' floor
+    * agree unless the true weight sits within ~1e-7 of a rounding
+    * boundary (the mixtureSample IEEE-weights caveat, narrowed).
+    * Sources are never silently dropped: every source has n_s ≥ 1 by
+    * construction (it appears in the data), so zero-target sources
+    * simply contribute no rows.
+    */
+  def temperatureMixture(docs: DataFrame, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    require(budget > 0, "budget must be positive")
+    val wW = Window.partitionBy(lit(1))
+    val plan = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_available"))
+      .withColumn("_wraw",
+        pow(col("n_available").cast("double"), lit(alpha)))
+      .withColumn("w", round(col("_wraw") / sum(col("_wraw")).over(wW), 9))
+      .withColumn("n_target",
+        floor(col("w") * lit(budget.toDouble)).cast("long"))
+      .withColumn("full_epochs",
+        floor(col("n_target") / col("n_available")).cast("long"))
+      .withColumn("rem",
+        col("n_target") - col("full_epochs") * col("n_available"))
+      .select(col("source"), col("n_available"), col("n_target"),
+        col("full_epochs"), col("rem"))
+    val ids = docs.select(col("doc_id"), col("source"))
+    // full passes: every doc of the source, one row per epoch — the
+    // explode is per-row work proportional to the emitted manifest
+    val fullPart = ids
+      .join(broadcast(plan.select(col("source"), col("full_epochs"))),
+        Seq("source"))
+      .filter(col("full_epochs") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("full_epochs") - 1)))
+    // the partial pass: smallest-hash-rank rem docs, two-level rank so
+    // no single task ever sorts a whole source
+    val remPart = cappedHashRank(ids, "doc_id", Seq("source"),
+        plan.select(col("source"), col("rem").as("n_target")))
+      .join(broadcast(plan.select(col("source"), col("full_epochs"))),
+        Seq("source"))
+      .withColumn("epoch", col("full_epochs"))
+    fullPart.select(col("doc_id"), col("source"), col("epoch"))
+      .unionByName(
+        remPart.select(col("doc_id"), col("source"), col("epoch")))
+  }
+
   /** Per-group exact hash rank with a per-group keep cap, computed
     * WITHOUT a per-group global window — the shared scale-safe core of
     * [[mixtureSample]] and [[TextAnalysis.stratifiedSample]]. A direct

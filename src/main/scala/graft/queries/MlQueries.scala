@@ -1787,6 +1787,56 @@ object MlQueries {
        |ORDER BY source, rk""".stripMargin
   }
 
+  /** Temperature-weighted mixture with up-sampling
+    * ([[Corpus.temperatureMixture]], α = 0.5, budget = 800): the
+    * fixture's uniform sources are regrouped into a skewed
+    * rare/mid/common tiering (2% / 18% / 80% of docs at sf0.01) so
+    * the α-flattening actually differentiates — √-weights lift the
+    * rare tier to ~10% of the budget, which exceeds its doc count and
+    * forces multiple full epochs plus a hash-ranked partial epoch.
+    * The oracle restates weights (pow + 9 dp round), floor targets,
+    * integer epoch split, the lateral epoch explode, and the partial
+    * pass's md5-hash rank — so the repetition manifest is hash-gated
+    * end to end.
+    */
+  val ns54TemperatureMix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, lit("rare"))
+          .when(col("doc_id") % 5 === 0, lit("mid"))
+          .otherwise(lit("common")).as("source"))
+    Corpus.temperatureMixture(docs, alpha = 0.5, budget = 800L)
+      .orderBy(col("source"), col("epoch"), col("doc_id"))
+  }
+
+  val ns54TemperatureMixSql: String =
+    s"""WITH src AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 'rare'
+      |    WHEN doc_id % 5 = 0 THEN 'mid' ELSE 'common' END AS source
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, count(*)::BIGINT AS n FROM src GROUP BY 1
+      |), plan AS (
+      |  SELECT source, n,
+      |    CAST(floor(round(pow(n, 0.5) / sum(pow(n, 0.5)) OVER (), 9)
+      |      * 800) AS BIGINT) AS tgt
+      |  FROM counts
+      |), p2 AS (
+      |  SELECT source, n, tgt, tgt // n AS fe, tgt % n AS rem FROM plan
+      |), fullp AS (
+      |  SELECT d.doc_id, d.source, unnest(range(0, p.fe)) AS epoch
+      |  FROM src d JOIN p2 p USING (source)
+      |), remp AS (
+      |  SELECT doc_id, source, fe AS epoch FROM (
+      |    SELECT d.doc_id, d.source, p.fe, p.rem,
+      |      row_number() OVER (PARTITION BY d.source
+      |        ORDER BY ${duckHash60("d.doc_id::VARCHAR")}, d.doc_id) AS rk
+      |    FROM src d JOIN p2 p USING (source)) WHERE rk <= rem
+      |)
+      |SELECT doc_id, source, epoch FROM fullp
+      |UNION ALL SELECT doc_id, source, epoch FROM remp
+      |ORDER BY source, epoch, doc_id""".stripMargin
+
   /** The capstone: a full training-corpus prep pipeline in ONE plan —
     * quality gate (length) → language gate (predicted en) → MinHash
     * near-dup clustering with canonical-survivor selection → split
@@ -2468,6 +2518,7 @@ object MlQueries {
     "ns51_embed_outliers" -> ns51EmbedOutliers,
     "ns52_dedup_survivors" -> ns52DedupSurvivors,
     "ns53_leakfree_split" -> ns53LeakFreeSplit,
+    "ns54_temperature_mix" -> ns54TemperatureMix,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2535,5 +2586,6 @@ object MlQueries {
     "ns51_embed_outliers" -> ns51EmbedOutliersSql,
     "ns52_dedup_survivors" -> ns52DedupSurvivorsSql,
     "ns53_leakfree_split" -> ns53LeakFreeSplitSql,
+    "ns54_temperature_mix" -> ns54TemperatureMixSql,
   )
 }

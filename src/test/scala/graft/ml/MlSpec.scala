@@ -575,6 +575,50 @@ class MlSpec extends SparkSpec {
       "absent weighted source must drive T to 0 (empty result)")
   }
 
+  test("temperature mixture: alpha=1 is proportional, alpha<1 lifts " +
+      "the rare source's share, up-sampling emits full epochs plus a " +
+      "hash-ranked partial pass, all deterministic") {
+    import spark.implicits._
+    // skewed synthetic corpus: 100 common, 20 mid, 5 rare
+    val rows = (1L to 100L).map(i => (i, "common")) ++
+      (101L to 120L).map(i => (i, "mid")) ++
+      (121L to 125L).map(i => (i, "rare"))
+    val docs = rows.toDF("doc_id", "source")
+    def shares(alpha: Double, budget: Long): Map[String, Long] =
+      Corpus.temperatureMixture(docs, alpha, budget).collect()
+        .groupBy(_.getAs[String]("source"))
+        .view.mapValues(_.length.toLong).toMap
+    // alpha=1: weights proportional to size — shares track the corpus
+    val prop = shares(1.0, 250L)
+    assert(prop("common") === 200L && prop("mid") === 40L &&
+      prop("rare") === 10L)
+    // rare is up-sampled: 10 examples from 5 docs = 2 full epochs
+    val rare1 = Corpus.temperatureMixture(docs, 1.0, 250L)
+      .filter(col("source") === "rare").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rare1.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L))
+    assert(rare1.count(_._2 == 0L) === 5 && rare1.count(_._2 == 1L) === 5)
+    // alpha=0.5 flattens: the rare share rises above its natural 4%,
+    // the common share falls below its natural 80%
+    val flat = shares(0.5, 250L)
+    val total = flat.values.sum.toDouble
+    assert(flat("rare") / total > 0.04 * 1.5,
+      s"rare share not lifted: $flat")
+    assert(flat("common") / total < 0.80, s"common share not damped: $flat")
+    // the partial epoch is the smallest-hash-rank subset: a re-run
+    // selects the identical (doc_id, epoch) multiset
+    val a = Corpus.temperatureMixture(docs, 0.5, 137L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = Corpus.temperatureMixture(docs, 0.5, 137L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+    // a (doc, epoch) pair never repeats — the manifest is a set
+    assert(a.distinct === a)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMixture(docs, 0.0, 10L)
+    }
+  }
+
   test("cluster resolution: chain merges transitively, singletons kept") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
