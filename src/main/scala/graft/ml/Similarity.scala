@@ -1014,6 +1014,66 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Embedding-DISTRIBUTION drift between two corpus snapshots — the
+    * embedding-space sibling of the scalar PSI drift (q85): project
+    * both sides onto `outDim` fixed JL directions
+    * ([[randomProject]] — literal planes, so the projection is exact
+    * cross-engine), bucket each projection by the REFERENCE side's
+    * deciles, and emit the per-(direction, bucket) PSI terms. A new
+    * crawl whose embedding cloud shifted (topic mix, embed-model
+    * version bump, scraper regression) shows up as large PSI terms on
+    * some direction long before any scalar metadata column moves;
+    * per-direction granularity says WHICH directions moved, and the
+    * caller sums terms per direction for the headline number
+    * (sorted-fold if 3+ — the rrfFuse rule).
+    *
+    * Scale: the projection is map-only; the decile edges use the
+    * exact percentile (oracle-restatable — the q85 choice) whose
+    * buffer is per-direction corpus-sized, so a 100 TB run swaps in
+    * approx_percentile edges (the q67b sibling pattern) with the
+    * identical downstream bin logic; the three consumers of the
+    * projected frame re-run the map-only scan — cache it upstream
+    * for a real run (the GD note).
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, outDim: Int,
+      dim: Int): DataFrame = {
+    def proj(df: DataFrame) = randomProject(df, outDim, dim)
+      .select(posexplode(col("proj")))
+      .select(col("pos").as("proj_dim"), col("col").as("x"))
+    val pr = proj(ref)
+    val pc = proj(cur)
+    val qs = lit((1 to 9).map(_ / 10.0).toArray)
+    val edges = pr.groupBy(col("proj_dim"))
+      .agg(percentile(col("x"), qs).as("qs"))
+    def binCounts(df: DataFrame, cnt: String) =
+      df.join(broadcast(edges), Seq("proj_dim"))
+        .select(col("proj_dim"),
+          size(filter(col("qs"), e => e < col("x"))).as("bin"))
+        .groupBy(col("proj_dim"), col("bin"))
+        .agg(count(lit(1)).as(cnt))
+    val totals = pr.groupBy(col("proj_dim"))
+      .agg(count(lit(1)).as("n_ref"))
+      .join(pc.groupBy(col("proj_dim")).agg(count(lit(1)).as("n_cur")),
+        Seq("proj_dim"))
+    val eps = lit(1e-6)
+    binCounts(pr, "ref_cnt")
+      .join(binCounts(pc, "cur_cnt"), Seq("proj_dim", "bin"),
+        "full_outer")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .join(broadcast(totals), Seq("proj_dim"))
+      .select(col("proj_dim"), col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round(col("ref_cnt") / col("n_ref").cast("double"), 6)
+          .as("p_ref"),
+        round(col("cur_cnt") / col("n_cur").cast("double"), 6)
+          .as("p_cur"),
+        round((col("cur_cnt") / col("n_cur").cast("double") -
+          col("ref_cnt") / col("n_ref").cast("double")) *
+          log(greatest(col("cur_cnt") / col("n_cur").cast("double"), eps)
+            / greatest(col("ref_cnt") / col("n_ref").cast("double"),
+              eps)), 6).as("psi_term"))
+      .orderBy(col("proj_dim"), col("bin"))
+  }
+
   /** Semantic deduplication over embeddings (the SemDeDup shape):
     * assign every vector to its IVF cell, find cosine-≥-threshold
     * pairs ONLY within each cell, and greedily keep the earliest

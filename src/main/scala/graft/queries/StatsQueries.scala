@@ -934,6 +934,80 @@ object StatsQueries {
       |)
       |SELECT node AS part_key, dist FROM d4 ORDER BY 1""".stripMargin
 
+  // ------------------------------------ q103 embedding-space drift
+
+  /** Embedding-distribution drift ([[graft.ml.Similarity
+    * .embeddingDrift]]): the label < 5 half of the embedding corpus as
+    * the reference snapshot, the label ≥ 5 half as the "new crawl" —
+    * labels cluster in embedding space (ns48's Rocchio separates
+    * them), so the two halves genuinely differ and the per-direction
+    * PSI terms carry real signal. Four fixed JL directions; the
+    * oracle inlines the same literal planes (the ns45 pattern),
+    * re-derives the reference deciles with quantile_cont, and
+    * restates the binning + PSI arithmetic — so the drift report is
+    * hash-gated end to end.
+    */
+  val q103EmbedDrift: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    graft.ml.Similarity.embeddingDrift(
+      emb.filter(col("label") < 5), emb.filter(col("label") >= 5),
+      outDim = 4, dim = 64)
+  }
+
+  val q103EmbedDriftSql: String = {
+    val planes = graft.ml.Similarity.projectionPlanes(4, 64)
+    val legs = (side: String) => planes.zipWithIndex.map {
+      case (p, i) =>
+        val lits = p.map(v => java.lang.Double.toString(v)).mkString(", ")
+        s"""  SELECT $i AS proj_dim,
+           |    round(list_dot_product(embedding::DOUBLE[], [$lits]), 6)
+           |      AS x FROM $side""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ref0 AS (
+      |  SELECT embedding FROM embeddings WHERE label < 5
+      |), cur0 AS (
+      |  SELECT embedding FROM embeddings WHERE label >= 5
+      |), pr AS (
+      |${legs("ref0")}
+      |), pc AS (
+      |${legs("cur0")}
+      |), e AS (
+      |  SELECT proj_dim, quantile_cont(x,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      |  FROM pr GROUP BY 1
+      |), rb AS (
+      |  SELECT pr.proj_dim,
+      |    len(list_filter(qs, v -> v < x))::INT AS bin,
+      |    count(*)::BIGINT AS ref_cnt
+      |  FROM pr JOIN e USING (proj_dim) GROUP BY 1, 2
+      |), cb AS (
+      |  SELECT pc.proj_dim,
+      |    len(list_filter(qs, v -> v < x))::INT AS bin,
+      |    count(*)::BIGINT AS cur_cnt
+      |  FROM pc JOIN e USING (proj_dim) GROUP BY 1, 2
+      |), t AS (
+      |  SELECT r.proj_dim, r.n_ref, c.n_cur FROM
+      |    (SELECT proj_dim, count(*)::DOUBLE AS n_ref FROM pr
+      |     GROUP BY 1) r
+      |  JOIN (SELECT proj_dim, count(*)::DOUBLE AS n_cur FROM pc
+      |     GROUP BY 1) c ON r.proj_dim = c.proj_dim
+      |)
+      |SELECT t.proj_dim, coalesce(rb.bin, cb.bin) AS bin,
+      |  coalesce(ref_cnt, 0) AS ref_cnt,
+      |  coalesce(cur_cnt, 0) AS cur_cnt,
+      |  round(coalesce(ref_cnt, 0) / n_ref, 6) AS p_ref,
+      |  round(coalesce(cur_cnt, 0) / n_cur, 6) AS p_cur,
+      |  round((coalesce(cur_cnt, 0) / n_cur -
+      |    coalesce(ref_cnt, 0) / n_ref) *
+      |    ln(greatest(coalesce(cur_cnt, 0) / n_cur, 0.000001) /
+      |      greatest(coalesce(ref_cnt, 0) / n_ref, 0.000001)), 6)
+      |    AS psi_term
+      |FROM rb FULL JOIN cb
+      |  ON rb.proj_dim = cb.proj_dim AND rb.bin = cb.bin
+      |JOIN t ON t.proj_dim = coalesce(rb.proj_dim, cb.proj_dim)
+      |ORDER BY 1, 2""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
     "q89_regression" -> q89Regression,
     "q90_auc" -> q90Auc,
@@ -949,6 +1023,7 @@ object StatsQueries {
     "q100_ks_drift" -> q100KsDrift,
     "q101_reachability" -> q101Reachability,
     "q102_shortest_paths" -> q102ShortestPaths,
+    "q103_embed_drift" -> q103EmbedDrift,
   )
 
   def oracles: Map[String, String] = Map(
@@ -965,5 +1040,6 @@ object StatsQueries {
     "q100_ks_drift" -> q100KsDriftSql,
     "q101_reachability" -> q101ReachabilitySql,
     "q102_shortest_paths" -> q102ShortestPathsSql,
+    "q103_embed_drift" -> q103EmbedDriftSql,
   )
 }

@@ -619,6 +619,26 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("embeddingDrift: identical clouds score ~zero PSI everywhere, " +
+      "a planted mean shift scores large terms") {
+    import spark.implicits._
+    // deterministic pseudo-cloud (no Random): 200 vecs, 8 dims
+    def cloud(idBase: Long, shift: Double) =
+      (0L until 200L).map { i =>
+        (idBase + i,
+          (0 until 8).map(d => ((i * 31 + d * 7) % 13 - 6) / 6.0 + shift))
+      }.toDF("vec_id", "embedding")
+    def totalAbsPsi(cur: org.apache.spark.sql.DataFrame): Double =
+      Similarity.embeddingDrift(cloud(0L, 0.0), cur, outDim = 3, dim = 8)
+        .agg(sum(abs(col("psi_term")))).head().getDouble(0)
+    // same value multiset (different ids) → identical bin counts →
+    // every PSI term exactly zero after rounding
+    assert(totalAbsPsi(cloud(10000L, 0.0)) === 0.0)
+    // +3 mean shift moves every projection by 3·Σplane — mass piles
+    // into the extreme reference bins, PSI explodes
+    assert(totalAbsPsi(cloud(10000L, 3.0)) > 1.0)
+  }
+
   test("cluster resolution: chain merges transitively, singletons kept") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
