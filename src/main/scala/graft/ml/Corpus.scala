@@ -200,7 +200,13 @@ object Corpus {
   def temperatureMixture(docs: DataFrame, alpha: Double,
       budget: Long): DataFrame = {
     require(alpha > 0, "alpha must be positive")
-    require(budget > 0, "budget must be positive")
+    // w < 1, so w·budget is double-exact only while budget < 2^52 —
+    // beyond that the ⌊w·budget⌋ cut (and the oracle's) would round in
+    // the mantissa. 2^52 examples is four orders past any published
+    // corpus; fail loudly rather than quietly lose grains.
+    require(budget > 0 && budget < (1L << 52),
+      "budget must be in (0, 2^52) — the floor(w*budget) cut is " +
+        "double-exact only in that range")
     val wW = Window.partitionBy(lit(1))
     val plan = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_available"))
@@ -209,8 +215,13 @@ object Corpus {
       .withColumn("w", round(col("_wraw") / sum(col("_wraw")).over(wW), 9))
       .withColumn("n_target",
         floor(col("w") * lit(budget.toDouble)).cast("long"))
+      // INTEGER division (Spark's `div`), not floor(a / b): `/` on two
+      // longs is DOUBLE division, and once n_target outgrows 2^50 a
+      // half-ulp-above-integer quotient would floor UP — full_epochs
+      // one too many, rem negative, and a divergence from the oracle's
+      // exact `//`. Integer div is exact at every magnitude.
       .withColumn("full_epochs",
-        floor(col("n_target") / col("n_available")).cast("long"))
+        expr("n_target div n_available"))
       .withColumn("rem",
         col("n_target") - col("full_epochs") * col("n_available"))
       .select(col("source"), col("n_available"), col("n_target"),

@@ -136,25 +136,18 @@ object Retrieval {
     // CONTRACT: each input list holds at most one row per
     // (query_id, doc_id) — a ranked list by definition. A duplicate
     // would silently add an extra 1/(c+rank) contribution and skew the
-    // fused score, so the precondition fails loudly instead (the
-    // keepRepresentatives discipline): one count window per stacked
-    // row, on the same (list, query, doc) keys the fusion groups by.
-    val dupW = Window.partitionBy(col("_list"), col("query_id"),
-      col("doc_id"))
+    // fused score, so the precondition fails loudly. The check rides
+    // the fusion's OWN aggregation (tag each contribution with its
+    // list index, compare list-tag cardinality to distinct list-tag
+    // cardinality per (query, doc) group) — a separate count window
+    // would shuffle the stacked candidates a second time on different
+    // keys for nothing.
     val stacked = rankings.zipWithIndex
       .map { case (df, idx) =>
         df.select(col("query_id"), col("doc_id"), col("rank"))
           .withColumn("_list", lit(idx))
       }
       .reduce(_.unionAll(_))
-      .withColumn("rank",
-        when(count(lit(1)).over(dupW) === 1, col("rank"))
-          .otherwise(raise_error(concat(
-            lit("rrfFuse: duplicate (query_id, doc_id) in ranking "),
-            col("_list").cast("string"), lit(" for query "),
-            col("query_id").cast("string"), lit(", doc "),
-            col("doc_id").cast("string")))))
-      .drop("_list")
     // IEEE addition is commutative but NOT associative, so a plain
     // sum() of 3+ contributions would associate in partition-dependent
     // order and could ulp-shift across a rounding boundary between
@@ -165,10 +158,18 @@ object Retrieval {
     // (two-operand addition is order-free), so SQL oracles restate it
     // as sum(). Round before ranking, doc_id as the total tiebreak.
     val fused = stacked.groupBy(col("query_id"), col("doc_id"))
-      .agg(collect_list(lit(1.0) / (lit(c) + col("rank"))).as("_cs"))
+      .agg(collect_list(struct(col("_list"),
+        (lit(1.0) / (lit(c) + col("rank"))).as("_c"))).as("_lc"))
       .select(col("query_id"), col("doc_id"),
-        round(aggregate(sort_array(col("_cs")), lit(0.0),
-          (acc, x) => acc + x), 6).as("rrf"))
+        when(size(col("_lc")) ===
+            size(array_distinct(col("_lc._list"))),
+          round(aggregate(sort_array(col("_lc._c")), lit(0.0),
+            (acc, x) => acc + x), 6))
+          .otherwise(raise_error(concat(
+            lit("rrfFuse: duplicate (query_id, doc_id) within one " +
+              "ranking for query "),
+            col("query_id").cast("string"), lit(", doc "),
+            col("doc_id").cast("string")))).as("rrf"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w).cast("int"))
@@ -214,10 +215,15 @@ object Retrieval {
     * (its narrow (doc_id, dl) table is unavoidable — n_docs/avgdl
     * derive from it — and goes through the live→bak, tmp→live,
     * drop-bak swap the StreamingAgg state commit uses, with mid-swap
-    * crash recovery at the next entry), drop any bucket directory
-    * left empty, then drop the tombstone table LAST — so serving is
-    * result-identical at every crash point (the mask still covers
-    * whatever a partial run left) and a re-run converges. Cost
+    * crash recovery at the next entry AND a read-side bak fallback in
+    * [[docsDirFor]] so serving never breaks inside the swap window),
+    * drop any bucket directory left empty, then drop the tombstone
+    * table LAST. The posting rewrite follows
+    * [[Similarity.compactIvfIndex]]'s staged crash contract verbatim:
+    * survivors stage durably, the dirty-bucket marker commits the
+    * stage, the apply is replayed from the stage at the next entry if
+    * a crash lands inside the overwrite commit — so a re-run always
+    * converges and the mask covers every intermediate state. Cost
     * follows the dirty buckets; clean buckets keep their exact files
     * (spec-measured byte-identical). After compaction a formerly-
     * deleted doc_id may be re-appended — its physical rows are gone,
@@ -235,24 +241,34 @@ object Retrieval {
     // recover a mid-swap crash first: live missing + bak present means
     // the previous run died between the two renames — bak IS the
     // committed pre-swap state, and its tombstones are still on disk,
-    // so restoring it restores correct (masked) serving
+    // so restoring it restores correct (masked) serving (the read
+    // path also falls back to bak, so serving never broke meanwhile)
     if (!fs.exists(docsLive) && fs.exists(docsBak)) {
       val ok = fs.rename(docsBak, docsLive)
       require(ok || fs.exists(docsLive),
         s"could not restore $docsBak after a mid-swap crash")
     }
+    // then finish a crashed posting apply from its committed stage
+    // (restoring any bucket the crashed overwrite half-replaced)
+    // WITHOUT touching the tombstones — post-crash deletions must
+    // survive into the normal pass below
+    if (Similarity.compactionStageCommitted(fs, path))
+      Similarity.applyCompactionStage(spark, path, "bkt")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/${Similarity.CompactStageDir}"), true)
     deletedDocs(spark, Seq(path)) match {
       case None => 0L
       case Some(dead) =>
         // same stream-sibling refusal as compactIvfIndex: the
         // tombstones also mask streamed postings, which this
         // compaction never rewrites
-        require(!fs.exists(
-            new org.apache.hadoop.fs.Path(s"${path}_stream")),
-          s"compactBm25Index: streamed-appends sibling ${path}_stream " +
-            "exists — compacting the base alone would un-mask deleted " +
-            "rows in streamed partitions; fold the stream into the " +
-            "base (fresh writeBm25Index) first")
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+            path + Similarity.StreamSiblingSuffix)),
+          s"compactBm25Index: streamed-appends sibling " +
+            s"$path${Similarity.StreamSiblingSuffix} exists — " +
+            "compacting the base alone would un-mask deleted rows in " +
+            "streamed partitions; fold the stream into the base " +
+            "(fresh writeBm25Index) first")
         val tf = spark.read.parquet(path)
         val dirty = tf.select(col("doc_id"), col("bkt"))
           .join(dead, Seq("doc_id"))
@@ -267,20 +283,21 @@ object Retrieval {
               case _ => b
             }
           }: _*)
-          val survivors = tf.filter(bktIsDirty)
+          // durable survivor stage + committed dirty-bucket marker,
+          // then the replayable apply — see compactIvfIndex's crash
+          // contract (the stage, not the index, is the source of
+          // truth once committed)
+          val stagePath =
+            s"$path/${Similarity.CompactStageDir}"
+          tf.filter(bktIsDirty)
             .join(dead, Seq("doc_id"), "left_anti")
-            .localCheckpoint() // materialize before overwriting the
-          // partitions it reads
-          survivors.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bkt").parquet(path)
-          val alive = survivors.select(col("bkt").cast("long"))
-            .distinct().collect().map(_.getLong(0)).toSet
-          (dirty.toSet -- alive).foreach { b =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/bkt=$b"),
-              true)
-            ()
-          }
+            .write.mode("overwrite").parquet(stagePath)
+          import spark.implicits._
+          dirty.toSeq.toDF("part")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stagePath/_parts")
+          Similarity.applyCompactionStage(spark, path, "bkt")
+          fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
         }
         // doc-length swap: materialize the survivor table into tmp,
         // then the two renames (each atomic on the FS)
@@ -307,19 +324,29 @@ object Retrieval {
     }
   }
 
-  /** The union of tombstone tables under the posting roots (roots
-    * without one contribute nothing). */
+  /** [[Similarity.tombstoneUnion]] for the lexical tier. */
   private def deletedDocs(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String]): Option[DataFrame] = {
-    val present = paths.filter { p =>
-      val dir = new org.apache.hadoop.fs.Path(s"$p/$DeletedDir")
-      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(dir)
-    }
-    if (present.isEmpty) None
-    else Some(present.map(p => spark.read.parquet(s"$p/$DeletedDir"))
-      .reduce(_.unionByName(_))
-      .select(col("doc_id")).distinct())
+      paths: Seq[String]): Option[DataFrame] =
+    Similarity.tombstoneUnion(spark, paths, DeletedDir, "doc_id")
+
+  /** The doc-length root serving should read: the live table, or the
+    * `_bak` sibling a compaction crash in the swap window left behind.
+    * Without this READ-SIDE fallback a crash between the two swap
+    * renames would make every query throw path-not-found until
+    * someone happened to call [[compactBm25Index]] again (nothing on
+    * the serving path ever does) — with it, serving stays correct
+    * throughout: bak is the committed pre-swap state and the
+    * tombstones that justified the swap are still on disk, so the
+    * mask covers the difference. Read-only — repair itself still
+    * belongs to the maintenance op.
+    */
+  private[graft] def docsDirFor(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$DocsDir")
+    val bak = new org.apache.hadoop.fs.Path(s"$path/${DocsDir}_bak")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(bak)) bak.toString
+    else live.toString
   }
 
   /** Persist the inverted index: the posting table partitioned by
@@ -394,8 +421,8 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     val nBuckets = spark.read.parquet(s"$path/$StatsDir")
       .head().getAs[Int]("n_buckets")
-    queryBm25IndexFrom(spark, nBuckets, Seq(path), Seq(s"$path/$DocsDir"),
-      queries, k, k1, b)
+    queryBm25IndexFrom(spark, nBuckets, Seq(path),
+      Seq(docsDirFor(spark, path)), queries, k, k1, b)
   }
 
   /** The multi-root serving core ([[Similarity.queryIvfIndexPaths]]'s

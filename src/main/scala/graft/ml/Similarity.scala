@@ -40,16 +40,6 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  /** (vec_id, e: array<double>, nrm: double) — cast once, norm once.
-    * Degenerate vectors are EXCLUDED here: cosine is undefined for the
-    * zero vector, and a NaN/Infinity component poisons every cosine it
-    * touches — Spark orders NaN ABOVE every double, so a NaN norm
-    * passes `> 0`, a NaN cosine passes every `>= threshold`, and the
-    * broken vector ranks FIRST in every top-k. The guard therefore
-    * requires a strictly positive FINITE norm. A zero/NaN embedding is
-    * a broken upstream embed; a similarity operator's contract is over
-    * finite nonzero vectors.
-    */
   /** The degenerate-vector guard, shared by every consumer of a norm
     * ([[withNorm]], [[fitCentroids]], [[outliersByLabel]]): strictly
     * positive AND finite — `> 0` alone keeps NaN (Spark orders NaN
@@ -60,6 +50,16 @@ object Similarity {
   private[ml] def finitePositiveNorm(nrm: Column): Column =
     nrm > 0 && !isnan(nrm) && nrm < lit(Double.PositiveInfinity)
 
+  /** (vec_id, e: array<double>, nrm: double) — cast once, norm once.
+    * Degenerate vectors are EXCLUDED here: cosine is undefined for the
+    * zero vector, and a NaN/Infinity component poisons every cosine it
+    * touches — Spark orders NaN ABOVE every double, so a NaN norm
+    * passes `> 0`, a NaN cosine passes every `>= threshold`, and the
+    * broken vector ranks FIRST in every top-k. The guard therefore
+    * requires a strictly positive FINITE norm. A zero/NaN embedding is
+    * a broken upstream embed; a similarity operator's contract is over
+    * finite nonzero vectors.
+    */
   private def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftExtensions.register(embeddings.sparkSession)
     val e = col("embedding").cast("array<double>")
@@ -164,12 +164,6 @@ object Similarity {
     * touches Σ|bucket|² pairs ≪ N². Banding trades recall for cost the
     * same way MinHash LSH does.
     */
-  /** Random-hyperplane sign-bit banding: (vec_id, band, bucket) rows
-    * for a normed frame — shared by the top-k and the near-dup-pair
-    * LSH paths so the bucketing scheme cannot drift between them.
-    * Planes are fixed-seed pseudo-random (the java.util.Random LCG is
-    * specified, so buckets are deterministic across runs/JVMs).
-    */
   /** The fixed-seed LSH hyperplanes — exposed (package-private) so the
     * DuckDB oracles can embed the IDENTICAL values as literals (the
     * ns45 literal-plane pattern): the java.util.Random LCG is
@@ -182,6 +176,12 @@ object Similarity {
     Array.fill(nBands * bitsPerBand, dim)(rnd.nextDouble() * 2 - 1)
   }
 
+  /** Random-hyperplane sign-bit banding: (vec_id, band, bucket) rows
+    * for a normed frame — shared by the top-k and the near-dup-pair
+    * LSH paths so the bucketing scheme cannot drift between them.
+    * Planes come from [[lshPlanes]] (deterministic across runs/JVMs
+    * and mirrored into the oracles).
+    */
   private def lshBanded(n: DataFrame, nBands: Int, bitsPerBand: Int,
       dim: Int): DataFrame = {
     val planes = lshPlanes(nBands, bitsPerBand, dim)
@@ -524,6 +524,37 @@ object Similarity {
 
   private val DeletedDir = "_graft_deleted"
 
+  /** The streamed-appends sibling suffix — ONE definition for the
+    * convention [[graft.streaming.VectorIngest]] /
+    * [[graft.streaming.Bm25Ingest]] write and the compactors guard
+    * against: if the naming ever drifted between the two modules, the
+    * compaction refusal would silently stop matching and deleted rows
+    * could resurface from streamed partitions.
+    */
+  private[graft] val StreamSiblingSuffix = "_stream"
+
+  /** The union of tombstone tables under `paths` — one helper for
+    * both index tiers (the IVF/PQ `_graft_deleted` and BM25's
+    * `_graft_bm25_deleted` differ only in dir name and id column), so
+    * a fix to the read path (schema validation, a corrupt-file guard)
+    * can never land in one tier and not the other. Roots without a
+    * tombstone table contribute nothing; distinct so repeated or
+    * overlapping delete batches collapse to one mask row per id.
+    */
+  private[ml] def tombstoneUnion(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], dirName: String, idCol: String)
+      : Option[DataFrame] = {
+    val present = paths.filter { p =>
+      val dir = new org.apache.hadoop.fs.Path(s"$p/$dirName")
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(dir)
+    }
+    if (present.isEmpty) None
+    else Some(present.map(p => spark.read.parquet(s"$p/$dirName"))
+      .reduce(_.unionByName(_))
+      .select(col(idCol)).distinct())
+  }
+
   /** Soft-delete vectors from a persisted IVF or IVF-PQ index: the
     * ids land in an underscore-prefixed tombstone table beside the
     * data (invisible to the cell scan — the [[writeIvfIndex]] sibling-
@@ -557,23 +588,11 @@ object Similarity {
       .distinct()
       .write.mode("append").parquet(s"$path/$DeletedDir")
 
-  /** The union of the tombstone tables under `paths` (roots without
-    * one contribute nothing — streamed append siblings never carry
-    * their own). Distinct so repeated/overlapping delete batches
-    * collapse to one mask row per id.
-    */
+  /** [[tombstoneUnion]] for the vector tier (streamed append siblings
+    * never carry their own tombstone table). */
   private def tombstones(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String]): Option[DataFrame] = {
-    val present = paths.filter { p =>
-      val dir = new org.apache.hadoop.fs.Path(s"$p/$DeletedDir")
-      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(dir)
-    }
-    if (present.isEmpty) None
-    else Some(present.map(p => spark.read.parquet(s"$p/$DeletedDir"))
-      .reduce(_.unionByName(_))
-      .select(col("vec_id")).distinct())
-  }
+      paths: Seq[String]): Option[DataFrame] =
+    tombstoneUnion(spark, paths, DeletedDir, "vec_id")
 
   /** Reclaim the compaction debt [[deleteFromIvfIndex]] accrues:
     * physically rewrite ONLY the `cell=` partitions that contain
@@ -581,73 +600,146 @@ object Similarity {
     * scan), drop any cell directory left empty, then drop the
     * tombstone table itself. Cost follows the DIRTY cells, never the
     * corpus — clean cells keep their exact files (spec-measured
-    * byte-identical) — and serving is result-identical at every
-    * stage: before (tombstones mask), after (rows are gone), and
-    * across a crash at any point, because the tombstones are deleted
-    * LAST — a re-run then converges (already-clean cells rewrite
-    * nothing). The per-writer dynamic partition overwrite is the SCD2
-    * merge's idiom: only partitions present in the written data are
-    * replaced. After compaction a formerly-deleted vec_id MAY be
-    * re-appended — its physical rows are gone, so it is a genuinely
-    * new vector; before compaction the tombstone still masks it.
-    * Single-writer maintenance op, like the append paths. Returns the
-    * number of cell partitions rewritten or removed.
+    * byte-identical). After compaction a formerly-deleted vec_id MAY
+    * be re-appended — its physical rows are gone, so it is a
+    * genuinely new vector; before compaction the tombstone still
+    * masks it. Single-writer maintenance op, like the append paths.
+    * Returns the number of cell partitions rewritten or removed.
+    *
+    * CRASH CONTRACT (the r9 review tightened this): the dirty cells'
+    * survivors are first staged DURABLY under `_graft_compact_stage`
+    * and committed with a dirty-partition marker; only then does the
+    * dynamic partition overwrite touch the index, and the tombstones
+    * are deleted LAST. A crash anywhere outside the overwrite's own
+    * delete-then-rename commit leaves serving result-identical (the
+    * tombstones still mask, uncommitted stages are discarded); a
+    * crash INSIDE that commit can leave a dirty cell's files
+    * half-replaced — serving those cells is degraded (missing
+    * survivors) until the next compactIvfIndex entry, which REPLAYS
+    * the apply from the committed stage and restores them exactly
+    * (without the stage, a re-run would mis-detect the damaged cell
+    * as clean and drop the tombstones over lost rows). Re-runs
+    * therefore always converge, and new deletions appended after a
+    * crash survive into the post-replay pass.
     */
+  private[ml] val CompactStageDir = "_graft_compact_stage"
+
+  /** True iff a compaction stage under `path` is COMMITTED: its
+    * `_parts` marker table (the dirty-partition list, written LAST)
+    * carries a `_SUCCESS`. An uncommitted stage is a crashed staging
+    * write — discardable, the tombstones still cover everything.
+    */
+  private[ml] def compactionStageCommitted(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$path/$CompactStageDir/_parts/_SUCCESS"))
+
+  /** Apply a COMMITTED compaction stage to the index: dynamic-
+    * partition-overwrite the staged survivor rows into their
+    * `partCol=` directories and drop the dirty directories the stage
+    * holds no rows for (fully-dead partitions). The stage — not the
+    * index — is the source of truth for the dirty partitions'
+    * surviving rows, which is what makes this REPLAYABLE: a crash
+    * inside the overwrite's own delete-then-rename commit can lose a
+    * dirty partition's files, and a replay restores them from the
+    * stage (the plain re-run would mis-detect such a partition as
+    * clean, drop the tombstones, and silently lose the survivors —
+    * the r9 review's crash hole).
+    */
+  private[ml] def applyCompactionStage(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      partCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$path/$CompactStageDir"
+    val dirtyVals = spark.read.parquet(s"$stage/_parts")
+      .collect().map(_.getLong(0)).toSet
+    // a stage whose every dirty partition was fully dead holds zero
+    // data files — reading it would fail schema inference, and there
+    // is nothing to overwrite anyway
+    val hasData = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    val present: Set[Long] = if (hasData) {
+      val staged = spark.read.parquet(stage)
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+      staged.select(col(partCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    } else Set.empty
+    (dirtyVals -- present).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"),
+        true)
+      ()
+    }
+  }
+
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = tombstones(spark, Seq(path)) match {
-    case None => 0L
-    case Some(dead) =>
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a streamed-appends sibling serves through the SAME tombstone
-      // table (the mask covers the union read), so dropping the
-      // tombstones here would silently un-mask deleted rows held in
-      // streamed partitions this compaction never rewrites — refuse
-      // loudly; fold the stream into the base (rebuild) first
-      require(!fs.exists(new org.apache.hadoop.fs.Path(s"${path}_stream")),
-        s"compactIvfIndex: streamed-appends sibling ${path}_stream " +
-          "exists — compacting the base alone would un-mask deleted " +
-          "rows in streamed partitions; fold the stream into the base " +
-          "(fresh writeIvfIndex) first")
-      val idx = spark.read.parquet(path)
-      // bounded driver action: the distinct dirty-cell ids (≤ nCells)
-      val dirty = idx.select(col("vec_id"), col("cell"))
-        .join(dead, Seq("vec_id"))
-        .select(col("cell").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      if (dirty.nonEmpty) {
-        // literals in the partition column's own inferred type (int
-        // for small directory values): a cast on the COLUMN side
-        // would not reliably partition-prune, and the rewrite must
-        // scan only the dirty cells for its cost story to hold
-        val cellIsDirty = col("cell").isin(dirty.map[Any] { c =>
-          idx.schema("cell").dataType match {
-            case org.apache.spark.sql.types.IntegerType => c.toInt
-            case _ => c
-          }
-        }: _*)
-        val survivors = idx
-          .filter(cellIsDirty)
-          .join(dead, Seq("vec_id"), "left_anti")
-          .localCheckpoint() // materialize BEFORE overwriting the
-        // partitions it was read from — a lazy plan would scan dirs
-        // the write is concurrently replacing
-        survivors.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(path)
-        // a cell whose every row was deleted emits no rows, so the
-        // dynamic overwrite never touches its directory — drop it
-        val alive = survivors.select(col("cell").cast("long"))
-          .distinct().collect().map(_.getLong(0)).toSet
-        (dirty.toSet -- alive).foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true)
-          ()
+      path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagePath = new org.apache.hadoop.fs.Path(
+      s"$path/$CompactStageDir")
+    // a committed stage means the previous run died mid-apply: finish
+    // the apply FROM THE STAGE first (restoring any dirty cell the
+    // crashed overwrite half-replaced), but do NOT touch the
+    // tombstones here — deletions appended after the crash must
+    // survive into the normal pass below
+    if (compactionStageCommitted(fs, path))
+      applyCompactionStage(spark, path, "cell")
+    fs.delete(stagePath, true)
+    tombstones(spark, Seq(path)) match {
+      case None => 0L
+      case Some(dead) =>
+        // a streamed-appends sibling serves through the SAME tombstone
+        // table (the mask covers the union read), so dropping the
+        // tombstones here would silently un-mask deleted rows held in
+        // streamed partitions this compaction never rewrites — refuse
+        // loudly; fold the stream into the base (rebuild) first
+        require(!fs.exists(new org.apache.hadoop.fs.Path(
+            path + StreamSiblingSuffix)),
+          s"compactIvfIndex: streamed-appends sibling " +
+            s"$path$StreamSiblingSuffix exists — compacting the base " +
+            "alone would un-mask deleted rows in streamed partitions; " +
+            "fold the stream into the base (fresh writeIvfIndex) first")
+        val idx = spark.read.parquet(path)
+        // bounded driver action: the distinct dirty-cell ids (≤ nCells)
+        val dirty = idx.select(col("vec_id"), col("cell"))
+          .join(dead, Seq("vec_id"))
+          .select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (dirty.nonEmpty) {
+          // literals in the partition column's own inferred type (int
+          // for small directory values): a cast on the COLUMN side
+          // would not reliably partition-prune, and the rewrite must
+          // scan only the dirty cells for its cost story to hold
+          val cellIsDirty = col("cell").isin(dirty.map[Any] { c =>
+            idx.schema("cell").dataType match {
+              case org.apache.spark.sql.types.IntegerType => c.toInt
+              case _ => c
+            }
+          }: _*)
+          // stage the survivors DURABLY before touching any index
+          // file (localCheckpoint would die with the driver — the
+          // stage is what makes a mid-overwrite crash recoverable),
+          // then commit the stage with the dirty-partition marker
+          idx.filter(cellIsDirty)
+            .join(dead, Seq("vec_id"), "left_anti")
+            .write.mode("overwrite").parquet(stagePath.toString)
+          import spark.implicits._
+          dirty.toSeq.toDF("part")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$stagePath/_parts")
+          applyCompactionStage(spark, path, "cell")
+          fs.delete(stagePath, true)
         }
-      }
-      // tombstones go LAST: every earlier crash point leaves them in
-      // place, so the mask keeps serving correct and a re-run converges
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$DeletedDir"), true)
-      dirty.length.toLong
+        // tombstones go LAST: every earlier crash point leaves them in
+        // place, so the mask keeps serving correct and a re-run (which
+        // replays any committed stage first) converges
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$DeletedDir"),
+          true)
+        dirty.length.toLong
+    }
   }
 
   /** Mask tombstoned ids out of a pruned index read. The anti-join's

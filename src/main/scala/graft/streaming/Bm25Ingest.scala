@@ -32,8 +32,11 @@ import graft.ml.Retrieval
   */
 object Bm25Ingest {
 
-  /** The streamed-appends sibling table of a base index. */
-  def streamPath(indexPath: String): String = s"${indexPath}_stream"
+  /** The streamed-appends sibling table of a base index (suffix
+    * defined once in [[graft.ml.Similarity.StreamSiblingSuffix]] so
+    * the compactors' refusal guard can never drift from it). */
+  def streamPath(indexPath: String): String =
+    indexPath + graft.ml.Similarity.StreamSiblingSuffix
 
   /** Content fingerprint of a document batch (order-insensitive). */
   def batchSig(batch: DataFrame): Long = {
@@ -120,7 +123,8 @@ object Bm25Ingest {
     val committed = committedParts(spark, indexPath)
     Retrieval.queryBm25IndexFrom(spark, nBuckets,
       indexPath +: committed.map(p => s"$p/postings"),
-      s"$indexPath/${Retrieval.DocsDir}" +: committed.map(p => s"$p/docs"),
+      Retrieval.docsDirFor(spark, indexPath) +:
+        committed.map(p => s"$p/docs"),
       queries, k, k1, b)
   }
 

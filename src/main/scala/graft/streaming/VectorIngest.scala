@@ -34,7 +34,8 @@ import graft.ml.Similarity
 object VectorIngest {
 
   /** The streamed-appends sibling table of a base index. */
-  def streamPath(indexPath: String): String = s"${indexPath}_stream"
+  def streamPath(indexPath: String): String =
+    indexPath + Similarity.StreamSiblingSuffix
 
   /** Content fingerprint of a vector batch (order-insensitive). */
   def batchSig(batch: DataFrame): Long = {

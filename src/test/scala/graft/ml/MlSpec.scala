@@ -964,6 +964,54 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("compaction replays a committed stage: a dirty cell lost to a " +
+      "mid-overwrite crash is restored from the stage, and the " +
+      "tombstones survive until the replayed apply completes") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_replay")
+    try {
+      val cents = Similarity.seedCentroids(embs, 16)
+      val path = tmp.resolve("idx").toString
+      Similarity.writeIvfIndex(embs, cents, path)
+      val deadDf = embs.filter(col("vec_id") % 7 === 0).select("vec_id")
+      Similarity.deleteFromIvfIndex(spark, deadDf, path)
+      // stage exactly what a compaction run stages (survivors + the
+      // dirty-partition marker, here conservatively ALL cells), i.e.
+      // the state right after the stage COMMITS and before the apply
+      val idx = spark.read.parquet(path)
+      idx.join(deadDf, Seq("vec_id"), "left_anti")
+        .write.parquet(s"$path/_graft_compact_stage")
+      val allCells = idx.select(col("cell").cast("long"))
+        .distinct().as[Long].collect().sorted
+      allCells.toSeq.toDF("part").coalesce(1)
+        .write.parquet(s"$path/_graft_compact_stage/_parts")
+      // the crash: the overwrite's delete-then-rename commit died
+      // after deleting one cell dir — its SURVIVORS are gone from the
+      // index and only the stage still has them
+      val victim = allCells.head
+      import scala.reflect.io.Directory
+      assert(new Directory(
+        new java.io.File(path, s"cell=$victim")).deleteRecursively())
+      // next compaction entry replays the committed stage, restores
+      // the lost cell, then runs the (now no-op) normal pass and
+      // drops the tombstones
+      Similarity.compactIvfIndex(spark, path)
+      assert(!new java.io.File(path, "_graft_compact_stage").exists())
+      assert(!new java.io.File(path, "_graft_deleted").exists())
+      val alive = embs.filter(col("vec_id") % 7 =!= 0)
+      val rebuilt = tmp.resolve("rebuilt").toString
+      Similarity.writeIvfIndex(alive, cents, rebuilt)
+      def serve(p: String) = Similarity.queryIvfIndex(spark, p, alive,
+          cents, k = 5, probes = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(serve(path) === serve(rebuilt) && serve(path).nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("resize keeps every stride-th byte and halves the payload") {
     import spark.implicits._
     val m = Seq((1L, "image", Array[Byte](10, 20, 30, 40, 50), "s", 5L))

@@ -306,6 +306,38 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("serving falls back to the doc-length bak inside a crashed " +
+      "swap window, and the next compaction entry repairs the swap") {
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Map(10L -> Seq("red", "fox"), 20L -> Seq("dog"))
+      .toSeq.toDF("query_id", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_swap")
+    try {
+      val path = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(docs, path, nBuckets = 16)
+      Retrieval.deleteBm25Docs(spark, Seq(2L).toDF("doc_id"), path)
+      def serve() = Retrieval.queryBm25Index(spark, path, queries, 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val before = serve()
+      // the crash: compaction died between live→bak and tmp→live —
+      // the live doc-length dir is GONE, only bak remains; the
+      // tombstones are still on disk, so bak serves correctly masked
+      assert(new java.io.File(path, "_graft_bm25_docs").renameTo(
+        new java.io.File(path, "_graft_bm25_docs_bak")))
+      assert(serve() === before, "bak fallback must serve identically")
+      // the next maintenance entry restores live and finishes the job
+      Retrieval.compactBm25Index(spark, path)
+      assert(new java.io.File(path, "_graft_bm25_docs").exists())
+      assert(!new java.io.File(path, "_graft_bm25_docs_bak").exists())
+      assert(!new java.io.File(path, "_graft_bm25_deleted").exists())
+      assert(serve() === before)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("the sorted-fold score equals the plain-sum form at the 6 dp " +
       "contract on 5-term matches (accumulation-order hardening)") {
     // doc 1 matches all five query terms, so its score folds FIVE
