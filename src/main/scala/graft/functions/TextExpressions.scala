@@ -333,3 +333,97 @@ object ShingleStats {
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
   }
 }
+
+/** ALL word n-gram shingles in position order, duplicates kept —
+  * `graft_all_shingles(text, n)` → array<string>, element i = the
+  * shingle starting at word index i.
+  *
+  * The positional sibling of [[Shingles]]: the cross-document
+  * duplicated-span remover (ExactSubstr dedup, `Dedup.exactSubstr`)
+  * needs WHERE each shingle occurs, not just the distinct set —
+  * `posexplode` over this array yields (word index, shingle) pairs
+  * directly. Same one-pass kernel rationale as the siblings: the HOF
+  * form (`transform(sequence(...), i => concat_ws(' ',
+  * element_at(split(text), i+o)...))`) re-splits the text per lambda
+  * element, O(L²) character work per doc (the ns20 trap, SURVEY §9).
+  *
+  * Tokenization is pinned to the shared [[Shingles]] semantics: words
+  * = `split(text, " ")` with empty tokens kept (Spark split /
+  * DuckDB string_split parity), fewer than n words → empty array,
+  * shingles space-joined. Invariant, spec-pinned:
+  * `array_distinct(graft_all_shingles(t, n)) == graft_shingles(t, n)`.
+  *
+  * DuckDB oracle equivalent: `[array_to_string(w[i:i+n-1], ' ') FOR i
+  * IN generate_series(1, len(w) - n + 1)]` over
+  * `string_split(text, ' ')`.
+  */
+case class AllShingles(text: Expression, n: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = n
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, n.dataType) match {
+      case (_: StringType, IntegerType) if n.foldable =>
+        val nv = n.eval()
+        if (nv != null && nv.asInstanceOf[Int] >= 1)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_all_shingles n must be a literal >= 1, got $nv")
+      case (t, nt) => TypeCheckResult.TypeCheckFailure(
+        "graft_all_shingles requires (string, literal int), got " +
+          s"(${t.simpleString}, ${nt.simpleString})")
+    }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_all_shingles"
+
+  override def nullSafeEval(t: Any, nv: Any): Any =
+    AllShingles.all(t.asInstanceOf[UTF8String], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, nv) =>
+      s"${ev.value} = graft.functions.AllShingles.all($t, $nv);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AllShingles =
+    copy(text = newLeft, n = newRight)
+}
+
+object AllShingles {
+  /** Shared by interpreted and codegen paths. One split, one pass,
+    * position order with duplicates kept. */
+  def all(s: UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = s.toString.split(" ", -1)
+    val total = words.length - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new Array[Any](total)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(AllShingles(ColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+  }
+}

@@ -472,10 +472,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60(children.head))
 
+  val allShinglesDescriptor: Descriptor =
+    (new FunctionIdentifier("graft_all_shingles"),
+      new ExpressionInfo(classOf[AllShingles].getName,
+        "graft_all_shingles"),
+      (children: Seq[Expression]) =>
+        AllShingles(children(0), children(1)))
+
   val functionDescriptors: Seq[Descriptor] =
     Seq(dotDescriptor, sq8PackDescriptor, dot8Descriptor, nfcDescriptor,
       packCodesDescriptor, adcDescriptor, shingleStatsDescriptor,
-      shinglesDescriptor, hash60Descriptor)
+      shinglesDescriptor, hash60Descriptor, allShinglesDescriptor)
 
   /** Imperative (idempotent) registration for an already-built session —
     * the fallback when the session was not constructed with

@@ -683,4 +683,96 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("score"),
         col("n_members"), col("keep"))
   }
+
+  /** Cross-document duplicated-SPAN removal — the ExactSubstr dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed as a linear relational plan. Where
+    * the document-level dedups (exact/MinHash/SimHash) drop WHOLE
+    * near-identical documents, this removes the duplicated k-token
+    * REGIONS inside otherwise-distinct documents (boilerplate headers,
+    * licence blocks, quoted passages), keeping one canonical copy
+    * corpus-wide: a span is cut from a doc iff its content also occurs
+    * in some EARLIER document (smaller doc_id) — the first holder
+    * keeps it. Intra-doc repetition is deliberately out of scope (ns20
+    * repetition / ns28 dup-n-gram territory).
+    *
+    * Plan shape, and why it is linear where every pair-finder is not:
+    * positional k-shingles (the one-pass `graft_all_shingles` kernel —
+    * the HOF form re-splits the text per element, the ns20 O(L²) trap)
+    * hash to 60-bit longs; ONE aggregate per distinct shingle hash
+    * finds min/max holder doc (min ≠ max ⟺ cross-doc); an equi-join
+    * back on the hash marks each duplicated position ONCE. No pairs
+    * are ever formed — a shingle occurring in 10⁶ docs costs 10⁶
+    * marked rows, not 10¹² pairs, so no df cap is needed. Overlapping
+    * marked spans merge per doc with one gaps-and-islands window
+    * (partitioned by doc — skew bounded by doc length), the removal
+    * positions re-explode (Σ = dup tokens ≤ corpus tokens), and the
+    * cleaned text reassembles via an anti-join on (doc, position).
+    * Shuffles carry 8-byte hashes and (doc, int) pairs; text leaves
+    * the scan stage only inside the per-doc reassembly aggregate.
+    *
+    * Output, one row per input doc: (doc_id, total_tokens, n_spans,
+    * dup_tokens, frac_dup, cleaned_md5) — the metrics are the corpus
+    * report, the digest proves the cut text byte-for-byte.
+    */
+  def exactSubstr(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"exactSubstr: span width k must be >= 2, got $k")
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val pre = ow.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, -1)
+    val run = ow.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val sh = docs.select(col("doc_id"),
+        posexplode(graft.functions.AllShingles(col("text"), k))
+          .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), HashUtils.hash60(col("sh")).as("h"))
+    // min(doc) is the canonical holder; min != max detects >=2 distinct
+    // docs with ONE aggregate (no countDistinct second shuffle)
+    val canon = sh.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("min_doc") =!= col("max_doc"))
+      .select(col("h"), col("min_doc"))
+    val spans = sh.join(canon, Seq("h"))
+      .filter(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(k - 1)).as("e"))
+    // gaps-and-islands merge: a span starting at or before the running
+    // max end + 1 extends the island (adjacent spans fuse — contiguous
+    // duplicated regions count once)
+    val merged = spans
+      .withColumn("prev_max_e", max(col("e")).over(pre))
+      .withColumn("new_island", when(col("prev_max_e").isNull
+        || col("s") > col("prev_max_e") + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val stats = merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    val removal = merged.select(col("doc_id"),
+      explode(sequence(col("s"), col("e"))).as("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val kept = toks.join(removal, Seq("doc_id", "pos"), "left_anti")
+    // deterministic reassembly: sort the surviving (pos, word) structs
+    // inside the aggregate (position order), never a global sort
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ").cast("binary")).as("cleaned_md5"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("total_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L))
+          / col("total_tokens"), 6).as("frac_dup"),
+        // a fully-duplicated doc keeps zero tokens: no reassembly row,
+        // digest of the empty string (constant-folded)
+        coalesce(col("cleaned_md5"),
+          md5(lit("").cast("binary"))).as("cleaned_md5"))
+  }
 }

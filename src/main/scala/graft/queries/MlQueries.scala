@@ -2445,6 +2445,79 @@ object MlQueries {
        |FROM members ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-document duplicated-span removal (ExactSubstr, Lee et al.
+    * 2022): k-token regions whose content already appears in an
+    * earlier doc are cut, one canonical copy kept corpus-wide. k=6
+    * so the synthetic corpus's repeated sentences actually trip it.
+    * The oracle restates the whole pipeline — positional shingle
+    * hashes, min-holder aggregate, gaps-and-islands merge, anti-join
+    * reassembly — and gates the cleaned text BY DIGEST.
+    */
+  val ns55ExactSubstr: Q = (s, dir) =>
+    Dedup.exactSubstr(Tables.documents(s, dir), k = 6)
+      .orderBy(col("doc_id"))
+
+  val ns55ExactSubstrSql: String = {
+    val h = duckHash60("array_to_string(w[i:i+5], ' ')")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), shpos AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(1, len(w) - 5)) AS i
+       |  FROM tok
+       |), sh AS (
+       |  SELECT doc_id, i - 1 AS pos, $h AS h FROM shpos
+       |), canon AS (
+       |  SELECT h, min(doc_id) AS min_doc FROM sh
+       |  GROUP BY h HAVING min(doc_id) <> max(doc_id)
+       |), spans AS (
+       |  SELECT sh.doc_id, sh.pos AS s, sh.pos + 5 AS e
+       |  FROM sh JOIN canon ON sh.h = canon.h
+       |  WHERE sh.doc_id > canon.min_doc
+       |), isl AS (
+       |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+       |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND 1 PRECEDING) AS prev_max_e
+       |  FROM spans
+       |), isl2 AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+       |      ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl
+       |), merged AS (
+       |  SELECT doc_id, island, min(s) AS s, max(e) AS e
+       |  FROM isl2 GROUP BY doc_id, island
+       |), stats AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    sum(e - s + 1)::BIGINT AS dup_tokens
+       |  FROM merged GROUP BY doc_id
+       |), rem AS (
+       |  SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM merged
+       |), toks AS (
+       |  SELECT doc_id, unnest(w) AS word,
+       |    unnest(generate_series(1, len(w))) - 1 AS pos
+       |  FROM tok
+       |), kept AS (
+       |  SELECT t.doc_id, t.pos, t.word FROM toks t
+       |  ANTI JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+       |), cleaned AS (
+       |  SELECT doc_id, md5(string_agg(word, ' ' ORDER BY pos))
+       |    AS cleaned_md5
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, len(b.w) AS total_tokens,
+       |  coalesce(s.n_spans, 0) AS n_spans,
+       |  coalesce(s.dup_tokens, 0) AS dup_tokens,
+       |  round(coalesce(s.dup_tokens, 0)::DOUBLE / len(b.w), 6)
+       |    AS frac_dup,
+       |  coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+       |FROM tok b
+       |LEFT JOIN stats s USING (doc_id)
+       |LEFT JOIN cleaned c USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -2519,6 +2592,7 @@ object MlQueries {
     "ns52_dedup_survivors" -> ns52DedupSurvivors,
     "ns53_leakfree_split" -> ns53LeakFreeSplit,
     "ns54_temperature_mix" -> ns54TemperatureMix,
+    "ns55_exact_substr" -> ns55ExactSubstr,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2587,5 +2661,6 @@ object MlQueries {
     "ns52_dedup_survivors" -> ns52DedupSurvivorsSql,
     "ns53_leakfree_split" -> ns53LeakFreeSplitSql,
     "ns54_temperature_mix" -> ns54TemperatureMixSql,
+    "ns55_exact_substr" -> ns55ExactSubstrSql,
   )
 }

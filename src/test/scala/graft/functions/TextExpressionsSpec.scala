@@ -174,4 +174,42 @@ class TextExpressionsSpec extends SparkSpec {
       s2.sql("SELECT graft_hash60(cast('a' AS BINARY))").collect()
     }
   }
+
+  test("graft_all_shingles: position order with duplicates kept, " +
+      "array_distinct(all) == graft_shingles, HOF parity on corpus") {
+    GraftExtensions.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (n <- Seq(2, 3)) {
+      // the declarative positional form, restated inline as the oracle
+      val words = split(col("text"), " ")
+      val hof = when(size(words) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ",
+            (1 to n).map(o => element_at(words, i + o)): _*)))
+      val diff = docs.select(
+        AllShingles(col("text"), n).as("k"), hof.as("h"))
+        .filter(not(col("k") <=> col("h"))).count()
+      assert(diff === 0,
+        s"n=$n: positional kernel diverges from the HOF pipeline")
+      // the pinned cross-kernel invariant: distinct-projected positions
+      // equal the distinct kernel exactly (same split, same join)
+      val inv = docs.select(
+        array_distinct(AllShingles(col("text"), n)).as("d"),
+        graft.ml.HashUtils.wordShingles(col("text"), n).as("s"))
+        .filter(not(col("d") <=> col("s"))).count()
+      assert(inv === 0,
+        s"n=$n: array_distinct(all_shingles) != graft_shingles")
+    }
+    // edge cases: duplicates kept in order, short, empty, null
+    val got = Seq("a b a b a", "a b", "", null).toDF("text")
+      .select(AllShingles(col("text"), 2).as("s")).collect()
+    assert(got(0).getSeq[String](0)
+      === Seq("a b", "b a", "a b", "b a"))
+    assert(got(1).getSeq[String](0) === Seq("a b"))
+    assert(got(2).getSeq[String](0) === Seq())
+    assert(got(3).isNullAt(0), "null in, null out")
+    // SQL route through the registered function
+    assert(spark.sql("SELECT graft_all_shingles('x y x', 2) AS s")
+      .collect()(0).getSeq[String](0) === Seq("x y", "y x"))
+  }
 }

@@ -1593,4 +1593,38 @@ class MlSpec extends SparkSpec {
       TextAnalysis.splitAssign(col("doc_id"))).count()
     assert(mismatched === 0L && singletons.count() > 0)
   }
+
+  test("exactSubstr cuts spans duplicated from EARLIER docs only, " +
+      "merges overlaps, keeps the canonical copy, digests the cut text") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"  // canonical holder
+    val d2 = "x1 x2 a3 a4 a5 a6 a7 y1"         // run a3..a7 from d1
+    val d3 = d1                                 // full duplicate
+    val d4 = "u1 u2 u3 u4 u5"                   // unique
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstr(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // canonical doc keeps everything — duplication elsewhere must not
+    // touch the FIRST holder
+    assert(out(1L).getLong(2) === 0L && out(1L).getLong(3) === 0L)
+    assert(out(1L).getString(5) === md5hex(d1))
+    // d2: shingle spans [2,5] and [3,6] merge into ONE island [2,6];
+    // 5 tokens cut, prefix/suffix survive
+    assert(out(2L).getLong(1) === 8L, "total tokens")
+    assert(out(2L).getLong(2) === 1L, "merged span count")
+    assert(out(2L).getLong(3) === 5L, "dup tokens")
+    assert(out(2L).getDouble(4) === 0.625)
+    assert(out(2L).getString(5) === md5hex("x1 x2 y1"))
+    // d3: every position duplicated from d1 — whole doc cut, empty
+    // digest (the all-removed edge the coalesce handles)
+    assert(out(3L).getLong(3) === 10L)
+    assert(out(3L).getString(5) === md5hex(""))
+    // d4: untouched
+    assert(out(4L).getLong(2) === 0L
+      && out(4L).getString(5) === md5hex(d4))
+  }
 }
