@@ -293,6 +293,78 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Sign bits of a vector packed into ⌈dim/64⌉ longs — bit b of word
+    * w set iff component w·64+b is strictly positive. The 1-bit
+    * extreme of the quantization ladder (float64 → SQ8 → PQ → sign):
+    * 64 dimensions per 8-byte word, 64× smaller than the double
+    * array, and Hamming distance between two packed vectors is one
+    * XOR + POPCOUNT per word instead of 64 multiply-adds. Built from
+    * plain when/shiftleft/bitwiseOR columns — whole-stage codegen,
+    * constant-folded loop bounds, no kernel needed (the per-element
+    * child is an O(1) array access, not the re-split trap).
+    */
+  private def packSignBits(e: Column, dim: Int): Column = {
+    val nWords = (dim + 63) / 64
+    array((0 until nWords).map { w =>
+      (0 until math.min(64, dim - w * 64)).map { b =>
+        when(element_at(e, w * 64 + b + 1) > 0, shiftleft(lit(1L), b))
+          .otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Sign-bit Hamming distance between two packed arrays: Σ_w
+    * popcount(a_w XOR b_w) — integer arithmetic, so the candidate
+    * ranking has NO float-ordering hazard at all.
+    */
+  private def hamming(ba: Column, bb: Column): Column =
+    aggregate(
+      zip_with(ba, bb, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Candidate-generate-with-SIGN-BITS, refine-with-exact top-k: rank
+    * all pairs by sign-bit Hamming distance (ascending — fewer
+    * differing hyperoctant coordinates ≈ closer in angle, the
+    * binary-hash retrieval standard), keep `refine` per query, re-score
+    * those exactly. The 100 TB posture below [[sq8TopK]]'s: the N²
+    * half shuffles ⌈dim/64⌉ longs per vector (8 bytes at dim 64 —
+    * 64× under the raw array, 8× under SQ8) and each pair costs
+    * xor+popcount per word. Coarser than SQ8, so callers refine
+    * deeper; recall is measured in-result by the registry entry.
+    * Deterministic given the data (sign of each component), so the
+    * whole chain is DuckDB-restatable: hamming(a,b) over 0/1 sign
+    * vectors equals popcount(a)+popcount(b)−2·(a·b), which the oracle
+    * states with list_dot_product — the PACKED form is spec-pinned
+    * equal to that naive form on every corpus pair.
+    */
+  def binaryTopK(embeddings: DataFrame, dim: Int, k: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, "refine depth must be >= k")
+    val n = withNorm(embeddings)
+    val z = n.withColumn("bits", packSignBits(col("e"), dim))
+    val qa = z.select(col("vec_id").as("i"), col("bits").as("ba"))
+    val qb = z.select(col("vec_id").as("j"), col("bits").as("bb"))
+    val wApprox = Window.partitionBy(col("i"))
+      .orderBy(col("ham"), col("j"))
+    val cand = qa.crossJoin(qb).filter(col("i") =!= col("j"))
+      .withColumn("ham", hamming(col("ba"), col("bb")))
+      .withColumn("hrk", row_number().over(wApprox))
+      .filter(col("hrk") <= refine)
+      .select(col("i"), col("j"))
+    val wExact = Window.partitionBy(col("i"))
+      .orderBy(col("cos").desc, col("j"))
+    cand
+      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
   /** Annotate an approximate top-k result with per-query recall against
     * the exact top-k: recall_i = |approx_i ∩ brute_i| / |brute_i|.
     * Makes recall a column of the ANN result itself, so a driver

@@ -493,6 +493,55 @@ object MlQueries {
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 2""".stripMargin
 
+  /** Sign-bit (1-bit) quantized top-k — the binary-hash extreme of
+    * the quantization ladder: candidates ranked by Hamming distance
+    * over packed sign bits (8 bytes/vector at dim 64, xor+popcount
+    * per pair), refine=100 re-scored exactly (binary codes are coarse — the standard posture is a shallow bit-rank + deep exact rerank, and the rerank join is linear in refine·N). The Hamming rank is
+    * INTEGER, so the candidate cut has no float-ordering hazard, and
+    * the sign of each component is a pure function of the data —
+    * hash-gated end to end via the popcount identity hamming(a,b) =
+    * pc(a)+pc(b)−2·(a·b) over 0/1 sign vectors (the packed form is
+    * spec-pinned equal to that naive form on every pair).
+    */
+  val ns7fSimTopkBinary: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.withRecall(
+      Similarity.binaryTopK(emb, dim = 64, k = 5, refine = 100),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns7fSimTopkBinarySql: String =
+    s"""WITH $duckNonZeroEmb,
+      |sgn AS (
+      |  SELECT vec_id, embedding, s, list_sum(s) AS pc FROM (
+      |    SELECT vec_id, embedding,
+      |      [CASE WHEN x > 0 THEN 1 ELSE 0 END
+      |        FOR x IN embedding::DOUBLE[]] AS s
+      |    FROM nz)
+      |), cand AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)),
+      |          b.vec_id) AS hrk
+      |    FROM sgn a JOIN sgn b ON a.vec_id <> b.vec_id) WHERE hrk <= 100
+      |), approx AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT c.i, c.j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+      |    FROM cand c JOIN nz a ON a.vec_id = c.i
+      |    JOIN nz b ON b.vec_id = c.j) WHERE rk <= 5
+      |),
+      |$duckSampledRecall
+      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 2""".stripMargin
+
   /** IVF-PQ top-k — the quantized serving layout: IVF cells bound the
     * candidate set, an 8-subspace × 16-codeword product quantizer
     * bounds the bytes per candidate (8 code bytes + one reconstructed
@@ -2531,6 +2580,7 @@ object MlQueries {
     "ns7_sim_topk" -> ns7SimTopk,
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8,
+    "ns7f_sim_topk_binary" -> ns7fSimTopkBinary,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns8_sim_ivf" -> ns8SimIvf,
@@ -2607,6 +2657,7 @@ object MlQueries {
     "ns7_sim_topk" -> ns7SimTopkSql,
     "ns7b_sim_topk_agg" -> ns7SimTopkSql,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8Sql,
+    "ns7f_sim_topk_binary" -> ns7fSimTopkBinarySql,
     "ns8_sim_ivf" -> ns8SimIvfSql,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbeSql,
     "ns8d_sim_ivf_served" -> ns8cSimIvfMultiProbeSql,

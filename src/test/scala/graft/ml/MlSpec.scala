@@ -1594,6 +1594,59 @@ class MlSpec extends SparkSpec {
     assert(mismatched === 0L && singletons.count() > 0)
   }
 
+  test("binaryTopK: packed xor+popcount Hamming equals the naive " +
+      "sign-diff count on every corpus pair; recall floor holds; " +
+      "partial final word masks correctly") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the naive restatement the oracle uses: hamming = Σ [sign(a_i) !=
+    // sign(b_i)] — computed here straight off the double arrays
+    val e = col("embedding").cast("array<double>")
+    val sg = emb.select(col("vec_id"),
+      transform(e, x => when(x > 0, 1L).otherwise(0L)).as("s"))
+    val naive = sg.as("a").crossJoin(sg.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        aggregate(zip_with(col("a.s"), col("b.s"),
+          (x, y) => when(x =!= y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("ham_naive"))
+    // rank order from the naive form (same tiebreak)
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i")).orderBy(col("ham_naive"), col("j"))
+    val sym = naive.union(naive.select(col("j").as("i"),
+      col("i").as("j"), col("ham_naive")))
+    val candN = sym.withColumn("hrk", row_number().over(wN))
+    // binaryTopK's FINAL rank re-orders by exact cosine, so compare
+    // at the candidate level: every pair the packed rank admits at
+    // depth 10 must be admitted by the naive rank at depth 10
+    val packedTop = Similarity.binaryTopK(emb, dim = 64, k = 10,
+      refine = 10).select(col("i"), col("j"))
+    val naiveTop = candN.filter(col("hrk") <= 10)
+      .select(col("i"), col("j"))
+    assert(packedTop.exceptAll(naiveTop).isEmpty,
+      "packed Hamming admitted a pair the naive sign-diff rank did not")
+    // recall floor at the registry entry's parameters
+    val withR = Similarity.withRecall(
+      Similarity.binaryTopK(emb, dim = 64, k = 5, refine = 100),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+    val avgR = withR.filter(col("recall").isNotNull)
+      .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    assert(avgR >= 0.6, s"binary ANN recall collapsed: $avgR")
+    // partial final word: dim = 10 vectors pack into one long with 54
+    // dead bits — identical vectors must be Hamming-0 neighbors, a
+    // flipped sign must cost exactly 1
+    val tiny = Seq(
+      (1L, Array(1f, -1f, 1f, 1f, -1f, 1f, -1f, 1f, 1f, -1f)),
+      (2L, Array(1f, -1f, 1f, 1f, -1f, 1f, -1f, 1f, 1f, -1f)),
+      (3L, Array(-1f, -1f, 1f, 1f, -1f, 1f, -1f, 1f, 1f, -1f)))
+      .toDF("vec_id", "embedding")
+    val t = Similarity.binaryTopK(tiny, dim = 10, k = 2, refine = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // 1's nearest by Hamming-then-cosine is its exact copy 2
+    assert(t((1L, 1)) === 2L && t((2L, 1)) === 1L)
+  }
+
   test("exactSubstr cuts spans duplicated from EARLIER docs only, " +
       "merges overlaps, keeps the canonical copy, digests the cut text") {
     import spark.implicits._
