@@ -755,4 +755,39 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
+
+  /** Deterministic seeded global shuffle order — the training-order
+    * export step between mixture sampling and sequence packing: every
+    * epoch pipeline needs the corpus in a REPRODUCIBLE pseudo-random
+    * order (so a resumed/re-run job trains on the identical stream),
+    * and a naive `ORDER BY hash` is ONE task sorting the corpus.
+    * Position = global rank of hash60(seed|id) with the id-string
+    * tiebreak, assigned through [[cappedHashRank]]'s monotone-bucket
+    * decomposition (SURVEY §9): bit-identical to the naive global
+    * window, thousands-way parallel, no single-partition sort of
+    * data-sized input. A different seed yields an independent
+    * permutation; the same seed is stable across runs and engines
+    * (md5-derived hash, DuckDB-restatable).
+    *
+    * Returns `rows`' columns plus the 1-based `position`.
+    */
+  def shufflePositions(rows: DataFrame, idCol: String,
+      seed: String): DataFrame = {
+    val reserved = Seq("_sid", "_g", "position")
+    val taken = rows.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"inputs may not use the reserved working names $taken")
+    val keyed = rows
+      .withColumn("_sid",
+        concat(lit(seed), lit("|"), col(idCol).cast("string")))
+      .withColumn("_g", lit(0))
+    // an uncapped rank: the single pseudo-group's target is MaxValue,
+    // so cappedHashRank's map-side bucket prune keeps everything and
+    // the machinery degenerates to exactly the global rank
+    val target = rows.sparkSession.range(1)
+      .select(lit(0).as("_g"), lit(Long.MaxValue).as("n_target"))
+    cappedHashRank(keyed, "_sid", Seq("_g"), target)
+      .withColumnRenamed("rk", "position")
+      .drop("_sid", "_g")
+  }
 }

@@ -2567,6 +2567,26 @@ object MlQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** Deterministic seeded global shuffle — the training-order export:
+    * position = global rank of hash60(seed|doc_id), assigned through
+    * the monotone-bucket machinery (no single-task corpus sort). The
+    * oracle states the NAIVE global window the decomposition is
+    * bit-identical to.
+    */
+  val ns56ShuffleOrder: Q = (s, dir) =>
+    Corpus.shufflePositions(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", seed = "epoch0")
+      .orderBy(col("position"))
+
+  val ns56ShuffleOrderSql: String = {
+    val h = duckHash60("'epoch0|' || doc_id::VARCHAR")
+    s"""SELECT doc_id, source,
+       |  row_number() OVER (ORDER BY $h,
+       |    'epoch0|' || doc_id::VARCHAR) AS position
+       |FROM documents ORDER BY position""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -2643,6 +2663,7 @@ object MlQueries {
     "ns53_leakfree_split" -> ns53LeakFreeSplit,
     "ns54_temperature_mix" -> ns54TemperatureMix,
     "ns55_exact_substr" -> ns55ExactSubstr,
+    "ns56_shuffle_order" -> ns56ShuffleOrder,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2713,5 +2734,6 @@ object MlQueries {
     "ns53_leakfree_split" -> ns53LeakFreeSplitSql,
     "ns54_temperature_mix" -> ns54TemperatureMixSql,
     "ns55_exact_substr" -> ns55ExactSubstrSql,
+    "ns56_shuffle_order" -> ns56ShuffleOrderSql,
   )
 }

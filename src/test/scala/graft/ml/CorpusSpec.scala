@@ -111,4 +111,35 @@ class CorpusSpec extends SparkSpec {
     assert(packed.orderBy("shard", "chunk").collect().toSeq ===
       again.orderBy("shard", "chunk").collect().toSeq)
   }
+
+  test("shufflePositions is a stable seeded permutation: positions " +
+      "are exactly 1..N, runs repeat, seeds decorrelate") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"))
+    val n = docs.count()
+    val p1 = Corpus.shufflePositions(docs, "doc_id", "epoch0")
+    // a permutation: N rows, distinct positions, min 1, max N
+    val st = p1.agg(count(lit(1)).as("n"),
+      countDistinct(col("position")).as("d"),
+      min(col("position")).as("lo"), max(col("position")).as("hi"))
+      .collect()(0)
+    assert(st.getLong(0) === n && st.getLong(1) === n
+      && st.getLong(2) === 1L && st.getLong(3) === n)
+    // deterministic across runs
+    val p2 = Corpus.shufflePositions(docs, "doc_id", "epoch0")
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+    // a different seed is a genuinely different permutation (equal
+    // only with probability ~ 1/N! — any agreement beyond chance on
+    // 500 docs would mean the seed never entered the hash)
+    val q = Corpus.shufflePositions(docs, "doc_id", "epoch1")
+    val same = p1.join(q, Seq("doc_id", "position"), "left_semi").count()
+    assert(same < n / 10,
+      s"seed change left $same of $n docs at the same position")
+    // reserved working names are rejected loudly
+    intercept[IllegalArgumentException] {
+      Corpus.shufflePositions(docs.withColumn("position", lit(1)),
+        "doc_id", "s")
+    }
+  }
 }
