@@ -293,6 +293,58 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Contrastive triplet mining — the training-pair generator for
+    * embedding/retrieval model finetuning: for each anchor (a
+    * deterministic id-mod sample, the [[withRecall]] discipline), the
+    * single best POSITIVE (cosine ≥ posThreshold, nearest first) and
+    * the `nNegs` HARDEST NEGATIVES — the highest-cosine vectors that
+    * still fall below the positive band (`negLo ≤ cos <
+    * posThreshold`). Hard negatives are the pairs a contrastive loss
+    * learns most from (easy negatives below `negLo` are
+    * uninformative; above-threshold ones are presumed same-content
+    * and would poison the label). Anchors lacking EITHER a positive
+    * or at least one in-band negative yield no triplets — a
+    * contrastive example needs both sides, and the count delta
+    * against the anchor sample is the caller's coverage report.
+    *
+    * Scale shape: the anchor subset lands structurally on the pair
+    * scan's query side (semi-join before the cross join — the
+    * [[bruteTopKForQueries]] guarantee), so the scan is
+    * |anchors|·N, not N²; at corpus scale the same
+    * positive/negative-band windows run over an IVF/LSH candidate
+    * cut instead of the brute scan (the ladder every ANN entry
+    * documents). Ranking is on the ROUNDED cosine with id tiebreak —
+    * deterministic, oracle-stable.
+    */
+  def hardNegatives(embeddings: DataFrame, queryMod: Int,
+      posThreshold: Double, negLo: Double, nNegs: Int): DataFrame = {
+    require(negLo < posThreshold,
+      "the negative band must lie below the positive threshold")
+    require(nNegs >= 1, "need at least one hard negative per anchor")
+    val n = withNorm(embeddings)
+    val a = n.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("j"), col("e").as("eb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("cos").desc, col("j"))
+    val scored = a.crossJoin(b).filter(col("i") =!= col("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+    val pos = scored.filter(col("cos") >= posThreshold)
+      .withColumn("prk", row_number().over(w)).filter(col("prk") === 1)
+      .select(col("i"), col("j").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = scored
+      .filter(col("cos") >= negLo && col("cos") < posThreshold)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= nNegs)
+      .select(col("i"), col("rk"), col("j").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, Seq("i"))
+      .select(col("i"), col("rk"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"))
+  }
+
   /** Sign bits of a vector packed into ⌈dim/64⌉ longs — bit b of word
     * w set iff component w·64+b is strictly positive. The 1-bit
     * extreme of the quantization ladder (float64 → SQ8 → PQ → sign):

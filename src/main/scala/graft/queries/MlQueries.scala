@@ -2567,6 +2567,39 @@ object MlQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** Contrastive triplet mining: per sampled anchor, the best positive
+    * (cos ≥ 0.35) and the 3 hardest in-band negatives
+    * (0.2 ≤ cos < 0.35) — the finetuning-pair generator. Anchors
+    * missing either side yield nothing (a triplet needs both).
+    */
+  val ns57HardNegatives: Q = (s, dir) =>
+    Similarity.hardNegatives(Tables.embeddings(s, dir), queryMod = 5,
+      posThreshold = 0.35, negLo = 0.2, nNegs = 3)
+      .orderBy(col("i"), col("rk"))
+
+  val ns57HardNegativesSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |scored AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |      b.embedding::DOUBLE[]), 6) AS cos
+      |  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id % 5 = 0
+      |), pos AS (
+      |  SELECT i, j AS pos_id, cos AS pos_cos FROM (
+      |    SELECT i, j, cos, row_number() OVER (PARTITION BY i
+      |      ORDER BY cos DESC, j) AS prk
+      |    FROM scored WHERE cos >= 0.35) WHERE prk = 1
+      |), neg AS (
+      |  SELECT i, rk, j AS neg_id, cos AS neg_cos FROM (
+      |    SELECT i, j, cos, row_number() OVER (PARTITION BY i
+      |      ORDER BY cos DESC, j) AS rk
+      |    FROM scored WHERE cos >= 0.2 AND cos < 0.35) WHERE rk <= 3
+      |)
+      |SELECT p.i, n.rk, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+      |FROM pos p JOIN neg n ON p.i = n.i
+      |ORDER BY p.i, n.rk""".stripMargin
+
   /** Deterministic seeded global shuffle — the training-order export:
     * position = global rank of hash60(seed|doc_id), assigned through
     * the monotone-bucket machinery (no single-task corpus sort). The
@@ -2664,6 +2697,7 @@ object MlQueries {
     "ns54_temperature_mix" -> ns54TemperatureMix,
     "ns55_exact_substr" -> ns55ExactSubstr,
     "ns56_shuffle_order" -> ns56ShuffleOrder,
+    "ns57_hard_negatives" -> ns57HardNegatives,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2735,5 +2769,6 @@ object MlQueries {
     "ns54_temperature_mix" -> ns54TemperatureMixSql,
     "ns55_exact_substr" -> ns55ExactSubstrSql,
     "ns56_shuffle_order" -> ns56ShuffleOrderSql,
+    "ns57_hard_negatives" -> ns57HardNegativesSql,
   )
 }

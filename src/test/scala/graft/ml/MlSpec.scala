@@ -1647,6 +1647,38 @@ class MlSpec extends SparkSpec {
     assert(t((1L, 1)) === 2L && t((2L, 1)) === 1L)
   }
 
+  test("hardNegatives mines the planted triplet geometry: best " +
+      "positive, hardest in-band negatives in order, bands exclusive") {
+    import spark.implicits._
+    // unit vectors (c, sqrt(1-c^2), 0, 0) have cosine exactly c
+    // against the anchor (1, 0, 0, 0)
+    def v(c: Double) =
+      Array(c.toFloat, math.sqrt(1 - c * c).toFloat, 0f, 0f)
+    val emb = Seq(
+      1L -> Array(1f, 0f, 0f, 0f), // anchor
+      2L -> v(0.9),   // positive (best)
+      3L -> v(0.4),   // positive band too, but rank 2 — NOT emitted
+      4L -> v(0.30),  // hard negative rk 1
+      5L -> v(0.25),  // hard negative rk 2
+      6L -> v(0.22),  // hard negative rk 3
+      7L -> v(0.21),  // in band but beyond nNegs — cut
+      8L -> v(0.10),  // easy negative — below negLo, excluded
+      9L -> Array(0f, 0f, 1f, 0f)) // orthogonal anchor: no positive
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(emb, queryMod = 1,
+      posThreshold = 0.35, negLo = 0.2, nNegs = 3)
+    val a1 = out.filter(col("i") === 1L).orderBy(col("rk")).collect()
+    assert(a1.length === 3, "anchor 1 should carry exactly 3 triplets")
+    assert(a1.forall(r => r.getLong(2) === 2L && r.getDouble(3) === 0.9),
+      "the single best positive pairs with every negative row")
+    assert(a1.map(_.getLong(4)).toSeq === Seq(4L, 5L, 6L),
+      "hardest negatives in descending-cosine order, band-cut at 3")
+    // vec 9 is an anchor with no positive — no triplets at all
+    assert(out.filter(col("i") === 9L).count() === 0)
+    // no emitted negative may reach the positive band
+    assert(out.filter(col("neg_cos") >= 0.35).count() === 0)
+  }
+
   test("exactSubstr cuts spans duplicated from EARLIER docs only, " +
       "merges overlaps, keeps the canonical copy, digests the cut text") {
     import spark.implicits._
