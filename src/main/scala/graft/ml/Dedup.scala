@@ -717,16 +717,7 @@ object Dedup {
     */
   def exactSubstr(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"exactSubstr: span width k must be >= 2, got $k")
-    val ow = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-    val pre = ow.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, -1)
-    val run = ow.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
-    val sh = docs.select(col("doc_id"),
-        posexplode(graft.functions.AllShingles(col("text"), k))
-          .as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), HashUtils.hash60(col("sh")).as("h"))
+    val sh = posShingleHashes(docs, k)
     // min(doc) is the canonical holder; min != max detects >=2 distinct
     // docs with ONE aggregate (no countDistinct second shuffle)
     val canon = sh.groupBy(col("h"))
@@ -737,6 +728,31 @@ object Dedup {
       .filter(col("doc_id") > col("min_doc"))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k - 1)).as("e"))
+    substrReport(docs, spans)
+  }
+
+  /** (doc_id, pos, h): every k-shingle position with its 60-bit
+    * content hash — the shared front of [[exactSubstr]] and the
+    * incremental index tier.
+    */
+  private def posShingleHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.AllShingles(col("text"), k))
+          .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), HashUtils.hash60(col("sh")).as("h"))
+
+  /** The shared back half of the span removers: merge raw duplicated
+    * spans (doc_id, s, e) per doc, cut the merged regions out of the
+    * docs, and report metrics + the cleaned-text digest — one row per
+    * input doc.
+    */
+  private def substrReport(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val pre = ow.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, -1)
+    val run = ow.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
     // gaps-and-islands merge: a span starting at or before the running
     // max end + 1 extends the island (adjacent spans fuse — contiguous
     // duplicated regions count once)
@@ -774,5 +790,134 @@ object Dedup {
         // digest of the empty string (constant-folded)
         coalesce(col("cleaned_md5"),
           md5(lit("").cast("binary"))).as("cleaned_md5"))
+  }
+
+  private[graft] val SubstrStatsDir = "_graft_substr_stats"
+  private[graft] val SubstrDocsDir = "_graft_substr_docs"
+
+  /** Persist the standing shingle-hash index for incremental
+    * [[exactSubstr]]: one (h, min_doc) row per distinct k-shingle
+    * content hash, hash-bucket-partitioned (`bkt=`) so maintenance
+    * and increment reads can prune to the buckets a batch touches.
+    * Sized like the corpus's distinct-shingle set — 16 bytes a
+    * shingle, no text, no positions (the batch brings its own
+    * positions; the index only answers "has this content been seen,
+    * and by which earliest doc").
+    *
+    * The index obeys a MONOTONE-INGEST contract: every appended
+    * batch's doc_ids lie strictly above everything indexed (the CDC
+    * arrival order — enforced loudly on append and increment). That
+    * is what lets the increment equate "content is in the index" with
+    * "content appeared in an EARLIER doc" without shipping per-hash
+    * doc comparisons for index hits. Deletion is a rebuild: removing
+    * a doc can promote new canonical holders corpus-wide, which is
+    * not an index-local edit.
+    *
+    * Only the immutable (k, n_buckets) persist as metadata; the
+    * indexed-doc table is a sibling (the BM25 DocsDir shape) backing
+    * the monotone/overlap guards.
+    */
+  def writeSubstrIndex(docs: DataFrame, path: String, k: Int,
+      nBuckets: Int = 64): Unit = {
+    require(k >= 2, s"span width k must be >= 2, got $k")
+    require(nBuckets >= 1, "need at least one hash bucket")
+    posShingleHashes(docs, k)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
+      .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+    docs.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/$SubstrDocsDir")
+    docs.sparkSession.range(1)
+      .select(lit(k).as("k"), lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/$SubstrStatsDir")
+  }
+
+  private def substrIndexParams(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val st = spark.read.parquet(s"$path/$SubstrStatsDir").head()
+    (st.getAs[Int]("k"), st.getAs[Int]("n_buckets"))
+  }
+
+  /** The monotone-ingest guard shared by append and increment: the
+    * batch must be non-empty and lie strictly above every indexed
+    * doc_id. Returns the batch's min id for the caller's messages.
+    */
+  private def requireMonotoneBatch(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      path: String, op: String): Unit = {
+    val mn = newDocs.agg(min(col("doc_id"))).head()
+    require(!mn.isNullAt(0), s"$op: the batch is empty")
+    val minNew = mn.getLong(0)
+    val maxIndexed = spark.read.parquet(s"$path/$SubstrDocsDir")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    require(minNew > maxIndexed,
+      s"$op: batch min doc_id $minNew is not above the indexed max " +
+        s"$maxIndexed — the index's earlier-doc semantics require " +
+        "monotone ingest (re-sequence the batch or rebuild)")
+  }
+
+  /** Append a new batch's shingle hashes into the standing index:
+    * (h, batch-min doc) rows land in their `bkt=` partitions
+    * (append-mode — untouched buckets keep their files), the
+    * indexed-doc sibling grows by the batch. Reads aggregate
+    * min(min_doc) per hash, so an at-least-once replay of an append
+    * costs duplicate rows, never correctness — the same idempotence
+    * argument as the streamed tombstone appends.
+    */
+  def appendSubstrIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String): Unit = {
+    val (k, nBuckets) = substrIndexParams(spark, path)
+    requireMonotoneBatch(spark, newDocs, path, "appendSubstrIndex")
+    posShingleHashes(newDocs, k)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
+      .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
+      .write.mode("append").partitionBy("bkt").parquet(path)
+    newDocs.select(col("doc_id"))
+      .write.mode("append").parquet(s"$path/$SubstrDocsDir")
+  }
+
+  /** Incremental [[exactSubstr]]: the duplicated-span report for a NEW
+    * batch against the standing index plus the batch itself — a span
+    * is cut iff its content is in the index (every indexed doc is
+    * earlier, by the monotone contract) or appears earlier within the
+    * batch. Equals the full-corpus [[exactSubstr]] restricted to the
+    * batch (the registry gate states exactly that), at the cost of
+    * one batch shingle pass + a bucket-pruned index probe — never a
+    * corpus recompute.
+    *
+    * Scale shape: the index read prunes to the batch's hash buckets
+    * (the distinct-bucket collect is bounded by n_buckets — size
+    * n_buckets so a batch's buckets ≪ all of them at your corpus
+    * size), only (h, min_doc) pairs are read (column-pruned), and the
+    * probe join keys on the 8-byte hash. Read-side min aggregation
+    * makes duplicate appended rows harmless.
+    */
+  def exactSubstrIncrement(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String): DataFrame = {
+    val (k, nBuckets) = substrIndexParams(spark, path)
+    requireMonotoneBatch(spark, newDocs, path, "exactSubstrIncrement")
+    val sh = posShingleHashes(newDocs, k)
+    // bounded driver action: ≤ n_buckets distinct bucket ids, the
+    // partition-prune list for the index probe
+    val bkts = sh.select(pmod(col("h"), lit(nBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(path)
+    // literals in the partition column's INFERRED type, else the
+    // filter casts the column and pruning is silently lost
+    val bktLits: Seq[Any] = idx.schema("bkt").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        bkts.toSeq.map(_.toInt: Any)
+      case _ => bkts.toSeq.map(x => x: Any)
+    }
+    val idxMin = idx.filter(col("bkt").isin(bktLits: _*))
+      .groupBy(col("h")).agg(min(col("min_doc")).as("imin"))
+    val batchMin = sh.groupBy(col("h")).agg(min(col("doc_id")).as("bmin"))
+    val spans = sh
+      .join(idxMin, Seq("h"), "left")
+      .join(batchMin, Seq("h"))
+      .filter(col("imin").isNotNull || col("bmin") < col("doc_id"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(k - 1)).as("e"))
+    substrReport(newDocs, spans)
   }
 }

@@ -2506,7 +2506,11 @@ object MlQueries {
     Dedup.exactSubstr(Tables.documents(s, dir), k = 6)
       .orderBy(col("doc_id"))
 
-  val ns55ExactSubstrSql: String = {
+  /** The ns55 pipeline, parameterized on a final report predicate so
+    * the incremental gate (ns55b) states "the full recompute,
+    * restricted to the new batch" with the SAME text.
+    */
+  private def substrPipelineSql(reportWhere: String): String = {
     val h = duckHash60("array_to_string(w[i:i+5], ' ')")
     s"""WITH tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2564,8 +2568,34 @@ object MlQueries {
        |FROM tok b
        |LEFT JOIN stats s USING (doc_id)
        |LEFT JOIN cleaned c USING (doc_id)
+       |$reportWhere
        |ORDER BY b.doc_id""".stripMargin
   }
+
+  val ns55ExactSubstrSql: String = substrPipelineSql("")
+
+  /** Incremental ExactSubstr against the served shingle-hash index:
+    * build on the first half, append the third quarter (monotone
+    * ingest), increment the final quarter. Gated on the FULL
+    * recompute restricted to the batch — hash-equality proves the
+    * index probe is semantics-preserving.
+    */
+  val ns55bSubstrIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "substr_index")
+    if (ivfIndexWritten.add(path)) {
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), path, k = 6)
+      Dedup.appendSubstrIndex(s,
+        docs.filter(col("doc_id") >= t1 && col("doc_id") < t2), path)
+    }
+    Dedup.exactSubstrIncrement(s, docs.filter(col("doc_id") >= t2), path)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns55bSubstrIncrementalSql: String = substrPipelineSql(
+    "WHERE b.doc_id >= (SELECT count(*) FROM documents) * 3 // 4")
 
   /** Contrastive triplet mining: per sampled anchor, the best positive
     * (cos ≥ 0.35) and the 3 hardest in-band negatives
@@ -2696,6 +2726,7 @@ object MlQueries {
     "ns53_leakfree_split" -> ns53LeakFreeSplit,
     "ns54_temperature_mix" -> ns54TemperatureMix,
     "ns55_exact_substr" -> ns55ExactSubstr,
+    "ns55b_substr_incremental" -> ns55bSubstrIncremental,
     "ns56_shuffle_order" -> ns56ShuffleOrder,
     "ns57_hard_negatives" -> ns57HardNegatives,
   )
@@ -2768,6 +2799,7 @@ object MlQueries {
     "ns53_leakfree_split" -> ns53LeakFreeSplitSql,
     "ns54_temperature_mix" -> ns54TemperatureMixSql,
     "ns55_exact_substr" -> ns55ExactSubstrSql,
+    "ns55b_substr_incremental" -> ns55bSubstrIncrementalSql,
     "ns56_shuffle_order" -> ns56ShuffleOrderSql,
     "ns57_hard_negatives" -> ns57HardNegativesSql,
   )

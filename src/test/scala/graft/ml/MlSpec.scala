@@ -1679,6 +1679,60 @@ class MlSpec extends SparkSpec {
     assert(out.filter(col("neg_cos") >= 0.35).count() === 0)
   }
 
+  test("substr index lifecycle: increment equals the full recompute " +
+      "restricted to the batch; monotone/empty guards are loud; " +
+      "replayed append rows are harmless; untouched buckets keep files") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr")
+    val path = s"$tmp/idx"
+    try {
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), path, k = 4)
+      val fs = new java.io.File(path)
+      def bucketFiles(): Map[String, Long] = fs.listFiles()
+        .filter(_.getName.startsWith("bkt="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())).toMap
+      val before = bucketFiles()
+      Dedup.appendSubstrIndex(spark,
+        docs.filter(col("doc_id") >= t1 && col("doc_id") < t2), path)
+      val after = bucketFiles()
+      // append never rewrites an existing file
+      assert(before.forall { case (p, m) => after.get(p).contains(m) },
+        "append rewrote or dropped a pre-existing bucket file")
+      val batch = docs.filter(col("doc_id") >= t2)
+      val inc = Dedup.exactSubstrIncrement(spark, batch, path)
+      val full = Dedup.exactSubstr(docs, k = 4)
+        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        "increment diverges from the full recompute on the batch")
+      // an at-least-once replay duplicates (h, min_doc) rows — the
+      // read-side min aggregation must make that invisible (snapshot
+      // through a sibling dir: same-path read-while-append is UB)
+      val snap = s"$tmp/snap"
+      spark.read.parquet(path).write.parquet(snap)
+      spark.read.parquet(snap)
+        .write.mode("append").partitionBy("bkt").parquet(path)
+      val inc2 = Dedup.exactSubstrIncrement(spark, batch, path)
+      assert(inc2.exceptAll(full).isEmpty && full.exceptAll(inc2).isEmpty,
+        "duplicated index rows changed the increment")
+      // guards: overlapping (non-monotone) batch, empty batch
+      intercept[IllegalArgumentException] {
+        Dedup.appendSubstrIndex(spark,
+          docs.filter(col("doc_id") < t1), path)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.exactSubstrIncrement(spark,
+          docs.filter(col("doc_id") < 0), path)
+      }
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("exactSubstr cuts spans duplicated from EARLIER docs only, " +
       "merges overlaps, keeps the canonical copy, digests the cut text") {
     import spark.implicits._
