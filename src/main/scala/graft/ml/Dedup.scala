@@ -792,6 +792,33 @@ object Dedup {
           md5(lit("").cast("binary"))).as("cleaned_md5"))
   }
 
+  /** Span-level benchmark decontamination — [[exactSubstr]]'s
+    * machinery pointed at an EXTERNAL blocklist corpus: every k-token
+    * span of a training doc whose content appears anywhere in the
+    * benchmark set is cut (merged, removed, digest reported), keeping
+    * the REST of the document. The document-level decontamination
+    * (ns23/ns30) flags whole docs sharing any gram; this is the
+    * surgical variant a corpus actually ships with — losing a
+    * paragraph that quotes a benchmark question should not cost the
+    * whole document.
+    *
+    * Scale: the benchmark's distinct shingle-hash set is
+    * benchmark-sized (≪ corpus) — the semi-join shuffles 8-byte
+    * hashes at worst and AQE broadcasts the benchmark side while it
+    * fits; beyond that the ns30 Bloom-prefilter pattern applies
+    * unchanged (no false negatives + the exact semi-join refine).
+    */
+  def decontaminateSpans(docs: DataFrame, benchmark: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span width k must be >= 2, got $k")
+    val sh = posShingleHashes(docs, k)
+    val bad = posShingleHashes(benchmark, k).select(col("h")).distinct()
+    val spans = sh.join(bad, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(k - 1)).as("e"))
+    substrReport(docs, spans)
+  }
+
   private[graft] val SubstrStatsDir = "_graft_substr_stats"
   private[graft] val SubstrDocsDir = "_graft_substr_docs"
 

@@ -2597,6 +2597,83 @@ object MlQueries {
   val ns55bSubstrIncrementalSql: String = substrPipelineSql(
     "WHERE b.doc_id >= (SELECT count(*) FROM documents) * 3 // 4")
 
+  /** Span-level benchmark decontamination: docs with source-mod 7 act
+    * as the held-out benchmark, the rest as the training corpus; any
+    * 6-token span of a corpus doc whose content appears in the
+    * benchmark is cut (not the whole doc — the surgical complement of
+    * ns23's document-level flags).
+    */
+  val ns58DecontamSpans: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.decontaminateSpans(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7), k = 6)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns58DecontamSpansSql: String = {
+    val hc = duckHash60("array_to_string(w[i:i+5], ' ')")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id % 10 <> 7
+       |), bench AS (
+       |  SELECT string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id % 10 = 7
+       |), shc AS (
+       |  SELECT doc_id, i - 1 AS pos, $hc AS h FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 5)) AS i
+       |    FROM corpus)
+       |), bad AS (
+       |  SELECT DISTINCT $hc AS h FROM (
+       |    SELECT w, unnest(generate_series(1, len(w) - 5)) AS i
+       |    FROM bench)
+       |), spans AS (
+       |  SELECT c.doc_id, c.pos AS s, c.pos + 5 AS e
+       |  FROM shc c SEMI JOIN bad b ON c.h = b.h
+       |), isl AS (
+       |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+       |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND 1 PRECEDING) AS prev_max_e
+       |  FROM spans
+       |), isl2 AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+       |      ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM isl
+       |), merged AS (
+       |  SELECT doc_id, island, min(s) AS s, max(e) AS e
+       |  FROM isl2 GROUP BY doc_id, island
+       |), stats AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    sum(e - s + 1)::BIGINT AS dup_tokens
+       |  FROM merged GROUP BY doc_id
+       |), rem AS (
+       |  SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM merged
+       |), toks AS (
+       |  SELECT doc_id, unnest(w) AS word,
+       |    unnest(generate_series(1, len(w))) - 1 AS pos
+       |  FROM corpus
+       |), kept AS (
+       |  SELECT t.doc_id, t.pos, t.word FROM toks t
+       |  ANTI JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+       |), cleaned AS (
+       |  SELECT doc_id, md5(string_agg(word, ' ' ORDER BY pos))
+       |    AS cleaned_md5
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, len(b.w) AS total_tokens,
+       |  coalesce(s.n_spans, 0) AS n_spans,
+       |  coalesce(s.dup_tokens, 0) AS dup_tokens,
+       |  round(coalesce(s.dup_tokens, 0)::DOUBLE / len(b.w), 6)
+       |    AS frac_dup,
+       |  coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+       |FROM corpus b
+       |LEFT JOIN stats s USING (doc_id)
+       |LEFT JOIN cleaned c USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** Contrastive triplet mining: per sampled anchor, the best positive
     * (cos ≥ 0.35) and the 3 hardest in-band negatives
     * (0.2 ≤ cos < 0.35) — the finetuning-pair generator. Anchors
@@ -2729,6 +2806,7 @@ object MlQueries {
     "ns55b_substr_incremental" -> ns55bSubstrIncremental,
     "ns56_shuffle_order" -> ns56ShuffleOrder,
     "ns57_hard_negatives" -> ns57HardNegatives,
+    "ns58_decontam_spans" -> ns58DecontamSpans,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2802,5 +2880,6 @@ object MlQueries {
     "ns55b_substr_incremental" -> ns55bSubstrIncrementalSql,
     "ns56_shuffle_order" -> ns56ShuffleOrderSql,
     "ns57_hard_negatives" -> ns57HardNegativesSql,
+    "ns58_decontam_spans" -> ns58DecontamSpansSql,
   )
 }

@@ -1679,6 +1679,33 @@ class MlSpec extends SparkSpec {
     assert(out.filter(col("neg_cos") >= 0.35).count() === 0)
   }
 
+  test("decontaminateSpans cuts exactly the quoted benchmark span, " +
+      "leaves clean docs alone, empties a full benchmark copy") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "intro words q2 q3 q4 q5 q6 outro end"), // quotes 5 tokens… <k
+      (2L, "a b q1 q2 q3 q4 q5 q6 q7 y z"),         // quotes all 7
+      (3L, "clean document with no quotes at all"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7"))                 // IS the benchmark
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(docs, bench, k = 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 shares only a 5-token run — below k, nothing cut
+    assert(out(1L).getLong(3) === 0L)
+    // doc 2: shingles at positions 2 and 3 merge to span [2, 8] — the
+    // full 7-token quote goes, prefix/suffix stay
+    assert(out(2L).getLong(2) === 1L && out(2L).getLong(3) === 7L)
+    assert(out(2L).getString(5) === md5hex("a b y z"))
+    // clean doc untouched, full copy emptied
+    assert(out(3L).getLong(3) === 0L)
+    assert(out(4L).getLong(3) === 7L
+      && out(4L).getString(5) === md5hex(""))
+  }
+
   test("substr index lifecycle: increment equals the full recompute " +
       "restricted to the batch; monotone/empty guards are loud; " +
       "replayed append rows are harmless; untouched buckets keep files") {
