@@ -345,6 +345,74 @@ object Similarity {
         col("neg_id"), col("neg_cos"))
   }
 
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998) —
+    * the diversity cut on a retrieval list: greedily select k of the
+    * m candidates, each step taking the argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — relevance traded
+    * against redundancy with what is already picked. The exemplar
+    * selector for few-shot prompting / eval-set curation, where five
+    * near-copies of the best hit are worth less than five distinct
+    * ones.
+    *
+    * Determinism contract (the oracle restates every step): argmax is
+    * on the 6 dp-rounded score with candidate-id tiebreak; the step
+    * count k is a compile-time loop the SQL unrolls, so both engines
+    * run the IDENTICAL greedy trajectory. λ must be a small exact
+    * binary fraction (0.75) so λ and 1−λ round-trip through SQL
+    * literals bit-for-bit.
+    *
+    * Scale shape: candidates come from [[bruteTopKForQueries]] (or any
+    * ANN entry — the rerank only sees the lists), the pairwise
+    * candidate-sim table is |queries|·m² rows with m fixed and small,
+    * and each greedy step is one join + one window over
+    * candidate-sized data. The loop's lineage depth is k — constant,
+    * no checkpointing needed at list sizes.
+    */
+  def mmrRerank(embeddings: DataFrame, queryMod: Int, m: Int, k: Int,
+      lam: Double = 0.75): DataFrame = {
+    require(k >= 1 && m >= k, "need m >= k >= 1")
+    require(lam > 0 && lam < 1, "lambda must be in (0, 1)")
+    val n = withNorm(embeddings)
+    val queries = n.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id"))
+    val rel = bruteTopKForQueries(embeddings, queries, m)
+      .select(col("i"), col("j"), col("cos").as("rel"))
+    // pairwise candidate sims WITHIN each query's list: |Q|·m² rows
+    val sims = rel.select(col("i"), col("j").as("ja"))
+      .join(rel.select(col("i"), col("j").as("jb")), Seq("i"))
+      .filter(col("ja") =!= col("jb"))
+      .join(n.select(col("vec_id").as("ja"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("ja"))
+      .join(n.select(col("vec_id").as("jb"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("jb"))
+      .select(col("i"), col("ja"), col("jb"), pairCos.as("sim"))
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("score").desc, col("j"))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("i"), lit(rank).as("rank"), col("j"), col("score"))
+    // step 1: pure relevance (max over the empty selected set is 0)
+    var selected = pick(rel.withColumn("score",
+      round(lit(lam) * col("rel"), 6)), 1)
+    var remaining = rel.join(selected.select(col("i"), col("j")),
+      Seq("i", "j"), "left_anti")
+    for (t <- 2 to k) {
+      val maxsim = remaining
+        .join(selected.select(col("i"), col("j").as("ja")), Seq("i"))
+        .join(sims.withColumnRenamed("jb", "j"), Seq("i", "ja", "j"))
+        .groupBy(col("i"), col("j"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = maxsim.withColumn("score",
+        round(lit(lam) * col("rel") - lit(1 - lam) * col("maxsim"), 6))
+      val step = pick(scored, t)
+      selected = selected.unionByName(step)
+      remaining = remaining.join(step.select(col("i"), col("j")),
+        Seq("i", "j"), "left_anti")
+    }
+    selected.orderBy(col("i"), col("rank"))
+  }
+
   /** Sign bits of a vector packed into ⌈dim/64⌉ longs — bit b of word
     * w set iff component w·64+b is strictly positive. The 1-bit
     * extreme of the quantization ladder (float64 → SQ8 → PQ → sign):

@@ -2707,6 +2707,70 @@ object MlQueries {
       |FROM pos p JOIN neg n ON p.i = n.i
       |ORDER BY p.i, n.rk""".stripMargin
 
+  /** MMR diversity rerank: greedy λ-tradeoff between relevance and
+    * redundancy over each query's top-10 list, k=5 picks. The greedy
+    * loop is UNROLLED in the oracle (one CTE pair per step), so the
+    * full trajectory — rounded-score argmax, id tiebreak, running
+    * selected set — is driver-proven step for step.
+    */
+  val ns59MmrRerank: Q = (s, dir) =>
+    Similarity.mmrRerank(Tables.embeddings(s, dir), queryMod = 50,
+      m = 10, k = 5, lam = 0.75)
+
+  val ns59MmrRerankSql: String = {
+    def selCte(t: Int): String =
+      (1 to t).map(x => s"SELECT i, j FROM s$x").mkString(" UNION ALL ")
+    val steps = (2 to 5).map { t =>
+      s"""mx$t AS (
+         |  SELECT sm.i, sm.ja AS j, max(sm.sim) AS maxsim
+         |  FROM sims sm JOIN (${selCte(t - 1)}) sel
+         |    ON sm.i = sel.i AND sm.jb = sel.j
+         |  GROUP BY sm.i, sm.ja
+         |), s$t AS (
+         |  SELECT i, $t AS rank, j, score FROM (
+         |    SELECT m.i, m.j,
+         |      round(0.75::DOUBLE * r.rel - 0.25::DOUBLE * m.maxsim, 6)
+         |        AS score,
+         |      row_number() OVER (PARTITION BY m.i ORDER BY
+         |        round(0.75::DOUBLE * r.rel - 0.25::DOUBLE * m.maxsim, 6)
+         |          DESC, m.j) AS rn
+         |    FROM mx$t m JOIN rel r ON r.i = m.i AND r.j = m.j
+         |    ANTI JOIN (${selCte(t - 1)}) s ON m.i = s.i AND m.j = s.j
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckNonZeroEmb,
+      |rel AS (
+      |  SELECT i, j, cos AS rel FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rk
+      |    FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      |    WHERE a.vec_id % 50 = 0) WHERE rk <= 10
+      |), sims AS (
+      |  SELECT r1.i, r1.j AS ja, r2.j AS jb,
+      |    round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |      y.embedding::DOUBLE[]), 6) AS sim
+      |  FROM rel r1 JOIN rel r2 ON r1.i = r2.i AND r1.j <> r2.j
+      |  JOIN nz x ON x.vec_id = r1.j JOIN nz y ON y.vec_id = r2.j
+      |), s1 AS (
+      |  SELECT i, 1 AS rank, j, score FROM (
+      |    SELECT i, j, round(0.75::DOUBLE * rel, 6) AS score,
+      |      row_number() OVER (PARTITION BY i
+      |        ORDER BY round(0.75::DOUBLE * rel, 6) DESC, j) AS rn
+      |    FROM rel) WHERE rn = 1
+      |),
+      |$steps
+      |SELECT i, rank, j, score FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      |  UNION ALL SELECT * FROM s5)
+      |ORDER BY i, rank""".stripMargin
+  }
+
   /** Deterministic seeded global shuffle — the training-order export:
     * position = global rank of hash60(seed|doc_id), assigned through
     * the monotone-bucket machinery (no single-task corpus sort). The
@@ -2807,6 +2871,7 @@ object MlQueries {
     "ns56_shuffle_order" -> ns56ShuffleOrder,
     "ns57_hard_negatives" -> ns57HardNegatives,
     "ns58_decontam_spans" -> ns58DecontamSpans,
+    "ns59_mmr_rerank" -> ns59MmrRerank,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2881,5 +2946,6 @@ object MlQueries {
     "ns56_shuffle_order" -> ns56ShuffleOrderSql,
     "ns57_hard_negatives" -> ns57HardNegativesSql,
     "ns58_decontam_spans" -> ns58DecontamSpansSql,
+    "ns59_mmr_rerank" -> ns59MmrRerankSql,
   )
 }

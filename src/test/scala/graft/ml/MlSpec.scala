@@ -1679,6 +1679,34 @@ class MlSpec extends SparkSpec {
     assert(out.filter(col("neg_cos") >= 0.35).count() === 0)
   }
 
+  test("mmrRerank defers the redundant near-copy: the diverse " +
+      "second-best candidate outranks a higher-relevance near-dup " +
+      "of the first pick") {
+    import spark.implicits._
+    // query q = x-axis; a is the top hit, a2 a near-copy of a with
+    // higher relevance than the diverse b — pure relevance would rank
+    // (a, a2, b); MMR's redundancy penalty must give (a, b, a2)
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),                    // query
+      1L -> Array(0.95f, 0.31225f, 0f, 0f),           // a: rel .95
+      2L -> Array(0.90f, 0.43589f, 0f, 0f),           // a2: rel .90, sim(a2,a) ≈ .99
+      3L -> Array(0.85f, 0f, 0.52678f, 0f),           // b: rel .85, sim(b,a) ≈ .81
+      4L -> Array(0.30f, 0f, 0f, 0.95394f))           // d: rel .30 noise
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, queryMod = 1000, m = 4, k = 3)
+      .filter(col("i") === 0L).orderBy(col("rank")).collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 3L, 2L),
+      "greedy trajectory should be a, then diverse b, then a2")
+    // scores strictly decrease along the greedy trajectory here (the
+    // redundancy penalty only grows as the selected set widens)
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse)
+    // pure-relevance contrast: bruteTopK ranks a2 second
+    val rel = Similarity.bruteTopKForQueries(emb,
+      Seq(0L).toDF("vec_id"), 3).orderBy(col("rk")).collect()
+    assert(rel.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("decontaminateSpans cuts exactly the quoted benchmark span, " +
       "leaves clean docs alone, empties a full benchmark copy") {
     import spark.implicits._
