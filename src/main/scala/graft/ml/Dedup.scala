@@ -903,6 +903,58 @@ object Dedup {
       .write.mode("append").parquet(s"$path/$SubstrDocsDir")
   }
 
+  /** Compact the substr index: collapse the duplicate (h, min_doc)
+    * rows that appends and at-least-once replays accumulate into one
+    * min row per hash, rewriting ONLY the dirty buckets (detected as
+    * `bkt=` directories holding more than one file — every append
+    * adds files). Purely an optimization: the read-side min
+    * aggregation already makes duplicates invisible, so compaction
+    * changes no answer (the registry gate proves it) — it reclaims
+    * file count and probe bytes. Crash-safe via the shared
+    * durable-stage protocol ([[Similarity.applyCompactionStage]]):
+    * survivors land in a staged table committed BEFORE any index
+    * partition is touched, and a crashed apply replays from the
+    * stage on the next entry. Pause any appending stream first — the
+    * snapshot race is the honest limit of directory-of-parquet tables
+    * (the [[graft.sources.Layout.compact]] caveat).
+    *
+    * Returns the number of buckets rewritten.
+    */
+  def compactSubstrIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagePath = s"$path/${Similarity.CompactStageDir}"
+    // finish a crashed apply from its committed stage first; an
+    // uncommitted stage is discardable staging debris
+    if (Similarity.compactionStageCommitted(fs, path))
+      Similarity.applyCompactionStage(spark, path, "bkt")
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    val dirty = fs.listStatus(p)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("bkt="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > 1)
+      .map(_.getPath.getName.stripPrefix("bkt=").toLong)
+    if (dirty.isEmpty) return 0L
+    val idx = spark.read.parquet(path)
+    val dirtyLits: Seq[Any] = idx.schema("bkt").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        dirty.toSeq.map(_.toInt: Any)
+      case _ => dirty.toSeq.map(x => x: Any)
+    }
+    idx.filter(col("bkt").isin(dirtyLits: _*))
+      .groupBy(col("bkt"), col("h"))
+      .agg(min(col("min_doc")).as("min_doc"))
+      .select(col("h"), col("min_doc"), col("bkt"))
+      .write.mode("overwrite").parquet(stagePath)
+    import spark.implicits._
+    dirty.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
+      .parquet(s"$stagePath/_parts")
+    Similarity.applyCompactionStage(spark, path, "bkt")
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    dirty.length.toLong
+  }
+
   /** Incremental [[exactSubstr]]: the duplicated-span report for a NEW
     * batch against the standing index plus the batch itself — a span
     * is cut iff its content is in the index (every indexed doc is

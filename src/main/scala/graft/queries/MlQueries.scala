@@ -2597,6 +2597,30 @@ object MlQueries {
   val ns55bSubstrIncrementalSql: String = substrPipelineSql(
     "WHERE b.doc_id >= (SELECT count(*) FROM documents) * 3 // 4")
 
+  /** ns55b's lifecycle with COMPACTION between append and increment:
+    * the append leaves multi-file buckets and duplicate hash rows
+    * (any batch shingle already in the base), compaction collapses
+    * them through the crash-safe stage, and the increment must answer
+    * EXACTLY as before — gated on ns55b's own oracle, the
+    * compaction-is-invisible discipline (ns46e/ns8g) for the dedup
+    * tier.
+    */
+  val ns55cSubstrCompacted: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "substr_index_c")
+    if (ivfIndexWritten.add(path)) {
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), path, k = 6)
+      Dedup.appendSubstrIndex(s,
+        docs.filter(col("doc_id") >= t1 && col("doc_id") < t2), path)
+      Dedup.compactSubstrIndex(s, path)
+      ()
+    }
+    Dedup.exactSubstrIncrement(s, docs.filter(col("doc_id") >= t2), path)
+      .orderBy(col("doc_id"))
+  }
+
   /** Span-level benchmark decontamination: docs with source-mod 7 act
     * as the held-out benchmark, the rest as the training corpus; any
     * 6-token span of a corpus doc whose content appears in the
@@ -2868,6 +2892,7 @@ object MlQueries {
     "ns54_temperature_mix" -> ns54TemperatureMix,
     "ns55_exact_substr" -> ns55ExactSubstr,
     "ns55b_substr_incremental" -> ns55bSubstrIncremental,
+    "ns55c_substr_compacted" -> ns55cSubstrCompacted,
     "ns56_shuffle_order" -> ns56ShuffleOrder,
     "ns57_hard_negatives" -> ns57HardNegatives,
     "ns58_decontam_spans" -> ns58DecontamSpans,
@@ -2943,6 +2968,7 @@ object MlQueries {
     "ns54_temperature_mix" -> ns54TemperatureMixSql,
     "ns55_exact_substr" -> ns55ExactSubstrSql,
     "ns55b_substr_incremental" -> ns55bSubstrIncrementalSql,
+    "ns55c_substr_compacted" -> ns55bSubstrIncrementalSql,
     "ns56_shuffle_order" -> ns56ShuffleOrderSql,
     "ns57_hard_negatives" -> ns57HardNegativesSql,
     "ns58_decontam_spans" -> ns58DecontamSpansSql,

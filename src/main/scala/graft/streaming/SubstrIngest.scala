@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ml.Dedup
+
+/** Streaming maintenance of the ExactSubstr shingle-hash index — the
+  * dedup member of the streamed-index family ([[VectorIngest]] for
+  * ANN, [[Bm25Ingest]] for retrieval): each micro-batch of (doc_id,
+  * text) rows appends its shingle hashes through
+  * [[Dedup.appendSubstrIndex]], so the standing index keeps up with a
+  * live crawl and every NEW batch's duplicated-span report
+  * ([[Dedup.exactSubstrIncrement]]) stays a batch-sized computation.
+  *
+  * Delivery is deliberately WITHOUT the [[BatchCommit]] partition
+  * protocol — the simplest member of the family, because the index's
+  * read side aggregates min(min_doc) per hash, which makes duplicated
+  * append rows invisible (the streamed-tombstone idempotence
+  * argument). The only crash window that matters is ordering:
+  * [[Dedup.appendSubstrIndex]] lands index rows FIRST and the
+  * indexed-docs sibling LAST, so on replay
+  *  - docs sibling absent for the batch → the whole batch re-applies
+  *    (index rows duplicate, harmlessly);
+  *  - docs sibling present → the batch fully landed → idempotent
+  *    no-op (detected here, since the append's own monotone guard
+  *    would reject the replay loudly);
+  *  - PARTIAL doc overlap can only mean a corrupt feed (ids recycled
+  *    across batches) → loud failure, never silent double-indexing.
+  *
+  * Per-trigger work is one shingle pass over the batch plus two
+  * appends — O(batch), never O(index). Duplicate rows are compaction
+  * debt ([[Dedup.compactSubstrIndex]]); pause the stream to compact.
+  */
+object SubstrIngest {
+
+  /** Pure per-batch body (testable without a streaming runtime). */
+  def ingestBatch(batch: DataFrame, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val ids = batch.select(col("doc_id")).distinct()
+    val nBatch = ids.count()
+    if (nBatch == 0L) return
+    val indexed = spark.read
+      .parquet(s"$indexPath/${Dedup.SubstrDocsDir}")
+    val nSeen = ids.join(indexed, Seq("doc_id"), "left_semi").count()
+    if (nSeen == nBatch) return // fully-applied batch replayed: no-op
+    require(nSeen == 0L,
+      s"SubstrIngest: $nSeen of $nBatch batch doc_ids are already " +
+        "indexed — a partial overlap means the feed recycled ids; " +
+        "refusing to double-index")
+    Dedup.appendSubstrIndex(spark, batch, indexPath)
+  }
+
+  /** Wire the stream: micro-batches of (doc_id, text) append to the
+    * standing index. The feed must be id-monotone across batches (the
+    * index's contract — enforced per batch by the append's guard).
+    */
+  def start(streamingDocs: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, indexPath)
+      }
+      .start()
+}

@@ -1679,6 +1679,60 @@ class MlSpec extends SparkSpec {
     assert(out.filter(col("neg_cos") >= 0.35).count() === 0)
   }
 
+  test("substr ingest + compaction: streamed batches apply once, " +
+      "replays no-op, partial overlap is loud; compaction collapses " +
+      "dup rows to one file per dirty bucket and changes no answer") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_ing")
+    val path = s"$tmp/idx"
+    try {
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), path, k = 4)
+      val batch = docs.filter(col("doc_id") >= t1 && col("doc_id") < t2)
+      graft.streaming.SubstrIngest.ingestBatch(batch, path)
+      val batchDocs = batch.select(col("doc_id"))
+      val rowsAfter = spark.read.parquet(s"$path/${Dedup.SubstrDocsDir}")
+        .count()
+      // replay of the fully-applied batch: idempotent no-op
+      graft.streaming.SubstrIngest.ingestBatch(batch, path)
+      assert(spark.read.parquet(s"$path/${Dedup.SubstrDocsDir}")
+        .count() === rowsAfter, "replay re-applied a landed batch")
+      // partial id overlap = recycled feed: loud
+      intercept[IllegalArgumentException] {
+        graft.streaming.SubstrIngest.ingestBatch(
+          docs.filter(col("doc_id") >= t2 - 2 && col("doc_id") < t2 + 2),
+          path)
+      }
+      // compaction: collapse dup hash rows, one file per dirty bucket
+      val inc = Dedup.exactSubstrIncrement(spark,
+        docs.filter(col("doc_id") >= t2), path)
+      val before = inc.collect().toSeq
+      val rewritten = Dedup.compactSubstrIndex(spark, path)
+      assert(rewritten > 0L, "append should have dirtied some buckets")
+      val fsDir = new java.io.File(path)
+      fsDir.listFiles().filter(_.getName.startsWith("bkt=")).foreach { d =>
+        assert(d.listFiles()
+          .count(_.getName.endsWith(".parquet")) === 1,
+          s"${d.getName} not compacted to one file")
+      }
+      val idx = spark.read.parquet(path)
+      assert(idx.groupBy(col("h")).count()
+        .filter(col("count") > 1).count() === 0L,
+        "duplicate hash rows survived compaction")
+      val after = Dedup.exactSubstrIncrement(spark,
+        docs.filter(col("doc_id") >= t2), path).collect().toSeq
+      assert(after === before, "compaction changed the increment")
+      // converged: a second compaction finds nothing dirty
+      assert(Dedup.compactSubstrIndex(spark, path) === 0L)
+      assert(batchDocs.count() > 0)
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("mmrRerank defers the redundant near-copy: the diverse " +
       "second-best candidate outranks a higher-relevance near-dup " +
       "of the first pick") {
