@@ -771,6 +771,40 @@ object Corpus {
     *
     * Returns `rows`' columns plus the 1-based `position`.
     */
+  /** Per-epoch shuffled training order over a repetition manifest —
+    * the composition that turns [[temperatureMixture]]'s (doc, epoch)
+    * rows into the stream a training loader actually reads: within
+    * each epoch, rows are ordered by hash60(seed|epoch|doc), so every
+    * epoch is an INDEPENDENT deterministic permutation (the epoch
+    * value is inside the hash — repeating docs don't repeat their
+    * order across passes, the shuffle-each-epoch training norm).
+    * Same monotone-bucket machinery as [[shufflePositions]], grouped
+    * by epoch: no task ever sorts an epoch, yet the positions are
+    * bit-identical to the naive per-epoch window the oracle states.
+    *
+    * Returns the manifest's columns plus the 1-based within-epoch
+    * `position`.
+    */
+  def epochOrder(manifest: DataFrame, seed: String): DataFrame = {
+    val reserved = Seq("_sid", "position")
+    val taken = manifest.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"inputs may not use the reserved working names $taken")
+    require(manifest.columns.contains("epoch")
+      && manifest.columns.contains("doc_id"),
+      "epochOrder expects a (doc_id, epoch, ...) repetition manifest")
+    val keyed = manifest.withColumn("_sid",
+      concat(lit(seed), lit("|"), col("epoch").cast("string"),
+        lit("|"), col("doc_id").cast("string")))
+    // epochs are few (a repetition manifest's max epoch count) — the
+    // uncapped per-epoch target table is broadcast-small
+    val targets = manifest.select(col("epoch")).distinct()
+      .withColumn("n_target", lit(Long.MaxValue))
+    cappedHashRank(keyed, "_sid", Seq("epoch"), targets)
+      .withColumnRenamed("rk", "position")
+      .drop("_sid")
+  }
+
   def shufflePositions(rows: DataFrame, idCol: String,
       seed: String): DataFrame = {
     val reserved = Seq("_sid", "_g", "position")

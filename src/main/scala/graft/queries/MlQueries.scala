@@ -1886,6 +1886,60 @@ object MlQueries {
       |UNION ALL SELECT doc_id, source, epoch FROM remp
       |ORDER BY source, epoch, doc_id""".stripMargin
 
+  /** Per-epoch shuffled training order over ns54's repetition
+    * manifest: each epoch of the temperature mixture gets its own
+    * independent deterministic permutation (epoch inside the hash).
+    * The oracle restates ns54's manifest CTEs and the naive
+    * per-epoch window the bucket machinery is bit-identical to.
+    */
+  val ns60EpochOrder: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, lit("rare"))
+          .when(col("doc_id") % 5 === 0, lit("mid"))
+          .otherwise(lit("common")).as("source"))
+    Corpus.epochOrder(
+      Corpus.temperatureMixture(docs, alpha = 0.5, budget = 800L),
+      seed = "run1")
+      .orderBy(col("epoch"), col("position"))
+  }
+
+  val ns60EpochOrderSql: String = {
+    val h = duckHash60(
+      "'run1|' || epoch::VARCHAR || '|' || doc_id::VARCHAR")
+    s"""WITH src AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 'rare'
+      |    WHEN doc_id % 5 = 0 THEN 'mid' ELSE 'common' END AS source
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, count(*)::BIGINT AS n FROM src GROUP BY 1
+      |), plan AS (
+      |  SELECT source, n,
+      |    CAST(floor(round(pow(n, 0.5) / sum(pow(n, 0.5)) OVER (), 9)
+      |      * 800) AS BIGINT) AS tgt
+      |  FROM counts
+      |), p2 AS (
+      |  SELECT source, n, tgt, tgt // n AS fe, tgt % n AS rem FROM plan
+      |), fullp AS (
+      |  SELECT d.doc_id, d.source, unnest(range(0, p.fe)) AS epoch
+      |  FROM src d JOIN p2 p USING (source)
+      |), remp AS (
+      |  SELECT doc_id, source, fe AS epoch FROM (
+      |    SELECT d.doc_id, d.source, p.fe, p.rem,
+      |      row_number() OVER (PARTITION BY d.source
+      |        ORDER BY ${duckHash60("d.doc_id::VARCHAR")}, d.doc_id) AS rk
+      |    FROM src d JOIN p2 p USING (source)) WHERE rk <= rem
+      |), manifest AS (
+      |  SELECT doc_id, source, epoch FROM fullp
+      |  UNION ALL SELECT doc_id, source, epoch FROM remp
+      |)
+      |SELECT doc_id, source, epoch,
+      |  row_number() OVER (PARTITION BY epoch ORDER BY $h,
+      |    'run1|' || epoch::VARCHAR || '|' || doc_id::VARCHAR)
+      |    AS position
+      |FROM manifest ORDER BY epoch, position""".stripMargin
+  }
+
   /** The capstone: a full training-corpus prep pipeline in ONE plan —
     * quality gate (length) → language gate (predicted en) → MinHash
     * near-dup clustering with canonical-survivor selection → split
@@ -2897,6 +2951,7 @@ object MlQueries {
     "ns57_hard_negatives" -> ns57HardNegatives,
     "ns58_decontam_spans" -> ns58DecontamSpans,
     "ns59_mmr_rerank" -> ns59MmrRerank,
+    "ns60_epoch_order" -> ns60EpochOrder,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2973,5 +3028,6 @@ object MlQueries {
     "ns57_hard_negatives" -> ns57HardNegativesSql,
     "ns58_decontam_spans" -> ns58DecontamSpansSql,
     "ns59_mmr_rerank" -> ns59MmrRerankSql,
+    "ns60_epoch_order" -> ns60EpochOrderSql,
   )
 }

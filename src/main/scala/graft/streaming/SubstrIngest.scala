@@ -35,22 +35,51 @@ import graft.ml.Dedup
   */
 object SubstrIngest {
 
-  /** Pure per-batch body (testable without a streaming runtime). */
-  def ingestBatch(batch: DataFrame, indexPath: String): Unit = {
+  /** True iff the batch still needs applying: empty and fully-landed
+    * batches return false (the replay no-op), a PARTIAL id overlap
+    * fails loudly (recycled feed).
+    */
+  private def isFreshBatch(batch: DataFrame, indexPath: String)
+      : Boolean = {
     val spark = batch.sparkSession
     val ids = batch.select(col("doc_id")).distinct()
     val nBatch = ids.count()
-    if (nBatch == 0L) return
+    if (nBatch == 0L) return false
     val indexed = spark.read
       .parquet(s"$indexPath/${Dedup.SubstrDocsDir}")
     val nSeen = ids.join(indexed, Seq("doc_id"), "left_semi").count()
-    if (nSeen == nBatch) return // fully-applied batch replayed: no-op
+    if (nSeen == nBatch) return false // fully-applied replay: no-op
     require(nSeen == 0L,
       s"SubstrIngest: $nSeen of $nBatch batch doc_ids are already " +
         "indexed — a partial overlap means the feed recycled ids; " +
         "refusing to double-index")
-    Dedup.appendSubstrIndex(spark, batch, indexPath)
+    true
   }
+
+  /** Pure per-batch body (testable without a streaming runtime). */
+  def ingestBatch(batch: DataFrame, indexPath: String): Unit =
+    if (isFreshBatch(batch, indexPath))
+      Dedup.appendSubstrIndex(batch.sparkSession, batch, indexPath)
+
+  /** The full online-dedup batch body: the batch's duplicated-span
+    * report (against everything indexed so far, plus within-batch)
+    * lands under `reportPath/ingest_batch=<id>/` BEFORE the batch is
+    * appended — so the report always describes the batch against the
+    * pre-batch corpus, and the write order makes every crash window
+    * safe: report-then-crash replays recompute the identical report
+    * (same pre-state — the index hasn't advanced) into the same
+    * partition (overwrite, idempotent), and a fully-landed batch
+    * skips both halves.
+    */
+  def reportAndIngestBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, reportPath: String): Unit =
+    if (isFreshBatch(batch, indexPath)) {
+      val spark = batch.sparkSession
+      Dedup.exactSubstrIncrement(spark, batch, indexPath)
+        .write.mode("overwrite")
+        .parquet(s"$reportPath/ingest_batch=$batchId")
+      Dedup.appendSubstrIndex(spark, batch, indexPath)
+    }
 
   /** Wire the stream: micro-batches of (doc_id, text) append to the
     * standing index. The feed must be id-monotone across batches (the
@@ -62,6 +91,19 @@ object SubstrIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, indexPath)
+      }
+      .start()
+
+  /** Wire the ONLINE-DEDUP loop: every micro-batch is span-reported
+    * against the standing corpus, then indexed — the live form of
+    * "dedup the new crawl against everything seen so far".
+    */
+  def startWithReports(streamingDocs: DataFrame, indexPath: String,
+      reportPath: String, checkpoint: String): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        reportAndIngestBatch(batch, batchId, indexPath, reportPath)
       }
       .start()
 }

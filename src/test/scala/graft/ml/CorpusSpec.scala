@@ -142,4 +142,38 @@ class CorpusSpec extends SparkSpec {
         "doc_id", "s")
     }
   }
+
+  test("epochOrder: each epoch is a complete independent permutation " +
+      "— repeated docs change their relative order across passes") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    // 40 docs of one source repeated for 3 full epochs
+    val manifest = (0L until 40L).flatMap(d =>
+      (0L until 3L).map(e => (d, e))).toDF("doc_id", "epoch")
+    val ordered = Corpus.epochOrder(manifest, "run1")
+    // positions within each epoch are exactly 1..40
+    val perEpoch = ordered.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("position")).as("d"),
+        min(col("position")).as("lo"), max(col("position")).as("hi"))
+      .collect()
+    assert(perEpoch.length === 3)
+    perEpoch.foreach { r =>
+      assert(r.getLong(1) === 40L && r.getLong(2) === 40L
+        && r.getLong(3) === 1L && r.getLong(4) === 40L)
+    }
+    // epochs decorrelate: the same docs land at mostly different
+    // positions in different passes
+    val e0 = ordered.filter(col("epoch") === 0L)
+      .select(col("doc_id"), col("position"))
+    val e1 = ordered.filter(col("epoch") === 1L)
+      .select(col("doc_id"), col("position"))
+    val same = e0.join(e1, Seq("doc_id", "position"), "left_semi").count()
+    assert(same < 8, s"epoch permutations agree on $same of 40 docs")
+    // deterministic across runs
+    val again = Corpus.epochOrder(manifest, "run1")
+    assert(ordered.exceptAll(again).isEmpty
+      && again.exceptAll(ordered).isEmpty)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.ml.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ExactSubstr maintenance: monotone micro-batches append
+  * to the standing shingle-hash index, and the online-dedup wiring
+  * reports each batch against exactly the pre-batch corpus — equal to
+  * the full recompute restricted to the batch, which is the same
+  * contract the ns55b/ns55c registry gates prove for the batch path.
+  */
+class SubstrIngestSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, dir)
+    .select(col("doc_id"), col("text"))
+
+  private def docRows(df: org.apache.spark.sql.DataFrame): Seq[DocRow] = {
+    val spark0 = spark
+    import spark0.implicits._
+    df.as[(Long, String)].collect().toSeq
+      .map { case (id, t) => DocRow(id, t) }
+  }
+
+  test("streamed batches report against the pre-batch corpus and " +
+      "index the whole feed; reports equal the full recompute") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val tmp = java.nio.file.Files.createTempDirectory("substr_ingest")
+    try {
+      val idx = tmp.resolve("idx").toString
+      val rep = tmp.resolve("reports").toString
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), idx, k = 4)
+      val b1 = docRows(docs.filter(col("doc_id") >= t1
+        && col("doc_id") < t2))
+      val b2 = docRows(docs.filter(col("doc_id") >= t2))
+      val in = MemoryStream[DocRow]
+      val q = SubstrIngest.startWithReports(in.toDF(), idx, rep,
+        tmp.resolve("ckpt").toString)
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // every doc of the feed is indexed exactly once
+      assert(spark.read.parquet(s"$idx/${Dedup.SubstrDocsDir}")
+        .count() === n)
+      // each batch's persisted report equals the full recompute over
+      // (everything seen up to and including that batch) restricted
+      // to the batch — the pre-batch-corpus contract
+      val full1 = Dedup.exactSubstr(docs.filter(col("doc_id") < t2),
+        k = 4).filter(col("doc_id") >= t1)
+      val got1 = spark.read.parquet(s"$rep/ingest_batch=0")
+      assert(got1.exceptAll(full1).isEmpty
+        && full1.exceptAll(got1).isEmpty,
+        "batch-1 report diverges from the full recompute")
+      val full2 = Dedup.exactSubstr(docs, k = 4)
+        .filter(col("doc_id") >= t2)
+      val got2 = spark.read.parquet(s"$rep/ingest_batch=1")
+      assert(got2.exceptAll(full2).isEmpty
+        && full2.exceptAll(got2).isEmpty,
+        "batch-2 report diverges from the full recompute")
+      // a replayed fully-landed batch is a no-op for report AND index
+      SubstrIngest.reportAndIngestBatch(
+        docs.filter(col("doc_id") >= t2), 1L, idx, rep)
+      assert(spark.read.parquet(s"$idx/${Dedup.SubstrDocsDir}")
+        .count() === n)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+}
