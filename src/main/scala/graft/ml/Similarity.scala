@@ -375,8 +375,16 @@ object Similarity {
     val n = withNorm(embeddings)
     val queries = n.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id"))
+    // the candidate lists and their pairwise sims are each read by
+    // EVERY greedy step (selected, remaining, and maxsim all hang off
+    // them) — without a materialization boundary the |Q|·N pair scan
+    // under bruteTopKForQueries re-executes once per consumer per
+    // step (measured 15.7 s at sf0.1; localCheckpointing the two
+    // list-sized tables collapses the loop to window-over-tiny-data,
+    // the ns22 materialization discipline)
     val rel = bruteTopKForQueries(embeddings, queries, m)
       .select(col("i"), col("j"), col("cos").as("rel"))
+      .localCheckpoint()
     // pairwise candidate sims WITHIN each query's list: |Q|·m² rows
     val sims = rel.select(col("i"), col("j").as("ja"))
       .join(rel.select(col("i"), col("j").as("jb")), Seq("i"))
@@ -386,6 +394,7 @@ object Similarity {
       .join(n.select(col("vec_id").as("jb"), col("e").as("eb"),
         col("nrm").as("nb")), Seq("jb"))
       .select(col("i"), col("ja"), col("jb"), pairCos.as("sim"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("i"))
       .orderBy(col("score").desc, col("j"))
     def pick(scored: DataFrame, rank: Int): DataFrame =
@@ -435,12 +444,18 @@ object Similarity {
 
   /** Sign-bit Hamming distance between two packed arrays: Σ_w
     * popcount(a_w XOR b_w) — integer arithmetic, so the candidate
-    * ranking has NO float-ordering hazard at all.
+    * ranking has NO float-ordering hazard at all. The word count is
+    * known at plan time, so the sum is UNROLLED into static
+    * element_at/xor/bit_count expressions — a zip_with/aggregate HOF
+    * here is CodegenFallback and pays per-pair lambda overhead on the
+    * N² scan (measured 9.3 s vs the sibling kernels' sub-second scans
+    * at sf0.1; the §9 HOF rule, arity edition).
     */
-  private def hamming(ba: Column, bb: Column): Column =
-    aggregate(
-      zip_with(ba, bb, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+  private def hamming(ba: Column, bb: Column, nWords: Int): Column =
+    (0 until nWords).map { w =>
+      bit_count(element_at(ba, w + 1)
+        .bitwiseXOR(element_at(bb, w + 1))).cast("long")
+    }.reduce(_ + _)
 
   /** Candidate-generate-with-SIGN-BITS, refine-with-exact top-k: rank
     * all pairs by sign-bit Hamming distance (ascending — fewer
@@ -461,13 +476,22 @@ object Similarity {
       refine: Int): DataFrame = {
     require(refine >= k, "refine depth must be >= k")
     val n = withNorm(embeddings)
+    // MATERIALIZED, not lazy: CollapseProject inlines the 64-when
+    // packing chain through the join inputs into the per-pair ham
+    // projection, re-packing BOTH vectors for every pair — measured
+    // 7.7 s vs 0.7 s for the 4M-pair candidate stage at sf0.1 (the
+    // §9 CollapseProject hazard, when-chain edition). The checkpoint
+    // is the binary INDEX itself — ⌈dim/64⌉ longs per vector, the
+    // table a serving deployment would persist anyway.
     val z = n.withColumn("bits", packSignBits(col("e"), dim))
+      .select(col("vec_id"), col("bits"))
+      .localCheckpoint()
     val qa = z.select(col("vec_id").as("i"), col("bits").as("ba"))
     val qb = z.select(col("vec_id").as("j"), col("bits").as("bb"))
     val wApprox = Window.partitionBy(col("i"))
       .orderBy(col("ham"), col("j"))
     val cand = qa.crossJoin(qb).filter(col("i") =!= col("j"))
-      .withColumn("ham", hamming(col("ba"), col("bb")))
+      .withColumn("ham", hamming(col("ba"), col("bb"), (dim + 63) / 64))
       .withColumn("hrk", row_number().over(wApprox))
       .filter(col("hrk") <= refine)
       .select(col("i"), col("j"))
