@@ -771,6 +771,77 @@ object Corpus {
     *
     * Returns `rows`' columns plus the 1-based `position`.
     */
+  /** Bottom-k uniform sample — the MERGEABLE corpus sample: keep the
+    * k rows with the smallest hash60(seed|id). Because the k smallest
+    * of a union are among the union of each side's k smallest, the
+    * sketch merges across partitions, batches, and streams without
+    * resampling — the property reservoir sampling lacks in a
+    * distributed setting — and the same seed always selects the same
+    * docs (the eval-slice / debug-slice everybody needs to be stable
+    * across reruns). Executes as TakeOrdered (per-partition partial
+    * top-k, k rows to the driver), never a global sort.
+    */
+  def bottomKSample(rows: DataFrame, idCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val h = HashUtils.hash60(
+      concat(lit(seed), lit("|"), col(idCol).cast("string")))
+    rows.withColumn("_h", h)
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+      .drop("_h")
+  }
+
+  /** Merge a new batch into a standing bottom-k sample: the k
+    * smallest of (state ∪ batch) — by mergeability, computing each
+    * side's bottom-k first loses nothing, so maintenance cost is
+    * O(batch + k), never a corpus rescan. Gated against the
+    * from-scratch sample over the union (the incremental-agg
+    * discipline).
+    */
+  def mergeBottomK(state: DataFrame, batch: DataFrame, idCol: String,
+      k: Int, seed: String): DataFrame =
+    bottomKSample(state.unionByName(batch), idCol, k, seed)
+
+  /** Per-user training sequences from an event log — the
+    * sequential-recommendation (SASRec-style) input builder: for each
+    * user, the LAST `maxLen` events in time order, emitted as the
+    * event-type sequence string plus coverage stats (total events,
+    * kept events, value sum over the kept window). Determinism: the
+    * recency cut and the sequence order both tie-break on event_id,
+    * and the per-user reassembly sorts (ts, event_id) structs inside
+    * the aggregate — never a global sort; the only shuffle keys on
+    * user_id and the window skew is bounded by the busiest user's
+    * event count (cap it upstream if your log has bots).
+    */
+  def userHistories(events: DataFrame, maxLen: Int): DataFrame = {
+    require(maxLen >= 1, "maxLen must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n_total", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("_rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(max(col("_n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        // ONE sorted struct list feeds both outputs: the sequence
+        // string, and the value sum folded in (ts, event_id) order —
+        // a plain sum() of up to maxLen doubles associates in
+        // partition-dependent order (the bm25TopK ulp lesson)
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type"), col("value")))).as("_seq"))
+      .select(col("user_id"), col("n_total"), col("n_kept"),
+        array_join(transform(col("_seq"),
+          x => x.getField("event_type")), " ").as("hist"),
+        round(aggregate(transform(col("_seq"),
+          x => x.getField("value")), lit(0.0d), (acc, v) => acc + v), 6)
+          .as("window_value"))
+  }
+
   /** Per-epoch shuffled training order over a repetition manifest —
     * the composition that turns [[temperatureMixture]]'s (doc, epoch)
     * rows into the stream a training loader actually reads: within

@@ -1940,6 +1940,62 @@ object MlQueries {
       |FROM manifest ORDER BY epoch, position""".stripMargin
   }
 
+  /** Bottom-k mergeable uniform sample: the 50 docs with the smallest
+    * hash60(seed|id) — the stable eval/debug slice. ns61b maintains
+    * the same sample INCREMENTALLY (state from 3/4 of the corpus,
+    * one merge with the final quarter) and gates on the identical
+    * from-scratch oracle — the mergeability proof, driver-checked.
+    */
+  val ns61BottomkSample: Q = (s, dir) =>
+    Corpus.bottomKSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", k = 50, seed = "eval0")
+      .orderBy(col("doc_id"))
+
+  val ns61BottomkSampleSql: String = {
+    val h = duckHash60("'eval0|' || doc_id::VARCHAR")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (ORDER BY $h, doc_id) AS rk
+       |  FROM documents) WHERE rk <= 50
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val ns61bBottomkMerged: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val n = docs.count()
+    val cut = 3 * n / 4
+    val state = Corpus.bottomKSample(
+      docs.filter(col("doc_id") < cut), "doc_id", 50, "eval0")
+    Corpus.mergeBottomK(state, docs.filter(col("doc_id") >= cut),
+      "doc_id", 50, "eval0")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-user training sequences (the SASRec-style input builder):
+    * each user's last 20 events in time order — the type-sequence
+    * string, coverage counts, and the sorted-fold value sum.
+    */
+  val ns62UserHistories: Q = (s, dir) =>
+    Corpus.userHistories(Tables.events(s, dir), maxLen = 20)
+      .orderBy(col("user_id"))
+
+  val ns62UserHistoriesSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_total
+      |  FROM events
+      |)
+      |SELECT user_id, max(n_total) AS n_total, count(*) AS n_kept,
+      |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS hist,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list(value ORDER BY ts, event_id)), (a, b) -> a + b), 6)
+      |    AS window_value
+      |FROM ranked WHERE rn <= 20
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** The capstone: a full training-corpus prep pipeline in ONE plan —
     * quality gate (length) → language gate (predicted en) → MinHash
     * near-dup clustering with canonical-survivor selection → split
@@ -2952,6 +3008,9 @@ object MlQueries {
     "ns58_decontam_spans" -> ns58DecontamSpans,
     "ns59_mmr_rerank" -> ns59MmrRerank,
     "ns60_epoch_order" -> ns60EpochOrder,
+    "ns61_bottomk_sample" -> ns61BottomkSample,
+    "ns61b_bottomk_merged" -> ns61bBottomkMerged,
+    "ns62_user_histories" -> ns62UserHistories,
   )
 
   def oracles: Map[String, String] = Map(
@@ -3029,5 +3088,8 @@ object MlQueries {
     "ns58_decontam_spans" -> ns58DecontamSpansSql,
     "ns59_mmr_rerank" -> ns59MmrRerankSql,
     "ns60_epoch_order" -> ns60EpochOrderSql,
+    "ns61_bottomk_sample" -> ns61BottomkSampleSql,
+    "ns61b_bottomk_merged" -> ns61BottomkSampleSql,
+    "ns62_user_histories" -> ns62UserHistoriesSql,
   )
 }

@@ -143,6 +143,56 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bottomKSample merges losslessly over any split and caps at k") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"))
+    val full = Corpus.bottomKSample(docs, "doc_id", 20, "s")
+    assert(full.count() === 20L)
+    // mergeability: bottom-k of (bottom-k(left) U right) == bottom-k
+    // of the whole, for an arbitrary uneven split
+    val left = Corpus.bottomKSample(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", 20, "s")
+    val merged = Corpus.mergeBottomK(left,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", 20, "s")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "merged bottom-k diverges from the from-scratch sample")
+    // a different seed selects a (almost surely) different slice
+    val other = Corpus.bottomKSample(docs, "doc_id", 20, "t")
+    assert(other.join(full, Seq("doc_id"), "left_semi").count() < 15)
+    // k larger than the corpus returns everything
+    assert(Corpus.bottomKSample(docs.limit(5), "doc_id", 20, "s")
+      .count() === 5L)
+  }
+
+  test("userHistories keeps the LAST maxLen events in time order " +
+      "with event_id tie-break and a sorted-fold value sum") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ev = Seq(
+      // user 1: 4 events, maxLen 3 keeps the 3 most recent; two
+      // events share a timestamp — event_id breaks the tie both for
+      // the recency cut and the sequence order
+      (1L, ts(0), 10L, "view", 1.0),
+      (1L, ts(1), 11L, "click", 2.0),
+      (1L, ts(2), 12L, "cart", 4.0),
+      (1L, ts(2), 13L, "purchase", 8.0),
+      (2L, ts(5), 20L, "view", 0.5))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Corpus.userHistories(ev, maxLen = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 4L && out(1L).getLong(2) === 3L)
+    // kept = the 3 most recent (click, cart, purchase), emitted in
+    // ascending (ts, event_id) order
+    assert(out(1L).getString(3) === "click cart purchase")
+    assert(out(1L).getDouble(4) === 14.0)
+    assert(out(2L).getLong(1) === 1L
+      && out(2L).getString(3) === "view")
+  }
+
   test("epochOrder: each epoch is a complete independent permutation " +
       "— repeated docs change their relative order across passes") {
     import org.apache.spark.sql.functions._
