@@ -842,6 +842,49 @@ object Corpus {
           .as("window_value"))
   }
 
+  /** Deterministic negative sampling for implicit-feedback training
+    * (the BPR/matrix-factorization pair generator): for each user, k
+    * items they did NOT interact with, drawn by hashing (seed, user,
+    * slot) into the 1..itemMax id space. Oversampled slots absorb the
+    * two loss channels — within-user candidate collisions (deduped,
+    * first slot wins) and candidates that hit a true interaction
+    * (anti-joined away) — so k negatives survive almost surely at
+    * oversample ≥ 2–3 for sparse users; a pathological user who
+    * interacted with most of the item space yields fewer, honestly.
+    * Fully deterministic given the seed: reruns, retries, and the
+    * oracle all draw the identical negatives — the property
+    * rand()-based samplers can't give a distributed retry.
+    *
+    * Scale: slots are |users|·k·oversample rows of three longs, the
+    * dedup/rank windows partition by user, and the anti-join keys on
+    * (user, item) against the interaction table — all linear; the
+    * item-space size rides the plan as a broadcast 1-row aggregate.
+    */
+  def negativeSamples(interactions: DataFrame, users: DataFrame,
+      itemMax: DataFrame, k: Int, oversample: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(oversample >= 2, "oversample slots must be >= 2x k")
+    val dedup = Window.partitionBy(col("user_id"), col("item_id"))
+      .orderBy(col("slot"))
+    val rankW = Window.partitionBy(col("user_id")).orderBy(col("slot"))
+    users.select(col("user_id"))
+      .withColumn("slot",
+        explode(sequence(lit(1), lit(k * oversample))))
+      .crossJoin(broadcast(itemMax.select(col("item_max"))))
+      .withColumn("item_id",
+        pmod(HashUtils.hash60(concat(lit(seed), lit("|"),
+          col("user_id").cast("string"), lit("|"),
+          col("slot").cast("string"))), col("item_max")) + 1)
+      .withColumn("_dup", row_number().over(dedup))
+      .filter(col("_dup") === 1)
+      .join(interactions.select(col("user_id"), col("item_id")),
+        Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("user_id"), col("rk"), col("item_id"))
+  }
+
   /** Per-epoch shuffled training order over a repetition manifest —
     * the composition that turns [[temperatureMixture]]'s (doc, epoch)
     * rows into the stream a training loader actually reads: within

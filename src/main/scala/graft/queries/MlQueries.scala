@@ -1996,6 +1996,59 @@ object MlQueries {
       |FROM ranked WHERE rn <= 20
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** BPR-style negative sampling over the order/lineitem implicit-
+    * feedback matrix: per sampled customer, 5 parts they never
+    * bought, drawn deterministically by seeded hash with collision
+    * dedup and interaction anti-join.
+    */
+  val ns63NegativeSamples: Q = (s, dir) => {
+    val inter = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id")).distinct()
+    val users = inter.select(col("user_id")).distinct()
+      .filter(col("user_id") % 10 === 0)
+    val itemMax = Tables.part(s, dir)
+      .agg(max(col("p_partkey")).as("item_max"))
+    Corpus.negativeSamples(inter, users, itemMax, k = 5,
+      oversample = 3, seed = "neg0")
+      .orderBy(col("user_id"), col("rk"))
+  }
+
+  val ns63NegativeSamplesSql: String = {
+    val h = duckHash60(
+      "'neg0|' || user_id::VARCHAR || '|' || slot::VARCHAR")
+    s"""WITH inter AS (
+       |  SELECT DISTINCT o.o_custkey AS user_id,
+       |    l.l_partkey AS item_id
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |), u AS (
+       |  SELECT DISTINCT user_id FROM inter WHERE user_id % 10 = 0
+       |), p AS (
+       |  SELECT max(p_partkey) AS item_max FROM part
+       |), slots AS (
+       |  SELECT user_id, unnest(generate_series(1, 15)) AS slot FROM u
+       |), cand AS (
+       |  SELECT user_id, slot, ($h % item_max) + 1 AS item_id
+       |  FROM slots, p
+       |), ded AS (
+       |  SELECT user_id, slot, item_id FROM (
+       |    SELECT user_id, slot, item_id, row_number() OVER (
+       |      PARTITION BY user_id, item_id ORDER BY slot) AS dup
+       |    FROM cand) WHERE dup = 1
+       |), neg AS (
+       |  SELECT d.user_id, d.slot, d.item_id FROM ded d
+       |  ANTI JOIN inter i
+       |    ON d.user_id = i.user_id AND d.item_id = i.item_id
+       |)
+       |SELECT user_id, rk, item_id FROM (
+       |  SELECT user_id, item_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY slot) AS rk
+       |  FROM neg) WHERE rk <= 5
+       |ORDER BY user_id, rk""".stripMargin
+  }
+
   /** The capstone: a full training-corpus prep pipeline in ONE plan —
     * quality gate (length) → language gate (predicted en) → MinHash
     * near-dup clustering with canonical-survivor selection → split
@@ -3011,6 +3064,7 @@ object MlQueries {
     "ns61_bottomk_sample" -> ns61BottomkSample,
     "ns61b_bottomk_merged" -> ns61bBottomkMerged,
     "ns62_user_histories" -> ns62UserHistories,
+    "ns63_negative_samples" -> ns63NegativeSamples,
   )
 
   def oracles: Map[String, String] = Map(
@@ -3091,5 +3145,6 @@ object MlQueries {
     "ns61_bottomk_sample" -> ns61BottomkSampleSql,
     "ns61b_bottomk_merged" -> ns61BottomkSampleSql,
     "ns62_user_histories" -> ns62UserHistoriesSql,
+    "ns63_negative_samples" -> ns63NegativeSamplesSql,
   )
 }

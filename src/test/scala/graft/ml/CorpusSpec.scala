@@ -193,6 +193,34 @@ class CorpusSpec extends SparkSpec {
       && out(2L).getString(3) === "view")
   }
 
+  test("negativeSamples never collides with a positive, fills k when " +
+      "the space allows, and shortfalls honestly when it cannot") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    // user 1 bought items 1..10 of a 20-item space; user 2 bought ALL
+    val inter = ((1L to 10L).map(i => (1L, i))
+      ++ (1L to 20L).map(i => (2L, i))).toDF("user_id", "item_id")
+    val users = Seq(1L, 2L).toDF("user_id")
+    val itemMax = Seq(20L).toDF("item_max")
+    val out = Corpus.negativeSamples(inter, users, itemMax,
+      k = 3, oversample = 4, seed = "s")
+    // no negative is ever a positive
+    assert(out.join(inter, Seq("user_id", "item_id"), "left_semi")
+      .count() === 0L)
+    // user 1 has 10 free items and 12 slots — k fills
+    assert(out.filter(col("user_id") === 1L).count() === 3L)
+    // user 2 interacted with the whole space — zero negatives, not
+    // fabricated ones
+    assert(out.filter(col("user_id") === 2L).count() === 0L)
+    // items stay inside the universe and draws are deterministic
+    assert(out.filter(col("item_id") < 1 || col("item_id") > 20)
+      .count() === 0L)
+    val again = Corpus.negativeSamples(inter, users, itemMax,
+      k = 3, oversample = 4, seed = "s")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("epochOrder: each epoch is a complete independent permutation " +
       "— repeated docs change their relative order across passes") {
     import org.apache.spark.sql.functions._
