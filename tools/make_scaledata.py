@@ -40,9 +40,9 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 
 
-def main(out_root):
+def main(out_root, ks=(1, 2, 3)):
     con = duckdb.connect()
-    for k in (1, 2, 3):
+    for k in ks:
         d = os.path.join(out_root, f"x{k}")
         os.makedirs(d, exist_ok=True)
         reps = ", ".join(str(r) for r in range(k))
@@ -101,4 +101,6 @@ def main(out_root):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata",
+         tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2
+         else (1, 2, 3))
