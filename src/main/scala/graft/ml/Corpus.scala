@@ -756,21 +756,6 @@ object Corpus {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
-  /** Deterministic seeded global shuffle order — the training-order
-    * export step between mixture sampling and sequence packing: every
-    * epoch pipeline needs the corpus in a REPRODUCIBLE pseudo-random
-    * order (so a resumed/re-run job trains on the identical stream),
-    * and a naive `ORDER BY hash` is ONE task sorting the corpus.
-    * Position = global rank of hash60(seed|id) with the id-string
-    * tiebreak, assigned through [[cappedHashRank]]'s monotone-bucket
-    * decomposition (SURVEY §9): bit-identical to the naive global
-    * window, thousands-way parallel, no single-partition sort of
-    * data-sized input. A different seed yields an independent
-    * permutation; the same seed is stable across runs and engines
-    * (md5-derived hash, DuckDB-restatable).
-    *
-    * Returns `rows`' columns plus the 1-based `position`.
-    */
   /** Bottom-k uniform sample — the MERGEABLE corpus sample: keep the
     * k rows with the smallest hash60(seed|id). Because the k smallest
     * of a union are among the union of each side's k smallest, the
@@ -784,6 +769,8 @@ object Corpus {
   def bottomKSample(rows: DataFrame, idCol: String, k: Int,
       seed: String): DataFrame = {
     require(k >= 1, "k must be positive")
+    require(!rows.columns.contains("_h"),
+      "inputs may not use the reserved working name _h")
     val h = HashUtils.hash60(
       concat(lit(seed), lit("|"), col(idCol).cast("string")))
     rows.withColumn("_h", h)
@@ -919,6 +906,21 @@ object Corpus {
       .drop("_sid")
   }
 
+  /** Deterministic seeded global shuffle order — the training-order
+    * export step between mixture sampling and sequence packing: every
+    * epoch pipeline needs the corpus in a REPRODUCIBLE pseudo-random
+    * order (so a resumed/re-run job trains on the identical stream),
+    * and a naive `ORDER BY hash` is ONE task sorting the corpus.
+    * Position = global rank of hash60(seed|id) with the id-string
+    * tiebreak, assigned through [[cappedHashRank]]'s monotone-bucket
+    * decomposition (SURVEY §9): bit-identical to the naive global
+    * window, thousands-way parallel, no single-partition sort of
+    * data-sized input. A different seed yields an independent
+    * permutation; the same seed is stable across runs and engines
+    * (md5-derived hash, DuckDB-restatable).
+    *
+    * Returns `rows`' columns plus the 1-based `position`.
+    */
   def shufflePositions(rows: DataFrame, idCol: String,
       seed: String): DataFrame = {
     val reserved = Seq("_sid", "_g", "position")

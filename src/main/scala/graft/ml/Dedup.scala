@@ -848,6 +848,11 @@ object Dedup {
       nBuckets: Int = 64): Unit = {
     require(k >= 2, s"span width k must be >= 2, got $k")
     require(nBuckets >= 1, "need at least one hash bucket")
+    // an empty corpus would write an empty docs sibling, turning every
+    // later monotone guard into an opaque null — refuse loudly here
+    require(!docs.isEmpty,
+      "writeSubstrIndex: the corpus is empty — an index over nothing " +
+        "has no earliest-holder semantics")
     posShingleHashes(docs, k)
       .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
       .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
@@ -865,18 +870,31 @@ object Dedup {
     (st.getAs[Int]("k"), st.getAs[Int]("n_buckets"))
   }
 
+  /** The index's indexed-docs max, read in ONE column-pruned scan.
+    * A null max means the docs sibling is empty — possible only by
+    * writing outside this API (writeSubstrIndex refuses an empty
+    * corpus), reported descriptively instead of as an NPE.
+    */
+  private def maxIndexedDoc(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String): Long = {
+    val mx = spark.read.parquet(s"$path/$SubstrDocsDir")
+      .agg(max(col("doc_id"))).head()
+    require(!mx.isNullAt(0),
+      s"$op: the index's docs sibling at $path is empty — the index " +
+        "was not built through writeSubstrIndex; rebuild it")
+    mx.getLong(0)
+  }
+
   /** The monotone-ingest guard shared by append and increment: the
     * batch must be non-empty and lie strictly above every indexed
-    * doc_id. Returns the batch's min id for the caller's messages.
+    * doc_id (the given `maxIndexed`, so callers that already scanned
+    * the docs sibling do not pay a second pass).
     */
-  private def requireMonotoneBatch(
-      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
-      path: String, op: String): Unit = {
+  private def requireMonotoneBatch(newDocs: DataFrame,
+      maxIndexed: Long, op: String): Unit = {
     val mn = newDocs.agg(min(col("doc_id"))).head()
     require(!mn.isNullAt(0), s"$op: the batch is empty")
     val minNew = mn.getLong(0)
-    val maxIndexed = spark.read.parquet(s"$path/$SubstrDocsDir")
-      .agg(max(col("doc_id"))).head().getLong(0)
     require(minNew > maxIndexed,
       s"$op: batch min doc_id $minNew is not above the indexed max " +
         s"$maxIndexed — the index's earlier-doc semantics require " +
@@ -892,9 +910,19 @@ object Dedup {
     * argument as the streamed tombstone appends.
     */
   def appendSubstrIndex(spark: org.apache.spark.sql.SparkSession,
-      newDocs: DataFrame, path: String): Unit = {
+      newDocs: DataFrame, path: String): Unit =
+    appendSubstrIndexAt(spark, newDocs, path,
+      maxIndexedDoc(spark, path, "appendSubstrIndex"))
+
+  /** [[appendSubstrIndex]] against an already-read indexed max — the
+    * streaming path computes max and overlap in one docs-sibling scan
+    * and must not pay a second one per trigger.
+    */
+  private[graft] def appendSubstrIndexAt(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      path: String, maxIndexed: Long): Unit = {
     val (k, nBuckets) = substrIndexParams(spark, path)
-    requireMonotoneBatch(spark, newDocs, path, "appendSubstrIndex")
+    requireMonotoneBatch(newDocs, maxIndexed, "appendSubstrIndex")
     posShingleHashes(newDocs, k)
       .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
       .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
@@ -972,9 +1000,19 @@ object Dedup {
     * makes duplicate appended rows harmless.
     */
   def exactSubstrIncrement(spark: org.apache.spark.sql.SparkSession,
-      newDocs: DataFrame, path: String): DataFrame = {
+      newDocs: DataFrame, path: String): DataFrame =
+    exactSubstrIncrementAt(spark, newDocs, path,
+      maxIndexedDoc(spark, path, "exactSubstrIncrement"))
+
+  /** [[exactSubstrIncrement]] against an already-read indexed max
+    * (the streaming path's one-scan-per-trigger discipline, as with
+    * [[appendSubstrIndexAt]]).
+    */
+  private[graft] def exactSubstrIncrementAt(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+      path: String, maxIndexed: Long): DataFrame = {
     val (k, nBuckets) = substrIndexParams(spark, path)
-    requireMonotoneBatch(spark, newDocs, path, "exactSubstrIncrement")
+    requireMonotoneBatch(newDocs, maxIndexed, "exactSubstrIncrement")
     val sh = posShingleHashes(newDocs, k)
     // bounded driver action: ≤ n_buckets distinct bucket ids, the
     // partition-prune list for the index probe
@@ -994,7 +1032,15 @@ object Dedup {
     val spans = sh
       .join(idxMin, Seq("h"), "left")
       .join(batchMin, Seq("h"))
-      .filter(col("imin").isNotNull || col("bmin") < col("doc_id"))
+      // `imin < doc_id`, NOT `imin.isNotNull`: under the monotone
+      // contract the two are identical (every indexed doc is below the
+      // batch), but after a crash BETWEEN an append's index-row write
+      // and its docs-sibling write, the replayed batch finds its OWN
+      // hashes in the index — a bare null-check would then mark every
+      // batch position as duplicated and overwrite the report with
+      // garbage. Comparing doc ids keeps the "earlier doc" semantics
+      // exact in every crash state.
+      .filter(col("imin") < col("doc_id") || col("bmin") < col("doc_id"))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k - 1)).as("e"))
     substrReport(newDocs, spans)

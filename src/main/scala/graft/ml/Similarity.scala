@@ -329,9 +329,14 @@ object Similarity {
       col("nrm").as("nb"))
     val w = Window.partitionBy(col("i"))
       .orderBy(col("cos").desc, col("j"))
+    // MATERIALIZED: both the positive and negative branches hang off
+    // this scan with different filters below their window shuffles, so
+    // without a boundary the |anchors|·N dot-product pass executes
+    // twice (the mmrRerank materialization lesson, same session)
     val scored = a.crossJoin(b).filter(col("i") =!= col("j"))
       .withColumn("cos", pairCos)
       .select(col("i"), col("j"), col("cos"))
+      .localCheckpoint()
     val pos = scored.filter(col("cos") >= posThreshold)
       .withColumn("prk", row_number().over(w)).filter(col("prk") === 1)
       .select(col("i"), col("j").as("pos_id"), col("cos").as("pos_cos"))

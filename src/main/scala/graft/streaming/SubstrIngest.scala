@@ -35,31 +35,57 @@ import graft.ml.Dedup
   */
 object SubstrIngest {
 
-  /** True iff the batch still needs applying: empty and fully-landed
-    * batches return false (the replay no-op), a PARTIAL id overlap
-    * fails loudly (recycled feed).
+  /** Batch admission state, from ONE column-pruned scan of the
+    * indexed-docs sibling (per-trigger cost must not grow a second
+    * index pass): the broadcast batch-id probe yields the overlap
+    * count and the global max in the same aggregate.
     */
-  private def isFreshBatch(batch: DataFrame, indexPath: String)
-      : Boolean = {
+  private def batchStatus(batch: DataFrame, indexPath: String)
+      : (Long, Long, Long) = {
     val spark = batch.sparkSession
     val ids = batch.select(col("doc_id")).distinct()
     val nBatch = ids.count()
-    if (nBatch == 0L) return false
-    val indexed = spark.read
+    if (nBatch == 0L) return (0L, 0L, Long.MinValue)
+    val st = spark.read
       .parquet(s"$indexPath/${Dedup.SubstrDocsDir}")
-    val nSeen = ids.join(indexed, Seq("doc_id"), "left_semi").count()
-    if (nSeen == nBatch) return false // fully-applied replay: no-op
+      .join(broadcast(ids.withColumn("_m", lit(1))),
+        Seq("doc_id"), "left")
+      .agg(max(col("doc_id")).as("mx"), count(col("_m")).as("nSeen"))
+      .head()
+    require(!st.isNullAt(0),
+      s"SubstrIngest: the index's docs sibling at $indexPath is " +
+        "empty — build the base index with writeSubstrIndex first")
+    (nBatch, st.getLong(1), st.getLong(0))
+  }
+
+  /** True iff the batch still needs applying: empty and fully-landed
+    * batches return false (the replay no-op), a PARTIAL id overlap
+    * fails loudly. A partial overlap has two possible causes and the
+    * error says so: a recycled id in the feed (data bug), or a torn
+    * multi-file docs-sibling append from a crash mid-commit (repair:
+    * delete the partial batch's doc rows, or rebuild) — the stream
+    * cannot distinguish them, and silently picking either answer
+    * would corrupt the index for the other.
+    */
+  private def isFreshBatch(nBatch: Long, nSeen: Long,
+      indexPath: String): Boolean = {
+    if (nBatch == 0L || nSeen == nBatch) return false
     require(nSeen == 0L,
       s"SubstrIngest: $nSeen of $nBatch batch doc_ids are already " +
-        "indexed — a partial overlap means the feed recycled ids; " +
-        "refusing to double-index")
+        s"indexed at $indexPath — either the feed recycled ids, or a " +
+        "crash tore a docs-sibling append mid-commit; refusing to " +
+        "double-index (remove the partial batch's doc rows or " +
+        "rebuild the index)")
     true
   }
 
   /** Pure per-batch body (testable without a streaming runtime). */
-  def ingestBatch(batch: DataFrame, indexPath: String): Unit =
-    if (isFreshBatch(batch, indexPath))
-      Dedup.appendSubstrIndex(batch.sparkSession, batch, indexPath)
+  def ingestBatch(batch: DataFrame, indexPath: String): Unit = {
+    val (nBatch, nSeen, maxIndexed) = batchStatus(batch, indexPath)
+    if (isFreshBatch(nBatch, nSeen, indexPath))
+      Dedup.appendSubstrIndexAt(batch.sparkSession, batch, indexPath,
+        maxIndexed)
+  }
 
   /** The full online-dedup batch body: the batch's duplicated-span
     * report (against everything indexed so far, plus within-batch)
@@ -72,14 +98,16 @@ object SubstrIngest {
     * skips both halves.
     */
   def reportAndIngestBatch(batch: DataFrame, batchId: Long,
-      indexPath: String, reportPath: String): Unit =
-    if (isFreshBatch(batch, indexPath)) {
+      indexPath: String, reportPath: String): Unit = {
+    val (nBatch, nSeen, maxIndexed) = batchStatus(batch, indexPath)
+    if (isFreshBatch(nBatch, nSeen, indexPath)) {
       val spark = batch.sparkSession
-      Dedup.exactSubstrIncrement(spark, batch, indexPath)
+      Dedup.exactSubstrIncrementAt(spark, batch, indexPath, maxIndexed)
         .write.mode("overwrite")
         .parquet(s"$reportPath/ingest_batch=$batchId")
-      Dedup.appendSubstrIndex(spark, batch, indexPath)
+      Dedup.appendSubstrIndexAt(spark, batch, indexPath, maxIndexed)
     }
+  }
 
   /** Wire the stream: micro-batches of (doc_id, text) append to the
     * standing index. The feed must be id-monotone across batches (the

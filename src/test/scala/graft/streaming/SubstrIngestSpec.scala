@@ -74,4 +74,47 @@ class SubstrIngestSpec extends SparkSpec {
       ()
     }
   }
+
+  test("a crash between the index-row append and the docs-sibling " +
+      "append replays to the exact pre-crash report — the batch's " +
+      "own hashes in the index must not read as earlier docs") {
+    val n = docs.count()
+    val t1 = n / 2
+    val tmp = java.nio.file.Files.createTempDirectory("substr_crash")
+    try {
+      val idx = tmp.resolve("idx").toString
+      val rep = tmp.resolve("reports").toString
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), idx, k = 4)
+      val batch = docs.filter(col("doc_id") >= t1)
+      // snapshot the pre-batch docs sibling, run the full append, then
+      // restore the sibling — leaving EXACTLY the crash state: the
+      // batch's (h, min_doc) rows are in the index, its doc ids are not
+      val docsDir = new java.io.File(s"$idx/${Dedup.SubstrDocsDir}")
+      val saved = tmp.resolve("docs_saved").toFile
+      org.apache.commons.io.FileUtils.copyDirectory(docsDir, saved)
+      Dedup.appendSubstrIndex(spark, batch, idx)
+      org.apache.commons.io.FileUtils.deleteDirectory(docsDir)
+      org.apache.commons.io.FileUtils.copyDirectory(saved, docsDir)
+      // the replay must recompute the identical report: every span
+      // judged against the PRE-batch corpus plus within-batch earlier
+      // docs, never against the batch's own leaked index rows
+      SubstrIngest.reportAndIngestBatch(batch, 0L, idx, rep)
+      val got = spark.read.parquet(s"$rep/ingest_batch=0")
+      val want = Dedup.exactSubstr(docs, k = 4)
+        .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "replayed report diverged — leaked index rows read as dups")
+      // and the sanity canary: at least one batch doc must be fully
+      // clean; a doc marked 100% duplicated across the board is the
+      // old bug's signature
+      assert(got.filter(col("n_spans") === 0).count() > 0L)
+      // the replay completed the append: docs sibling is whole again
+      assert(spark.read.parquet(s"$idx/${Dedup.SubstrDocsDir}")
+        .count() === n)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
 }
