@@ -514,6 +514,69 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  private[graft] val BinStatsDir = "_graft_bin_stats"
+
+  /** Persist the packed sign-bit table — the binary tier's SERVED
+    * index ([[binaryTopK]]'s localCheckpoint made durable): ⌈dim/64⌉
+    * longs per vector, 8 bytes at dim 64, so a 10⁹-vector corpus
+    * serves its candidate scans from an 8 GB table. Only the
+    * immutable dim persists as metadata (the BM25/IVF stats-sibling
+    * discipline). Append/delete story: sign bits are a pure per-row
+    * function of the vector, so maintenance is exactly the base
+    * table's — re-pack the touched rows; there is no cross-row state
+    * to rebuild.
+    */
+  def writeBinaryIndex(embeddings: DataFrame, path: String,
+      dim: Int): Unit = {
+    val n = withNorm(embeddings)
+    n.withColumn("bits", packSignBits(col("e"), dim))
+      .select(col("vec_id"), col("bits"))
+      .write.mode("overwrite").parquet(path)
+    embeddings.sparkSession.range(1).select(lit(dim).as("dim"))
+      .write.mode("overwrite").parquet(s"$path/$BinStatsDir")
+  }
+
+  /** Serve top-k from the persisted sign-bit index: query bits come
+    * FROM the index (a broadcast semi-join on the query ids), the
+    * Hamming candidate scan reads 8-byte words off parquet, and only
+    * the `refine` survivors touch the full-precision vectors for the
+    * exact rerank. Bit-identical to [[binaryTopK]] over the same
+    * corpus (spec-pinned): the index IS the checkpoint that operator
+    * builds in memory.
+    */
+  def binaryTopKServed(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, refine: Int): DataFrame = {
+    require(refine >= k, "refine depth must be >= k")
+    val dim = spark.read.parquet(s"$path/$BinStatsDir")
+      .head().getAs[Int]("dim")
+    val z = spark.read.parquet(path)
+    val qa = z.join(queryIds.select(col("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .select(col("vec_id").as("i"), col("bits").as("ba"))
+    val qb = z.select(col("vec_id").as("j"), col("bits").as("bb"))
+    val wApprox = Window.partitionBy(col("i"))
+      .orderBy(col("ham"), col("j"))
+    val cand = qa.crossJoin(qb).filter(col("i") =!= col("j"))
+      .withColumn("ham", hamming(col("ba"), col("bb"), (dim + 63) / 64))
+      .withColumn("hrk", row_number().over(wApprox))
+      .filter(col("hrk") <= refine)
+      .select(col("i"), col("j"))
+    val n = withNorm(embeddings)
+    val wExact = Window.partitionBy(col("i"))
+      .orderBy(col("cos").desc, col("j"))
+    cand
+      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
   /** Annotate an approximate top-k result with per-query recall against
     * the exact top-k: recall_i = |approx_i ∩ brute_i| / |brute_i|.
     * Makes recall a column of the ANN result itself, so a driver

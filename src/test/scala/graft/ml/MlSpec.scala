@@ -1733,6 +1733,32 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("served binary index answers bit-identically to the in-memory " +
+      "binaryTopK restricted to the query set") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_idx")
+    try {
+      val path = s"$tmp/idx"
+      Similarity.writeBinaryIndex(emb, path, dim = 64)
+      val queries = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"))
+      val served = Similarity.binaryTopKServed(spark, path, emb,
+        queries, k = 5, refine = 30)
+      val inMem = Similarity.binaryTopK(emb, dim = 64, k = 5,
+        refine = 30)
+        .join(queries.withColumnRenamed("vec_id", "i"), Seq("i"),
+          "left_semi")
+      assert(served.exceptAll(inMem).isEmpty
+        && inMem.exceptAll(served).isEmpty,
+        "served binary index diverges from the in-memory operator")
+      assert(served.count() > 0L)
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("mmrRerank defers the redundant near-copy: the diverse " +
       "second-best candidate outranks a higher-relevance near-dup " +
       "of the first pick") {
