@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline.
@@ -414,9 +414,9 @@ object Dedup {
     * bands of 8-9 bits). The hamming filter runs inside the join,
     * before the dedup, so only true pairs reach the distinct.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int, bands: Int = 0)
-      : DataFrame =
-    simhashPairsFromSigs(simhash(docs), maxHamming, bands)
+  def simhashPairs(docs: DataFrame, maxHamming: Int, bands: Int = 0,
+      hotBucketCap: Int = 0): DataFrame =
+    simhashPairsFromSigs(simhash(docs), maxHamming, bands, hotBucketCap)
 
   /** Band-split a (doc_id, simhash) frame into `nb` uneven bands
     * covering all 60 bits: band b = bits [60b/nb, 60(b+1)/nb). Shared
@@ -440,9 +440,34 @@ object Dedup {
   /** Pair finding over precomputed signatures (callers that already
     * materialized `simhash(docs)` — e.g. the streaming path — avoid
     * recomputing it).
+    *
+    * `hotBucketCap` (0 = off) bounds the quadratic cost of HOT band
+    * buckets with a SECOND pigeonhole, exactly — no recall loss, same
+    * output for every cap value (the ns5b gate proves it on the ns5
+    * oracle). A (band, band_bits) bucket of size K contributes K²
+    * candidate pairs; on skewed corpora (template text, shared
+    * boilerplate) one hot bucket's K grows with the corpus and drags
+    * the whole operator to its linear-per-pair bound (the r9 watch
+    * item). But a pair inside a bucket agrees on that band, so its
+    * ≤ maxHamming differing bits all lie in the REMAINING 60−w bits —
+    * split those into maxHamming+1 sub-bands and the pair must agree
+    * on ≥1 whole sub-band (the same pigeonhole, one level down). Rows
+    * in buckets larger than the cap are therefore re-keyed on
+    * (band, band_bits, sub, sub_bits) — candidate volume falls from
+    * K² to Σ_s |sub-bucket|², a ~2^subwidth reduction for diverse-
+    * but-band-colliding data (identical-signature clusters stay
+    * quadratic in every scheme: their pairs are all TRUE results).
+    * Emission stays exactly-once with row-local filters: a pair is
+    * kept only in its first agreeing band, and — when that band's
+    * bucket is hot — only in its first agreeing sub-band, both pure
+    * functions of sig_i ^ sig_j (bit selection commutes with XOR).
+    * Bucket size is measured with a window over the join key, so the
+    * sizing pass rides the same (band, band_bits) exchange the join
+    * needs anyway; both routes see the same size, so a pair's two
+    * rows always land on the same route.
     */
   def simhashPairsFromSigs(sh: DataFrame, maxHamming: Int,
-      bands: Int = 0): DataFrame = {
+      bands: Int = 0, hotBucketCap: Int = 0): DataFrame = {
     val nb = if (bands > 0) bands else maxHamming + 1
     require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
     // The signature is an aggregate output (materialization boundary),
@@ -457,18 +482,98 @@ object Dedup {
     // canonical band always exists) — exactly-once emission with a
     // row-local filter, no dedup exchange at all.
     val firstAgree = firstAgreeingBand("sig_i", "sig_j", nb)
-    banded
-      .select(col("doc_id").as("i"), col("simhash").as("sig_i"),
-        col("band"), col("band_bits"))
-      .join(banded
-        .select(col("doc_id").as("j"), col("simhash").as("sig_j"),
-          col("band"), col("band_bits")),
+    def pairJoin(rows: DataFrame, key: Seq[String]): DataFrame =
+      rows
+        .select(col("doc_id").as("i") +: col("simhash").as("sig_i") +:
+          key.map(col): _*)
+        .join(rows
+          .select(col("doc_id").as("j") +: col("simhash").as("sig_j") +:
+            key.map(col): _*),
+          key)
+        .filter(col("i") < col("j"))
+        .withColumn("hamming", bit_count(expr("sig_i ^ sig_j")))
+        .filter(col("hamming") <= maxHamming)
+        .filter(col("band") === firstAgree)
+    if (hotBucketCap <= 0)
+      pairJoin(banded, Seq("band", "band_bits"))
+        .select(col("i"), col("j"), col("hamming"))
+    else {
+      val nSub = maxHamming + 1
+      val sized = banded.withColumn("bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_bits"))))
+      val cold = pairJoin(sized.filter(col("bsz") <= hotBucketCap),
         Seq("band", "band_bits"))
-      .filter(col("i") < col("j"))
-      .withColumn("hamming", bit_count(expr("sig_i ^ sig_j")))
-      .filter(col("hamming") <= maxHamming)
-      .filter(col("band") === firstAgree)
-      .select(col("i"), col("j"), col("hamming"))
+      val hot = pairJoin(
+          subSplitRows(sized.filter(col("bsz") > hotBucketCap), nb, nSub),
+          Seq("band", "band_bits", "sub", "sub_bits"))
+        // canonical sub-band within the canonical band: bit selection
+        // commutes with XOR, so "first sub-band where the sigs agree"
+        // is again a row-local function of sig_i ^ sig_j
+        .filter(col("sub") === bandChain(col("band"), nb, b =>
+          (0 until nSub).reverse.foldLeft(lit(-1)) { (acc, s) =>
+            when(subBandBits(
+              remainingBits(expr("sig_i ^ sig_j"), b, nb), b, nb,
+              s, nSub) === 0, lit(s)).otherwise(acc)
+          }))
+      cold.select(col("i"), col("j"), col("hamming"))
+        .unionByName(hot.select(col("i"), col("j"), col("hamming")))
+    }
+  }
+
+  /** Re-key hot-bucket rows on the second pigeonhole: each
+    * (doc_id, simhash, band, band_bits) row explodes into nSub rows
+    * keyed (band, band_bits, sub, sub_bits) over the bits OUTSIDE its
+    * band. private[ml] so the skew spec can measure the candidate
+    * volume (Σ|bucket|²) this re-keying actually produces.
+    */
+  private[ml] def subSplitRows(hotRows: DataFrame, nb: Int,
+      nSub: Int): DataFrame =
+    hotRows
+      .withColumn("r", bandChain(col("band"), nb,
+        b => remainingBits(col("simhash"), b, nb)))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        col("band_bits"),
+        explode(array((0 until nSub).map { s =>
+          struct(lit(s).as("sub"),
+            bandChain(col("band"), nb,
+              b => subBandBits(col("r"), b, nb, s, nSub))
+              .as("sub_bits"))
+        }: _*)).as("sb"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        col("band_bits"), col("sb.sub").as("sub"),
+        col("sb.sub_bits").as("sub_bits"))
+
+  /** A when-chain dispatching on the band column — the band count is
+    * a plan-time constant, so per-band bit arithmetic stays in
+    * whole-stage codegen as a short static CASE.
+    */
+  private def bandChain(band: Column, nb: Int, f: Int => Column)
+      : Column =
+    (0 until nb).reverse.foldLeft(lit(-1L)) { (acc, b) =>
+      when(band === b, f(b)).otherwise(acc)
+    }
+
+  /** The 60−w bits OUTSIDE band b (per [[simhashBands]]' ranges),
+    * compacted into one long: low bits stay, high bits shift down
+    * over the excised band. Pure bit selection, so
+    * remainingBits(a ^ b) = remainingBits(a) ^ remainingBits(b) —
+    * what makes the canonical-sub-band filter row-local.
+    */
+  private def remainingBits(sig: Column, b: Int, nb: Int): Column = {
+    val lo = 60 * b / nb
+    val hi = 60 * (b + 1) / nb
+    (sig % lit(1L << lo)) +
+      (shiftright(sig, hi) * lit(1L << lo))
+  }
+
+  /** Sub-band s (of nSub) of the remaining-bits value for band b. */
+  private def subBandBits(r: Column, b: Int, nb: Int, s: Int,
+      nSub: Int): Column = {
+    val m = 60 - (60 * (b + 1) / nb - 60 * b / nb)
+    val slo = m * s / nSub
+    val shi = m * (s + 1) / nSub
+    shiftright(r, slo) % lit(1L << (shi - slo))
   }
 
   /** Index of the first band (per [[simhashBands]]' ranges) on which
@@ -921,6 +1026,19 @@ object Dedup {
   private[graft] def appendSubstrIndexAt(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
       path: String, maxIndexed: Long): Unit = {
+    // writer lock: a compaction is dynamically overwriting the same
+    // bkt= directories this append targets — racing it would drop
+    // this append's rows silently, so refuse loudly instead (see
+    // SubstrCompactingMarker for the crashed-compaction story)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/$SubstrCompactingMarker")
+    require(!marker
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker),
+      s"appendSubstrIndex: compaction in progress on $path " +
+        s"($SubstrCompactingMarker present) — retry after it " +
+        "completes; a crashed compaction's marker is cleared by the " +
+        "next compactSubstrIndex entry")
     val (k, nBuckets) = substrIndexParams(spark, path)
     requireMonotoneBatch(newDocs, maxIndexed, "appendSubstrIndex")
     posShingleHashes(newDocs, k)
@@ -931,20 +1049,42 @@ object Dedup {
       .write.mode("append").parquet(s"$path/$SubstrDocsDir")
   }
 
+  /** Writer-lock marker [[compactSubstrIndex]] holds while rewriting
+    * bucket directories. Appends ([[appendSubstrIndexAt]], and through
+    * it the [[graft.streaming.SubstrIngest]] stream) REFUSE loudly
+    * while it exists, because an append landing in a `bkt=` directory
+    * the compactor is dynamically overwriting would be silently
+    * dropped. A marker left by a CRASHED compaction keeps appends
+    * blocked (loudly, with this name in the message) until the next
+    * [[compactSubstrIndex]] entry replays the stage and clears it —
+    * fail-closed, never silent loss. The residual window (append
+    * checks the marker, compactor creates it before the append's
+    * write commits) is the honest limit of directory-of-parquet
+    * tables without a coordination service; it shrinks the exposure
+    * from the whole compaction to one check-to-commit gap.
+    */
+  private[graft] val SubstrCompactingMarker = "_graft_compacting"
+
   /** Compact the substr index: collapse the duplicate (h, min_doc)
     * rows that appends and at-least-once replays accumulate into one
-    * min row per hash, rewriting ONLY the dirty buckets (detected as
-    * `bkt=` directories holding more than one file — every append
-    * adds files). Purely an optimization: the read-side min
-    * aggregation already makes duplicates invisible, so compaction
-    * changes no answer (the registry gate proves it) — it reclaims
-    * file count and probe bytes. Crash-safe via the shared
-    * durable-stage protocol ([[Similarity.applyCompactionStage]]):
-    * survivors land in a staged table committed BEFORE any index
-    * partition is touched, and a crashed apply replays from the
-    * stage on the next entry. Pause any appending stream first — the
-    * snapshot race is the honest limit of directory-of-parquet tables
-    * (the [[graft.sources.Layout.compact]] caveat).
+    * min row per hash, rewriting ONLY the dirty buckets. Dirtiness is
+    * detected in two stages: a cheap file-count prefilter (`bkt=`
+    * directories holding more than one file — every append adds
+    * files) and then a duplicate-hash check over just those buckets
+    * (count > distinct h), because the initial [[writeSubstrIndex]]
+    * legitimately writes several files per bucket in one job and a
+    * rewrite of such a clean bucket would be wasted IO (r9 advice).
+    * Plain file-count coalescing of duplicate-free buckets belongs to
+    * [[graft.sources.Layout.compactPartitions]]. Purely an
+    * optimization: the read-side min aggregation already makes
+    * duplicates invisible, so compaction changes no answer (the
+    * registry gate proves it) — it reclaims file count and probe
+    * bytes. Crash-safe via the shared durable-stage protocol
+    * ([[Similarity.applyCompactionStage]]): survivors land in a
+    * staged table committed BEFORE any index partition is touched,
+    * and a crashed apply replays from the stage on the next entry.
+    * Concurrent appends refuse loudly while the
+    * [[SubstrCompactingMarker]] writer lock is held.
     *
     * Returns the number of buckets rewritten.
     */
@@ -953,34 +1093,54 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagePath = s"$path/${Similarity.CompactStageDir}"
-    // finish a crashed apply from its committed stage first; an
-    // uncommitted stage is discardable staging debris
-    if (Similarity.compactionStageCommitted(fs, path))
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/$SubstrCompactingMarker")
+    // take the writer lock FIRST: everything below (stage replay
+    // included) rewrites bucket directories appends also target
+    fs.create(marker, true).close()
+    try {
+      // finish a crashed apply from its committed stage first; an
+      // uncommitted stage is discardable staging debris
+      if (Similarity.compactionStageCommitted(fs, path))
+        Similarity.applyCompactionStage(spark, path, "bkt")
+      fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+      val multiFile = fs.listStatus(p)
+        .filter(d =>
+          d.isDirectory && d.getPath.getName.startsWith("bkt="))
+        .filter(d => fs.listStatus(d.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")) > 1)
+        .map(_.getPath.getName.stripPrefix("bkt=").toLong)
+      if (multiFile.isEmpty) return 0L
+      val idx = spark.read.parquet(path)
+      def lits(vals: Seq[Long]): Seq[Any] =
+        idx.schema("bkt").dataType match {
+          case org.apache.spark.sql.types.IntegerType =>
+            vals.map(_.toInt: Any)
+          case _ => vals.map(x => x: Any)
+        }
+      // bounded driver action: ≤ n_buckets ids survive the filter
+      val dirty = idx.filter(col("bkt").isin(lits(multiFile.toSeq): _*))
+        .groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("d"))
+        .filter(col("n") > col("d"))
+        .select(col("bkt").cast("long"))
+        .collect().map(_.getLong(0))
+      if (dirty.isEmpty) return 0L
+      idx.filter(col("bkt").isin(lits(dirty.toSeq): _*))
+        .groupBy(col("bkt"), col("h"))
+        .agg(min(col("min_doc")).as("min_doc"))
+        .select(col("h"), col("min_doc"), col("bkt"))
+        .write.mode("overwrite").parquet(stagePath)
+      import spark.implicits._
+      dirty.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
+        .parquet(s"$stagePath/_parts")
       Similarity.applyCompactionStage(spark, path, "bkt")
-    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
-    val dirty = fs.listStatus(p)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("bkt="))
-      .filter(d => fs.listStatus(d.getPath)
-        .count(f => f.getPath.getName.endsWith(".parquet")) > 1)
-      .map(_.getPath.getName.stripPrefix("bkt=").toLong)
-    if (dirty.isEmpty) return 0L
-    val idx = spark.read.parquet(path)
-    val dirtyLits: Seq[Any] = idx.schema("bkt").dataType match {
-      case org.apache.spark.sql.types.IntegerType =>
-        dirty.toSeq.map(_.toInt: Any)
-      case _ => dirty.toSeq.map(x => x: Any)
+      fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+      dirty.length.toLong
+    } finally {
+      fs.delete(marker, false)
+      ()
     }
-    idx.filter(col("bkt").isin(dirtyLits: _*))
-      .groupBy(col("bkt"), col("h"))
-      .agg(min(col("min_doc")).as("min_doc"))
-      .select(col("h"), col("min_doc"), col("bkt"))
-      .write.mode("overwrite").parquet(stagePath)
-    import spark.implicits._
-    dirty.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
-      .parquet(s"$stagePath/_parts")
-    Similarity.applyCompactionStage(spark, path, "bkt")
-    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
-    dirty.length.toLong
   }
 
   /** Incremental [[exactSubstr]]: the duplicated-span report for a NEW

@@ -217,8 +217,11 @@ object Retrieval {
     * drop-bak swap the StreamingAgg state commit uses, with mid-swap
     * crash recovery at the next entry AND a read-side bak fallback in
     * [[docsDirFor]] so serving never breaks inside the swap window),
-    * drop any bucket directory left empty, then drop the tombstone
-    * table LAST. The posting rewrite follows
+    * drop any bucket directory left empty, then LAST drop exactly the
+    * tombstone files this run applied (the entry-pinned file-list
+    * snapshot — see [[Similarity.compactIvfIndex]]; concurrently
+    * appended tombstones survive and keep masking). The posting
+    * rewrite follows
     * [[Similarity.compactIvfIndex]]'s staged crash contract verbatim:
     * survivors stage durably, the dirty-bucket marker commits the
     * stage, the apply is replayed from the stage at the next entry if
@@ -256,9 +259,14 @@ object Retrieval {
       Similarity.applyCompactionStage(spark, path, "bkt")
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/${Similarity.CompactStageDir}"), true)
-    deletedDocs(spark, Seq(path)) match {
-      case None => 0L
-      case Some(dead) =>
+    // pin the tombstone table AS A FILE LIST at entry and delete only
+    // those files at the end — a tombstone appended concurrently by a
+    // Bm25Ingest.startDeletes stream lands in a new file, survives,
+    // and keeps masking (the compactIvfIndex snapshot discipline)
+    val snapshot =
+      Similarity.tombstoneFileSnapshot(fs, path, DeletedDir)
+    if (snapshot.isEmpty) 0L
+    else {
         // same stream-sibling refusal as compactIvfIndex: the
         // tombstones also mask streamed postings, which this
         // compaction never rewrites
@@ -269,6 +277,8 @@ object Retrieval {
             "compacting the base alone would un-mask deleted rows in " +
             "streamed partitions; fold the stream into the base " +
             "(fresh writeBm25Index) first")
+        val dead = spark.read.parquet(snapshot.map(_.toString): _*)
+          .select(col("doc_id")).distinct()
         val tf = spark.read.parquet(path)
         val dirty = tf.select(col("doc_id"), col("bkt"))
           .join(dead, Seq("doc_id"))
@@ -317,9 +327,9 @@ object Retrieval {
         require(fs.rename(docsTmp, docsLive),
           s"could not commit $docsTmp to $docsLive")
         fs.delete(docsBak, true)
-        // tombstones go LAST (see compactIvfIndex)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$DeletedDir"),
-          true)
+        // tombstones go LAST (see compactIvfIndex): only the
+        // snapshotted files — later-appended tombstones stay
+        snapshot.foreach { f => fs.delete(f, false); () }
         dirty.length.toLong
     }
   }

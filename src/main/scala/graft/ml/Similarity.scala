@@ -439,12 +439,20 @@ object Similarity {
     */
   private def packSignBits(e: Column, dim: Int): Column = {
     val nWords = (dim + 63) / 64
-    array((0 until nWords).map { w =>
+    val packed = array((0 until nWords).map { w =>
       (0 until math.min(64, dim - w * 64)).map { b =>
         when(element_at(e, w * 64 + b + 1) > 0, shiftleft(lit(1L), b))
           .otherwise(0L)
       }.reduce(_ bitwiseOR _)
     }: _*)
+    // loud per-row guard (r9 advice): element_at past the array end
+    // is NULL, which the when() above would silently read as a zero
+    // bit — a caller-overstated dim must fail, not degrade ranking
+    // (the subVectors raise_error divisibility discipline)
+    when(size(e) >= dim, packed)
+      .otherwise(raise_error(concat(
+        lit(s"packSignBits: embedding shorter than dim=$dim (size="),
+        size(e).cast("string"), lit(")"))))
   }
 
   /** Sign-bit Hamming distance between two packed arrays: Σ_w
@@ -817,6 +825,25 @@ object Similarity {
     */
   private[graft] val StreamSiblingSuffix = "_stream"
 
+  /** The parquet data files currently composing the tombstone table
+    * under `path/dirName` — the SNAPSHOT a compactor must pin at
+    * entry. A compactor that deletes exactly these files afterwards
+    * (never the whole directory) closes the race with a concurrent
+    * streamed delete ([[graft.streaming.VectorIngest.startDeletes]] /
+    * Bm25Ingest equivalent): a tombstone file appended between the
+    * snapshot and the final cleanup is left untouched, keeps masking
+    * at serving, and is reclaimed by the next compaction instead of
+    * being silently discarded (which would resurrect the deleted id).
+    */
+  private[ml] def tombstoneFileSnapshot(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      dirName: String): Seq[org.apache.hadoop.fs.Path] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$dirName")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+  }
+
   /** The union of tombstone tables under `paths` — one helper for
     * both index tiers (the IVF/PQ `_graft_deleted` and BM25's
     * `_graft_bm25_deleted` differ only in dir name and id column), so
@@ -824,17 +851,23 @@ object Similarity {
     * can never land in one tier and not the other. Roots without a
     * tombstone table contribute nothing; distinct so repeated or
     * overlapping delete batches collapse to one mask row per id.
+    * Reads the explicit per-root parquet FILE list, not the
+    * directory: after a file-snapshot compaction the directory may
+    * legitimately survive holding only a stray `_SUCCESS` (or only
+    * tombstones appended mid-compaction), and a directory read would
+    * fail schema inference on the former.
     */
   private[ml] def tombstoneUnion(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], dirName: String, idCol: String)
       : Option[DataFrame] = {
-    val present = paths.filter { p =>
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fileSets = paths.map { p =>
       val dir = new org.apache.hadoop.fs.Path(s"$p/$dirName")
-      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(dir)
-    }
-    if (present.isEmpty) None
-    else Some(present.map(p => spark.read.parquet(s"$p/$dirName"))
+      tombstoneFileSnapshot(dir.getFileSystem(hc), p, dirName)
+    }.filter(_.nonEmpty)
+    if (fileSets.isEmpty) None
+    else Some(fileSets
+      .map(fl => spark.read.parquet(fl.map(_.toString): _*))
       .reduce(_.unionByName(_))
       .select(col(idCol)).distinct())
   }
@@ -881,8 +914,11 @@ object Similarity {
   /** Reclaim the compaction debt [[deleteFromIvfIndex]] accrues:
     * physically rewrite ONLY the `cell=` partitions that contain
     * tombstoned rows (detected by a column-pruned (vec_id, cell)
-    * scan), drop any cell directory left empty, then drop the
-    * tombstone table itself. Cost follows the DIRTY cells, never the
+    * scan), drop any cell directory left empty, then drop exactly the
+    * tombstone FILES this run applied (a file-list snapshot pinned at
+    * entry — tombstones appended concurrently by a delete stream land
+    * in new files, survive the cleanup, and keep masking until the
+    * next compaction). Cost follows the DIRTY cells, never the
     * corpus — clean cells keep their exact files (spec-measured
     * byte-identical). After compaction a formerly-deleted vec_id MAY
     * be re-appended — its physical rows are gone, so it is a
@@ -972,9 +1008,15 @@ object Similarity {
     if (compactionStageCommitted(fs, path))
       applyCompactionStage(spark, path, "cell")
     fs.delete(stagePath, true)
-    tombstones(spark, Seq(path)) match {
-      case None => 0L
-      case Some(dead) =>
+    // pin the tombstone table AS A FILE LIST at entry: the mask this
+    // run applies is exactly these files, and the final cleanup
+    // deletes exactly these files — a tombstone appended concurrently
+    // by a startDeletes stream lands in a NEW file, survives the
+    // cleanup, and keeps masking until the next compaction (deleting
+    // the whole directory here would silently discard it — r9 advice)
+    val snapshot = tombstoneFileSnapshot(fs, path, DeletedDir)
+    if (snapshot.isEmpty) 0L
+    else {
         // a streamed-appends sibling serves through the SAME tombstone
         // table (the mask covers the union read), so dropping the
         // tombstones here would silently un-mask deleted rows held in
@@ -986,6 +1028,8 @@ object Similarity {
             s"$path$StreamSiblingSuffix exists — compacting the base " +
             "alone would un-mask deleted rows in streamed partitions; " +
             "fold the stream into the base (fresh writeIvfIndex) first")
+        val dead = spark.read.parquet(snapshot.map(_.toString): _*)
+          .select(col("vec_id")).distinct()
         val idx = spark.read.parquet(path)
         // bounded driver action: the distinct dirty-cell ids (≤ nCells)
         val dirty = idx.select(col("vec_id"), col("cell"))
@@ -1019,9 +1063,9 @@ object Similarity {
         }
         // tombstones go LAST: every earlier crash point leaves them in
         // place, so the mask keeps serving correct and a re-run (which
-        // replays any committed stage first) converges
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$DeletedDir"),
-          true)
+        // replays any committed stage first) converges. Delete ONLY
+        // the snapshotted files — later-appended tombstones stay.
+        snapshot.foreach { f => fs.delete(f, false); () }
         dirty.length.toLong
     }
   }

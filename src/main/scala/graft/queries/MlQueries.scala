@@ -179,6 +179,21 @@ object MlQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY i, j""".stripMargin
 
+  /** [[ns5SimhashPairs]] with the hot-bucket sub-split route FORCED
+    * (cap = 2, so nearly every band bucket re-keys on the second
+    * pigeonhole): the sub-split is exact, so this gates on the ns5
+    * oracle VERBATIM — identical pairs from a radically different
+    * plan. The cap is what holds the operator under its linear bound
+    * on skewed corpora (hot template buckets re-key from K² to
+    * Σ|sub-bucket|²; see Dedup.simhashPairsFromSigs).
+    */
+  val ns5bSimhashSubsplit: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6,
+      hotBucketCap = 2)
+      .orderBy(col("i"), col("j"))
+
+  val ns5bSimhashSubsplitSql: String = ns5SimhashPairsSql
+
   /** Incremental near-dedup: new docs (doc_id % 3 == 0) flagged with
     * their closest near-duplicate in the existing corpus (the rest) —
     * the production dedup shape that never re-pairs the corpus with
@@ -2986,6 +3001,7 @@ object MlQueries {
     "ns3_dedup_minhash" -> ns3DedupMinhash,
     "ns4_simhash" -> ns4Simhash,
     "ns5_simhash_pairs" -> ns5SimhashPairs,
+    "ns5b_simhash_subsplit" -> ns5bSimhashSubsplit,
     "ns6_embed_neardup" -> ns6EmbedNearDup,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLsh,
     "ns7_sim_topk" -> ns7SimTopk,
@@ -3073,6 +3089,7 @@ object MlQueries {
     "ns3_dedup_minhash" -> ns3DedupMinhashSql,
     "ns4_simhash" -> ns4SimhashSql,
     "ns5_simhash_pairs" -> ns5SimhashPairsSql,
+    "ns5b_simhash_subsplit" -> ns5bSimhashSubsplitSql,
     "ns6_embed_neardup" -> ns6EmbedNearDupSql,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLshSql,
     "ns15_lsh_ann" -> ns15LshAnnSql,

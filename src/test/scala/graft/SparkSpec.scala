@@ -9,6 +9,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   override def afterAll(): Unit = () // shared session, never stop per-suite
+
+  /** True iff the tombstone table under `root/dirName` holds no data
+    * files. Compaction deletes the entry-pinned tombstone FILES, not
+    * the directory (concurrently appended tombstones must survive),
+    * so "tombstones reclaimed" means no `.parquet` left — the dir and
+    * a stray `_SUCCESS` may legitimately remain.
+    */
+  def tombstonesEmpty(root: String, dirName: String): Boolean =
+    Option(new java.io.File(root, dirName).listFiles()).toSeq.flatten
+      .forall(!_.getName.endsWith(".parquet"))
 }
 
 object SparkSpec {

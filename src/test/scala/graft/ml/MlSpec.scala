@@ -945,7 +945,7 @@ class MlSpec extends SparkSpec {
       assert(rewritten === dirtyCells.size.toLong,
         s"compaction touched $rewritten cells, ${dirtyCells.size} dirty")
       // tombstones gone, emptied dir gone, clean cells byte-identical
-      assert(!new java.io.File(path, "_graft_deleted").exists())
+      assert(tombstonesEmpty(path, "_graft_deleted"))
       assert(!new java.io.File(path, s"cell=$emptiedCell").exists())
       val filesAfter = cellFiles(path)
       filesBefore.foreach { case (p, meta) =>
@@ -997,7 +997,7 @@ class MlSpec extends SparkSpec {
       // drops the tombstones
       Similarity.compactIvfIndex(spark, path)
       assert(!new java.io.File(path, "_graft_compact_stage").exists())
-      assert(!new java.io.File(path, "_graft_deleted").exists())
+      assert(tombstonesEmpty(path, "_graft_deleted"))
       val alive = embs.filter(col("vec_id") % 7 =!= 0)
       val rebuilt = tmp.resolve("rebuilt").toString
       Similarity.writeIvfIndex(alive, cents, rebuilt)
@@ -1010,6 +1010,173 @@ class MlSpec extends SparkSpec {
       import scala.reflect.io.Directory
       new Directory(tmp.toFile).deleteRecursively()
     }
+  }
+
+  test("ivf compaction pins the tombstone FILE list at entry: a " +
+      "tombstone appended mid-compaction is never discarded — it " +
+      "keeps masking and the next compaction reclaims it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_late")
+    try {
+      val cents = Similarity.seedCentroids(embs, 16)
+      val path = tmp.resolve("idx").toString
+      Similarity.writeIvfIndex(embs, cents, path)
+      val ids = embs.select("vec_id").as[Long].collect().sorted.toSeq
+      val firstDead = ids.filter(_ % 7 == 0)
+      val lateId = ids.find(_ % 7 != 0).get
+      Similarity.deleteFromIvfIndex(spark,
+        firstDead.toDF("vec_id"), path)
+      // inject the race: append the late tombstone the moment the
+      // compactor COMMITS its stage (a mid-run artifact that only
+      // appears after the entry snapshot was pinned) — under the old
+      // whole-directory cleanup an in-window append was discarded
+      // and the deletion silently resurrected
+      val stageMarker = new java.io.File(path,
+        s"${Similarity.CompactStageDir}/_parts/_SUCCESS")
+      @volatile var appended = false
+      val late = new Thread(() => {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (!stageMarker.exists()
+            && System.currentTimeMillis() < deadline)
+          Thread.sleep(2)
+        Similarity.deleteFromIvfIndex(spark,
+          Seq(lateId).toDF("vec_id"), path)
+        appended = true
+      })
+      late.start()
+      assert(Similarity.compactIvfIndex(spark, path) > 0L)
+      late.join(120000L)
+      assert(appended, "late tombstone append never ran")
+      // wherever the append landed relative to the cleanup, the late
+      // id must be masked NOW: full-probe, corpus-k serving over a
+      // few queries surfaces every unmasked id as some neighbor
+      val queries = embs.filter(col("vec_id").isin(
+        ids.filterNot(i => firstDead.contains(i) || i == lateId)
+          .take(3).map(x => x: Any): _*))
+      def servedJs(): Set[Long] =
+        Similarity.queryIvfIndex(spark, path, queries, cents,
+            k = ids.size, probes = 16)
+          .select(col("j")).distinct().as[Long].collect().toSet
+      val js = servedJs()
+      assert(!js.contains(lateId),
+        "mid-compaction tombstone was discarded — deletion resurrected")
+      assert(firstDead.forall(d => !js.contains(d)))
+      assert(js.nonEmpty)
+      // the surviving tombstone is ordinary compaction debt: the next
+      // entry reclaims it physically and serving stays identical
+      assert(Similarity.compactIvfIndex(spark, path) > 0L)
+      assert(tombstonesEmpty(path, "_graft_deleted"))
+      assert(spark.read.parquet(path)
+        .filter(col("vec_id") === lateId).count() === 0L)
+      assert(servedJs() === js)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
+  test("substr index: a fresh build compacts to zero (multi-file but " +
+      "duplicate-free buckets are clean), and appends refuse loudly " +
+      "while the compaction writer-lock marker is present") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_mk")
+    val path = s"$tmp/idx"
+    try {
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < n / 2), path,
+        k = 4)
+      // the initial build writes several files per bucket in one job;
+      // none holds duplicate hashes, so nothing is dirty
+      def files(): Map[String, (Long, Long)] =
+        new java.io.File(path).listFiles().toSeq
+          .filter(_.getName.startsWith("bkt="))
+          .flatMap(_.listFiles().toSeq)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      val before = files()
+      assert(before.nonEmpty)
+      assert(Dedup.compactSubstrIndex(spark, path) === 0L)
+      assert(files() === before,
+        "compaction rewrote a duplicate-free build")
+      // writer lock: appends refuse while the marker exists
+      val marker = new java.io.File(path, Dedup.SubstrCompactingMarker)
+      assert(marker.createNewFile())
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.appendSubstrIndex(spark,
+          docs.filter(col("doc_id") >= n / 2 && col("doc_id") < n / 2 + 5),
+          path)
+      }
+      assert(ex.getMessage.contains(Dedup.SubstrCompactingMarker))
+      assert(marker.delete())
+      Dedup.appendSubstrIndex(spark,
+        docs.filter(col("doc_id") >= n / 2 && col("doc_id") < n / 2 + 5),
+        path)
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("simhash hot-bucket sub-split: exact pairs on a skewed corpus, " +
+      "with candidate volume bounded far below the naive band join") {
+    import spark.implicits._
+    // skewed synthetic signatures: EVERY doc shares band-0's bits
+    // (one hot bucket of corpus size — the template-boilerplate
+    // pathology), high bits ~uniform; plus planted near-dup clusters
+    // so the exactness check is non-vacuous
+    val n = 600
+    val rnd = new scala.util.Random(7)
+    val base = (rnd.nextLong() & ((1L << 52) - 1)) << 8
+    val sigs = (0 until n).map { i =>
+      val sig =
+        if (i % 50 == 0) base ^ (1L << (8 + rnd.nextInt(52)))
+        else (rnd.nextLong() & ((1L << 52) - 1)) << 8
+      (i.toLong, sig)
+    }.toDF("doc_id", "simhash")
+    def pairs(cap: Int): Set[(Long, Long, Long)] =
+      Dedup.simhashPairsFromSigs(sigs, maxHamming = 6,
+          hotBucketCap = cap)
+        .as[(Long, Long, Long)].collect().toSet
+    val plain = pairs(0)
+    assert(plain.nonEmpty, "planted clusters produced no true pairs")
+    assert(pairs(8) === plain,
+      "sub-split changed the pair set — the second pigeonhole must " +
+        "be exact")
+    // candidate volume Σ|bucket|²: the naive band join vs the
+    // sub-split routing at cap 8 (cold buckets keep their key, hot
+    // buckets re-key on (band, band_bits, sub, sub_bits))
+    val nb = 7
+    val banded = Dedup.simhashBands(sigs, nb)
+    def vol(rows: org.apache.spark.sql.DataFrame,
+        key: Seq[String]): Long =
+      rows.groupBy(key.map(col): _*).count()
+        .agg(sum(col("count") * col("count"))).head().getLong(0)
+    val naive = vol(banded, Seq("band", "band_bits"))
+    val sized = banded.withColumn("bsz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("band_bits"))))
+    val coldVol = vol(sized.filter(col("bsz") <= 8),
+      Seq("band", "band_bits"))
+    val hotVol = vol(
+      Dedup.subSplitRows(sized.filter(col("bsz") > 8), nb, nSub = 7),
+      Seq("band", "band_bits", "sub", "sub_bits"))
+    assert(naive >= n.toLong * n,
+      s"skew fixture lost its hot bucket (naive=$naive)")
+    assert((coldVol + hotVol) * 10 < naive,
+      s"sub-split volume ${coldVol + hotVol} not ≪ naive $naive")
+  }
+
+  test("packSignBits fails loudly when dim overstates the embedding " +
+      "length instead of silently zero-filling the missing bits") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Throwable] {
+      Similarity.binaryTopK(embs, dim = 65, k = 2, refine = 3).collect()
+      ()
+    }
+    assert(msgs(ex).exists(_.contains("packSignBits")),
+      s"expected the packSignBits guard, got: ${msgs(ex).mkString(" | ")}")
   }
 
   test("resize keeps every stride-th byte and halves the payload") {
@@ -1705,22 +1872,54 @@ class MlSpec extends SparkSpec {
           docs.filter(col("doc_id") >= t2 - 2 && col("doc_id") < t2 + 2),
           path)
       }
-      // compaction: collapse dup hash rows, one file per dirty bucket
+      // compaction: collapse dup hash rows in exactly the buckets
+      // that HOLD duplicates; multi-file-but-duplicate-free buckets
+      // (the initial build writes several files per bucket in one
+      // job) are left untouched — their coalescing belongs to
+      // Layout.compactPartitions (r9 advice)
       val inc = Dedup.exactSubstrIncrement(spark,
         docs.filter(col("doc_id") >= t2), path)
       val before = inc.collect().toSeq
+      val dupBkts = spark.read.parquet(path)
+        .groupBy(col("bkt"), col("h")).count()
+        .filter(col("count") > 1)
+        .select(col("bkt").cast("long")).distinct()
+        .as[Long].collect().toSet
+      assert(dupBkts.nonEmpty, "replayed append should leave dup rows")
+      def fileMeta(): Map[String, (Long, Long)] =
+        new java.io.File(path).listFiles().toSeq
+          .filter(_.getName.startsWith("bkt="))
+          .flatMap(_.listFiles().toSeq)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified()))
+          .toMap
+      val filesBefore = fileMeta()
       val rewritten = Dedup.compactSubstrIndex(spark, path)
-      assert(rewritten > 0L, "append should have dirtied some buckets")
+      assert(rewritten === dupBkts.size.toLong,
+        s"rewrote $rewritten buckets, ${dupBkts.size} hold duplicates")
       val fsDir = new java.io.File(path)
-      fsDir.listFiles().filter(_.getName.startsWith("bkt=")).foreach { d =>
-        assert(d.listFiles()
-          .count(_.getName.endsWith(".parquet")) === 1,
-          s"${d.getName} not compacted to one file")
+      fsDir.listFiles().filter(_.getName.startsWith("bkt="))
+        .filter(d =>
+          dupBkts.contains(d.getName.stripPrefix("bkt=").toLong))
+        .foreach { d =>
+          assert(d.listFiles()
+            .count(_.getName.endsWith(".parquet")) === 1,
+            s"${d.getName} not compacted to one file")
+        }
+      // duplicate-free buckets keep their exact files
+      fileMeta().foreach { case (p, meta) =>
+        val b = p.replaceAll(".*bkt=([0-9]+)/.*", "$1").toLong
+        if (!dupBkts.contains(b))
+          assert(filesBefore.get(p).contains(meta),
+            s"compaction rewrote duplicate-free bucket file $p")
       }
       val idx = spark.read.parquet(path)
       assert(idx.groupBy(col("h")).count()
         .filter(col("count") > 1).count() === 0L,
         "duplicate hash rows survived compaction")
+      assert(!new java.io.File(path,
+          Dedup.SubstrCompactingMarker).exists(),
+        "writer-lock marker survived a completed compaction")
       val after = Dedup.exactSubstrIncrement(spark,
         docs.filter(col("doc_id") >= t2), path).collect().toSeq
       assert(after === before, "compaction changed the increment")

@@ -269,7 +269,7 @@ class RetrievalSpec extends SparkSpec {
         .as[Long].collect().toSet
       val rewritten = Retrieval.compactBm25Index(spark, path)
       assert(rewritten === dirty.size.toLong)
-      assert(!new java.io.File(path, "_graft_bm25_deleted").exists())
+      assert(tombstonesEmpty(path, "_graft_bm25_deleted"))
       assert(!new java.io.File(path, "_graft_bm25_docs_bak").exists())
       // dl holds exactly the survivors now
       val dlIds = spark.read.parquet(s"$path/_graft_bm25_docs")
@@ -330,7 +330,7 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.compactBm25Index(spark, path)
       assert(new java.io.File(path, "_graft_bm25_docs").exists())
       assert(!new java.io.File(path, "_graft_bm25_docs_bak").exists())
-      assert(!new java.io.File(path, "_graft_bm25_deleted").exists())
+      assert(tombstonesEmpty(path, "_graft_bm25_deleted"))
       assert(serve() === before)
     } finally {
       import scala.reflect.io.Directory
