@@ -756,6 +756,69 @@ object Corpus {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Pack an epoch-ordered training stream into fixed context
+    * windows — the LAST stage of the end-to-end export chain
+    * (temperature mixture → per-epoch shuffle → pack, gated as one
+    * plan by ns64): each epoch's documents are concatenated in their
+    * shuffled `position` order and cut into `ctxLen`-token chunks.
+    *
+    * Unlike [[packSequences]] (whose shard count IS the parallelism),
+    * the natural partition here — the epoch — is LOW-cardinality, so
+    * a per-epoch cumulative-sum window would sort whole epochs in
+    * single tasks. Positions are already dense ranks, so the running
+    * token total decomposes over position blocks instead (the §9
+    * monotone-bucket discipline, prefix-sum edition): block
+    * `(position−1) div blockSize` cumsums locally, block token totals
+    * prefix-sum in a tiny per-epoch window (manifest/blockSize rows),
+    * and global cum = block offset + local cum. Long addition is
+    * associative, so the decomposition is bit-identical to the naive
+    * per-epoch window the oracle states — blockSize changes the plan,
+    * never the answer (spec-pinned). At 100 TB: blocks of ~1M rows
+    * give thousands-way parallelism within every epoch; the offset
+    * table stays broadcast-small.
+    *
+    * `order` is [[epochOrder]]'s output (doc_id, epoch, position);
+    * `docs` supplies the text to count. Returns one row per
+    * (epoch, chunk): doc count, token sum, position range.
+    */
+  def packEpochs(order: DataFrame, docs: DataFrame, ctxLen: Int,
+      blockSize: Long = 1L << 20): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    require(blockSize > 0, "blockSize must be positive")
+    val reserved = Seq("_blk", "_off", "_bt", "_o_epoch", "_o_blk",
+      "toks", "cum", "chunk")
+    val taken = order.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"inputs may not use the reserved working names $taken")
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val rows = order.select(col("doc_id"), col("epoch"), col("position"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("_blk", idiv(col("position") - 1, lit(blockSize)))
+    val offs = rows.groupBy(col("epoch"), col("_blk"))
+      .agg(sum(col("toks")).as("_bt"))
+      .withColumn("_off", coalesce(
+        sum(col("_bt")).over(Window.partitionBy(col("epoch"))
+          .orderBy(col("_blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("epoch").as("_o_epoch"), col("_blk").as("_o_blk"),
+        col("_off"))
+    val w = Window.partitionBy(col("epoch"), col("_blk"))
+      .orderBy(col("position"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .join(broadcast(offs), col("epoch") === col("_o_epoch")
+        && col("_blk") === col("_o_blk"))
+      .withColumn("cum", sum(col("toks")).over(w) + col("_off"))
+      .withColumn("chunk",
+        idiv(col("cum") - col("toks"), lit(ctxLen.toLong)))
+      .groupBy(col("epoch"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("chunk_tokens"),
+        min(col("position")).as("first_pos"),
+        max(col("position")).as("last_pos"))
+  }
+
   /** Bottom-k uniform sample — the MERGEABLE corpus sample: keep the
     * k rows with the smallest hash60(seed|id). Because the k smallest
     * of a union are among the union of each side's k smallest, the

@@ -1955,6 +1955,81 @@ object MlQueries {
       |FROM manifest ORDER BY epoch, position""".stripMargin
   }
 
+  /** The end-to-end training-data-export capstone: temperature
+    * mixture (ns54) → per-epoch deterministic shuffle (ns60) →
+    * context-window packing over the shuffled stream, as ONE plan —
+    * the chain a training loader actually consumes, gated whole the
+    * way ns22 gates corpus prep. The oracle restates all three stages
+    * as chained CTEs (ns60's manifest + ordering verbatim, then the
+    * ns25 pack discipline keyed on (epoch, position) instead of
+    * (shard, doc_id)). blockSize = 64 forces the multi-block
+    * prefix-sum decomposition at sf0.01, so the gate covers the scale
+    * plan, not the trivial one-block case.
+    */
+  val ns64TrainExport: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tiered = docs.select(col("doc_id"),
+      when(col("doc_id") % 50 === 0, lit("rare"))
+        .when(col("doc_id") % 5 === 0, lit("mid"))
+        .otherwise(lit("common")).as("source"))
+    Corpus.packEpochs(
+      Corpus.epochOrder(
+        Corpus.temperatureMixture(tiered, alpha = 0.5, budget = 800L),
+        seed = "run1"),
+      docs, ctxLen = 512, blockSize = 64L)
+      .orderBy(col("epoch"), col("chunk"))
+  }
+
+  val ns64TrainExportSql: String = {
+    val h = duckHash60(
+      "'run1|' || epoch::VARCHAR || '|' || doc_id::VARCHAR")
+    s"""WITH src AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 'rare'
+      |    WHEN doc_id % 5 = 0 THEN 'mid' ELSE 'common' END AS source
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, count(*)::BIGINT AS n FROM src GROUP BY 1
+      |), plan AS (
+      |  SELECT source, n,
+      |    CAST(floor(round(pow(n, 0.5) / sum(pow(n, 0.5)) OVER (), 9)
+      |      * 800) AS BIGINT) AS tgt
+      |  FROM counts
+      |), p2 AS (
+      |  SELECT source, n, tgt, tgt // n AS fe, tgt % n AS rem FROM plan
+      |), fullp AS (
+      |  SELECT d.doc_id, d.source, unnest(range(0, p.fe)) AS epoch
+      |  FROM src d JOIN p2 p USING (source)
+      |), remp AS (
+      |  SELECT doc_id, source, fe AS epoch FROM (
+      |    SELECT d.doc_id, d.source, p.fe, p.rem,
+      |      row_number() OVER (PARTITION BY d.source
+      |        ORDER BY ${duckHash60("d.doc_id::VARCHAR")}, d.doc_id) AS rk
+      |    FROM src d JOIN p2 p USING (source)) WHERE rk <= rem
+      |), manifest AS (
+      |  SELECT doc_id, source, epoch FROM fullp
+      |  UNION ALL SELECT doc_id, source, epoch FROM remp
+      |), ordered AS (
+      |  SELECT doc_id, epoch,
+      |    row_number() OVER (PARTITION BY epoch ORDER BY $h,
+      |      'run1|' || epoch::VARCHAR || '|' || doc_id::VARCHAR)
+      |      AS position
+      |  FROM manifest
+      |), toks AS (
+      |  SELECT o.epoch, o.position,
+      |    len(string_split(d.text, ' '))::BIGINT AS toks
+      |  FROM ordered o JOIN documents d USING (doc_id)
+      |), c AS (
+      |  SELECT epoch, position, toks,
+      |    sum(toks) OVER (PARTITION BY epoch ORDER BY position
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM toks
+      |)
+      |SELECT epoch, ((cum - toks) // 512)::BIGINT AS chunk,
+      |  count(*) AS n_docs, sum(toks)::BIGINT AS chunk_tokens,
+      |  min(position) AS first_pos, max(position) AS last_pos
+      |FROM c GROUP BY 1, 2 ORDER BY epoch, chunk""".stripMargin
+  }
+
   /** Bottom-k mergeable uniform sample: the 50 docs with the smallest
     * hash60(seed|id) — the stable eval/debug slice. ns61b maintains
     * the same sample INCREMENTALLY (state from 3/4 of the corpus,
@@ -3077,6 +3152,7 @@ object MlQueries {
     "ns58_decontam_spans" -> ns58DecontamSpans,
     "ns59_mmr_rerank" -> ns59MmrRerank,
     "ns60_epoch_order" -> ns60EpochOrder,
+    "ns64_train_export" -> ns64TrainExport,
     "ns61_bottomk_sample" -> ns61BottomkSample,
     "ns61b_bottomk_merged" -> ns61bBottomkMerged,
     "ns62_user_histories" -> ns62UserHistories,
@@ -3159,6 +3235,7 @@ object MlQueries {
     "ns58_decontam_spans" -> ns58DecontamSpansSql,
     "ns59_mmr_rerank" -> ns59MmrRerankSql,
     "ns60_epoch_order" -> ns60EpochOrderSql,
+    "ns64_train_export" -> ns64TrainExportSql,
     "ns61_bottomk_sample" -> ns61BottomkSampleSql,
     "ns61b_bottomk_merged" -> ns61BottomkSampleSql,
     "ns62_user_histories" -> ns62UserHistoriesSql,

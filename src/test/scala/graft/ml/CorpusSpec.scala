@@ -254,4 +254,45 @@ class CorpusSpec extends SparkSpec {
     assert(ordered.exceptAll(again).isEmpty
       && again.exceptAll(ordered).isEmpty)
   }
+
+  test("packEpochs: the block prefix-sum decomposition is " +
+      "bit-identical across block sizes, chunks respect ctxLen, and " +
+      "every epoch packs its full stream") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = (0L until 120L)
+      .map(d => (d, Seq.fill(1 + (d % 7).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val manifest = (0L until 120L).flatMap(d =>
+      (0L until 2L).map(e => (d, e))).toDF("doc_id", "epoch")
+    val ordered = Corpus.epochOrder(manifest, "run1")
+    def pack(bs: Long) =
+      Corpus.packEpochs(ordered, docs, ctxLen = 16, blockSize = bs)
+    // one block, a handful, and block-per-row must all agree — the
+    // decomposition changes the plan, never the answer
+    val ref = pack(1L << 20).collect().map(_.toSeq).toSet
+    assert(pack(8L).collect().map(_.toSeq).toSet === ref)
+    assert(pack(1L).collect().map(_.toSeq).toSet === ref)
+    val rows = pack(8L)
+    // every epoch's chunks cover positions 1..120 contiguously and
+    // sum to the full epoch token count
+    val perEpoch = rows.groupBy(col("epoch"))
+      .agg(sum(col("n_docs")).as("nd"), sum(col("chunk_tokens")).as("tt"),
+        min(col("first_pos")).as("lo"), max(col("last_pos")).as("hi"))
+      .collect()
+    val epochToks = (0L until 120L).map(d => 1L + d % 7).sum
+    assert(perEpoch.length === 2)
+    perEpoch.foreach { r =>
+      assert(r.getLong(1) === 120L && r.getLong(2) === epochToks
+        && r.getLong(3) === 1L && r.getLong(4) === 120L)
+    }
+    // a chunk never starts past its ctxLen boundary: chunk index is
+    // tokens_before div 16, so consecutive chunks are dense per epoch
+    val chunks = rows.select(col("epoch"), col("chunk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    chunks.values.foreach { cs =>
+      assert(cs === (0L until cs.length.toLong))
+    }
+  }
 }
