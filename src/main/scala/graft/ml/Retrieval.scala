@@ -234,6 +234,134 @@ object Retrieval {
     * maintenance op. Returns the number of bucket partitions
     * rewritten or removed.
     */
+  /** Restore a doc-length table whose swap crashed between the two
+    * renames (live missing, bak present): bak IS the committed
+    * pre-swap state, and any tombstones that justified the swap are
+    * still on disk, so restoring it restores correct (masked) serving
+    * (the read path also falls back to bak, so serving never broke
+    * meanwhile). Shared by the compaction and fold entry points.
+    */
+  private def recoverDocsSwap(fs: org.apache.hadoop.fs.FileSystem,
+      docsLive: org.apache.hadoop.fs.Path,
+      docsBak: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(docsLive) && fs.exists(docsBak)) {
+      val ok = fs.rename(docsBak, docsLive)
+      require(ok || fs.exists(docsLive),
+        s"could not restore $docsBak after a mid-swap crash")
+    }
+
+  /** Commit an already-written `_tmp` doc-length table over the live
+    * one: live→bak, tmp→live, drop bak — each rename atomic on the
+    * FS, with the stale-bak pre-delete (rename onto an existing dir
+    * NESTS the source inside the target, the StreamingAgg swap edge).
+    * Shared by the compaction and fold entry points; crash recovery
+    * is [[recoverDocsSwap]] + the [[docsDirFor]] read-side fallback.
+    */
+  private def swapInDocsTmp(fs: org.apache.hadoop.fs.FileSystem,
+      docsLive: org.apache.hadoop.fs.Path,
+      docsBak: org.apache.hadoop.fs.Path,
+      docsTmp: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(docsLive)) {
+      fs.delete(docsBak, true)
+      require(fs.rename(docsLive, docsBak),
+        s"could not stage $docsLive aside")
+    }
+    require(fs.rename(docsTmp, docsLive),
+      s"could not commit $docsTmp to $docsLive")
+    fs.delete(docsBak, true)
+    ()
+  }
+
+  /** Fold the streamed-appends sibling INTO the base BM25 index — the
+    * lexical twin of [[Similarity.foldStreamIntoIvfIndex]], with the
+    * same crash contract: pending committed `ingest_batch=` partitions
+    * are HIDDEN first (the [[Similarity.FoldedMarker]] visibility
+    * flip, so postings are never served from base and stream at
+    * once), their postings move into base `bkt=` directories through
+    * the durable-stage protocol with a DISTINCT union (refolds
+    * converge), their doc lengths merge into the doc-length table
+    * through the live→bak/tmp→live swap (distinct again), and the
+    * batch data is dropped LAST, leaving data-less stubs that keep
+    * the BatchCommit replay ledger alive. A crash between the posting
+    * apply and the docs swap leaves the folded docs' postings
+    * unmatched by doc-length rows until the next fold entry — the
+    * same bounded degradation window compaction documents for its own
+    * mid-commit crash. Doc ids must be unique across base and stream,
+    * the [[appendBm25Index]] contract the ingest stream already
+    * carries. After a full fold the sibling holds no data, so
+    * [[compactBm25Index]] proceeds — a standing index never needs a
+    * rebuild to become compactable. Returns the partitions folded.
+    */
+  def foldStreamIntoBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val docsLive = new org.apache.hadoop.fs.Path(s"$path/$DocsDir")
+    val docsBak = new org.apache.hadoop.fs.Path(s"$path/${DocsDir}_bak")
+    val docsTmp = new org.apache.hadoop.fs.Path(s"$path/${DocsDir}_tmp")
+    val fs = docsLive
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDocsSwap(fs, docsLive, docsBak)
+    if (Similarity.compactionStageCommitted(fs, path))
+      Similarity.applyCompactionStage(spark, path, "bkt")
+    val stagePath = s"$path/${Similarity.CompactStageDir}"
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    val root = new org.apache.hadoop.fs.Path(
+      path + Similarity.StreamSiblingSuffix)
+    if (!fs.exists(root)) return 0L
+    val pending = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
+      .filter(p => Similarity.hasParquetData(fs, p))
+    if (pending.isEmpty) return 0L
+    pending.foreach { p =>
+      val m = new org.apache.hadoop.fs.Path(p, Similarity.FoldedMarker)
+      if (!fs.exists(m)) fs.create(m, true).close()
+    }
+    val postings = pending
+      .map(p => spark.read.parquet(s"$p/postings"))
+      .reduce(_.unionByName(_))
+    val dl = pending
+      .map(p => spark.read.parquet(s"$p/docs"))
+      .reduce(_.unionByName(_))
+    val tf = spark.read.parquet(path)
+    // bounded driver action: distinct touched buckets (≤ n_buckets)
+    val touched = postings.select(col("bkt").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val bktIsTouched = col("bkt").isin(touched.map[Any] { b =>
+      tf.schema("bkt").dataType match {
+        case org.apache.spark.sql.types.IntegerType => b.toInt
+        case _ => b
+      }
+    }: _*)
+    tf.filter(bktIsTouched).unionByName(postings).distinct()
+      .write.mode("overwrite").parquet(stagePath)
+    import spark.implicits._
+    touched.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
+      .parquet(s"$stagePath/_parts")
+    Similarity.applyCompactionStage(spark, path, "bkt")
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    // doc lengths: live ∪ folded, distinct (refold-convergent), via
+    // the atomic swap
+    fs.delete(docsTmp, true)
+    spark.read.parquet(docsLive.toString).unionByName(dl).distinct()
+      .write.parquet(docsTmp.toString)
+    swapInDocsTmp(fs, docsLive, docsBak, docsTmp)
+    // drop the data LAST, keep the stub (the replay ledger)
+    pending.foreach { p =>
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n != "_SUCCESS" && n != "_GRAFT_BATCH_SIG"
+            && n != Similarity.FoldedMarker) {
+          fs.delete(st.getPath, true)
+          ()
+        }
+      }
+    }
+    pending.size.toLong
+  }
+
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     val docsLive = new org.apache.hadoop.fs.Path(s"$path/$DocsDir")
@@ -241,16 +369,7 @@ object Retrieval {
     val docsTmp = new org.apache.hadoop.fs.Path(s"$path/${DocsDir}_tmp")
     val fs = docsLive
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover a mid-swap crash first: live missing + bak present means
-    // the previous run died between the two renames — bak IS the
-    // committed pre-swap state, and its tombstones are still on disk,
-    // so restoring it restores correct (masked) serving (the read
-    // path also falls back to bak, so serving never broke meanwhile)
-    if (!fs.exists(docsLive) && fs.exists(docsBak)) {
-      val ok = fs.rename(docsBak, docsLive)
-      require(ok || fs.exists(docsLive),
-        s"could not restore $docsBak after a mid-swap crash")
-    }
+    recoverDocsSwap(fs, docsLive, docsBak)
     // then finish a crashed posting apply from its committed stage
     // (restoring any bucket the crashed overwrite half-replaced)
     // WITHOUT touching the tombstones — post-crash deletions must
@@ -269,14 +388,16 @@ object Retrieval {
     else {
         // same stream-sibling refusal as compactIvfIndex: the
         // tombstones also mask streamed postings, which this
-        // compaction never rewrites
-        require(!fs.exists(new org.apache.hadoop.fs.Path(
-            path + Similarity.StreamSiblingSuffix)),
+        // compaction never rewrites. Data-less stubs (the fold's
+        // replay ledger) no longer guard anything.
+        require(!Similarity.streamSiblingHoldsData(fs,
+            new org.apache.hadoop.fs.Path(
+              path + Similarity.StreamSiblingSuffix)),
           s"compactBm25Index: streamed-appends sibling " +
-            s"$path${Similarity.StreamSiblingSuffix} exists — " +
-            "compacting the base alone would un-mask deleted rows in " +
-            "streamed partitions; fold the stream into the base " +
-            "(fresh writeBm25Index) first")
+            s"$path${Similarity.StreamSiblingSuffix} holds un-folded " +
+            "data — compacting the base alone would un-mask deleted " +
+            "rows in streamed partitions; run foldStreamIntoBm25Index " +
+            "first")
         val dead = spark.read.parquet(snapshot.map(_.toString): _*)
           .select(col("doc_id")).distinct()
         val tf = spark.read.parquet(path)
@@ -315,18 +436,7 @@ object Retrieval {
         spark.read.parquet(docsLive.toString)
           .join(dead, Seq("doc_id"), "left_anti")
           .write.parquet(docsTmp.toString)
-        if (fs.exists(docsLive)) {
-          // a stale bak (crash after tmp→live, before bak drop) must
-          // go first — rename onto an existing dir NESTS the source
-          // inside the target (the StreamingAgg swap's FileSystem
-          // edge), which would corrupt the staging
-          fs.delete(docsBak, true)
-          require(fs.rename(docsLive, docsBak),
-            s"could not stage $docsLive aside")
-        }
-        require(fs.rename(docsTmp, docsLive),
-          s"could not commit $docsTmp to $docsLive")
-        fs.delete(docsBak, true)
+        swapInDocsTmp(fs, docsLive, docsBak, docsTmp)
         // tombstones go LAST (see compactIvfIndex): only the
         // snapshotted files — later-appended tombstones stay
         snapshot.foreach { f => fs.delete(f, false); () }

@@ -825,6 +825,48 @@ object Similarity {
     */
   private[graft] val StreamSiblingSuffix = "_stream"
 
+  /** Marker a fold places INSIDE a streamed batch partition the moment
+    * it takes ownership: serving skips marked partitions (their rows
+    * are, or are about to be, in the base — reading both would serve
+    * duplicates), while the partition's `_SUCCESS` + `_GRAFT_BATCH_SIG`
+    * stay behind forever as the replay ledger, so
+    * [[graft.streaming.BatchCommit]] keeps absorbing genuine replays
+    * and refusing recycled batch ids exactly as before the fold.
+    */
+  private[graft] val FoldedMarker = "_GRAFT_FOLDED"
+
+  /** True iff `dir` (recursively) holds at least one parquet data
+    * file — how a fold distinguishes a pending streamed batch from an
+    * already-folded stub, and how the compactors decide whether a
+    * stream sibling still guards un-folded rows.
+    */
+  private[graft] def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
+  /** True iff the streamed-appends sibling still holds UN-FOLDED data:
+    * any `ingest_batch=` partition (committed or not — an uncommitted
+    * one may yet be committed by a stream replay) with parquet files
+    * inside. This — not bare directory existence — is the compaction
+    * refusal condition: once [[foldStreamIntoIvfIndex]] (or the BM25
+    * fold) has drained every batch to a stub, dropping tombstones can
+    * no longer un-mask streamed rows, and the sibling's remaining
+    * stubs are just the replay ledger.
+    */
+  private[graft] def streamSiblingHoldsData(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path)
+      : Boolean =
+    fs.exists(root) && fs.listStatus(root).exists { st =>
+      st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch=") &&
+        hasParquetData(fs, st.getPath)
+    }
+
   /** The parquet data files currently composing the tombstone table
     * under `path/dirName` — the SNAPSHOT a compactor must pin at
     * entry. A compactor that deletes exactly these files afterwards
@@ -994,6 +1036,98 @@ object Similarity {
     }
   }
 
+  /** Fold the streamed-appends sibling INTO the base index, so a
+    * standing 100 TB index never needs a rebuild to become compactable
+    * (the r9 remediation was "fresh writeIvfIndex"): every committed
+    * `ingest_batch=` partition's rows move into their base `cell=`
+    * directories through the same durable-stage protocol the
+    * compactors use, and the partition is left as a data-less STUB
+    * whose `_SUCCESS`/`_GRAFT_BATCH_SIG` keep the BatchCommit replay
+    * ledger alive. Works unchanged for raw and PQ bases (the stage
+    * carries whatever columns the batches hold). Tombstones are
+    * untouched — the mask covers the rows in their new home exactly as
+    * in the old, and the next [[compactIvfIndex]] (now permitted: the
+    * sibling holds no data) reclaims them physically.
+    *
+    * CRASH CONTRACT: each pending partition is first marked
+    * [[FoldedMarker]] — an atomic visibility flip that makes serving
+    * skip it, so folded rows are NEVER visible twice (base and stream
+    * simultaneously); from the mark until the fold completes those
+    * rows are temporarily absent from serving, the honest maintenance
+    * gap, and any crash leaves the marked-but-still-data partitions as
+    * a durable worklist the next fold entry resumes. The stage write
+    * unions base rows of the touched cells with the batch rows
+    * DISTINCT, so a refold of rows a crashed run already applied
+    * converges instead of duplicating. Batch data is deleted LAST,
+    * after the apply — every earlier crash point leaves either the
+    * old state (unmarked), the hidden state (marked, data intact), or
+    * the applied state (marked, data intact, rows also in base —
+    * distinct absorbs). Single-writer maintenance op, concurrent with
+    * the append stream: folding touches only the entry-snapshot
+    * partitions; batches committed mid-fold stay served from the
+    * sibling. Returns the number of partitions folded.
+    */
+  def foldStreamIntoIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagePath = new org.apache.hadoop.fs.Path(
+      s"$path/$CompactStageDir")
+    // a committed stage (from a crashed fold OR compaction) replays
+    // first — the stage, not the index, is the source of truth for
+    // its dirty cells
+    if (compactionStageCommitted(fs, path))
+      applyCompactionStage(spark, path, "cell")
+    fs.delete(stagePath, true)
+    val root = new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)
+    if (!fs.exists(root)) return 0L
+    val pending = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
+      .filter(p => hasParquetData(fs, p))
+    if (pending.isEmpty) return 0L
+    // HIDE first: the atomic marker flips each partition out of the
+    // serving union before any row lands in the base
+    pending.foreach { p =>
+      val m = new org.apache.hadoop.fs.Path(p, FoldedMarker)
+      if (!fs.exists(m)) fs.create(m, true).close()
+    }
+    val rows = pending.map(p => spark.read.parquet(p.toString))
+      .reduce(_.unionByName(_))
+    val idx = spark.read.parquet(path)
+    // bounded driver action: distinct touched cells (≤ nCells)
+    val touched = rows.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val cellIsTouched = col("cell").isin(touched.map[Any] { c =>
+      idx.schema("cell").dataType match {
+        case org.apache.spark.sql.types.IntegerType => c.toInt
+        case _ => c
+      }
+    }: _*)
+    idx.filter(cellIsTouched).unionByName(rows).distinct()
+      .write.mode("overwrite").parquet(stagePath.toString)
+    import spark.implicits._
+    touched.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
+      .parquet(s"$stagePath/_parts")
+    applyCompactionStage(spark, path, "cell")
+    fs.delete(stagePath, true)
+    // drop the data LAST, keep the stub (the replay ledger)
+    pending.foreach { p =>
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n != "_SUCCESS" && n != "_GRAFT_BATCH_SIG"
+            && n != FoldedMarker) {
+          fs.delete(st.getPath, true)
+          ()
+        }
+      }
+    }
+    pending.size.toLong
+  }
+
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -1017,17 +1151,19 @@ object Similarity {
     val snapshot = tombstoneFileSnapshot(fs, path, DeletedDir)
     if (snapshot.isEmpty) 0L
     else {
-        // a streamed-appends sibling serves through the SAME tombstone
-        // table (the mask covers the union read), so dropping the
-        // tombstones here would silently un-mask deleted rows held in
-        // streamed partitions this compaction never rewrites — refuse
-        // loudly; fold the stream into the base (rebuild) first
-        require(!fs.exists(new org.apache.hadoop.fs.Path(
+        // a streamed-appends sibling HOLDING DATA serves through the
+        // SAME tombstone table (the mask covers the union read), so
+        // dropping the tombstones here would silently un-mask deleted
+        // rows held in streamed partitions this compaction never
+        // rewrites — refuse loudly. Once foldStreamIntoIvfIndex has
+        // drained every batch to a stub, the sibling no longer guards
+        // anything and compaction proceeds.
+        require(!streamSiblingHoldsData(fs, new org.apache.hadoop.fs.Path(
             path + StreamSiblingSuffix)),
           s"compactIvfIndex: streamed-appends sibling " +
-            s"$path$StreamSiblingSuffix exists — compacting the base " +
-            "alone would un-mask deleted rows in streamed partitions; " +
-            "fold the stream into the base (fresh writeIvfIndex) first")
+            s"$path$StreamSiblingSuffix holds un-folded data — " +
+            "compacting the base alone would un-mask deleted rows in " +
+            "streamed partitions; run foldStreamIntoIvfIndex first")
         val dead = spark.read.parquet(snapshot.map(_.toString): _*)
           .select(col("vec_id")).distinct()
         val idx = spark.read.parquet(path)

@@ -875,6 +875,55 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** The full streamed-index lifecycle in one entry
+    * ([[graft.ml.Similarity.foldStreamIntoIvfIndex]]): build on 3/4,
+    * STREAM the remaining quarter in as two committed micro-batches
+    * (VectorIngest.ingestBatch — including vectors a tombstone then
+    * masks), soft-delete every 7th vector, FOLD the stream into the
+    * base (batches drain to replay-ledger stubs), then COMPACT — now
+    * permitted, where before the fold it refused — and serve. Gated
+    * on the ns8e centroids + alive-corpus oracle: hash-equality
+    * proves stream→fold→compact→serve answers exactly like a
+    * from-scratch build of the surviving corpus, i.e. a standing
+    * index never needs a rebuild to become compactable. MlSpec pins
+    * the physical claims (stub markers, replay absorption, crash
+    * windows).
+    */
+  val ns8hSimIvfFolded: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val initial = emb.filter(col("vec_id") % 4 =!= 0)
+    val cents = Similarity.seedCentroids(initial, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index_fld")
+    if (ivfIndexWritten.add(path)) {
+      Similarity.writeIvfIndex(initial, cents, path)
+      graft.streaming.VectorIngest.ingestBatch(
+        emb.filter(col("vec_id") % 8 === 0), 0L, path)
+      graft.streaming.VectorIngest.ingestBatch(
+        emb.filter(col("vec_id") % 8 === 4), 1L, path)
+      Similarity.deleteFromIvfIndex(s,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), path)
+      Similarity.foldStreamIntoIvfIndex(s, path)
+      Similarity.compactIvfIndex(s, path)
+    }
+    val alive = emb.filter(col("vec_id") % 7 =!= 0)
+    Similarity.withRecall(
+      Similarity.queryIvfIndex(s, path, alive, cents, k = 5, probes = 3),
+      Similarity.bruteTopK(alive, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns8hSimIvfFoldedSql: String = ivfMultiProbeSql(
+    """cents AS (
+      |  SELECT vec_id AS cell, embedding AS ce FROM nz
+      |  WHERE vec_id % 4 <> 0
+      |  ORDER BY vec_id LIMIT 16
+      |)""".stripMargin,
+    corpus = "alive",
+    pre = """
+      |alive AS (
+      |  SELECT * FROM nz WHERE vec_id % 7 <> 0
+      |),""".stripMargin)
+
   /** Random-hyperplane LSH ANN — "random" but fixed-seed, so since r9
     * it is HASH-GATED like ns6b: the plane literals band identically
     * on both engines, the collision join + top-k cut restate
@@ -2453,6 +2502,37 @@ object MlQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The lexical fold lifecycle ([[Retrieval.foldStreamIntoBm25Index]],
+    * the ns8h discipline for BM25): build on 3/4, stream the quarter
+    * in as two committed batches (Bm25Ingest.ingestBatch — postings
+    * AND doc lengths), soft-delete every 7th doc (some streamed),
+    * fold, compact (permitted only after the fold), serve. Gated on
+    * the ns46d oracle: the folded-then-compacted index must score
+    * exactly like a from-scratch build of the surviving corpus — df,
+    * n_docs, avgdl all re-derived over base+folded docs.
+    */
+  val ns46fBm25Folded: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bm25_index_fld")
+    if (ivfIndexWritten.add(path)) {
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 4 =!= 0),
+        path, nBuckets = 64)
+      graft.streaming.Bm25Ingest.ingestBatch(
+        docs.filter(col("doc_id") % 8 === 0), 0L, path)
+      graft.streaming.Bm25Ingest.ingestBatch(
+        docs.filter(col("doc_id") % 8 === 4), 1L, path)
+      Retrieval.deleteBm25Docs(s,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), path)
+      Retrieval.foldStreamIntoBm25Index(s, path)
+      Retrieval.compactBm25Index(s, path)
+    }
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.queryBm25Index(s, path, queries, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------- ns48 nearest-centroid (Rocchio) classifier
 
   /** Nearest-centroid classification on a vec_id % 5 holdout
@@ -3092,6 +3172,7 @@ object MlQueries {
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppended,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeleted,
     "ns8g_sim_ivf_compacted" -> ns8gSimIvfCompacted,
+    "ns8h_sim_ivf_folded" -> ns8hSimIvfFolded,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,
@@ -3136,6 +3217,7 @@ object MlQueries {
     "ns46c_bm25_appended" -> ns46cBm25Appended,
     "ns46d_bm25_deleted" -> ns46dBm25Deleted,
     "ns46e_bm25_compacted" -> ns46eBm25Compacted,
+    "ns46f_bm25_folded" -> ns46fBm25Folded,
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
     "ns49_pca_power" -> ns49PcaPower,
@@ -3179,6 +3261,7 @@ object MlQueries {
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppendedSql,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeletedSql,
     "ns8g_sim_ivf_compacted" -> ns8fSimIvfDeletedSql,
+    "ns8h_sim_ivf_folded" -> ns8hSimIvfFoldedSql,
     "ns9_lang_id" -> ns9LangIdSql,
     "ns10_quality" -> ns10QualitySql,
     "ns11_tokens" -> ns11TokensSql,
@@ -3220,6 +3303,7 @@ object MlQueries {
     "ns46c_bm25_appended" -> ns46Bm25Sql,
     "ns46d_bm25_deleted" -> ns46dBm25DeletedSql,
     "ns46e_bm25_compacted" -> ns46dBm25DeletedSql,
+    "ns46f_bm25_folded" -> ns46dBm25DeletedSql,
     "ns47_centroids" -> ns47CentroidsSql,
     "ns48_rocchio" -> ns48RocchioSql,
     "ns50_hybrid_rrf" -> ns50HybridRrfSql,

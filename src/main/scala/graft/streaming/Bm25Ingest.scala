@@ -28,7 +28,10 @@ import graft.ml.Retrieval
   * Scale: per-trigger work is one tokenize + two aggregates over the
   * batch plus a partitioned write — O(batch), never O(index). Stream
   * files re-bin offline via [[graft.sources.Layout.compactPartitions]]
-  * or fold into the base with a fresh [[Retrieval.writeBm25Index]].
+  * or drain into the base with
+  * [[Retrieval.foldStreamIntoBm25Index]] — no rebuild, batch
+  * partitions become replay-ledger stubs, and the base stays
+  * compactable.
   */
 object Bm25Ingest {
 
@@ -138,6 +141,10 @@ object Bm25Ingest {
         st.getPath.getName.startsWith("ingest_batch="))
       .filter(st => fs.exists(
         new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      // folded partitions serve from the base now (see
+      // VectorIngest.servePaths)
+      .filter(st => !fs.exists(new org.apache.hadoop.fs.Path(
+        st.getPath, graft.ml.Similarity.FoldedMarker)))
       .map(_.getPath.toString)
   }
 }

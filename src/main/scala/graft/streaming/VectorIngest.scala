@@ -28,8 +28,10 @@ import graft.ml.Similarity
   * The stream table accumulates one small file set per trigger;
   * re-bin offline with [[graft.sources.Layout.compactPartitions]]
   * (per-partition, preserving the `ingest_batch=` idempotence keys)
-  * or fold into the base via a fresh
-  * [[graft.ml.Similarity.writeIvfIndex]] refit.
+  * or drain into the base with
+  * [[graft.ml.Similarity.foldStreamIntoIvfIndex]] — no refit, batch
+  * partitions become replay-ledger stubs, and the base stays
+  * compactable.
   */
 object VectorIngest {
 
@@ -173,6 +175,11 @@ object VectorIngest {
           st.getPath.getName.startsWith("ingest_batch="))
         .filter(st => fs.exists(
           new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        // a folded partition's rows live in the base now (or are
+        // about to — the marker flips BEFORE the move): reading it
+        // too would serve duplicates
+        .filter(st => !fs.exists(new org.apache.hadoop.fs.Path(
+          st.getPath, Similarity.FoldedMarker)))
         .map(_.getPath.toString)
       indexPath +: committed
     }

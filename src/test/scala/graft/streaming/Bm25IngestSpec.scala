@@ -152,4 +152,86 @@ class Bm25IngestSpec extends SparkSpec {
       new Directory(tmp.toFile).deleteRecursively()
     }
   }
+  test("foldStreamIntoBm25Index: batches drain into base postings AND " +
+      "doc lengths, compaction unlocks after the fold, refolds " +
+      "converge, and replays stay absorbed") {
+    val spark0 = spark
+    import spark0.implicits._
+    val initial = docs.filter(col("doc_id") % 4 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_fold")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(initial, idx, nBuckets = 32)
+      val b0 = docs.filter(col("doc_id") % 8 === 0)
+      val b1 = docs.filter(col("doc_id") % 8 === 4)
+      Bm25Ingest.ingestBatch(b0, 0L, idx)
+      Bm25Ingest.ingestBatch(b1, 1L, idx)
+      // tombstone a streamed doc (0 % 8 == 0) and a base doc, then:
+      // compaction refuses while the sibling holds un-folded data
+      Retrieval.deleteBm25Docs(spark, Seq(0L, 1L).toDF("doc_id"), idx)
+      val exCmp = intercept[IllegalArgumentException] {
+        Retrieval.compactBm25Index(spark, idx)
+      }
+      assert(exCmp.getMessage.contains("foldStreamIntoBm25Index"))
+      assert(Retrieval.foldStreamIntoBm25Index(spark, idx) === 2L)
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("ingest_batch=0", "ingest_batch=1").foreach { n =>
+        val st = new org.apache.hadoop.fs.Path(
+          idx + graft.ml.Similarity.StreamSiblingSuffix, n)
+        assert(fs.exists(new org.apache.hadoop.fs.Path(st, "_SUCCESS")))
+        assert(fs.exists(new org.apache.hadoop.fs.Path(st,
+          graft.ml.Similarity.FoldedMarker)))
+        assert(!graft.ml.Similarity.hasParquetData(fs, st))
+      }
+      // folded serving == from-scratch build of the surviving corpus —
+      // df, n_docs, avgdl re-derived over the union
+      val aliveIdx = tmp.resolve("alive").toString
+      Retrieval.writeBm25Index(
+        docs.filter(!col("doc_id").isin(0L, 1L)), aliveIdx,
+        nBuckets = 32)
+      def serve(p: String) =
+        rows(Retrieval.queryBm25Index(spark, p, queriesDf, 5))
+      assert(serve(idx) === serve(aliveIdx) && serve(idx).nonEmpty)
+      // streamed-serving path agrees too (stubs skipped, not read)
+      assert(rows(Bm25Ingest.queryServed(spark, idx, queriesDf, 5))
+        === serve(aliveIdx))
+      // refold convergence (BEFORE compaction — a torn fold blocks
+      // the compactor's data check, so this is the only order the
+      // state can occur in): restore a torn batch (marker + data) and
+      // refold — the distinct unions absorb the already-applied rows
+      val batch0Dir = new org.apache.hadoop.fs.Path(
+        idx + graft.ml.Similarity.StreamSiblingSuffix, "ingest_batch=0")
+      val nBuckets = spark.read
+        .parquet(s"$idx/${Retrieval.StatsDir}")
+        .head().getAs[Int]("n_buckets")
+      val (tfB, dlB, _) = Retrieval.corpusStats(b0)
+      tfB.withColumn("bkt",
+          pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$batch0Dir/postings")
+      dlB.write.mode("overwrite").parquet(s"$batch0Dir/docs")
+      assert(graft.ml.Similarity.hasParquetData(fs, batch0Dir))
+      assert(Retrieval.foldStreamIntoBm25Index(spark, idx) === 1L)
+      assert(serve(idx) === serve(aliveIdx))
+      val docDups = spark.read.parquet(s"$idx/${Retrieval.DocsDir}")
+        .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+      assert(docDups === 0L, "refold duplicated doc-length rows")
+      // only now is the sibling data-less: compaction proceeds and
+      // serving stays identical
+      assert(Retrieval.compactBm25Index(spark, idx) > 0L)
+      assert(serve(idx) === serve(aliveIdx))
+      assert(tombstonesEmpty(idx, "_graft_bm25_deleted"))
+      // replay absorption survives the fold; recycled ids still refuse
+      Bm25Ingest.ingestBatch(b0, 0L, idx)
+      assert(!graft.ml.Similarity.hasParquetData(fs, batch0Dir),
+        "a genuine replay re-materialized a folded batch")
+      intercept[IllegalArgumentException] {
+        Bm25Ingest.ingestBatch(b1, 0L, idx)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }

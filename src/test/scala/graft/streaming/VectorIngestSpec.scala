@@ -165,4 +165,105 @@ class VectorIngestSpec extends SparkSpec {
       new Directory(tmp.toFile).deleteRecursively()
     }
   }
+  test("foldStreamIntoIvfIndex: batches drain into the base, serving " +
+      "never sees a row twice, crash states resume, replays stay " +
+      "absorbed, and compaction unlocks only after the fold") {
+    val spark0 = spark
+    import spark0.implicits._
+    val initial = embs.filter(col("vec_id") % 4 =!= 0)
+    val cents = Similarity.seedCentroids(initial, nCells = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("vec_fold")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Similarity.writeIvfIndex(initial, cents, idx)
+      val b0 = embs.filter(col("vec_id") % 8 === 0)
+      val b1 = embs.filter(col("vec_id") % 8 === 4)
+      VectorIngest.ingestBatch(b0, 0L, idx)
+      VectorIngest.ingestBatch(b1, 1L, idx)
+      val b0Ids = b0.select("vec_id").as[Long].collect().toSet
+      def served(q: org.apache.spark.sql.DataFrame) =
+        VectorIngest.queryServed(spark, idx, q, cents, k = 5, probes = 3)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .toSet
+      // tombstone one streamed and one base vector; compaction must
+      // refuse while the sibling holds un-folded data
+      Similarity.deleteFromIvfIndex(spark, Seq(0L, 1L).toDF("vec_id"),
+        idx)
+      val exCmp = intercept[IllegalArgumentException] {
+        Similarity.compactIvfIndex(spark, idx)
+      }
+      assert(exCmp.getMessage.contains("foldStreamIntoIvfIndex"))
+      // crash window A: a batch MARKED but not folded is absent from
+      // serving (never duplicated) and resumes at the next fold entry
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val batch0Dir = new org.apache.hadoop.fs.Path(
+        idx + Similarity.StreamSiblingSuffix, "ingest_batch=0")
+      fs.create(new org.apache.hadoop.fs.Path(batch0Dir,
+        Similarity.FoldedMarker), true).close()
+      val alive = embs.filter(!col("vec_id").isin(0L, 1L))
+      val gapJs = served(alive).map(_._3)
+      assert(gapJs.intersect(b0Ids).isEmpty,
+        "a marked-but-unfolded batch leaked into serving")
+      // save batch 0's torn state (marker + data) for crash window B
+      val saved = new org.apache.hadoop.fs.Path(
+        tmp.resolve("saved_b0").toString)
+      org.apache.hadoop.fs.FileUtil.copy(fs, batch0Dir, fs, saved,
+        false, spark.sparkContext.hadoopConfiguration)
+      // the fold drains BOTH batches (the marked one resumes)
+      assert(Similarity.foldStreamIntoIvfIndex(spark, idx) === 2L)
+      val stubs = Seq("ingest_batch=0", "ingest_batch=1").map(n =>
+        new org.apache.hadoop.fs.Path(
+          idx + Similarity.StreamSiblingSuffix, n))
+      stubs.foreach { st =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(st, "_SUCCESS")))
+        assert(fs.exists(new org.apache.hadoop.fs.Path(st,
+          "_GRAFT_BATCH_SIG")))
+        assert(fs.exists(new org.apache.hadoop.fs.Path(st,
+          Similarity.FoldedMarker)))
+        assert(!Similarity.hasParquetData(fs, st),
+          s"stub $st still holds data")
+      }
+      // folded-then-compacted serving == from-scratch build of the
+      // surviving corpus (same centroids)
+      val aliveIdx = tmp.resolve("alive").toString
+      Similarity.writeIvfIndex(alive, cents, aliveIdx)
+      val fromScratch = Similarity.queryIvfIndex(spark, aliveIdx, alive,
+          cents, k = 5, probes = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(served(alive) === fromScratch && fromScratch.nonEmpty)
+      // crash window B (BEFORE compaction — a torn fold blocks the
+      // compactor's data check, so this is the only order the state
+      // can occur in): the apply ran but the data delete crashed —
+      // restore the torn state and refold; the distinct union
+      // converges instead of duplicating
+      fs.delete(batch0Dir, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, batch0Dir,
+        false, spark.sparkContext.hadoopConfiguration)
+      assert(Similarity.hasParquetData(fs, batch0Dir))
+      assert(Similarity.foldStreamIntoIvfIndex(spark, idx) === 1L)
+      assert(served(alive) === fromScratch)
+      val dupCount = spark.read.parquet(idx)
+        .groupBy(col("vec_id")).count()
+        .filter(col("count") > 1).count()
+      assert(dupCount === 0L, "refold duplicated rows in the base")
+      // only now is the sibling data-less: compaction proceeds and
+      // serving stays identical
+      assert(Similarity.compactIvfIndex(spark, idx) > 0L)
+      assert(served(alive) === fromScratch)
+      assert(tombstonesEmpty(idx, "_graft_deleted"))
+      // replay absorption survives the fold: same (id, content) no-ops
+      // against the stub; a recycled id still fails loudly
+      VectorIngest.ingestBatch(b0, 0L, idx)
+      assert(!Similarity.hasParquetData(fs, batch0Dir),
+        "a genuine replay re-materialized a folded batch")
+      intercept[IllegalArgumentException] {
+        VectorIngest.ingestBatch(b1, 0L, idx)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }
