@@ -62,9 +62,6 @@ object SparkEntry {
     * carry an oracle, never silently neither.
     */
   def rowsOnlyGate: Map[String, String] = Map(
-    "ns7d_sim_ivfpq" -> "rows+recall",
-    "ns7e_sim_ivfpq_served" -> "rows+recall",
-    "ns8b_sim_ivf_kmeans" -> "rows+recall",
     "q19b_approx_distinct" -> "rows+error",
     "q39b_approx_percentile" -> "rows+error",
     "q67b_winsorize_approx" -> "rows+error",

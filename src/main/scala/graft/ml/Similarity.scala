@@ -1342,7 +1342,14 @@ object Similarity {
         packCodes(transform(
           array_sort(collect_list(struct(col("sub"), col("code")))),
           x => x.getField("code").cast("long"))).as("codes"),
-        sqrt(sum(col("cn2"))).as("rnrm"))
+        // sorted fold, not sum(): double addition is accumulation-
+        // order-dependent and partial-aggregate merge order varies
+        // run to run — the sorted fold pins rnrm's bits, which is
+        // what lets the ns7d/ns7e oracles restate ADC exactly
+        // (list_reduce over list_sort on the DuckDB side). nSub
+        // elements per vector at encode time — off the hot path.
+        sqrt(aggregate(array_sort(collect_list(col("cn2"))),
+          lit(0.0), (a, b) => a + b)).as("rnrm"))
       // all-zero codewords reconstruct to the zero vector — no
       // direction, same guard (and rationale) as withNorm
       .filter(finitePositiveNorm(col("rnrm")))

@@ -611,6 +611,93 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
+  /** ns7d's (and ns7e's — MlSpec pins served == in-memory bit-for-bit)
+    * oracle, the r9 graduation: the PQ codebook is pinned as literals
+    * ([[FittedModels.pqCodebookValues]], deterministic fit) and the
+    * ENTIRE serving chain restates — multi-probe cell ranking,
+    * per-(vector, subspace) nearest-codeword assignment (rounded-L2
+    * argmin, code tiebreak), the sorted-fold reconstructed norm, the
+    * ADC cosine as a sub-ascending sequential fold of LUT dots
+    * (graft_adc's exact summation order), the refine-50 cut, exact
+    * re-score top-5, and the sampled recall. Only the Lloyd fit
+    * itself stays un-restated — pinned, not unchecked.
+    */
+  val ns7dSimIvfPqSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |$duckSeedCents16,
+      |cb AS (
+      |  SELECT sub, code, ce, list_dot_product(ce, ce) AS cn2
+      |  FROM (VALUES
+      |${FittedModels.pqCodebookValues}) t(sub, code, ce)
+      |), nrms AS (
+      |  SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[],
+      |    embedding::DOUBLE[])) AS nrm
+      |  FROM nz
+      |), ranked AS (
+      |  SELECT vec_id, cell, crk FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk <= 3
+      |), sv AS (
+      |  SELECT vec_id, s.sub,
+      |    (embedding::DOUBLE[])[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+      |  FROM nz, (SELECT unnest(range(0, 8))::INT AS sub) s
+      |), codes AS (
+      |  SELECT vec_id, sub, code, cn2 FROM (
+      |    SELECT s.vec_id, s.sub, c.code, c.cn2,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY round(list_dot_product(s.sv, s.sv)
+      |          - 2 * list_dot_product(s.sv, c.ce) + c.cn2, 6),
+      |          c.code) AS ark
+      |    FROM sv s JOIN cb c USING (sub)) WHERE ark = 1
+      |), enc AS (
+      |  SELECT vec_id, rnrm FROM (
+      |    SELECT vec_id, sqrt(list_reduce(
+      |      list_prepend(0.0::DOUBLE, list_sort(list(cn2))),
+      |      (a, b) -> a + b)) AS rnrm
+      |    FROM codes GROUP BY vec_id)
+      |  WHERE rnrm > 0 AND isfinite(rnrm)
+      |), cand AS (
+      |  SELECT q.vec_id AS i, nq.nrm AS na, ix.vec_id AS j, e.rnrm
+      |  FROM ranked q
+      |  JOIN ranked ix ON q.cell = ix.cell AND ix.crk = 1
+      |    AND q.vec_id <> ix.vec_id
+      |  JOIN enc e ON e.vec_id = ix.vec_id
+      |  JOIN nrms nq ON nq.vec_id = q.vec_id
+      |), pairsum AS (
+      |  SELECT c.i, c.j, c.na, c.rnrm,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list(list_dot_product(sq.sv, b.ce) ORDER BY jc.sub)),
+      |      (a, b) -> a + b) AS s
+      |  FROM cand c
+      |  JOIN codes jc ON jc.vec_id = c.j
+      |  JOIN cb b ON b.sub = jc.sub AND b.code = jc.code
+      |  JOIN sv sq ON sq.vec_id = c.i AND sq.sub = jc.sub
+      |  GROUP BY c.i, c.j, c.na, c.rnrm
+      |), refine AS (
+      |  SELECT i, j FROM (
+      |    SELECT i, j, row_number() OVER (PARTITION BY i
+      |      ORDER BY round(s / (na * rnrm), 6) DESC, j) AS ark
+      |    FROM pairsum) WHERE ark <= 50
+      |), approx AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT r.i, r.j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY r.i
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, r.j) AS rk
+      |    FROM refine r JOIN nz a ON a.vec_id = r.i
+      |    JOIN nz b ON b.vec_id = r.j) WHERE rk <= 5
+      |),
+      |$duckSampledRecall
+      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 2""".stripMargin
+
   /** IVF ANN — "approximate" only in the sense that cell pruning loses
     * recall vs brute force; given its DETERMINISTIC seed centroids the
     * result is a pure function of the data, so since r9 the entire
@@ -688,6 +775,24 @@ object MlQueries {
       Similarity.ivfTopKWithCentroids(emb, cents, k = 5),
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
+  }
+
+  /** ns8b's oracle — the r9 graduation (verdict item 4): the FIT
+    * cannot restate in DuckDB (xxhash64 sampling + Lloyd iterations),
+    * but it is deterministic (6 dp rounding per iteration), so the
+    * fitted centroids are PINNED as literals
+    * ([[FittedModels.ivfCentsValues]]) and everything downstream —
+    * assignment, per-cell top-k, sampled recall — is ns8's own gated
+    * SQL over those literals. A fit change now FAILS the gate loudly
+    * instead of hiding behind a rows-only check.
+    */
+  val ns8bSimIvfKmeansSql: String = {
+    val fittedCents =
+      s"""cents AS (
+         |  SELECT cell::BIGINT AS cell, ce FROM (VALUES
+         |${FittedModels.ivfCentsValues}) t(cell, ce)
+         |)""".stripMargin
+    ns8SimIvfSql.replace(duckSeedCents16, fittedCents)
   }
 
   /** Multi-probe IVF — each query vector probes its 3 nearest cells
@@ -3255,7 +3360,10 @@ object MlQueries {
     "ns7b_sim_topk_agg" -> ns7SimTopkSql,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8Sql,
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinarySql,
+    "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
+    "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,
+    "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeansSql,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbeSql,
     "ns8d_sim_ivf_served" -> ns8cSimIvfMultiProbeSql,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppendedSql,
