@@ -182,10 +182,26 @@ object Bench {
         else SparkEntry.rowsOnlyGate.getOrElse(k, "UNDECLARED")
       s"\"" + k + "\":\"" + g + "\""
     }.mkString("{", ",", "}")
+    // Per-entry evidence counters (r9 verdict item 6): untimed probes
+    // making data-dependent scale caveats measurable — e.g. q82's
+    // A-priori candidates_pruned, 0 on this fixture by measurement
+    // rather than by prose. Failures report {"failed":1}, never kill
+    // the line.
+    val observed = SparkEntry.evidence.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && results.exists(_._1 == name) }
+      .map { case (name, fn) =>
+        val m =
+          try fn(spark, sfDir)
+          catch { case _: Throwable => Map("failed" -> 1L) }
+        "\"" + name + "\":" + m.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     // headline fields LAST: the driver's capture keeps the tail of
     // this (long) line, so the per-query map is what truncation may
     // cost, never the totals / streaming floor / failure list
-    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"gates":$gates,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"gates":$gates,"observed":$observed,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
     println(full)
     // The driver keeps only the LAST ~2000 output chars, and the full
     // line above outgrew that long ago — its head (the ns* timings)

@@ -44,6 +44,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ MlQueries.oracles ++ StatsQueries.oracles
 
+  /** Optional per-entry evidence probes the bench runs UNTIMED after
+    * the timing loop and emits under `observed` in the full JSON line
+    * — for operators whose scale mechanism is data-dependent enough
+    * that a prose caveat should be a measured number instead (r9
+    * verdict item 6). Each probe returns flat named counters.
+    */
+  def evidence: Map[String, (SparkSession, String) => Map[String, Long]] =
+    Map("q82_basket" -> RelationalQueries.q82PruneEvidence)
+
   /** The declared correctness gate of every query NOT in [[oracleSql]]
     * — machine-readable so the bench JSON can carry a per-entry `gate`
     * field instead of leaving the oracle/rows-only split to be derived

@@ -1184,6 +1184,44 @@ object RelationalQueries {
     basketLift(baskets, minSupport = 50L)
   }
 
+  /** Bench evidence probe for q82 (r9 verdict item 6): the A-priori
+    * prune is structurally a no-op on this 25-brand fixture
+    * (BASELINE.md documents it in prose; BasketSpec proves the
+    * mechanism on a synthetic long tail) — this makes the caveat
+    * MEASURABLE in the bench JSON instead of prose. Candidate volume
+    * is Σ_basket C(items, 2) with and without the frequency cut;
+    * `candidates_pruned` is their difference (0 on the fixture, by
+    * measurement). One aggregate over the basket table, untimed, run
+    * by the bench after the timing loop.
+    */
+  def q82PruneEvidence(s: SparkSession, dir: String): Map[String, Long] = {
+    val baskets = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val itemFreq = baskets.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_item"))
+    val kept = itemFreq.filter(col("n_item") >= 50L)
+    val per = baskets
+      .join(broadcast(kept.select(col("brand"), lit(1).as("k"))),
+        Seq("brand"), "left")
+      .groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_all"), count(col("k")).as("n_kept"))
+    val r = per.agg(
+      coalesce(sum(expr("(n_all * (n_all - 1)) div 2")), lit(0L))
+        .as("before"),
+      coalesce(sum(expr("(n_kept * (n_kept - 1)) div 2")), lit(0L))
+        .as("after")).head()
+    val (before, after) = (r.getLong(0), r.getLong(1))
+    Map(
+      "items_total" -> itemFreq.count(),
+      "items_kept" -> kept.count(),
+      "candidates_before" -> before,
+      "candidates_after" -> after,
+      "candidates_pruned" -> (before - after))
+  }
+
   val q82BasketSql: String =
     """WITH baskets AS (
       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand

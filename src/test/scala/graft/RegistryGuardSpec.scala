@@ -113,4 +113,17 @@ class RegistryGuardSpec extends SparkSpec {
       s"gate declared for unknown query: ${(oracle ++ declared -- all)
         .toSeq.sorted.mkString(", ")}")
   }
+
+  test("REGISTRY.md is current: the committed file matches the " +
+      "generator's output byte for byte") {
+    // the README-count discipline applied to the full index: the
+    // table is generated from the registry maps + a source scan, so
+    // a new entry (or a moved definition) without a regeneration
+    // fails here instead of drifting silently
+    val committed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("REGISTRY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(committed === RegistryDoc.render(),
+      "REGISTRY.md is stale — run `sbt \"runMain graft.RegistryDoc\"`")
+  }
 }
