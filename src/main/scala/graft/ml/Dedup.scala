@@ -544,6 +544,54 @@ object Dedup {
         col("band_bits"), col("sb.sub").as("sub"),
         col("sb.sub_bits").as("sub_bits"))
 
+  /** SimHash near-dup pairs with a LOSSY band-occupancy cap — the ns2
+    * df-cap discipline applied to the pigeonhole join: (band,
+    * band_bits) buckets holding more than `bandOccupancyCap` rows are
+    * DROPPED before pairing, so candidate volume is STRUCTURALLY
+    * linear — Σ|bucket|² ≤ cap · Σ|bucket| ≤ cap · bands · N no
+    * matter how biased the signature distribution gets (the skew
+    * regime where even the exact sub-split of
+    * [[simhashPairsFromSigs]] inherits the data's quadratic candidate
+    * floor, because a constant fraction of pairs genuinely agrees on
+    * some band).
+    *
+    * RECALL CONTRACT (the [[editDistancePairs]] maxVariantDf
+    * argument, stated rather than discovered): a true pair is
+    * reported iff at least ONE of its agreeing bands is an uncapped
+    * bucket; a pair inside a dense boilerplate cluster whose every
+    * agreeing band is hot is dropped — exactly the population a
+    * dedup pipeline down-weights anyway. With the cap high enough to
+    * cover a bucket, results equal the exact form. Emission
+    * uniqueness: bucket survival is data-dependent, so the row-local
+    * canonical-band trick does not apply — pairs are deduped with a
+    * distinct, the cap variant's one extra (linear) exchange. The
+    * whole thing — banding, occupancy window, cap filter, hamming,
+    * distinct — is deterministic, so ns5c gates it hash-exact.
+    */
+  def simhashPairsCapped(sh: DataFrame, maxHamming: Int,
+      bandOccupancyCap: Int, bands: Int = 0): DataFrame = {
+    require(bandOccupancyCap > 0, "bandOccupancyCap must be positive")
+    val nb = if (bands > 0) bands else maxHamming + 1
+    require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
+    val kept = simhashBands(sh, nb)
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_bits"))))
+      .filter(col("bsz") <= bandOccupancyCap)
+    kept
+      .select(col("doc_id").as("i"), col("simhash").as("sig_i"),
+        col("band"), col("band_bits"))
+      .join(kept
+        .select(col("doc_id").as("j"), col("simhash").as("sig_j"),
+          col("band"), col("band_bits")),
+        Seq("band", "band_bits"))
+      .filter(col("i") < col("j"))
+      .withColumn("hamming", bit_count(expr("sig_i ^ sig_j")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+      .dropDuplicates("i", "j")
+  }
+
   /** A when-chain dispatching on the band column — the band count is
     * a plan-time constant, so per-band bit arithmetic stays in
     * whole-stage codegen as a short static CASE.

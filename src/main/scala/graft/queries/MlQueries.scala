@@ -194,6 +194,55 @@ object MlQueries {
 
   val ns5bSimhashSubsplitSql: String = ns5SimhashPairsSql
 
+  /** The LOSSY band-occupancy-capped variant
+    * ([[Dedup.simhashPairsCapped]], cap = 25): hot buckets are
+    * dropped before pairing, making candidate volume structurally
+    * linear (≤ cap · bands · N) under ANY signature skew — the
+    * documented recall contract of the ns2 df-cap discipline. The cap
+    * is deterministic (bucket counts), so the whole thing gates
+    * hash-exact: banding, the occupancy window, the cap filter,
+    * hamming, and the distinct-pair dedup all restate in SQL.
+    */
+  val ns5cSimhashCapped: Q = (s, dir) =>
+    Dedup.simhashPairsCapped(
+      Dedup.simhash(Tables.documents(s, dir)), maxHamming = 6,
+      bandOccupancyCap = 25)
+      .orderBy(col("i"), col("j"))
+
+  /** Band split of a 60-bit simhash into nb uneven bands — generated
+    * from the same boundary arithmetic as [[Dedup.simhashBands]] so
+    * the two can never drift.
+    */
+  private def duckSimhashBandedSql(nb: Int): String =
+    (0 until nb).map { b =>
+      val lo = 60 * b / nb
+      val hi = 60 * (b + 1) / nb
+      s"  SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> $lo) % ${1L << (hi - lo)} AS band_bits FROM sig"
+    }.mkString("banded AS (\n", "\n  UNION ALL\n", "\n)")
+
+  val ns5cSimhashCappedSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_sum([CASE WHEN len(list_filter(whashes, h -> (h >> j) & 1 = 1)) * 2
+       |        >= len(whashes) THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |      FOR j IN range(0, 60)])::BIGINT AS simhash
+       |  FROM (SELECT doc_id,
+       |      [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
+       |    FROM documents WHERE text IS NOT NULL)
+       |), ${duckSimhashBandedSql(7)},
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, band_bits) AS bsz
+       |    FROM banded) WHERE bsz <= 25
+       |)
+       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM kept a JOIN kept b ON a.band = b.band
+       |  AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY i, j""".stripMargin
+
   /** Incremental near-dedup: new docs (doc_id % 3 == 0) flagged with
     * their closest near-duplicate in the existing corpus (the rest) —
     * the production dedup shape that never re-pairs the corpus with
@@ -3262,6 +3311,7 @@ object MlQueries {
     "ns4_simhash" -> ns4Simhash,
     "ns5_simhash_pairs" -> ns5SimhashPairs,
     "ns5b_simhash_subsplit" -> ns5bSimhashSubsplit,
+    "ns5c_simhash_capped" -> ns5cSimhashCapped,
     "ns6_embed_neardup" -> ns6EmbedNearDup,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLsh,
     "ns7_sim_topk" -> ns7SimTopk,
@@ -3353,6 +3403,7 @@ object MlQueries {
     "ns4_simhash" -> ns4SimhashSql,
     "ns5_simhash_pairs" -> ns5SimhashPairsSql,
     "ns5b_simhash_subsplit" -> ns5bSimhashSubsplitSql,
+    "ns5c_simhash_capped" -> ns5cSimhashCappedSql,
     "ns6_embed_neardup" -> ns6EmbedNearDupSql,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLshSql,
     "ns15_lsh_ann" -> ns15LshAnnSql,

@@ -1164,6 +1164,25 @@ class MlSpec extends SparkSpec {
       s"skew fixture lost its hot bucket (naive=$naive)")
     assert((coldVol + hotVol) * 10 < naive,
       s"sub-split volume ${coldVol + hotVol} not ≪ naive $naive")
+    // the LOSSY occupancy cap is STRUCTURALLY linear: every surviving
+    // bucket holds ≤ cap rows, so Σ|bucket|² ≤ cap · bands · N no
+    // matter how skewed the signatures — the bound itself, measured
+    val cap = 8
+    val cappedVol = vol(sized.filter(col("bsz") <= cap),
+      Seq("band", "band_bits"))
+    assert(cappedVol <= cap.toLong * nb * n,
+      s"capped volume $cappedVol exceeds its cap·bands·N bound")
+    // recall contract: the planted cluster (13 near-identical sigs)
+    // fits under a covering cap, so its true pairs all survive; the
+    // dropped pairs are exactly those with NO surviving agreeing band
+    val capped = Dedup.simhashPairsCapped(sigs, maxHamming = 6,
+        bandOccupancyCap = 50)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(plain))
+    val planted = plain.filter { case (i, j, _) =>
+      i % 50 == 0 && j % 50 == 0 }
+    assert(planted.nonEmpty && planted.subsetOf(capped),
+      "cap dropped planted-cluster pairs its buckets could cover")
   }
 
   test("packSignBits fails loudly when dim overstates the embedding " +

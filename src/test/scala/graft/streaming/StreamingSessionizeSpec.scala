@@ -189,4 +189,49 @@ class StreamingSessionizeSpec extends SparkSpec {
     assert(got.map(g => (g.startMs / 60000L, g.endMs / 60000L, g.n))
       === List((0L, 6L, 2L), (20L, 22L, 2L)))
   }
+
+  test("state bound at scale: 100k keys' state rows track OPEN " +
+      "sessions, drop to ~zero once the watermark closes them, and " +
+      "every session emits exactly once") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 100000
+    val evs = MemoryStream[SEvent]
+    val out = StreamingSessionize.sessions(evs.toDS(),
+      gapSeconds = 30L, watermarkDelay = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("ss_bound")
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    def stateRows: Long = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.map(_.numRowsTotal))
+      .lastOption.getOrElse(-1L)
+    try {
+      // wave 1: every key opens a session
+      evs.addData((1 to n).map(i => SEvent(i.toLong, t(1000), 1.0)): _*)
+      q.processAllAvailable()
+      // wave 2: a second in-gap event per key — still ONE open
+      // session each, so state must hold exactly n keys, not 2n rows
+      evs.addData((1 to n).map(i => SEvent(i.toLong, t(1020), 2.0)): _*)
+      q.processAllAvailable()
+      val peak = stateRows
+      assert(peak === n.toLong,
+        s"state holds $peak rows for $n open sessions")
+      // a single far-future event advances the watermark past every
+      // fragment's end+gap: all n close via the event-time timeout
+      // (no further traffic on their keys) and their state is REMOVED
+      evs.addData(SEvent(0L, t(2000), 0.0))
+      q.processAllAvailable()
+      evs.addData(SEvent(0L, t(2001), 0.0)) // one more batch for timeouts
+      q.processAllAvailable()
+      val after = stateRows
+      assert(after <= 2L,
+        s"state still holds $after rows after every session closed " +
+          s"(peak $peak) — closed-session state was not reclaimed")
+      val closed = spark.table("ss_bound").as[Closed].collect()
+        .filter(_.user_id >= 1L)
+      assert(closed.length === n, s"${closed.length} closes for $n keys")
+      assert(closed.forall(c => c.n_events == 2L && c.value_sum == 3.0))
+    } finally q.stop()
+  }
 }

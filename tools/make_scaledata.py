@@ -100,7 +100,59 @@ def main(out_root, ks=(1, 2, 3)):
             print(f"x{k} {t}: {n} rows")
 
 
+def skew(out_root, ks=(1, 3, 5), base=30000):
+    """Power-law (Zipf) document corpus for the skewed bench tier
+    (round-10 verdict item 5): the proportionate replicas above grow
+    every bucket uniformly, so the df caps / band sub-splits — which
+    exist precisely for power-law data — were never benched against
+    one. Each doc is 10 "head" slots drawn Zipf(s=1) from a 1000-term
+    vocabulary (term z1 lands in ~79%% of docs — genuinely hot posting
+    lists, hot simhash bands, hot shingles) followed by 30 doc-unique
+    tail words (so few TRUE near-dup pairs exist: the skew stresses
+    CANDIDATE volume, not output volume). Deterministic via hash();
+    x1/x3/x5 are prefix-consistent (xK's first base*J docs == xJ's).
+    Only documents.parquet is emitted — the skew probes
+    (SPARK_GRAFT_BENCH_ONLY) read nothing else.
+    """
+    con = duckdb.connect()
+    for k in ks:
+        d = os.path.join(out_root, f"x{k}")
+        os.makedirs(d, exist_ok=True)
+        n = base * k
+        con.execute(f"""
+            COPY (
+              SELECT doc_id, text, lang, source,
+                     length(text)::BIGINT AS n_chars
+              FROM (
+                SELECT d AS doc_id,
+                  array_to_string(
+                    ['z' || CAST(floor(pow(1000.0,
+                        ((hash(d * 97 + j) % 1000003) / 1000003.0)))
+                       AS BIGINT)
+                     FOR j IN range(0, 10)]
+                    || ['u' || CAST(hash(d * 131 + 7919 * j)
+                          % 1000000007 AS VARCHAR)
+                        FOR j IN range(10, 40)],
+                    ' ') AS text,
+                  'en' AS lang,
+                  'src' || CAST(d % 3 AS VARCHAR) AS source
+                FROM range(0, {n}) t(d))
+            ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+        top = con.execute(f"""
+            SELECT term, count(*) AS df FROM (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                AS term FROM '{d}/documents.parquet')
+            GROUP BY 1 ORDER BY df DESC LIMIT 3""").fetchall()
+        print(f"x{k} documents: {n} rows; top df: "
+              + ", ".join(f"{t}={c} ({c / n:.0%})" for t, c in top))
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata",
-         tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2
-         else (1, 2, 3))
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew(sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewdata",
+             tuple(int(x) for x in sys.argv[3].split(","))
+             if len(sys.argv) > 3 else (1, 3, 5))
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata",
+             tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2
+             else (1, 2, 3))
