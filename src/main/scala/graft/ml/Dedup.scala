@@ -666,23 +666,54 @@ object Dedup {
     * increment costs one batch signature pass plus the new×old band
     * join, never a corpus rescan.
     */
+  /** `bandOccupancyCap` (0 = exact) applies the [[simhashPairsCapped]]
+    * discipline to the increment: buckets of the COMBINED new∪old
+    * banded rows larger than the cap are dropped from both sides
+    * before the join, so per-batch candidate volume is structurally
+    * ≤ cap · |new banded rows| under any corpus skew. Recall
+    * contract: a new doc is flagged with its closest old near-dup
+    * REACHABLE THROUGH a surviving bucket — a flag may be lost (or
+    * replaced by a farther surviving match) only when every agreeing
+    * band is hot; flags are never invented. Under a cap the
+    * canonical-band filter does not apply (bucket survival is
+    * data-dependent, not row-local); the best-match window absorbs
+    * the duplicate emissions instead.
+    */
   def simhashIncrementFromSigs(newSigs: DataFrame, corpusSigs: DataFrame,
-      maxHamming: Int, bands: Int = 0): DataFrame = {
+      maxHamming: Int, bands: Int = 0, bandOccupancyCap: Int = 0)
+      : DataFrame = {
     val nb = if (bands > 0) bands else maxHamming + 1
     require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
-    val nB = simhashBands(newSigs, nb)
+    val nBraw = simhashBands(newSigs, nb)
       .select(col("doc_id"), col("simhash").as("sig_n"),
         col("band"), col("band_bits"))
-    val oB = simhashBands(corpusSigs, nb)
+    val oBraw = simhashBands(corpusSigs, nb)
       .select(col("doc_id").as("dup_of"), col("simhash").as("sig_o"),
         col("band"), col("band_bits"))
+    val (nB, oB) =
+      if (bandOccupancyCap <= 0) (nBraw, oBraw)
+      else {
+        // occupancy over the UNION: |new_bucket|·|old_bucket| is the
+        // join's cost, and both factors live under the combined size
+        val surviving = nBraw.select(col("band"), col("band_bits"))
+          .unionByName(oBraw.select(col("band"), col("band_bits")))
+          .groupBy(col("band"), col("band_bits"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= bandOccupancyCap)
+          .select(col("band"), col("band_bits"))
+        (nBraw.join(surviving, Seq("band", "band_bits"), "left_semi"),
+          oBraw.join(surviving, Seq("band", "band_bits"), "left_semi"))
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("hamming"), col("dup_of"))
     nB.join(oB, Seq("band", "band_bits"))
       .withColumn("hamming", bit_count(expr("sig_n ^ sig_o")))
       .filter(col("hamming") <= maxHamming)
-      .filter(col("band") === firstAgreeingBand("sig_n", "sig_o", nb))
+      .filter(
+        if (bandOccupancyCap <= 0)
+          col("band") === firstAgreeingBand("sig_n", "sig_o", nb)
+        else lit(true))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("dup_of"), col("hamming"))

@@ -180,16 +180,18 @@ object MlQueries {
        |ORDER BY i, j""".stripMargin
 
   /** [[ns5SimhashPairs]] with the hot-bucket sub-split route FORCED
-    * (cap = 2, so nearly every band bucket re-keys on the second
-    * pigeonhole): the sub-split is exact, so this gates on the ns5
-    * oracle VERBATIM — identical pairs from a radically different
-    * plan. The cap is what holds the operator under its linear bound
-    * on skewed corpora (hot template buckets re-key from K² to
-    * Σ|sub-bucket|²; see Dedup.simhashPairsFromSigs).
+    * (cap = 8 — well under the fixture's hot-bucket sizes, so the
+    * second-pigeonhole path carries real volume): the sub-split is
+    * exact, so this gates on the ns5 oracle VERBATIM — identical
+    * pairs from a radically different plan. The sub-split cuts
+    * candidate volume where band collisions come from localized
+    * agreement (MlSpec measures a >10× cut on that profile); under
+    * GLOBAL signature bias the guaranteed-linear tool is ns5c's
+    * occupancy cap (BASELINE.md's skew table records both).
     */
   val ns5bSimhashSubsplit: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 6,
-      hotBucketCap = 2)
+      hotBucketCap = 8)
       .orderBy(col("i"), col("j"))
 
   val ns5bSimhashSubsplitSql: String = ns5SimhashPairsSql

@@ -1185,6 +1185,39 @@ class MlSpec extends SparkSpec {
       "cap dropped planted-cluster pairs its buckets could cover")
   }
 
+  test("capped simhash increment: a covering cap equals the exact " +
+      "increment; a tiny cap only loses or worsens flags, never " +
+      "invents or improves them") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (rnd.nextLong() & ((1L << 52) - 1)) << 8
+    // plant the near-dup cluster on i % 5 == 0 so it spans BOTH the
+    // even (new) and odd (old) halves — cross pairs must exist
+    def sig(i: Int): Long =
+      if (i % 5 == 0) base ^ (1L << (8 + rnd.nextInt(52)))
+      else (rnd.nextLong() & ((1L << 52) - 1)) << 8
+    val all = (0 until 400).map(i => (i.toLong, sig(i)))
+    val newS = all.filter(_._1 % 2 == 0).toDF("doc_id", "simhash")
+    val oldS = all.filter(_._1 % 2 == 1)
+      .toDF("doc_id", "simhash")
+    def inc(cap: Int): Map[Long, (Long, Long)] =
+      Dedup.simhashIncrementFromSigs(newS, oldS, maxHamming = 6,
+          bandOccupancyCap = cap)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = inc(0)
+    assert(exact.nonEmpty)
+    assert(inc(100000) === exact,
+      "a covering cap changed the exact increment")
+    val tiny = inc(4)
+    assert(tiny.keySet.subsetOf(exact.keySet),
+      "the cap invented a near-dup flag")
+    tiny.foreach { case (d, (_, h)) =>
+      assert(h >= exact(d)._2,
+        s"doc $d: capped match closer than the exact best")
+    }
+  }
+
   test("packSignBits fails loudly when dim overstates the embedding " +
       "length instead of silently zero-filling the missing bits") {
     def msgs(t: Throwable): Seq[String] =

@@ -266,4 +266,45 @@ class VectorIngestSpec extends SparkSpec {
       new Directory(tmp.toFile).deleteRecursively()
     }
   }
+
+  test("foldStreamIntoIvfIndex on a PQ base: streamed code partitions " +
+      "fold into the base and serve identically to a from-scratch PQ " +
+      "union build") {
+    val spark0 = spark
+    import spark0.implicits._
+    val initial = embs.filter(col("vec_id") % 4 =!= 0)
+    val cents = Similarity.seedCentroids(initial, nCells = 16)
+    val cb = Similarity.fitPqCodebook(initial, nSub = 8,
+      codesPerSub = 16, iters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("vec_fold_pq")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Similarity.writeIvfPqIndex(initial, cents, cb, nSub = 8, idx)
+      VectorIngest.ingestBatchPq(embs.filter(col("vec_id") % 8 === 0),
+        0L, idx)
+      VectorIngest.ingestBatchPq(embs.filter(col("vec_id") % 8 === 4),
+        1L, idx)
+      assert(Similarity.foldStreamIntoIvfIndex(spark, idx) === 2L)
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!Similarity.streamSiblingHoldsData(fs,
+        new org.apache.hadoop.fs.Path(
+          idx + Similarity.StreamSiblingSuffix)))
+      val full = tmp.resolve("full").toString
+      Similarity.writeIvfPqIndex(embs, cents, cb, nSub = 8, full)
+      def top(p: String) = Similarity.queryIvfPqIndex(spark, p, embs,
+          embs, k = 5, refine = 50, probes = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // base-only read (stubs skipped) == from-scratch union build,
+      // and the streamed-serving wrapper agrees
+      assert(top(idx) === top(full) && top(idx).nonEmpty)
+      assert(VectorIngest.queryServedPq(spark, idx, embs, embs,
+          k = 5, refine = 50, probes = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        === top(full))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }
