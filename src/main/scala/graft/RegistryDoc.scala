@@ -48,10 +48,18 @@ object RegistryDoc {
       lines.zipWithIndex.collect {
         case (l, i) if l.startsWith("  val ") && l.contains(": Q") =>
           val name = l.trim.stripPrefix("val ").takeWhile(_ != ':')
-          // first operator call within the definition's body (up to
-          // the next TOP-LEVEL val — locals are indented deeper)
-          val body = lines.slice(i, math.min(i + 40, lines.length))
-            .takeWhile(b => !(b.startsWith("  val ") && b != l))
+          // first operator call within the definition's body: stop at
+          // the next TOP-LEVEL val or its scaladoc (locals are
+          // indented deeper), and drop comment lines so a mention in
+          // prose can never be reported as the operator
+          val body = lines.slice(i, math.min(i + 60, lines.length))
+            .takeWhile(b => !(b.startsWith("  val ") && b != l)
+              && !b.startsWith("  /**"))
+            .filterNot { b =>
+              val t = b.trim
+              t.startsWith("*") || t.startsWith("/*") ||
+                t.startsWith("//")
+            }
             .mkString("\n")
           val op = opRe.findFirstMatchIn(body)
             .map(m => s"${m.group(1)}.${m.group(2)}")

@@ -1111,13 +1111,18 @@ object Dedup {
     // SubstrCompactingMarker for the crashed-compaction story)
     val marker = new org.apache.hadoop.fs.Path(
       s"$path/$SubstrCompactingMarker")
-    require(!marker
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(marker),
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!mfs.exists(marker),
       s"appendSubstrIndex: compaction in progress on $path " +
         s"($SubstrCompactingMarker present) — retry after it " +
         "completes; a crashed compaction's marker is cleared by the " +
         "next compactSubstrIndex entry")
+    // a COMMITTED but un-applied compaction stage is as dangerous as
+    // a live compaction: the next compactSubstrIndex entry REPLAYS
+    // the stage over its dirty buckets, silently overwriting any rows
+    // appended now (the marker alone cannot cover this — a failed
+    // compaction clears it on the way out, stage intact)
+    Similarity.requireNoCommittedStage(mfs, path, "appendSubstrIndex")
     val (k, nBuckets) = substrIndexParams(spark, path)
     requireMonotoneBatch(newDocs, maxIndexed, "appendSubstrIndex")
     posShingleHashes(newDocs, k)
@@ -1191,21 +1196,16 @@ object Dedup {
         .map(_.getPath.getName.stripPrefix("bkt=").toLong)
       if (multiFile.isEmpty) return 0L
       val idx = spark.read.parquet(path)
-      def lits(vals: Seq[Long]): Seq[Any] =
-        idx.schema("bkt").dataType match {
-          case org.apache.spark.sql.types.IntegerType =>
-            vals.map(_.toInt: Any)
-          case _ => vals.map(x => x: Any)
-        }
       // bounded driver action: ≤ n_buckets ids survive the filter
-      val dirty = idx.filter(col("bkt").isin(lits(multiFile.toSeq): _*))
+      val dirty = idx.filter(
+          Similarity.partitionLits(idx, "bkt", multiFile.toSeq))
         .groupBy(col("bkt"))
         .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("d"))
         .filter(col("n") > col("d"))
         .select(col("bkt").cast("long"))
         .collect().map(_.getLong(0))
       if (dirty.isEmpty) return 0L
-      idx.filter(col("bkt").isin(lits(dirty.toSeq): _*))
+      idx.filter(Similarity.partitionLits(idx, "bkt", dirty.toSeq))
         .groupBy(col("bkt"), col("h"))
         .agg(min(col("min_doc")).as("min_doc"))
         .select(col("h"), col("min_doc"), col("bkt"))

@@ -306,48 +306,47 @@ object Retrieval {
     fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
     val root = new org.apache.hadoop.fs.Path(
       path + Similarity.StreamSiblingSuffix)
-    if (!fs.exists(root)) return 0L
-    val pending = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("ingest_batch="))
-      .filter(st => fs.exists(
-        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath)
-      .filter(p => Similarity.hasParquetData(fs, p))
+    // HIDE first — the shared claim step (see claimPendingBatches)
+    val pending = Similarity.claimPendingBatches(fs, root)
     if (pending.isEmpty) return 0L
-    pending.foreach { p =>
-      val m = new org.apache.hadoop.fs.Path(p, Similarity.FoldedMarker)
-      if (!fs.exists(m)) fs.create(m, true).close()
+    // a BM25 batch holds TWO sub-tables, and a crashed cleanup may
+    // have dropped one before the other — read only the sub-tables
+    // still present (their rows are already in the base via the
+    // crashed run's apply/swap, both distinct-absorbed), so a torn
+    // batch resumes instead of wedging every later fold on a
+    // path-not-found (r10 review finding)
+    def sub(name: String): Seq[String] = pending
+      .map(p => new org.apache.hadoop.fs.Path(p, name))
+      .filter(fs.exists(_)).map(_.toString)
+    val postingDirs = sub("postings")
+    val dlDirs = sub("docs")
+    if (postingDirs.nonEmpty) {
+      val postings = postingDirs
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      val tf = spark.read.parquet(path)
+      // bounded driver action: distinct touched buckets (≤ n_buckets)
+      val touched = postings.select(col("bkt").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      tf.filter(Similarity.partitionLits(tf, "bkt", touched.toSeq))
+        .unionByName(postings).distinct()
+        .write.mode("overwrite").parquet(stagePath)
+      import spark.implicits._
+      touched.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
+        .parquet(s"$stagePath/_parts")
+      Similarity.applyCompactionStage(spark, path, "bkt")
+      fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+      ()
     }
-    val postings = pending
-      .map(p => spark.read.parquet(s"$p/postings"))
-      .reduce(_.unionByName(_))
-    val dl = pending
-      .map(p => spark.read.parquet(s"$p/docs"))
-      .reduce(_.unionByName(_))
-    val tf = spark.read.parquet(path)
-    // bounded driver action: distinct touched buckets (≤ n_buckets)
-    val touched = postings.select(col("bkt").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-    val bktIsTouched = col("bkt").isin(touched.map[Any] { b =>
-      tf.schema("bkt").dataType match {
-        case org.apache.spark.sql.types.IntegerType => b.toInt
-        case _ => b
-      }
-    }: _*)
-    tf.filter(bktIsTouched).unionByName(postings).distinct()
-      .write.mode("overwrite").parquet(stagePath)
-    import spark.implicits._
-    touched.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
-      .parquet(s"$stagePath/_parts")
-    Similarity.applyCompactionStage(spark, path, "bkt")
-    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
-    // doc lengths: live ∪ folded, distinct (refold-convergent), via
-    // the atomic swap
-    fs.delete(docsTmp, true)
-    spark.read.parquet(docsLive.toString).unionByName(dl).distinct()
-      .write.parquet(docsTmp.toString)
-    swapInDocsTmp(fs, docsLive, docsBak, docsTmp)
+    if (dlDirs.nonEmpty) {
+      // doc lengths: live ∪ folded, distinct (refold-convergent), via
+      // the atomic swap
+      val dl = dlDirs.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
+      fs.delete(docsTmp, true)
+      spark.read.parquet(docsLive.toString).unionByName(dl).distinct()
+        .write.parquet(docsTmp.toString)
+      swapInDocsTmp(fs, docsLive, docsBak, docsTmp)
+    }
     // drop the data LAST, keep the stub (the replay ledger)
     pending.foreach { p =>
       fs.listStatus(p).foreach { st =>
@@ -406,21 +405,14 @@ object Retrieval {
           .select(col("bkt").cast("long")).distinct()
           .collect().map(_.getLong(0))
         if (dirty.nonEmpty) {
-          // literals in the partition column's inferred type so the
-          // rewrite scan partition-prunes to the dirty buckets
-          val bktIsDirty = col("bkt").isin(dirty.map[Any] { b =>
-            tf.schema("bkt").dataType match {
-              case org.apache.spark.sql.types.IntegerType => b.toInt
-              case _ => b
-            }
-          }: _*)
           // durable survivor stage + committed dirty-bucket marker,
           // then the replayable apply — see compactIvfIndex's crash
           // contract (the stage, not the index, is the source of
-          // truth once committed)
+          // truth once committed); partitionLits keeps the rewrite
+          // scan pruned to the dirty buckets
           val stagePath =
             s"$path/${Similarity.CompactStageDir}"
-          tf.filter(bktIsDirty)
+          tf.filter(Similarity.partitionLits(tf, "bkt", dirty.toSeq))
             .join(dead, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(stagePath)
           import spark.implicits._
@@ -483,6 +475,13 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, path: String,
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, "need at least one term bucket")
+    // a rebuild supersedes the previous generation's stream sibling
+    // (refuses on un-folded data, clears stale fold stubs) — see
+    // Similarity.clearSupersededSibling
+    graft.ml.Similarity.clearSupersededSibling(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration),
+      path, "writeBm25Index")
     val (tf, dl, _) = corpusStats(docs)
     tf.withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("bkt").parquet(path)
@@ -511,6 +510,10 @@ object Retrieval {
     */
   def appendBm25Index(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, path: String): Unit = {
+    Similarity.requireNoCommittedStage(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      path, "appendBm25Index")
     val nBuckets = spark.read.parquet(s"$path/$StatsDir")
       .head().getAs[Int]("n_buckets")
     val existing = spark.read.parquet(s"$path/$DocsDir")

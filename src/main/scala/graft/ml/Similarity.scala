@@ -445,14 +445,15 @@ object Similarity {
           .otherwise(0L)
       }.reduce(_ bitwiseOR _)
     }: _*)
-    // loud per-row guard (r9 advice): element_at past the array end
-    // is NULL, which the when() above would silently read as a zero
-    // bit — a caller-overstated dim must fail, not degrade ranking
-    // (the subVectors raise_error divisibility discipline)
-    when(size(e) >= dim, packed)
+    // loud per-row guard (r9 advice, tightened to exact equality by
+    // the r10 review): an overstated dim reads NULL past the array
+    // end as zero bits, an UNDERSTATED dim silently ignores the tail
+    // components — both degrade Hamming ranking with no error, so
+    // any mismatch fails (the subVectors raise_error discipline)
+    when(size(e) === dim, packed)
       .otherwise(raise_error(concat(
-        lit(s"packSignBits: embedding shorter than dim=$dim (size="),
-        size(e).cast("string"), lit(")"))))
+        lit(s"packSignBits: embedding size "),
+        size(e).cast("string"), lit(s" != dim=$dim"))))
   }
 
   /** Sign-bit Hamming distance between two packed arrays: Σ_w
@@ -778,8 +779,38 @@ object Similarity {
     * each probe a PARTITION-PRUNED read — a probes-cells query lists
     * and decodes only those directories, never the corpus.
     */
+  /** A fresh build at `path` SUPERSEDES any previous index generation
+    * there — and the streamed-appends sibling belongs to that old
+    * generation: its data partitions were assigned/encoded against
+    * the OLD models (serving them against the new would corrupt
+    * results), and its fold stubs are the OLD generation's
+    * BatchCommit replay ledger (keeping them would absorb a new
+    * stream's batch ids as already-committed replays, silently
+    * dropping the batches — found by the full-registry gate when a
+    * rebuild in a fresh session met the previous session's stubs).
+    * So: REFUSE while the sibling still holds data (folding or
+    * deleting it is the operator's explicit decision — a silent drop
+    * here could lose streamed rows the caller expected the rebuild
+    * corpus to include), and delete a stub-only sibling.
+    */
+  private[ml] def clearSupersededSibling(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      what: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)
+    require(!streamSiblingHoldsData(fs, root),
+      s"$what: streamed-appends sibling $root holds data from a " +
+        "previous index generation — fold it into the old base or " +
+        "delete it explicitly before rebuilding")
+    fs.delete(root, true)
+    ()
+  }
+
   def writeIvfIndex(embeddings: DataFrame, cents: DataFrame,
       path: String): Unit = {
+    clearSupersededSibling(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration),
+      path, "writeIvfIndex")
     assignCells(embeddings, cents)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -808,6 +839,9 @@ object Similarity {
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       newEmbeddings: DataFrame, path: String): Unit = {
+    requireNoCommittedStage(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "appendIvfIndex")
     val cents = spark.read.parquet(s"$path/$CentroidsDir")
     assignCells(newEmbeddings, cents)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
@@ -996,6 +1030,63 @@ object Similarity {
     fs.exists(new org.apache.hadoop.fs.Path(
       s"$path/$CompactStageDir/_parts/_SUCCESS"))
 
+  /** isin over a partition column in its ON-DISK inferred type: the
+    * directory value `cell=5` reads back as int, and the literals
+    * must match that type for partition pruning to engage (a cast on
+    * the COLUMN side defeats it) — one adapter for every compaction/
+    * fold rewrite site, so the pruning subtlety lives once.
+    */
+  private[ml] def partitionLits(df: DataFrame, c: String,
+      vals: Seq[Long]): Column =
+    col(c).isin(vals.map[Any] { v =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case _ => v
+      }
+    }: _*)
+
+  /** The fold entry's shared claim step: list the stream sibling's
+    * COMMITTED batch partitions that still hold data (folded stubs
+    * are data-less), then flip each out of serving with the
+    * [[FoldedMarker]] before any row moves — both folds share this so
+    * the hide-first crash contract lives once.
+    */
+  private[ml] def claimPendingBatches(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(root)) return Seq.empty
+    val pending = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath)
+      .filter(p => hasParquetData(fs, p))
+    pending.foreach { p =>
+      val m = new org.apache.hadoop.fs.Path(p, FoldedMarker)
+      if (!fs.exists(m)) fs.create(m, true).close()
+    }
+    pending
+  }
+
+  /** Refusal every BASE-table append must make while a committed
+    * compaction stage exists: the next maintenance entry REPLAYS the
+    * stage over its dirty partitions with a dynamic partition
+    * overwrite, which would silently erase rows appended in between
+    * (the r10 review's substr finding, generalized — streamed SIBLING
+    * appends are exempt, replay never touches the sibling). A failed
+    * compaction clears its writer lock on the way out but leaves the
+    * committed stage, so the stage check is the one that holds.
+    */
+  private[ml] def requireNoCommittedStage(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      what: String): Unit =
+    require(!compactionStageCommitted(fs, path),
+      s"$what: a committed compaction stage exists on $path — run " +
+        "the compactor to replay it before appending; rows appended " +
+        "now would be overwritten by the replay")
+
   /** Apply a COMMITTED compaction stage to the index: dynamic-
     * partition-overwrite the staged survivor rows into their
     * `partCol=` directories and drop the dirty directories the stage
@@ -1080,34 +1171,18 @@ object Similarity {
       applyCompactionStage(spark, path, "cell")
     fs.delete(stagePath, true)
     val root = new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)
-    if (!fs.exists(root)) return 0L
-    val pending = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("ingest_batch="))
-      .filter(st => fs.exists(
-        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath)
-      .filter(p => hasParquetData(fs, p))
-    if (pending.isEmpty) return 0L
-    // HIDE first: the atomic marker flips each partition out of the
+    // HIDE first: claimPendingBatches flips each partition out of the
     // serving union before any row lands in the base
-    pending.foreach { p =>
-      val m = new org.apache.hadoop.fs.Path(p, FoldedMarker)
-      if (!fs.exists(m)) fs.create(m, true).close()
-    }
+    val pending = claimPendingBatches(fs, root)
+    if (pending.isEmpty) return 0L
     val rows = pending.map(p => spark.read.parquet(p.toString))
       .reduce(_.unionByName(_))
     val idx = spark.read.parquet(path)
     // bounded driver action: distinct touched cells (≤ nCells)
     val touched = rows.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0))
-    val cellIsTouched = col("cell").isin(touched.map[Any] { c =>
-      idx.schema("cell").dataType match {
-        case org.apache.spark.sql.types.IntegerType => c.toInt
-        case _ => c
-      }
-    }: _*)
-    idx.filter(cellIsTouched).unionByName(rows).distinct()
+    idx.filter(partitionLits(idx, "cell", touched.toSeq))
+      .unionByName(rows).distinct()
       .write.mode("overwrite").parquet(stagePath.toString)
     import spark.implicits._
     touched.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
@@ -1173,21 +1248,12 @@ object Similarity {
           .select(col("cell").cast("long")).distinct()
           .collect().map(_.getLong(0))
         if (dirty.nonEmpty) {
-          // literals in the partition column's own inferred type (int
-          // for small directory values): a cast on the COLUMN side
-          // would not reliably partition-prune, and the rewrite must
-          // scan only the dirty cells for its cost story to hold
-          val cellIsDirty = col("cell").isin(dirty.map[Any] { c =>
-            idx.schema("cell").dataType match {
-              case org.apache.spark.sql.types.IntegerType => c.toInt
-              case _ => c
-            }
-          }: _*)
           // stage the survivors DURABLY before touching any index
           // file (localCheckpoint would die with the driver — the
           // stage is what makes a mid-overwrite crash recoverable),
-          // then commit the stage with the dirty-partition marker
-          idx.filter(cellIsDirty)
+          // then commit the stage with the dirty-partition marker;
+          // partitionLits keeps the rewrite scan partition-pruned
+          idx.filter(partitionLits(idx, "cell", dirty.toSeq))
             .join(dead, Seq("vec_id"), "left_anti")
             .write.mode("overwrite").parquet(stagePath.toString)
           import spark.implicits._
@@ -1472,6 +1538,10 @@ object Similarity {
     */
   def writeIvfPqIndex(embeddings: DataFrame, cents: DataFrame,
       codebook: DataFrame, nSub: Int, path: String): Unit = {
+    clearSupersededSibling(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration),
+      path, "writeIvfPqIndex")
     assignCells(embeddings, cents).select(col("vec_id"), col("cell"))
       .join(pqEncode(embeddings, codebook, nSub), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("rnrm"), col("cell"))
@@ -1492,6 +1562,9 @@ object Similarity {
     */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       newEmbeddings: DataFrame, path: String): Unit = {
+    requireNoCommittedStage(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "appendIvfPqIndex")
     val cents = spark.read.parquet(s"$path/$CentroidsDir")
     val codebook = spark.read.parquet(s"$path/$PqCodebookDir")
     val nSub = codebook
