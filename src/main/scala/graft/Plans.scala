@@ -38,6 +38,10 @@ object Plans {
     // three most expensive new shapes at sf0.1 — their runtime join
     // strategies are the thing to audit
     "q93_triangles", "q79_fuzzy_dedup", "ns39_prefix_join",
+    // round-10: the capped simhash band join (the guaranteed-linear
+    // skew tier), the end-to-end training-export chain, and the
+    // fold-then-compact served-index lifecycle
+    "ns5c_simhash_capped", "ns64_train_export", "ns8h_sim_ivf_folded",
     // round-7: the quantized ANN serving path (ADC candidate join +
     // exact re-score) and the cell-pruned semantic dedup pair scan
     "ns7d_sim_ivfpq", "ns44_semdedup",
