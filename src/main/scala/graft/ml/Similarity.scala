@@ -545,6 +545,104 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/$BinStatsDir")
   }
 
+  private[graft] val BinDeletedDir = "_graft_bin_deleted"
+  private[ml] val BinCompactStageDir = "_graft_bin_compact_stage"
+
+  /** Soft-delete vectors from the persisted binary index — the
+    * takedown story for the scan tier, [[deleteFromIvfIndex]]'s exact
+    * contract: an id-sized tombstone append, zero data files touched
+    * (spec-measured byte-identical), serving masks, idempotent on
+    * unknown/repeated ids, loud on NULL. The one contract difference:
+    * a rebuild ([[writeBinaryIndex]]'s non-partitioned overwrite)
+    * truncates the whole directory, tombstones included — a fresh
+    * generation starts clean by construction.
+    */
+  def deleteFromBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      vecIds: DataFrame, path: String): Unit =
+    vecIds.select(
+        when(col("vec_id").isNotNull, col("vec_id"))
+          .otherwise(raise_error(
+            lit("deleteFromBinaryIndex: null vec_id in delete batch")))
+          .as("vec_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/$BinDeletedDir")
+
+  /** Reclaim the binary index's tombstone debt. The table is FLAT —
+    * the scan tier has no partitions to prune — so compaction is a
+    * staged full rewrite (cheap by construction: 8 bytes/vector at
+    * dim 64). Crash contract, file-swap edition of the IVF stage
+    * protocol: survivors stage durably under [[BinCompactStageDir]]
+    * (its `_SUCCESS` is the commit point) with a per-run uuid
+    * recorded in the stage; the apply renames staged files into the
+    * root under `graftc-<uuid>-` names and deletes only root data
+    * files NOT carrying this uuid — so a replay after a mid-apply
+    * crash never deletes the files it already moved, and always
+    * converges on exactly the staged survivor set. Tombstone files
+    * (the entry-pinned snapshot) are deleted LAST; ones appended
+    * mid-run survive and keep masking. Returns the number of
+    * tombstoned ids applied.
+    */
+  def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$path/$BinCompactStageDir")
+    // a committed stage means the previous run died mid-apply —
+    // finish from the stage first, then fall through to the normal
+    // pass (post-crash tombstone appends must still be honored)
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+      applyBinaryStage(fs, root, stage)
+    fs.delete(stage, true)
+    val snapshot = tombstoneFileSnapshot(fs, path, BinDeletedDir)
+    if (snapshot.isEmpty) return 0L
+    val dead = spark.read.parquet(snapshot.map(_.toString): _*)
+      .select(col("vec_id")).distinct()
+    val nDead = dead.count()
+    spark.read.parquet(path)
+      .join(dead, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(stage.toString)
+    // the uuid marker must exist before the apply can run; written
+    // before _SUCCESS? the parquet write above already planted
+    // _SUCCESS — so the commit point is the MARKER, checked together
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID"),
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    applyBinaryStage(fs, root, stage)
+    fs.delete(stage, true)
+    snapshot.foreach { f => fs.delete(f, false); () }
+    nDead
+  }
+
+  /** Replay-safe apply of a committed binary compaction stage: root
+    * data files not named with the stage's uuid are deleted, staged
+    * files move in under `graftc-<uuid>-` names. Idempotent — see
+    * [[compactBinaryIndex]]'s crash contract.
+    */
+  private def applyBinaryStage(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")) match {
+      case None => () // the parquet write's own _SUCCESS landed but
+        // the uuid marker didn't: the stage is NOT committed (the
+        // marker is the real commit point) — discardable, the
+        // tombstones still mask everything
+      case Some(uuid) =>
+        val prefix = s"graftc-$uuid-"
+        fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet")
+            && !p.getName.startsWith(prefix))
+          .foreach { p => fs.delete(p, false); () }
+        fs.listStatus(stage).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { p =>
+            require(fs.rename(p,
+              new org.apache.hadoop.fs.Path(root, prefix + p.getName)),
+              s"could not move staged file $p into $root")
+          }
+    }
+
   /** Serve top-k from the persisted sign-bit index: query bits come
     * FROM the index (a broadcast semi-join on the query ids), the
     * Hamming candidate scan reads 8-byte words off parquet, and only
@@ -559,7 +657,14 @@ object Similarity {
     require(refine >= k, "refine depth must be >= k")
     val dim = spark.read.parquet(s"$path/$BinStatsDir")
       .head().getAs[Int]("dim")
-    val z = spark.read.parquet(path)
+    // tombstone mask (deleteFromBinaryIndex): masking the index side
+    // covers queries too — query bits are a semi-join of the index
+    val raw = spark.read.parquet(path)
+    val z = tombstoneUnion(spark, Seq(path), BinDeletedDir,
+        "vec_id") match {
+      case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")
+      case None => raw
+    }
     val qa = z.join(queryIds.select(col("vec_id")), Seq("vec_id"),
         "left_semi")
       .select(col("vec_id").as("i"), col("bits").as("ba"))

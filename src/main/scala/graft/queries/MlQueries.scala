@@ -608,6 +608,68 @@ object MlQueries {
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 2""".stripMargin
 
+  /** The binary index's takedown lifecycle ([[Similarity
+    * .deleteFromBinaryIndex]] / [[Similarity.compactBinaryIndex]] —
+    * the last served tier without one): build the sign-bit index on
+    * the full corpus, soft-delete every 7th vector (id-sized
+    * tombstone append, data files byte-identical — MlSpec measures),
+    * COMPACT (the flat table's staged uuid-file-swap rewrite), then
+    * serve the survivors' queries. Gated on the ns7f binary-Hamming
+    * oracle over the ALIVE corpus: hash-equality proves
+    * delete-then-compact-then-serve answers exactly like a
+    * from-scratch build without the deleted vectors, recall column
+    * included (the ns8f/ns8g discipline for the scan tier).
+    */
+  val ns7gSimBinaryCompacted: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bin_index_cmp")
+    if (ivfIndexWritten.add(path)) {
+      Similarity.writeBinaryIndex(emb, path, dim = 64)
+      Similarity.deleteFromBinaryIndex(s,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), path)
+      Similarity.compactBinaryIndex(s, path)
+    }
+    val alive = emb.filter(col("vec_id") % 7 =!= 0)
+    Similarity.withRecall(
+      Similarity.binaryTopKServed(s, path, alive,
+        alive.select(col("vec_id")), k = 5, refine = 100),
+      Similarity.bruteTopK(alive, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns7gSimBinaryCompactedSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |alive AS (
+      |  SELECT * FROM nz WHERE vec_id % 7 <> 0
+      |), sgn AS (
+      |  SELECT vec_id, embedding, s, list_sum(s) AS pc FROM (
+      |    SELECT vec_id, embedding,
+      |      [CASE WHEN x > 0 THEN 1 ELSE 0 END
+      |        FOR x IN embedding::DOUBLE[]] AS s
+      |    FROM alive)
+      |), cand AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)),
+      |          b.vec_id) AS hrk
+      |    FROM sgn a JOIN sgn b ON a.vec_id <> b.vec_id) WHERE hrk <= 100
+      |), approx AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT c.i, c.j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+      |    FROM cand c JOIN alive a ON a.vec_id = c.i
+      |    JOIN alive b ON b.vec_id = c.j) WHERE rk <= 5
+      |),
+      |${sampledRecallSql("alive")}
+      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 2""".stripMargin
+
   /** IVF-PQ top-k — the quantized serving layout: IVF cells bound the
     * candidate set, an 8-subspace × 16-codeword product quantizer
     * bounds the bytes per candidate (8 code bytes + one reconstructed
@@ -3320,6 +3382,7 @@ object MlQueries {
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8,
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinary,
+    "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompacted,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns8_sim_ivf" -> ns8SimIvf,
@@ -3413,6 +3476,7 @@ object MlQueries {
     "ns7b_sim_topk_agg" -> ns7SimTopkSql,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8Sql,
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinarySql,
+    "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompactedSql,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
     "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,

@@ -1185,6 +1185,78 @@ class MlSpec extends SparkSpec {
       "cap dropped planted-cluster pairs its buckets could cover")
   }
 
+  test("binary index delete/compact lifecycle: tombstones mask with " +
+      "zero data files touched, compaction removes the dead rows via " +
+      "the uuid file swap, and a mid-apply crash replays convergently") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_life")
+    try {
+      val path = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(embs, path, dim = 64)
+      def rootFiles(): Map[String, (Long, Long)] =
+        new java.io.File(path).listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+      val before = rootFiles()
+      val dead1 = embs.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"))
+      Similarity.deleteFromBinaryIndex(spark, dead1, path)
+      assert(rootFiles() === before,
+        "soft delete touched a data file")
+      // masked serving == from-scratch build without the deleted
+      val alive1 = embs.filter(col("vec_id") % 7 =!= 0)
+      val ref1 = tmp.resolve("ref1").toString
+      Similarity.writeBinaryIndex(alive1, ref1, dim = 64)
+      def serve(p: String, corpus: org.apache.spark.sql.DataFrame) =
+        Similarity.binaryTopKServed(spark, p, corpus,
+            corpus.select(col("vec_id")), k = 5, refine = 30)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toSet
+      assert(serve(path, alive1) === serve(ref1, alive1)
+        && serve(path, alive1).nonEmpty)
+      // compact: tombstones drained, rows physically gone, serving
+      // unchanged, converging re-run a no-op
+      assert(Similarity.compactBinaryIndex(spark, path) > 0L)
+      assert(tombstonesEmpty(path, "_graft_bin_deleted"))
+      assert(spark.read.parquet(path).count() === alive1.count())
+      assert(serve(path, alive1) === serve(ref1, alive1))
+      assert(Similarity.compactBinaryIndex(spark, path) === 0L)
+      // mid-apply crash: stage committed (uuid marker), one old root
+      // file already deleted, one staged file already moved — the
+      // next entry must replay from the stage and converge exactly
+      Similarity.deleteFromBinaryIndex(spark,
+        Seq(1L).toDF("vec_id"), path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$path/${Similarity.BinCompactStageDir}")
+      spark.read.parquet(path)
+        .filter(col("vec_id") =!= 1L)
+        .write.parquet(stage.toString)
+      graft.sources.Markers.write(fs,
+        new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID"),
+        "cafebabe")
+      val rf = rootFiles().keys.toSeq.sorted
+      assert(fs.delete(new org.apache.hadoop.fs.Path(rf.head), false))
+      val sf = fs.listStatus(stage).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(fs.rename(sf, new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path),
+        s"graftc-cafebabe-${sf.getName}")))
+      Similarity.compactBinaryIndex(spark, path)
+      val alive2 = alive1.filter(col("vec_id") =!= 1L)
+      val ref2 = tmp.resolve("ref2").toString
+      Similarity.writeBinaryIndex(alive2, ref2, dim = 64)
+      assert(serve(path, alive2) === serve(ref2, alive2)
+        && serve(path, alive2).nonEmpty)
+      assert(spark.read.parquet(path).count() === alive2.count())
+      assert(tombstonesEmpty(path, "_graft_bin_deleted"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("capped simhash increment: a covering cap equals the exact " +
       "increment; a tiny cap only loses or worsens flags, never " +
       "invents or improves them") {
