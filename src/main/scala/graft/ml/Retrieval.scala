@@ -45,9 +45,9 @@ object Retrieval {
     * whose terms hit no document is absent from the output.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
     val (tf, dl, stats) = corpusStats(docs)
-    scoreFromStats(tf, dl, stats, queries, k, k1, b)
+    scoreFromStats(tf, dl, stats, queries, k, k1, b, maxDf)
   }
 
   /** The standing-index statistics of a corpus: per-(doc, term)
@@ -66,9 +66,24 @@ object Retrieval {
     (tf, dl, stats)
   }
 
+  /** `maxDf` (0 = exact) is the stopword-cap scale tool: query terms
+    * whose document frequency exceeds the cap contribute NOTHING —
+    * the classic stopword-removal contract, stated rather than
+    * implicit. Rationale at 100 TB: per-query scoring cost is
+    * Σ df(query term), and one hot term (a stopword, a template
+    * token) makes every query touch a corpus-constant fraction of
+    * the postings — the skew tier measured exactly that (ns46 exp
+    * 1.83 on the Zipf corpus). Under the cap the scoring join is
+    * ≤ |query terms| · maxDf rows per query — linear in query count
+    * regardless of corpus skew — while the ranking barely moves for
+    * genuinely discriminative queries (a term at df > maxDf carries
+    * near-zero idf anyway). A query whose every term is capped out
+    * is absent from the output, like one whose terms hit nothing.
+    * Deterministic (df is a count), so ns46g gates it hash-exact.
+    */
   private def scoreFromStats(tf: DataFrame, dl: DataFrame,
       stats: DataFrame, queries: DataFrame, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double, maxDf: Long = 0L): DataFrame = {
     require(k >= 1, "k must be at least 1")
     val qterms = queries.select(col("query_id"),
       explode(col("terms")).as("term")).distinct()
@@ -80,8 +95,23 @@ object Retrieval {
       Seq("term"), "left_semi")
     // df counts over the WHOLE corpus for those terms (posting keeps
     // every doc per surviving term); ≤ |distinct query terms| rows
-    val docFreq = posting.groupBy(col("term"))
+    val docFreq0 = posting.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // the cap must prune BOTH scoring-join inputs, not just ride the
+    // df table: joining posting with the per-query term list first
+    // and filtering df after would pay the hot terms' full
+    // |posting|x|queries-with-term| fan-out before the filter (the
+    // skew probe measured exactly that) — semi-join each side
+    // against the kept-term list so no capped term enters any join
+    val (postingQ, qtermsQ, docFreq) =
+      if (maxDf > 0L) {
+        val kept = docFreq0.filter(col("df") <= maxDf)
+        (posting.join(broadcast(kept.select(col("term"))),
+            Seq("term"), "left_semi"),
+          qterms.join(broadcast(kept.select(col("term"))),
+            Seq("term"), "left_semi"),
+          kept)
+      } else (posting, qterms, docFreq0)
     // IEEE addition is not associative, so a plain sum() of 3+ per-term
     // contributions would associate in partition-dependent order and
     // could ulp-shift across the 6 dp rounding boundary between runs —
@@ -90,8 +120,8 @@ object Retrieval {
     // group) so the accumulation order is canonical whatever the
     // partitioning. The oracle mirrors the same sorted fold with
     // list_reduce/list_sort, so the gate compares identical sequences.
-    val scored = posting
-      .join(broadcast(qterms), Seq("term"))
+    val scored = postingQ
+      .join(broadcast(qtermsQ), Seq("term"))
       .join(broadcast(docFreq), Seq("term"))
       .join(dl.hint("shuffle_hash"), Seq("doc_id"))
       .crossJoin(broadcast(stats))

@@ -2559,7 +2559,8 @@ object MlQueries {
     * NOT filtered: queries are external inputs, independent of what
     * the index retains.
     */
-  private def bm25Sql(corpusPred: String): String =
+  private def bm25Sql(corpusPred: String, dfPred: String = "TRUE")
+      : String =
     s"""WITH qd AS (
       |  SELECT DISTINCT doc_id AS query_id, unnest(list_slice(
       |    string_split(text, ' '), 1, 4)) AS term
@@ -2575,8 +2576,10 @@ object MlQueries {
       |), st AS (
       |  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
       |), dfq AS (
-      |  SELECT term, count(*)::BIGINT AS df FROM tf
-      |  WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1
+      |  SELECT * FROM (
+      |    SELECT term, count(*)::BIGINT AS df FROM tf
+      |    WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1)
+      |  WHERE $dfPred
       |), sc AS (
       |  SELECT query_id, tf.doc_id,
       |    round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(
@@ -2596,6 +2599,27 @@ object MlQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   val ns46Bm25Sql: String = bm25Sql("TRUE")
+
+  /** The stopword-cap scale tool ([[Retrieval.bm25TopK]]'s maxDf):
+    * query terms with df > 390 contribute nothing — the stated
+    * stopword-removal contract that bounds per-query scoring cost at
+    * |terms| · maxDf rows under ANY corpus skew (the skew tier
+    * measured uncapped ns46 at exp 1.83; the cap is the linear
+    * tool). 390 splits this fixture's query terms (df 373–402), so
+    * the contract is exercised: 11 terms capped out, 11 scored.
+    * Deterministic, hence hash-gated on the same SQL with the df
+    * predicate applied.
+    */
+  val ns46gBm25CappedDf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.bm25TopK(docs, queries, k = 5, maxDf = 390L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ns46gBm25CappedDfSql: String = bm25Sql("TRUE", "df <= 390")
 
   val ns46dBm25DeletedSql: String = bm25Sql("doc_id % 7 <> 0")
 
@@ -3433,6 +3457,7 @@ object MlQueries {
     "ns44_semdedup" -> ns44SemDedup,
     "ns45_random_projection" -> ns45RandomProjection,
     "ns46_bm25" -> ns46Bm25,
+    "ns46g_bm25_capped_df" -> ns46gBm25CappedDf,
     "ns46b_bm25_served" -> ns46bBm25Served,
     "ns46c_bm25_appended" -> ns46cBm25Appended,
     "ns46d_bm25_deleted" -> ns46dBm25Deleted,
@@ -3524,6 +3549,7 @@ object MlQueries {
     "ns44_semdedup" -> ns44SemDedupSql,
     "ns45_random_projection" -> ns45RandomProjectionSql,
     "ns46_bm25" -> ns46Bm25Sql,
+    "ns46g_bm25_capped_df" -> ns46gBm25CappedDfSql,
     "ns46b_bm25_served" -> ns46Bm25Sql,
     "ns46c_bm25_appended" -> ns46Bm25Sql,
     "ns46d_bm25_deleted" -> ns46dBm25DeletedSql,
