@@ -568,14 +568,26 @@ object Retrieval {
     * bounded driver action (≤ distinct query terms), the ANN serving
     * precedent. Output contract is identical to [[bm25TopK]]'s —
     * RetrievalSpec pins served == in-plan row for row.
+    *
+    * `maxDf` (0 = exact) is the same stopword-cap contract as
+    * [[bm25TopK]]'s, and it matters MORE here: at 100 TB the standing
+    * index IS the serving path, and without the cap one hot term's
+    * full posting list (df ∝ N) streams out of its `bkt=` directory
+    * into the scoring join on every query that mentions it — the
+    * skew tier measured the uncapped in-plan form at exponent 1.83.
+    * Under the cap the hot term costs ONE map-combinable df count
+    * over its pruned bucket (linear, no fan-out) and is then excluded
+    * from both scoring-join inputs before any per-query pairing
+    * happens, so served scoring work is ≤ |query terms| · maxDf rows
+    * regardless of corpus skew.
     */
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, maxDf: Long = 0L): DataFrame = {
     val nBuckets = spark.read.parquet(s"$path/$StatsDir")
       .head().getAs[Int]("n_buckets")
     queryBm25IndexFrom(spark, nBuckets, Seq(path),
-      Seq(docsDirFor(spark, path)), queries, k, k1, b)
+      Seq(docsDirFor(spark, path)), queries, k, k1, b, maxDf)
   }
 
   /** The multi-root serving core ([[Similarity.queryIvfIndexPaths]]'s
@@ -589,7 +601,8 @@ object Retrieval {
   private[graft] def queryBm25IndexFrom(
       spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
       postingPaths: Seq[String], docPaths: Seq[String],
-      queries: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+      queries: DataFrame, k: Int, k1: Double, b: Double,
+      maxDf: Long = 0L): DataFrame = {
     require(postingPaths.nonEmpty && docPaths.nonEmpty,
       "need at least one posting and one doc-length root")
     // bounded driver action of the serving path: the distinct bucket
@@ -620,6 +633,6 @@ object Retrieval {
     }
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    scoreFromStats(tf, dl, stats, queries, k, k1, b)
+    scoreFromStats(tf, dl, stats, queries, k, k1, b, maxDf)
   }
 }

@@ -2671,6 +2671,30 @@ object MlQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The stopword cap ON THE SERVING PATH
+    * ([[Retrieval.queryBm25Index]]'s maxDf): the same persisted index
+    * as ns46b, queried with df &gt; 390 terms excluded. This is the
+    * tier that makes the standing index survive corpus skew — at
+    * 100 TB queries hit the index, not the in-plan form, and without
+    * the cap a hot term's full posting list streams out of its
+    * bucket into the scoring join on every query mentioning it
+    * (uncapped skew exponent 1.83 measured). Gated on ns46g's exact
+    * oracle (same output contract, served plan — the ns46b
+    * discipline), so hash-equality proves capped-served ==
+    * capped-in-plan end to end.
+    */
+  val ns46hBm25ServedCapped: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bm25_index")
+    if (ivfIndexWritten.add(path))
+      Retrieval.writeBm25Index(docs, path, nBuckets = 64)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.queryBm25Index(s, path, queries, k = 5, maxDf = 390L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Incremental maintenance of the served BM25 index: build on 3/4
     * of the corpus, [[Retrieval.appendBm25Index]] the remaining
     * quarter (postings hashed with the STORED bucket count, untouched
@@ -3459,6 +3483,7 @@ object MlQueries {
     "ns46_bm25" -> ns46Bm25,
     "ns46g_bm25_capped_df" -> ns46gBm25CappedDf,
     "ns46b_bm25_served" -> ns46bBm25Served,
+    "ns46h_bm25_served_capped" -> ns46hBm25ServedCapped,
     "ns46c_bm25_appended" -> ns46cBm25Appended,
     "ns46d_bm25_deleted" -> ns46dBm25Deleted,
     "ns46e_bm25_compacted" -> ns46eBm25Compacted,
@@ -3551,6 +3576,7 @@ object MlQueries {
     "ns46_bm25" -> ns46Bm25Sql,
     "ns46g_bm25_capped_df" -> ns46gBm25CappedDfSql,
     "ns46b_bm25_served" -> ns46Bm25Sql,
+    "ns46h_bm25_served_capped" -> ns46gBm25CappedDfSql,
     "ns46c_bm25_appended" -> ns46Bm25Sql,
     "ns46d_bm25_deleted" -> ns46dBm25DeletedSql,
     "ns46e_bm25_compacted" -> ns46dBm25DeletedSql,

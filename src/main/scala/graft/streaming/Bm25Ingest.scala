@@ -118,8 +118,8 @@ object Bm25Ingest {
     * [[VectorIngest]]'s servePaths note).
     */
   def queryServed(spark: SparkSession, indexPath: String,
-      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75)
-      : DataFrame = {
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Long = 0L): DataFrame = {
     val nBuckets = spark.read
       .parquet(s"$indexPath/${Retrieval.StatsDir}")
       .head().getAs[Int]("n_buckets")
@@ -128,7 +128,7 @@ object Bm25Ingest {
       indexPath +: committed.map(p => s"$p/postings"),
       Retrieval.docsDirFor(spark, indexPath) +:
         committed.map(p => s"$p/docs"),
-      queries, k, k1, b)
+      queries, k, k1, b, maxDf)
   }
 
   private def committedParts(spark: SparkSession, indexPath: String)

@@ -144,6 +144,40 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("served maxDf cap: capped-served equals capped-in-plan row " +
+      "for row, and a capped-out term contributes exactly nothing") {
+    val docs = corpus.toDF("doc_id", "text")
+    // df: red=2, wine=1 → maxDf=1 keeps only 'wine'
+    val queries = Seq((10L, Seq("red", "wine"))).toDF("query_id", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25c")
+    try {
+      val path = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(docs, path, nBuckets = 16)
+      val served = Retrieval.queryBm25Index(spark, path, queries,
+          k = 3, maxDf = 1L)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val inPlan = Retrieval.bm25TopK(docs, queries, 3, maxDf = 1L)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(served === inPlan && served.nonEmpty)
+      // the capped query scores exactly like one that never mentioned
+      // the hot term — the stopword-removal contract, end to end
+      val wineOnly = Retrieval.queryBm25Index(spark, path,
+          Seq((10L, Seq("wine"))).toDF("query_id", "terms"), k = 3)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(served === wineOnly)
+      // a query whose every term caps out is absent, served too
+      assert(Retrieval.queryBm25Index(spark, path,
+        Seq((10L, Seq("red"))).toDF("query_id", "terms"),
+        k = 3, maxDf = 1L).isEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
   test("appended index serves the union corpus identically to a " +
       "from-scratch build, leaves untouched buckets byte-identical, " +
       "and rejects re-appending an indexed doc") {
