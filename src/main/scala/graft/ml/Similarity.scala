@@ -1833,13 +1833,41 @@ object Similarity {
     * connected components): within a duplicate chain a→b→c the kept
     * set is exactly the chain heads, matching the quadratic oracle
     * restatement clause "no earlier above-threshold neighbor".
+    *
+    * `cellOccupancyCap` (0 = exact) is the embedding-space twin of
+    * the simhash band-occupancy cap ([[Dedup.simhashPairsCapped]]):
+    * Σ|cell|² is only "≪ N²" while the assignment spreads, and real
+    * corpora cluster hard — one dominant topic/template makes one
+    * cell a constant fraction of N and the intra-cell scan
+    * quadratic (the measured ns5 floor, in cosine space). Under the
+    * cap, cells with more than `cellOccupancyCap` members form NO
+    * pairs — every member comes out keep=true, exemplar=self — so
+    * candidate volume is structurally ≤ cap · Σ|cell| = cap · N
+    * under ANY embedding skew. The recall contract is explicit and
+    * the same as ns5c's: duplicates inside a dropped hot cell are
+    * missed; route hot corpora through a finer centroid fit (more
+    * cells) or accept the stated loss. Deterministic (occupancy is a
+    * count), so the capped output hash-gates exactly (ns44b).
     */
   def semDedup(embeddings: DataFrame, cents: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, cellOccupancyCap: Long = 0L): DataFrame = {
     val assigned = assignCells(embeddings, cents)
-    val a = assigned.select(col("cell"), col("vec_id").as("i"),
+    // pairing universe: with a cap, only cells at or under it — one
+    // count aggregate (≤ nCells rows, broadcast semi-join), applied
+    // BEFORE pair formation so a hot cell's members never enter the
+    // self-join at all (the ns46g plan-shape lesson: the cap must
+    // prune the join INPUTS, not filter its output)
+    val pairable =
+      if (cellOccupancyCap > 0L) {
+        val kept = assigned.groupBy(col("cell"))
+          .agg(count(lit(1)).as("_occ"))
+          .filter(col("_occ") <= cellOccupancyCap)
+          .select(col("cell"))
+        assigned.join(broadcast(kept), Seq("cell"), "left_semi")
+      } else assigned
+    val a = pairable.select(col("cell"), col("vec_id").as("i"),
       col("e").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("cell"), col("vec_id").as("j"),
+    val b = pairable.select(col("cell"), col("vec_id").as("j"),
       col("e").as("eb"), col("nrm").as("nb"))
     val earliest = a.join(b, Seq("cell")).filter(col("i") < col("j"))
       .withColumn("cos", pairCos)

@@ -394,6 +394,62 @@ object MlQueries {
       |FROM assign s LEFT JOIN earliest e ON e.j = s.vec_id
       |ORDER BY s.vec_id""".stripMargin
 
+  /** The cell-occupancy-capped SemDeDup ([[Similarity.semDedup]] with
+    * cellOccupancyCap = 31): cells above the cap form NO pairs — the
+    * embedding-space twin of ns5c's band-occupancy cap, making
+    * candidate volume structurally ≤ cap · N under ANY embedding
+    * skew (uncapped Σ|cell|² is quadratic once one topic/template
+    * dominates the corpus — the measured ns5 floor in cosine space).
+    * 31 splits this fixture's cell sizes (20–42): 7 hot cells
+    * dropped, 9 paired, so the stated drop-hot-cell recall contract
+    * is exercised, not theoretical. Deterministic (occupancy is a
+    * count), hence hash-gated on the ns44 restatement with the
+    * occupancy CTE applied to the pairing universe only — the final
+    * projection still covers EVERY vector.
+    */
+  val ns44bSemDedupCapped: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semDedup(emb, Similarity.seedCentroids(emb, nCells = 16),
+      threshold = 0.4, cellOccupancyCap = 31L)
+      .orderBy(col("vec_id"))
+  }
+
+  val ns44bSemDedupCappedSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |cents AS (
+      |  SELECT vec_id AS cell, embedding AS ce FROM nz
+      |  ORDER BY vec_id LIMIT 16
+      |),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk = 1
+      |),
+      |pairable AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      count(*) OVER (PARTITION BY cell) AS osz
+      |    FROM assign) WHERE osz <= 31
+      |),
+      |earliest AS (
+      |  SELECT y.vec_id AS j, min(x.vec_id) AS ex
+      |  FROM pairable x JOIN pairable y
+      |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  JOIN nz a ON a.vec_id = x.vec_id
+      |  JOIN nz b ON b.vec_id = y.vec_id
+      |  WHERE round(list_cosine_similarity(
+      |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |  GROUP BY y.vec_id
+      |)
+      |SELECT s.vec_id, s.cell, e.ex IS NULL AS keep,
+      |  coalesce(e.ex, s.vec_id) AS exemplar
+      |FROM assign s LEFT JOIN earliest e ON e.j = s.vec_id
+      |ORDER BY s.vec_id""".stripMargin
+
   /** The ns44 seed-centroid CTE, shared by every IVF hash gate: the 16
     * smallest-vec_id non-degenerate vectors, exactly
     * [[Similarity.seedCentroids]].
@@ -3479,6 +3535,7 @@ object MlQueries {
     "ns42_bpe" -> ns42Bpe,
     "ns43_collocations" -> ns43Collocations,
     "ns44_semdedup" -> ns44SemDedup,
+    "ns44b_semdedup_capped" -> ns44bSemDedupCapped,
     "ns45_random_projection" -> ns45RandomProjection,
     "ns46_bm25" -> ns46Bm25,
     "ns46g_bm25_capped_df" -> ns46gBm25CappedDf,
@@ -3572,6 +3629,7 @@ object MlQueries {
     "ns41_naive_bayes" -> ns41NaiveBayesSql,
     "ns43_collocations" -> ns43CollocationsSql,
     "ns44_semdedup" -> ns44SemDedupSql,
+    "ns44b_semdedup_capped" -> ns44bSemDedupCappedSql,
     "ns45_random_projection" -> ns45RandomProjectionSql,
     "ns46_bm25" -> ns46Bm25Sql,
     "ns46g_bm25_capped_df" -> ns46gBm25CappedDfSql,

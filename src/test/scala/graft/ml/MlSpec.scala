@@ -509,6 +509,51 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("semDedup occupancy cap: hot cells form no pairs (members all " +
+      "kept, exemplar=self), under-cap cells match the exact result, " +
+      "and candidate volume is bounded by cap per row") {
+    val t = 0.4
+    val cents = Similarity.seedCentroids(embs, 16)
+    val occ = Similarity.assignCells(embs, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a cap strictly inside the occupancy range so both branches run
+    val sizes = occ.values.toSeq.sorted
+    val cap = sizes(sizes.size / 2)
+    assert(sizes.head <= cap && sizes.last > cap,
+      s"cap $cap does not split cell sizes $sizes")
+    val exact = Similarity.semDedup(embs, cents, t).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))).toMap
+    val capped = Similarity.semDedup(embs, cents, t,
+        cellOccupancyCap = cap).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))).toMap
+    // every vector still appears exactly once, same cell assignment
+    assert(capped.keySet === exact.keySet)
+    var hotDropsForgone = 0
+    capped.foreach { case (v, (cell, keep, ex)) =>
+      assert(cell === exact(v)._1)
+      if (occ(cell) > cap) {
+        // hot cell: no pairs formed — keep=true, exemplar=self, even
+        // where the exact pass dropped the vector (the stated recall
+        // contract)
+        assert(keep && ex == v,
+          s"vec $v in hot cell $cell (occ ${occ(cell)}) not kept")
+        if (!exact(v)._2) hotDropsForgone += 1
+      } else {
+        // under-cap cell: identical to the exact result — the cap may
+        // not perturb cold cells
+        assert((cell, keep, ex) === exact(v),
+          s"vec $v in cold cell $cell drifted under the cap")
+      }
+    }
+    // the contract is exercised: some duplicate actually lived in a
+    // hot cell (otherwise this test proves nothing about the loss)
+    assert(hotDropsForgone > 0,
+      "fixture has no duplicates in hot cells; cap untested")
+  }
+
   test("packed SQ8 shuffles several times fewer bytes than the " +
       "array<double> quantized form (the bandwidth claim, measured)") {
     import graft.functions.VectorFunctions.sq8Pack

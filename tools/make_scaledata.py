@@ -106,8 +106,9 @@ def skew(out_root, ks=(1, 3, 5), base=30000):
     every bucket uniformly, so the df caps / band sub-splits — which
     exist precisely for power-law data — were never benched against
     one. Each doc is 10 "head" slots drawn Zipf(s=1) from a 1000-term
-    vocabulary (term z1 lands in ~79%% of docs — genuinely hot posting
-    lists, hot simhash bands, hot shingles) followed by 30 doc-unique
+    vocabulary (the head term z1 is genuinely hot — the run prints the
+    measured top document frequencies, which are authoritative;
+    observed ~65%% of docs) followed by 30 doc-unique
     tail words (so few TRUE near-dup pairs exist: the skew stresses
     CANDIDATE volume, not output volume). Deterministic via hash();
     x1/x3/x5 are prefix-consistent (xK's first base*J docs == xJ's).
@@ -147,11 +148,52 @@ def skew(out_root, ks=(1, 3, 5), base=30000):
               + ", ".join(f"{t}={c} ({c / n:.0%})" for t, c in top))
 
 
+def skew_embeddings(out_root, ks=(1, 3, 5), base=6000, dim=64):
+    """Clustered embedding corpus for the semantic-dedup skew tier
+    (round-11: the occupancy cap on semDedup's IVF cells needs a
+    corpus where one embedding cluster dominates — the proportionate
+    replicas spread near-uniformly over cells and hide the Sum|cell|^2
+    quadratic exactly like the uniform documents hid the posting-list
+    one). 70%% of vectors sit in a tight cone around the all-ones
+    direction (deterministic +-2.5%% per-coordinate jitter), so they
+    collapse into a handful of IVF cells whose occupancy is a constant
+    fraction of N; the other 30%% are centered-uniform directions that
+    spread across cells. Deterministic via hash(); prefix-consistent
+    like skew(). Emits embeddings.parquet only — the ns44/ns44b probes
+    read nothing else.
+    """
+    con = duckdb.connect()
+    for k in ks:
+        d = os.path.join(out_root, f"x{k}")
+        os.makedirs(d, exist_ok=True)
+        n = base * k
+        con.execute(f"""
+            COPY (
+              SELECT v AS vec_id,
+                CASE WHEN v % 10 < 7
+                  THEN [(1.0 + 0.05 * ((hash(v * 73 + j) % 2000003)
+                          / 2000003.0 - 0.5))::FLOAT
+                        FOR j IN range(0, {dim})]
+                  ELSE [((hash(v * 73 + j) % 2000003)
+                          / 2000003.0 - 0.5)::FLOAT
+                        FOR j IN range(0, {dim})]
+                END AS embedding,
+                (v % 10)::INT AS label
+              FROM range(0, {n}) t(v)
+            ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)""")
+        print(f"x{k} embeddings: {n} rows ({dim}-dim, 70% clustered)")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew(sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewdata",
              tuple(int(x) for x in sys.argv[3].split(","))
              if len(sys.argv) > 3 else (1, 3, 5))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew-emb":
+        skew_embeddings(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewemb",
+            tuple(int(x) for x in sys.argv[3].split(","))
+            if len(sys.argv) > 3 else (1, 3, 5))
     else:
         main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata",
              tuple(int(x) for x in sys.argv[2].split(",")) if len(sys.argv) > 2
