@@ -87,8 +87,13 @@ object Classify {
     * Features are standardized in-plan from one preliminary
     * mean/stddev aggregate (zero-variance features guard to a unit
     * divisor instead of dividing by zero). The returned single row
-    * carries the fitted coefficients ON THE STANDARDIZED scale plus
-    * training log-loss and accuracy at threshold 0.5.
+    * carries the fitted coefficients ON THE STANDARDIZED scale, the
+    * standardization moments (mu_f, sd_f per feature — without them
+    * the coefficients cannot score anything, so the model row is
+    * self-contained for [[logisticScore]]) plus training log-loss and
+    * accuracy at threshold 0.5. Everything rounds to 6 dp, so a
+    * serving chain built on the ROUNDED row is cross-engine
+    * restatable (q99b pins exactly that).
     */
   def logisticRegression(data: DataFrame, labelCol: String,
       features: Seq[String], steps: Int = 15, lr: Double = 1.0)
@@ -138,9 +143,37 @@ object Classify {
         .as("accuracy"))
     out.select(
       (lit(n).as("n") +: w.toSeq.zipWithIndex.map { case (v, i) =>
-        round(lit(v), 6).as(s"w$i") } :+
+        round(lit(v), 6).as(s"w$i") } :++
+        features.zipWithIndex.flatMap { case (f, i) => Seq(
+          round(lit(mo.getDouble(1 + 2 * i)), 6).as(s"mu_$f"),
+          round(lit(math.max(mo.getDouble(2 + 2 * i), 1e-12)), 6)
+            .as(s"sd_$f")) } :+
         round(col("log_loss"), 6).as("log_loss") :+
         round(col("accuracy"), 6).as("accuracy")): _*)
+  }
+
+  /** Score rows with a fitted logistic model — the serving half of
+    * [[logisticRegression]]: p = σ(w0 + Σ wᵢ·(xᵢ−muᵢ)/sdᵢ) with the
+    * model values as plan literals (map-only, no shuffle, whole-stage
+    * codegen — the broadcast-model-apply shape every scoring pass at
+    * 100 TB wants). `model` pairs each feature with its
+    * (weight, mu, sd) from the fit's ROUNDED output row, so the
+    * scored probabilities are a pure deterministic function of
+    * (data, rounded model) and the whole chain restates in SQL —
+    * q99b gates fit → score end to end on the pinned sf0.01
+    * literals. Output adds (p, pred) to the id column given.
+    */
+  def logisticScore(data: DataFrame, idCol: String, intercept: Double,
+      model: Seq[(String, Double, Double, Double)]): DataFrame = {
+    require(model.nonEmpty, "need at least one feature")
+    val margin = model.foldLeft(lit(intercept)
+        : org.apache.spark.sql.Column) {
+      case (acc, (f, wi, mu, sd)) =>
+        acc + lit(wi) * ((col(f).cast("double") - lit(mu)) / lit(sd))
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-margin))
+    data.select(col(idCol), round(p, 6).as("p"),
+      (p >= 0.5).cast("int").as("pred"))
   }
 
   /** Nearest-centroid (Rocchio) classification over embeddings: fit =

@@ -1897,6 +1897,52 @@ object MlQueries {
   val ns42Bpe: Q = (s, dir) =>
     Bpe.learn(Tables.documents(s, dir), 20).orderBy(col("rank"))
 
+  /** BPE SERVING chain, hash-gated (the ns8b fitted-literals
+    * graduation applied to ns42): learn the merge table fresh, then
+    * [[Bpe.segment]] the corpus with it — fit → tokenize end to end.
+    * The oracle pins the sf0.01 merge table
+    * ([[FittedModels.bpeMerges]]) and restates segmentation with one
+    * literal replace() per merge rank over a DOUBLED-separator symbol
+    * string: BPE's leftmost non-overlapping merge shares its boundary
+    * space with the next match (the engine's `(?= )` lookahead), and
+    * doubling every separator gives each boundary one space per
+    * neighbor, so plain left-to-right replace() — which CONSUMES its
+    * match — implements exactly the lookahead semantics. A fit change
+    * (different merges at sf0.01) now fails this gate loudly, and the
+    * segmentation itself is cross-engine-proven rather than only
+    * spec-pinned.
+    */
+  val ns42bBpeSegment: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.learn(docs, 20).orderBy(col("rank"))
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    Bpe.segment(docs, merges)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("tokens"), " ").as("toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ns42bBpeSegmentSql: String = {
+    // '  a  b  c  ' — every separator doubled, then one consuming
+    // replace per merge rank, pinned from the sf0.01 fit
+    val base = "'  ' || array_to_string(" +
+      "[w[i] FOR i IN range(1, len(w) + 1)], '  ') || '  '"
+    val chain = FittedModels.bpeMerges.foldLeft(base) {
+      case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+    }
+    s"""SELECT doc_id, len(flat)::INT AS n_tokens,
+      |  array_to_string(flat, ' ') AS toks
+      |FROM (
+      |  SELECT doc_id,
+      |    flatten([string_split(trim($chain), '  ')
+      |             FOR w IN string_split(text, ' ') IF len(w) > 0])
+      |      AS flat
+      |  FROM documents WHERE text IS NOT NULL)
+      |WHERE len(flat) > 0
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** PMI collocation mining (Corpus.collocations): bigram pairs ≥ 25
     * occurrences with ln-space pointwise mutual information — the
     * word2phrase step before tokenizer training. The log-sum form and
@@ -3533,6 +3579,7 @@ object MlQueries {
     "ns40_bigram_lm" -> ns40BigramLm,
     "ns41_naive_bayes" -> ns41NaiveBayes,
     "ns42_bpe" -> ns42Bpe,
+    "ns42b_bpe_segment" -> ns42bBpeSegment,
     "ns43_collocations" -> ns43Collocations,
     "ns44_semdedup" -> ns44SemDedup,
     "ns44b_semdedup_capped" -> ns44bSemDedupCapped,
@@ -3627,6 +3674,7 @@ object MlQueries {
     "ns39_prefix_join" -> ns39PrefixJoinSql,
     "ns40_bigram_lm" -> ns40BigramLmSql,
     "ns41_naive_bayes" -> ns41NaiveBayesSql,
+    "ns42b_bpe_segment" -> ns42bBpeSegmentSql,
     "ns43_collocations" -> ns43CollocationsSql,
     "ns44_semdedup" -> ns44SemDedupSql,
     "ns44b_semdedup_capped" -> ns44bSemDedupCappedSql,

@@ -698,6 +698,40 @@ object StatsQueries {
           .as("label")),
       "label", Seq("o_totalprice"))
 
+  /** The logistic SERVING chain, hash-gated (the fitted-literals
+    * graduation, q99's twin of ns42b): run the REAL 15-step fit, then
+    * score every order with the fit's ROUNDED model row
+    * ([[graft.ml.Classify.logisticScore]] — map-only, model as plan
+    * literals). The oracle restates σ(w0 + w1·(x−mu)/sd) with the
+    * sf0.01 row pinned ([[graft.FittedModels]]), so coefficient drift
+    * in the fit fails the gate loudly and the scoring math itself is
+    * cross-engine-proven; only the GD loop stays rows+spec.
+    */
+  val q99bLogitScore: Q = (s, dir) => {
+    val fit = graft.ml.Classify.logisticRegression(
+      Tables.orders(s, dir).select(col("o_totalprice"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0)
+          .as("label")),
+      "label", Seq("o_totalprice")).head()
+    graft.ml.Classify.logisticScore(
+      Tables.orders(s, dir), "o_orderkey",
+      fit.getAs[Double]("w0"),
+      Seq(("o_totalprice", fit.getAs[Double]("w1"),
+        fit.getAs[Double]("mu_o_totalprice"),
+        fit.getAs[Double]("sd_o_totalprice"))))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q99bLogitScoreSql: String = {
+    val m = s"(${graft.FittedModels.logitW0} + " +
+      s"${graft.FittedModels.logitW1} * ((o_totalprice::DOUBLE - " +
+      s"${graft.FittedModels.logitMu}) / ${graft.FittedModels.logitSd}))"
+    s"""SELECT o_orderkey,
+      |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-$m)), 6) AS p,
+      |  (1.0::DOUBLE / (1.0::DOUBLE + exp(-$m)) >= 0.5)::INT AS pred
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
   // -------------------- q100 Kolmogorov–Smirnov two-sample drift test
 
   /** Exact two-sample KS: D = sup over x of |F_a(x) − F_b(x)| between
@@ -1020,6 +1054,7 @@ object StatsQueries {
     "q97_transitions" -> q97Transitions,
     "q98_calibration" -> q98Calibration,
     "q99_logit" -> q99Logit,
+    "q99b_logit_score" -> q99bLogitScore,
     "q100_ks_drift" -> q100KsDrift,
     "q101_reachability" -> q101Reachability,
     "q102_shortest_paths" -> q102ShortestPaths,
@@ -1037,6 +1072,7 @@ object StatsQueries {
     "q96_kmv_overlap" -> q96KmvOverlapSql,
     "q97_transitions" -> q97TransitionsSql,
     "q98_calibration" -> q98CalibrationSql,
+    "q99b_logit_score" -> q99bLogitScoreSql,
     "q100_ks_drift" -> q100KsDriftSql,
     "q101_reachability" -> q101ReachabilitySql,
     "q102_shortest_paths" -> q102ShortestPathsSql,

@@ -95,9 +95,48 @@ class ClassifySpec extends SparkSpec {
     assert(got.getLong(0) === 8L)
     assert(math.abs(got.getDouble(1) - w0) < 1e-5, "w0")
     assert(math.abs(got.getDouble(2) - w1) < 1e-5, "w1")
-    assert(math.abs(got.getDouble(3) - loss) < 1e-5, "log_loss")
-    assert(got.getDouble(4) === 1.0, "separable data classifies fully")
+    assert(math.abs(got.getAs[Double]("log_loss") - loss) < 1e-5,
+      "log_loss")
+    assert(got.getAs[Double]("accuracy") === 1.0,
+      "separable data classifies fully")
     assert(got.getDouble(2) > 0, "positive slope on the positive class")
+    // the model row is serving-ready: mu/sd are the training moments
+    val mu = xy.map(_._1).sum / xy.size
+    val sd = math.sqrt(xy.map(x => (x._1 - mu) * (x._1 - mu)).sum / xy.size)
+    assert(math.abs(got.getAs[Double]("mu_x") - mu) < 1e-5, "mu")
+    assert(math.abs(got.getAs[Double]("sd_x") - sd) < 1e-5, "sd")
+  }
+
+  test("logisticScore applies the rounded model row exactly: hand " +
+      "sigmoid, threshold at 0.5, and fit->score round-trips the " +
+      "training accuracy") {
+    val xy = Seq(1.0 -> 0.0, 2.0 -> 0.0, 3.0 -> 0.0, 4.0 -> 0.0,
+      7.0 -> 1.0, 8.0 -> 1.0, 9.0 -> 1.0, 11.0 -> 1.0)
+    val df = xy.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "label")
+    // hand model: p = sigmoid(0.5 + 2*(x-5)/2)
+    val got = Classify.logisticScore(df, "id", 0.5,
+        Seq(("x", 2.0, 5.0, 2.0)))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    xy.zipWithIndex.foreach { case ((x, _), i) =>
+      val p = 1.0 / (1.0 + math.exp(-(0.5 + 2.0 * (x - 5.0) / 2.0)))
+      val pr = BigDecimal(p).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(i)._2 === pr, s"p at x=$x")
+      assert(got(i)._3 === (if (p >= 0.5) 1 else 0), s"pred at x=$x")
+    }
+    // serving the fit's own rounded row reproduces training accuracy
+    val fit = Classify.logisticRegression(df, "label", Seq("x"),
+      steps = 50, lr = 1.0).head()
+    val scored = Classify.logisticScore(df, "id", fit.getAs[Double]("w0"),
+        Seq(("x", fit.getAs[Double]("w1"), fit.getAs[Double]("mu_x"),
+          fit.getAs[Double]("sd_x"))))
+      .orderBy("id").collect().map(_.getInt(2))
+    val acc = xy.zip(scored)
+      .count { case ((_, y), pr) => pr.toDouble == y } / 8.0
+    assert(acc === fit.getAs[Double]("accuracy"))
   }
 
   test("a zero-variance feature fits the base rate without NaN") {
@@ -108,9 +147,10 @@ class ClassifySpec extends SparkSpec {
     // x standardizes to all-zero, so w1 never moves and the intercept
     // converges toward logit(0.75)
     assert(got.getDouble(2) === 0.0)
-    assert(!got.getDouble(3).isNaN && !got.getDouble(1).isNaN)
+    assert(!got.getAs[Double]("log_loss").isNaN &&
+      !got.getDouble(1).isNaN)
     assert(math.abs(got.getDouble(1) - math.log(3.0)) < 0.3)
-    assert(got.getDouble(4) === 0.75)
+    assert(got.getAs[Double]("accuracy") === 0.75)
   }
 
   test("nearestCentroid classifies planted clusters, excludes " +
