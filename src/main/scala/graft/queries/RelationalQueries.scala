@@ -1184,6 +1184,31 @@ object RelationalQueries {
     basketLift(baskets, minSupport = 50L)
   }
 
+  /** q82 with its fact⋈dim join routed through
+    * [[graft.operators.SaltedJoin]] (salts = 8, salted on the
+    * orderkey) — the manual skew tool as a GATED production path, not
+    * a shelf operator: under a power-law part popularity (the
+    * --skew-graph corpus puts the head part in ~46% of orders) the
+    * partkey shuffle sends one key's entire fact volume to one
+    * reducer wherever AQE can't split (non-sort-merge plans,
+    * aggregate-feeding exchanges); the salt spreads it over 8 with
+    * the dim side replicated 8×. Output contract identical to q82 —
+    * gated on q82's own oracle (the q6b/ns46b same-oracle
+    * discipline), so the salt is proven semantics-free.
+    */
+  val q82bBasketSalted: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_orderkey").as("ok"))
+    val baskets = graft.operators.SaltedJoin.inner(
+        li,
+        Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        "p_partkey", salts = 8, saltCols = Seq("ok"))
+      .select(col("ok"), col("p_brand").as("brand"))
+      .distinct()
+    basketLift(baskets, minSupport = 50L)
+  }
+
   /** Bench evidence probe for q82 (r9 verdict item 6): the A-priori
     * prune is structurally a no-op on this 25-brand fixture
     * (BASELINE.md documents it in prose; BasketSpec proves the
@@ -3004,6 +3029,7 @@ object RelationalQueries {
     "q80_incremental_join" -> q80IncrementalJoin,
     "q81_rfm" -> q81Rfm,
     "q82_basket" -> q82Basket,
+    "q82b_basket_salted" -> q82bBasketSalted,
     "q83_expectations" -> q83Expectations,
     "q84_attribution" -> q84Attribution,
     "q85_drift" -> q85Drift,
@@ -3098,6 +3124,7 @@ object RelationalQueries {
     "q80_incremental_join" -> q80IncrementalJoinSql,
     "q81_rfm" -> q81RfmSql,
     "q82_basket" -> q82BasketSql,
+    "q82b_basket_salted" -> q82BasketSql,
     "q83_expectations" -> q83ExpectationsSql,
     "q84_attribution" -> q84AttributionSql,
     "q85_drift" -> q85DriftSql,

@@ -184,8 +184,76 @@ def skew_embeddings(out_root, ks=(1, 3, 5), base=6000, dim=64):
         print(f"x{k} embeddings: {n} rows ({dim}-dim, 70% clustered)")
 
 
+def skew_graph(out_root, ks=(1, 3, 5), base=30000, n_parts=10000):
+    """Power-law-degree co-purchase graph for the graph/fact skew tier
+    (round-11: q93/q94/q101/q102 and q82 had only proportionate
+    replicas, which grow every node's degree uniformly — the
+    skew-handling claims were never measured against a hot node).
+    Each of base*k orders holds 8 item slots drawn Zipf(s=1) from an
+    n_parts space (head part z1 lands in a CONSTANT ~40-50%% of
+    orders — the run prints the measured head share, which is
+    authoritative), so the co-occurrence graph has a genuinely hot
+    node whose degree grows with N while the typical degree stays
+    flat, and the hot part's brand dominates q82's basket pairs.
+    Deterministic via hash(); prefix-consistent like skew(). Emits
+    lineitem.parquet + part.parquet — everything the graph family and
+    q82 read.
+    """
+    con = duckdb.connect()
+    for k in ks:
+        d = os.path.join(out_root, f"x{k}")
+        os.makedirs(d, exist_ok=True)
+        n = base * k
+        con.execute(f"""
+            COPY (
+              SELECT o AS l_orderkey,
+                CAST(floor(pow({n_parts}.0,
+                    ((hash(o * 131 + j) % 1000003) / 1000003.0)))
+                  AS BIGINT) AS l_partkey,
+                (hash(o * 17 + j) % 100)::BIGINT AS l_suppkey,
+                j::INT AS l_linenumber,
+                (1 + hash(o + j) % 50)::DOUBLE AS l_quantity,
+                (900 + hash(o * 7 + j) % 100000)::DOUBLE / 100.0
+                  AS l_extendedprice,
+                (hash(o * 11 + j) % 11)::DOUBLE / 100.0 AS l_discount,
+                (hash(o * 13 + j) % 9)::DOUBLE / 100.0 AS l_tax,
+                CASE hash(o * 19 + j) % 3 WHEN 0 THEN 'A'
+                  WHEN 1 THEN 'N' ELSE 'R' END AS l_returnflag,
+                CASE hash(o * 23 + j) % 2 WHEN 0 THEN 'O' ELSE 'F' END
+                  AS l_linestatus,
+                TIMESTAMP '1995-01-01' + INTERVAL (hash(o * 29 + j)
+                  % 2000) DAY AS l_shipdate
+              FROM range(0, {n}) t(o)
+              CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6, 7]) s(j)
+            ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+        con.execute(f"""
+            COPY (
+              SELECT p AS p_partkey,
+                'part-' || CAST(p AS VARCHAR) AS p_name,
+                'Brand#' || CAST(p % 25 AS VARCHAR) AS p_brand,
+                'TYPE ' || CAST(p % 7 AS VARCHAR) AS p_type,
+                (1 + p % 50)::INT AS p_size,
+                (900 + p % 1000)::DOUBLE AS p_retailprice
+              FROM range(1, {n_parts} + 1) t(p)
+            ) TO '{d}/part.parquet' (FORMAT PARQUET)""")
+        head = con.execute(f"""
+            SELECT count(DISTINCT l_orderkey) FROM '{d}/lineitem.parquet'
+            WHERE l_partkey = 1""").fetchone()[0]
+        deg = con.execute(f"""
+            WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey
+              AS pk FROM '{d}/lineitem.parquet')
+            SELECT count(DISTINCT b.pk) FROM op a JOIN op b
+            ON a.ok = b.ok AND a.pk <> b.pk WHERE a.pk = 1""").fetchone()[0]
+        print(f"x{k} lineitem: {n * 8} rows; head part in "
+              f"{head / n:.0%} of orders, degree {deg}")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew-graph":
+        skew_graph(sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewgraph",
+                   tuple(int(x) for x in sys.argv[3].split(","))
+                   if len(sys.argv) > 3 else (1, 3, 5))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew(sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewdata",
              tuple(int(x) for x in sys.argv[3].split(","))
              if len(sys.argv) > 3 else (1, 3, 5))
