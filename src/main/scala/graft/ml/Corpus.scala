@@ -667,6 +667,30 @@ object Corpus {
     * chunk text) is emitted alongside so downstream chunk-level joins
     * (dedup, retrieval hit-lists) move 8-byte longs, never chunk text.
     */
+  /** [[chunkTokens]] with the chunk TEXT materialized instead of
+    * hashed — the form downstream indexing actually consumes (a RAG
+    * stack retrieves over chunk text; the hash variant is the
+    * dedup/audit form). Same window arithmetic, same shuffle-free
+    * single map stage; output (doc_id, chunk_idx, text).
+    */
+  def chunkText(docs: DataFrame, chunkSize: Int, stride: Int)
+      : DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      "stride must be in [1, chunkSize]")
+    val words = split(col("text"), " ")
+    val k = when(size(words) <= chunkSize, lit(0L))
+      .otherwise(idiv(size(words) - chunkSize + (stride - 1), lit(stride)))
+    docs
+      .select(col("doc_id"), words.as("_w"), k.as("_k"))
+      .select(col("doc_id"), col("_w"),
+        explode(sequence(lit(0L), col("_k"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("_w"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(chunkSize))).as("text"))
+  }
+
   def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
     // stride > chunkSize would silently drop the words between windows;
     // stride <= 0 is an infinite window walk — both are caller bugs

@@ -376,19 +376,41 @@ object Similarity {
   def mmrRerank(embeddings: DataFrame, queryMod: Int, m: Int, k: Int,
       lam: Double = 0.75): DataFrame = {
     require(k >= 1 && m >= k, "need m >= k >= 1")
-    require(lam > 0 && lam < 1, "lambda must be in (0, 1)")
     val n = withNorm(embeddings)
     val queries = n.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id"))
-    // the candidate lists and their pairwise sims are each read by
-    // EVERY greedy step (selected, remaining, and maxsim all hang off
-    // them) — without a materialization boundary the |Q|·N pair scan
-    // under bruteTopKForQueries re-executes once per consumer per
-    // step (measured 15.7 s at sf0.1; localCheckpointing the two
-    // list-sized tables collapses the loop to window-over-tiny-data,
-    // the ns22 materialization discipline)
     val rel = bruteTopKForQueries(embeddings, queries, m)
       .select(col("i"), col("j"), col("cos").as("rel"))
+    mmrRerankList(rel, embeddings, k, lam)
+  }
+
+  /** The list-input form of [[mmrRerank]] — rerank an EXTERNAL
+    * candidate list (i, j, rel) with the greedy λ-tradeoff, pairwise
+    * candidate similarities derived from `embeddings`. This is the
+    * serving-stack seam: the candidates can come from ANY retriever
+    * (served ANN, served BM25, an RRF fusion — ns65 composes exactly
+    * that), and the rerank only ever touches list-sized data. A
+    * candidate pair where either side lacks a usable (finite,
+    * nonzero) embedding contributes NO redundancy penalty, and a
+    * candidate with no scorable pair gets maxsim 0 — the stated
+    * degradation for hybrid lists whose lexical tower surfaced a doc
+    * the embedding store is missing; the greedy loop still scores
+    * every candidate at every step.
+    */
+  def mmrRerankList(candidates: DataFrame, embeddings: DataFrame,
+      k: Int, lam: Double = 0.75): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(lam > 0 && lam < 1, "lambda must be in (0, 1)")
+    val n = withNorm(embeddings)
+    // the candidate lists and their pairwise sims are each read by
+    // EVERY greedy step (selected, remaining, and maxsim all hang off
+    // them) — without a materialization boundary the upstream
+    // retrieval plan re-executes once per consumer per step (measured
+    // 15.7 s at sf0.1; localCheckpointing the two list-sized tables
+    // collapses the loop to window-over-tiny-data, the ns22
+    // materialization discipline)
+    val rel = candidates
+      .select(col("i"), col("j"), col("rel"))
       .localCheckpoint()
     // pairwise candidate sims WITHIN each query's list: |Q|·m² rows
     val sims = rel.select(col("i"), col("j").as("ja"))
@@ -412,11 +434,15 @@ object Similarity {
     var remaining = rel.join(selected.select(col("i"), col("j")),
       Seq("i", "j"), "left_anti")
     for (t <- 2 to k) {
+      // LEFT join + null-skipping max: a candidate whose pairs are
+      // all unscorable stays in play with maxsim 0 instead of
+      // silently dropping out of the step
       val maxsim = remaining
         .join(selected.select(col("i"), col("j").as("ja")), Seq("i"))
-        .join(sims.withColumnRenamed("jb", "j"), Seq("i", "ja", "j"))
+        .join(sims.withColumnRenamed("jb", "j"), Seq("i", "ja", "j"),
+          "left")
         .groupBy(col("i"), col("j"), col("rel"))
-        .agg(max(col("sim")).as("maxsim"))
+        .agg(coalesce(max(col("sim")), lit(0.0)).as("maxsim"))
       val scored = maxsim.withColumn("score",
         round(lit(lam) * col("rel") - lit(1 - lam) * col("maxsim"), 6))
       val step = pick(scored, t)

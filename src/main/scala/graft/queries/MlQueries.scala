@@ -3516,6 +3516,213 @@ object MlQueries {
        |FROM documents ORDER BY position""".stripMargin
   }
 
+  // --------------------------------- ns65 RAG serving capstone (one plan)
+
+  /** The serving-side capstone (the ns64 discipline applied to
+    * retrieval): chunk → persisted chunk-level BM25 index → served
+    * IVF ANN → RRF fusion → per-query score normalization → MMR
+    * diversity rerank, composed over the SAME persisted index
+    * fixtures the stage gates use, as ONE gated plan. Every stage is
+    * individually gated (ns37/ns46b/ns8d/ns50/ns59); this entry
+    * proves the COMPOSITION — key alignment across towers, the
+    * chunk→doc collapse, rank plumbing into the fusion, normalized
+    * relevance into the greedy rerank — because stage gates cannot
+    * see a mis-wired seam between stages.
+    *
+    * Chain: documents chunk into 32-token/24-stride windows
+    * ([[Corpus.chunkText]]), keyed doc_id·64+chunk_idx (loud guard);
+    * a BM25 index persists over the CHUNKS and serves the query set
+    * (every 50th doc's first 4 words) at k=20; chunk hits collapse to
+    * documents ranked by (best chunk rank, doc_id) — the standard
+    * passage→document step; the semantic tower serves the persisted
+    * doc-level IVF index (seed centroids, 3 probes) at k=20; RRF
+    * (c=60) fuses the two towers and cuts at 10; rrf normalizes to
+    * rel = rrf/max(rrf) per query (rank-fusion scores are
+    * list-length-scaled — normalizing makes λ mean the same thing at
+    * every query); [[Similarity.mmrRerankList]] greedily picks 5
+    * with λ=0.75. The oracle restates every stage, MMR steps
+    * unrolled, so the hash gates the full serving trajectory.
+    */
+  val ns65RagServe: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val bmPath =
+      RelationalQueries.zOrderedTablePath(s, dir, "rag_bm25_chunks")
+    if (ivfIndexWritten.add(bmPath)) {
+      val chunks = Corpus.chunkText(docs, chunkSize = 32, stride = 24)
+        .select((col("doc_id") * 64 +
+          when(col("chunk_idx") < 64, col("chunk_idx"))
+            .otherwise(raise_error(concat(
+              lit("ns65: chunk_idx overflows the 64-per-doc key "),
+              col("chunk_idx").cast("string"))))).as("doc_id"),
+          col("text"))
+      Retrieval.writeBm25Index(chunks, bmPath, nBuckets = 64)
+    }
+    val ivfPath =
+      RelationalQueries.zOrderedTablePath(s, dir, "ivf_index")
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    if (ivfIndexWritten.add(ivfPath))
+      Similarity.writeIvfIndex(emb, cents, ivfPath)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    // lexical tower: chunk hits collapsed to docs by best chunk rank
+    val chunkHits = Retrieval.queryBm25Index(s, bmPath, queries, k = 20)
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("minrk"), col("doc_id"))
+    val lex = chunkHits
+      .groupBy(col("query_id"),
+        floor(col("doc_id") / 64).cast("long").as("doc_id"))
+      .agg(min(col("rank")).as("minrk"))
+      .withColumn("rank", row_number().over(wLex).cast("int"))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // semantic tower: the served IVF index, multi-probe
+    val sem = Similarity.queryIvfIndex(s, ivfPath,
+        emb.filter(col("vec_id") % 50 === 0), cents, k = 20, probes = 3)
+      .select(col("i").as("query_id"), col("j").as("doc_id"),
+        col("rk").as("rank"))
+    val fused = Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+    val wMax = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val cands = fused
+      .withColumn("rel", round(col("rrf") / max(col("rrf")).over(wMax), 6))
+      .select(col("query_id").as("i"), col("doc_id").as("j"), col("rel"))
+    Similarity.mmrRerankList(cands, emb, k = 5, lam = 0.75)
+      .select(col("i").as("query_id"), col("rank"), col("j").as("doc_id"),
+        col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ns65RagServeSql: String = {
+    def selCte(t: Int): String =
+      (1 to t).map(x => s"SELECT i, j FROM s$x").mkString(" UNION ALL ")
+    val steps = (2 to 5).map { t =>
+      s"""mx$t AS (
+         |  SELECT r.i, r.j, r.rel,
+         |    coalesce(max(sm.sim), 0.0::DOUBLE) AS maxsim
+         |  FROM rel r
+         |  ANTI JOIN (${selCte(t - 1)}) s ON r.i = s.i AND r.j = s.j
+         |  LEFT JOIN (
+         |    SELECT sm0.i, sm0.ja AS j, sm0.sim
+         |    FROM sims sm0 JOIN (${selCte(t - 1)}) sel
+         |      ON sm0.i = sel.i AND sm0.jb = sel.j) sm
+         |    ON sm.i = r.i AND sm.j = r.j
+         |  GROUP BY r.i, r.j, r.rel
+         |), s$t AS (
+         |  SELECT i, $t AS rank, j, score FROM (
+         |    SELECT i, j,
+         |      round(0.75::DOUBLE * rel - 0.25::DOUBLE * maxsim, 6)
+         |        AS score,
+         |      row_number() OVER (PARTITION BY i ORDER BY
+         |        round(0.75::DOUBLE * rel - 0.25::DOUBLE * maxsim, 6)
+         |          DESC, j) AS rn
+         |    FROM mx$t) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckNonZeroEmb,
+      |chunks AS (
+      |  SELECT doc_id * 64 + chunk_idx AS cid,
+      |    array_to_string(list_slice(w, chunk_idx*24 + 1,
+      |      chunk_idx*24 + 32), ' ') AS text
+      |  FROM (
+      |    SELECT doc_id, w, unnest(generate_series(0,
+      |      CASE WHEN len(w) <= 32 THEN 0
+      |        ELSE ((len(w) - 32 + 23) - ((len(w) - 32 + 23) % 24)) // 24
+      |      END)) AS chunk_idx
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |          FROM documents))
+      |), qd AS (
+      |  SELECT DISTINCT doc_id AS query_id, unnest(list_slice(
+      |    string_split(text, ' '), 1, 4)) AS term
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), tok AS (
+      |  SELECT cid, unnest(string_split(text, ' ')) AS term FROM chunks
+      |), tf AS (
+      |  SELECT cid, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT cid, count(*)::BIGINT AS dl FROM tok GROUP BY 1
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+      |), dfq AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1
+      |), sc AS (
+      |  SELECT query_id, tf.cid,
+      |    round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(
+      |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))),
+      |      (a, x) -> a + x), 6) AS score
+      |  FROM qd JOIN tf USING (term) JOIN dfq USING (term)
+      |  JOIN dl ON tf.cid = dl.cid CROSS JOIN st
+      |  GROUP BY 1, 2
+      |), chunk_hits AS (
+      |  SELECT query_id, cid, rank FROM (
+      |    SELECT query_id, cid, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY score DESC, cid) AS rank
+      |    FROM sc) WHERE rank <= 20
+      |), lex AS (
+      |  SELECT query_id, doc_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY minrk, doc_id) AS rank
+      |  FROM (SELECT query_id, cid // 64 AS doc_id, min(rank) AS minrk
+      |        FROM chunk_hits GROUP BY 1, 2)
+      |), cents AS (
+      |  SELECT vec_id AS cell, embedding AS ce FROM nz
+      |  ORDER BY vec_id LIMIT 16
+      |), ranked AS (
+      |  SELECT vec_id, cell, crk FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk <= 3
+      |), sem AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, ix.vec_id AS doc_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, ix.vec_id) AS rank
+      |    FROM ranked q JOIN ranked ix
+      |      ON q.cell = ix.cell AND ix.crk = 1 AND q.vec_id <> ix.vec_id
+      |    JOIN nz a ON a.vec_id = q.vec_id
+      |    JOIN nz b ON b.vec_id = ix.vec_id
+      |    WHERE q.vec_id % 50 = 0) WHERE rank <= 20
+      |), fused AS (
+      |  SELECT query_id, doc_id,
+      |    round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
+      |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+      |  GROUP BY 1, 2
+      |), f10 AS (
+      |  SELECT query_id, doc_id, rrf FROM (
+      |    SELECT query_id, doc_id, rrf, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+      |    FROM fused) WHERE rank <= 10
+      |), rel AS (
+      |  SELECT query_id AS i, doc_id AS j,
+      |    round(rrf / max(rrf) OVER (PARTITION BY query_id), 6) AS rel
+      |  FROM f10
+      |), sims AS (
+      |  SELECT r1.i, r1.j AS ja, r2.j AS jb,
+      |    round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |      y.embedding::DOUBLE[]), 6) AS sim
+      |  FROM rel r1 JOIN rel r2 ON r1.i = r2.i AND r1.j <> r2.j
+      |  JOIN nz x ON x.vec_id = r1.j JOIN nz y ON y.vec_id = r2.j
+      |), s1 AS (
+      |  SELECT i, 1 AS rank, j, score FROM (
+      |    SELECT i, j, round(0.75::DOUBLE * rel, 6) AS score,
+      |      row_number() OVER (PARTITION BY i
+      |        ORDER BY round(0.75::DOUBLE * rel, 6) DESC, j) AS rn
+      |    FROM rel) WHERE rn = 1
+      |),
+      |$steps
+      |SELECT i AS query_id, rank, j AS doc_id, score FROM (
+      |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      |  UNION ALL SELECT * FROM s5)
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, Q] = Map(
@@ -3609,6 +3816,7 @@ object MlQueries {
     "ns59_mmr_rerank" -> ns59MmrRerank,
     "ns60_epoch_order" -> ns60EpochOrder,
     "ns64_train_export" -> ns64TrainExport,
+    "ns65_rag_serve" -> ns65RagServe,
     "ns61_bottomk_sample" -> ns61BottomkSample,
     "ns61b_bottomk_merged" -> ns61bBottomkMerged,
     "ns62_user_histories" -> ns62UserHistories,
@@ -3703,6 +3911,7 @@ object MlQueries {
     "ns59_mmr_rerank" -> ns59MmrRerankSql,
     "ns60_epoch_order" -> ns60EpochOrderSql,
     "ns64_train_export" -> ns64TrainExportSql,
+    "ns65_rag_serve" -> ns65RagServeSql,
     "ns61_bottomk_sample" -> ns61BottomkSampleSql,
     "ns61b_bottomk_merged" -> ns61BottomkSampleSql,
     "ns62_user_histories" -> ns62UserHistoriesSql,

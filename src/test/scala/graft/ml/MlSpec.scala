@@ -2155,6 +2155,33 @@ class MlSpec extends SparkSpec {
     assert(rel.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("mmrRerankList: an external candidate list reranks by its OWN " +
+      "rel column, and a candidate the embedding store is missing " +
+      "stays scorable with maxsim 0 instead of dropping out") {
+    import spark.implicits._
+    // candidates for one query: 10/11 have embeddings (near-copies),
+    // 12 has NONE — e.g. a lexical-tower hit absent from the vector
+    // store. rel: 10 > 11 > 12.
+    val cands = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 0.9), (1L, 12L, 0.8))
+      .toDF("i", "j", "rel")
+    val emb = Seq(
+      10L -> Array(1f, 0f), 11L -> Array(0.99f, 0.14107f))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerankList(cands, emb, k = 3, lam = 0.75)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // step 1: pure relevance -> 10 (0.75·1.0)
+    // step 2: 11 scores .75·.9 − .25·sim(11,10)≈.675−.247=.428;
+    //         12 has no pairs -> maxsim 0 -> .75·.8=.6 -> 12 wins
+    // step 3: 11 remains
+    assert(out.map(_._2) === Seq(10L, 12L, 11L),
+      s"trajectory was ${out.map(_._2)}")
+    assert(out(0)._3 === 0.75)
+    assert(out(1)._3 === 0.6, "missing-embedding candidate scores " +
+      "with zero redundancy penalty")
+  }
+
   test("decontaminateSpans cuts exactly the quoted benchmark span, " +
       "leaves clean docs alone, empties a full benchmark copy") {
     import spark.implicits._
