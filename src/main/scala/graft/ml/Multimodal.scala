@@ -47,7 +47,7 @@ object Multimodal {
       * reach ImageIO (whose SPI scan is not free per row): PNG, JPEG,
       * BMP, GIF.
       */
-    private def looksLikeImage(b: Array[Byte]): Boolean =
+    private[Multimodal] def looksLikeImage(b: Array[Byte]): Boolean =
       b.length >= 8 && (
         (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
         (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
@@ -104,6 +104,173 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init would go here (codec/model handles)
       rows.map(MediaFeatures.of)
+    }
+  }
+
+  /** Perceptual-hash row: 60-bit aHash (block mean vs global mean)
+    * and 60-bit dHash (adjacent-block gradient) of the media payload.
+    */
+  case class MediaHash(media_id: Long, media_type: String,
+      n_bytes: Long, ahash: Long, dhash: Long, decoded: Boolean)
+
+  /** Per-cell (sum, count) of `vals` split into `cells` contiguous
+    * slices with exact integer boundaries lo = ⌊c·n/cells⌋ — the 1-D
+    * block grid. Cells may be EMPTY when n < cells (sum 0, count 0);
+    * every consumer compares cross-multiplied sums, so no division
+    * (and no float) ever happens and empty cells deterministically
+    * compare false.
+    */
+  private def cellSums(vals: Array[Long], cells: Int)
+      : (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](cells)
+    val cnts = new Array[Long](cells)
+    var c = 0
+    while (c < cells) {
+      val lo = (c.toLong * vals.length / cells).toInt
+      val hi = ((c + 1).toLong * vals.length / cells).toInt
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += vals(i); i += 1 }
+      sums(c) = s
+      cnts(c) = (hi - lo).toLong
+      c += 1
+    }
+    (sums, cnts)
+  }
+
+  /** aHash over per-cell (sum, count): bit c set iff cell c's mean
+    * exceeds the global mean, compared exactly as
+    * sum_c · N > total · n_c (all longs — cross-multiplication in
+    * place of two divisions, so both engines and the SQL oracle
+    * compare identical integers). 60 bits, matching the corpus
+    * simhash width so the whole banding tier applies verbatim.
+    */
+  private def aHashBits(sums: Array[Long], cnts: Array[Long]): Long = {
+    val tot = sums.sum
+    val n = cnts.sum
+    var h = 0L
+    var c = 0
+    while (c < sums.length) {
+      if (sums(c) * n > tot * cnts(c)) h |= (1L << c)
+      c += 1
+    }
+    h
+  }
+
+  /** dHash over 61 cells: bit c set iff mean(cell c) < mean(cell c+1)
+    * — the gradient form, same cross-multiplied exact compare.
+    */
+  private def dHashBits(sums: Array[Long], cnts: Array[Long]): Long = {
+    var h = 0L
+    var c = 0
+    while (c < sums.length - 1) {
+      if (sums(c) * cnts(c + 1) < sums(c + 1) * cnts(c)) h |= (1L << c)
+      c += 1
+    }
+    h
+  }
+
+  /** Perceptual hashes for near-duplicate detection over media — the
+    * multimodal member of the dedup family (text has exact/Jaccard/
+    * MinHash/SimHash; images get aHash/dHash): two 60-bit signatures
+    * per payload whose Hamming distance is small for perceptually
+    * similar media, banded downstream with the EXISTING simhash
+    * machinery ([[Dedup.simhashPairsCapped]] — 60 bits on purpose).
+    *
+    * Decodable images (the [[MediaFeatures]] magic-byte + ImageIO
+    * path) hash REAL pixels: integer luma (299r+587g+114b, never
+    * divided — the comparisons are ratio-based so the scale cancels)
+    * block-averaged over a 6×10 grid (aHash) / 6×11 horizontal
+    * gradient (dHash), exact integer boundaries, row-major bit
+    * order b = r·cols + c. Everything else hashes the byte stream
+    * through the same kernel in 1-D (60/61 cells of unsigned byte
+    * values) — deterministic, and exactly restatable in SQL, which is
+    * what lets ns66/ns66b hash-gate the fixture corpus while the
+    * image path is byte-exact spec-gated (the ns13/ns21 stub
+    * discipline: the KERNEL is real and shared; only the pixel
+    * source degrades). Empty payloads hash to 0.
+    */
+  def perceptualHash(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          if (r.payload == null) Array.emptyByteArray else r.payload
+        val img =
+          if (MediaFeatures.looksLikeImage(bytes))
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          else None
+        img match {
+          case Some(i) =>
+            val (w, h) = (i.getWidth, i.getHeight)
+            // row-major scaled-luma grid; blocks may be empty for
+            // tiny images — same empty-cell contract as the 1-D path
+            def grid(rows0: Int, cols: Int): (Array[Long], Array[Long]) = {
+              val sums = new Array[Long](rows0 * cols)
+              val cnts = new Array[Long](rows0 * cols)
+              var rr = 0
+              while (rr < rows0) {
+                val rLo = (rr.toLong * h / rows0).toInt
+                val rHi = ((rr + 1).toLong * h / rows0).toInt
+                var cc = 0
+                while (cc < cols) {
+                  val cLo = (cc.toLong * w / cols).toInt
+                  val cHi = ((cc + 1).toLong * w / cols).toInt
+                  var s = 0L
+                  var y = rLo
+                  while (y < rHi) {
+                    var x = cLo
+                    while (x < cHi) {
+                      val rgb = i.getRGB(x, y)
+                      s += 299L * ((rgb >> 16) & 0xFF) +
+                        587L * ((rgb >> 8) & 0xFF) +
+                        114L * (rgb & 0xFF)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  sums(rr * cols + cc) = s
+                  cnts(rr * cols + cc) =
+                    (rHi - rLo).toLong * (cHi - cLo)
+                  cc += 1
+                }
+                rr += 1
+              }
+              (sums, cnts)
+            }
+            val (as, ac) = grid(6, 10)
+            // dHash: 6×11 grid, bit (r,c) = block(r,c) < block(r,c+1)
+            val (ds, dc) = grid(6, 11)
+            var dh = 0L
+            var rr = 0
+            while (rr < 6) {
+              var cc = 0
+              while (cc < 10) {
+                val a0 = rr * 11 + cc
+                if (ds(a0) * dc(a0 + 1) < ds(a0 + 1) * dc(a0))
+                  dh |= (1L << (rr * 10 + cc))
+                cc += 1
+              }
+              rr += 1
+            }
+            MediaHash(r.media_id, r.media_type, bytes.length.toLong,
+              aHashBits(as, ac), dh, decoded = true)
+          case None =>
+            val vals = new Array[Long](bytes.length)
+            var i = 0
+            while (i < bytes.length) {
+              vals(i) = (bytes(i) & 0xFF).toLong
+              i += 1
+            }
+            val (as, ac) = cellSums(vals, 60)
+            val (ds, dc) = cellSums(vals, 61)
+            MediaHash(r.media_id, r.media_type, bytes.length.toLong,
+              aHashBits(as, ac), dHashBits(ds, dc), decoded = false)
+        }
+      }
     }
   }
 

@@ -1509,6 +1509,115 @@ object MlQueries {
       Multimodal.mediaTable(Tables.documents(s, dir)), step = 100)
       .orderBy(col("media_id"), col("frame_offset"))
 
+  /** Multimodal perceptual hashing ([[Multimodal.perceptualHash]]):
+    * 60-bit aHash + dHash per media payload — the dedup signature the
+    * image tier was missing while text had four. The fixture payloads
+    * all take the byte-fallback path, whose kernel (integer cell
+    * boundaries, cross-multiplied mean compares, NO division
+    * anywhere) restates exactly in SQL — so unlike the ns13 plan this
+    * entry is HASH-gated end to end; the real-pixel path (6×10 luma
+    * grid over an ImageIO decode) is byte-exact spec-gated in MlSpec,
+    * the ns13/ns21 stub discipline.
+    */
+  val ns66Phash: Q = (s, dir) =>
+    Multimodal.perceptualHash(
+      Multimodal.mediaTable(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("ahash"), col("dhash"), col("decoded"))
+      .orderBy(col("media_id"))
+
+  /** The shared aHash CTE chain: byte values → 60 exact-boundary cell
+    * (sum, count) pairs → global totals → cross-multiplied mean bits.
+    * `sig` ends with (doc_id, simhash) so the simhash banding SQL
+    * applies verbatim downstream (ns66b).
+    */
+  private val duckAHashSig: String =
+    """v AS (
+      |  SELECT doc_id, len(text)::BIGINT AS n,
+      |    [ord(text[i])::BIGINT FOR i IN range(1, len(text) + 1)] AS bv
+      |  FROM documents
+      |), a60 AS (
+      |  SELECT doc_id, c,
+      |    coalesce(list_sum(bv[(c*n)//60 + 1 : ((c+1)*n)//60]), 0)::BIGINT
+      |      AS s,
+      |    ((c+1)*n)//60 - (c*n)//60 AS cnt
+      |  FROM v, range(0, 60) t(c)
+      |), atot AS (
+      |  SELECT doc_id, sum(s)::BIGINT AS tot, sum(cnt)::BIGINT AS nn
+      |  FROM a60 GROUP BY 1
+      |), sig AS (
+      |  SELECT a.doc_id,
+      |    sum(CASE WHEN a.s * t.nn > t.tot * a.cnt
+      |        THEN (1::BIGINT << a.c) ELSE 0 END)::BIGINT AS simhash
+      |  FROM a60 a JOIN atot t USING (doc_id) GROUP BY 1
+      |)""".stripMargin
+
+  val ns66PhashSql: String =
+    s"""WITH $duckAHashSig, d61 AS (
+      |  SELECT doc_id, c,
+      |    coalesce(list_sum(bv[(c*n)//61 + 1 : ((c+1)*n)//61]), 0)::BIGINT
+      |      AS s,
+      |    ((c+1)*n)//61 - (c*n)//61 AS cnt
+      |  FROM v, range(0, 61) t(c)
+      |), dh AS (
+      |  SELECT x.doc_id,
+      |    sum(CASE WHEN x.s * y.cnt < y.s * x.cnt
+      |        THEN (1::BIGINT << x.c) ELSE 0 END)::BIGINT AS dhash
+      |  FROM d61 x JOIN d61 y ON x.doc_id = y.doc_id AND y.c = x.c + 1
+      |  GROUP BY 1
+      |)
+      |SELECT s.doc_id AS media_id,
+      |  ['image', 'audio', 'video'][(s.doc_id % 3) + 1] AS media_type,
+      |  octet_length(encode(d.text)) AS n_bytes,
+      |  s.simhash AS ahash, dh.dhash, false AS decoded
+      |FROM sig s JOIN dh USING (doc_id) JOIN documents d USING (doc_id)
+      |ORDER BY media_id""".stripMargin
+
+  /** Multimodal near-dup pairs: the STORED perceptual hashes banded
+    * with the existing simhash machinery
+    * ([[Dedup.simhashPairsCapped]] — the 60-bit width was chosen for
+    * exactly this reuse): Hamming ≤ 12 aHash pairs via 13 uneven
+    * bands (exact pigeonhole) with the 100-occupancy cap. On the
+    * fixtures the banding finds all 14 exact pairs (max bucket 81,
+    * nothing capped — ns5c exercises the cap; this entry gates the
+    * banding-over-phash composition). The byte-stream aHash is
+    * shift-sensitive by design (it is an IMAGE signature — pixel
+    * near-dups stay aligned; text near-dups shift), hence the wider
+    * threshold than simhash's 6.
+    */
+  val ns66bPhashPairs: Q = (s, dir) => {
+    val hashes = Multimodal.perceptualHash(
+        Multimodal.mediaTable(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+    Dedup.simhashPairsCapped(hashes, maxHamming = 12,
+      bandOccupancyCap = 100)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val ns66bPhashPairsSql: String = {
+    val nb = 13
+    val banded = (0 until nb).map { b =>
+      val lo = 60 * b / nb
+      val hi = 60 * (b + 1) / nb
+      s"  SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> $lo) % ${1L << (hi - lo)} AS band_bits FROM sig"
+    }.mkString("banded AS (\n", "\n  UNION ALL\n", "\n)")
+    s"""WITH $duckAHashSig, $banded,
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, band_bits) AS bsz
+      |    FROM banded) WHERE bsz <= 100
+      |)
+      |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |FROM kept a JOIN kept b ON a.band = b.band
+      |  AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+      |ORDER BY i, j""".stripMargin
+  }
+
   val ns14FrameSampleSql: String =
     """SELECT doc_id AS media_id, unnest(range(0, n_chars, 100)) AS frame_offset
       |FROM documents WHERE doc_id % 3 = 2
@@ -3756,6 +3865,8 @@ object MlQueries {
     "ns12_fingerprint" -> ns12Fingerprint,
     "ns13_multimodal_decode" -> ns13MultimodalDecode,
     "ns14_frame_sample" -> ns14FrameSample,
+    "ns66_phash" -> ns66Phash,
+    "ns66b_phash_pairs" -> ns66bPhashPairs,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -3855,6 +3966,8 @@ object MlQueries {
     "ns12_fingerprint" -> ns12FingerprintSql,
     "ns13_multimodal_decode" -> ns13MultimodalDecodeSql,
     "ns14_frame_sample" -> ns14FrameSampleSql,
+    "ns66_phash" -> ns66PhashSql,
+    "ns66b_phash_pairs" -> ns66bPhashPairsSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,

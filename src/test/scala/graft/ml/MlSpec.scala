@@ -2155,6 +2155,102 @@ class MlSpec extends SparkSpec {
     assert(rel.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("perceptualHash: the real-pixel path hashes a decoded PNG " +
+      "byte-exactly against an independent implementation, and a " +
+      "re-encoded identical image collides at hamming 0") {
+    import spark.implicits._
+    // a deterministic gradient-with-structure image: left half dark,
+    // right half bright, so the aHash splits cleanly on columns
+    def png(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(40, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 40) {
+        val v = if (x < 20) 30 + (y + shift) % 8 else 200 + (x % 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // independent naive: decode again, same luma/grid/compare rules
+    def naive(bytes: Array[Byte]): (Long, Long) = {
+      val i = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (i.getWidth, i.getHeight)
+      def block(rows: Int, cols: Int): (Array[Long], Array[Long]) = {
+        val s = new Array[Long](rows * cols)
+        val n = new Array[Long](rows * cols)
+        for (r <- 0 until rows; c <- 0 until cols) {
+          val (rLo, rHi) = ((r * h / rows), ((r + 1) * h / rows))
+          val (cLo, cHi) = ((c * w / cols), ((c + 1) * w / cols))
+          for (y <- rLo until rHi; x <- cLo until cHi) {
+            val p = i.getRGB(x, y)
+            s(r * cols + c) += 299L * ((p >> 16) & 0xFF) +
+              587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF)
+          }
+          n(r * cols + c) = (rHi - rLo).toLong * (cHi - cLo)
+        }
+        (s, n)
+      }
+      val (as, an) = block(6, 10)
+      val tot = as.sum
+      val nn = an.sum
+      var ah = 0L
+      for (c <- 0 until 60)
+        if (as(c) * nn > tot * an(c)) ah |= (1L << c)
+      val (ds, dn) = block(6, 11)
+      var dh = 0L
+      for (r <- 0 until 6; c <- 0 until 10) {
+        val a0 = r * 11 + c
+        if (ds(a0) * dn(a0 + 1) < ds(a0 + 1) * dn(a0))
+          dh |= (1L << (r * 10 + c))
+      }
+      (ah, dh)
+    }
+    val rows = Seq(
+      (1L, "image", png(0), "s", 1L),
+      (2L, "image", png(0), "s", 1L), // identical pixels, same bytes
+      (3L, "image", png(1), "s", 1L)) // near-dup: shifted dither
+      .toDF("media_id", "media_type", "payload", "source",
+        "length_hint")
+    val got = Multimodal.perceptualHash(rows).collect()
+      .map(r => r.media_id -> r).toMap
+    val (ea, ed) = naive(png(0))
+    assert(got(1L).decoded && got(1L).ahash === ea &&
+      got(1L).dhash === ed, "real-pixel path drifted from the naive")
+    assert(got(2L).ahash === got(1L).ahash &&
+      got(2L).dhash === got(1L).dhash)
+    // the near-dup image collides within a small Hamming ball while
+    // not being bit-identical on at least one of the signatures
+    val hamm = java.lang.Long.bitCount(got(3L).ahash ^ got(1L).ahash)
+    assert(hamm <= 6, s"near-dup image at hamming $hamm")
+    // byte-fallback path: non-image payload, independent 1-D naive
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val bts = txt.getBytes("UTF-8")
+    def cells1d(k: Int): (Array[Long], Array[Long]) = {
+      val s = new Array[Long](k)
+      val n = new Array[Long](k)
+      for (c <- 0 until k) {
+        val lo = c * bts.length / k
+        val hi = (c + 1) * bts.length / k
+        for (i <- lo until hi) s(c) += (bts(i) & 0xFF).toLong
+        n(c) = (hi - lo).toLong
+      }
+      (s, n)
+    }
+    val (fs, fn) = cells1d(60)
+    val ftot = fs.sum
+    var fa = 0L
+    for (c <- 0 until 60)
+      if (fs(c) * bts.length > ftot * fn(c)) fa |= (1L << c)
+    val fb = Multimodal.perceptualHash(
+      Seq((9L, "audio", bts, "s", 1L))
+        .toDF("media_id", "media_type", "payload", "source",
+          "length_hint")).head()
+    assert(!fb.decoded && fb.ahash === fa,
+      "byte-fallback aHash drifted from the naive")
+  }
+
   test("mmrRerankList: an external candidate list reranks by its OWN " +
       "rel column, and a candidate the embedding store is missing " +
       "stays scorable with maxsim 0 instead of dropping out") {
