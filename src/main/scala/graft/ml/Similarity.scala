@@ -563,13 +563,28 @@ object Similarity {
     */
   def writeBinaryIndex(embeddings: DataFrame, path: String,
       dim: Int): Unit = {
-    val n = withNorm(embeddings)
-    n.withColumn("bits", packSignBits(col("e"), dim))
-      .select(col("vec_id"), col("bits"))
+    // a rebuild supersedes the previous generation's stream sibling —
+    // refuse on un-folded data, clear stale fold stubs
+    clearSupersededSibling(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        embeddings.sparkSession.sparkContext.hadoopConfiguration),
+      path, "writeBinaryIndex")
+    packForBinaryIndex(embeddings, dim)
       .write.mode("overwrite").parquet(path)
     embeddings.sparkSession.range(1).select(lit(dim).as("dim"))
       .write.mode("overwrite").parquet(s"$path/$BinStatsDir")
   }
+
+  /** The binary index's row shape: (vec_id, bits) — shared by the
+    * base build and the streamed-append batch body
+    * ([[graft.streaming.VectorIngest.ingestBatchBinary]]), so the two
+    * can never drift on packing.
+    */
+  private[graft] def packForBinaryIndex(embeddings: DataFrame,
+      dim: Int): DataFrame =
+    withNorm(embeddings)
+      .withColumn("bits", packSignBits(col("e"), dim))
+      .select(col("vec_id"), col("bits"))
 
   private[graft] val BinDeletedDir = "_graft_bin_deleted"
   private[ml] val BinCompactStageDir = "_graft_bin_compact_stage"
@@ -605,13 +620,30 @@ object Similarity {
     * crash never deletes the files it already moved, and always
     * converges on exactly the staged survivor set. Tombstone files
     * (the entry-pinned snapshot) are deleted LAST; ones appended
-    * mid-run survive and keep masking. Returns the number of
-    * tombstoned ids applied.
+    * mid-run survive and keep masking. Concurrent serving stays
+    * correct THROUGH the apply window: staged survivors rename in
+    * BEFORE the old files drop, so a reader may see a row twice but
+    * never miss one, and the serving read dedups on vec_id (bits are
+    * a pure function of the vector, so the duplicate is literal) —
+    * the read-side twin of the doc-length bak fallback. Refuses
+    * while the stream sibling holds un-folded data: this rewrite
+    * never touches streamed partitions, so dropping the tombstones
+    * at the end would silently un-mask deleted rows that arrived via
+    * the stream — run [[foldStreamIntoBinaryIndex]] first. Returns
+    * the number of distinct tombstoned ids PROCESSED from the
+    * snapshot (deletes are idempotent on unknown ids, so this counts
+    * ids applied to the mask, not rows physically removed).
     */
   def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!streamSiblingHoldsData(fs,
+        new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)),
+      s"compactBinaryIndex: streamed-appends sibling " +
+        s"$path$StreamSiblingSuffix holds un-folded data — compacting " +
+        "the base alone would un-mask deleted rows in streamed " +
+        "partitions; run foldStreamIntoBinaryIndex first")
     val stage = new org.apache.hadoop.fs.Path(
       s"$path/$BinCompactStageDir")
     // a committed stage means the previous run died mid-apply —
@@ -640,10 +672,15 @@ object Similarity {
     nDead
   }
 
-  /** Replay-safe apply of a committed binary compaction stage: root
-    * data files not named with the stage's uuid are deleted, staged
-    * files move in under `graftc-<uuid>-` names. Idempotent — see
-    * [[compactBinaryIndex]]'s crash contract.
+  /** Replay-safe apply of a committed binary stage: staged files move
+    * into the root under `graftc-<uuid>-` names FIRST, then root data
+    * files not carrying the uuid are deleted. The order is the
+    * serving guarantee (the r10 advice finding): a concurrent reader
+    * inside the apply window sees old∪new — duplicates, which the
+    * read path dedups on vec_id — never a partially-empty table.
+    * Idempotent across crashes: already-moved files are no longer in
+    * the stage, uuid-named files are never deleted, so a replay
+    * finishes the move and the sweep from any intermediate state.
     */
   private def applyBinaryStage(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
@@ -656,10 +693,6 @@ object Similarity {
         // tombstones still mask everything
       case Some(uuid) =>
         val prefix = s"graftc-$uuid-"
-        fs.listStatus(root).toSeq.map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet")
-            && !p.getName.startsWith(prefix))
-          .foreach { p => fs.delete(p, false); () }
         fs.listStatus(stage).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
           .foreach { p =>
@@ -667,7 +700,66 @@ object Similarity {
               new org.apache.hadoop.fs.Path(root, prefix + p.getName)),
               s"could not move staged file $p into $root")
           }
+        fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet")
+            && !p.getName.startsWith(prefix))
+          .foreach { p => fs.delete(p, false); () }
     }
+
+  /** Fold committed streamed-append batches INTO the binary base —
+    * the flat-table fold (the IVF/BM25 siblings move partition
+    * directories; here the base is ONE flat table, and at 8 bytes a
+    * vector a staged full rewrite IS the cheap path): hide the
+    * pending batches from serving first (the [[FoldedMarker]] claim),
+    * stage base ∪ streamed deduped on vec_id (refolds and crashed
+    * replays converge — a batch whose rows already reached the base
+    * is absorbed, never doubled), uuid-swap the stage in through
+    * [[applyBinaryStage]]'s reader-safe apply, and drop the batch
+    * data LAST, leaving the data-less replay-ledger stubs. Tombstones
+    * are untouched: a deleted id that arrived via the stream keeps
+    * masking after its rows fold into the base. After a full fold
+    * the sibling holds no data, so [[compactBinaryIndex]] and
+    * [[writeBinaryIndex]] proceed. Single-writer maintenance op.
+    * Returns the number of batch partitions folded.
+    */
+  def foldStreamIntoBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$path/$BinCompactStageDir")
+    // finish a crashed apply from its committed stage first
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+      applyBinaryStage(fs, root, stage)
+    fs.delete(stage, true)
+    val sib = new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)
+    val pending = claimPendingBatches(fs, sib)
+    if (pending.isEmpty) return 0L
+    val streamed = pending
+      .map(p => spark.read.parquet(p.toString))
+      .reduce(_.unionByName(_))
+      .select(col("vec_id"), col("bits"))
+    spark.read.parquet(path).select(col("vec_id"), col("bits"))
+      .unionByName(streamed)
+      .dropDuplicates("vec_id")
+      .write.mode("overwrite").parquet(stage.toString)
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID"),
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    applyBinaryStage(fs, root, stage)
+    fs.delete(stage, true)
+    pending.foreach { p =>
+      fs.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm != "_SUCCESS" && nm != "_GRAFT_BATCH_SIG"
+            && nm != FoldedMarker) {
+          fs.delete(st.getPath, true)
+          ()
+        }
+      }
+    }
+    pending.size.toLong
+  }
 
   /** Serve top-k from the persisted sign-bit index: query bits come
     * FROM the index (a broadcast semi-join on the query ids), the
@@ -679,14 +771,36 @@ object Similarity {
     */
   def binaryTopKServed(spark: org.apache.spark.sql.SparkSession,
       path: String, embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, refine: Int): DataFrame =
+    binaryTopKServedFrom(spark, path, Seq(path), embeddings, queryIds,
+      k, refine)
+
+  /** The multi-root serving core of the binary tier: bit rows from
+    * every root (the base plus [[graft.streaming.VectorIngest]]'s
+    * committed streamed-append partitions), tombstones always from
+    * the BASE root (delete streams land there; the mask covers
+    * streamed rows because it applies to the union). The read dedups
+    * on vec_id: bits are a pure function of the vector, so the only
+    * duplicates are literal — a compaction apply window (old∪new
+    * coexist by design, see [[compactBinaryIndex]]) or a crash-torn
+    * fold replay — and one 16-byte-row hash aggregate is the price of
+    * serving correctly THROUGH maintenance instead of blacking out.
+    */
+  private[graft] def binaryTopKServedFrom(
+      spark: org.apache.spark.sql.SparkSession, basePath: String,
+      paths: Seq[String], embeddings: DataFrame, queryIds: DataFrame,
       k: Int, refine: Int): DataFrame = {
     require(refine >= k, "refine depth must be >= k")
-    val dim = spark.read.parquet(s"$path/$BinStatsDir")
+    require(paths.nonEmpty, "need at least one index root")
+    val dim = spark.read.parquet(s"$basePath/$BinStatsDir")
       .head().getAs[Int]("dim")
     // tombstone mask (deleteFromBinaryIndex): masking the index side
     // covers queries too — query bits are a semi-join of the index
-    val raw = spark.read.parquet(path)
-    val z = tombstoneUnion(spark, Seq(path), BinDeletedDir,
+    val raw = paths.map(p => spark.read.parquet(p)
+        .select(col("vec_id"), col("bits")))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("vec_id")
+    val z = tombstoneUnion(spark, Seq(basePath), BinDeletedDir,
         "vec_id") match {
       case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")
       case None => raw

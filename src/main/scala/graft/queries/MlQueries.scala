@@ -664,6 +664,47 @@ object MlQueries {
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 2""".stripMargin
 
+  /** The binary index's STREAMED-append tier
+    * ([[graft.streaming.VectorIngest.ingestBatchBinary]], closing the
+    * last index family without one — raw and PQ both had theirs):
+    * build the sign-bit index on 3/4 of the corpus, land the held-out
+    * quarter as two committed `ingest_batch=` partitions packed with
+    * the STORED dim, and serve base ∪ streamed through the
+    * vec_id-deduped union read. Gated on ns7f's full-corpus oracle:
+    * sign bits are a pure per-row function of (vector, dim), so the
+    * streamed index must answer BIT-identically to a from-scratch
+    * build of the union — hash-equality proves exactly that, recall
+    * column included. VectorIngestSpec covers the lifecycle edges
+    * (replay absorption, recycled-id refusal, fold, compaction
+    * refusal-then-reclaim).
+    */
+  val ns7hSimBinaryStreamed: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bin_index_str")
+    if (ivfIndexWritten.add(path)) {
+      // this entry deliberately leaves its stream sibling HOLDING
+      // data (the union-serving state under test), so a rebuild in a
+      // later session must take the refusal's explicit-delete path —
+      // the entry owns the fixture and reconstructs it from scratch
+      val sib = new org.apache.hadoop.fs.Path(
+        path + Similarity.StreamSiblingSuffix)
+      sib.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(sib, true)
+      Similarity.writeBinaryIndex(emb.filter(col("vec_id") % 4 =!= 0),
+        path, dim = 64)
+      graft.streaming.VectorIngest.ingestBatchBinary(
+        emb.filter(col("vec_id") % 8 === 0), 0L, path)
+      graft.streaming.VectorIngest.ingestBatchBinary(
+        emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 =!= 0),
+        1L, path)
+    }
+    Similarity.withRecall(
+      graft.streaming.VectorIngest.queryServedBinary(s, path, emb,
+        emb.select(col("vec_id")), k = 5, refine = 100),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
   /** The binary index's takedown lifecycle ([[Similarity
     * .deleteFromBinaryIndex]] / [[Similarity.compactBinaryIndex]] —
     * the last served tier without one): build the sign-bit index on
@@ -3849,6 +3890,7 @@ object MlQueries {
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8,
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinary,
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompacted,
+    "ns7h_sim_binary_streamed" -> ns7hSimBinaryStreamed,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns8_sim_ivf" -> ns8SimIvf,
@@ -3950,6 +3992,7 @@ object MlQueries {
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8Sql,
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinarySql,
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompactedSql,
+    "ns7h_sim_binary_streamed" -> ns7fSimTopkBinarySql,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
     "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,

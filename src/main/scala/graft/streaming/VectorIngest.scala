@@ -93,6 +93,27 @@ object VectorIngest {
       write(batch, part)
     }
 
+  /** [[ingestBatch]] for a BINARY (sign-bit) base index
+    * ([[graft.ml.Similarity.writeBinaryIndex]]): the batch packs with
+    * the base's STORED dim through the shared
+    * [[Similarity.packForBinaryIndex]] body, so streamed rows can
+    * never drift from the build's packing. The base is a flat table,
+    * so batches land as flat (vec_id, bits) files under the
+    * `ingest_batch=` partition — 8 bytes a vector at dim 64, the
+    * cheapest streamed tier of the ladder. Serving reads base ∪
+    * committed batches ([[queryServedBinary]]); draining is
+    * [[Similarity.foldStreamIntoBinaryIndex]]'s staged rewrite.
+    */
+  def ingestBatchBinary(batch: DataFrame, batchId: Long,
+      indexPath: String): Unit =
+    committedBatchWrite(batch, batchId, indexPath) { (b, part) =>
+      val dim = b.sparkSession
+        .read.parquet(s"$indexPath/${Similarity.BinStatsDir}")
+        .head().getAs[Int]("dim")
+      Similarity.packForBinaryIndex(b, dim)
+        .write.mode("overwrite").parquet(part)
+    }
+
   /** Wire the stream: micro-batches of (vec_id, embedding) append to
     * the served index's stream table.
     */
@@ -114,6 +135,28 @@ object VectorIngest {
         ingestBatchPq(batch, batchId, indexPath)
       }
       .start()
+
+  /** [[start]] against a binary (sign-bit) base index. */
+  def startBinary(streamingVecs: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchBinary(batch, batchId, indexPath)
+      }
+      .start()
+
+  /** Serve binary top-k from base ∪ committed streamed appends —
+    * bit-identical to a from-scratch [[Similarity.writeBinaryIndex]]
+    * over the union corpus (VectorIngestSpec pins it): sign bits are
+    * a pure per-row function of the vector and the stored dim, so
+    * there is no cross-row state a fold could change.
+    */
+  def queryServedBinary(spark: SparkSession, indexPath: String,
+      embeddings: DataFrame, queryIds: DataFrame, k: Int, refine: Int)
+      : DataFrame =
+    Similarity.binaryTopKServedFrom(spark, indexPath,
+      servePaths(spark, indexPath), embeddings, queryIds, k, refine)
 
   /** Wire a DELETE stream: each micro-batch of (vec_id) rows lands in
     * the base index's tombstone table

@@ -307,4 +307,117 @@ class VectorIngestSpec extends SparkSpec {
       new Directory(tmp.toFile).deleteRecursively()
     }
   }
+
+  test("binary streamed appends serve identically to a from-scratch " +
+      "union rebuild; replays absorb; recycled ids refuse loudly") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val initial = embs.filter(col("vec_id") % 4 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("vec_bin")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(initial, idx, dim = 64)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val qIds = embs.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"))
+      // stream the held-out quarter in two micro-batches
+      val rest = vecRows(embs.filter(col("vec_id") % 4 === 0))
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      val in = MemoryStream[VecRow]
+      val q = VectorIngest.startBinary(in.toDF(), idx,
+        tmp.resolve("ckpt").toString)
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val served = rows(VectorIngest.queryServedBinary(spark, idx,
+        embs, qIds, k = 5, refine = 100))
+      // sign bits are a pure per-row function: base ∪ streamed must
+      // BIT-equal a from-scratch build of the union corpus
+      val full = tmp.resolve("full").toString
+      Similarity.writeBinaryIndex(embs, full, dim = 64)
+      assert(served === rows(Similarity.binaryTopKServed(spark, full,
+        embs, qIds, k = 5, refine = 100)))
+      assert(served.nonEmpty)
+      // replay absorption / recycled-id refusal (the BatchCommit
+      // discipline, binary edition): replay batch 0 with its OWN
+      // content — absorbed; then with different content — refused
+      VectorIngest.ingestBatchBinary(b1.toDF(), 0L, idx)
+      assert(rows(VectorIngest.queryServedBinary(spark, idx, embs,
+        qIds, k = 5, refine = 100)) === served)
+      intercept[IllegalArgumentException] {
+        VectorIngest.ingestBatchBinary(b1.take(3).toDF(), 0L, idx)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+
+  test("binary fold drains streamed batches through the reader-safe " +
+      "uuid swap: serving unchanged (deletes still masked), stubs " +
+      "keep the replay ledger, compaction refuses before the fold " +
+      "and physically reclaims after it") {
+    val spark0 = spark
+    import spark0.implicits._
+    val initial = embs.filter(col("vec_id") % 4 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("vec_binfold")
+    try {
+      val idx = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(initial, idx, dim = 64)
+      VectorIngest.ingestBatchBinary(
+        embs.filter(col("vec_id") % 4 === 0), 7L, idx)
+      // delete one base id and one streamed id — the mask must cover
+      // both, before AND after the fold
+      val dead = Seq(3L, 4L)
+      Similarity.deleteFromBinaryIndex(spark,
+        dead.toDF("vec_id"), idx)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val alive = embs.filter(!col("vec_id").isin(dead.map(x => x: Any): _*))
+      val qIds = alive.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"))
+      def serve() = rows(VectorIngest.queryServedBinary(spark, idx,
+        alive, qIds, k = 5, refine = 100))
+      val before = serve()
+      assert(before.nonEmpty && !before.exists(r => dead.contains(r._3)))
+      // compaction refuses while the sibling holds un-folded data —
+      // rewriting the base alone would drop tombstones that still
+      // mask STREAMED rows
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.compactBinaryIndex(spark, idx)
+      }
+      assert(ex.getMessage.contains("_stream"))
+      assert(Similarity.foldStreamIntoBinaryIndex(spark, idx) === 1L)
+      assert(serve() === before, "fold changed serving results")
+      // the batch data is gone, the replay ledger remains
+      val part = new java.io.File(
+        VectorIngest.streamPath(idx), "ingest_batch=7")
+      val names = part.listFiles().map(_.getName).toSet
+      assert(names.contains("_SUCCESS") &&
+        names.contains("_GRAFT_BATCH_SIG"))
+      assert(!names.exists(_.endsWith(".parquet")))
+      // a post-fold replay of the drained batch is absorbed as a
+      // no-op (the stub + content signature ARE the ledger)
+      VectorIngest.ingestBatchBinary(
+        embs.filter(col("vec_id") % 4 === 0), 7L, idx)
+      assert(!part.listFiles().map(_.getName)
+        .exists(_.endsWith(".parquet")), "replay re-materialized data")
+      // compaction now proceeds and physically drops the dead rows
+      assert(Similarity.compactBinaryIndex(spark, idx) === 2L)
+      assert(serve() === before)
+      val left = spark.read.parquet(idx)
+        .filter(col("vec_id").isin(dead.map(x => x: Any): _*)).count()
+      assert(left === 0L, "compaction left dead rows behind")
+      // idempotent re-entry: nothing to do
+      assert(Similarity.compactBinaryIndex(spark, idx) === 0L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }
