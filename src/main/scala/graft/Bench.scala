@@ -26,7 +26,7 @@ object Bench {
     // SAME runOnce path as the timed runs, so the primed plan shape is
     // the one actually measured.
     try runOnce(SparkEntry.queries("q1_agg")(spark, sfDir))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     var failed = List.empty[String]
     // Noise hygiene: this sandbox carries background load, and a single
     // timing after a GC-heavy neighbor query reads 20×+ slow. Each
@@ -52,7 +52,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { runOnce(fn(spark, sfDir)); true }
-          catch { case _: Throwable => false }
+          catch { case scala.util.control.NonFatal(_) => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // min over SUCCESSFUL runs only — an exception path returns
@@ -137,7 +137,7 @@ object Bench {
         def fmt(p: String, v: Double) =
           String.format(java.util.Locale.ROOT, p, Double.box(v))
         s"""{"op":"corpus_ingest","rows_in":$rowsIn,"sec":${fmt("%.3f", sec)},"rows_per_sec":${fmt("%.1f", rps)},"stat":"min_of_3","floor_rps":$floorRps,"floor_ok":$floorOk}"""
-      } catch { case e: Throwable =>
+      } catch { case e if scala.util.control.NonFatal(e) =>
         // full JSON escape (not a partial replaceAll): any raw control
         // char in the message would invalidate the ONE output line and
         // lose the whole round's timings, not just this field
@@ -149,7 +149,7 @@ object Bench {
           java.nio.file.Files.walk(tmp)
             .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // Provenance (r7 verdict item 5): round-over-round totals are only
@@ -170,7 +170,7 @@ object Bench {
       else f.lastModified()
     val dataMtime =
       try newestMtime(new java.io.File(sfDir)) / 1000L
-      catch { case _: Throwable => 0L }
+      catch { case scala.util.control.NonFatal(_) => 0L }
     val prov = s""""registry_n":${SparkEntry.queries.size},"registry":"$registryHash","data_mtime":$dataMtime"""
     // Per-entry gate map (r8 verdict item 7): "oracle" = driver-hash-
     // gated DuckDB SQL exists; anything else carries its declared
@@ -193,7 +193,10 @@ object Bench {
       .map { case (name, fn) =>
         val m =
           try fn(spark, sfDir)
-          catch { case _: Throwable => Map("failed" -> 1L) }
+          // NonFatal only: an OOM/interrupt must kill the run, not be
+          // recorded as a probe hiccup (r10 advice)
+          catch { case scala.util.control.NonFatal(_) =>
+            Map("failed" -> 1L) }
         "\"" + name + "\":" + m.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
@@ -216,7 +219,7 @@ object Bench {
         "bench_full.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // file copy is best-effort
+    } catch { case scala.util.control.NonFatal(_) => () } // file copy is best-effort
     spark.stop()
   }
 }

@@ -75,9 +75,6 @@ object SparkEntry {
     "q39b_approx_percentile" -> "rows+error",
     "q67b_winsorize_approx" -> "rows+error",
     "q69_hll_incremental" -> "rows+error",
-    "ns42_bpe" -> "rows+spec",
-    "ns49_pca_power" -> "rows+spec",
-    "q99_logit" -> "rows+spec",
     "ns21_resize" -> "rows+bytes",
   )
 }

@@ -49,14 +49,14 @@ object Verify {
     try {
       rm(new java.io.File(s"$outDir/oracle_sql.json"))
       SparkEntry.queries.keys.foreach(n => rm(new java.io.File(s"$outDir/$n")))
-    } catch { case e: Throwable =>
+    } catch { case e if scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] pre-clean failed: ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        catch { case e if scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

@@ -1180,8 +1180,23 @@ object Dedup {
     val marker = new org.apache.hadoop.fs.Path(
       s"$path/$SubstrCompactingMarker")
     // take the writer lock FIRST: everything below (stage replay
-    // included) rewrites bucket directories appends also target
-    fs.create(marker, true).close()
+    // included) rewrites bucket directories appends also target.
+    // overwrite = FALSE makes the lock exclusive against a concurrent
+    // compactor (two overwriting creators would both "acquire" it and
+    // the first one's finally-release would unlock the second's
+    // critical section — the r10 advice finding). A marker left by a
+    // CRASHED run (the finally below never ran) is stale, not held:
+    // delete it and re-enter — single-writer maintenance remains the
+    // caller's discipline across crashes, but compactor-vs-compactor
+    // exclusion within a live process is now self-enforcing.
+    try fs.create(marker, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"compactSubstrIndex: writer lock $marker is already held " +
+            "— another compactor is live (wait for it), or a crashed " +
+            "run left a stale marker (delete it and re-run)", e)
+    }
     try {
       // finish a crashed apply from its committed stage first; an
       // uncommitted stage is discardable staging debris

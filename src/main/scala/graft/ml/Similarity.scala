@@ -2139,11 +2139,39 @@ object Similarity {
     // on ties) points positive
     val pivot = idx.maxBy(i => (math.abs(v(i)), -i))
     val sgn = if (v(pivot) < 0) -1.0 else 1.0
+    // the mean rides along (m00..): a PCA model is (mu, v, λ) — the
+    // component alone cannot project anything, and without mu in the
+    // row the serving chain (ns49b) would have to re-derive it with
+    // different float accumulation than the fit's
     spark.range(1).select(
       lit(nVecs).as("n_vecs") +:
         round(lit(lambda), 6).as("eigenvalue") +:
         round(lit(relResid), 6).as("rel_residual") +:
-        idx.map(i => round(lit(sgn * v(i)), 6).as(f"p$i%02d")): _*)
+        (idx.map(i => round(lit(sgn * v(i)), 6).as(f"p$i%02d")) ++
+          idx.map(i => round(lit(mu(i)), 6).as(f"m$i%02d"))): _*)
+  }
+
+  /** The serving half of [[pcaTopComponent]]: project every vector
+    * onto the fitted component — score = x·v − mu·v with v, mu from
+    * the fit's ROUNDED model row and the centering shift mu·v folded
+    * into ONE driver-computed literal, so the per-row work is a
+    * single codegen dot against a literal vector (map-only, no
+    * shuffle — the compression/whitening pass a 100 TB embedding
+    * pipeline runs after the fit). Computing x·v − c instead of
+    * (x−mu)·v is deliberate: both engines then evaluate the SAME
+    * sequential dot over the same literals, so the q99b fitted-
+    * literal gate discipline applies (ns49b pins the sf0.01 model).
+    */
+  def pcaProject(embeddings: DataFrame, component: Seq[Double],
+      mean: Seq[Double]): DataFrame = {
+    require(component.nonEmpty && component.length == mean.length,
+      "component and mean must agree on dimension")
+    graft.functions.GraftExtensions.register(embeddings.sparkSession)
+    val c = component.zip(mean).map { case (vi, mi) => vi * mi }.sum
+    embeddings
+      .select(col("vec_id"),
+        round(dot(col("embedding").cast("array<double>"),
+          lit(component.toArray)) - lit(c), 6).as("pc1"))
   }
 
   /** Per-key mean-pooled prototype embeddings (class centroids):

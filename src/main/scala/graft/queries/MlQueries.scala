@@ -2047,6 +2047,27 @@ object MlQueries {
   val ns42Bpe: Q = (s, dir) =>
     Bpe.learn(Tables.documents(s, dir), 20).orderBy(col("rank"))
 
+  /** ns42 graduated from rows-only to the pinned-fit hash gate (the
+    * ns8b discipline's last step): the iterative argmax still cannot
+    * RESTATE in SQL, but its output is deterministic (the
+    * (count desc, left, right) tie-break), so the oracle IS the
+    * pinned sf0.01 merge table — a fit change (ranks, pairs, or
+    * counts) now hash-fails instead of hiding behind a row count,
+    * and the SEMANTIC gate lives in ns42b (the segmentation chain
+    * over these merges restated computationally) plus BpeSpec's
+    * independent naive equality.
+    */
+  val ns42BpeSql: String = {
+    val rows = FittedModels.bpeMerges
+      .zip(FittedModels.bpeMergeCounts).zipWithIndex
+      .map { case (((l, r), c), i) =>
+        s"($i::BIGINT, '$l', '$r', '$l$r', $c::BIGINT)" }
+      .mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+      |  $rows) t("rank", "left", "right", merged, pair_count)
+      |ORDER BY "rank"""".stripMargin
+  }
+
   /** BPE SERVING chain, hash-gated (the ns8b fitted-literals
     * graduation applied to ns42): learn the merge table fresh, then
     * [[Bpe.segment]] the corpus with it — fit → tokenize end to end.
@@ -3123,6 +3144,68 @@ object MlQueries {
     Similarity.pcaTopComponent(Tables.embeddings(s, dir), dim = 64,
       iters = 10)
 
+  /** ns49's pinned-fit hash gate (the ns42 graduation, PCA edition):
+    * the power loop's driver-side normalize cannot restate in SQL,
+    * but the 6 dp-rounded model row is run-to-run deterministic
+    * (re-run-diffed identical before pinning), so the oracle is the
+    * pinned row itself; the projection SEMANTICS gate is ns49b.
+    */
+  val ns49PcaPowerSql: String = {
+    def d(x: Double) = java.lang.Double.toString(x) + "::DOUBLE"
+    val ps = FittedModels.pcaComponent.zipWithIndex
+      .map { case (x, i) => f"${d(x)} AS p$i%02d" }
+    val ms = FittedModels.pcaMean.zipWithIndex
+      .map { case (x, i) => f"${d(x)} AS m$i%02d" }
+    (Seq(s"SELECT ${FittedModels.pcaNVecs}::BIGINT AS n_vecs",
+      s"${d(FittedModels.pcaEigenvalue)} AS eigenvalue",
+      s"${d(FittedModels.pcaRelResidual)} AS rel_residual") ++
+      ps ++ ms).mkString(",\n  ")
+  }
+
+  /** The PCA SERVING chain, hash-gated (the q99b fitted-literals
+    * graduation applied to ns49): run the REAL 10-step power
+    * iteration, then project every non-degenerate vector onto the
+    * fit's ROUNDED model row ([[Similarity.pcaProject]] — one codegen
+    * dot against a literal vector, the centering shift folded into
+    * one driver literal so both engines evaluate the identical
+    * sequential expression). The oracle pins the sf0.01 (component,
+    * mean) from [[graft.FittedModels]], so component drift in the fit
+    * fails the gate loudly; only the iterative normalize loop stays
+    * rows+spec.
+    */
+  val ns49bPcaProject: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val fit = Similarity.pcaTopComponent(emb, dim = 64, iters = 10)
+      .head()
+    val v = (0 until 64).map(i => fit.getAs[Double](f"p$i%02d"))
+    val mu = (0 until 64).map(i => fit.getAs[Double](f"m$i%02d"))
+    graft.functions.GraftExtensions.register(s)
+    // the fit's own corpus: degenerate (zero/NaN/Inf-norm) vectors
+    // were excluded from every mean, so they get no projection either
+    // (ss > 0 && ss < Inf also excludes NaN — Spark orders NaN above
+    // every value, so NaN < Inf is false)
+    val e = col("embedding").cast("array<double>")
+    val ss = graft.functions.VectorFunctions.dot(e, e)
+    Similarity.pcaProject(
+      emb.filter(ss > lit(0.0) && ss < lit(Double.PositiveInfinity)),
+      v, mu)
+      .orderBy(col("vec_id"))
+  }
+
+  val ns49bPcaProjectSql: String = {
+    val vLits = FittedModels.pcaComponent
+      .map(x => java.lang.Double.toString(x)).mkString(", ")
+    // the SAME left-to-right fold pcaProject's driver runs over the
+    // SAME rounded literals — one bit-identical scalar on both sides
+    val c = FittedModels.pcaComponent.zip(FittedModels.pcaMean)
+      .map { case (vi, mi) => vi * mi }.sum
+    s"""WITH $duckNonZeroEmb
+      |SELECT vec_id,
+      |  round(list_dot_product(embedding::DOUBLE[], [$vLits]) -
+      |    ${java.lang.Double.toString(c)}, 6) AS pc1
+      |FROM nz ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------- ns50 hybrid retrieval (RRF fusion)
 
   /** Hybrid lexical+semantic retrieval ([[Retrieval.rrfFuse]]): ns46's
@@ -3955,6 +4038,7 @@ object MlQueries {
     "ns47_centroids" -> ns47Centroids,
     "ns48_rocchio" -> ns48Rocchio,
     "ns49_pca_power" -> ns49PcaPower,
+    "ns49b_pca_project" -> ns49bPcaProject,
     "ns50_hybrid_rrf" -> ns50HybridRrf,
     "ns51_embed_outliers" -> ns51EmbedOutliers,
     "ns52_dedup_survivors" -> ns52DedupSurvivors,
@@ -4038,6 +4122,7 @@ object MlQueries {
     "ns39_prefix_join" -> ns39PrefixJoinSql,
     "ns40_bigram_lm" -> ns40BigramLmSql,
     "ns41_naive_bayes" -> ns41NaiveBayesSql,
+    "ns42_bpe" -> ns42BpeSql,
     "ns42b_bpe_segment" -> ns42bBpeSegmentSql,
     "ns43_collocations" -> ns43CollocationsSql,
     "ns44_semdedup" -> ns44SemDedupSql,
@@ -4053,6 +4138,8 @@ object MlQueries {
     "ns46f_bm25_folded" -> ns46dBm25DeletedSql,
     "ns47_centroids" -> ns47CentroidsSql,
     "ns48_rocchio" -> ns48RocchioSql,
+    "ns49_pca_power" -> ns49PcaPowerSql,
+    "ns49b_pca_project" -> ns49bPcaProjectSql,
     "ns50_hybrid_rrf" -> ns50HybridRrfSql,
     "ns51_embed_outliers" -> ns51EmbedOutliersSql,
     "ns52_dedup_survivors" -> ns52DedupSurvivorsSql,

@@ -722,6 +722,20 @@ object StatsQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q99's pinned-fit hash gate (the ns42/ns49 graduation): the GD
+    * loop cannot restate, but its rounded model row is deterministic
+    * — the oracle is the pinned row, the scoring semantics gate is
+    * q99b, and exactness-vs-naive stays in ClassifySpec.
+    */
+  val q99LogitSql: String = {
+    import graft.FittedModels._
+    def d(x: Double) = java.lang.Double.toString(x) + "::DOUBLE"
+    s"""SELECT ${logitN}::BIGINT AS n, ${d(logitW0)} AS w0,
+      |  ${d(logitW1)} AS w1, ${d(logitMu)} AS mu_o_totalprice,
+      |  ${d(logitSd)} AS sd_o_totalprice, ${d(logitLogLoss)} AS log_loss,
+      |  ${d(logitAccuracy)} AS accuracy""".stripMargin
+  }
+
   val q99bLogitScoreSql: String = {
     val m = s"(${graft.FittedModels.logitW0} + " +
       s"${graft.FittedModels.logitW1} * ((o_totalprice::DOUBLE - " +
@@ -1072,6 +1086,7 @@ object StatsQueries {
     "q96_kmv_overlap" -> q96KmvOverlapSql,
     "q97_transitions" -> q97TransitionsSql,
     "q98_calibration" -> q98CalibrationSql,
+    "q99_logit" -> q99LogitSql,
     "q99b_logit_score" -> q99bLogitScoreSql,
     "q100_ks_drift" -> q100KsDriftSql,
     "q101_reachability" -> q101ReachabilitySql,
