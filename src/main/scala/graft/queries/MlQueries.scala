@@ -245,6 +245,62 @@ object MlQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY i, j""".stripMargin
 
+  /** The simhash ROUTER as the gated default
+    * ([[Dedup.simhashPairsAuto]], budget 128 pairs/doc, cap 25):
+    * measures the banded candidate volume and routes to the exact
+    * pigeonhole (this fixture: ~74 candidates/doc → exact, so the
+    * output equals ns5's) or to the ns5c occupancy cap once skew
+    * pushes past the budget (the Zipf corpus routes there — the skew
+    * table measures it linear). The ORACLE restates the router
+    * itself: one scalar volume test selecting between the full exact
+    * restatement and the full capped restatement — so the routing
+    * decision, not just the branches, is hash-proven. This closes the
+    * r10 "weak" on ns5/ns5b: exact is no longer an unconditional
+    * default that goes quadratic on boilerplate corpora.
+    */
+  val ns5dSimhashAuto: Q = (s, dir) =>
+    Dedup.simhashPairsAuto(
+      Dedup.simhash(Tables.documents(s, dir)), maxHamming = 6,
+      bandOccupancyCap = 25, budgetPairsPerDoc = 128L)
+      .orderBy(col("i"), col("j"))
+
+  val ns5dSimhashAutoSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_sum([CASE WHEN len(list_filter(whashes, h -> (h >> j) & 1 = 1)) * 2
+       |        >= len(whashes) THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |      FOR j IN range(0, 60)])::BIGINT AS simhash
+       |  FROM (SELECT doc_id,
+       |      [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
+       |    FROM documents WHERE text IS NOT NULL)
+       |), ${duckSimhashBandedSql(7)},
+       |bs AS (
+       |  SELECT band, band_bits, count(*) AS c FROM banded GROUP BY 1, 2
+       |), cond AS (
+       |  SELECT sum(c * (c - 1)) > 2 * 128 * (sum(c) // 7) AS hot
+       |  FROM bs
+       |), kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, band_bits) AS bsz
+       |    FROM banded) WHERE bsz <= 25
+       |), exactp AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |    AND NOT (SELECT hot FROM cond)
+       |), cappedp AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM kept a JOIN kept b ON a.band = b.band
+       |    AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |    AND (SELECT hot FROM cond)
+       |)
+       |SELECT * FROM (
+       |  SELECT * FROM exactp UNION ALL SELECT * FROM cappedp)
+       |ORDER BY i, j""".stripMargin
+
   /** Incremental near-dedup: new docs (doc_id % 3 == 0) flagged with
     * their closest near-duplicate in the existing corpus (the rest) —
     * the production dedup shape that never re-pairs the corpus with
@@ -3966,6 +4022,7 @@ object MlQueries {
     "ns5_simhash_pairs" -> ns5SimhashPairs,
     "ns5b_simhash_subsplit" -> ns5bSimhashSubsplit,
     "ns5c_simhash_capped" -> ns5cSimhashCapped,
+    "ns5d_simhash_auto" -> ns5dSimhashAuto,
     "ns6_embed_neardup" -> ns6EmbedNearDup,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLsh,
     "ns7_sim_topk" -> ns7SimTopk,
@@ -4068,6 +4125,7 @@ object MlQueries {
     "ns5_simhash_pairs" -> ns5SimhashPairsSql,
     "ns5b_simhash_subsplit" -> ns5bSimhashSubsplitSql,
     "ns5c_simhash_capped" -> ns5cSimhashCappedSql,
+    "ns5d_simhash_auto" -> ns5dSimhashAutoSql,
     "ns6_embed_neardup" -> ns6EmbedNearDupSql,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLshSql,
     "ns15_lsh_ann" -> ns15LshAnnSql,

@@ -1230,6 +1230,47 @@ class MlSpec extends SparkSpec {
       "cap dropped planted-cluster pairs its buckets could cover")
   }
 
+  test("simhashPairsAuto routes by measured candidate volume: a cool " +
+      "corpus gets the exact pigeonhole, a hot one gets the occupancy " +
+      "cap, and each branch equals its dedicated operator exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // cool: ~uniform signatures + a small planted cluster — candidate
+    // volume well under any sane budget
+    val cool = (0 until 400).map { i =>
+      val sig =
+        if (i % 100 == 0) 12345L ^ (1L << rnd.nextInt(60))
+        else rnd.nextLong() & ((1L << 60) - 1)
+      (i.toLong, sig)
+    }.toDF("doc_id", "simhash")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val coolAuto = rows(Dedup.simhashPairsAuto(cool, maxHamming = 6,
+      bandOccupancyCap = 25, budgetPairsPerDoc = 128L))
+    assert(coolAuto === rows(Dedup.simhashPairsFromSigs(cool,
+      maxHamming = 6)), "cool corpus must route to the exact tier")
+    assert(coolAuto.nonEmpty)
+    // hot: every doc shares band 0's bits (the boilerplate pathology)
+    // — candidate volume ≥ N²/bands blows any per-doc budget
+    val base = (rnd.nextLong() & ((1L << 52) - 1)) << 8
+    val hot = (0 until 400).map { i =>
+      val sig =
+        if (i % 100 == 0) base ^ (1L << (8 + rnd.nextInt(52)))
+        else base | ((rnd.nextLong() & ((1L << 52) - 1)) << 8)
+      (i.toLong, sig)
+    }.toDF("doc_id", "simhash")
+    val hotAuto = rows(Dedup.simhashPairsAuto(hot, maxHamming = 6,
+      bandOccupancyCap = 25, budgetPairsPerDoc = 128L))
+    assert(hotAuto === rows(Dedup.simhashPairsCapped(hot,
+      maxHamming = 6, bandOccupancyCap = 25)),
+      "hot corpus must route to the capped tier")
+    // and the routing genuinely changed the result class: the capped
+    // branch is a subset of the exact pairs (the recall contract)
+    val hotExact = rows(Dedup.simhashPairsFromSigs(hot, maxHamming = 6))
+    assert(hotAuto.subsetOf(hotExact) && hotAuto != hotExact,
+      "hot fixture did not exercise the cap's loss")
+  }
+
   test("binary index delete/compact lifecycle: tombstones mask with " +
       "zero data files touched, compaction removes the dead rows via " +
       "the uuid file swap, and a mid-apply crash replays convergently") {
