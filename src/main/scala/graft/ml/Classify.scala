@@ -168,6 +168,14 @@ object Classify {
     require(model.nonEmpty, "need at least one feature")
     val margin = model.foldLeft(lit(intercept)
         : org.apache.spark.sql.Column) {
+      // a zero-variance feature rounds its sd to 0.0 in the model row
+      // (the fit floors it at 1e-12 internally, below the 6 dp
+      // round); during the fit its standardized value was identically
+      // 0 and its weight never moved, so the serving-side contract is
+      // "contributes nothing" — skipping the term entirely, never a
+      // division by the zero literal (which would NULL every margin,
+      // not just the degenerate feature's share)
+      case (acc, (_, _, _, sd)) if sd <= 0.0 => acc
       case (acc, (f, wi, mu, sd)) =>
         acc + lit(wi) * ((col(f).cast("double") - lit(mu)) / lit(sd))
     }

@@ -1221,7 +1221,7 @@ object Dedup {
     * Returns the number of buckets rewritten.
     */
   def compactSubstrIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
+      path: String, breakStaleLock: Boolean = false): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagePath = s"$path/${Similarity.CompactStageDir}"
@@ -1237,13 +1237,16 @@ object Dedup {
     // delete it and re-enter — single-writer maintenance remains the
     // caller's discipline across crashes, but compactor-vs-compactor
     // exclusion within a live process is now self-enforcing.
+    if (breakStaleLock) { fs.delete(marker, false); () }
     try fs.create(marker, false).close()
     catch {
       case e: java.io.IOException =>
         throw new IllegalStateException(
           s"compactSubstrIndex: writer lock $marker is already held " +
             "— another compactor is live (wait for it), or a crashed " +
-            "run left a stale marker (delete it and re-run)", e)
+            "run left a stale marker (re-run with breakStaleLock = " +
+            "true once no compactor is live; the stage-replay logic " +
+            "then finishes any crashed apply first)", e)
     }
     try {
       // finish a crashed apply from its committed stage first; an

@@ -146,12 +146,16 @@ object Multimodal {
     * simhash width so the whole banding tier applies verbatim.
     */
   private def aHashBits(sums: Array[Long], cnts: Array[Long]): Long = {
-    val tot = sums.sum
-    val n = cnts.sum
+    val tot = BigInt(sums.sum)
+    val n = BigInt(cnts.sum)
     var h = 0L
     var c = 0
     while (c < sums.length) {
-      if (sums(c) * n > tot * cnts(c)) h |= (1L << c)
+      // BigInt compare: tot·cnt reaches ~4250·(W·H)² on the scaled-
+      // luma path and would wrap a Long around ~50 MP, silently
+      // corrupting hash bits — ~120 BigInt ops per media is nothing
+      // next to the decode
+      if (BigInt(sums(c)) * n > tot * BigInt(cnts(c))) h |= (1L << c)
       c += 1
     }
     h
@@ -164,7 +168,8 @@ object Multimodal {
     var h = 0L
     var c = 0
     while (c < sums.length - 1) {
-      if (sums(c) * cnts(c + 1) < sums(c + 1) * cnts(c)) h |= (1L << c)
+      if (BigInt(sums(c)) * BigInt(cnts(c + 1)) <
+          BigInt(sums(c + 1)) * BigInt(cnts(c))) h |= (1L << c)
       c += 1
     }
     h
@@ -250,7 +255,8 @@ object Multimodal {
               var cc = 0
               while (cc < 10) {
                 val a0 = rr * 11 + cc
-                if (ds(a0) * dc(a0 + 1) < ds(a0 + 1) * dc(a0))
+                if (BigInt(ds(a0)) * BigInt(dc(a0 + 1)) <
+                    BigInt(ds(a0 + 1)) * BigInt(dc(a0)))
                   dh |= (1L << (rr * 10 + cc))
                 cc += 1
               }

@@ -709,13 +709,20 @@ object Similarity {
   /** Fold committed streamed-append batches INTO the binary base —
     * the flat-table fold (the IVF/BM25 siblings move partition
     * directories; here the base is ONE flat table, and at 8 bytes a
-    * vector a staged full rewrite IS the cheap path): hide the
-    * pending batches from serving first (the [[FoldedMarker]] claim),
-    * stage base ∪ streamed deduped on vec_id (refolds and crashed
-    * replays converge — a batch whose rows already reached the base
-    * is absorbed, never doubled), uuid-swap the stage in through
-    * [[applyBinaryStage]]'s reader-safe apply, and drop the batch
-    * data LAST, leaving the data-less replay-ledger stubs. Tombstones
+    * vector a staged full rewrite IS the cheap path): stage base ∪
+    * streamed deduped on vec_id (refolds and crashed replays
+    * converge — a batch whose rows already reached the base is
+    * absorbed, never doubled), uuid-swap the stage in through
+    * [[applyBinaryStage]]'s reader-safe apply, THEN flip the
+    * [[FoldedMarker]]s and drop the batch data, leaving the data-less
+    * replay-ledger stubs. Move-first (the REVERSE of the IVF/BM25
+    * claim order) is what the serving read's vec_id dedup buys: a
+    * concurrent reader inside the fold window sees streamed rows from
+    * base AND stream — duplicates, deduped — never a gap, and a
+    * crash anywhere re-enters with the rows still served (hide-first
+    * would black the streamed rows out for the whole rewrite and,
+    * after a crash between claim and apply, indefinitely — the r11
+    * review finding). Tombstones
     * are untouched: a deleted id that arrived via the stream keeps
     * masking after its rows fold into the base. After a full fold
     * the sibling holds no data, so [[compactBinaryIndex]] and
@@ -733,7 +740,7 @@ object Similarity {
       applyBinaryStage(fs, root, stage)
     fs.delete(stage, true)
     val sib = new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)
-    val pending = claimPendingBatches(fs, sib)
+    val pending = listPendingBatches(fs, sib)
     if (pending.isEmpty) return 0L
     val streamed = pending
       .map(p => spark.read.parquet(p.toString))
@@ -748,6 +755,9 @@ object Similarity {
       java.util.UUID.randomUUID().toString.replace("-", ""))
     applyBinaryStage(fs, root, stage)
     fs.delete(stage, true)
+    // rows are in the base now — ONLY now stop serving the stream
+    // copies (they'd just dedup away) and drop the batch data
+    markBatchesFolded(fs, pending)
     pending.foreach { p =>
       fs.listStatus(p).foreach { st =>
         val nm = st.getPath.getName
@@ -1300,20 +1310,40 @@ object Similarity {
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path)
       : Seq[org.apache.hadoop.fs.Path] = {
+    val pending = listPendingBatches(fs, root)
+    markBatchesFolded(fs, pending)
+    pending
+  }
+
+  /** The claim's LIST half without the marker flip — for folds whose
+    * serving read dedups (the binary tier): there, rows may be
+    * visible in base AND stream simultaneously, so the fold can move
+    * first and hide after, and serving never loses a row inside the
+    * fold window (hide-first folds — IVF/BM25, whose reads do NOT
+    * dedup — would serve duplicates instead and must keep the claim
+    * order).
+    */
+  private[ml] def listPendingBatches(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
     if (!fs.exists(root)) return Seq.empty
-    val pending = fs.listStatus(root).toSeq
+    fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith("ingest_batch="))
       .filter(st => fs.exists(
         new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath)
       .filter(p => hasParquetData(fs, p))
-    pending.foreach { p =>
+  }
+
+  private[ml] def markBatchesFolded(
+      fs: org.apache.hadoop.fs.FileSystem,
+      batches: Seq[org.apache.hadoop.fs.Path]): Unit =
+    batches.foreach { p =>
       val m = new org.apache.hadoop.fs.Path(p, FoldedMarker)
       if (!fs.exists(m)) fs.create(m, true).close()
     }
-    pending
-  }
 
   /** Refusal every BASE-table append must make while a committed
     * compaction stage exists: the next maintenance entry REPLAYS the

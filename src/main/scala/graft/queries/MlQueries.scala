@@ -1694,14 +1694,7 @@ object MlQueries {
   }
 
   val ns66bPhashPairsSql: String = {
-    val nb = 13
-    val banded = (0 until nb).map { b =>
-      val lo = 60 * b / nb
-      val hi = 60 * (b + 1) / nb
-      s"  SELECT doc_id, simhash, $b AS band, " +
-        s"(simhash >> $lo) % ${1L << (hi - lo)} AS band_bits FROM sig"
-    }.mkString("banded AS (\n", "\n  UNION ALL\n", "\n)")
-    s"""WITH $duckAHashSig, $banded,
+    s"""WITH $duckAHashSig, ${duckSimhashBandedSql(13)},
       |kept AS (
       |  SELECT * FROM (
       |    SELECT *, count(*) OVER (PARTITION BY band, band_bits) AS bsz

@@ -151,6 +151,19 @@ class ClassifySpec extends SparkSpec {
       !got.getDouble(1).isNaN)
     assert(math.abs(got.getDouble(1) - math.log(3.0)) < 0.3)
     assert(got.getAs[Double]("accuracy") === 0.75)
+    // the model row stays serving-safe: sd rounds to 0.0, and
+    // logisticScore must SKIP the degenerate term (its standardized
+    // value was identically 0 in the fit), never divide by the zero
+    // literal — which would NULL every prediction (r11 review)
+    assert(got.getAs[Double]("sd_x") === 0.0)
+    val scored = Classify.logisticScore(
+      Seq((1L, 5.0)).toDF("id", "x"), "id",
+      got.getDouble(1), Seq(("x", got.getDouble(2),
+        got.getAs[Double]("mu_x"), got.getAs[Double]("sd_x")))).head()
+    val expP = 1.0 / (1.0 + math.exp(-got.getDouble(1)))
+    assert(math.abs(scored.getDouble(1) - expP) < 1e-6,
+      "zero-variance model must score as intercept-only")
+    assert(scored.getInt(2) === (if (expP >= 0.5) 1 else 0))
   }
 
   test("nearestCentroid classifies planted clusters, excludes " +
