@@ -115,7 +115,21 @@ object Classify {
       require(!mo.isNullAt(1 + 2 * i),
         s"feature '$f' has no non-null values")
       val mu = mo.getDouble(1 + 2 * i)
-      val sd = math.max(mo.getDouble(2 + 2 * i), 1e-12)
+      val sdTrue = mo.getDouble(2 + 2 * i)
+      // the model row rounds sd to 6 dp (the gated-output contract),
+      // so a GENUINELY tiny variance (0 < sd < 5e-7) would fit with
+      // live standardized values yet serve as "sd = 0.0 → term
+      // skipped" — silent train/serve divergence (the r11 advice
+      // finding). Refuse loudly: such a feature needs pre-scaling so
+      // its sd survives the round. An exactly-constant feature
+      // (sd = 0) is fine — its standardized value is identically 0,
+      // the weight never moves, and serving's skip matches the fit.
+      require(sdTrue == 0.0 || sdTrue >= 5e-7,
+        s"feature '$f' has sd $sdTrue, which is nonzero but rounds " +
+          "to 0.0 in the 6 dp model row — the served model would " +
+          "silently drop a live term; pre-scale the feature so its " +
+          "sd is at least 1e-6")
+      val sd = math.max(sdTrue, 1e-12)
       (col(f).cast("double") - lit(mu)) / lit(sd)
     }
     var w = Array.fill(features.length + 1)(0.0)
@@ -170,11 +184,14 @@ object Classify {
         : org.apache.spark.sql.Column) {
       // a zero-variance feature rounds its sd to 0.0 in the model row
       // (the fit floors it at 1e-12 internally, below the 6 dp
-      // round); during the fit its standardized value was identically
-      // 0 and its weight never moved, so the serving-side contract is
-      // "contributes nothing" — skipping the term entirely, never a
-      // division by the zero literal (which would NULL every margin,
-      // not just the degenerate feature's share)
+      // round); the fit REFUSES tiny-but-nonzero variances that
+      // would round to 0.0, so sd <= 0.0 here can only mean a
+      // genuinely constant feature: its standardized value was
+      // identically 0 during the fit and its weight never moved, so
+      // the serving-side contract is "contributes nothing" —
+      // skipping the term entirely, never a division by the zero
+      // literal (which would NULL every margin, not just the
+      // degenerate feature's share)
       case (acc, (_, _, _, sd)) if sd <= 0.0 => acc
       case (acc, (f, wi, mu, sd)) =>
         acc + lit(wi) * ((col(f).cast("double") - lit(mu)) / lit(sd))

@@ -1238,9 +1238,17 @@ object Dedup {
     // caller's discipline across crashes, but compactor-vs-compactor
     // exclusion within a live process is now self-enforcing.
     if (breakStaleLock) { fs.delete(marker, false); () }
+    // only the already-exists failure means "lock held" — a
+    // transient IO/permission failure must propagate as itself, or
+    // it would steer the operator toward breakStaleLock=true and
+    // delete a marker that was never stale (the r11 advice finding).
+    // RawLocalFileSystem signals the non-overwriting create collision
+    // as FileAlreadyExistsException; be liberal and accept any
+    // "already exists" IOException subtype, nothing else.
     try fs.create(marker, false).close()
     catch {
-      case e: java.io.IOException =>
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
         throw new IllegalStateException(
           s"compactSubstrIndex: writer lock $marker is already held " +
             "— another compactor is live (wait for it), or a crashed " +

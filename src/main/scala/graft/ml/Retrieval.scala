@@ -50,6 +50,72 @@ object Retrieval {
     scoreFromStats(tf, dl, stats, queries, k, k1, b, maxDf)
   }
 
+  /** The BM25 ROUTER — [[graft.ml.Dedup.simhashPairsAuto]]'s
+    * measured-volume discipline applied to lexical retrieval, making
+    * the guaranteed-linear stopword cap the DEFAULT under corpus skew
+    * without the caller knowing the corpus: measure the scoring
+    * join's candidate volume Σ_t df(t)·nq(t) (the exact row count
+    * the posting × query join will produce — df and nq are counts,
+    * so the measurement is deterministic integers) with ONE bounded
+    * aggregate over the query-term-pruned df table, and engage
+    * `maxDf` only once that volume exceeds `budgetDfPerQuery` per
+    * query. A cool corpus scores exactly ([[bm25TopK]] with no cap);
+    * a corpus where a hot template token drags a constant fraction
+    * of the postings into every query (the measured ns46 skew floor,
+    * exp 1.83) routes to the capped tier (exp 0.40) with the stated
+    * stopword-removal recall contract. The condition is a pure
+    * function of the data, so the WHOLE router hash-gates: the
+    * oracle restates the volume test and selects the df predicate by
+    * the same scalar (ns46i). The measuring pass prunes map-side
+    * exactly like scoring (broadcast semi-join against the query
+    * terms), and the pruned posting set is checkpointed once so
+    * measurement and the routed branch share a single corpus scan.
+    */
+  def bm25TopKAuto(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long,
+      budgetDfPerQuery: Long = 4096L): DataFrame = {
+    val (tf, dl, stats) = corpusStats(docs)
+    scoreRouted(tf, dl, stats, queries, k, k1, b, maxDf,
+      budgetDfPerQuery)
+  }
+
+  /** [[bm25TopKAuto]]'s shared core: prune the posting set to the
+    * query terms (the same broadcast semi-join scoring performs),
+    * checkpoint it (read twice: the volume measurement and the
+    * routed scoring pass — the ns22 localCheckpoint discipline; the
+    * pruned set is Σ df(query term) rows, never corpus-sized for
+    * query workloads), measure, route. `maxDf` must be positive —
+    * a router with no cap to engage is just [[bm25TopK]].
+    */
+  private def scoreRouted(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, queries: DataFrame, k: Int, k1: Double,
+      b: Double, maxDf: Long, budgetDfPerQuery: Long): DataFrame = {
+    require(maxDf > 0L,
+      "the routed form needs a positive maxDf to engage")
+    require(budgetDfPerQuery > 0L, "budgetDfPerQuery must be positive")
+    val qterms = queries.select(col("query_id"),
+      explode(col("terms")).as("term")).distinct()
+    val posting = tf.join(
+      broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"), "left_semi").localCheckpoint()
+    // nq(t) = how many queries contain t; ≤ |distinct query terms|
+    // rows, broadcast into the df aggregate
+    val nq = qterms.groupBy(col("term")).agg(count(lit(1)).as("nq"))
+    // bounded driver actions: ONE volume row + the query count. The
+    // volume is decimal-widened like the ns5d candidate count — at
+    // 100 TB a hot term's df · nq can overflow a long product sum.
+    val vol = BigDecimal(posting
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nq), Seq("term"))
+      .agg(coalesce(sum((col("df") * col("nq")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("vol"))
+      .head().getDecimal(0))
+    val nQueries = qterms.select(col("query_id")).distinct().count()
+    val hot = vol > BigDecimal(budgetDfPerQuery) * nQueries
+    scoreFromStats(posting, dl, stats, queries, k, k1, b,
+      if (hot) maxDf else 0L)
+  }
+
   /** The standing-index statistics of a corpus: per-(doc, term)
     * counts, per-doc lengths, and the (n_docs, avgdl) scalar row —
     * everything BM25 needs beyond the query itself.
@@ -603,6 +669,44 @@ object Retrieval {
       postingPaths: Seq[String], docPaths: Seq[String],
       queries: DataFrame, k: Int, k1: Double, b: Double,
       maxDf: Long = 0L): DataFrame = {
+    val (tf, dl) = maskedIndexTables(spark, nBuckets, postingPaths,
+      docPaths, queries)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    scoreFromStats(tf, dl, stats, queries, k, k1, b, maxDf)
+  }
+
+  /** [[queryBm25Index]] with the measured-volume router engaged — the
+    * serving-path twin of [[bm25TopKAuto]], which is the form that
+    * matters at 100 TB (queries hit the standing index, not the
+    * in-plan build): the candidate volume measures over the
+    * bucket-pruned, tombstone-masked postings the scoring pass will
+    * read anyway, and `maxDf` engages only past `budgetDfPerQuery`
+    * per query. Gated end to end on the in-plan router's oracle
+    * (ns46j == ns46i's contract, served plan — the ns46b discipline).
+    */
+  def queryBm25IndexAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, maxDf: Long,
+      budgetDfPerQuery: Long = 4096L): DataFrame = {
+    val nBuckets = spark.read.parquet(s"$path/$StatsDir")
+      .head().getAs[Int]("n_buckets")
+    val (tf, dl) = maskedIndexTables(spark, nBuckets, Seq(path),
+      Seq(docsDirFor(spark, path)), queries)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    scoreRouted(tf, dl, stats, queries, k, k1, b, maxDf,
+      budgetDfPerQuery)
+  }
+
+  /** The bucket-pruned, tombstone-masked (postings, doc-lengths)
+    * pair every serving read starts from — shared by the exact,
+    * capped, and routed query paths.
+    */
+  private def maskedIndexTables(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
+      postingPaths: Seq[String], docPaths: Seq[String],
+      queries: DataFrame): (DataFrame, DataFrame) = {
     require(postingPaths.nonEmpty && docPaths.nonEmpty,
       "need at least one posting and one doc-length root")
     // bounded driver action of the serving path: the distinct bucket
@@ -625,14 +729,11 @@ object Retrieval {
     // a rebuild. The anti-join's build side is the tombstone set —
     // bounded by deletions since the last rebuild, so AQE broadcasts
     // it while it stays small (large tombstones = time to compact).
-    val (tf, dl) = deletedDocs(spark, postingPaths) match {
+    deletedDocs(spark, postingPaths) match {
       case Some(dead) =>
         (tf0.join(dead, Seq("doc_id"), "left_anti"),
           dl0.join(dead, Seq("doc_id"), "left_anti"))
       case None => (tf0, dl0)
     }
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    scoreFromStats(tf, dl, stats, queries, k, k1, b, maxDf)
   }
 }

@@ -2020,8 +2020,56 @@ object Similarity {
     * count), so the capped output hash-gates exactly (ns44b).
     */
   def semDedup(embeddings: DataFrame, cents: DataFrame,
-      threshold: Double, cellOccupancyCap: Long = 0L): DataFrame = {
-    val assigned = assignCells(embeddings, cents)
+      threshold: Double, cellOccupancyCap: Long = 0L): DataFrame =
+    semDedupFromAssigned(assignCells(embeddings, cents), threshold,
+      cellOccupancyCap)
+
+  /** The SemDeDup ROUTER — [[graft.ml.Dedup.simhashPairsAuto]]'s
+    * measured-volume discipline in embedding space, making the
+    * occupancy-capped tier the DEFAULT once the corpus clusters hard
+    * without the caller knowing the assignment: measure the
+    * intra-cell candidate volume with ONE bounded aggregate
+    * (Σ c·(c−1) over the ≤ nCells assignment counts — deterministic
+    * integers), and route to the exact intra-cell scan while
+    * candidates stay within `budgetPairsPerVec`·N, or to the
+    * occupancy cap ([[semDedup]] with `cellOccupancyCap`, stated
+    * drop-hot-cell recall contract) once one dominant topic/template
+    * makes Σ|cell|² quadratic (the measured ns44 skew floor, exp
+    * 1.01 on the clustered-embedding corpus vs 0.21 capped). The
+    * condition is a pure function of the data, so the WHOLE router
+    * hash-gates: the oracle restates the volume test and both
+    * branches, selected by the same scalar (ns44c). The assignment
+    * is checkpointed once — measurement, pairing, and the final
+    * every-vector projection share a single centroid-assignment
+    * pass.
+    */
+  def semDedupAuto(embeddings: DataFrame, cents: DataFrame,
+      threshold: Double, cellOccupancyCap: Long,
+      budgetPairsPerVec: Long = 64L): DataFrame = {
+    require(cellOccupancyCap > 0L,
+      "the routed form needs a positive cellOccupancyCap to engage")
+    require(budgetPairsPerVec > 0L, "budgetPairsPerVec must be positive")
+    val assigned = assignCells(embeddings, cents).localCheckpoint()
+    // bounded driver action: ONE row — the intra-cell candidate
+    // volume (as Σ c·(c−1), decimal-widened like the ns5d candidate
+    // count) and the assigned vector count
+    val st = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum((col("c") * (col("c") - 1))
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .as("cand2"),
+        coalesce(sum(col("c")), lit(0L)).as("n"))
+      .head()
+    // candidates = cand2/2; hot ⇔ candidates > budget·N
+    val hot = BigDecimal(st.getDecimal(0)) >
+      BigDecimal(2L) * budgetPairsPerVec * st.getLong(1)
+    semDedupFromAssigned(assigned, threshold,
+      if (hot) cellOccupancyCap else 0L)
+  }
+
+  private def semDedupFromAssigned(assigned: DataFrame,
+      threshold: Double, cellOccupancyCap: Long): DataFrame = {
     // pairing universe: with a cap, only cells at or under it — one
     // count aggregate (≤ nCells rows, broadcast semi-join), applied
     // BEFORE pair formation so a hot cell's members never enter the

@@ -506,6 +506,90 @@ object MlQueries {
       |FROM assign s LEFT JOIN earliest e ON e.j = s.vec_id
       |ORDER BY s.vec_id""".stripMargin
 
+  /** The SemDeDup ROUTER as the gated default
+    * ([[Similarity.semDedupAuto]], budget 64 pairs/vec, cap 31):
+    * measures the intra-cell candidate volume from the assignment
+    * counts (ONE bounded aggregate, ≤ nCells rows) and routes to the
+    * exact intra-cell scan (this fixture: Σ c·(c−1) ≈ 15.5k against
+    * a 2·64·500 = 64k budget → exact, so the output equals ns44's)
+    * or to the ns44b occupancy cap once one dominant cluster makes
+    * Σ|cell|² quadratic (the clustered-embedding corpus routes
+    * there — the skew table measures it linear). The ORACLE restates
+    * the router itself: one scalar volume test selecting between the
+    * full exact restatement and the full capped restatement — so the
+    * routing decision, not just the branches, is hash-proven. This
+    * closes the r11 "weak" on ns44: exact is no longer an
+    * unconditional default that goes quadratic the day one topic
+    * dominates the corpus.
+    */
+  val ns44cSemDedupAuto: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semDedupAuto(emb,
+      Similarity.seedCentroids(emb, nCells = 16),
+      threshold = 0.4, cellOccupancyCap = 31L, budgetPairsPerVec = 64L)
+      .orderBy(col("vec_id"))
+  }
+
+  val ns44cSemDedupAutoSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |cents AS (
+      |  SELECT vec_id AS cell, embedding AS ce FROM nz
+      |  ORDER BY vec_id LIMIT 16
+      |),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk = 1
+      |),
+      |cellc AS (
+      |  SELECT cell, count(*) AS c FROM assign GROUP BY 1
+      |),
+      |cond AS (
+      |  SELECT coalesce(sum(c * (c - 1)), 0) >
+      |    2 * 64 * coalesce(sum(c), 0) AS hot
+      |  FROM cellc
+      |),
+      |pairable AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      count(*) OVER (PARTITION BY cell) AS osz
+      |    FROM assign) WHERE osz <= 31
+      |),
+      |earliest_exact AS (
+      |  SELECT y.vec_id AS j, min(x.vec_id) AS ex
+      |  FROM assign x JOIN assign y
+      |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  JOIN nz a ON a.vec_id = x.vec_id
+      |  JOIN nz b ON b.vec_id = y.vec_id
+      |  WHERE round(list_cosine_similarity(
+      |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |    AND NOT (SELECT hot FROM cond)
+      |  GROUP BY y.vec_id
+      |),
+      |earliest_capped AS (
+      |  SELECT y.vec_id AS j, min(x.vec_id) AS ex
+      |  FROM pairable x JOIN pairable y
+      |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+      |  JOIN nz a ON a.vec_id = x.vec_id
+      |  JOIN nz b ON b.vec_id = y.vec_id
+      |  WHERE round(list_cosine_similarity(
+      |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+      |    AND (SELECT hot FROM cond)
+      |  GROUP BY y.vec_id
+      |),
+      |earliest AS (
+      |  SELECT * FROM earliest_exact
+      |  UNION ALL SELECT * FROM earliest_capped
+      |)
+      |SELECT s.vec_id, s.cell, e.ex IS NULL AS keep,
+      |  coalesce(e.ex, s.vec_id) AS exemplar
+      |FROM assign s LEFT JOIN earliest e ON e.j = s.vec_id
+      |ORDER BY s.vec_id""".stripMargin
+
   /** The ns44 seed-centroid CTE, shared by every IVF hash gate: the 16
     * smallest-vec_id non-degenerate vectors, exactly
     * [[Similarity.seedCentroids]].
@@ -1631,9 +1715,12 @@ object MlQueries {
     */
   private val duckAHashSig: String =
     """v AS (
-      |  SELECT doc_id, len(text)::BIGINT AS n,
-      |    [ord(text[i])::BIGINT FOR i IN range(1, len(text) + 1)] AS bv
-      |  FROM documents
+      |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+      |    [(strpos('123456789ABCDEF', substr(hx, 2*i - 1, 1)) * 16 +
+      |      strpos('123456789ABCDEF', substr(hx, 2*i, 1)))::BIGINT
+      |     FOR i IN range(1, octet_length(encode(text)) + 1)] AS bv
+      |  FROM (SELECT doc_id, text, hex(encode(text)) AS hx
+      |        FROM documents)
       |), a60 AS (
       |  SELECT doc_id, c,
       |    coalesce(list_sum(bv[(c*n)//60 + 1 : ((c+1)*n)//60]), 0)::BIGINT
@@ -2883,6 +2970,40 @@ object MlQueries {
     */
   private def bm25Sql(corpusPred: String, dfPred: String = "TRUE")
       : String =
+    bm25SqlCore(corpusPred,
+      s"""dfq AS (
+        |  SELECT * FROM (
+        |    SELECT term, count(*)::BIGINT AS df FROM tf
+        |    WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1)
+        |  WHERE $dfPred
+        |)""".stripMargin)
+
+  /** The ROUTED df block ([[Retrieval.bm25TopKAuto]]'s oracle): the
+    * volume test Σ df·nq &gt; budget · n_queries restated as one
+    * scalar CTE selecting the df predicate — so the routing decision
+    * itself, not just the branches, is hash-proven (the ns5d
+    * discipline). This fixture measures ~15.5k candidate rows
+    * against a 4096/query × 10-query budget, so it routes EXACT and
+    * the output equals ns46's; the Zipf corpus routes capped (the
+    * skew table measures it linear).
+    */
+  private val bm25AutoSql: String = bm25SqlCore("TRUE",
+    """dfq0 AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1
+      |), nqt AS (
+      |  SELECT term, count(*)::BIGINT AS nq FROM qd GROUP BY 1
+      |), cond AS (
+      |  SELECT coalesce(sum(df * nq), 0) >
+      |    4096 * (SELECT count(DISTINCT query_id) FROM qd) AS hot
+      |  FROM dfq0 JOIN nqt USING (term)
+      |), dfq AS (
+      |  SELECT term, df FROM dfq0
+      |  WHERE (NOT (SELECT hot FROM cond)) OR df <= 390
+      |)""".stripMargin)
+
+  private def bm25SqlCore(corpusPred: String, dfqBlock: String)
+      : String =
     s"""WITH qd AS (
       |  SELECT DISTINCT doc_id AS query_id, unnest(list_slice(
       |    string_split(text, ' '), 1, 4)) AS term
@@ -2897,12 +3018,7 @@ object MlQueries {
       |  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1
       |), st AS (
       |  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
-      |), dfq AS (
-      |  SELECT * FROM (
-      |    SELECT term, count(*)::BIGINT AS df FROM tf
-      |    WHERE term IN (SELECT DISTINCT term FROM qd) GROUP BY 1)
-      |  WHERE $dfPred
-      |), sc AS (
+      |), $dfqBlock, sc AS (
       |  SELECT query_id, tf.doc_id,
       |    round(list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(
       |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
@@ -3016,6 +3132,58 @@ object MlQueries {
     Retrieval.queryBm25Index(s, path, queries, k = 5, maxDf = 390L)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** The BM25 ROUTER as the gated default
+    * ([[Retrieval.bm25TopKAuto]], budget 4096 df/query, maxDf 390):
+    * measures the scoring join's candidate volume Σ df·nq with one
+    * bounded aggregate over the query-term-pruned df table and
+    * engages the stopword cap only past the per-query budget. This
+    * fixture measures ~15.5k candidate rows against a 4096 × 10
+    * budget → routes EXACT, so the output equals ns46's; the Zipf
+    * corpus routes capped (the skew table measures it linear vs the
+    * uncapped 1.83 floor). The oracle restates the volume test
+    * itself as the scalar selecting the df predicate — the ns5d
+    * discipline, closing the r11 "weak" on ns46: exact is no longer
+    * an unconditional default that melts the day a template token
+    * goes hot.
+    */
+  val ns46iBm25Auto: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.bm25TopKAuto(docs, queries, k = 5, maxDf = 390L,
+      budgetDfPerQuery = 4096L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ns46iBm25AutoSql: String = bm25AutoSql
+
+  /** The router ON THE SERVING PATH
+    * ([[Retrieval.queryBm25IndexAuto]]): the same persisted index as
+    * ns46b, with the candidate volume measured over the
+    * bucket-pruned, tombstone-masked postings the scoring pass reads
+    * anyway — the form that matters at 100 TB, where queries hit the
+    * standing index and nobody re-derives the corpus df profile by
+    * hand before choosing a cap. Gated on ns46i's exact oracle (same
+    * output contract, served plan — the ns46b discipline), so
+    * hash-equality proves routed-served == routed-in-plan end to
+    * end.
+    */
+  val ns46jBm25ServedAuto: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bm25_index")
+    if (ivfIndexWritten.add(path))
+      Retrieval.writeBm25Index(docs, path, nBuckets = 64)
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    Retrieval.queryBm25IndexAuto(s, path, queries, k = 5, maxDf = 390L,
+      budgetDfPerQuery = 4096L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ns46jBm25ServedAutoSql: String = bm25AutoSql
 
   /** Incremental maintenance of the served BM25 index: build on 3/4
     * of the corpus, [[Retrieval.appendBm25Index]] the remaining
@@ -4076,11 +4244,14 @@ object MlQueries {
     "ns43_collocations" -> ns43Collocations,
     "ns44_semdedup" -> ns44SemDedup,
     "ns44b_semdedup_capped" -> ns44bSemDedupCapped,
+    "ns44c_semdedup_auto" -> ns44cSemDedupAuto,
     "ns45_random_projection" -> ns45RandomProjection,
     "ns46_bm25" -> ns46Bm25,
     "ns46g_bm25_capped_df" -> ns46gBm25CappedDf,
     "ns46b_bm25_served" -> ns46bBm25Served,
     "ns46h_bm25_served_capped" -> ns46hBm25ServedCapped,
+    "ns46i_bm25_auto" -> ns46iBm25Auto,
+    "ns46j_bm25_served_auto" -> ns46jBm25ServedAuto,
     "ns46c_bm25_appended" -> ns46cBm25Appended,
     "ns46d_bm25_deleted" -> ns46dBm25Deleted,
     "ns46e_bm25_compacted" -> ns46eBm25Compacted,
@@ -4178,11 +4349,14 @@ object MlQueries {
     "ns43_collocations" -> ns43CollocationsSql,
     "ns44_semdedup" -> ns44SemDedupSql,
     "ns44b_semdedup_capped" -> ns44bSemDedupCappedSql,
+    "ns44c_semdedup_auto" -> ns44cSemDedupAutoSql,
     "ns45_random_projection" -> ns45RandomProjectionSql,
     "ns46_bm25" -> ns46Bm25Sql,
     "ns46g_bm25_capped_df" -> ns46gBm25CappedDfSql,
     "ns46b_bm25_served" -> ns46Bm25Sql,
     "ns46h_bm25_served_capped" -> ns46gBm25CappedDfSql,
+    "ns46i_bm25_auto" -> ns46iBm25AutoSql,
+    "ns46j_bm25_served_auto" -> ns46jBm25ServedAutoSql,
     "ns46c_bm25_appended" -> ns46Bm25Sql,
     "ns46d_bm25_deleted" -> ns46dBm25DeletedSql,
     "ns46e_bm25_compacted" -> ns46dBm25DeletedSql,

@@ -218,9 +218,12 @@ object VectorIngest {
           st.getPath.getName.startsWith("ingest_batch="))
         .filter(st => fs.exists(
           new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        // a folded partition's rows live in the base now (or are
-        // about to — the marker flips BEFORE the move): reading it
-        // too would serve duplicates
+        // a folded partition's rows live in the base now, or are in
+        // transit: the IVF/BM25 folds flip the marker BEFORE the
+        // move, the binary fold moves FIRST and flips after (its
+        // reader dedups on vec_id, so the overlap window is safe) —
+        // either way a marked partition must not be served from here
+        // or it would double-count
         .filter(st => !fs.exists(new org.apache.hadoop.fs.Path(
           st.getPath, Similarity.FoldedMarker)))
         .map(_.getPath.toString)

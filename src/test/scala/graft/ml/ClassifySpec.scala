@@ -166,6 +166,26 @@ class ClassifySpec extends SparkSpec {
     assert(scored.getInt(2) === (if (expP >= 0.5) 1 else 0))
   }
 
+  test("a tiny-but-nonzero feature variance is refused at fit time " +
+      "(it would round to sd = 0.0 in the model row and serve as a " +
+      "silently dropped live term)") {
+    // sd ≈ 2.5e-8: live standardized values in the fit, but the 6 dp
+    // model row would carry sd_x = 0.0 and logisticScore would skip
+    // the term — the r11 advice divergence. The fit must fail loudly
+    // with the pre-scale remedy instead.
+    val df = Seq(5.0 -> 1.0, 5.00000005 -> 1.0, 5.0 -> 0.0,
+      5.00000005 -> 0.0).toDF("x", "label")
+    val e = intercept[IllegalArgumentException] {
+      Classify.logisticRegression(df, "label", Seq("x"), steps = 1)
+    }
+    assert(e.getMessage.contains("pre-scale"))
+    // and the same data pre-scaled fits fine
+    val ok = Classify.logisticRegression(
+      df.withColumn("x", (col("x") - 5.0) * 1e8), "label", Seq("x"),
+      steps = 1).collect()(0)
+    assert(!ok.getAs[Double]("log_loss").isNaN)
+  }
+
   test("nearestCentroid classifies planted clusters, excludes " +
       "degenerate vectors from fit and predict, and matches a " +
       "hand-computed cosine") {

@@ -554,6 +554,42 @@ class MlSpec extends SparkSpec {
       "fixture has no duplicates in hot cells; cap untested")
   }
 
+  test("semDedupAuto routes by measured intra-cell candidate volume: " +
+      "the spread 16-cell assignment routes exact, a 2-cell collapse " +
+      "routes capped, and each branch equals its dedicated operator") {
+    val t = 0.4
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    // cool: 16 seed cells spread the fixture (sizes 20–42), so
+    // Σ c·(c−1) sits far under the 2·64·N budget → exact branch,
+    // identical to the uncapped operator even with a cap that WOULD
+    // drop cells if it engaged (31 splits the occupancy range)
+    val cents = Similarity.seedCentroids(embs, 16)
+    val auto = asMap(Similarity.semDedupAuto(embs, cents, t,
+      cellOccupancyCap = 31L, budgetPairsPerVec = 64L))
+    assert(auto === asMap(Similarity.semDedup(embs, cents, t)),
+      "spread assignment must route to the exact tier")
+    // hot: 2 seed cells make one cell hold ~half the corpus —
+    // Σ c·(c−1) ≥ 2·(N/2)·(N/2−1) blows the same budget → capped
+    // branch, with the cap set under the biggest cell so the
+    // drop-hot-cell contract is exercised
+    val cents2 = Similarity.seedCentroids(embs, 2)
+    val occ = Similarity.assignCells(embs, cents2)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val cap = occ.max - 1
+    val autoHot = asMap(Similarity.semDedupAuto(embs, cents2, t,
+      cellOccupancyCap = cap, budgetPairsPerVec = 64L))
+    assert(autoHot === asMap(Similarity.semDedup(embs, cents2, t,
+      cellOccupancyCap = cap)),
+      "collapsed assignment must route to the capped tier")
+    // and the routing genuinely changed the result class: the hot
+    // cell's duplicates come out keep=true under the cap
+    assert(autoHot !== asMap(Similarity.semDedup(embs, cents2, t)),
+      "hot fixture did not exercise the cap's loss")
+  }
+
   test("packed SQ8 shuffles several times fewer bytes than the " +
       "array<double> quantized form (the bandwidth claim, measured)") {
     import graft.functions.VectorFunctions.sq8Pack

@@ -386,6 +386,48 @@ class RetrievalSpec extends SparkSpec {
     assert(got.head._3 === 1L) // the 5-term match ranks first
   }
 
+  test("bm25TopKAuto routes by measured candidate volume: a cool " +
+      "corpus scores exactly (the cap never engages), a hot-term " +
+      "corpus engages the df cap, and the served router matches") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    // cool: the 5-doc corpus — volume Σ df·nq = 6 against a
+    // 100/query × 2-query budget → exact. maxDf = 1 would cap EVERY
+    // term (all dfs ≥ 2), so equality with the uncapped scorer
+    // proves the cap genuinely did not engage.
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq((1L, Seq("red", "fox")), (2L, Seq("dog")))
+      .toDF("query_id", "terms")
+    val cool = rows(Retrieval.bm25TopKAuto(docs, q, 5, maxDf = 1L,
+      budgetDfPerQuery = 100L))
+    assert(cool === rows(Retrieval.bm25TopK(docs, q, 5)))
+    assert(cool.nonEmpty)
+    // hot: every doc shares the template token 'the' (df = 60), so
+    // one query costs 61 candidate rows against a 20/query budget →
+    // the cap engages and 'the' contributes nothing
+    val hotDocs = (1L to 60L).map(i => (i, s"the w$i"))
+      .toDF("doc_id", "text")
+    val hq = Seq((1L, Seq("the", "w7"))).toDF("query_id", "terms")
+    val hot = rows(Retrieval.bm25TopKAuto(hotDocs, hq, 5,
+      maxDf = 10L, budgetDfPerQuery = 20L))
+    assert(hot === rows(Retrieval.bm25TopK(hotDocs, hq, 5,
+      maxDf = 10L)))
+    assert(hot !== rows(Retrieval.bm25TopK(hotDocs, hq, 5)),
+      "hot fixture did not exercise the cap's loss")
+    // the served router measures over the persisted postings and
+    // routes identically
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_auto")
+    try {
+      val path = tmp.resolve("idx").toString
+      Retrieval.writeBm25Index(hotDocs, path, nBuckets = 8)
+      assert(rows(Retrieval.queryBm25IndexAuto(spark, path, hq, 5,
+        maxDf = 10L, budgetDfPerQuery = 20L)) === hot)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("rrfFuse matches the hand-computed reciprocal-rank sum, " +
       "breaks ties on doc_id, and cuts at k") {
     // query 10: doc 1 in both lists (1/61 + 1/62), doc 2 lexical-only
