@@ -789,12 +789,17 @@ object Similarity {
     * every root (the base plus [[graft.streaming.VectorIngest]]'s
     * committed streamed-append partitions), tombstones always from
     * the BASE root (delete streams land there; the mask covers
-    * streamed rows because it applies to the union). The read dedups
-    * on vec_id: bits are a pure function of the vector, so the only
-    * duplicates are literal — a compaction apply window (old∪new
-    * coexist by design, see [[compactBinaryIndex]]) or a crash-torn
-    * fold replay — and one 16-byte-row hash aggregate is the price of
-    * serving correctly THROUGH maintenance instead of blacking out.
+    * streamed rows because it applies to the union). When duplicates
+    * are possible — multi-root serving, or a binary stage directory
+    * present — the read dedups on vec_id: bits are a pure function
+    * of the vector, so the only duplicates are literal (a compaction
+    * apply window where old∪new coexist by design, see
+    * [[compactBinaryIndex]], or a crash-torn fold replay), and one
+    * hash aggregate is the price of serving correctly THROUGH
+    * maintenance instead of blacking out. A quiescent single-root
+    * read skips it and keeps the unhardened scan→codegen plan (see
+    * the in-body race argument for why the plan-time probe is
+    * sufficient).
     */
   private[graft] def binaryTopKServedFrom(
       spark: org.apache.spark.sql.SparkSession, basePath: String,
@@ -805,11 +810,50 @@ object Similarity {
     val dim = spark.read.parquet(s"$basePath/$BinStatsDir")
       .head().getAs[Int]("dim")
     // tombstone mask (deleteFromBinaryIndex): masking the index side
-    // covers queries too — query bits are a semi-join of the index
-    val raw = paths.map(p => spark.read.parquet(p)
+    // covers queries too — query bits are a semi-join of the index.
+    //
+    // The vec_id dedup that makes serving correct THROUGH a
+    // compaction/fold apply window (old∪new files coexist — literal
+    // duplicates) is NOT free: it inserts an aggregate between the
+    // parquet scan and the popcount cross join, and the measured
+    // steady-state serve cost tripled when it ran unconditionally
+    // (the r11→r12 ns7g swing: 1.04 s → 2.85 s warm at sf0.1). So
+    // dedup only when duplicates are POSSIBLE: more than one root
+    // (base ∪ streamed partitions overlap mid-fold by design), or a
+    // binary stage directory present at the base. The stage probe
+    // runs BEFORE the parquet listing below, which closes the race:
+    // an apply overlapping our (milliseconds) listing implies its
+    // stage was committed before the listing — and committing a
+    // stage requires the seconds-long staging WRITE job, so the
+    // stage DIRECTORY already existed when we probed. Absent dir ⇒
+    // no apply can overlap ⇒ the plain union is duplicate-free and
+    // the serve keeps the scan→codegen plan of an unhardened read.
+    val stagePresent = {
+      val base = new org.apache.hadoop.fs.Path(basePath)
+      base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(
+          s"$basePath/$BinCompactStageDir"))
+    }
+    val rawUnion = paths.map(p => spark.read.parquet(p)
         .select(col("vec_id"), col("bits")))
       .reduce(_.unionByName(_))
-      .dropDuplicates("vec_id")
+    // the dedup runs over the bit WORDS unpacked to long columns: an
+    // array-valued aggregate buffer would force a SortAggregate pair
+    // per consumer, while all-long columns keep it a plain hash
+    // aggregate (max == the value on literal duplicates)
+    val nw = (dim + 63) / 64
+    val words = (0 until nw).map(w => s"_w$w")
+    val wordAggs = words.map(w => max(col(w)).as(w))
+    val raw =
+      if (paths.size == 1 && !stagePresent) rawUnion
+      else rawUnion
+        .select(col("vec_id") +:
+          words.zipWithIndex.map { case (w, i) =>
+            col("bits")(i).as(w) }: _*)
+        .groupBy(col("vec_id"))
+        .agg(wordAggs.head, wordAggs.tail: _*)
+        .select(col("vec_id"),
+          array(words.map(col): _*).as("bits"))
     val z = tombstoneUnion(spark, Seq(basePath), BinDeletedDir,
         "vec_id") match {
       case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")

@@ -1307,6 +1307,44 @@ class MlSpec extends SparkSpec {
       "hot fixture did not exercise the cap's loss")
   }
 
+  test("binary serving dedups exactly when duplicates are possible: " +
+      "a stage-marked root with literally duplicated files serves " +
+      "each pair once, and the quiescent read keeps the plain scan") {
+    import graft.meta.PlanIntrospection.flatten
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_dedup")
+    try {
+      val path = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(embs, path, dim = 64)
+      val qids = embs.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id"))
+      def serve() = Similarity.binaryTopKServed(spark, path, embs,
+        qids, k = 5, refine = 50)
+      val quiet = serve().collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      // quiescent single-root: no aggregate between scan and join
+      assert(!flatten(serve().queryExecution.executedPlan)
+        .exists(_.nodeName.toLowerCase.contains("aggregate")),
+        "quiescent serve must keep the unhardened scan plan")
+      // simulate a mid-apply window: stage dir present AND a root
+      // data file literally duplicated (old∪new coexistence)
+      val root = new java.io.File(path)
+      val dataFile = root.listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(dataFile.toPath,
+        root.toPath.resolve("graftc-dup-" + dataFile.getName))
+      val stage = new java.io.File(path,
+        "_graft_bin_compact_stage")
+      assert(stage.mkdir())
+      val inWindow = serve().collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(inWindow === quiet,
+        "serving through the duplicated window must equal the " +
+          "quiescent result — the dedup path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("binary index delete/compact lifecycle: tombstones mask with " +
       "zero data files touched, compaction removes the dead rows via " +
       "the uuid file swap, and a mid-apply crash replays convergently") {
