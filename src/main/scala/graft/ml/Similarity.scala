@@ -885,6 +885,92 @@ object Similarity {
       .select(col("i"), col("rk"), col("j"), col("cos"))
   }
 
+  /** Radius-bounded near-duplicate PAIRS from the persisted sign-bit
+    * index — the pigeonhole band machinery ([[graft.ml.Dedup]]'s
+    * simhash discipline, proven on 60-bit phashes in ns66b) applied
+    * to the packed sign bits: split the dim bits into
+    * `maxHamming + 1` bands, join on (band, band_bits), verify full
+    * Hamming. Exact by pigeonhole: a pair within the radius agrees
+    * on SOME band, so nothing is missed (the quadratic oracle proves
+    * it). The mining twin of [[binaryTopKServed]] — top-k serving
+    * answers "nearest to these queries"; this answers "every
+    * near-duplicate pair in the standing index" without reading a
+    * single float vector.
+    *
+    * Scale posture, stated honestly: band selectivity is
+    * 2^(dim/(maxHamming+1)) — the tier pays when the radius is small
+    * relative to the signature width (dim 256 at radius 12 gives
+    * 19-bit bands: random collisions vanish and candidates track the
+    * true near-dup population). At dim 64 / radius 16 the 3–4-bit
+    * bands collide constantly and candidate volume approaches the
+    * scan's — the fixture gate covers SEMANTICS there, not the
+    * asymptotics. `bandOccupancyCap` (0 = exact) is the ns5c
+    * occupancy cap verbatim: buckets above the cap form no pairs, so
+    * candidates are structurally ≤ cap · bands · N under ANY sign
+    * skew (one dominant embedding cluster collapses its members'
+    * sign bits into the same buckets — the clustered-corpus regime),
+    * with the stated drop-hot-bucket recall contract. Duplicated
+    * index rows (a compaction apply window) are harmless here by
+    * construction: they can only duplicate (i, j) rows, which the
+    * final distinct absorbs, and i &lt; j excludes self-pairs — no
+    * read-side dedup needed.
+    */
+  def binaryNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxHamming: Int, bandOccupancyCap: Long = 0L)
+      : DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    val dim = spark.read.parquet(s"$path/$BinStatsDir")
+      .head().getAs[Int]("dim")
+    val nb = maxHamming + 1
+    require(nb <= dim, "pigeonhole needs maxHamming + 1 <= dim bands")
+    val nw = (dim + 63) / 64
+    val raw = spark.read.parquet(path)
+      .select(col("vec_id"), col("bits"))
+    val z = tombstoneUnion(spark, Seq(path), BinDeletedDir,
+        "vec_id") match {
+      case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")
+      case None => raw
+    }
+    // band b covers bit positions [dim·b/nb, dim·(b+1)/nb) — the
+    // same uneven-boundary arithmetic as the simhash bands, unrolled
+    // at plan time over the packed words (word crossings handled per
+    // bit; the whole chain is shift/and/or — whole-stage codegen)
+    def bandVal(b: Int): Column = {
+      val lo = dim * b / nb
+      val hi = dim * (b + 1) / nb
+      (lo until hi).map { j =>
+        shiftleft(
+          shiftright(element_at(col("bits"), j / 64 + 1), j % 64)
+            .bitwiseAND(lit(1L)), j - lo)
+      }.reduce(_ bitwiseOR _)
+    }
+    val banded = z.select(col("vec_id"), col("bits"),
+      explode(array((0 until nb).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("band_bits"))): _*))
+        .as("bb"))
+      .select(col("vec_id"), col("bits"),
+        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    val kept =
+      if (bandOccupancyCap > 0L)
+        banded.withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("band_bits"))))
+          .filter(col("bsz") <= bandOccupancyCap)
+          .drop("bsz")
+      else banded
+    kept
+      .select(col("vec_id").as("i"), col("bits").as("ba"),
+        col("band"), col("band_bits"))
+      .join(kept
+        .select(col("vec_id").as("j"), col("bits").as("bb"),
+          col("band"), col("band_bits")),
+        Seq("band", "band_bits"))
+      .filter(col("i") < col("j"))
+      .withColumn("hamming", hamming(col("ba"), col("bb"), nw))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+      .dropDuplicates("i", "j")
+  }
+
   /** Annotate an approximate top-k result with per-query recall against
     * the exact top-k: recall_i = |approx_i ∩ brute_i| / |brute_i|.
     * Makes recall a column of the ANN result itself, so a driver

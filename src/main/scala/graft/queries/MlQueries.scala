@@ -907,6 +907,49 @@ object MlQueries {
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 2""".stripMargin
 
+  /** Radius-bounded near-dup PAIR MINING over the persisted sign-bit
+    * index ([[Similarity.binaryNearDupPairs]], radius 16, occupancy
+    * cap 100): pigeonhole-banded candidates over the packed bits,
+    * full-Hamming verify, no float vector ever read — the r11
+    * verdict's "banded pre-cut" for the binary tier, as the mining
+    * complement of the ns7f–ns7h serving chain. Exact by pigeonhole,
+    * so the oracle is the NAIVE QUADRATIC restatement (the ns39
+    * lossless-pruning discipline) with Hamming as
+    * pc(a)+pc(b)−2·(a·b) over 0/1 sign lists — the ns7f bit-parity
+    * trick. The cap cannot bind on this fixture (max bucket 76), so
+    * exactness gates; MlSpec exercises the cap's drop-hot-bucket
+    * contract and the cross-word banding on a dim-128 synthetic. At
+    * dim 64 / radius 16 the 3–4-bit bands are weakly selective (the
+    * docstring says so) — the tier's asymptotic win is the
+    * high-dim/small-radius regime, and the cap is the skew bound.
+    */
+  val ns7iBinaryNearDup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bin_index_nd")
+    if (ivfIndexWritten.add(path))
+      Similarity.writeBinaryIndex(emb, path, dim = 64)
+    Similarity.binaryNearDupPairs(s, path, maxHamming = 16,
+      bandOccupancyCap = 100L)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val ns7iBinaryNearDupSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |sgn AS (
+      |  SELECT vec_id, s, list_sum(s) AS pc FROM (
+      |    SELECT vec_id,
+      |      [CASE WHEN x > 0 THEN 1 ELSE 0 END
+      |        FOR x IN embedding::DOUBLE[]] AS s
+      |    FROM nz)
+      |)
+      |SELECT i, j, hamming FROM (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    (a.pc + b.pc - 2 * list_dot_product(a.s, b.s))::BIGINT
+      |      AS hamming
+      |  FROM sgn a JOIN sgn b ON a.vec_id < b.vec_id)
+      |WHERE hamming <= 16
+      |ORDER BY i, j""".stripMargin
+
   /** IVF-PQ top-k — the quantized serving layout: IVF cells bound the
     * candidate set, an 8-subspace × 16-codeword product quantizer
     * bounds the bytes per candidate (8 code bytes + one reconstructed
@@ -4192,6 +4235,7 @@ object MlQueries {
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinary,
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompacted,
     "ns7h_sim_binary_streamed" -> ns7hSimBinaryStreamed,
+    "ns7i_binary_neardup" -> ns7iBinaryNearDup,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns8_sim_ivf" -> ns8SimIvf,
@@ -4299,6 +4343,7 @@ object MlQueries {
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinarySql,
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompactedSql,
     "ns7h_sim_binary_streamed" -> ns7fSimTopkBinarySql,
+    "ns7i_binary_neardup" -> ns7iBinaryNearDupSql,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
     "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,

@@ -1307,6 +1307,60 @@ class MlSpec extends SparkSpec {
       "hot fixture did not exercise the cap's loss")
   }
 
+  test("binaryNearDupPairs: pigeonhole banding over packed sign bits " +
+      "is exact across word boundaries (dim 128), and the occupancy " +
+      "cap drops hot-bucket pairs under the stated contract") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 128
+    // 40 spread vectors + a planted near-dup (3 flipped signs) for
+    // every 4th — the banding must find the planted pairs across the
+    // two 64-bit words
+    val rows: Seq[(Long, Seq[Double])] = (0 until 40).flatMap { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val base = Seq((i.toLong, v.toSeq))
+      if (i % 4 == 0) {
+        val w = v.clone()
+        (0 until 3).foreach { _ =>
+          val p = rnd.nextInt(dim); w(p) = -w(p) }
+        base :+ ((100L + i, w.toSeq))
+      } else base
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_nd")
+    try {
+      val path = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(df, path, dim = dim)
+      def sig(v: Seq[Double]): BigInt =
+        v.zipWithIndex.foldLeft(BigInt(0)) { case (acc, (x, j)) =>
+          if (x > 0) acc.setBit(j) else acc }
+      val sigs = rows.map { case (id, v) => id -> sig(v) }.toMap
+      val R = 24
+      val expected = sigs.keys.toSeq.sorted.combinations(2).flatMap {
+        case Seq(a, b) =>
+          val h = (sigs(a) ^ sigs(b)).bitCount
+          if (h <= R) Some((a, b, h.toLong)) else None
+      }.toSet
+      val got = Similarity.binaryNearDupPairs(spark, path,
+          maxHamming = R)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === expected,
+        "banded pairs must equal the brute sign-Hamming pairs")
+      assert(got.nonEmpty, "planted near-dups produced no pairs")
+      // cap = 1: every shared bucket is hot, so NO pair survives —
+      // the degenerate extreme of the drop-hot-bucket contract
+      // (capped ⊆ exact, loss only from capped buckets)
+      val capped = Similarity.binaryNearDupPairs(spark, path,
+          maxHamming = R, bandOccupancyCap = 1L)
+        .collect()
+      assert(capped.isEmpty,
+        "cap 1 must drop every pair (all shared buckets are hot)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("binary serving dedups exactly when duplicates are possible: " +
       "a stage-marked root with literally duplicated files serves " +
       "each pair once, and the quiescent read keeps the plain scan") {
