@@ -1838,6 +1838,46 @@ object MlQueries {
       |ORDER BY i, j""".stripMargin
   }
 
+  /** Incremental multimodal near-dup (the r11 verdict's item 5):
+    * a new media batch (media_id % 3 == 0) flagged with its closest
+    * perceptual near-duplicate in the existing corpus (the rest) —
+    * the ns34 increment discipline riding the SAME banding machinery
+    * over aHashes ([[Dedup.simhashIncrementFromSigs]], 13 bands,
+    * occupancy cap 100 over the union — the cap cannot bind on this
+    * fixture, max bucket 81, so the naive best-pair restatement
+    * gates exactly; 7 cross-split pairs exist, non-vacuous). At
+    * 100 TB the batch pairs only new×old: banded buckets bound the
+    * join and the corpus side would read from stored hashes, never
+    * re-decoding media.
+    */
+  val ns66cPhashIncrement: Q = (s, dir) => {
+    val hashes = Multimodal.perceptualHash(
+        Multimodal.mediaTable(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+    Dedup.simhashIncrementFromSigs(
+      newSigs = hashes.filter(col("doc_id") % 3 === 0),
+      corpusSigs = hashes.filter(col("doc_id") % 3 =!= 0),
+      maxHamming = 12, bands = 13, bandOccupancyCap = 100)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns66cPhashIncrementSql: String =
+    s"""WITH $duckAHashSig, pairs AS (
+      |  SELECT n.doc_id, o.doc_id AS dup_of,
+      |    bit_count(xor(n.simhash, o.simhash)) AS hamming
+      |  FROM sig n JOIN sig o
+      |    ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+      |  WHERE bit_count(xor(n.simhash, o.simhash)) <= 12
+      |), best AS (
+      |  SELECT doc_id, dup_of, hamming,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hamming, dup_of) AS rk
+      |  FROM pairs
+      |)
+      |SELECT doc_id, dup_of, hamming FROM best WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   val ns14FrameSampleSql: String =
     """SELECT doc_id AS media_id, unnest(range(0, n_chars, 100)) AS frame_offset
       |FROM documents WHERE doc_id % 3 = 2
@@ -4254,6 +4294,7 @@ object MlQueries {
     "ns14_frame_sample" -> ns14FrameSample,
     "ns66_phash" -> ns66Phash,
     "ns66b_phash_pairs" -> ns66bPhashPairs,
+    "ns66c_phash_increment" -> ns66cPhashIncrement,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -4362,6 +4403,7 @@ object MlQueries {
     "ns14_frame_sample" -> ns14FrameSampleSql,
     "ns66_phash" -> ns66PhashSql,
     "ns66b_phash_pairs" -> ns66bPhashPairsSql,
+    "ns66c_phash_increment" -> ns66cPhashIncrementSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,
