@@ -248,6 +248,48 @@ def skew_graph(out_root, ks=(1, 3, 5), base=30000, n_parts=10000):
               f"{head / n:.0%} of orders, degree {deg}")
 
 
+def skew_events(out_root, ks=(1, 3, 5), base=100000):
+    """Hot-key CDC event stream for the SCD2/merge skew tier
+    (round-12: the reference's flagship path — versioned upsert /
+    current-flag / snapshot over events — had skew tiers for every
+    analytic family but had never been benched under a hot business
+    key). One entity (user_id 0) receives a CONSTANT ~45%% of events
+    (the realistic CRM skew: a system account, a monitoring bot, a
+    house account), so its version-history window partition grows
+    with N while the typical user's stays flat (~28 events: the user
+    space scales with N). Deterministic via hash();
+    prefix-consistent like skew(). Emits events.parquet only — the
+    q20/q21/q34 probes read nothing else. The run prints the
+    measured hot share, which is authoritative.
+    """
+    con = duckdb.connect()
+    for k in ks:
+        d = os.path.join(out_root, f"x{k}")
+        os.makedirs(d, exist_ok=True)
+        n = base * k
+        users = max(n // 50, 1)
+        con.execute(f"""
+            COPY (
+              SELECT e AS event_id,
+                TIMESTAMP '2024-01-01' + INTERVAL (e % 2591999) SECOND
+                  AS ts,
+                (CASE WHEN hash(e * 41 + 3) % 100 < 45 THEN 0
+                      ELSE 1 + hash(e * 59 + 11) % {users}
+                 END)::BIGINT AS user_id,
+                ['view', 'click', 'purchase', 'signup', 'error']
+                  [(1 + hash(e * 31 + 5) % 5)::BIGINT] AS event_type,
+                (hash(e * 43 + 9) % 100000)::DOUBLE / 100.0 AS value,
+                '{{"k": ' || CAST(hash(e * 53 + 13) % 100 AS VARCHAR)
+                  || '}}' AS props
+              FROM range(0, {n}) t(e)
+            ) TO '{d}/events.parquet' (FORMAT PARQUET)""")
+        hot = con.execute(f"""
+            SELECT count(*) FILTER (user_id = 0)::DOUBLE / count(*)
+            FROM '{d}/events.parquet'""").fetchone()[0]
+        print(f"x{k} events: {n} rows; hot user share {hot:.0%}, "
+              f"user space {users}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--skew-graph":
         skew_graph(sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewgraph",
@@ -257,6 +299,11 @@ if __name__ == "__main__":
         skew(sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewdata",
              tuple(int(x) for x in sys.argv[3].split(","))
              if len(sys.argv) > 3 else (1, 3, 5))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew-events":
+        skew_events(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewevents",
+            tuple(int(x) for x in sys.argv[3].split(","))
+            if len(sys.argv) > 3 else (1, 3, 5))
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew-emb":
         skew_embeddings(
             sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewemb",
