@@ -286,6 +286,49 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** DOULION-style edge-sampled approximate triangle count — the
+    * capped sibling exact [[triangleStats]] cannot have: exact
+    * counting is Θ(wedges) definitionally, and on a power-law graph
+    * wedge volume grows superlinearly (measured exp 1.42 on the
+    * degree-skew corpus), so at 100× the guaranteed-budget tool is
+    * sparsify-then-count. Every undirected edge is kept with
+    * probability p = keepNum/keepDen decided by a DETERMINISTIC
+    * 60-bit hash of (seed, p1, p2) — reruns, retries, and the SQL
+    * oracle draw the identical subgraph, so unlike rand()-sampled
+    * DOULION the whole estimator hash-gates — and the exact
+    * [[triangleStats]] machinery runs on the sparsified graph whose
+    * wedge volume shrinks ~p² (the orientation and shuffle_hash
+    * notes there apply unchanged). est_triangles = tri_sampled / p³
+    * is the standard unbiased estimator (each triangle survives with
+    * probability p³); GraphSpec pins unbiasedness empirically (mean
+    * over a seed sweep on a closed-form fixture). `rse_indep` =
+    * √((1−p³)/tri_sampled) is the in-result error evidence (the
+    * q19b/q69 discipline): the relative standard error under the
+    * independent-triangles approximation — a LOWER bound when
+    * triangles share edges (adjacent triangles covary), which the
+    * docstring states rather than hides.
+    */
+  def triangleStatsSampled(edges: DataFrame, keepNum: Int,
+      keepDen: Int, seed: Long = 0L): DataFrame = {
+    require(keepNum > 0 && keepNum <= keepDen,
+      "need 0 < keepNum <= keepDen")
+    val p3 = math.pow(keepNum.toDouble / keepDen, 3)
+    val kept = edges.filter(
+      pmod(graft.functions.Hash60(
+          concat_ws("_", lit(seed), col("p1"), col("p2"))
+            .cast("binary")),
+        lit(keepDen.toLong)) < keepNum)
+    val st = triangleStats(kept)
+    val ne = edges.agg(count(lit(1)).as("n_edges_full"))
+    st.crossJoin(ne).select(
+      col("n_edges_full"), col("n_edges").as("n_edges_kept"),
+      lit(keepNum).as("keep_num"), lit(keepDen).as("keep_den"),
+      col("n_triangles").as("tri_sampled"),
+      round(col("n_triangles") / lit(p3), 2).as("est_triangles"),
+      round(sqrt((lit(1.0) - lit(p3)) / col("n_triangles")), 6)
+        .as("rse_indep"))
+  }
+
   /** PageRank over an undirected `(p1, p2)` edge list: a fixed number
     * of power iterations with the standard damping, restricted to
     * nodes with ≥ 1 edge (no dangling mass, so each round conserves

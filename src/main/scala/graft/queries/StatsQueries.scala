@@ -283,6 +283,47 @@ object StatsQueries {
       |  round(3.0 * n_triangles / n_wedges, 6) AS global_cc
       |FROM st CROSS JOIN tri""".stripMargin
 
+  /** Edge-sampled approximate triangle count
+    * ([[Graph.triangleStatsSampled]], p = 1/2, seed 12345) — exact
+    * q93 is Θ(wedges) definitionally, and the degree-skew tier
+    * measured wedge volume growing at exp 1.42, so at 100× the
+    * budgeted tool is DOULION-style sparsify-then-count. The hash
+    * sampling is deterministic (60-bit md5 of seed_p1_p2), so unlike
+    * rand()-sampled estimators the WHOLE thing hash-gates: the
+    * oracle redraws the identical subgraph and restates the
+    * estimator and its in-result error column (`rse_indep`, the
+    * q19b/q69 evidence discipline). GraphSpec pins empirical
+    * unbiasedness over a seed sweep on closed-form fixtures.
+    */
+  val q93bTrianglesSampled: Q = (s, dir) => {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    Graph.triangleStatsSampled(Graph.coOccurrenceEdges(op, "ok", "pk"),
+      keepNum = 1, keepDen = 2, seed = 12345L)
+  }
+
+  val q93bTrianglesSampledSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.pk AS p1, b.pk AS p2
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |), kept AS (
+      |  SELECT p1, p2 FROM edges
+      |  WHERE ('0x' || substr(md5('12345_' || CAST(p1 AS VARCHAR)
+      |    || '_' || CAST(p2 AS VARCHAR)), 1, 15))::BIGINT % 2 < 1
+      |), tri AS (
+      |  SELECT count(*)::BIGINT AS tri_sampled FROM kept e1
+      |  JOIN kept e2 ON e1.p1 = e2.p1 AND e1.p2 < e2.p2
+      |  JOIN kept e3 ON e3.p1 = e1.p2 AND e3.p2 = e2.p2
+      |)
+      |SELECT (SELECT count(*) FROM edges)::BIGINT AS n_edges_full,
+      |  (SELECT count(*) FROM kept)::BIGINT AS n_edges_kept,
+      |  1 AS keep_num, 2 AS keep_den, tri_sampled,
+      |  round(tri_sampled / 0.125::DOUBLE, 2) AS est_triangles,
+      |  round(sqrt((1 - 0.125::DOUBLE) / tri_sampled), 6) AS rse_indep
+      |FROM tri""".stripMargin
+
   // --------------------------------------------------- q94 PageRank
 
   /** Three power iterations of damped PageRank on the part
@@ -1062,6 +1103,7 @@ object StatsQueries {
     "q91_conversion" -> q91Conversion,
     "q92_chi_square" -> q92ChiSquare,
     "q93_triangles" -> q93Triangles,
+    "q93b_triangles_sampled" -> q93bTrianglesSampled,
     "q94_pagerank" -> q94PageRank,
     "q95_survival" -> q95Survival,
     "q96_kmv_overlap" -> q96KmvOverlap,
@@ -1081,6 +1123,7 @@ object StatsQueries {
     "q91_conversion" -> q91ConversionSql,
     "q92_chi_square" -> q92ChiSquareSql,
     "q93_triangles" -> q93TrianglesSql,
+    "q93b_triangles_sampled" -> q93bTrianglesSampledSql,
     "q94_pagerank" -> q94PageRankSql,
     "q95_survival" -> q95SurvivalSql,
     "q96_kmv_overlap" -> q96KmvOverlapSql,

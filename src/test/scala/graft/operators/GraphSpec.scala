@@ -53,6 +53,42 @@ class GraphSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("triangleStatsSampled: the sampled count is exact on the kept " +
+      "subgraph, the estimator scales by 1/p^3, and the seed-sweep " +
+      "mean is unbiased on closed-form fixtures") {
+    // K12: C(12,3) = 220 triangles, C(12,2) = 66 edges
+    val k12 = (1L to 12L).combinations(2)
+      .map { case Seq(a, b) => (a, b) }.toSeq.toDF("p1", "p2")
+    val exact = 220.0
+    def est(seed: Long): (Long, Long, Double) = {
+      val r = Graph.triangleStatsSampled(k12, keepNum = 1,
+        keepDen = 2, seed = seed).head()
+      (r.getAs[Long]("n_edges_kept"), r.getAs[Long]("tri_sampled"),
+        r.getAs[Double]("est_triangles"))
+    }
+    // structural: estimate == sampled / p^3 exactly, and the sampled
+    // count equals a brute count over the hash-kept edge subset
+    val (kept0, tri0, est0) = est(7L)
+    assert(est0 === tri0 * 8.0)
+    val keptEdges = k12.filter(
+      pmod(graft.functions.Hash60(
+          concat_ws("_", lit(7L), col("p1"), col("p2"))
+            .cast("binary")), lit(2L)) < 1)
+      .as[(Long, Long)].collect().toSet
+    assert(keptEdges.size.toLong === kept0)
+    val brute = (1L to 12L).combinations(3).count { case Seq(a, b, c) =>
+      keptEdges((a, b)) && keptEdges((a, c)) && keptEdges((b, c)) }
+    assert(brute.toLong === tri0,
+      "sampled triangle count must be exact on the kept subgraph")
+    // empirical unbiasedness: E[est] = T for ANY graph; a 30-seed
+    // deterministic sweep's mean lands near 220 (tolerance covers
+    // the estimator's variance on an edge-sharing clique)
+    val seeds = (1L to 30L)
+    val mean = seeds.map(s => est(s)._3).sum / seeds.size
+    assert(math.abs(mean - exact) < 0.25 * exact,
+      s"seed-sweep mean $mean too far from $exact")
+  }
+
   test("pageRank on a regular graph is uniform 1.0") {
     // 6-cycle: every node degree 2 → PageRank is exactly uniform at
     // every iteration, so pr_norm = 1.0 for all nodes
