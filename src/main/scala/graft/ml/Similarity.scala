@@ -1018,6 +1018,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
 
+  /** The embedding near-dup ROUTER — the measured-volume discipline
+    * ([[graft.ml.Dedup.simhashPairsAuto]]) for the brute/LSH split:
+    * the exact all-pairs scan ([[nearDupPairs]]) is the right answer
+    * while its candidate volume N·(N−1)/2 stays within
+    * `budgetPairsPerVec`·N, and the sign-LSH banded cut
+    * ([[nearDupPairsLsh]], a SUBSET by construction — recall is the
+    * stated price, measured by MlSpec) is the only affordable shape
+    * past it. The measurement is ONE count over the
+    * degenerate-filtered vectors — the cheapest router in the family,
+    * because brute-force candidate volume is a pure function of N —
+    * and the condition (N > 2·budget + 1 ⇔ pairs > budget·N)
+    * restates as one scalar in the oracle, selecting between the two
+    * branch restatements (both independently hash-gated as ns6/ns6b),
+    * so the routing decision itself is driver-proven (ns6c). Unlike
+    * the capped routers this one changes RECALL when it routes — the
+    * docstring contract, not a silent loss: callers needing exactness
+    * past the budget must raise the budget knowingly.
+    */
+  def nearDupPairsAuto(embeddings: DataFrame, threshold: Double,
+      nBands: Int, bitsPerBand: Int, dim: Int,
+      budgetPairsPerVec: Long = 512L): DataFrame = {
+    require(budgetPairsPerVec > 0, "budgetPairsPerVec must be positive")
+    val cnt = withNorm(embeddings).count()
+    val hot = cnt > 2L * budgetPairsPerVec + 1L
+    if (hot) nearDupPairsLsh(embeddings, threshold, nBands,
+      bitsPerBand, dim)
+    else nearDupPairs(embeddings, threshold)
+  }
+
   /** Seed centroids for IVF: the vectors whose vec_id < nCells —
     * deterministic, and the Lloyd init for [[fitCentroids]].
     */

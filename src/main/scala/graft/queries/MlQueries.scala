@@ -681,6 +681,60 @@ object MlQueries {
       |  y.embedding::DOUBLE[]), 6) >= 0.4
       |ORDER BY i, j""".stripMargin
 
+  /** The embedding near-dup ROUTER as the gated default
+    * ([[Similarity.nearDupPairsAuto]], budget 512 pairs/vec): ONE
+    * count routes to the exact all-pairs scan while N·(N−1)/2 stays
+    * within budget·N (this fixture: 500 vectors → exact, output
+    * equals ns6's) or to the ns6b sign-LSH banded cut past it — the
+    * one router in the family whose capped branch changes RECALL
+    * (LSH candidates are a subset), which the operator contract
+    * states rather than hides. The oracle restates the routing
+    * scalar and BOTH branch restatements, so the decision is
+    * hash-proven (the ns5d discipline, completing the
+    * scale-safe-default story for every dedup family: lexical ns5d,
+    * lexical-retrieval ns46i, semantic-cell ns44c, embedding-pair
+    * ns6c).
+    */
+  val ns6cEmbedNearDupAuto: Q = (s, dir) =>
+    Similarity.nearDupPairsAuto(Tables.embeddings(s, dir),
+      threshold = 0.4, nBands = 8, bitsPerBand = 4, dim = 64,
+      budgetPairsPerVec = 512L)
+      .orderBy(col("i"), col("j"))
+
+  val ns6cEmbedNearDupAutoSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |cond AS (
+      |  SELECT count(*) > 2 * 512 + 1 AS hot FROM nz
+      |),
+      |${lshBandedSql(nBands = 8, bitsPerBand = 4, dim = 64)},
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id
+      |),
+      |exactp AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |      b.embedding::DOUBLE[]), 6) AS cos
+      |  FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |      b.embedding::DOUBLE[]), 6) >= 0.4
+      |    AND NOT (SELECT hot FROM cond)
+      |),
+      |lshp AS (
+      |  SELECT i, j,
+      |    round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |      y.embedding::DOUBLE[]), 6) AS cos
+      |  FROM cand JOIN nz x ON x.vec_id = i JOIN nz y ON y.vec_id = j
+      |  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |      y.embedding::DOUBLE[]), 6) >= 0.4
+      |    AND (SELECT hot FROM cond)
+      |)
+      |SELECT * FROM (
+      |  SELECT * FROM exactp UNION ALL SELECT * FROM lshp)
+      |ORDER BY i, j""".stripMargin
+
   val ns7SimTopk: Q = (s, dir) =>
     Similarity.bruteTopK(Tables.embeddings(s, dir), k = 5)
       .orderBy(col("i"), col("rk"))
@@ -4269,6 +4323,7 @@ object MlQueries {
     "ns5d_simhash_auto" -> ns5dSimhashAuto,
     "ns6_embed_neardup" -> ns6EmbedNearDup,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLsh,
+    "ns6c_embed_neardup_auto" -> ns6cEmbedNearDupAuto,
     "ns7_sim_topk" -> ns7SimTopk,
     "ns7b_sim_topk_agg" -> ns7bSimTopkAgg,
     "ns7c_sim_topk_sq8" -> ns7cSimTopkSq8,
@@ -4377,6 +4432,7 @@ object MlQueries {
     "ns5d_simhash_auto" -> ns5dSimhashAutoSql,
     "ns6_embed_neardup" -> ns6EmbedNearDupSql,
     "ns6b_embed_neardup_lsh" -> ns6bEmbedNearDupLshSql,
+    "ns6c_embed_neardup_auto" -> ns6cEmbedNearDupAutoSql,
     "ns15_lsh_ann" -> ns15LshAnnSql,
     "ns7_sim_topk" -> ns7SimTopkSql,
     "ns7b_sim_topk_agg" -> ns7SimTopkSql,

@@ -554,6 +554,29 @@ class MlSpec extends SparkSpec {
       "fixture has no duplicates in hot cells; cap untested")
   }
 
+  test("nearDupPairsAuto routes by corpus size: under budget it " +
+      "equals the exact all-pairs scan, past it the LSH banded cut, " +
+      "and the routed LSH output is the documented subset") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // budget 512: the 500-vector fixture stays exact
+    val auto = pairs(Similarity.nearDupPairsAuto(embs, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = 64,
+      budgetPairsPerVec = 512L))
+    assert(auto === pairs(Similarity.nearDupPairs(embs, 0.4)),
+      "under-budget corpus must route to the exact scan")
+    // budget 10: 500 > 21 routes to LSH — equal to the dedicated
+    // operator, and a subset of exact (the stated recall trade)
+    val autoLsh = pairs(Similarity.nearDupPairsAuto(embs, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = 64,
+      budgetPairsPerVec = 10L))
+    assert(autoLsh === pairs(Similarity.nearDupPairsLsh(embs, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = 64)),
+      "over-budget corpus must route to the LSH cut")
+    assert(autoLsh.subsetOf(auto),
+      "LSH route must be a subset of the exact pairs")
+  }
+
   test("semDedupAuto routes by measured intra-cell candidate volume: " +
       "the spread 16-cell assignment routes exact, a 2-cell collapse " +
       "routes capped, and each branch equals its dedicated operator") {
