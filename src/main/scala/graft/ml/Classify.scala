@@ -117,18 +117,25 @@ object Classify {
       val mu = mo.getDouble(1 + 2 * i)
       val sdTrue = mo.getDouble(2 + 2 * i)
       // the model row rounds sd to 6 dp (the gated-output contract),
-      // so a GENUINELY tiny variance (0 < sd < 5e-7) would fit with
-      // live standardized values yet serve as "sd = 0.0 → term
-      // skipped" — silent train/serve divergence (the r11 advice
-      // finding). Refuse loudly: such a feature needs pre-scaling so
-      // its sd survives the round. An exactly-constant feature
-      // (sd = 0) is fine — its standardized value is identically 0,
-      // the weight never moves, and serving's skip matches the fit.
-      require(sdTrue == 0.0 || sdTrue >= 5e-7,
-        s"feature '$f' has sd $sdTrue, which is nonzero but rounds " +
-          "to 0.0 in the 6 dp model row — the served model would " +
-          "silently drop a live term; pre-scale the feature so its " +
-          "sd is at least 1e-6")
+      // so a tiny variance serves with a DIFFERENT standardization
+      // scale than it fit with — rounds-to-zero drops the term
+      // entirely (the r11 advice finding), and a barely-surviving sd
+      // like 5.5e-7 rounds to 1e-6, silently halving the term's
+      // contribution (the r12 review's follow-up). Refuse the whole
+      // class: any sd whose 6 dp round diverges > 0.5% relative
+      // needs pre-scaling so it carries ≥ 3 significant digits. An
+      // exactly-constant feature (sd = 0) is fine — its standardized
+      // value is identically 0, the weight never moves, and
+      // serving's skip matches the fit.
+      val sdRounded = BigDecimal(sdTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      require(sdTrue == 0.0 ||
+        math.abs(sdRounded - sdTrue) <= 0.005 * sdTrue,
+        s"feature '$f' has sd $sdTrue, which the 6 dp model row " +
+          s"rounds to $sdRounded (> 0.5% relative error) — the " +
+          "served model would silently standardize on a different " +
+          "scale than the fit; pre-scale the feature so its sd " +
+          "carries at least three significant digits at 6 dp")
       val sd = math.max(sdTrue, 1e-12)
       (col(f).cast("double") - lit(mu)) / lit(sd)
     }

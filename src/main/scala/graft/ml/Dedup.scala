@@ -579,8 +579,8 @@ object Dedup {
       .groupBy(col("band"), col("band_bits"))
       .agg(count(lit(1)).as("c"))
       .agg(
-        coalesce(sum((col("c") * (col("c") - 1))
-          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        coalesce(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)),
+          lit(0).cast("decimal(38,0)"))
           .as("cand2"),
         coalesce(sum(col("c")), lit(0L)).as("rows"))
       .head()

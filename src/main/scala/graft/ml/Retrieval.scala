@@ -107,7 +107,7 @@ object Retrieval {
     val vol = BigDecimal(posting
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .join(broadcast(nq), Seq("term"))
-      .agg(coalesce(sum((col("df") * col("nq")).cast("decimal(38,0)")),
+      .agg(coalesce(sum(col("df").cast("decimal(38,0)") * col("nq")),
         lit(0).cast("decimal(38,0)")).as("vol"))
       .head().getDecimal(0))
     val nQueries = qterms.select(col("query_id")).distinct().count()
@@ -669,10 +669,8 @@ object Retrieval {
       postingPaths: Seq[String], docPaths: Seq[String],
       queries: DataFrame, k: Int, k1: Double, b: Double,
       maxDf: Long = 0L): DataFrame = {
-    val (tf, dl) = maskedIndexTables(spark, nBuckets, postingPaths,
+    val (tf, dl, stats) = servingTables(spark, nBuckets, postingPaths,
       docPaths, queries)
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
     scoreFromStats(tf, dl, stats, queries, k, k1, b, maxDf)
   }
 
@@ -691,12 +689,24 @@ object Retrieval {
       budgetDfPerQuery: Long = 4096L): DataFrame = {
     val nBuckets = spark.read.parquet(s"$path/$StatsDir")
       .head().getAs[Int]("n_buckets")
-    val (tf, dl) = maskedIndexTables(spark, nBuckets, Seq(path),
+    val (tf, dl, stats) = servingTables(spark, nBuckets, Seq(path),
       Seq(docsDirFor(spark, path)), queries)
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
     scoreRouted(tf, dl, stats, queries, k, k1, b, maxDf,
       budgetDfPerQuery)
+  }
+
+  /** The (tf, dl, stats) triple every serving read scores from —
+    * one derivation shared by the exact and routed paths so a future
+    * change to the read-side invariants cannot fork them.
+    */
+  private def servingTables(
+      spark: org.apache.spark.sql.SparkSession, nBuckets: Int,
+      postingPaths: Seq[String], docPaths: Seq[String],
+      queries: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (tf, dl) = maskedIndexTables(spark, nBuckets, postingPaths,
+      docPaths, queries)
+    (tf, dl, dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl")))
   }
 
   /** The bucket-pruned, tombstone-masked (postings, doc-lengths)

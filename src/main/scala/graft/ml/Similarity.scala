@@ -819,15 +819,19 @@ object Similarity {
     // steady-state serve cost tripled when it ran unconditionally
     // (the r11→r12 ns7g swing: 1.04 s → 2.85 s warm at sf0.1). So
     // dedup only when duplicates are POSSIBLE: more than one root
-    // (base ∪ streamed partitions overlap mid-fold by design), or a
-    // binary stage directory present at the base. The stage probe
-    // runs BEFORE the parquet listing below, which closes the race:
-    // an apply overlapping our (milliseconds) listing implies its
-    // stage was committed before the listing — and committing a
-    // stage requires the seconds-long staging WRITE job, so the
-    // stage DIRECTORY already existed when we probed. Absent dir ⇒
-    // no apply can overlap ⇒ the plain union is duplicate-free and
-    // the serve keeps the scan→codegen plan of an unhardened read.
+    // (base ∪ streamed partitions overlap mid-fold by design), a
+    // binary stage directory present at the base, or a
+    // MIXED-GENERATION file listing. The generation check is the
+    // race-free one (the r12 review noted a driver stall between a
+    // stage probe and the listing could reopen the window): it reads
+    // the plan's OWN file snapshot (df.inputFiles — the same
+    // InMemoryFileIndex the serve will scan), and every quiescent
+    // state is prefix-homogeneous — a build writes part-* files, an
+    // applied compaction/fold leaves only graftc-<uuid>-* of ONE
+    // uuid — while a mid-apply window (the only duplicate-bearing
+    // root state) necessarily mixes generations in the listing. The
+    // stage probe stays as the cheap first check (it also covers a
+    // crashed mid-apply, whose listing is mixed anyway).
     val stagePresent = {
       val base = new org.apache.hadoop.fs.Path(basePath)
       base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -837,6 +841,13 @@ object Similarity {
     val rawUnion = paths.map(p => spark.read.parquet(p)
         .select(col("vec_id"), col("bits")))
       .reduce(_.unionByName(_))
+    def mixedGenerations: Boolean = {
+      val gens = rawUnion.inputFiles.map { f =>
+        val n = f.substring(f.lastIndexOf('/') + 1)
+        if (n.startsWith("graftc-")) n.split("-")(1) else "base"
+      }.distinct
+      gens.length > 1
+    }
     // the dedup runs over the bit WORDS unpacked to long columns: an
     // array-valued aggregate buffer would force a SortAggregate pair
     // per consumer, while all-long columns keep it a plain hash
@@ -845,7 +856,8 @@ object Similarity {
     val words = (0 until nw).map(w => s"_w$w")
     val wordAggs = words.map(w => max(col(w)).as(w))
     val raw =
-      if (paths.size == 1 && !stagePresent) rawUnion
+      if (paths.size == 1 && !stagePresent && !mixedGenerations)
+        rawUnion
       else rawUnion
         .select(col("vec_id") +:
           words.zipWithIndex.map { case (w, i) =>
@@ -919,6 +931,18 @@ object Similarity {
       path: String, maxHamming: Int, bandOccupancyCap: Long = 0L)
       : DataFrame = {
     require(maxHamming >= 0, "maxHamming must be non-negative")
+    // the serving path reads base ∪ committed streamed partitions;
+    // mining only the base would silently miss every pair involving a
+    // streamed vector — refuse like compactBinaryIndex/
+    // writeBinaryIndex do (the r12 review finding): fold first
+    require(!streamSiblingHoldsData(
+        new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)),
+      s"binaryNearDupPairs: streamed-appends sibling " +
+        s"$path$StreamSiblingSuffix holds un-folded data — mining " +
+        "the base alone would miss pairs involving streamed " +
+        "vectors; run foldStreamIntoBinaryIndex first")
     val dim = spark.read.parquet(s"$path/$BinStatsDir")
       .head().getAs[Int]("dim")
     val nb = maxHamming + 1
@@ -934,15 +958,24 @@ object Similarity {
     // band b covers bit positions [dim·b/nb, dim·(b+1)/nb) — the
     // same uneven-boundary arithmetic as the simhash bands, unrolled
     // at plan time over the packed words (word crossings handled per
-    // bit; the whole chain is shift/and/or — whole-stage codegen)
+    // bit; the whole chain is shift/and/or — whole-stage codegen).
+    // A band WIDER than 64 bits cannot pack into one long — Java
+    // long shifts wrap their amount mod 64, which would alias bit
+    // j−lo with bit j−lo−64 and collide distinct band contents into
+    // one join key (the r12 review finding: exactly the
+    // high-dim/small-radius regime this tier targets). Chunk the
+    // band into ⌈width/64⌉ longs instead; array equality keys the
+    // join identically and narrow bands stay a 1-element array.
     def bandVal(b: Int): Column = {
       val lo = dim * b / nb
       val hi = dim * (b + 1) / nb
-      (lo until hi).map { j =>
-        shiftleft(
-          shiftright(element_at(col("bits"), j / 64 + 1), j % 64)
-            .bitwiseAND(lit(1L)), j - lo)
-      }.reduce(_ bitwiseOR _)
+      array((lo until hi).grouped(64).map { chunk =>
+        chunk.map { j =>
+          shiftleft(
+            shiftright(element_at(col("bits"), j / 64 + 1), j % 64)
+              .bitwiseAND(lit(1L)), j - chunk.head)
+        }.reduce(_ bitwiseOR _)
+      }.toSeq: _*)
     }
     val banded = z.select(col("vec_id"), col("bits"),
       explode(array((0 until nb).map(b =>
@@ -2215,8 +2248,8 @@ object Similarity {
     val st = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("c"))
       .agg(
-        coalesce(sum((col("c") * (col("c") - 1))
-          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        coalesce(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)),
+          lit(0).cast("decimal(38,0)"))
           .as("cand2"),
         coalesce(sum(col("c")), lit(0L)).as("n"))
       .head()

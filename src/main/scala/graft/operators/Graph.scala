@@ -276,7 +276,7 @@ object Graph {
     // narrowed back
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum((col("deg") * (col("deg") - 1)).cast("decimal(38,0)")) / 2)
+      (sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)) / 2)
         .cast("long").as("n_wedges"))
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     stats.crossJoin(ne).crossJoin(tri)

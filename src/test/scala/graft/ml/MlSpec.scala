@@ -1342,7 +1342,11 @@ class MlSpec extends SparkSpec {
     val rows: Seq[(Long, Seq[Double])] = (0 until 40).flatMap { i =>
       val v = Array.fill(dim)(rnd.nextGaussian())
       val base = Seq((i.toLong, v.toSeq))
-      if (i % 4 == 0) {
+      if (i % 8 == 0) {
+        // exact sign duplicate (scaled copy) — the radius-0 check
+        // below needs identical sign patterns to be non-vacuous
+        base :+ ((200L + i, v.toSeq.map(_ * 2.0)))
+      } else if (i % 4 == 0) {
         val w = v.clone()
         (0 until 3).foreach { _ =>
           val p = rnd.nextInt(dim); w(p) = -w(p) }
@@ -1379,6 +1383,23 @@ class MlSpec extends SparkSpec {
         .collect()
       assert(capped.isEmpty,
         "cap 1 must drop every pair (all shared buckets are hot)")
+      // maxHamming = 0 → ONE band of 128 bits: the band key must
+      // span two longs (a single long would alias bit j with
+      // j−64 — the r12 review finding), so only byte-identical sign
+      // patterns pair. The planted near-dups differ by ≤ 3 flips →
+      // exactly the sign-identical subset survives.
+      val r0 = Similarity.binaryNearDupPairs(spark, path,
+          maxHamming = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expectedR0 = sigs.keys.toSeq.sorted.combinations(2).flatMap {
+        case Seq(a, b) =>
+          if (sigs(a) == sigs(b)) Some((a, b)) else None
+      }.toSet
+      assert(expectedR0.nonEmpty,
+        "fixture has no identical sign pairs; radius-0 case vacuous")
+      assert(r0 === expectedR0,
+        "radius-0 multi-word band keys must pair exactly the " +
+          "identical sign patterns")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
