@@ -562,6 +562,22 @@ object RelationalQueries {
       |    ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END AS current
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** The hot-key route for the current flag
+    * ([[graft.scd.Versioning.withCurrentFlagAgg]]): a per-key window
+    * serializes one key's whole history on a single core, so a
+    * business key holding a constant fraction of events (the
+    * `--skew-events` 45%-hot regime) caps the wall clock at that
+    * key's size; the aggregate+join form combines the hot key
+    * map-side and parallelizes fully. Gated on q20's exact oracle —
+    * identical output is the contract (version pairs are unique per
+    * key by the merge path's event_id dedup).
+    */
+  val q20bScd2CurrentAgg: Q = (s, dir) =>
+    graft.scd.Versioning.withCurrentFlagAgg(
+      Tables.events(s, dir), "user_id", "ts", "event_id")
+      .select(col("event_id"), col("user_id"), col("current"))
+      .orderBy(col("event_id"))
+
   /** Aggregate-over-frame: per-user running sum ordered by event time. */
   val q21RunningSum: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
@@ -2961,6 +2977,7 @@ object RelationalQueries {
     "q19_stats_agg" -> q19StatsAgg,
     "q19b_approx_distinct" -> q19bApproxDistinct,
     "q20_scd2_current" -> q20Scd2Current,
+    "q20b_scd2_current_agg" -> q20bScd2CurrentAgg,
     "q21_running_sum" -> q21RunningSum,
     "q22_lag_lead" -> q22LagLead,
     "q23_rank" -> q23Rank,
@@ -3059,6 +3076,7 @@ object RelationalQueries {
     "q18_string_agg" -> q18StringAggSql,
     "q19_stats_agg" -> q19StatsAggSql,
     "q20_scd2_current" -> q20Scd2CurrentSql,
+    "q20b_scd2_current_agg" -> q20Scd2CurrentSql,
     "q21_running_sum" -> q21RunningSumSql,
     "q22_lag_lead" -> q22LagLeadSql,
     "q23_rank" -> q23RankSql,

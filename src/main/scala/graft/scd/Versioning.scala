@@ -29,6 +29,28 @@ object Versioning {
       (row_number().over(w) === 1).cast("int"))
   }
 
+  /** [[withCurrentFlag]] via a map-side-combinable aggregate + join
+    * instead of a per-key window — the hot-key route: a window cannot
+    * parallelize ONE key's partition, so a business key holding a
+    * constant fraction of the history (the measured 45%-hot CRM
+    * regime) serializes on a single core; this form computes each
+    * key's max (ts, tiebreak) with partial aggregation (the hot key
+    * combines map-side across every partition) and marks rows by an
+    * equi-join against the ≤|keys|-row result, which AQE broadcasts
+    * while it fits. Identical output to the window form — version
+    * pairs are unique on (ts, tiebreak) per key by the merge
+    * contract's event_id dedup — so q20b gates on q20's exact oracle.
+    */
+  def withCurrentFlagAgg(df: DataFrame, key: String, ts: String,
+      tiebreak: String): DataFrame = {
+    val latest = df.groupBy(col(key)).agg(
+      max(struct(col(ts), col(tiebreak))).as("_mx"))
+    df.join(latest, Seq(key))
+      .withColumn("current",
+        (struct(col(ts), col(tiebreak)) === col("_mx")).cast("int"))
+      .drop("_mx")
+  }
+
   /** W2: latest-version-per-key snapshot (the reference's
     * `find_one(sort=[('timestamp',-1)])`, PodioApiGateway.py:165).
     */

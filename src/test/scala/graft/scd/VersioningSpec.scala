@@ -23,6 +23,27 @@ class VersioningSpec extends SparkSpec {
     assert(out === Map(10L -> 0, 11L -> 1, 12L -> 1))
   }
 
+  test("W1 hot-key route: withCurrentFlagAgg equals the window form " +
+      "on a skewed synthetic (one key holding half the history), " +
+      "ties included") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 400).map { i =>
+      val key = if (i % 2 == 0) 0L else 1L + rnd.nextInt(50)
+      // coarse timestamps force (ts, event_id) tiebreaks to matter
+      (key, ts(f"2024-01-${1 + rnd.nextInt(9)}%02d 00:00:00"),
+        i.toLong)
+    }
+    val df = rows.toDF("item_id", "ts", "event_id")
+    def flags(out: org.apache.spark.sql.DataFrame) =
+      out.select(col("event_id"), col("current"))
+        .as[(Long, Int)].collect().toMap
+    assert(
+      flags(Versioning.withCurrentFlagAgg(df, "item_id", "ts",
+        "event_id")) ===
+      flags(Versioning.withCurrentFlag(df, "item_id", "ts",
+        "event_id")))
+  }
+
   test("W1: equal timestamps break ties on the tiebreak column (retry " +
       "re-enqueue semantics, PodioApiGateway.py:153-156: last event wins)") {
     val df = Seq(
