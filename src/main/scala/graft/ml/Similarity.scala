@@ -1187,6 +1187,67 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nCells: Int, k: Int): DataFrame =
     ivfTopKWithCentroids(embeddings, seedCentroids(embeddings, nCells), k)
 
+  /** The IVF self-search ROUTER — the measured-volume discipline
+    * ([[graft.ml.Dedup.simhashPairsAuto]]) on the SERVE side of the
+    * cell prune: intra-cell candidate volume is Σ occ·(occ−1), which
+    * is "≪ N²" only while the assignment spreads — on the clustered
+    * corpus one cell holds a constant fraction of N and the serve
+    * measured exp 1.31 (the ns44 floor, on the search side). ONE
+    * bounded aggregate over the ≤ nCells assignment counts measures
+    * it; under `budgetCandidatesPerQuery`·N the exact intra-cell scan
+    * runs, past it the CANDIDATE side of each cell is capped to its
+    * `cellCandidateCap` smallest-vec_id members — candidates ≤
+    * cap·N, structurally linear under any clustering, and
+    * deterministic, so the whole router hash-gates (ns8i: the oracle
+    * restates the volume test and both branches). Every query is
+    * still answered; the stated recall contract is that within a
+    * hot cell only the cap-prefix members are FINDABLE as neighbors
+    * — an arbitrary (id-order) subset, which is honest budget
+    * degradation, not a quality path: a cell hot enough to trip this
+    * router is a cell that needed semantic dedup first
+    * ([[semDedupAuto]] — same measurement, upstream cure), and the
+    * quality knobs (finer fitted centroids via [[fitCentroids]],
+    * multi-probe) remain the recall tools.
+    */
+  def ivfTopKAuto(embeddings: DataFrame, nCells: Int, k: Int,
+      cellCandidateCap: Long, budgetCandidatesPerQuery: Long = 256L)
+      : DataFrame = {
+    require(cellCandidateCap > 0L,
+      "the routed form needs a positive cellCandidateCap to engage")
+    require(budgetCandidatesPerQuery > 0L,
+      "budgetCandidatesPerQuery must be positive")
+    val assigned = assignCells(embeddings,
+      seedCentroids(embeddings, nCells)).localCheckpoint()
+    val st = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)),
+          lit(0).cast("decimal(38,0)")).as("cand"),
+        coalesce(sum(col("c")), lit(0L)).as("n"))
+      .head()
+    val hot = BigDecimal(st.getDecimal(0)) >
+      BigDecimal(budgetCandidatesPerQuery) * st.getLong(1)
+    val a = assigned.select(col("vec_id").as("i"), col("e").as("ea"),
+      col("nrm").as("na"), col("cell"))
+    val bAll = assigned.select(col("vec_id").as("j"),
+      col("e").as("eb"), col("nrm").as("nb"), col("cell"))
+    val b =
+      if (!hot) bAll
+      else bAll
+        .withColumn("_cr", row_number().over(
+          Window.partitionBy(col("cell")).orderBy(col("j"))))
+        .filter(col("_cr") <= cellCandidateCap)
+        .drop("_cr")
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("cos").desc, col("j"))
+    a.join(b, Seq("cell")).filter(col("i") =!= col("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("cell"), col("j"), col("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("i"), col("cell"), col("rk"), col("j"), col("cos"))
+  }
+
   /** Multi-probe IVF: the INDEX side keeps each vector in its single
     * nearest cell, but each QUERY vector probes its `probes` nearest
     * cells — the standard fix for recall lost at cell boundaries,

@@ -1197,6 +1197,88 @@ object MlQueries {
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 3""".stripMargin
 
+  /** The IVF self-search ROUTER as the gated default
+    * ([[Similarity.ivfTopKAuto]], budget 256 candidates/query, cap
+    * 50): the clustered-embedding corpus measured the EXACT
+    * intra-cell serve at exp 1.31 (Σ occ·(occ−1) goes quadratic once
+    * one cell dominates — the ns44 floor on the search side), so the
+    * same one-aggregate measurement that routes SemDeDup routes the
+    * serve: exact under budget (this fixture: ~15.5k candidates vs a
+    * 256·500 budget → exact, output equals ns8's), candidate-side
+    * cap past it (≤ cap·N candidates, structurally linear, with the
+    * stated id-order-prefix recall contract within hot cells — the
+    * honest budget backstop; the upstream cure for such a corpus is
+    * ns44c's dedup, and the quality knobs stay fitted centroids +
+    * multi-probe). The oracle restates the volume test and both
+    * branches, so the routing decision is hash-proven.
+    */
+  val ns8iSimIvfAuto: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.withRecall(
+      Similarity.ivfTopKAuto(emb, nCells = 16, k = 5,
+        cellCandidateCap = 50L, budgetCandidatesPerQuery = 256L),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns8iSimIvfAutoSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |$duckSeedCents16,
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk = 1
+      |), cellc AS (
+      |  SELECT cell, count(*) AS c FROM assign GROUP BY 1
+      |), cond AS (
+      |  SELECT coalesce(sum(c * (c - 1)), 0) >
+      |    256 * coalesce(sum(c), 0) AS hot
+      |  FROM cellc
+      |), bcap AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      row_number() OVER (PARTITION BY cell
+      |        ORDER BY vec_id) AS cr
+      |    FROM assign) WHERE cr <= 50
+      |), approx_exact AS (
+      |  SELECT i, cell, rk, j, cos FROM (
+      |    SELECT xa.vec_id AS i, xa.cell, xb.vec_id AS j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY xa.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, xb.vec_id) AS rk
+      |    FROM assign xa JOIN assign xb
+      |      ON xa.cell = xb.cell AND xa.vec_id <> xb.vec_id
+      |    JOIN nz a ON a.vec_id = xa.vec_id
+      |    JOIN nz b ON b.vec_id = xb.vec_id)
+      |  WHERE rk <= 5 AND NOT (SELECT hot FROM cond)
+      |), approx_capped AS (
+      |  SELECT i, cell, rk, j, cos FROM (
+      |    SELECT xa.vec_id AS i, xa.cell, xb.vec_id AS j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY xa.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, xb.vec_id) AS rk
+      |    FROM assign xa JOIN bcap xb
+      |      ON xa.cell = xb.cell AND xa.vec_id <> xb.vec_id
+      |    JOIN nz a ON a.vec_id = xa.vec_id
+      |    JOIN nz b ON b.vec_id = xb.vec_id)
+      |  WHERE rk <= 5 AND (SELECT hot FROM cond)
+      |), approx AS (
+      |  SELECT * FROM approx_exact UNION ALL SELECT * FROM approx_capped
+      |),
+      |$duckSampledRecall
+      |SELECT coalesce(ap.i, r.i) AS i, ap.cell, ap.rk, ap.j, ap.cos,
+      |  r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 3""".stripMargin
+
   /** IVF over spherical-k-means-fitted centroids (3 Lloyd rounds from
     * the deterministic seed) — the quality path; improvement-vs-seed
     * asserted in MlSpec (full-corpus Lloyd monotonicity, plus a
@@ -4341,6 +4423,7 @@ object MlQueries {
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeleted,
     "ns8g_sim_ivf_compacted" -> ns8gSimIvfCompacted,
     "ns8h_sim_ivf_folded" -> ns8hSimIvfFolded,
+    "ns8i_sim_ivf_auto" -> ns8iSimIvfAuto,
     "ns9_lang_id" -> ns9LangId,
     "ns10_quality" -> ns10Quality,
     "ns11_tokens" -> ns11Tokens,
@@ -4451,6 +4534,7 @@ object MlQueries {
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeletedSql,
     "ns8g_sim_ivf_compacted" -> ns8fSimIvfDeletedSql,
     "ns8h_sim_ivf_folded" -> ns8hSimIvfFoldedSql,
+    "ns8i_sim_ivf_auto" -> ns8iSimIvfAutoSql,
     "ns9_lang_id" -> ns9LangIdSql,
     "ns10_quality" -> ns10QualitySql,
     "ns11_tokens" -> ns11TokensSql,

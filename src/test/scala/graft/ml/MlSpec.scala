@@ -554,6 +554,60 @@ class MlSpec extends SparkSpec {
       "fixture has no duplicates in hot cells; cap untested")
   }
 
+  test("ivfTopKAuto routes by measured intra-cell candidate volume: " +
+      "the spread assignment serves exactly, a collapsed one engages " +
+      "the candidate cap — every query still answered, neighbors " +
+      "drawn only from the cap prefix, matching the naive recompute") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("i"), col("rk"), col("j"))
+        .as[(Long, Int, Long)].collect().toSet
+    // spread: 16 cells, ~15.5k candidates vs a 256·500 budget → exact
+    val auto = rows(Similarity.ivfTopKAuto(embs, nCells = 16, k = 5,
+      cellCandidateCap = 50L, budgetCandidatesPerQuery = 256L))
+    assert(auto === rows(Similarity.ivfTopK(embs, nCells = 16, k = 5)),
+      "spread assignment must route to the exact intra-cell serve")
+    // collapsed: 2 cells (~124k candidates) with budget 64 → capped.
+    // Naive recompute: per cell, the 50 smallest-id members are the
+    // candidate prefix; each query ranks prefix members of its cell
+    // by (6dp cosine desc, id) and keeps 5.
+    val cents2 = Similarity.seedCentroids(embs, 2)
+    val assignments = Similarity.assignCells(embs, cents2)
+      .select(col("vec_id"), col("cell"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .filter { case (_, v) =>
+        val n = v.map(x => x * x).sum
+        n > 0 && java.lang.Double.isFinite(n) }
+    val prefix = assignments.toSeq.groupBy(_._2).flatMap {
+      case (_, ms) => ms.map(_._1).sorted.take(50) }.toSet
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = vecs.keys.flatMap { q =>
+      val cell = assignments(q)
+      assignments.toSeq
+        .collect { case (j, c) if c == cell && j != q &&
+          prefix(j) && vecs.contains(j) => (j, cos6(vecs(q), vecs(j))) }
+        .sortBy { case (j, c) => (-c, j) }.take(5).zipWithIndex
+        .map { case ((j, _), r) => (q, r + 1, j) }
+    }.toSet
+    val autoHot = rows(Similarity.ivfTopKAuto(embs, nCells = 2, k = 5,
+      cellCandidateCap = 50L, budgetCandidatesPerQuery = 64L))
+    assert(autoHot === expected,
+      "collapsed assignment must serve the capped candidate prefix")
+    assert(autoHot.map(_._1) === vecs.keySet,
+      "every query must still be answered under the cap")
+    assert(autoHot !== rows(Similarity.ivfTopK(embs, nCells = 2,
+      k = 5)), "hot fixture did not exercise the cap's loss")
+  }
+
   test("nearDupPairsAuto routes by corpus size: under budget it " +
       "equals the exact all-pairs scan, past it the LSH banded cut, " +
       "and the routed LSH output is the documented subset") {
