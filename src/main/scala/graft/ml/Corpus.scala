@@ -316,6 +316,83 @@ object Corpus {
         groupCols.flatMap(c => Seq(s"_t_$c", s"_o_$c")): _*)
   }
 
+  /** Per-group smallest-`idCol` prefix (first `cap` rows per group in
+    * id order) computed WITHOUT a per-group window —
+    * [[cappedHashRank]]'s monotone-bucket decomposition specialized to
+    * ID order. A direct `row_number().over(partitionBy(group)
+    * .orderBy(id))` serializes each group through one task, so a group
+    * holding a constant fraction of the input (exactly the regime the
+    * callers cap against) is a single-core sort of a corpus-constant
+    * fraction of N. Here the id is bucketed MONOTONICALLY (≤ 4096
+    * buckets over the observed id range), a tiny per-(group, bucket)
+    * histogram yields each bucket's cumulative offset, and the window
+    * ranks only within (group, bucket) — 4096-way parallel per group —
+    * with the global prefix recovered as offset + within-bucket rank.
+    * Buckets whose offset already reaches `cap` are dropped BEFORE the
+    * rank shuffle, so a hot group moves only the buckets overlapping
+    * its first `cap` ids. The kept SET is bit-identical to the naive
+    * window form, which is what the ns8i oracle states.
+    *
+    * Bucketing is ANSI-safe by construction: when the observed id
+    * range fits 62 bits (every realistic corpus) the shift operates on
+    * `id - min` (provably non-negative, no overflow); a range past
+    * 2^62 falls back to the order-preserving unsigned image
+    * (`id XOR Long.MinValue`, pure bit ops) whose top 12 bits still
+    * spread a range that wide. Balance assumes ids roughly uniform
+    * over their observed range (sequential ids are perfectly
+    * balanced); an outlier-stretched range degrades toward the window
+    * form's parallelism, never its correctness. `idCol` must be an
+    * integral column; null group values form their own stratum (the
+    * offset join is null-safe), matching the window form.
+    */
+  def cappedIdPrefix(rows: DataFrame, idCol: String,
+      groupCols: Seq[String], cap: Long): DataFrame = {
+    require(cap > 0L, "cap must be positive")
+    val reserved = Seq("_bkt", "_n_bkt", "_off", "_rk", "_o_bkt") ++
+      groupCols.map(c => s"_o_$c")
+    val taken = rows.columns.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"inputs may not use the reserved working names $taken")
+    val id = col(idCol).cast("long")
+    // ONE bounded aggregate (a single row) sizes the bucket shift
+    val mm = rows.agg(min(id).as("mn"), max(id).as("mx")).head()
+    if (mm.isNullAt(0)) return rows.filter(lit(false))
+    val mn = mm.getLong(0)
+    val range = BigInt(mm.getLong(1)) - BigInt(mn)
+    val bkt =
+      if (range.bitLength <= 62)
+        shiftrightunsigned(id - lit(mn),
+          math.max(0, range.bitLength - 12))
+      else shiftrightunsigned(id.bitwiseXOR(lit(Long.MinValue)), 52)
+    val bucketed = rows.withColumn("_bkt", bkt)
+    val gb = (groupCols :+ "_bkt").map(col)
+    val offsets = bucketed.groupBy(gb: _*)
+      .agg(count(lit(1)).as("_n_bkt"))
+      .withColumn("_off",
+        coalesce(
+          sum(col("_n_bkt")).over(
+            Window.partitionBy(groupCols.map(col): _*)
+              .orderBy(col("_bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select((groupCols :+ "_bkt" :+ "_off").map(col): _*)
+    val offR = groupCols.foldLeft(offsets)(
+      (d, c) => d.withColumnRenamed(c, s"_o_$c"))
+      .withColumnRenamed("_bkt", "_o_bkt")
+    val rk = Window.partitionBy(gb: _*).orderBy(id)
+    bucketed
+      .join(broadcast(offR),
+        (groupCols.map(c => col(c) <=> col(s"_o_$c")) :+
+          (col("_bkt") === col("_o_bkt"))).reduce(_ && _))
+      // a bucket whose offset already reaches the cap contributes
+      // nothing — dropped map-side, before the rank shuffle
+      .filter(col("_off") < cap)
+      .withColumn("_rk", row_number().over(rk) + col("_off"))
+      .filter(col("_rk") <= cap)
+      .drop(Seq("_bkt", "_off", "_rk", "_o_bkt") ++
+        groupCols.map(c => s"_o_$c"): _*)
+  }
+
   /** Per-document average log-probability under the corpus's own
     * unigram distribution — the classic cheap perplexity proxy for
     * quality filtering: gibberish / rare-token-heavy documents score

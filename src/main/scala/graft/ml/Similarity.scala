@@ -1231,13 +1231,18 @@ object Similarity {
       col("nrm").as("na"), col("cell"))
     val bAll = assigned.select(col("vec_id").as("j"),
       col("e").as("eb"), col("nrm").as("nb"), col("cell"))
+    // the cap-prefix itself must not reintroduce the hot-cell
+    // serialization it exists to bound: a per-cell row_number window
+    // sorts the dominant cell through ONE task — exactly on the corpus
+    // that trips this branch. Corpus.cappedIdPrefix computes the same
+    // smallest-vec_id prefix with the monotone-bucket decomposition
+    // (per-(cell, bucket) ranks + histogram offsets), bit-identical
+    // kept set, no single-task sort — so the ns8i oracle's windowed
+    // restatement gates it unchanged.
     val b =
       if (!hot) bAll
-      else bAll
-        .withColumn("_cr", row_number().over(
-          Window.partitionBy(col("cell")).orderBy(col("j"))))
-        .filter(col("_cr") <= cellCandidateCap)
-        .drop("_cr")
+      else Corpus.cappedIdPrefix(bAll, "j", Seq("cell"),
+        cellCandidateCap)
     val w = Window.partitionBy(col("i"))
       .orderBy(col("cos").desc, col("j"))
     a.join(b, Seq("cell")).filter(col("i") =!= col("j"))

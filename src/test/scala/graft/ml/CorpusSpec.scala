@@ -295,4 +295,48 @@ class CorpusSpec extends SparkSpec {
       assert(cs === (0L until cs.length.toLong))
     }
   }
+
+  test("cappedIdPrefix equals the naive per-group id window — skewed " +
+      "groups, a null-keyed stratum, payload carried through — and " +
+      "its plan has no window partitioned on the bare group over raw " +
+      "rows (the hot-group serialization it replaces)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one dominant group (700 of 760 rows), two cold ones, one null
+    // stratum; ids deliberately NON-contiguous so buckets are exercised
+    val rows = ((0 until 700).map(i => (Some("hot"), i * 37L, i % 5)) ++
+      (0 until 40).map(i => (Some("c1"), 100000L + i * 3L, i)) ++
+      (0 until 15).map(i => (Some("c2"), 200000L + i, i)) ++
+      (0 until 5).map(i => (Option.empty[String], 300000L + i, i)))
+      .toDF("g", "id", "payload")
+    val cap = 25L
+    val got = Corpus.cappedIdPrefix(rows, "id", Seq("g"), cap)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val want = rows.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= cap).drop("_r")
+    assert(got.columns.toSeq === rows.columns.toSeq)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "kept set must be bit-identical to the window form")
+    // plan shape: any window partitioned by the group alone may only
+    // run over the bucket histogram (an aggregate subtree), never the
+    // raw rows — that single-task sort is what this operator removes
+    val windows = got.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { wn =>
+      if (wn.partitionSpec.size == 1) {
+        val aggBelow = wn.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }
+        assert(aggBelow.nonEmpty,
+          "a bare-group window must rank the histogram, not the rows:\n" +
+            wn.toString.take(800))
+      }
+    }
+    // empty input keeps the schema, returns nothing
+    assert(Corpus.cappedIdPrefix(rows.filter(lit(false)), "id",
+      Seq("g"), cap).count() === 0L)
+  }
 }

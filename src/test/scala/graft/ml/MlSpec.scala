@@ -608,6 +608,33 @@ class MlSpec extends SparkSpec {
       k = 5)), "hot fixture did not exercise the cap's loss")
   }
 
+  test("ivfTopKAuto's capped route has NO window partitioned on the " +
+      "bare cell over raw rows: the id-prefix cap ranks per (cell, " +
+      "bucket) with histogram offsets, so the dominant cell — exactly " +
+      "the one that trips this branch — never sorts through one task") {
+    val hotDf = Similarity.ivfTopKAuto(embs, nCells = 2, k = 5,
+      cellCandidateCap = 50L, budgetCandidatesPerQuery = 64L)
+    val windows = hotDf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val cellOnly = windows.filter(w =>
+      w.partitionSpec.flatMap(_.references.toSeq)
+        .map(_.name).distinct == Seq("cell"))
+    // the decomposition's offset window IS partitioned by cell alone,
+    // but over the ≤4096·nCells bucket histogram (an Aggregate child);
+    // the removed form ranked the RAW checkpointed assignment — no
+    // aggregate below it
+    assert(cellOnly.nonEmpty, "expected the histogram offset window")
+    cellOnly.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.nonEmpty,
+        "a bare-cell window may only rank the bucket histogram:\n" +
+          w.toString.take(800))
+    }
+  }
+
   test("nearDupPairsAuto routes by corpus size: under budget it " +
       "equals the exact all-pairs scan, past it the LSH banded cut, " +
       "and the routed LSH output is the documented subset") {
