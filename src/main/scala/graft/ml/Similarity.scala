@@ -204,8 +204,24 @@ object Similarity {
     * (per-query semantics). Output: (i, j, cos).
     */
   private def lshScoredCandidates(n: DataFrame, nBands: Int,
-      bitsPerBand: Int, dim: Int, ordered: Boolean): DataFrame = {
-    val banded = lshBanded(n, nBands, bitsPerBand, dim)
+      bitsPerBand: Int, dim: Int, ordered: Boolean,
+      bandOccupancyCap: Long = 0L): DataFrame = {
+    val bandedAll = lshBanded(n, nBands, bitsPerBand, dim)
+    // the ns5c/ns7i occupancy cap, sign-LSH edition: a clustered
+    // corpus collapses its members' plane signs into the same buckets
+    // and Σ|bucket|² goes quadratic (measured exp 1.87 on the
+    // clustered-embedding tier, round 13) — buckets above the cap
+    // form no pairs, so candidates stay ≤ cap·bands·N structurally,
+    // with the stated drop-hot-bucket recall trade. Deterministic
+    // (bucket sizes are a pure function of the data), so the capped
+    // form restates in the oracle as a windowed count
+    val banded =
+      if (bandOccupancyCap > 0L)
+        bandedAll.withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bucket"))))
+          .filter(col("bsz") <= bandOccupancyCap)
+          .drop("bsz")
+      else bandedAll
     val idFilter =
       if (ordered) col("i") < col("j") else col("i") =!= col("j")
     val cand = banded.select(col("vec_id").as("i"), col("band"), col("bucket"))
@@ -806,6 +822,17 @@ object Similarity {
       paths: Seq[String], embeddings: DataFrame, queryIds: DataFrame,
       k: Int, refine: Int): DataFrame = {
     require(refine >= k, "refine depth must be >= k")
+    val (dim, z) = servedBinaryRows(spark, basePath, paths)
+    binaryHammingServe(z, embeddings, queryIds, k, refine, dim)
+  }
+
+  /** The binary tier's served READ: (dim, alive bit rows) — tombstone
+    * mask, conditional vec_id dedup (see the in-body race argument),
+    * shared by the scan serve, the routed serve, and nothing else.
+    */
+  private def servedBinaryRows(
+      spark: org.apache.spark.sql.SparkSession, basePath: String,
+      paths: Seq[String]): (Int, DataFrame) = {
     require(paths.nonEmpty, "need at least one index root")
     val dim = spark.read.parquet(s"$basePath/$BinStatsDir")
       .head().getAs[Int]("dim")
@@ -871,6 +898,15 @@ object Similarity {
       case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")
       case None => raw
     }
+    (dim, z)
+  }
+
+  /** The scan serve tail: |queries|·N xor+popcount candidate rank,
+    * exact rerank of the `refine` survivors — [[binaryTopK]]'s shape
+    * over an already-read bit table.
+    */
+  private def binaryHammingServe(z: DataFrame, embeddings: DataFrame,
+      queryIds: DataFrame, k: Int, refine: Int, dim: Int): DataFrame = {
     val qa = z.join(queryIds.select(col("vec_id")), Seq("vec_id"),
         "left_semi")
       .select(col("vec_id").as("i"), col("bits").as("ba"))
@@ -882,6 +918,16 @@ object Similarity {
       .withColumn("hrk", row_number().over(wApprox))
       .filter(col("hrk") <= refine)
       .select(col("i"), col("j"))
+    exactRerank(cand, embeddings, k)
+  }
+
+  /** The exact rerank tail every binary candidate generator shares:
+    * join the (i, j) survivors back to the full-precision vectors,
+    * 6dp cosine, per-query top-k. Linear in |cand| — the candidates
+    * are the expensive part, never this.
+    */
+  private def exactRerank(cand: DataFrame, embeddings: DataFrame,
+      k: Int): DataFrame = {
     val n = withNorm(embeddings)
     val wExact = Window.partitionBy(col("i"))
       .orderBy(col("cos").desc, col("j"))
@@ -895,6 +941,90 @@ object Similarity {
       .withColumn("rk", row_number().over(wExact))
       .filter(col("rk") <= k)
       .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
+  /** The binary SERVE router — the measured-volume discipline
+    * ([[ivfTopKAuto]], [[graft.ml.Retrieval]]'s ns46i form) applied
+    * to [[binaryTopKServed]]'s candidate scan: the scan answers every
+    * query against every index row (|queries|·N xor+popcount pairs),
+    * which is the right plan while that volume is affordable and the
+    * WRONG one at corpus-sized query sets — the r12 verdict's top
+    * residual gap. One bounded aggregate (a single row: alive index
+    * size N and the distinct-query overlap nq) measures the volume;
+    * under `budgetCandidates` the scan runs UNCHANGED (bit-identical
+    * to [[binaryTopKServed]], so ns7f's oracle gates the branch),
+    * past it candidates come from [[signBanded]]'s pigeonhole bands
+    * — radius-bounded: a returned neighbor is within `maxHamming`
+    * sign bits of its query, and by pigeonhole EVERY in-radius pair
+    * shares a band, so with the cap disengaged the candidate set is
+    * exactly the in-radius pairs (DuckDB-restatable via the
+    * pc(a)+pc(b)−2·(a·b) identity — how ns7j's oracle states this
+    * branch). The stated recall contract of the banded branch:
+    * neighbors beyond the Hamming radius are unreachable (queries
+    * with no in-radius neighbor return no rows — [[withRecall]]'s
+    * full join keeps them visible), and under sign skew
+    * `bandOccupancyCap` (0 = off) drops hot buckets from the
+    * CANDIDATE side only — queries keep their other bands, so every
+    * query is still looked up, candidates stay ≤ cap·bands·N
+    * structurally (the ns7i bound), and a corpus hot enough to trip
+    * it needed semantic dedup upstream ([[semDedupAuto]]).
+    */
+  def binaryTopKServedAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, embeddings: DataFrame, queryIds: DataFrame,
+      k: Int, refine: Int, maxHamming: Int,
+      budgetCandidates: Long = 50000000L,
+      bandOccupancyCap: Long = 0L): DataFrame = {
+    require(refine >= k, "refine depth must be >= k")
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    require(budgetCandidates > 0L, "budgetCandidates must be positive")
+    val (dim, z) = servedBinaryRows(spark, path, Seq(path))
+    val q = queryIds.select(col("vec_id")).distinct()
+    // ONE bounded aggregate: N = alive index rows, nq = queries that
+    // actually resolve in the index (the same derivation the oracle
+    // counts — unknown ids cost the scan nothing and must not route)
+    val st = z.join(q.withColumn("_q", lit(1)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("_q")), lit(0L)).as("nq"))
+      .head()
+    val n = st.getLong(0)
+    val nq = st.getLong(1)
+    // widen BEFORE the multiply (the r12 silent-wrap sweep's rule)
+    val hot = BigDecimal(nq) * BigDecimal(math.max(n - 1, 0L)) >
+      BigDecimal(budgetCandidates)
+    if (!hot) binaryHammingServe(z, embeddings, queryIds, k, refine, dim)
+    else {
+      val nb = maxHamming + 1
+      require(nb <= dim, "pigeonhole needs maxHamming + 1 <= dim bands")
+      val banded = signBanded(z, dim, nb)
+      val keptCand =
+        if (bandOccupancyCap > 0L)
+          banded.withColumn("bsz", count(lit(1)).over(
+            Window.partitionBy(col("band"), col("band_bits"))))
+            .filter(col("bsz") <= bandOccupancyCap)
+            .drop("bsz")
+        else banded
+      // query side NEVER capped: a query in a hot bucket keeps its
+      // other bands — only hot CANDIDATES become unreachable
+      val qa = banded.join(q, Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("i"), col("bits").as("ba"),
+          col("band"), col("band_bits"))
+      val jb = keptCand.select(col("vec_id").as("j"),
+        col("bits").as("bb"), col("band"), col("band_bits"))
+      val wApprox = Window.partitionBy(col("i"))
+        .orderBy(col("ham"), col("j"))
+      val cand = qa.join(jb, Seq("band", "band_bits"))
+        .filter(col("i") =!= col("j"))
+        .withColumn("ham", hamming(col("ba"), col("bb"), (dim + 63) / 64))
+        .filter(col("ham") <= maxHamming)
+        .select(col("i"), col("j"), col("ham"))
+        // a pair agreeing on several bands appears once per band —
+        // ham is a pure function of (i, j), so any survivor row works
+        .dropDuplicates("i", "j")
+        .withColumn("hrk", row_number().over(wApprox))
+        .filter(col("hrk") <= refine)
+        .select(col("i"), col("j"))
+      exactRerank(cand, embeddings, k)
+    }
   }
 
   /** Radius-bounded near-duplicate PAIRS from the persisted sign-bit
@@ -927,6 +1057,42 @@ object Similarity {
     * final distinct absorbs, and i &lt; j excludes self-pairs — no
     * read-side dedup needed.
     */
+  /** Pigeonhole bands over a packed sign-bit table: each row of `z`
+    * (vec_id, bits) exploded into `nb` (band, band_bits) rows. Band b
+    * covers bit positions [dim·b/nb, dim·(b+1)/nb) — the same
+    * uneven-boundary arithmetic as the simhash bands, unrolled at
+    * plan time over the packed words (word crossings handled per
+    * bit; the whole chain is shift/and/or — whole-stage codegen).
+    * A band WIDER than 64 bits cannot pack into one long — Java
+    * long shifts wrap their amount mod 64, which would alias bit
+    * j−lo with bit j−lo−64 and collide distinct band contents into
+    * one join key (the r12 review finding: exactly the
+    * high-dim/small-radius regime this tier targets). Chunk the
+    * band into ⌈width/64⌉ longs instead; array equality keys the
+    * join identically and narrow bands stay a 1-element array.
+    * Shared by the pair-mining tier and the routed serve's banded
+    * branch, so the two can never drift on band boundaries.
+    */
+  private def signBanded(z: DataFrame, dim: Int, nb: Int): DataFrame = {
+    def bandVal(b: Int): Column = {
+      val lo = dim * b / nb
+      val hi = dim * (b + 1) / nb
+      array((lo until hi).grouped(64).map { chunk =>
+        chunk.map { j =>
+          shiftleft(
+            shiftright(element_at(col("bits"), j / 64 + 1), j % 64)
+              .bitwiseAND(lit(1L)), j - chunk.head)
+        }.reduce(_ bitwiseOR _)
+      }.toSeq: _*)
+    }
+    z.select(col("vec_id"), col("bits"),
+      explode(array((0 until nb).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("band_bits"))): _*))
+        .as("bb"))
+      .select(col("vec_id"), col("bits"),
+        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+  }
+
   def binaryNearDupPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, maxHamming: Int, bandOccupancyCap: Long = 0L)
       : DataFrame = {
@@ -955,34 +1121,7 @@ object Similarity {
       case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")
       case None => raw
     }
-    // band b covers bit positions [dim·b/nb, dim·(b+1)/nb) — the
-    // same uneven-boundary arithmetic as the simhash bands, unrolled
-    // at plan time over the packed words (word crossings handled per
-    // bit; the whole chain is shift/and/or — whole-stage codegen).
-    // A band WIDER than 64 bits cannot pack into one long — Java
-    // long shifts wrap their amount mod 64, which would alias bit
-    // j−lo with bit j−lo−64 and collide distinct band contents into
-    // one join key (the r12 review finding: exactly the
-    // high-dim/small-radius regime this tier targets). Chunk the
-    // band into ⌈width/64⌉ longs instead; array equality keys the
-    // join identically and narrow bands stay a 1-element array.
-    def bandVal(b: Int): Column = {
-      val lo = dim * b / nb
-      val hi = dim * (b + 1) / nb
-      array((lo until hi).grouped(64).map { chunk =>
-        chunk.map { j =>
-          shiftleft(
-            shiftright(element_at(col("bits"), j / 64 + 1), j % 64)
-              .bitwiseAND(lit(1L)), j - chunk.head)
-        }.reduce(_ bitwiseOR _)
-      }.toSeq: _*)
-    }
-    val banded = z.select(col("vec_id"), col("bits"),
-      explode(array((0 until nb).map(b =>
-        struct(lit(b).as("band"), bandVal(b).as("band_bits"))): _*))
-        .as("bb"))
-      .select(col("vec_id"), col("bits"),
-        col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
+    val banded = signBanded(z, dim, nb)
     val kept =
       if (bandOccupancyCap > 0L)
         banded.withColumn("bsz", count(lit(1)).over(
@@ -1045,9 +1184,10 @@ object Similarity {
     * spec-asserted; the brute form stays the exactness baseline).
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-      nBands: Int, bitsPerBand: Int, dim: Int): DataFrame =
+      nBands: Int, bitsPerBand: Int, dim: Int,
+      bandOccupancyCap: Long = 0L): DataFrame =
     lshScoredCandidates(withNorm(embeddings), nBands, bitsPerBand, dim,
-      ordered = true)
+      ordered = true, bandOccupancyCap)
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), col("cos"))
 
@@ -1067,16 +1207,22 @@ object Similarity {
     * so the routing decision itself is driver-proven (ns6c). Unlike
     * the capped routers this one changes RECALL when it routes — the
     * docstring contract, not a silent loss: callers needing exactness
-    * past the budget must raise the budget knowingly.
+    * past the budget must raise the budget knowingly. Within the LSH
+    * branch `bandOccupancyCap` (0 = off) is the skew bound: without
+    * it a clustered corpus collapses into a few sign buckets and the
+    * banded cut itself goes quadratic (measured exp 1.87, round 13) —
+    * capped, candidates are ≤ cap·bands·N under ANY clustering, at
+    * the further stated cost that hot-bucket pairs are unreachable.
     */
   def nearDupPairsAuto(embeddings: DataFrame, threshold: Double,
       nBands: Int, bitsPerBand: Int, dim: Int,
-      budgetPairsPerVec: Long = 512L): DataFrame = {
+      budgetPairsPerVec: Long = 512L,
+      bandOccupancyCap: Long = 0L): DataFrame = {
     require(budgetPairsPerVec > 0, "budgetPairsPerVec must be positive")
     val cnt = withNorm(embeddings).count()
     val hot = cnt > 2L * budgetPairsPerVec + 1L
     if (hot) nearDupPairsLsh(embeddings, threshold, nBands,
-      bitsPerBand, dim)
+      bitsPerBand, dim, bandOccupancyCap)
     else nearDupPairs(embeddings, threshold)
   }
 

@@ -693,12 +693,17 @@ object MlQueries {
     * hash-proven (the ns5d discipline, completing the
     * scale-safe-default story for every dedup family: lexical ns5d,
     * lexical-retrieval ns46i, semantic-cell ns44c, embedding-pair
-    * ns6c).
+    * ns6c). Round 13 added the sign-LSH occupancy cap (200) inside
+    * the routed branch — the uncapped banded cut itself measured exp
+    * 1.87 on the clustered-embedding tier (collapsed sign buckets) —
+    * restated in the oracle as the windowed bucket count, the ns5d
+    * capped-branch pattern; this fixture routes exact, so the gate
+    * proves the routing plus the unchanged under-budget output.
     */
   val ns6cEmbedNearDupAuto: Q = (s, dir) =>
     Similarity.nearDupPairsAuto(Tables.embeddings(s, dir),
       threshold = 0.4, nBands = 8, bitsPerBand = 4, dim = 64,
-      budgetPairsPerVec = 512L)
+      budgetPairsPerVec = 512L, bandOccupancyCap = 200L)
       .orderBy(col("i"), col("j"))
 
   val ns6cEmbedNearDupAutoSql: String =
@@ -707,9 +712,15 @@ object MlQueries {
       |  SELECT count(*) > 2 * 512 + 1 AS hot FROM nz
       |),
       |${lshBandedSql(nBands = 8, bitsPerBand = 4, dim = 64)},
+      |bkept AS (
+      |  SELECT vec_id, band, bucket FROM (
+      |    SELECT vec_id, band, bucket,
+      |      count(*) OVER (PARTITION BY band, bucket) AS bsz
+      |    FROM banded) WHERE bsz <= 200
+      |),
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-      |  FROM banded a JOIN banded b
+      |  FROM bkept a JOIN bkept b
       |    ON a.band = b.band AND a.bucket = b.bucket
       |    AND a.vec_id < b.vec_id
       |),
@@ -1003,6 +1014,96 @@ object MlQueries {
       |  FROM sgn a JOIN sgn b ON a.vec_id < b.vec_id)
       |WHERE hamming <= 16
       |ORDER BY i, j""".stripMargin
+
+  /** The binary SERVE router as the gated default
+    * ([[Similarity.binaryTopKServedAuto]], radius 8, occupancy cap
+    * 100, candidate budget 10M) — the r12 verdict's item 3:
+    * [[Similarity.binaryTopKServed]]'s |queries|·N popcount scan is
+    * the right plan at modest query sets and the wrong one when the
+    * whole corpus queries itself at scale, so ONE bounded aggregate
+    * (alive index size × resolved-query count) measures the volume
+    * and routes. This fixture sits UNDER the budget (500·499 ≈ 250k
+    * candidates vs 10M), so the scan branch runs and the gate is
+    * ns7f's full oracle — hash-equality proves the routed default
+    * changes nothing until the measurement says it must. Past the
+    * budget (sf0.1 bench: ~25M; the clustered skew tier) the
+    * pigeonhole-banded branch serves radius-bounded candidates from
+    * the same packed bits: the oracle restates the routing condition
+    * and BOTH branches ns8i-style (the banded branch via the
+    * pc(a)+pc(b)−2·(a·b) identity with the ham ≤ 8 radius bound —
+    * exact by pigeonhole while the occupancy cap is disengaged;
+    * MlSpec gates the live banded branch against a naive recompute
+    * and the cap's candidate-side-only contract).
+    */
+  val ns7jSimBinaryRouted: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bin_index_rt")
+    if (ivfIndexWritten.add(path))
+      Similarity.writeBinaryIndex(emb, path, dim = 64)
+    Similarity.withRecall(
+      Similarity.binaryTopKServedAuto(s, path, emb,
+        emb.select(col("vec_id")), k = 5, refine = 100, maxHamming = 8,
+        budgetCandidates = 10000000L, bandOccupancyCap = 100L),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns7jSimBinaryRoutedSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |sgn AS (
+      |  SELECT vec_id, embedding, s, list_sum(s) AS pc FROM (
+      |    SELECT vec_id, embedding,
+      |      [CASE WHEN x > 0 THEN 1 ELSE 0 END
+      |        FOR x IN embedding::DOUBLE[]] AS s
+      |    FROM nz)
+      |), cond AS (
+      |  SELECT (SELECT count(*) FROM sgn)::HUGEINT *
+      |    ((SELECT count(*) FROM sgn) - 1) > 10000000 AS hot
+      |), cand_scan AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)),
+      |          b.vec_id) AS hrk
+      |    FROM sgn a JOIN sgn b ON a.vec_id <> b.vec_id) WHERE hrk <= 100
+      |), approx_scan AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT c.i, c.j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+      |    FROM cand_scan c JOIN nz a ON a.vec_id = c.i
+      |    JOIN nz b ON b.vec_id = c.j)
+      |  WHERE rk <= 5 AND NOT (SELECT hot FROM cond)
+      |), cand_band AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)),
+      |          b.vec_id) AS hrk
+      |    FROM sgn a JOIN sgn b ON a.vec_id <> b.vec_id
+      |    WHERE (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)) <= 8)
+      |  WHERE hrk <= 100
+      |), approx_band AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT c.i, c.j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+      |    FROM cand_band c JOIN nz a ON a.vec_id = c.i
+      |    JOIN nz b ON b.vec_id = c.j)
+      |  WHERE rk <= 5 AND (SELECT hot FROM cond)
+      |), approx AS (
+      |  SELECT * FROM approx_scan UNION ALL SELECT * FROM approx_band
+      |),
+      |$duckSampledRecall
+      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+      |ORDER BY 1, 2""".stripMargin
 
   /** IVF-PQ top-k — the quantized serving layout: IVF cells bound the
     * candidate set, an 8-subspace × 16-codeword product quantizer
@@ -4413,6 +4514,7 @@ object MlQueries {
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompacted,
     "ns7h_sim_binary_streamed" -> ns7hSimBinaryStreamed,
     "ns7i_binary_neardup" -> ns7iBinaryNearDup,
+    "ns7j_sim_binary_routed" -> ns7jSimBinaryRouted,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns8_sim_ivf" -> ns8SimIvf,
@@ -4524,6 +4626,7 @@ object MlQueries {
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompactedSql,
     "ns7h_sim_binary_streamed" -> ns7fSimTopkBinarySql,
     "ns7i_binary_neardup" -> ns7iBinaryNearDupSql,
+    "ns7j_sim_binary_routed" -> ns7jSimBinaryRoutedSql,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
     "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,

@@ -10,7 +10,7 @@ import graft.operators.Graph
   * ranking-quality and significance testing, and whole-graph
   * statistics — the "analyst asks a modeling question of the CRM data"
   * tier above the relational registry (reference anchor: the filtered
-  * read API `get_filtered_items` at PodioConnector.py:60 feeds exactly
+  * read API `get_filtered_items` at PodioApiWrapper.py:104 feeds exactly
   * this kind of downstream analysis; the engine runs it in place).
   *
   * Everything here is exact distributed algebra — single-pass

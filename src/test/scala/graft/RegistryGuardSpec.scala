@@ -124,6 +124,26 @@ class RegistryGuardSpec extends SparkSpec {
         s"define $defined")
   }
 
+  test("SURVEY §8 registry headline matches SparkEntry (no doc " +
+      "drift)") {
+    // the r12 verdict found the SURVEY headline two rounds stale
+    // (194/183 vs actual 221/216) — same class as the README drift,
+    // same cure: parse and pin
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """Registry: (\d+) queries, (\d+) oracle-checked \(current"""
+      .r.findFirstMatchIn(survey)
+      .getOrElse(fail(
+        "SURVEY.md no longer states the current registry headline"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY headline says ${m.group(1)} queries, registry has " +
+        s"${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY headline says ${m.group(2)} oracle-checked, registry " +
+        s"has ${SparkEntry.oracleSql.size}")
+  }
+
   test("oracleSql and rowsOnlyGate exactly partition the registry: " +
       "every query either carries an oracle or declares its gate") {
     // the bench JSON's per-entry gate field is derived from these two

@@ -635,6 +635,90 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("binaryTopKServedAuto routes by measured candidate volume: " +
+      "under budget it equals the dedicated scan serve bit-for-bit; " +
+      "past it the pigeonhole-banded branch returns exactly the " +
+      "in-radius top-k (naive recompute), the occupancy cap drops " +
+      "candidates only, and queries keep their other bands") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_auto")
+    try {
+      val path = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(embs, path, dim = 64)
+      val q = embs.select(col("vec_id"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // 500-vector fixture: 500·499 ≈ 250k candidates < 10M → scan
+      val scanRoute = rows(Similarity.binaryTopKServedAuto(spark, path,
+        embs, q, k = 5, refine = 100, maxHamming = 8,
+        budgetCandidates = 10000000L, bandOccupancyCap = 100L))
+      assert(scanRoute === rows(Similarity.binaryTopKServed(spark, path,
+        embs, q, k = 5, refine = 100)),
+        "under-budget query set must route to the unchanged scan serve")
+      // naive recompute of the banded branch: radius-bounded
+      // candidates from surviving buckets, (ham, j) refine rank,
+      // exact 6dp-cosine top-k
+      val vecs = embs.select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toMap
+        .filter { case (_, v) =>
+          val n = v.map(x => x * x).sum
+          n > 0 && java.lang.Double.isFinite(n) }
+      val sign = vecs.map { case (id, v) =>
+        id -> v.map(x => if (x > 0) 1 else 0).toIndexedSeq }
+      def ham(a: Long, b: Long): Int =
+        sign(a).zip(sign(b)).count { case (x, y) => x != y }
+      def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.size) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val radius = 24; val nb = radius + 1
+      def bandKey(id: Long, b: Int): (Int, Seq[Int]) =
+        (b, sign(id).slice(64 * b / nb, 64 * (b + 1) / nb))
+      def expected(cap: Long): Set[(Long, Int, Long)] = {
+        val occ = sign.keys.toSeq
+          .flatMap(id => (0 until nb).map(b => bandKey(id, b)))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        sign.keys.flatMap { i =>
+          val cand = sign.keys.filter { j =>
+            j != i && ham(i, j) <= radius &&
+              (0 until nb).exists { b =>
+                val key = bandKey(j, b)
+                bandKey(i, b) == key && (cap <= 0L || occ(key) <= cap)
+              }
+          }.toSeq.sortBy(j => (ham(i, j), j)).take(100)
+          cand.map(j => (j, cos6(vecs(i), vecs(j))))
+            .sortBy { case (j, c) => (-c, j) }.take(5).zipWithIndex
+            .map { case ((j, _), r) => (i, r + 1, j) }
+        }.toSet
+      }
+      val uncapped = rows(Similarity.binaryTopKServedAuto(spark, path,
+        embs, q, k = 5, refine = 100, maxHamming = radius,
+        budgetCandidates = 100L, bandOccupancyCap = 0L))
+      val expUncapped = expected(0L)
+      assert(uncapped === expUncapped,
+        "over-budget route must serve the in-radius banded candidates")
+      assert(uncapped.nonEmpty,
+        "fixture has no in-radius pairs; the banded branch is vacuous")
+      // a partially-binding cap: hot buckets' members become
+      // unreachable AS CANDIDATES, everything else is unchanged
+      val capped = rows(Similarity.binaryTopKServedAuto(spark, path,
+        embs, q, k = 5, refine = 100, maxHamming = radius,
+        budgetCandidates = 100L, bandOccupancyCap = 30L))
+      val expCapped = expected(30L)
+      assert(capped === expCapped,
+        "cap must drop hot-bucket candidates and nothing else")
+      assert(expCapped !== expUncapped,
+        "cap=30 did not bind on this fixture; contract untested")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("nearDupPairsAuto routes by corpus size: under budget it " +
       "equals the exact all-pairs scan, past it the LSH banded cut, " +
       "and the routed LSH output is the documented subset") {
@@ -656,6 +740,24 @@ class MlSpec extends SparkSpec {
       "over-budget corpus must route to the LSH cut")
     assert(autoLsh.subsetOf(auto),
       "LSH route must be a subset of the exact pairs")
+    // the occupancy cap (round 13): a binding cap can only REMOVE
+    // pairs (hot buckets form none), a non-binding one changes
+    // nothing — and the routed form threads it through
+    val capped = pairs(Similarity.nearDupPairsAuto(embs, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = 64,
+      budgetPairsPerVec = 10L, bandOccupancyCap = 3L))
+    assert(capped === pairs(Similarity.nearDupPairsLsh(embs, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = 64, bandOccupancyCap = 3L)),
+      "routed cap must equal the dedicated capped operator")
+    assert(capped.subsetOf(autoLsh),
+      "capping buckets may only drop pairs")
+    assert(capped !== autoLsh,
+      "cap=3 did not bind on this fixture; contract untested")
+    val slack = pairs(Similarity.nearDupPairsAuto(embs, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = 64,
+      budgetPairsPerVec = 10L, bandOccupancyCap = 1000000L))
+    assert(slack === autoLsh,
+      "a non-binding cap must change nothing")
   }
 
   test("semDedupAuto routes by measured intra-cell candidate volume: " +
