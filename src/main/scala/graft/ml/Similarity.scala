@@ -327,10 +327,10 @@ object Similarity {
     * scan's query side (semi-join before the cross join — the
     * [[bruteTopKForQueries]] guarantee), so the scan is
     * |anchors|·N, not N²; at corpus scale the same
-    * positive/negative-band windows run over an IVF/LSH candidate
-    * cut instead of the brute scan (the ladder every ANN entry
-    * documents). Ranking is on the ROUNDED cosine with id tiebreak —
-    * deterministic, oracle-stable.
+    * positive/negative-band windows run over the sign-LSH candidate
+    * cut — [[hardNegativesLsh]], routed by measured volume in
+    * [[hardNegativesAuto]] (ns57b). Ranking is on the ROUNDED cosine
+    * with id tiebreak — deterministic, oracle-stable.
     */
   def hardNegatives(embeddings: DataFrame, queryMod: Int,
       posThreshold: Double, negLo: Double, nNegs: Int): DataFrame = {
@@ -353,6 +353,20 @@ object Similarity {
       .withColumn("cos", pairCos)
       .select(col("i"), col("j"), col("cos"))
       .localCheckpoint()
+    tripletWindows(scored, posThreshold, negLo, nNegs)
+  }
+
+  /** The triplet selection windows over a scored (i, j, cos) pair
+    * table — shared by the brute and the LSH-cut miners so the band
+    * semantics cannot drift: best positive (cos ≥ posThreshold,
+    * nearest first), `nNegs` hardest in-band negatives, anchors
+    * lacking either side yield nothing. The caller owns the scored
+    * table's materialization (both branches hang off it).
+    */
+  private def tripletWindows(scored: DataFrame, posThreshold: Double,
+      negLo: Double, nNegs: Int): DataFrame = {
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("cos").desc, col("j"))
     val pos = scored.filter(col("cos") >= posThreshold)
       .withColumn("prk", row_number().over(w)).filter(col("prk") === 1)
       .select(col("i"), col("j").as("pos_id"), col("cos").as("pos_cos"))
@@ -364,6 +378,85 @@ object Similarity {
     pos.join(neg, Seq("i"))
       .select(col("i"), col("rk"), col("pos_id"), col("pos_cos"),
         col("neg_id"), col("neg_cos"))
+  }
+
+  /** [[hardNegatives]]' scale path — the scaladoc prose made real
+    * (the r12 verdict's item 4): the SAME positive/negative band
+    * windows re-verified over a sign-LSH candidate cut instead of the
+    * |anchors|·N brute scan. Anchors keep ALL their bands (every
+    * anchor is still looked up); the CANDIDATE side may drop
+    * hot buckets via `bandOccupancyCap` (0 = off — the ns6c skew
+    * bound: a clustered corpus collapses sign buckets and the banded
+    * cut itself goes quadratic without it). Recall contract, stated:
+    * an in-band pair whose vectors share no surviving band bucket is
+    * invisible, so the mined positive may be a farther in-band
+    * positive and the negative list a subset-ranked version of the
+    * brute one — the triplets remain valid training pairs (every
+    * surfaced cosine is exact and in-band), MlSpec pins exactly that
+    * relation plus the measured recall.
+    */
+  def hardNegativesLsh(embeddings: DataFrame, queryMod: Int,
+      posThreshold: Double, negLo: Double, nNegs: Int, nBands: Int,
+      bitsPerBand: Int, dim: Int, bandOccupancyCap: Long = 0L)
+      : DataFrame = {
+    require(negLo < posThreshold,
+      "the negative band must lie below the positive threshold")
+    require(nNegs >= 1, "need at least one hard negative per anchor")
+    val n = withNorm(embeddings)
+    val bandedAll = lshBanded(n, nBands, bitsPerBand, dim)
+    val kept =
+      if (bandOccupancyCap > 0L)
+        bandedAll.withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("bucket"))))
+          .filter(col("bsz") <= bandOccupancyCap)
+          .drop("bsz")
+      else bandedAll
+    val cand = bandedAll
+      .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("i"), col("band"), col("bucket"))
+      .join(kept.select(col("vec_id").as("j"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j")).distinct()
+    val scored = cand
+      .join(n.select(col("vec_id").as("i"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("i"))
+      .join(n.select(col("vec_id").as("j"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("j"))
+      .withColumn("cos", pairCos)
+      .select(col("i"), col("j"), col("cos"))
+      .localCheckpoint()
+    tripletWindows(scored, posThreshold, negLo, nNegs)
+  }
+
+  /** The triplet-mining ROUTER — the measured-volume discipline
+    * ([[ivfTopKAuto]], [[binaryTopKServedAuto]]) for the brute/LSH
+    * split: ONE bounded aggregate counts the corpus and its anchor
+    * sample, and the brute |anchors|·(N−1) pair scan runs while that
+    * volume stays within `budgetPairsTotal` (this is the exact
+    * answer — ns57b's oracle gates the branch as ns57's own
+    * restatement), with the [[hardNegativesLsh]] banded cut past it
+    * (recall contract stated there; the routing scalar and BOTH
+    * branches restate in the oracle, the ns8i/ns7j pattern).
+    */
+  def hardNegativesAuto(embeddings: DataFrame, queryMod: Int,
+      posThreshold: Double, negLo: Double, nNegs: Int, nBands: Int,
+      bitsPerBand: Int, dim: Int,
+      budgetPairsTotal: Long = 50000000L,
+      bandOccupancyCap: Long = 0L): DataFrame = {
+    require(budgetPairsTotal > 0L, "budgetPairsTotal must be positive")
+    val st = withNorm(embeddings).agg(count(lit(1)).as("n"),
+        coalesce(sum(when(pmod(col("vec_id"), lit(queryMod)) === 0,
+          lit(1L))), lit(0L)).as("na"))
+      .head()
+    // widen BEFORE the multiply (the r12 silent-wrap sweep's rule)
+    val hot = BigDecimal(st.getLong(1)) *
+      BigDecimal(math.max(st.getLong(0) - 1L, 0L)) >
+      BigDecimal(budgetPairsTotal)
+    if (!hot) hardNegatives(embeddings, queryMod, posThreshold, negLo,
+      nNegs)
+    else hardNegativesLsh(embeddings, queryMod, posThreshold, negLo,
+      nNegs, nBands, bitsPerBand, dim, bandOccupancyCap)
   }
 
   /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998) —

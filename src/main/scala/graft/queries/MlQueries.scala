@@ -4202,6 +4202,91 @@ object MlQueries {
       |FROM pos p JOIN neg n ON p.i = n.i
       |ORDER BY p.i, n.rk""".stripMargin
 
+  /** The triplet-mining ROUTER as the gated default
+    * ([[Similarity.hardNegativesAuto]], budget 1M anchor·candidate
+    * pairs, sign-LSH 8×4 bands, occupancy cap 200) — the r12
+    * verdict's item 4: ns57's scale story was scaladoc prose; now the
+    * brute |anchors|·(N−1) scan runs only while its measured volume
+    * fits the budget (this fixture: 100·499 ≈ 50k vs 1M → brute, so
+    * the gate is ns57's own restatement and hash-equality proves the
+    * routed default changes nothing under budget), and past it the
+    * SAME positive/negative band windows run over the LSH candidate
+    * cut (anchors keep all bands; the candidate side drops hot
+    * buckets — the ns6c cap). The oracle restates the routing scalar
+    * and BOTH branches (banded candidates via the literal-plane
+    * lshBandedSql + windowed bucket count); MlSpec pins the
+    * subset/recall relation of the LSH branch to the brute triplets.
+    */
+  val ns57bHardNegativesAuto: Q = (s, dir) =>
+    Similarity.hardNegativesAuto(Tables.embeddings(s, dir),
+      queryMod = 5, posThreshold = 0.35, negLo = 0.2, nNegs = 3,
+      nBands = 8, bitsPerBand = 4, dim = 64,
+      budgetPairsTotal = 1000000L, bandOccupancyCap = 200L)
+      .orderBy(col("i"), col("rk"))
+
+  val ns57bHardNegativesAutoSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |cond AS (
+      |  SELECT (SELECT count(*) FROM nz WHERE vec_id % 5 = 0)::HUGEINT
+      |    * ((SELECT count(*) FROM nz) - 1) > 1000000 AS hot
+      |),
+      |scored AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |      b.embedding::DOUBLE[]), 6) AS cos
+      |  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id % 5 = 0
+      |), pos_b AS (
+      |  SELECT i, j AS pos_id, cos AS pos_cos FROM (
+      |    SELECT i, j, cos, row_number() OVER (PARTITION BY i
+      |      ORDER BY cos DESC, j) AS prk
+      |    FROM scored WHERE cos >= 0.35) WHERE prk = 1
+      |), neg_b AS (
+      |  SELECT i, rk, j AS neg_id, cos AS neg_cos FROM (
+      |    SELECT i, j, cos, row_number() OVER (PARTITION BY i
+      |      ORDER BY cos DESC, j) AS rk
+      |    FROM scored WHERE cos >= 0.2 AND cos < 0.35) WHERE rk <= 3
+      |),
+      |${lshBandedSql(nBands = 8, bitsPerBand = 4, dim = 64)},
+      |bkept AS (
+      |  SELECT vec_id, band, bucket FROM (
+      |    SELECT vec_id, band, bucket,
+      |      count(*) OVER (PARTITION BY band, bucket) AS bsz
+      |    FROM banded) WHERE bsz <= 200
+      |),
+      |candl AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM banded a JOIN bkept b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id % 5 = 0
+      |), scoredl AS (
+      |  SELECT c.i, c.j,
+      |    round(list_cosine_similarity(x.embedding::DOUBLE[],
+      |      y.embedding::DOUBLE[]), 6) AS cos
+      |  FROM candl c JOIN nz x ON x.vec_id = c.i
+      |  JOIN nz y ON y.vec_id = c.j
+      |), pos_l AS (
+      |  SELECT i, j AS pos_id, cos AS pos_cos FROM (
+      |    SELECT i, j, cos, row_number() OVER (PARTITION BY i
+      |      ORDER BY cos DESC, j) AS prk
+      |    FROM scoredl WHERE cos >= 0.35) WHERE prk = 1
+      |), neg_l AS (
+      |  SELECT i, rk, j AS neg_id, cos AS neg_cos FROM (
+      |    SELECT i, j, cos, row_number() OVER (PARTITION BY i
+      |      ORDER BY cos DESC, j) AS rk
+      |    FROM scoredl WHERE cos >= 0.2 AND cos < 0.35) WHERE rk <= 3
+      |)
+      |SELECT * FROM (
+      |  SELECT p.i, n.rk, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+      |  FROM pos_b p JOIN neg_b n ON p.i = n.i
+      |  WHERE NOT (SELECT hot FROM cond)
+      |  UNION ALL
+      |  SELECT p.i, n.rk, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+      |  FROM pos_l p JOIN neg_l n ON p.i = n.i
+      |  WHERE (SELECT hot FROM cond))
+      |ORDER BY i, rk""".stripMargin
+
   /** MMR diversity rerank: greedy λ-tradeoff between relevance and
     * redundancy over each query's top-10 list, k=5 picks. The greedy
     * loop is UNROLLED in the oracle (one CTE pair per step), so the
@@ -4595,6 +4680,7 @@ object MlQueries {
     "ns55c_substr_compacted" -> ns55cSubstrCompacted,
     "ns56_shuffle_order" -> ns56ShuffleOrder,
     "ns57_hard_negatives" -> ns57HardNegatives,
+    "ns57b_hard_negatives_auto" -> ns57bHardNegativesAuto,
     "ns58_decontam_spans" -> ns58DecontamSpans,
     "ns59_mmr_rerank" -> ns59MmrRerank,
     "ns60_epoch_order" -> ns60EpochOrder,
@@ -4705,6 +4791,7 @@ object MlQueries {
     "ns55c_substr_compacted" -> ns55bSubstrIncrementalSql,
     "ns56_shuffle_order" -> ns56ShuffleOrderSql,
     "ns57_hard_negatives" -> ns57HardNegativesSql,
+    "ns57b_hard_negatives_auto" -> ns57bHardNegativesAutoSql,
     "ns58_decontam_spans" -> ns58DecontamSpansSql,
     "ns59_mmr_rerank" -> ns59MmrRerankSql,
     "ns60_epoch_order" -> ns60EpochOrderSql,

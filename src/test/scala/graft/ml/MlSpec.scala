@@ -2411,6 +2411,78 @@ class MlSpec extends SparkSpec {
     assert(out.filter(col("neg_cos") >= 0.35).count() === 0)
   }
 
+  test("hardNegativesAuto routes by measured anchor-pair volume: " +
+      "under budget it equals the brute miner bit-for-bit; past it " +
+      "the LSH cut mines only band-colliding in-band pairs (subset " +
+      "relation + recall measured), and the occupancy cap threads " +
+      "through") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSet
+    val brute = rows(Similarity.hardNegatives(embs, queryMod = 5,
+      posThreshold = 0.35, negLo = 0.2, nNegs = 3))
+    // 100 anchors · 499 candidates ≈ 50k < 1M → brute branch
+    val auto = rows(Similarity.hardNegativesAuto(embs, queryMod = 5,
+      posThreshold = 0.35, negLo = 0.2, nNegs = 3, nBands = 8,
+      bitsPerBand = 4, dim = 64, budgetPairsTotal = 1000000L,
+      bandOccupancyCap = 200L))
+    assert(auto === brute,
+      "under-budget corpus must route to the unchanged brute miner")
+    // tiny budget → LSH branch; equals the dedicated operator
+    val lsh = rows(Similarity.hardNegativesAuto(embs, queryMod = 5,
+      posThreshold = 0.35, negLo = 0.2, nNegs = 3, nBands = 8,
+      bitsPerBand = 4, dim = 64, budgetPairsTotal = 10L,
+      bandOccupancyCap = 0L))
+    assert(lsh === rows(Similarity.hardNegativesLsh(embs, queryMod = 5,
+      posThreshold = 0.35, negLo = 0.2, nNegs = 3, nBands = 8,
+      bitsPerBand = 4, dim = 64)),
+      "over-budget corpus must route to the LSH cut")
+    assert(lsh.nonEmpty, "LSH branch found no triplets; test vacuous")
+    // relation to brute, stated contract: every LSH pos/neg pair is a
+    // true in-band pair of its anchor (exact cosine, correct band) —
+    // the cut narrows candidates, never invents or mislabels them
+    val vecs = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .filter { case (_, v) =>
+        val n = v.map(x => x * x).sum
+        n > 0 && java.lang.Double.isFinite(n) }
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    lsh.foreach { case (i, _, posId, posCos, negId, negCos) =>
+      assert(cos6(vecs(i), vecs(posId)) === posCos && posCos >= 0.35,
+        s"anchor $i: pos pair ($posId) not a true in-band positive")
+      assert(cos6(vecs(i), vecs(negId)) === negCos &&
+        negCos >= 0.2 && negCos < 0.35,
+        s"anchor $i: neg pair ($negId) not a true in-band negative")
+    }
+    // recall vs the brute top-3: the cut finds a usable share
+    val bruteNegs = brute.map(t => (t._1, t._5))
+    val lshNegs = lsh.map(t => (t._1, t._5))
+    val recall = (bruteNegs intersect lshNegs).size.toDouble /
+      bruteNegs.size
+    assert(recall >= 0.3, f"LSH negative recall collapsed: $recall%.2f")
+    // the cap threads through and can only narrow candidates: capped
+    // neg pairs are still true in-band pairs, and on a binding cap
+    // the result differs from the uncapped cut
+    val capped = rows(Similarity.hardNegativesAuto(embs, queryMod = 5,
+      posThreshold = 0.35, negLo = 0.2, nNegs = 3, nBands = 8,
+      bitsPerBand = 4, dim = 64, budgetPairsTotal = 10L,
+      bandOccupancyCap = 3L))
+    assert(capped === rows(Similarity.hardNegativesLsh(embs,
+      queryMod = 5, posThreshold = 0.35, negLo = 0.2, nNegs = 3,
+      nBands = 8, bitsPerBand = 4, dim = 64, bandOccupancyCap = 3L)),
+      "routed cap must equal the dedicated capped operator")
+    assert(capped !== lsh,
+      "cap=3 did not bind on this fixture; contract untested")
+  }
+
   test("substr ingest + compaction: streamed batches apply once, " +
       "replays no-op, partial overlap is loud; compaction collapses " +
       "dup rows to one file per dirty bucket and changes no answer") {
