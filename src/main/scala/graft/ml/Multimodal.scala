@@ -324,4 +324,104 @@ object Multimodal {
         explode(sequence(lit(0L), col("length_hint") - 1,
           lit(step.toLong))).as("frame_offset"))
   }
+
+  /** Persist the perceptual-hash table — the media tier's STANDING
+    * signature index (the r12 verdict's item 5 precondition): at
+    * 100 TB the expensive pass is decoding media once, and every
+    * later near-dup question (batch increment ns66c, streamed
+    * [[graft.streaming.MediaIngest]]) reads stored 60-bit hashes,
+    * never the payloads. Flat (media_id, …, ahash, dhash) rows — a
+    * 10⁹-item store is ~30 GB. A rebuild supersedes the previous
+    * generation's stream sibling: refuse on un-folded data, clear
+    * stale fold stubs (the writeBinaryIndex contract).
+    */
+  def writePhashIndex(media: DataFrame, path: String): Unit = {
+    Similarity.clearSupersededSibling(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        media.sparkSession.sparkContext.hadoopConfiguration),
+      path, "writePhashIndex")
+    perceptualHash(media).toDF()
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private[graft] val PhashDeletedDir = "_graft_phash_deleted"
+  private[graft] val PhashCompactStageDir = "_graft_phash_compact_stage"
+  private[graft] val PhashCols =
+    Seq("media_id", "media_type", "n_bytes", "ahash", "dhash", "decoded")
+
+  /** Soft-delete media from the persisted phash index — the takedown
+    * story the tier lacked (the r12 verdict's optional item 7; every
+    * other standing index had one): an id-sized tombstone append,
+    * zero data files touched, serving masks, idempotent on
+    * unknown/repeated ids, loud on NULL — [[Similarity
+    * .deleteFromBinaryIndex]]'s exact contract over media_id.
+    */
+  def deleteFromPhashIndex(spark: SparkSession, mediaIds: DataFrame,
+      path: String): Unit =
+    mediaIds.select(
+        when(col("media_id").isNotNull, col("media_id"))
+          .otherwise(raise_error(
+            lit("deleteFromPhashIndex: null media_id in delete batch")))
+          .as("media_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/$PhashDeletedDir")
+
+  /** Reclaim the phash index's tombstone debt — [[Similarity
+    * .compactFlatIndex]]'s staged uuid-file-swap verbatim (crash
+    * protocol, replay convergence, concurrent-reader safety all
+    * inherited); refuses while the stream sibling holds un-folded
+    * data, like every compactor.
+    */
+  def compactPhashIndex(spark: SparkSession, path: String): Long =
+    Similarity.compactFlatIndex(spark, path, "media_id",
+      PhashDeletedDir, PhashCompactStageDir, "compactPhashIndex",
+      "run foldStreamIntoPhashIndex first")
+
+  /** Drain committed streamed-signature batches into the phash base —
+    * [[Similarity.foldStreamIntoFlatIndex]]'s move-first staged
+    * rewrite over the full hash row.
+    */
+  def foldStreamIntoPhashIndex(spark: SparkSession, path: String): Long =
+    Similarity.foldStreamIntoFlatIndex(spark, path, "media_id",
+      PhashCols, PhashCompactStageDir)
+
+  /** The served READ of the phash tier: signature rows from every
+    * root (base + committed streamed partitions), tombstones always
+    * from the base, and a media_id dedup exactly when duplicates are
+    * POSSIBLE — multi-root serving, a stage directory present, or a
+    * mixed-generation file listing (the binary serve's race-free
+    * probe, [[Similarity.binaryTopKServedFrom]]; quiescent states
+    * are prefix-homogeneous). Duplicates are always literal (hash
+    * rows are a pure per-row payload function), so max() per column
+    * is the value.
+    */
+  def servedPhashRows(spark: SparkSession, basePath: String,
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "need at least one index root")
+    val raw = paths.map(p => spark.read.parquet(p)
+        .select(col("media_id"), col("ahash"), col("dhash")))
+      .reduce(_.unionByName(_))
+    val stagePresent = {
+      val base = new org.apache.hadoop.fs.Path(basePath)
+      base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(
+          s"$basePath/$PhashCompactStageDir"))
+    }
+    def mixedGenerations: Boolean = {
+      val gens = raw.inputFiles.map { f =>
+        val n = f.substring(f.lastIndexOf('/') + 1)
+        if (n.startsWith("graftc-")) n.split("-")(1) else "base"
+      }.distinct
+      gens.length > 1
+    }
+    val deduped =
+      if (paths.size == 1 && !stagePresent && !mixedGenerations) raw
+      else raw.groupBy(col("media_id"))
+        .agg(max(col("ahash")).as("ahash"), max(col("dhash")).as("dhash"))
+    Similarity.tombstoneUnion(spark, Seq(basePath), PhashDeletedDir,
+        "media_id") match {
+      case Some(t) => deduped.join(t, Seq("media_id"), "left_anti")
+      case None => deduped
+    }
+  }
 }

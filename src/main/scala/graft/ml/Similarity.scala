@@ -744,30 +744,41 @@ object Similarity {
     * ids applied to the mask, not rows physically removed).
     */
   def compactBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
+      path: String): Long =
+    compactFlatIndex(spark, path, "vec_id", BinDeletedDir,
+      BinCompactStageDir, "compactBinaryIndex",
+      "run foldStreamIntoBinaryIndex first")
+
+  /** The flat-table compaction core — [[compactBinaryIndex]]'s staged
+    * uuid-file-swap parameterized on the id column and sibling dirs,
+    * so the phash tier ([[Multimodal.compactPhashIndex]]) reuses the
+    * exact crash protocol instead of re-implementing it.
+    */
+  private[ml] def compactFlatIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, deletedDir: String, stageDir: String,
+      what: String, foldAdvice: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!streamSiblingHoldsData(fs,
         new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)),
-      s"compactBinaryIndex: streamed-appends sibling " +
+      s"$what: streamed-appends sibling " +
         s"$path$StreamSiblingSuffix holds un-folded data — compacting " +
         "the base alone would un-mask deleted rows in streamed " +
-        "partitions; run foldStreamIntoBinaryIndex first")
-    val stage = new org.apache.hadoop.fs.Path(
-      s"$path/$BinCompactStageDir")
+        s"partitions; $foldAdvice")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/$stageDir")
     // a committed stage means the previous run died mid-apply —
     // finish from the stage first, then fall through to the normal
     // pass (post-crash tombstone appends must still be honored)
     if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
-      applyBinaryStage(fs, root, stage)
+      applyFlatStage(fs, root, stage)
     fs.delete(stage, true)
-    val snapshot = tombstoneFileSnapshot(fs, path, BinDeletedDir)
+    val snapshot = tombstoneFileSnapshot(fs, path, deletedDir)
     if (snapshot.isEmpty) return 0L
     val dead = spark.read.parquet(snapshot.map(_.toString): _*)
-      .select(col("vec_id")).distinct()
+      .select(col(idCol)).distinct()
     val nDead = dead.count()
     spark.read.parquet(path)
-      .join(dead, Seq("vec_id"), "left_anti")
+      .join(dead, Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(stage.toString)
     // the uuid marker must exist before the apply can run; written
     // before _SUCCESS? the parquet write above already planted
@@ -775,7 +786,7 @@ object Similarity {
     graft.sources.Markers.write(fs,
       new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID"),
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    applyBinaryStage(fs, root, stage)
+    applyFlatStage(fs, root, stage)
     fs.delete(stage, true)
     snapshot.foreach { f => fs.delete(f, false); () }
     nDead
@@ -791,7 +802,7 @@ object Similarity {
     * the stage, uuid-named files are never deleted, so a replay
     * finishes the move and the sweep from any intermediate state.
     */
-  private def applyBinaryStage(fs: org.apache.hadoop.fs.FileSystem,
+  private[ml] def applyFlatStage(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       stage: org.apache.hadoop.fs.Path): Unit =
     graft.sources.Markers.read(fs,
@@ -822,7 +833,7 @@ object Similarity {
     * streamed deduped on vec_id (refolds and crashed replays
     * converge — a batch whose rows already reached the base is
     * absorbed, never doubled), uuid-swap the stage in through
-    * [[applyBinaryStage]]'s reader-safe apply, THEN flip the
+    * [[applyFlatStage]]'s reader-safe apply, THEN flip the
     * [[FoldedMarker]]s and drop the batch data, leaving the data-less
     * replay-ledger stubs. Move-first (the REVERSE of the IVF/BM25
     * claim order) is what the serving read's vec_id dedup buys: a
@@ -839,14 +850,24 @@ object Similarity {
     * Returns the number of batch partitions folded.
     */
   def foldStreamIntoBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
+      path: String): Long =
+    foldStreamIntoFlatIndex(spark, path, "vec_id",
+      Seq("vec_id", "bits"), BinCompactStageDir)
+
+  /** The flat-table fold core — [[foldStreamIntoBinaryIndex]]'s
+    * move-first staged rewrite parameterized on the id/payload
+    * columns and stage dir, reused by the phash tier
+    * ([[Multimodal.foldStreamIntoPhashIndex]]).
+    */
+  private[ml] def foldStreamIntoFlatIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, cols: Seq[String], stageDir: String): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stage = new org.apache.hadoop.fs.Path(
-      s"$path/$BinCompactStageDir")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/$stageDir")
     // finish a crashed apply from its committed stage first
     if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
-      applyBinaryStage(fs, root, stage)
+      applyFlatStage(fs, root, stage)
     fs.delete(stage, true)
     val sib = new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)
     val pending = listPendingBatches(fs, sib)
@@ -854,15 +875,15 @@ object Similarity {
     val streamed = pending
       .map(p => spark.read.parquet(p.toString))
       .reduce(_.unionByName(_))
-      .select(col("vec_id"), col("bits"))
-    spark.read.parquet(path).select(col("vec_id"), col("bits"))
+      .select(cols.map(col): _*)
+    spark.read.parquet(path).select(cols.map(col): _*)
       .unionByName(streamed)
-      .dropDuplicates("vec_id")
+      .dropDuplicates(idCol)
       .write.mode("overwrite").parquet(stage.toString)
     graft.sources.Markers.write(fs,
       new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID"),
       java.util.UUID.randomUUID().toString.replace("-", ""))
-    applyBinaryStage(fs, root, stage)
+    applyFlatStage(fs, root, stage)
     fs.delete(stage, true)
     // rows are in the base now — ONLY now stop serving the stream
     // copies (they'd just dedup away) and drop the batch data

@@ -2099,6 +2099,98 @@ object MlQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The phash tier's STREAMED ingest (the r12 verdict's item 5 —
+    * text, vectors, BM25 and substr indexes all had streaming
+    * maintenance; perceptual hashes had only the batch increment):
+    * build the signature index on a third of the media
+    * (media_id % 3 == 1), land another third (% 3 == 2) as two
+    * committed `ingest_batch=` partitions hashed with the SAME
+    * kernel ([[graft.streaming.MediaIngest]], BatchCommit replay
+    * discipline), then flag the final third against base ∪ streamed
+    * read from STORED hashes. Gated on ns66c's own oracle: the
+    * served corpus is exactly ns66c's (% 3 ≠ 0), and hash rows are a
+    * pure per-row payload function, so the streamed index must
+    * answer BIT-identically to the from-scratch pass —
+    * hash-equality proves it. MediaIngestSpec covers the lifecycle
+    * edges (replay absorption, recycled-id refusal, uncommitted
+    * batches invisible, union-serve == from-scratch).
+    */
+  val ns66dPhashStreamed: Q = (s, dir) => {
+    val media = Multimodal.mediaTable(Tables.documents(s, dir))
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "phash_index_str")
+    if (ivfIndexWritten.add(path)) {
+      // the entry owns its fixture and reconstructs it from scratch —
+      // a previous session's stream sibling holds data by design, so
+      // take the rebuild refusal's explicit-delete path (ns7h pattern)
+      val sib = new org.apache.hadoop.fs.Path(
+        path + Similarity.StreamSiblingSuffix)
+      sib.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(sib, true)
+      Multimodal.writePhashIndex(
+        media.filter(col("media_id") % 3 === 1), path)
+      graft.streaming.MediaIngest.ingestBatch(
+        media.filter(col("media_id") % 3 === 2 &&
+          col("media_id") % 2 === 0), 0L, path)
+      graft.streaming.MediaIngest.ingestBatch(
+        media.filter(col("media_id") % 3 === 2 &&
+          col("media_id") % 2 =!= 0), 1L, path)
+    }
+    graft.streaming.MediaIngest.phashIncrementServed(s, path,
+      media.filter(col("media_id") % 3 === 0), maxHamming = 12,
+      bands = 13, bandOccupancyCap = 100)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The phash tier's takedown lifecycle (the r12 verdict's optional
+    * item 7 — the last standing index without one): build the
+    * signature store on the ns66c corpus (% 3 ≠ 0), soft-delete
+    * every 7th media id ([[Multimodal.deleteFromPhashIndex]] —
+    * id-sized tombstone append, data files untouched), COMPACT
+    * ([[Multimodal.compactPhashIndex]] — the shared flat-table
+    * staged uuid-file-swap), then flag the new batch against the
+    * SURVIVORS served from stored hashes. Gated on the ns66c oracle
+    * restated over the survivor corpus predicate
+    * (% 3 ≠ 0 AND % 7 ≠ 0): hash-equality proves
+    * delete-then-compact-then-serve answers exactly like a
+    * from-scratch hash pass without the deleted media — the
+    * ns7g/ns8g discipline. MediaIngestSpec covers the byte-identical
+    * tombstone append, reclaim, converging re-run and the
+    * fold/compaction refusal edges.
+    */
+  val ns66ePhashCompacted: Q = (s, dir) => {
+    val media = Multimodal.mediaTable(Tables.documents(s, dir))
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "phash_index_cmp")
+    if (ivfIndexWritten.add(path)) {
+      Multimodal.writePhashIndex(
+        media.filter(col("media_id") % 3 =!= 0), path)
+      Multimodal.deleteFromPhashIndex(s,
+        media.filter(col("media_id") % 3 =!= 0 &&
+          col("media_id") % 7 === 0).select(col("media_id")), path)
+      Multimodal.compactPhashIndex(s, path)
+    }
+    graft.streaming.MediaIngest.phashIncrementServed(s, path,
+      media.filter(col("media_id") % 3 === 0), maxHamming = 12,
+      bands = 13, bandOccupancyCap = 100)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns66ePhashCompactedSql: String =
+    s"""WITH $duckAHashSig, pairs AS (
+      |  SELECT n.doc_id, o.doc_id AS dup_of,
+      |    bit_count(xor(n.simhash, o.simhash)) AS hamming
+      |  FROM sig n JOIN sig o
+      |    ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+      |    AND o.doc_id % 7 <> 0
+      |  WHERE bit_count(xor(n.simhash, o.simhash)) <= 12
+      |), best AS (
+      |  SELECT doc_id, dup_of, hamming,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hamming, dup_of) AS rk
+      |  FROM pairs
+      |)
+      |SELECT doc_id, dup_of, hamming FROM best WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   val ns66cPhashIncrementSql: String =
     s"""WITH $duckAHashSig, pairs AS (
       |  SELECT n.doc_id, o.doc_id AS dup_of,
@@ -4620,6 +4712,8 @@ object MlQueries {
     "ns66_phash" -> ns66Phash,
     "ns66b_phash_pairs" -> ns66bPhashPairs,
     "ns66c_phash_increment" -> ns66cPhashIncrement,
+    "ns66d_phash_streamed" -> ns66dPhashStreamed,
+    "ns66e_phash_compacted" -> ns66ePhashCompacted,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -4733,6 +4827,8 @@ object MlQueries {
     "ns66_phash" -> ns66PhashSql,
     "ns66b_phash_pairs" -> ns66bPhashPairsSql,
     "ns66c_phash_increment" -> ns66cPhashIncrementSql,
+    "ns66d_phash_streamed" -> ns66cPhashIncrementSql,
+    "ns66e_phash_compacted" -> ns66ePhashCompactedSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,

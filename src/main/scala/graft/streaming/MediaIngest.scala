@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ml.{Dedup, Multimodal}
+
+/** Streaming maintenance for the perceptual-hash tier — the media
+  * counterpart of [[VectorIngest]], closing the one index family that
+  * had only a batch increment (the r12 verdict's item 5): each
+  * micro-batch of media rows is DECODED ONCE into its 60-bit
+  * aHash/dHash signatures ([[graft.ml.Multimodal.perceptualHash]],
+  * the same kernel as the base build, so streamed rows can never
+  * drift) and lands in a sibling `<index>_stream` table; near-dup
+  * questions read base ∪ committed batches from STORED hashes, never
+  * re-decoding a payload.
+  *
+  * Delivery is the shared [[BatchCommit]] discipline verbatim:
+  * at-most-once per batch id, replay absorption by content
+  * fingerprint, loud refusal on a recycled id after a checkpoint
+  * reset. Per-trigger work is one decode+hash pass over the batch
+  * plus one partition write — O(batch), never O(index).
+  */
+object MediaIngest {
+
+  /** The streamed-appends sibling table of a base phash index. */
+  def streamPath(indexPath: String): String =
+    VectorIngest.streamPath(indexPath)
+
+  /** Content fingerprint of a media batch (order-insensitive; null
+    * payloads hash as empty, matching the hash kernel's contract).
+    */
+  def batchSig(batch: DataFrame): Long = {
+    val r = batch
+      .agg(coalesce(expr(
+        "bit_xor(xxhash64(media_id, coalesce(payload, cast('' AS binary))))"),
+        lit(0L)).as("x"), count(lit(1)).as("n")).head()
+    r.getLong(0) * 31L + r.getLong(1)
+  }
+
+  /** Pure per-batch body (testable without a streaming runtime). */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String)
+      : Unit =
+    BatchCommit.committedWrite(batch.sparkSession,
+      streamPath(indexPath), batchId, batchSig(batch),
+      "point the stream at a fresh phash index, or re-key the " +
+        "existing partitions offline") { part =>
+      Multimodal.perceptualHash(batch).toDF()
+        .write.mode("overwrite").parquet(part)
+    }
+
+  /** Wire the stream: micro-batches of media rows append their
+    * signatures to the served index's stream table.
+    */
+  def start(streamingMedia: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingMedia.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, indexPath)
+      }
+      .start()
+
+  /** The stored signatures a near-dup question may read: base ∪
+    * COMMITTED streamed partitions ([[VectorIngest.servePaths]]'s
+    * `_SUCCESS`/fold-marker rules verbatim), tombstone-masked and
+    * dedup-hardened exactly when duplicates are possible
+    * ([[graft.ml.Multimodal.servedPhashRows]]).
+    */
+  def servedHashes(spark: SparkSession, indexPath: String): DataFrame =
+    Multimodal.servedPhashRows(spark, indexPath,
+      VectorIngest.servePaths(spark, indexPath))
+
+  /** Incremental near-dup of a NEW media batch against the standing
+    * index — ns66c's semantics ([[graft.ml.Dedup
+    * .simhashIncrementFromSigs]] over aHashes) with the corpus side
+    * read from STORED signatures: the new batch is decoded once, the
+    * corpus never. Gated as ns66d on ns66c's own oracle — the served
+    * union must answer exactly like a from-scratch hash pass over the
+    * same corpus.
+    */
+  def phashIncrementServed(spark: SparkSession, indexPath: String,
+      newMedia: DataFrame, maxHamming: Int, bands: Int,
+      bandOccupancyCap: Int): DataFrame = {
+    val newSigs = Multimodal.perceptualHash(newMedia).toDF()
+      .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+    val corpusSigs = servedHashes(spark, indexPath)
+      .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+    Dedup.simhashIncrementFromSigs(newSigs, corpusSigs, maxHamming,
+      bands, bandOccupancyCap)
+  }
+}

@@ -207,8 +207,8 @@ object VectorIngest {
     * return a partial vector set until the stream happens to replay
     * that batch.
     */
-  private def servePaths(spark: SparkSession, indexPath: String)
-      : Seq[String] = {
+  private[streaming] def servePaths(spark: SparkSession,
+      indexPath: String): Seq[String] = {
     val sp = new org.apache.hadoop.fs.Path(streamPath(indexPath))
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp)) Seq(indexPath)
