@@ -1245,10 +1245,26 @@ object Dedup {
     // RawLocalFileSystem signals the non-overwriting create collision
     // as FileAlreadyExistsException; be liberal and accept any
     // "already exists" IOException subtype, nothing else.
+    // some object-store connectors signal the create(overwrite=false)
+    // collision as a generic IOException whose message says "already
+    // exists" — keep the lock-held guidance there too (r12 advice);
+    // any OTHER IOException still propagates as itself
+    def lockHeld(e: java.io.IOException): Boolean = e match {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _ =>
+        Option(e.getMessage).exists(
+          _.toLowerCase.contains("already exists"))
+    }
     try fs.create(marker, false).close()
     catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.nio.file.FileAlreadyExistsException) =>
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"compactSubstrIndex: writer lock $marker is already held " +
+            "— another compactor is live (wait for it), or a crashed " +
+            "run left a stale marker (re-run with breakStaleLock = " +
+            "true once no compactor is live; the stage-replay logic " +
+            "then finishes any crashed apply first)", e)
+      case e: java.io.IOException if lockHeld(e) =>
         throw new IllegalStateException(
           s"compactSubstrIndex: writer lock $marker is already held " +
             "— another compactor is live (wait for it), or a crashed " +

@@ -678,6 +678,19 @@ object Similarity {
       new org.apache.hadoop.fs.Path(path).getFileSystem(
         embeddings.sparkSession.sparkContext.hadoopConfiguration),
       path, "writeBinaryIndex")
+    // the quiescent single-root serve SKIPS the vec_id dedup on the
+    // premise that only maintenance windows can produce duplicates
+    // (the r12 ns7g fix) — make that premise an enforced invariant
+    // rather than an assumption (the r12 advice finding): a build
+    // input carrying duplicate vec_ids would serve duplicate
+    // neighbor rows that consume rank slots. One aggregate at build
+    // time, the pass that is already corpus-priced.
+    val dup = withNorm(embeddings)
+      .agg((count(lit(1)) - count_distinct(col("vec_id"))).as("d"))
+      .head().getLong(0)
+    require(dup == 0L,
+      s"writeBinaryIndex: input holds $dup duplicate vec_id rows — " +
+        "the served index requires unique ids (dedup upstream)")
     packForBinaryIndex(embeddings, dim)
       .write.mode("overwrite").parquet(path)
     embeddings.sparkSession.range(1).select(lit(dim).as("dim"))

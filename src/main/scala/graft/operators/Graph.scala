@@ -306,7 +306,13 @@ object Graph {
     * q19b/q69 discipline): the relative standard error under the
     * independent-triangles approximation — a LOWER bound when
     * triangles share edges (adjacent triangles covary), which the
-    * docstring states rather than hides.
+    * docstring states rather than hides; NULL when the sample holds
+    * zero triangles (no finite relative error exists). Precondition,
+    * shared with [[triangleStats]] and produced by
+    * [[coOccurrenceEdges]]: edges are canonical DISTINCT p1 &lt; p2
+    * rows — a both-orientations input would flip an independent coin
+    * per orientation, biasing each edge's effective keep probability
+    * to 1−(1−p)² (the r12 advice finding).
     */
   def triangleStatsSampled(edges: DataFrame, keepNum: Int,
       keepDen: Int, seed: Long = 0L): DataFrame = {
@@ -325,7 +331,12 @@ object Graph {
       lit(keepNum).as("keep_num"), lit(keepDen).as("keep_den"),
       col("n_triangles").as("tri_sampled"),
       round(col("n_triangles") / lit(p3), 2).as("est_triangles"),
-      round(sqrt((lit(1.0) - lit(p3)) / col("n_triangles")), 6)
+      // a sample with ZERO surviving triangles has no finite relative
+      // error — emit NULL deliberately (the r12 advice finding: an
+      // unguarded division leaves the NULL/inf choice to the engine,
+      // and DuckDB's IEEE inf would hash-diverge on such a draw)
+      when(col("n_triangles") > 0,
+        round(sqrt((lit(1.0) - lit(p3)) / col("n_triangles")), 6))
         .as("rse_indep"))
   }
 

@@ -321,7 +321,9 @@ object StatsQueries {
       |  (SELECT count(*) FROM kept)::BIGINT AS n_edges_kept,
       |  1 AS keep_num, 2 AS keep_den, tri_sampled,
       |  round(tri_sampled / 0.125::DOUBLE, 2) AS est_triangles,
-      |  round(sqrt((1 - 0.125::DOUBLE) / tri_sampled), 6) AS rse_indep
+      |  CASE WHEN tri_sampled > 0 THEN
+      |    round(sqrt((1 - 0.125::DOUBLE) / tri_sampled), 6)
+      |  END AS rse_indep
       |FROM tri""".stripMargin
 
   // --------------------------------------------------- q94 PageRank

@@ -37,18 +37,28 @@ object Versioning {
     * key's max (ts, tiebreak) with partial aggregation (the hot key
     * combines map-side across every partition) and marks rows by an
     * equi-join against the ≤|keys|-row result, which AQE broadcasts
-    * while it fits. Identical output to the window form — version
+    * while it fits. Identical output to the window form: version
     * pairs are unique on (ts, tiebreak) per key by the merge
-    * contract's event_id dedup — so q20b gates on q20's exact oracle.
+    * contract's event_id dedup (exact ties would mark every tied row
+    * current=1 where the window picks one — the stated precondition),
+    * and null business keys form their own stratum via the null-safe
+    * join, exactly as the window's partitionBy keeps them — so q20b
+    * gates on q20's exact oracle.
     */
   def withCurrentFlagAgg(df: DataFrame, key: String, ts: String,
       tiebreak: String): DataFrame = {
+    // NULL-SAFE join (<=>): groupBy faithfully keeps a null-keyed
+    // stratum (as the window form's partitionBy does), but a plain
+    // equi-join back would silently drop every such row — the r12
+    // advice finding. The renamed join column keeps the condition
+    // unambiguous.
     val latest = df.groupBy(col(key)).agg(
-      max(struct(col(ts), col(tiebreak))).as("_mx"))
-    df.join(latest, Seq(key))
+        max(struct(col(ts), col(tiebreak))).as("_mx"))
+      .withColumnRenamed(key, "_k")
+    df.join(latest, col(key) <=> col("_k"))
       .withColumn("current",
         (struct(col(ts), col(tiebreak)) === col("_mx")).cast("int"))
-      .drop("_mx")
+      .drop("_mx", "_k")
   }
 
   /** W2: latest-version-per-key snapshot (the reference's

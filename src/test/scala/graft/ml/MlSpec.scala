@@ -1626,6 +1626,26 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("writeBinaryIndex refuses duplicate vec_ids: the quiescent " +
+      "serve's dedup-skip premise is an enforced build invariant") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_dupid")
+    try {
+      val dup = Seq(
+        (1L, Array(1f, -1f, 1f, 1f)),
+        (1L, Array(1f, -1f, 1f, 1f)),
+        (2L, Array(-1f, 1f, -1f, 1f)))
+        .toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.writeBinaryIndex(dup, tmp.resolve("idx").toString,
+          dim = 4)
+      }
+      assert(e.getMessage.contains("duplicate vec_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("binary index delete/compact lifecycle: tombstones mask with " +
       "zero data files touched, compaction removes the dead rows via " +
       "the uuid file swap, and a mid-apply crash replays convergently") {

@@ -87,6 +87,15 @@ class GraphSpec extends SparkSpec {
     val mean = seeds.map(s => est(s)._3).sum / seeds.size
     assert(math.abs(mean - exact) < 0.25 * exact,
       s"seed-sweep mean $mean too far from $exact")
+    // a draw with ZERO surviving triangles has no finite relative
+    // error: rse_indep is NULL, never inf/NaN (the r12 advice
+    // finding). A 2-path has no triangle at any keep rate.
+    val path2 = Seq((1L, 2L), (2L, 3L)).toDF("p1", "p2")
+    val r0 = Graph.triangleStatsSampled(path2, keepNum = 1,
+      keepDen = 1).head()
+    assert(r0.getAs[Long]("tri_sampled") === 0L)
+    assert(r0.isNullAt(r0.fieldIndex("rse_indep")),
+      "zero-triangle draw must emit NULL rse_indep")
   }
 
   test("pageRank on a regular graph is uniform 1.0") {

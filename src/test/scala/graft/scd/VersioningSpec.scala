@@ -42,6 +42,20 @@ class VersioningSpec extends SparkSpec {
         "event_id")) ===
       flags(Versioning.withCurrentFlag(df, "item_id", "ts",
         "event_id")))
+    // NULL business keys form their own stratum in BOTH forms (the
+    // r12 advice finding: a plain equi-join back would silently drop
+    // them where the window's partitionBy keeps them, one current=1)
+    val withNullKey = rows.toDF("item_id", "ts", "event_id")
+      .unionByName(Seq(
+        (Option.empty[Long], ts("2024-01-03 00:00:00"), 900L),
+        (Option.empty[Long], ts("2024-01-05 00:00:00"), 901L))
+        .toDF("item_id", "ts", "event_id"))
+    val aggN = flags(Versioning.withCurrentFlagAgg(withNullKey,
+      "item_id", "ts", "event_id"))
+    assert(aggN === flags(Versioning.withCurrentFlag(withNullKey,
+      "item_id", "ts", "event_id")))
+    assert(aggN(900L) === 0 && aggN(901L) === 1,
+      "the null-keyed stratum must survive with one current row")
   }
 
   test("W1: equal timestamps break ties on the tiebreak column (retry " +
