@@ -62,6 +62,25 @@ object MediaIngest {
       }
       .start()
 
+  /** Wire a DELETE stream: each micro-batch of (media_id) rows lands
+    * in the base index's tombstone table
+    * ([[graft.ml.Multimodal.deleteFromPhashIndex]]). No BatchCommit
+    * partition protocol, deliberately — the [[VectorIngest
+    * .startDeletes]] argument verbatim: tombstone appends are
+    * idempotent AT READ (the serving mask distincts), so
+    * at-least-once replay costs duplicate tombstone rows, never
+    * correctness; the mask covers base AND streamed signatures.
+    */
+  def startDeletes(streamingIds: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingIds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Multimodal.deleteFromPhashIndex(batch.sparkSession,
+          batch.select(col("media_id")), indexPath)
+      }
+      .start()
+
   /** The stored signatures a near-dup question may read: base ∪
     * COMMITTED streamed partitions ([[VectorIngest.servePaths]]'s
     * `_SUCCESS`/fold-marker rules verbatim), tombstone-masked and

@@ -105,6 +105,7 @@ class MediaIngestSpec extends SparkSpec {
       "and serving equals a from-scratch survivor build throughout") {
     val spark0 = spark
     import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("media_life")
     try {
       val idx = tmp.resolve("idx").toString
@@ -142,6 +143,21 @@ class MediaIngestSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Multimodal.compactPhashIndex(spark, idx)
       }
+      // streamed deletes land in the same tombstone table and mask a
+      // signature that arrived via a streamed APPEND (the union mask)
+      val delTarget = spark.read.parquet(
+          s"${MediaIngest.streamPath(idx)}/ingest_batch=0")
+        .select(max(col("media_id"))).head().getLong(0)
+      assert(served().exists(_._1 == delTarget))
+      val delIn = MemoryStream[Long]
+      val dq = MediaIngest.startDeletes(
+        delIn.toDF().withColumnRenamed("value", "media_id"), idx,
+        tmp.resolve("dckpt").toString)
+      try {
+        delIn.addData(delTarget); dq.processAllAvailable()
+      } finally dq.stop()
+      assert(!served().exists(_._1 == delTarget),
+        "streamed delete must mask a streamed-append signature")
       // fold drains the batch into the base; union-serve unchanged
       val afterIngest = served()
       assert(Multimodal.foldStreamIntoPhashIndex(spark, idx) === 1L)
