@@ -306,7 +306,7 @@ object Corpus {
         groupCols.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _))
       .join(broadcast(offR),
         (groupCols.map(c => col(c) <=> col(s"_o_$c")) :+
-          (col("_bkt") === col("_o_bkt"))).reduce(_ && _))
+          (col("_bkt") <=> col("_o_bkt"))).reduce(_ && _))
       // a bucket whose offset already reaches the cap can contribute
       // nothing — drop it before the shuffle (map-only prune)
       .filter(col("_off") < col("n_target"))
@@ -343,7 +343,13 @@ object Corpus {
     * balanced); an outlier-stretched range degrades toward the window
     * form's parallelism, never its correctness. `idCol` must be an
     * integral column; null group values form their own stratum (the
-    * offset join is null-safe), matching the window form.
+    * offset join is null-safe), matching the window form. NULL ids
+    * form their own bucket (both joins are null-safe on it), and
+    * since an ascending sort puts nulls FIRST, that bucket sorts
+    * before every shifted non-negative bucket value — so null-id
+    * rows occupy the front of each group's prefix, exactly where the
+    * window form ranks them (the r13 review finding: a plain bucket
+    * equality silently dropped them).
     */
   def cappedIdPrefix(rows: DataFrame, idCol: String,
       groupCols: Seq[String], cap: Long): DataFrame = {
@@ -354,16 +360,21 @@ object Corpus {
     require(taken.isEmpty,
       s"inputs may not use the reserved working names $taken")
     val id = col(idCol).cast("long")
-    // ONE bounded aggregate (a single row) sizes the bucket shift
+    // ONE bounded aggregate (a single row) sizes the bucket shift;
+    // min/max skip nulls, so an input with no non-null id at all
+    // (or empty) gets the degenerate single null bucket — the window
+    // form's behavior, not an empty result
     val mm = rows.agg(min(id).as("mn"), max(id).as("mx")).head()
-    if (mm.isNullAt(0)) return rows.filter(lit(false))
-    val mn = mm.getLong(0)
-    val range = BigInt(mm.getLong(1)) - BigInt(mn)
     val bkt =
-      if (range.bitLength <= 62)
-        shiftrightunsigned(id - lit(mn),
-          math.max(0, range.bitLength - 12))
-      else shiftrightunsigned(id.bitwiseXOR(lit(Long.MinValue)), 52)
+      if (mm.isNullAt(0)) lit(null).cast("long")
+      else {
+        val mn = mm.getLong(0)
+        val range = BigInt(mm.getLong(1)) - BigInt(mn)
+        if (range.bitLength <= 62)
+          shiftrightunsigned(id - lit(mn),
+            math.max(0, range.bitLength - 12))
+        else shiftrightunsigned(id.bitwiseXOR(lit(Long.MinValue)), 52)
+      }
     val bucketed = rows.withColumn("_bkt", bkt)
     val gb = (groupCols :+ "_bkt").map(col)
     val offsets = bucketed.groupBy(gb: _*)
@@ -383,7 +394,7 @@ object Corpus {
     bucketed
       .join(broadcast(offR),
         (groupCols.map(c => col(c) <=> col(s"_o_$c")) :+
-          (col("_bkt") === col("_o_bkt"))).reduce(_ && _))
+          (col("_bkt") <=> col("_o_bkt"))).reduce(_ && _))
       // a bucket whose offset already reaches the cap contributes
       // nothing — dropped map-side, before the rank shuffle
       .filter(col("_off") < cap)

@@ -1247,13 +1247,17 @@ object Dedup {
     // "already exists" IOException subtype, nothing else.
     // some object-store connectors signal the create(overwrite=false)
     // collision as a generic IOException whose message says "already
-    // exists" — keep the lock-held guidance there too (r12 advice);
-    // any OTHER IOException still propagates as itself
+    // exists" — keep the lock-held guidance there too (r12 advice),
+    // but ONLY when the message names THIS marker: an unanchored
+    // substring match would re-create the r11 bug class (a transient
+    // failure about some other path steered toward breakStaleLock).
+    // Any other IOException still propagates as itself.
     def lockHeld(e: java.io.IOException): Boolean = e match {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
       case _ =>
-        Option(e.getMessage).exists(
-          _.toLowerCase.contains("already exists"))
+        Option(e.getMessage).exists(m =>
+          m.toLowerCase.contains("already exists") &&
+            (m.contains(marker.toString) || m.contains(marker.getName)))
     }
     try fs.create(marker, false).close()
     catch {

@@ -215,13 +215,8 @@ object Similarity {
     // with the stated drop-hot-bucket recall trade. Deterministic
     // (bucket sizes are a pure function of the data), so the capped
     // form restates in the oracle as a windowed count
-    val banded =
-      if (bandOccupancyCap > 0L)
-        bandedAll.withColumn("bsz", count(lit(1)).over(
-          Window.partitionBy(col("band"), col("bucket"))))
-          .filter(col("bsz") <= bandOccupancyCap)
-          .drop("bsz")
-      else bandedAll
+    val banded = capBuckets(bandedAll, Seq("band", "bucket"),
+      bandOccupancyCap)
     val idFilter =
       if (ordered) col("i") < col("j") else col("i") =!= col("j")
     val cand = banded.select(col("vec_id").as("i"), col("band"), col("bucket"))
@@ -404,13 +399,8 @@ object Similarity {
     require(nNegs >= 1, "need at least one hard negative per anchor")
     val n = withNorm(embeddings)
     val bandedAll = lshBanded(n, nBands, bitsPerBand, dim)
-    val kept =
-      if (bandOccupancyCap > 0L)
-        bandedAll.withColumn("bsz", count(lit(1)).over(
-          Window.partitionBy(col("band"), col("bucket"))))
-          .filter(col("bsz") <= bandOccupancyCap)
-          .drop("bsz")
-      else bandedAll
+    val kept = capBuckets(bandedAll, Seq("band", "bucket"),
+      bandOccupancyCap)
     val cand = bandedAll
       .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("i"), col("band"), col("bucket"))
@@ -1123,13 +1113,8 @@ object Similarity {
       val nb = maxHamming + 1
       require(nb <= dim, "pigeonhole needs maxHamming + 1 <= dim bands")
       val banded = signBanded(z, dim, nb)
-      val keptCand =
-        if (bandOccupancyCap > 0L)
-          banded.withColumn("bsz", count(lit(1)).over(
-            Window.partitionBy(col("band"), col("band_bits"))))
-            .filter(col("bsz") <= bandOccupancyCap)
-            .drop("bsz")
-        else banded
+      val keptCand = capBuckets(banded, Seq("band", "band_bits"),
+        bandOccupancyCap)
       // query side NEVER capped: a query in a hot bucket keeps its
       // other bands — only hot CANDIDATES become unreachable
       val qa = banded.join(q, Seq("vec_id"), "left_semi")
@@ -1154,36 +1139,6 @@ object Similarity {
     }
   }
 
-  /** Radius-bounded near-duplicate PAIRS from the persisted sign-bit
-    * index — the pigeonhole band machinery ([[graft.ml.Dedup]]'s
-    * simhash discipline, proven on 60-bit phashes in ns66b) applied
-    * to the packed sign bits: split the dim bits into
-    * `maxHamming + 1` bands, join on (band, band_bits), verify full
-    * Hamming. Exact by pigeonhole: a pair within the radius agrees
-    * on SOME band, so nothing is missed (the quadratic oracle proves
-    * it). The mining twin of [[binaryTopKServed]] — top-k serving
-    * answers "nearest to these queries"; this answers "every
-    * near-duplicate pair in the standing index" without reading a
-    * single float vector.
-    *
-    * Scale posture, stated honestly: band selectivity is
-    * 2^(dim/(maxHamming+1)) — the tier pays when the radius is small
-    * relative to the signature width (dim 256 at radius 12 gives
-    * 19-bit bands: random collisions vanish and candidates track the
-    * true near-dup population). At dim 64 / radius 16 the 3–4-bit
-    * bands collide constantly and candidate volume approaches the
-    * scan's — the fixture gate covers SEMANTICS there, not the
-    * asymptotics. `bandOccupancyCap` (0 = exact) is the ns5c
-    * occupancy cap verbatim: buckets above the cap form no pairs, so
-    * candidates are structurally ≤ cap · bands · N under ANY sign
-    * skew (one dominant embedding cluster collapses its members'
-    * sign bits into the same buckets — the clustered-corpus regime),
-    * with the stated drop-hot-bucket recall contract. Duplicated
-    * index rows (a compaction apply window) are harmless here by
-    * construction: they can only duplicate (i, j) rows, which the
-    * final distinct absorbs, and i &lt; j excludes self-pairs — no
-    * read-side dedup needed.
-    */
   /** Pigeonhole bands over a packed sign-bit table: each row of `z`
     * (vec_id, bits) exploded into `nb` (band, band_bits) rows. Band b
     * covers bit positions [dim·b/nb, dim·(b+1)/nb) — the same
@@ -1220,6 +1175,50 @@ object Similarity {
         col("bb.band").as("band"), col("bb.band_bits").as("band_bits"))
   }
 
+  /** Drop rows of buckets larger than `cap` — the shared
+    * band-occupancy cap (0 = off) every banded tier states the same
+    * way, factored so the `<=` semantics the oracles restate as a
+    * windowed bucket count can never drift between copies (the r13
+    * review finding: four hand-inlined copies had accumulated).
+    */
+  private[ml] def capBuckets(df: DataFrame, keys: Seq[String],
+      cap: Long): DataFrame =
+    if (cap <= 0L) df
+    else df.withColumn("_bsz", count(lit(1)).over(
+      Window.partitionBy(keys.map(col): _*)))
+      .filter(col("_bsz") <= cap)
+      .drop("_bsz")
+
+  /** Radius-bounded near-duplicate PAIRS from the persisted sign-bit
+    * index — the pigeonhole band machinery ([[graft.ml.Dedup]]'s
+    * simhash discipline, proven on 60-bit phashes in ns66b) applied
+    * to the packed sign bits: split the dim bits into
+    * `maxHamming + 1` bands, join on (band, band_bits), verify full
+    * Hamming. Exact by pigeonhole: a pair within the radius agrees
+    * on SOME band, so nothing is missed (the quadratic oracle proves
+    * it). The mining twin of [[binaryTopKServed]] — top-k serving
+    * answers "nearest to these queries"; this answers "every
+    * near-duplicate pair in the standing index" without reading a
+    * single float vector.
+    *
+    * Scale posture, stated honestly: band selectivity is
+    * 2^(dim/(maxHamming+1)) — the tier pays when the radius is small
+    * relative to the signature width (dim 256 at radius 12 gives
+    * 19-bit bands: random collisions vanish and candidates track the
+    * true near-dup population). At dim 64 / radius 16 the 3–4-bit
+    * bands collide constantly and candidate volume approaches the
+    * scan's — the fixture gate covers SEMANTICS there, not the
+    * asymptotics. `bandOccupancyCap` (0 = exact) is the ns5c
+    * occupancy cap verbatim: buckets above the cap form no pairs, so
+    * candidates are structurally ≤ cap · bands · N under ANY sign
+    * skew (one dominant embedding cluster collapses its members'
+    * sign bits into the same buckets — the clustered-corpus regime),
+    * with the stated drop-hot-bucket recall contract. Duplicated
+    * index rows (a compaction apply window) are harmless here by
+    * construction: they can only duplicate (i, j) rows, which the
+    * final distinct absorbs, and i &lt; j excludes self-pairs — no
+    * read-side dedup needed.
+    */
   def binaryNearDupPairs(spark: org.apache.spark.sql.SparkSession,
       path: String, maxHamming: Int, bandOccupancyCap: Long = 0L)
       : DataFrame = {
@@ -1249,13 +1248,8 @@ object Similarity {
       case None => raw
     }
     val banded = signBanded(z, dim, nb)
-    val kept =
-      if (bandOccupancyCap > 0L)
-        banded.withColumn("bsz", count(lit(1)).over(
-          Window.partitionBy(col("band"), col("band_bits"))))
-          .filter(col("bsz") <= bandOccupancyCap)
-          .drop("bsz")
-      else banded
+    val kept = capBuckets(banded, Seq("band", "band_bits"),
+      bandOccupancyCap)
     kept
       .select(col("vec_id").as("i"), col("bits").as("ba"),
         col("band"), col("band_bits"))

@@ -1029,11 +1029,16 @@ object MlQueries {
     * budget (sf0.1 bench: ~25M; the clustered skew tier) the
     * pigeonhole-banded branch serves radius-bounded candidates from
     * the same packed bits: the oracle restates the routing condition
-    * and BOTH branches ns8i-style (the banded branch via the
-    * pc(a)+pc(b)−2·(a·b) identity with the ham ≤ 8 radius bound —
-    * exact by pigeonhole while the occupancy cap is disengaged;
-    * MlSpec gates the live banded branch against a naive recompute
-    * and the cap's candidate-side-only contract).
+    * and BOTH branches ns8i-style — the banded branch IN FULL,
+    * occupancy cap included (bands as 0/1-list slices over the same
+    * integer boundaries, bucket sizes as a windowed count, then the
+    * pc(a)+pc(b)−2·(a·b) Hamming with the ham ≤ 8 radius bound), the
+    * r13 review finding: an uncapped restatement would hash-diverge
+    * on exactly the hot corpus the cap exists for. MlSpec gates the
+    * live banded branch against a naive recompute and the cap's
+    * candidate-side-only contract; the capped SQL itself is validated
+    * against the engine's hot route in the same spec discipline (a
+    * forced-hot budget compare, dev-run against DuckDB).
     */
   val ns7jSimBinaryRouted: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -1047,6 +1052,22 @@ object MlQueries {
       Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
       .orderBy(col("i"), col("rk"))
   }
+
+  /** The sign-band explode restated over the 0/1 sign LIST: band b
+    * covers 0-based positions [dim·b/nb, dim·(b+1)/nb) — the SAME
+    * integer arithmetic as the engine's signBanded, emitted from it
+    * so boundaries cannot drift; the list slice is an injective image
+    * of the packed-long band key (fixed band window), so (band,
+    * band_bits) partitions, joins, and occupancy counts identically.
+    * DuckDB slices are 1-based inclusive: [lo+1 : hi].
+    */
+  private def signBandedSql(dim: Int, nb: Int): String =
+    (0 until nb).map { b =>
+      val lo = dim * b / nb
+      val hi = dim * (b + 1) / nb
+      s"  SELECT vec_id, s, pc, $b AS band, s[${lo + 1}:$hi] " +
+        "AS band_bits FROM sgn"
+    }.mkString("bandedq AS (\n", "\n  UNION ALL\n", "\n)")
 
   val ns7jSimBinaryRoutedSql: String =
     s"""WITH $duckNonZeroEmb,
@@ -1077,14 +1098,27 @@ object MlQueries {
       |    FROM cand_scan c JOIN nz a ON a.vec_id = c.i
       |    JOIN nz b ON b.vec_id = c.j)
       |  WHERE rk <= 5 AND NOT (SELECT hot FROM cond)
+      |),
+      |${signBandedSql(dim = 64, nb = 9)},
+      |bkeptq AS (
+      |  SELECT vec_id, band, band_bits FROM (
+      |    SELECT vec_id, band, band_bits,
+      |      count(*) OVER (PARTITION BY band, band_bits) AS bsz
+      |    FROM bandedq) WHERE bsz <= 100
+      |), cand_bandp AS (
+      |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |  FROM bandedq a JOIN bkeptq b
+      |    ON a.band = b.band AND a.band_bits = b.band_bits
+      |    AND a.vec_id <> b.vec_id
       |), cand_band AS (
       |  SELECT i, j FROM (
-      |    SELECT a.vec_id AS i, b.vec_id AS j,
-      |      row_number() OVER (PARTITION BY a.vec_id
-      |        ORDER BY (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)),
-      |          b.vec_id) AS hrk
-      |    FROM sgn a JOIN sgn b ON a.vec_id <> b.vec_id
-      |    WHERE (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)) <= 8)
+      |    SELECT c.i, c.j,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY (x.pc + y.pc - 2 * list_dot_product(x.s, y.s)),
+      |          c.j) AS hrk
+      |    FROM cand_bandp c JOIN sgn x ON x.vec_id = c.i
+      |    JOIN sgn y ON y.vec_id = c.j
+      |    WHERE (x.pc + y.pc - 2 * list_dot_product(x.s, y.s)) <= 8)
       |  WHERE hrk <= 100
       |), approx_band AS (
       |  SELECT i, rk, j, cos FROM (

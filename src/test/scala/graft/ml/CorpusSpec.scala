@@ -304,11 +304,19 @@ class CorpusSpec extends SparkSpec {
     import spark0.implicits._
     import org.apache.spark.sql.expressions.Window
     // one dominant group (700 of 760 rows), two cold ones, one null
-    // stratum; ids deliberately NON-contiguous so buckets are exercised
-    val rows = ((0 until 700).map(i => (Some("hot"), i * 37L, i % 5)) ++
-      (0 until 40).map(i => (Some("c1"), 100000L + i * 3L, i)) ++
-      (0 until 15).map(i => (Some("c2"), 200000L + i, i)) ++
-      (0 until 5).map(i => (Option.empty[String], 300000L + i, i)))
+    // stratum; ids deliberately NON-contiguous so buckets are
+    // exercised. NULL ids too (r13 review finding): one in the hot
+    // group (the cap binds there — no tie so the kept set is exact)
+    // and two in a cold group where everything is kept anyway
+    val rows = ((0 until 700).map(i =>
+      (Some("hot"), Some(i * 37L), i % 5)) ++
+      Seq((Some("hot"), Option.empty[Long], 990)) ++
+      (0 until 40).map(i => (Some("c1"), Some(100000L + i * 3L), i)) ++
+      Seq((Some("c1"), Option.empty[Long], 991),
+        (Some("c1"), Option.empty[Long], 992)) ++
+      (0 until 15).map(i => (Some("c2"), Some(200000L + i), i)) ++
+      (0 until 5).map(i =>
+        (Option.empty[String], Some(300000L + i), i)))
       .toDF("g", "id", "payload")
     val cap = 25L
     val got = Corpus.cappedIdPrefix(rows, "id", Seq("g"), cap)
@@ -318,6 +326,10 @@ class CorpusSpec extends SparkSpec {
     assert(got.columns.toSeq === rows.columns.toSeq)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "kept set must be bit-identical to the window form")
+    // null ids rank FIRST (asc nulls-first), exactly as the window
+    // form keeps them — the hot group's null row must survive the cap
+    assert(got.filter(col("id").isNull).count() === 3L,
+      "null-id rows must occupy the front of each group's prefix")
     // plan shape: any window partitioned by the group alone may only
     // run over the bucket histogram (an aggregate subtree), never the
     // raw rows — that single-task sort is what this operator removes
