@@ -621,11 +621,10 @@ object Dedup {
     require(bandOccupancyCap > 0, "bandOccupancyCap must be positive")
     val nb = if (bands > 0) bands else maxHamming + 1
     require(maxHamming < nb, "pigeonhole needs maxHamming < bands")
-    val kept = simhashBands(sh, nb)
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_bits"))))
-      .filter(col("bsz") <= bandOccupancyCap)
+    // the shared cap helper (Similarity.capBuckets) so the `<=`
+    // semantics every oracle restates cannot drift between tiers
+    val kept = Similarity.capBuckets(simhashBands(sh, nb),
+      Seq("band", "band_bits"), bandOccupancyCap.toLong)
     kept
       .select(col("doc_id").as("i"), col("simhash").as("sig_i"),
         col("band"), col("band_bits"))
