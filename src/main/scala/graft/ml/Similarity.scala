@@ -1248,6 +1248,16 @@ object Similarity {
       case None => raw
     }
     val banded = signBanded(z, dim, nb)
+    minedBandPairs(banded, bandOccupancyCap, nw, maxHamming)
+  }
+
+  /** The mining join tail over a banded bit table: cap, self-join on
+    * (band, band_bits), full-Hamming verify, distinct — shared by the
+    * dedicated miner and its router so the pair semantics cannot
+    * drift.
+    */
+  private def minedBandPairs(banded: DataFrame, bandOccupancyCap: Long,
+      nw: Int, maxHamming: Int): DataFrame = {
     val kept = capBuckets(banded, Seq("band", "band_bits"),
       bandOccupancyCap)
     kept
@@ -1262,6 +1272,71 @@ object Similarity {
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
       .dropDuplicates("i", "j")
+  }
+
+  /** The binary pair-mining ROUTER — the measured-volume discipline
+    * ([[graft.ml.Dedup.simhashPairsAuto]], whose banding this tier
+    * reuses over packed sign bits) as the mining default: ns7i's
+    * occupancy cap was a MANUAL knob, and the honest default is to
+    * pay for exactness while the banded candidate volume is
+    * affordable and engage the cap only when the measurement says the
+    * corpus's sign buckets have collapsed. ONE bounded aggregate over
+    * the (band, band_bits) occupancy histogram (≤ bands·N rows in,
+    * one row out) measures Σ c·(c−1), decimal-widened BEFORE the
+    * multiply; under `budgetCandidatesPerVec`·N the EXACT pigeonhole
+    * banding runs (lossless — the ns7i quadratic-oracle semantics),
+    * past it buckets above `bandOccupancyCap` form no pairs
+    * (candidates ≤ cap·bands·N structurally, the stated
+    * drop-hot-bucket recall contract). The routing scalar and both
+    * branches restate in the oracle (ns7k) — and on the gate fixture
+    * the router goes HOT, so the capped branch (list-slice band
+    * buckets + windowed count) is hash-proven LIVE, with the cap
+    * non-binding there so the output still equals the quadratic
+    * restatement.
+    */
+  def binaryNearDupPairsAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxHamming: Int, bandOccupancyCap: Long,
+      budgetCandidatesPerVec: Long = 128L): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    require(bandOccupancyCap > 0L,
+      "the routed form needs a positive bandOccupancyCap to engage")
+    require(budgetCandidatesPerVec > 0L,
+      "budgetCandidatesPerVec must be positive")
+    require(!streamSiblingHoldsData(
+        new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)),
+      s"binaryNearDupPairsAuto: streamed-appends sibling " +
+        s"$path$StreamSiblingSuffix holds un-folded data — mining " +
+        "the base alone would miss pairs involving streamed " +
+        "vectors; run foldStreamIntoBinaryIndex first")
+    val dim = spark.read.parquet(s"$path/$BinStatsDir")
+      .head().getAs[Int]("dim")
+    val nb = maxHamming + 1
+    require(nb <= dim, "pigeonhole needs maxHamming + 1 <= dim bands")
+    val nw = (dim + 63) / 64
+    val raw = spark.read.parquet(path)
+      .select(col("vec_id"), col("bits"))
+    val z = tombstoneUnion(spark, Seq(path), BinDeletedDir,
+        "vec_id") match {
+      case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")
+      case None => raw
+    }
+    // ONE scan feeds the measurement AND both branches
+    val banded = signBanded(z, dim, nb).localCheckpoint()
+    val st = banded.groupBy(col("band"), col("band_bits"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        coalesce(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)),
+          lit(0).cast("decimal(38,0)")).as("cand"),
+        coalesce(sum(col("c")), lit(0L)).as("nbn"))
+      .head()
+    // every alive row emits exactly nb band rows, so Σc = nb·N
+    val n = st.getLong(1) / nb
+    val hot = BigDecimal(st.getDecimal(0)) >
+      BigDecimal(budgetCandidatesPerVec) * n
+    minedBandPairs(banded, if (hot) bandOccupancyCap else 0L, nw,
+      maxHamming)
   }
 
   /** Annotate an approximate top-k result with per-query recall against

@@ -1015,6 +1015,78 @@ object MlQueries {
       |WHERE hamming <= 16
       |ORDER BY i, j""".stripMargin
 
+  /** The binary pair-MINING router as the gated default
+    * ([[Similarity.binaryNearDupPairsAuto]], radius 16, occupancy cap
+    * 100, budget 128 candidates/vec): ns7i's cap was a manual knob —
+    * the router measures Σ c·(c−1) over the (band, band_bits)
+    * occupancy histogram with ONE bounded aggregate and engages it
+    * only past the budget. THIS fixture goes HOT (the dim-64/radius-16
+    * regime's 3–4-bit bands collide constantly — the ns7i docstring's
+    * own caveat — so banded candidate volume exceeds 128·N), which
+    * makes ns7k the round's one gate where the CAPPED branch is
+    * hash-proven live: the oracle restates the condition, the exact
+    * quadratic branch, and the capped branch (list-slice band buckets
+    * + windowed count), and since the cap cannot bind here (max
+    * bucket 76 < 100) the live capped output still equals ns7i's
+    * quadratic restatement — routing, capping machinery, and
+    * exactness all in one hash.
+    */
+  val ns7kBinaryNearDupAuto: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bin_index_nd")
+    if (ivfIndexWritten.add(path))
+      Similarity.writeBinaryIndex(emb, path, dim = 64)
+    Similarity.binaryNearDupPairsAuto(s, path, maxHamming = 16,
+      bandOccupancyCap = 100L, budgetCandidatesPerVec = 128L)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val ns7kBinaryNearDupAutoSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |sgn AS (
+      |  SELECT vec_id, s, list_sum(s) AS pc FROM (
+      |    SELECT vec_id,
+      |      [CASE WHEN x > 0 THEN 1 ELSE 0 END
+      |        FOR x IN embedding::DOUBLE[]] AS s
+      |    FROM nz)
+      |),
+      |${signBandedSql(dim = 64, nb = 17)},
+      |cellc AS (
+      |  SELECT band, band_bits, count(*) AS c
+      |  FROM bandedq GROUP BY 1, 2
+      |), cond AS (
+      |  SELECT coalesce(sum(c::HUGEINT * (c - 1)), 0) >
+      |    128 * (SELECT count(*) FROM sgn) AS hot
+      |  FROM cellc
+      |), exactp AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    (a.pc + b.pc - 2 * list_dot_product(a.s, b.s))::BIGINT
+      |      AS hamming
+      |  FROM sgn a JOIN sgn b ON a.vec_id < b.vec_id
+      |  WHERE (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)) <= 16
+      |    AND NOT (SELECT hot FROM cond)
+      |), bkeptq AS (
+      |  SELECT vec_id, band, band_bits FROM (
+      |    SELECT vec_id, band, band_bits,
+      |      count(*) OVER (PARTITION BY band, band_bits) AS bsz
+      |    FROM bandedq) WHERE bsz <= 100
+      |), cappedp AS (
+      |  SELECT DISTINCT p.i, p.j,
+      |    (x.pc + y.pc - 2 * list_dot_product(x.s, y.s))::BIGINT
+      |      AS hamming
+      |  FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j
+      |    FROM bkeptq a JOIN bkeptq b
+      |      ON a.band = b.band AND a.band_bits = b.band_bits
+      |      AND a.vec_id < b.vec_id) p
+      |  JOIN sgn x ON x.vec_id = p.i JOIN sgn y ON y.vec_id = p.j
+      |  WHERE (x.pc + y.pc - 2 * list_dot_product(x.s, y.s)) <= 16
+      |    AND (SELECT hot FROM cond)
+      |)
+      |SELECT * FROM (
+      |  SELECT * FROM exactp UNION ALL SELECT * FROM cappedp)
+      |ORDER BY i, j""".stripMargin
+
   /** The binary SERVE router as the gated default
     * ([[Similarity.binaryTopKServedAuto]], radius 8, occupancy cap
     * 100, candidate budget 10M) — the r12 verdict's item 3:
@@ -4726,6 +4798,7 @@ object MlQueries {
     "ns7h_sim_binary_streamed" -> ns7hSimBinaryStreamed,
     "ns7i_binary_neardup" -> ns7iBinaryNearDup,
     "ns7j_sim_binary_routed" -> ns7jSimBinaryRouted,
+    "ns7k_binary_neardup_auto" -> ns7kBinaryNearDupAuto,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns8_sim_ivf" -> ns8SimIvf,
@@ -4841,6 +4914,7 @@ object MlQueries {
     "ns7h_sim_binary_streamed" -> ns7fSimTopkBinarySql,
     "ns7i_binary_neardup" -> ns7iBinaryNearDupSql,
     "ns7j_sim_binary_routed" -> ns7jSimBinaryRoutedSql,
+    "ns7k_binary_neardup_auto" -> ns7kBinaryNearDupAutoSql,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
     "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,

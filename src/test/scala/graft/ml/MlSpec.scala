@@ -1626,6 +1626,46 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("binaryNearDupPairsAuto routes by measured banded candidate " +
+      "volume: under budget the exact pigeonhole banding runs (cap " +
+      "never engages), past it the capped branch equals the dedicated " +
+      "capped miner, binding caps included") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin_mine")
+    try {
+      val path = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(embs, path, dim = 64)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue)).toSet
+      // huge budget → exact branch, == uncapped pigeonhole miner
+      val cool = pairs(Similarity.binaryNearDupPairsAuto(spark, path,
+        maxHamming = 16, bandOccupancyCap = 3L,
+        budgetCandidatesPerVec = 1000000L))
+      assert(cool === pairs(Similarity.binaryNearDupPairs(spark, path,
+        maxHamming = 16)),
+        "under-budget corpus must route to the exact banding — even " +
+          "with a cap that WOULD bind if engaged")
+      // 500-vec fixture measures hot at budget 128 (ns7k's config):
+      // capped branch, == the dedicated capped miner
+      val hot = pairs(Similarity.binaryNearDupPairsAuto(spark, path,
+        maxHamming = 16, bandOccupancyCap = 100L,
+        budgetCandidatesPerVec = 128L))
+      assert(hot === pairs(Similarity.binaryNearDupPairs(spark, path,
+        maxHamming = 16, bandOccupancyCap = 100L)),
+        "over-budget corpus must route to the capped miner")
+      // a BINDING cap on the hot route drops hot-bucket pairs only
+      val bound = pairs(Similarity.binaryNearDupPairsAuto(spark, path,
+        maxHamming = 16, bandOccupancyCap = 3L,
+        budgetCandidatesPerVec = 128L))
+      assert(bound === pairs(Similarity.binaryNearDupPairs(spark, path,
+        maxHamming = 16, bandOccupancyCap = 3L)))
+      assert(bound.subsetOf(hot),
+        "capping buckets may only drop pairs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("writeBinaryIndex refuses duplicate vec_ids: the quiescent " +
       "serve's dedup-skip premise is an enforced build invariant") {
     import spark.implicits._
