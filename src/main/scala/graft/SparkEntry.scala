@@ -65,7 +65,8 @@ object SparkEntry {
     *  - `rows+spec`: iterative entries gated by a ScalaTest equality
     *    against an independent implementation;
     *  - `rows+bytes`: byte-level output pinned byte-exact in a spec
-    *    (the size arithmetic is oracle-gated separately, ns21b).
+    *    (the size arithmetic is oracle-gated separately as ns21b,
+    *    the decoded-dimension rule as ns21c).
     * RegistryGuardSpec asserts this map and oracleSql exactly
     * partition the registry — a new query must declare its gate or
     * carry an oracle, never silently neither.

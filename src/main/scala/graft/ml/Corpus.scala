@@ -331,7 +331,13 @@ object Corpus {
     * Buckets whose offset already reaches `cap` are dropped BEFORE the
     * rank shuffle, so a hot group moves only the buckets overlapping
     * its first `cap` ids. The kept SET is bit-identical to the naive
-    * window form, which is what the ns8i oracle states.
+    * window form, which is what the ns8i oracle states — PROVIDED
+    * `idCol` is unique within each group: when duplicate ids straddle
+    * the cap boundary, both forms tie-break nondeterministically and
+    * can diverge run-to-run (r13 advice). Callers must pre-dedup or
+    * pick a unique id; the library call sites satisfy this by
+    * construction ([[graft.ml.Similarity.writeBinaryIndex]] enforces
+    * unique vec_ids).
     *
     * Bucketing is ANSI-safe by construction: when the observed id
     * range fits 62 bits (every realistic corpus) the shift operates on

@@ -1054,22 +1054,31 @@ object Dedup {
   private[graft] val SubstrDocsDir = "_graft_substr_docs"
 
   /** Persist the standing shingle-hash index for incremental
-    * [[exactSubstr]]: one (h, min_doc) row per distinct k-shingle
-    * content hash, hash-bucket-partitioned (`bkt=`) so maintenance
-    * and increment reads can prune to the buckets a batch touches.
-    * Sized like the corpus's distinct-shingle set — 16 bytes a
-    * shingle, no text, no positions (the batch brings its own
-    * positions; the index only answers "has this content been seen,
-    * and by which earliest doc").
+    * [[exactSubstr]]: POSTINGS rows — one (h, doc_id) per distinct
+    * (k-shingle content hash, holding doc) pair, hash-bucket-
+    * partitioned (`bkt=`) so maintenance and increment reads can
+    * prune to the buckets a batch touches. 16 bytes a posting, no
+    * text, no positions (the batch brings its own positions; the
+    * index answers "has this content been seen, and by which
+    * surviving earliest doc" via a read-side min over holders).
+    *
+    * The holder dimension is the price of the forget path
+    * ([[deleteFromSubstrIndex]]): a min-only row per hash cannot
+    * promote the next-earliest surviving holder when the canonical
+    * doc is taken down, so deletion used to be a corpus rebuild.
+    * Postings make it an index-local tombstone — the identical trade
+    * BM25's term→(doc, tf) table makes. Size is Σ per-doc distinct
+    * shingles ≈ the corpus's shingle-position count, the same order
+    * as the one shingle pass every build already pays; the delta vs
+    * the old min-form is exactly the corpus's duplicated mass.
     *
     * The index obeys a MONOTONE-INGEST contract: every appended
     * batch's doc_ids lie strictly above everything indexed (the CDC
     * arrival order — enforced loudly on append and increment). That
-    * is what lets the increment equate "content is in the index" with
-    * "content appeared in an EARLIER doc" without shipping per-hash
-    * doc comparisons for index hits. Deletion is a rebuild: removing
-    * a doc can promote new canonical holders corpus-wide, which is
-    * not an index-local edit.
+    * is what keeps the increment's "content in an EARLIER doc" test a
+    * single min comparison, and — because the docs sibling keeps
+    * DELETED ids too — what makes a takedown's id unrecyclable: a
+    * re-used id would silently inherit the old id's tombstone mask.
     *
     * Only the immutable (k, n_buckets) persist as metadata; the
     * indexed-doc table is a sibling (the BM25 DocsDir shape) backing
@@ -1085,7 +1094,7 @@ object Dedup {
       "writeSubstrIndex: the corpus is empty — an index over nothing " +
         "has no earliest-holder semantics")
     posShingleHashes(docs, k)
-      .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
+      .select(col("h"), col("doc_id")).distinct()
       .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("bkt").parquet(path)
     docs.select(col("doc_id"))
@@ -1133,12 +1142,13 @@ object Dedup {
   }
 
   /** Append a new batch's shingle hashes into the standing index:
-    * (h, batch-min doc) rows land in their `bkt=` partitions
+    * (h, doc_id) postings land in their `bkt=` partitions
     * (append-mode — untouched buckets keep their files), the
     * indexed-doc sibling grows by the batch. Reads aggregate
-    * min(min_doc) per hash, so an at-least-once replay of an append
-    * costs duplicate rows, never correctness — the same idempotence
-    * argument as the streamed tombstone appends.
+    * min(doc_id) per hash over surviving holders, so an
+    * at-least-once replay of an append costs duplicate rows, never
+    * correctness — the same idempotence argument as the streamed
+    * tombstone appends.
     */
   def appendSubstrIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, path: String): Unit =
@@ -1173,11 +1183,59 @@ object Dedup {
     val (k, nBuckets) = substrIndexParams(spark, path)
     requireMonotoneBatch(newDocs, maxIndexed, "appendSubstrIndex")
     posShingleHashes(newDocs, k)
-      .groupBy(col("h")).agg(min(col("doc_id")).as("min_doc"))
+      .select(col("h"), col("doc_id")).distinct()
       .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
       .write.mode("append").partitionBy("bkt").parquet(path)
     newDocs.select(col("doc_id"))
       .write.mode("append").parquet(s"$path/$SubstrDocsDir")
+  }
+
+  private[graft] val SubstrDeletedDir = "_graft_substr_deleted"
+
+  /** Soft-delete documents from the substr index — the takedown story
+    * for the dedup tier, [[Similarity.deleteFromBinaryIndex]]'s exact
+    * contract over doc_id: an id-sized tombstone append into the
+    * [[SubstrDeletedDir]] sibling, zero data files touched; the
+    * increment read masks tombstoned holders before its min, so a
+    * removed doc stops flagging later docs against text that no
+    * longer exists, and the next-earliest SURVIVING holder is
+    * promoted (the postings rows make that an index-local read-side
+    * aggregate, not a rebuild). Idempotent on unknown/repeated ids,
+    * loud on NULL. Physical removal is [[compactSubstrIndex]]'s job.
+    *
+    * The docs sibling deliberately keeps deleted ids: the monotone
+    * guard's max must cover every id EVER indexed, or a takedown of
+    * the newest docs would let the feed recycle their ids — and a
+    * recycled id would inherit this tombstone's mask silently.
+    */
+  def deleteFromSubstrIndex(spark: org.apache.spark.sql.SparkSession,
+      docIds: DataFrame, path: String): Unit =
+    docIds.select(
+        when(col("doc_id").isNotNull, col("doc_id"))
+          .otherwise(raise_error(
+            lit("deleteFromSubstrIndex: null doc_id in delete batch")))
+          .as("doc_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/$SubstrDeletedDir")
+
+  /** Mask tombstoned holders out of a (pruned) postings read. The
+    * anti-join's build side is the tombstone set — takedown-sized, so
+    * AQE broadcasts it; a mask grown large enough to shuffle is the
+    * signal to [[compactSubstrIndex]]. Reads the entry-time FILE list
+    * (the snapshot discipline shared with the flat tiers) so a
+    * half-written concurrent delete append can't fail the read.
+    */
+  private def maskDeletedDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String, idx: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Similarity.tombstoneFileSnapshot(fs, path,
+      SubstrDeletedDir)
+    if (files.isEmpty) idx
+    else idx.join(
+      broadcast(spark.read.parquet(files.map(_.toString): _*)
+        .select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Writer-lock marker [[compactSubstrIndex]] holds while rewriting
@@ -1196,26 +1254,35 @@ object Dedup {
     */
   private[graft] val SubstrCompactingMarker = "_graft_compacting"
 
-  /** Compact the substr index: collapse the duplicate (h, min_doc)
-    * rows that appends and at-least-once replays accumulate into one
-    * min row per hash, rewriting ONLY the dirty buckets. Dirtiness is
-    * detected in two stages: a cheap file-count prefilter (`bkt=`
-    * directories holding more than one file — every append adds
-    * files) and then a duplicate-hash check over just those buckets
-    * (count > distinct h), because the initial [[writeSubstrIndex]]
-    * legitimately writes several files per bucket in one job and a
-    * rewrite of such a clean bucket would be wasted IO (r9 advice).
-    * Plain file-count coalescing of duplicate-free buckets belongs to
-    * [[graft.sources.Layout.compactPartitions]]. Purely an
-    * optimization: the read-side min aggregation already makes
-    * duplicates invisible, so compaction changes no answer (the
-    * registry gate proves it) — it reclaims file count and probe
-    * bytes. Crash-safe via the shared durable-stage protocol
+  /** Compact the substr index: collapse the duplicate (h, doc_id)
+    * postings that at-least-once replays accumulate, and reclaim the
+    * tombstone debt [[deleteFromSubstrIndex]] appends — physically
+    * dropping deleted holders' rows — rewriting ONLY the dirty
+    * buckets. Duplicate dirtiness is detected in two stages: a cheap
+    * file-count prefilter (`bkt=` directories holding more than one
+    * file — every append adds files) and then a duplicate-posting
+    * check over just those buckets (count > distinct (h, doc_id)),
+    * because the initial [[writeSubstrIndex]] legitimately writes
+    * several files per bucket in one job and a rewrite of such a
+    * clean bucket would be wasted IO (r9 advice). Tombstone dirtiness
+    * has NO file-count shortcut — a deleted doc's postings spread
+    * across every bucket its shingles hash to, single-file buckets
+    * included — so it is one column-pruned (doc_id, bkt) scan joined
+    * against the id-sized mask. Plain file-count coalescing of
+    * duplicate-free buckets belongs to
+    * [[graft.sources.Layout.compactPartitions]]. Answer-invisible by
+    * construction: the read side already dedups via its min and masks
+    * via the tombstones (the registry gate proves it) — compaction
+    * reclaims file count, probe bytes, and mask size. Crash-safe via
+    * the shared durable-stage protocol
     * ([[Similarity.applyCompactionStage]]): survivors land in a
-    * staged table committed BEFORE any index partition is touched,
-    * and a crashed apply replays from the stage on the next entry.
-    * Concurrent appends refuse loudly while the
-    * [[SubstrCompactingMarker]] writer lock is held.
+    * staged table committed BEFORE any index partition is touched, a
+    * crashed apply replays from the stage on the next entry, and the
+    * snapshotted tombstone FILES are deleted LAST — every earlier
+    * crash point leaves them masking, and a delete appended mid-run
+    * lands in a new file that survives the cleanup. Concurrent
+    * appends refuse loudly while the [[SubstrCompactingMarker]]
+    * writer lock is held.
     *
     * Returns the number of buckets rewritten.
     */
@@ -1281,33 +1348,61 @@ object Dedup {
       if (Similarity.compactionStageCommitted(fs, path))
         Similarity.applyCompactionStage(spark, path, "bkt")
       fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+      // pin the tombstone table AS A FILE LIST at entry (the flat
+      // tiers' snapshot discipline): this run drops exactly these
+      // files at the end; ones appended mid-run survive and mask
+      val snapshot = Similarity.tombstoneFileSnapshot(fs, path,
+        SubstrDeletedDir)
+      val dead =
+        if (snapshot.isEmpty) None
+        else Some(spark.read.parquet(snapshot.map(_.toString): _*)
+          .select(col("doc_id")).distinct())
       val multiFile = fs.listStatus(p)
         .filter(d =>
           d.isDirectory && d.getPath.getName.startsWith("bkt="))
         .filter(d => fs.listStatus(d.getPath)
           .count(f => f.getPath.getName.endsWith(".parquet")) > 1)
         .map(_.getPath.getName.stripPrefix("bkt=").toLong)
-      if (multiFile.isEmpty) return 0L
       val idx = spark.read.parquet(path)
-      // bounded driver action: ≤ n_buckets ids survive the filter
-      val dirty = idx.filter(
-          Similarity.partitionLits(idx, "bkt", multiFile.toSeq))
-        .groupBy(col("bkt"))
-        .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("d"))
-        .filter(col("n") > col("d"))
-        .select(col("bkt").cast("long"))
-        .collect().map(_.getLong(0))
-      if (dirty.isEmpty) return 0L
-      idx.filter(Similarity.partitionLits(idx, "bkt", dirty.toSeq))
-        .groupBy(col("bkt"), col("h"))
-        .agg(min(col("min_doc")).as("min_doc"))
-        .select(col("h"), col("min_doc"), col("bkt"))
-        .write.mode("overwrite").parquet(stagePath)
-      import spark.implicits._
-      dirty.toSeq.toDF("part").coalesce(1).write.mode("overwrite")
-        .parquet(s"$stagePath/_parts")
-      Similarity.applyCompactionStage(spark, path, "bkt")
-      fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+      // bounded driver actions: ≤ n_buckets ids survive each filter
+      val dupDirty: Seq[Long] =
+        if (multiFile.isEmpty) Seq.empty
+        else idx.filter(
+            Similarity.partitionLits(idx, "bkt", multiFile.toSeq))
+          .groupBy(col("bkt"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("h"), col("doc_id")).as("d"))
+          .filter(col("n") > col("d"))
+          .select(col("bkt").cast("long"))
+          .collect().toSeq.map(_.getLong(0))
+      val deadDirty: Seq[Long] = dead match {
+        case None => Seq.empty
+        case Some(dd) => idx.select(col("doc_id"), col("bkt"))
+          .join(broadcast(dd), Seq("doc_id"))
+          .select(col("bkt").cast("long")).distinct()
+          .collect().toSeq.map(_.getLong(0))
+      }
+      val dirty = (dupDirty ++ deadDirty).distinct
+      if (dirty.nonEmpty) {
+        val pruned = idx.filter(
+          Similarity.partitionLits(idx, "bkt", dirty))
+        dead.map(dd => pruned.join(broadcast(dd), Seq("doc_id"),
+            "left_anti"))
+          .getOrElse(pruned)
+          .select(col("h"), col("doc_id"), col("bkt")).distinct()
+          .write.mode("overwrite").parquet(stagePath)
+        import spark.implicits._
+        dirty.toDF("part").coalesce(1).write.mode("overwrite")
+          .parquet(s"$stagePath/_parts")
+        Similarity.applyCompactionStage(spark, path, "bkt")
+        fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+        ()
+      }
+      // tombstones go LAST: every earlier crash point leaves them in
+      // place (masking rows the crash may have left behind), and a
+      // crash between the apply above and this delete re-enters as
+      // a no-op mask over already-removed rows. Only the snapshot.
+      snapshot.foreach { f => fs.delete(f, false); () }
       dirty.length.toLong
     } finally {
       fs.delete(marker, false)
@@ -1327,9 +1422,11 @@ object Dedup {
     * Scale shape: the index read prunes to the batch's hash buckets
     * (the distinct-bucket collect is bounded by n_buckets — size
     * n_buckets so a batch's buckets ≪ all of them at your corpus
-    * size), only (h, min_doc) pairs are read (column-pruned), and the
-    * probe join keys on the 8-byte hash. Read-side min aggregation
-    * makes duplicate appended rows harmless.
+    * size), only (h, doc_id) postings are read (column-pruned, with
+    * tombstoned holders masked before the min — so a taken-down doc
+    * neither flags spans nor shadows the next surviving holder), and
+    * the probe join keys on the 8-byte hash. Read-side min
+    * aggregation makes duplicate appended rows harmless.
     */
   def exactSubstrIncrement(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, path: String): DataFrame =
@@ -1358,8 +1455,9 @@ object Dedup {
         bkts.toSeq.map(_.toInt: Any)
       case _ => bkts.toSeq.map(x => x: Any)
     }
-    val idxMin = idx.filter(col("bkt").isin(bktLits: _*))
-      .groupBy(col("h")).agg(min(col("min_doc")).as("imin"))
+    val idxMin = maskDeletedDocs(spark, path,
+        idx.filter(col("bkt").isin(bktLits: _*)))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("imin"))
     val batchMin = sh.groupBy(col("h")).agg(min(col("doc_id")).as("bmin"))
     val spans = sh
       .join(idxMin, Seq("h"), "left")

@@ -280,36 +280,81 @@ object Multimodal {
     }
   }
 
-  /** Resized media row: payload downsampled, dimensions halved. */
+  /** Resized media row: payload downsampled; `width_out`/`height_out`
+    * are TRUE resampled pixel dims when the payload decoded
+    * (`decoded=true`), 0 on the byte-stride fallback.
+    */
   case class ResizedMedia(media_id: Long, media_type: String,
-      n_bytes_in: Long, n_bytes_out: Long, sig_out: String)
+      n_bytes_in: Long, n_bytes_out: Long, width_out: Int,
+      height_out: Int, decoded: Boolean, sig_out: String)
 
-  /** Resize / downsample over partition batches. STUB decode (see
-    * object docs): a real implementation would decode, scale, and
-    * re-encode; the deterministic fake keeps every `stride`-th byte,
-    * which preserves the real pipeline shape — map-only, payload in /
-    * smaller payload out, per-partition codec init amortized across
-    * the batch.
+  /** Resize / downsample over partition batches. Decodable images
+    * (PNG/JPEG/BMP/GIF by magic sniff — [[MediaFeatures.of]]'s exact
+    * split) are resampled FOR REAL: every `stride`-th pixel survives
+    * (nearest-neighbor decimation, out dims ⌈w/stride⌉ × ⌈h/stride⌉ —
+    * the pixel-space twin of the byte rule below, deterministic, no
+    * interpolation rounding to drift across JVMs) and the result
+    * re-encodes as PNG. Non-image payloads (the honest limit: no
+    * audio/video codecs in scope) keep the documented byte-stride
+    * stand-in — every `stride`-th byte — so the plumbing stays
+    * map-only either way: payload in, smaller payload out,
+    * per-partition codec init amortized across the batch. The
+    * decoded-dimension rule is cross-engine gated (ns21c) over
+    * synthesized PNGs; the resampled bytes are byte-exact spec-gated
+    * (MlSpec), the ns13 discipline.
     */
   def resize(media: DataFrame, stride: Int): Dataset[ResizedMedia] = {
     require(stride > 0, "stride must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init would go here (scaler/codec handles)
+      // per-partition init: one digest + one scratch stream reused
+      // across the batch (ImageIO caching is disabled object-wide)
       val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        val in = if (r.payload == null) Array.emptyByteArray else r.payload
-        // pre-sized stepped copy: this is the per-byte hot path, no
-        // boxing or per-index guard evaluation
-        val out = new Array[Byte]((in.length + stride - 1) / stride)
-        var i = 0
-        var o = 0
-        while (i < in.length) { out(o) = in(i); o += 1; i += stride }
+      val bos = new java.io.ByteArrayOutputStream(8192)
+      def emit(r: MediaRow, in: Array[Byte], out: Array[Byte],
+          w: Int, h: Int, dec: Boolean): ResizedMedia = {
         md.reset()
         val hex = md.digest(out).map("%02x".format(_)).mkString
         ResizedMedia(r.media_id, r.media_type, in.length.toLong,
-          out.length.toLong, hex.substring(0, 8))
+          out.length.toLong, w, h, dec, hex.substring(0, 8))
+      }
+      rows.map { r =>
+        val in = if (r.payload == null) Array.emptyByteArray else r.payload
+        val img =
+          if (MediaFeatures.looksLikeImage(in))
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(in)))
+            catch { case _: Exception => None }
+          else None
+        img match {
+          case Some(i) =>
+            val (w, h) = (i.getWidth, i.getHeight)
+            val wo = (w + stride - 1) / stride
+            val ho = (h + stride - 1) / stride
+            val scaled = new java.awt.image.BufferedImage(wo, ho,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < ho) {
+              var x = 0
+              while (x < wo) {
+                scaled.setRGB(x, y, i.getRGB(x * stride, y * stride))
+                x += 1
+              }
+              y += 1
+            }
+            bos.reset()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            emit(r, in, bos.toByteArray, wo, ho, dec = true)
+          case None =>
+            // pre-sized stepped copy: the per-byte hot path, no
+            // boxing or per-index guard evaluation
+            val out = new Array[Byte]((in.length + stride - 1) / stride)
+            var i = 0
+            var o = 0
+            while (i < in.length) { out(o) = in(i); o += 1; i += stride }
+            emit(r, in, out, 0, 0, dec = false)
+        }
       }
     }
   }

@@ -380,9 +380,10 @@ object Similarity {
     * windows re-verified over a sign-LSH candidate cut instead of the
     * |anchors|·N brute scan. Anchors keep ALL their bands (every
     * anchor is still looked up); the CANDIDATE side may drop
-    * hot buckets via `bandOccupancyCap` (0 = off — the ns6c skew
-    * bound: a clustered corpus collapses sign buckets and the banded
-    * cut itself goes quadratic without it). Recall contract, stated:
+    * hot buckets via `bandOccupancyCap` (defaults ON at the
+    * registry-proven 200; 0 opts out — the ns6c skew bound: a
+    * clustered corpus collapses sign buckets and the banded cut
+    * itself goes quadratic without it). Recall contract, stated:
     * an in-band pair whose vectors share no surviving band bucket is
     * invisible, so the mined positive may be a farther in-band
     * positive and the negative list a subset-ranked version of the
@@ -392,7 +393,7 @@ object Similarity {
     */
   def hardNegativesLsh(embeddings: DataFrame, queryMod: Int,
       posThreshold: Double, negLo: Double, nNegs: Int, nBands: Int,
-      bitsPerBand: Int, dim: Int, bandOccupancyCap: Long = 0L)
+      bitsPerBand: Int, dim: Int, bandOccupancyCap: Long = 200L)
       : DataFrame = {
     require(negLo < posThreshold,
       "the negative band must lie below the positive threshold")
@@ -433,7 +434,7 @@ object Similarity {
       posThreshold: Double, negLo: Double, nNegs: Int, nBands: Int,
       bitsPerBand: Int, dim: Int,
       budgetPairsTotal: Long = 50000000L,
-      bandOccupancyCap: Long = 0L): DataFrame = {
+      bandOccupancyCap: Long = 200L): DataFrame = {
     require(budgetPairsTotal > 0L, "budgetPairsTotal must be positive")
     val st = withNorm(embeddings).agg(count(lit(1)).as("n"),
         coalesce(sum(when(pmod(col("vec_id"), lit(queryMod)) === 0,
@@ -1084,16 +1085,34 @@ object Similarity {
     * CANDIDATE side only — queries keep their other bands, so every
     * query is still looked up, candidates stay ≤ cap·bands·N
     * structurally (the ns7i bound), and a corpus hot enough to trip
-    * it needed semantic dedup upstream ([[semDedupAuto]]).
+    * it needed semantic dedup upstream ([[semDedupAuto]]). The cap
+    * DEFAULTS ON (the registry-proven 100 — the r13 verdict: a
+    * caller who trips the router past its budget without knowing the
+    * knob must get the bounded branch, not the one ns6c measured at
+    * exp 1.87 on clustered sign buckets); pass 0 to opt into the
+    * exact uncapped banding. Serves the BASE root only and refuses
+    * while the streamed-appends sibling holds un-folded data —
+    * routing the base alone would silently omit streamed vectors
+    * (r13 advice); fold first, or serve streamed indexes through
+    * [[graft.streaming.VectorIngest.queryServedBinary]].
     */
   def binaryTopKServedAuto(spark: org.apache.spark.sql.SparkSession,
       path: String, embeddings: DataFrame, queryIds: DataFrame,
       k: Int, refine: Int, maxHamming: Int,
       budgetCandidates: Long = 50000000L,
-      bandOccupancyCap: Long = 0L): DataFrame = {
+      bandOccupancyCap: Long = 100L): DataFrame = {
     require(refine >= k, "refine depth must be >= k")
     require(maxHamming >= 0, "maxHamming must be non-negative")
     require(budgetCandidates > 0L, "budgetCandidates must be positive")
+    require(!streamSiblingHoldsData(
+        new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)),
+      s"binaryTopKServedAuto: streamed-appends sibling " +
+        s"$path$StreamSiblingSuffix holds un-folded data — serving " +
+        "the base alone would omit streamed vectors; run " +
+        "foldStreamIntoBinaryIndex first (or serve through " +
+        "VectorIngest.queryServedBinary)")
     val (dim, z) = servedBinaryRows(spark, path, Seq(path))
     val q = queryIds.select(col("vec_id")).distinct()
     // ONE bounded aggregate: N = alive index rows, nq = queries that
@@ -1184,10 +1203,17 @@ object Similarity {
   private[ml] def capBuckets(df: DataFrame, keys: Seq[String],
       cap: Long): DataFrame =
     if (cap <= 0L) df
-    else df.withColumn("_bsz", count(lit(1)).over(
-      Window.partitionBy(keys.map(col): _*)))
-      .filter(col("_bsz") <= cap)
-      .drop("_bsz")
+    else {
+      // reserved-name discipline (cappedHashRank/cappedIdPrefix's):
+      // an input already carrying _bsz would be silently overwritten
+      // and dropped
+      require(!df.columns.contains("_bsz"),
+        "inputs may not use the reserved working name _bsz")
+      df.withColumn("_bsz", count(lit(1)).over(
+        Window.partitionBy(keys.map(col): _*)))
+        .filter(col("_bsz") <= cap)
+        .drop("_bsz")
+    }
 
   /** Radius-bounded near-duplicate PAIRS from the persisted sign-bit
     * index — the pigeonhole band machinery ([[graft.ml.Dedup]]'s
@@ -1381,7 +1407,7 @@ object Similarity {
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
       nBands: Int, bitsPerBand: Int, dim: Int,
-      bandOccupancyCap: Long = 0L): DataFrame =
+      bandOccupancyCap: Long = 200L): DataFrame =
     lshScoredCandidates(withNorm(embeddings), nBands, bitsPerBand, dim,
       ordered = true, bandOccupancyCap)
       .filter(col("cos") >= threshold)
@@ -1404,16 +1430,19 @@ object Similarity {
     * the capped routers this one changes RECALL when it routes — the
     * docstring contract, not a silent loss: callers needing exactness
     * past the budget must raise the budget knowingly. Within the LSH
-    * branch `bandOccupancyCap` (0 = off) is the skew bound: without
-    * it a clustered corpus collapses into a few sign buckets and the
+    * branch `bandOccupancyCap` is the skew bound: without it a
+    * clustered corpus collapses into a few sign buckets and the
     * banded cut itself goes quadratic (measured exp 1.87, round 13) —
     * capped, candidates are ≤ cap·bands·N under ANY clustering, at
     * the further stated cost that hot-bucket pairs are unreachable.
+    * The cap DEFAULTS ON (the registry-proven 200 — the r13 verdict's
+    * safe-default rule for every banded fallback branch); pass 0 to
+    * opt into the uncapped banding knowingly.
     */
   def nearDupPairsAuto(embeddings: DataFrame, threshold: Double,
       nBands: Int, bitsPerBand: Int, dim: Int,
       budgetPairsPerVec: Long = 512L,
-      bandOccupancyCap: Long = 0L): DataFrame = {
+      bandOccupancyCap: Long = 200L): DataFrame = {
     require(budgetPairsPerVec > 0, "budgetPairsPerVec must be positive")
     val cnt = withNorm(embeddings).count()
     val hot = cnt > 2L * budgetPairsPerVec + 1L
@@ -2479,7 +2508,21 @@ object Similarity {
     */
   def queryIvfPqIndexPaths(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], queries: DataFrame, rescoreFrom: DataFrame,
-      k: Int, refine: Int, probes: Int): DataFrame = {
+      k: Int, refine: Int, probes: Int): DataFrame =
+    queryIvfPqCore(spark, paths, queries, rescoreFrom, k, refine,
+      probes, cellCandidateCap = 0L)
+
+  /** The PQ serving core — [[queryIvfPqIndexPaths]] plus the routed
+    * form's per-cell candidate cap (0 = uncapped; the exact serve).
+    * A positive cap keeps each probed cell's `cap` smallest-vec_id
+    * code rows on the CANDIDATE side ([[Corpus.cappedIdPrefix]] — the
+    * ns8i monotone-bucket decomposition, so the dominant cell never
+    * sorts through one task), queries keep all their probes.
+    */
+  private def queryIvfPqCore(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], queries: DataFrame, rescoreFrom: DataFrame,
+      k: Int, refine: Int, probes: Int, cellCandidateCap: Long)
+      : DataFrame = {
     require(refine >= k, "refine depth must be >= k")
     require(probes >= 1, "probes must be >= 1")
     require(paths.nonEmpty, "need at least one index table")
@@ -2497,12 +2540,16 @@ object Similarity {
         .select(col("vec_id").as("i"), col("lut")), Seq("i"))
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val index = maskDeleted(spark, paths, paths.map { p =>
+    val pruned = maskDeleted(spark, paths, paths.map { p =>
       spark.read.parquet(p)
         .filter(col("cell").isin(cells.map(x => x: Any): _*))
         .select(col("vec_id").as("j"), col("codes"), col("rnrm"),
           col("cell").cast("long").as("cell"))
     }.reduce(_.unionByName(_)), "j")
+    val index =
+      if (cellCandidateCap <= 0L) pruned
+      else Corpus.cappedIdPrefix(pruned, "j", Seq("cell"),
+        cellCandidateCap)
     val wA = Window.partitionBy(col("i")).orderBy(col("acos").desc, col("j"))
     val cand = qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
       .withColumn("acos", round(
@@ -2523,6 +2570,61 @@ object Similarity {
       .withColumn("rk", row_number().over(wE))
       .filter(col("rk") <= k)
       .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
+  /** The PQ-serve ROUTER — the measured-volume discipline
+    * ([[ivfTopKAuto]], whose regime this is: corpus-as-queries
+    * self-search over the served IVF-PQ index pays Σ probe-hits(cell)
+    * · |cell| ADC scores, which one dominant cell turns quadratic —
+    * the r13 verdict's item 6). ONE bounded aggregate over the
+    * ≤ nCells (probe-hit, stored-row) cell counts measures the ADC
+    * candidate volume, integer-exactly scaled so the budget reads
+    * per-query: `cand · probes > budget · probe_rows` ⇔ cand >
+    * budget · nq. Under budget the EXACT serve runs UNCHANGED
+    * (bit-identical to [[queryIvfPqIndex]], ns7e's oracle); past it
+    * each probed cell's CANDIDATE side is capped to its
+    * `cellCandidateCap` smallest-vec_id code rows
+    * ([[Corpus.cappedIdPrefix]] — per-(cell, bucket) ranks, no
+    * single-task hot-cell sort), queries keep every probe, ADC →
+    * refine → exact rescore proceed on the capped set. The stated
+    * recall contract is [[ivfTopKAuto]]'s: within a hot cell only the
+    * cap-prefix rows are findable — honest budget degradation; a cell
+    * that hot needed [[semDedupAuto]] upstream. Requires unique
+    * vec_ids per cell (the [[writeIvfPqIndex]] layout; duplicate ids
+    * would tie-break the prefix nondeterministically — the
+    * cappedIdPrefix precondition). The routing scalar and BOTH
+    * branches restate in the oracle (ns7l, the ns8i/ns7j/ns7k house
+    * pattern).
+    */
+  def pqTopKServedAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, rescoreFrom: DataFrame, k: Int,
+      refine: Int, probes: Int, cellCandidateCap: Long,
+      budgetCandidatesPerQuery: Long = 256L): DataFrame = {
+    require(cellCandidateCap > 0L,
+      "the routed form needs a positive cellCandidateCap to engage")
+    require(budgetCandidatesPerQuery > 0L,
+      "budgetCandidatesPerQuery must be positive")
+    val cents = spark.read.parquet(s"$path/$CentroidsDir")
+    // the measurement: probe hits per cell (one ranked assignment —
+    // the serve recomputes it, the price of keeping the core shared)
+    // × stored rows per cell (a partition-column-only read), folded
+    // into one decimal-widened scalar (the r12 silent-wrap rule)
+    val qc = assignRanked(withNorm(queries), cents, probes)
+      .groupBy(col("cell")).agg(count(lit(1)).as("qn"))
+    val ic = spark.read.parquet(path)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("cn"))
+    val st = qc.join(ic, Seq("cell"), "left")
+      .agg(
+        coalesce(sum(col("qn").cast("decimal(38,0)") *
+          coalesce(col("cn"), lit(0L))),
+          lit(0).cast("decimal(38,0)")).as("cand"),
+        coalesce(sum(col("qn")), lit(0L)).as("probe_rows"))
+      .head()
+    val hot = BigDecimal(st.getDecimal(0)) * probes >
+      BigDecimal(budgetCandidatesPerQuery) * st.getLong(1)
+    queryIvfPqCore(spark, Seq(path), queries, rescoreFrom, k, refine,
+      probes, if (hot) cellCandidateCap else 0L)
   }
 
   /** Embedding-DISTRIBUTION drift between two corpus snapshots — the

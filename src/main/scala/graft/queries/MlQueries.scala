@@ -1276,7 +1276,15 @@ object MlQueries {
     * re-score top-5, and the sampled recall. Only the Lloyd fit
     * itself stays un-restated — pinned, not unchecked.
     */
-  val ns7dSimIvfPqSql: String =
+  /** The shared halves of the IVF-PQ serving oracle: everything up
+    * to the candidate join (codebook literals, multi-probe ranking,
+    * per-subspace encoding, reconstructed norms) and everything after
+    * it (the ADC pairsum fold, refine, exact rescore, sampled recall)
+    * — ns7d/ns7e swap in the plain crk=1 candidate CTE, ns7l swaps in
+    * the measured-volume router's condition and BOTH branches, so the
+    * shared text can never drift between the three.
+    */
+  private val ivfPqOraclePrefix: String =
     s"""WITH $duckNonZeroEmb,
       |$duckSeedCents16,
       |cb AS (
@@ -1314,14 +1322,10 @@ object MlQueries {
       |      (a, b) -> a + b)) AS rnrm
       |    FROM codes GROUP BY vec_id)
       |  WHERE rnrm > 0 AND isfinite(rnrm)
-      |), cand AS (
-      |  SELECT q.vec_id AS i, nq.nrm AS na, ix.vec_id AS j, e.rnrm
-      |  FROM ranked q
-      |  JOIN ranked ix ON q.cell = ix.cell AND ix.crk = 1
-      |    AND q.vec_id <> ix.vec_id
-      |  JOIN enc e ON e.vec_id = ix.vec_id
-      |  JOIN nrms nq ON nq.vec_id = q.vec_id
-      |), pairsum AS (
+      |""".stripMargin.stripSuffix("\n")
+
+  private val ivfPqOracleSuffix: String =
+    s"""), pairsum AS (
       |  SELECT c.i, c.j, c.na, c.rnrm,
       |    list_reduce(list_prepend(0.0::DOUBLE,
       |      list(list_dot_product(sq.sv, b.ce) ORDER BY jc.sub)),
@@ -1351,6 +1355,82 @@ object MlQueries {
       |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 2""".stripMargin
+
+  /** The PQ-serve router ([[Similarity.pqTopKServedAuto]], the r13
+    * verdict's item 6): corpus-as-queries self-search over ns7e's own
+    * served index, with the ADC candidate volume measured as
+    * Σ probe-hits(cell)·|cell| and compared per-query
+    * (cand·probes > budget·probe_rows). The oracle restates the
+    * measurement and BOTH branches — the exact crk=1 candidate join
+    * and the capped smallest-vec_id per-cell prefix — through the
+    * SHARED prefix/suffix of ns7d/ns7e's oracle (the ns8i/ns7j/ns7k
+    * house pattern). On the sf0.01 fixture the router goes HOT
+    * (~1.17M measured candidates vs the 256/query budget), so the
+    * CAPPED branch is the one hash-proven live, with
+    * [[graft.ml.Corpus.cappedIdPrefix]]'s kept set gated against the
+    * windowed restatement.
+    */
+  val ns7lSimIvfPqAuto: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivfpq_index")
+    if (ivfIndexWritten.add(path)) {
+      val cb = Similarity.fitPqCodebook(
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0),
+        nSub = 8, codesPerSub = 16, iters = 2)
+      Similarity.writeIvfPqIndex(emb,
+        Similarity.seedCentroids(emb, nCells = 16), cb, nSub = 8, path)
+    }
+    Similarity.withRecall(
+      Similarity.pqTopKServedAuto(s, path, emb, emb, k = 5,
+        refine = 50, probes = 3, cellCandidateCap = 1000L,
+        budgetCandidatesPerQuery = 256L),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns7lSimIvfPqAutoSql: String = ivfPqOraclePrefix + "\n" +
+    """), qcell AS (
+      |  SELECT cell, count(*) AS qn FROM ranked GROUP BY 1
+      |), icell AS (
+      |  SELECT cell, count(*) AS cn FROM ranked WHERE crk = 1
+      |  GROUP BY 1
+      |), cond AS (
+      |  SELECT coalesce(sum(qn::HUGEINT * coalesce(cn, 0)), 0) * 3 >
+      |    256 * coalesce(sum(qn), 0) AS hot
+      |  FROM qcell LEFT JOIN icell USING (cell)
+      |), kept AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+      |      ORDER BY vec_id) AS cr
+      |    FROM ranked WHERE crk = 1) WHERE cr <= 1000
+      |), cand_exact AS (
+      |  SELECT q.vec_id AS i, nq.nrm AS na, ix.vec_id AS j, e.rnrm
+      |  FROM ranked q
+      |  JOIN ranked ix ON q.cell = ix.cell AND ix.crk = 1
+      |    AND q.vec_id <> ix.vec_id
+      |  JOIN enc e ON e.vec_id = ix.vec_id
+      |  JOIN nrms nq ON nq.vec_id = q.vec_id
+      |  WHERE NOT (SELECT hot FROM cond)
+      |), cand_capped AS (
+      |  SELECT q.vec_id AS i, nq.nrm AS na, ix.vec_id AS j, e.rnrm
+      |  FROM ranked q
+      |  JOIN kept ix ON q.cell = ix.cell AND q.vec_id <> ix.vec_id
+      |  JOIN enc e ON e.vec_id = ix.vec_id
+      |  JOIN nrms nq ON nq.vec_id = q.vec_id
+      |  WHERE (SELECT hot FROM cond)
+      |), cand AS (
+      |  SELECT * FROM cand_exact UNION ALL SELECT * FROM cand_capped
+      |""".stripMargin.stripSuffix("\n") + ivfPqOracleSuffix
+
+  val ns7dSimIvfPqSql: String = ivfPqOraclePrefix + "\n" +
+    """), cand AS (
+      |  SELECT q.vec_id AS i, nq.nrm AS na, ix.vec_id AS j, e.rnrm
+      |  FROM ranked q
+      |  JOIN ranked ix ON q.cell = ix.cell AND ix.crk = 1
+      |    AND q.vec_id <> ix.vec_id
+      |  JOIN enc e ON e.vec_id = ix.vec_id
+      |  JOIN nrms nq ON nq.vec_id = q.vec_id
+      |""".stripMargin.stripSuffix("\n") + ivfPqOracleSuffix
 
   /** IVF ANN — "approximate" only in the sense that cell pruning loses
     * recall vs brute force; given its DETERMINISTIC seed centroids the
@@ -2353,6 +2433,56 @@ object MlQueries {
       |  ((coalesce(octet_length(encode(text)), 0) + 1) // 2)::BIGINT
       |    AS n_bytes_out
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** The DECODED-dimension rule, cross-engine (r13 verdict item 2):
+    * every 50th doc_id synthesizes a real PNG of known dims
+    * (1 + id%37) × (1 + id%23) with deterministic pixels, and
+    * [[Multimodal.resize]] must decode it for real and emit
+    * ⌈w/stride⌉ × ⌈h/stride⌉ — DuckDB restates the arithmetic, so a
+    * resize that silently fell back to the byte stub (dims 0, decoded
+    * false) or drifted off the ceil rule goes hash-red. The resampled
+    * BYTES stay spec-gated (MlSpec pins every output pixel on a 5×3
+    * PNG — ANSI SQL cannot re-encode images).
+    */
+  val ns21cResizeDecoded: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 1 + (id % 37).toInt
+        val h = 1 + (id % 23).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((id * 2654435761L + x * 31L + y * 17L) & 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray, "synth", w.toLong * h)
+      }
+      .toDF("media_id", "media_type", "payload", "source",
+        "length_hint")
+    Multimodal.resize(media, stride = 2).toDF()
+      .select(col("media_id"), col("width_out"), col("height_out"),
+        col("decoded"))
+      .orderBy(col("media_id"))
+  }
+
+  val ns21cResizeDecodedSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST((doc_id % 37 + 2) // 2 AS INT) AS width_out,
+      |  CAST((doc_id % 23 + 2) // 2 AS INT) AS height_out,
+      |  true AS decoded
+      |FROM documents WHERE doc_id % 50 = 0
+      |ORDER BY media_id""".stripMargin
 
   /** Benchmark decontamination: docs sharing any distinct word 4-gram
     * with the "benchmark" slice (every 97th doc stands in for an eval
@@ -4177,12 +4307,16 @@ object MlQueries {
 
   /** The ns55 pipeline, parameterized on a final report predicate so
     * the incremental gate (ns55b) states "the full recompute,
-    * restricted to the new batch" with the SAME text.
+    * restricted to the new batch" with the SAME text, and on a
+    * corpus predicate so the delete gates (ns55d/ns55e) state "the
+    * full recompute over the SURVIVOR corpus".
     */
-  private def substrPipelineSql(reportWhere: String): String = {
+  private def substrPipelineSql(reportWhere: String,
+      corpusWhere: String = ""): String = {
     val h = duckHash60("array_to_string(w[i:i+5], ' ')")
     s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents $corpusWhere
        |), shpos AS (
        |  SELECT doc_id, w,
        |    unnest(generate_series(1, len(w) - 5)) AS i
@@ -4266,10 +4400,13 @@ object MlQueries {
   val ns55bSubstrIncrementalSql: String = substrPipelineSql(
     "WHERE b.doc_id >= (SELECT count(*) FROM documents) * 3 // 4")
 
-  /** ns55b's lifecycle with COMPACTION between append and increment:
-    * the append leaves multi-file buckets and duplicate hash rows
-    * (any batch shingle already in the base), compaction collapses
-    * them through the crash-safe stage, and the increment must answer
+  /** ns55b's lifecycle with COMPACTION between append and increment.
+    * Under the postings form an append of fresh docs never duplicates
+    * a (h, doc_id) row, so the gate INJECTS the real debt source — an
+    * at-least-once replay of the same append at the pre-batch max,
+    * exactly the crash state [[graft.streaming.SubstrIngest]] replays
+    * from — doubling the batch's postings. Compaction collapses them
+    * through the crash-safe stage, and the increment must answer
     * EXACTLY as before — gated on ns55b's own oracle, the
     * compaction-is-invisible discipline (ns46e/ns8g) for the dedup
     * tier.
@@ -4281,14 +4418,76 @@ object MlQueries {
     val path = RelationalQueries.zOrderedTablePath(s, dir, "substr_index_c")
     if (ivfIndexWritten.add(path)) {
       Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), path, k = 6)
-      Dedup.appendSubstrIndex(s,
-        docs.filter(col("doc_id") >= t1 && col("doc_id") < t2), path)
+      val batch = docs.filter(col("doc_id") >= t1 && col("doc_id") < t2)
+      Dedup.appendSubstrIndex(s, batch, path)
+      Dedup.appendSubstrIndexAt(s, batch, path, t1 - 1)
       Dedup.compactSubstrIndex(s, path)
       ()
     }
     Dedup.exactSubstrIncrement(s, docs.filter(col("doc_id") >= t2), path)
       .orderBy(col("doc_id"))
   }
+
+  /** Takedown lifecycle for the substr index, MASK-AT-READ half:
+    * build on the first half, append the third quarter, soft-delete
+    * every indexed doc with doc_id % 7 == 3
+    * ([[Dedup.deleteFromSubstrIndex]] — an id-sized tombstone append,
+    * zero data files touched), then increment the final quarter
+    * THROUGH the tombstones. Gated on the full recompute over the
+    * SURVIVOR corpus restricted to the batch — hash-equality proves
+    * both deletion effects at once: a taken-down doc stops flagging
+    * spans against vanished text, and the next-earliest SURVIVING
+    * holder is promoted (the postings rows' whole point; a min-only
+    * index row cannot answer this). The ns66e discipline for the
+    * dedup tier.
+    */
+  val ns55dSubstrDeleted: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "substr_index_d")
+    if (ivfIndexWritten.add(path)) {
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), path, k = 6)
+      Dedup.appendSubstrIndex(s,
+        docs.filter(col("doc_id") >= t1 && col("doc_id") < t2), path)
+      Dedup.deleteFromSubstrIndex(s,
+        docs.filter(col("doc_id") < t2 && col("doc_id") % 7 === 3)
+          .select(col("doc_id")), path)
+    }
+    Dedup.exactSubstrIncrement(s, docs.filter(col("doc_id") >= t2), path)
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[ns55dSubstrDeleted]]'s PHYSICAL half: the same delete, then
+    * [[Dedup.compactSubstrIndex]] reclaims the tombstone debt (drops
+    * the deleted holders' postings, clears the snapshotted tombstone
+    * files last), then the same increment — gated on ns55d's own
+    * survivor oracle, so mask-at-read and compact-then-read are
+    * hash-proven to answer identically.
+    */
+  val ns55eSubstrDelCompacted: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "substr_index_e")
+    if (ivfIndexWritten.add(path)) {
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), path, k = 6)
+      Dedup.appendSubstrIndex(s,
+        docs.filter(col("doc_id") >= t1 && col("doc_id") < t2), path)
+      Dedup.deleteFromSubstrIndex(s,
+        docs.filter(col("doc_id") < t2 && col("doc_id") % 7 === 3)
+          .select(col("doc_id")), path)
+      Dedup.compactSubstrIndex(s, path)
+      ()
+    }
+    Dedup.exactSubstrIncrement(s, docs.filter(col("doc_id") >= t2), path)
+      .orderBy(col("doc_id"))
+  }
+
+  val ns55dSubstrDeletedSql: String = substrPipelineSql(
+    "WHERE b.doc_id >= (SELECT count(*) FROM documents) * 3 // 4",
+    "WHERE NOT (doc_id % 7 = 3 AND doc_id < " +
+      "(SELECT count(*) FROM documents) * 3 // 4)")
 
   /** Span-level benchmark decontamination: docs with source-mod 7 act
     * as the held-out benchmark, the rest as the training corpus; any
@@ -4801,6 +5000,7 @@ object MlQueries {
     "ns7k_binary_neardup_auto" -> ns7kBinaryNearDupAuto,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
+    "ns7l_sim_ivfpq_auto" -> ns7lSimIvfPqAuto,
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
@@ -4829,6 +5029,7 @@ object MlQueries {
     "ns20_repetition" -> ns20Repetition,
     "ns21_resize" -> ns21Resize,
     "ns21b_resize_dims" -> ns21bResizeDims,
+    "ns21c_resize_decoded" -> ns21cResizeDecoded,
     "ns22_corpus_prep" -> ns22CorpusPrep,
     "ns23_contamination" -> ns23Contamination,
     "ns24_vocab" -> ns24Vocab,
@@ -4879,6 +5080,8 @@ object MlQueries {
     "ns55_exact_substr" -> ns55ExactSubstr,
     "ns55b_substr_incremental" -> ns55bSubstrIncremental,
     "ns55c_substr_compacted" -> ns55cSubstrCompacted,
+    "ns55d_substr_deleted" -> ns55dSubstrDeleted,
+    "ns55e_substr_del_compacted" -> ns55eSubstrDelCompacted,
     "ns56_shuffle_order" -> ns56ShuffleOrder,
     "ns57_hard_negatives" -> ns57HardNegatives,
     "ns57b_hard_negatives_auto" -> ns57bHardNegativesAuto,
@@ -4917,6 +5120,7 @@ object MlQueries {
     "ns7k_binary_neardup_auto" -> ns7kBinaryNearDupAutoSql,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
     "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
+    "ns7l_sim_ivfpq_auto" -> ns7lSimIvfPqAutoSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeansSql,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbeSql,
@@ -4943,6 +5147,7 @@ object MlQueries {
     "ns19_redact" -> ns19RedactSql,
     "ns20_repetition" -> ns20RepetitionSql,
     "ns21b_resize_dims" -> ns21bResizeDimsSql,
+    "ns21c_resize_decoded" -> ns21cResizeDecodedSql,
     "ns22_corpus_prep" -> ns22CorpusPrepSql,
     "ns23_contamination" -> ns23ContaminationSql,
     "ns24_vocab" -> ns24VocabSql,
@@ -4993,6 +5198,8 @@ object MlQueries {
     "ns55_exact_substr" -> ns55ExactSubstrSql,
     "ns55b_substr_incremental" -> ns55bSubstrIncrementalSql,
     "ns55c_substr_compacted" -> ns55bSubstrIncrementalSql,
+    "ns55d_substr_deleted" -> ns55dSubstrDeletedSql,
+    "ns55e_substr_del_compacted" -> ns55dSubstrDeletedSql,
     "ns56_shuffle_order" -> ns56ShuffleOrderSql,
     "ns57_hard_negatives" -> ns57HardNegativesSql,
     "ns57b_hard_negatives_auto" -> ns57bHardNegativesAutoSql,

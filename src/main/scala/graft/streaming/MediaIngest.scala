@@ -30,11 +30,17 @@ object MediaIngest {
 
   /** Content fingerprint of a media batch (order-insensitive; null
     * payloads hash as empty, matching the hash kernel's contract).
+    * Covers every PERSISTED payload-independent column — media_type
+    * lands in the hash rows verbatim, so a recycled batch id whose
+    * rows kept their payloads but changed media_type must read as a
+    * conflict, not a replay (r13 advice; [[VectorIngest.batchSig]]'s
+    * full-persisted-row discipline).
     */
   def batchSig(batch: DataFrame): Long = {
     val r = batch
       .agg(coalesce(expr(
-        "bit_xor(xxhash64(media_id, coalesce(payload, cast('' AS binary))))"),
+        "bit_xor(xxhash64(media_id, media_type, " +
+          "coalesce(payload, cast('' AS binary))))"),
         lit(0L)).as("x"), count(lit(1)).as("n")).head()
     r.getLong(0) * 31L + r.getLong(1)
   }

@@ -16,7 +16,7 @@ import graft.ml.Dedup
   *
   * Delivery is deliberately WITHOUT the [[BatchCommit]] partition
   * protocol — the simplest member of the family, because the index's
-  * read side aggregates min(min_doc) per hash, which makes duplicated
+  * read side aggregates min(doc_id) per hash, which makes duplicated
   * append rows invisible (the streamed-tombstone idempotence
   * argument). The only crash window that matters is ordering:
   * [[Dedup.appendSubstrIndex]] lands index rows FIRST and the

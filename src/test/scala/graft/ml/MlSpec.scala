@@ -635,6 +635,57 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("pqTopKServedAuto routes by measured probe-hit × cell volume: " +
+      "under budget it equals the dedicated PQ serve bit-for-bit; " +
+      "past it the per-cell id-prefix cap engages — every query " +
+      "still answered, capped neighbors only from the prefix") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_auto")
+    try {
+      val path = tmp.resolve("idx").toString
+      val cb = Similarity.fitPqCodebook(
+        embs.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0),
+        nSub = 8, codesPerSub = 16, iters = 1)
+      Similarity.writeIvfPqIndex(embs,
+        Similarity.seedCentroids(embs, 16), cb, nSub = 8, path)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("i"), col("rk"), col("j"), col("cos"))
+          .as[(Long, Int, Long, Double)].collect().toSet
+      val exact = rows(Similarity.queryIvfPqIndex(spark, path, embs,
+        embs, k = 5, refine = 20, probes = 2))
+      // cool: the measured volume sits far under a huge budget
+      assert(rows(Similarity.pqTopKServedAuto(spark, path, embs, embs,
+        k = 5, refine = 20, probes = 2, cellCandidateCap = 10L,
+        budgetCandidatesPerQuery = 1000000L)) === exact,
+        "under-budget serve must equal the dedicated PQ serve")
+      // hot with a NON-BINDING cap: the capped branch runs and still
+      // equals the exact serve (prefix covers every cell)
+      assert(rows(Similarity.pqTopKServedAuto(spark, path, embs, embs,
+        k = 5, refine = 20, probes = 2, cellCandidateCap = 100000L,
+        budgetCandidatesPerQuery = 1L)) === exact,
+        "non-binding cap must change nothing on the hot route")
+      // hot with a BINDING cap: results differ, every query is still
+      // answered, and every neighbor comes from its cell's
+      // 10-smallest-vec_id candidate prefix
+      val capped = rows(Similarity.pqTopKServedAuto(spark, path, embs,
+        embs, k = 5, refine = 20, probes = 2, cellCandidateCap = 10L,
+        budgetCandidatesPerQuery = 1L))
+      assert(capped !== exact,
+        "cap 10 did not bind on this fixture; contract untested")
+      assert(capped.map(_._1) === exact.map(_._1),
+        "every query must still be answered under the cap")
+      val prefix = spark.read.parquet(path)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().toSeq.groupBy(_._2)
+        .flatMap { case (_, ms) => ms.map(_._1).sorted.take(10) }.toSet
+      assert(capped.forall(r => prefix(r._3)),
+        "a capped neighbor fell outside the per-cell id prefix")
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("binaryTopKServedAuto routes by measured candidate volume: " +
       "under budget it equals the dedicated scan serve bit-for-bit; " +
       "past it the pigeonhole-banded branch returns exactly the " +
@@ -758,6 +809,65 @@ class MlSpec extends SparkSpec {
       budgetPairsPerVec = 10L, bandOccupancyCap = 1000000L))
     assert(slack === autoLsh,
       "a non-binding cap must change nothing")
+  }
+
+  test("occupancy caps DEFAULT ON: a clustered corpus past the " +
+      "router budget gets the capped banded branch from every Auto " +
+      "entry without the caller naming the knob (r13 verdict item 3)") {
+    import spark.implicits._
+    val dim = 64
+    // 230 near-identical all-positive vectors collapse every sign/LSH
+    // bucket they share past the 100/200 defaults; 40 mixed-sign
+    // vectors in 5 identical-within classes of 8 stay far under
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 230L).map(i => i -> Seq.tabulate(dim)(c =>
+        0.5 + 0.01 * (((i * 31 + c) % 17).toDouble / 17.0))) ++
+      (230L until 270L).map(i => i -> Seq.tabulate(dim)(c =>
+        if ((i * 7 + c) % 5 < 2) -0.5 - 0.01 * ((c % 7).toDouble / 7.0)
+        else 0.5 + 0.01 * ((c % 11).toDouble / 11.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    def setOf(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      d.collect().map(_.toSeq.toIndexedSeq: Seq[Any]).toSet
+    // near-dup mining: budget 10 routes N=270 to the LSH branch
+    def ndp(cap: Long) = setOf(Similarity.nearDupPairsLsh(df, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = dim, bandOccupancyCap = cap))
+    val ndpDefault = setOf(Similarity.nearDupPairsAuto(df, 0.4,
+      nBands = 8, bitsPerBand = 4, dim = dim, budgetPairsPerVec = 10L))
+    assert(ndpDefault === ndp(200L),
+      "nearDupPairsAuto default must be the registry-proven 200")
+    assert(ndpDefault !== ndp(0L),
+      "nearDupPairsAuto's default cap did not bind on the cluster")
+    // triplet mining: budget 10 routes to the banded cut
+    def hn(cap: Long) = setOf(Similarity.hardNegativesLsh(df,
+      queryMod = 3, posThreshold = 0.9, negLo = 0.05, nNegs = 2,
+      nBands = 8, bitsPerBand = 4, dim = dim, bandOccupancyCap = cap))
+    val hnDefault = setOf(Similarity.hardNegativesAuto(df, 3, 0.9,
+      0.05, 2, 8, 4, dim, budgetPairsTotal = 10L))
+    assert(hnDefault === hn(200L),
+      "hardNegativesAuto default must be the registry-proven 200")
+    assert(hnDefault !== hn(0L),
+      "hardNegativesAuto's default cap did not bind on the cluster")
+    // binary serve: identical sign patterns put all 230 clustered
+    // vectors in ONE >cap bucket per band; budget 10 routes banded
+    val tmp = java.nio.file.Files.createTempDirectory("graft_capdef")
+    try {
+      val path = tmp.resolve("idx").toString
+      Similarity.writeBinaryIndex(df, path, dim = dim)
+      def serve(cap: Long) = setOf(Similarity.binaryTopKServedAuto(
+        spark, path, df, df.select("vec_id"), k = 3, refine = 10,
+        maxHamming = 8, budgetCandidates = 10L,
+        bandOccupancyCap = cap))
+      val serveDefault = setOf(Similarity.binaryTopKServedAuto(
+        spark, path, df, df.select("vec_id"), k = 3, refine = 10,
+        maxHamming = 8, budgetCandidates = 10L))
+      assert(serveDefault === serve(100L),
+        "binaryTopKServedAuto default must be the registry-proven 100")
+      assert(serveDefault !== serve(0L),
+        "binaryTopKServedAuto's default cap did not bind on the cluster")
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
   }
 
   test("semDedupAuto routes by measured intra-cell candidate volume: " +
@@ -1804,17 +1914,55 @@ class MlSpec extends SparkSpec {
       s"expected the packSignBits guard, got: ${msgs(ex).mkString(" | ")}")
   }
 
-  test("resize keeps every stride-th byte and halves the payload") {
+  test("resize keeps every stride-th byte on non-image payloads and " +
+      "halves them (the documented fallback)") {
     import spark.implicits._
     val m = Seq((1L, "image", Array[Byte](10, 20, 30, 40, 50), "s", 5L))
       .toDF("media_id", "media_type", "payload", "source", "length_hint")
     val out = Multimodal.resize(m, stride = 2).collect()(0)
     assert(out.n_bytes_in === 5L)
     assert(out.n_bytes_out === 3L) // bytes at offsets 0, 2, 4
+    assert(!out.decoded && out.width_out === 0 && out.height_out === 0)
     val md = java.security.MessageDigest.getInstance("MD5")
     val expected = md.digest(Array[Byte](10, 30, 50))
       .map("%02x".format(_)).mkString.substring(0, 8)
     assert(out.sig_out === expected)
+  }
+
+  test("resize RESAMPLES a decodable PNG for real: true scaled " +
+      "dimensions ⌈w/stride⌉ × ⌈h/stride⌉ and exactly every " +
+      "stride-th pixel, byte-exact through the PNG round-trip") {
+    import spark.implicits._
+    // 5×3 with distinct known pixels
+    val (w, h) = (5, 3)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x + 1) * 0x010203 + y * 0x402010)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val m = Seq((7L, "image", bos.toByteArray, "s", 15L))
+      .toDF("media_id", "media_type", "payload", "source", "length_hint")
+    val out = Multimodal.resize(m, stride = 2).collect()(0)
+    assert(out.decoded, "a valid PNG must take the real-pixel path")
+    assert(out.width_out === 3 && out.height_out === 2,
+      "dims must follow the ceil rule: ⌈5/2⌉ × ⌈3/2⌉")
+    // pin every output pixel byte-exactly: out(x, y) must be
+    // in(2x, 2y) — nearest-neighbor decimation, nothing blended.
+    // Build the expected 3×2 image, PNG-encode it identically, and
+    // compare digests (sig_out is md5 of the emitted payload)
+    val exp = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      exp.setRGB(x, y, img.getRGB(2 * x, 2 * y))
+    val ebos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(exp, "png", ebos)
+    assert(out.n_bytes_out === ebos.size().toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedSig = md.digest(ebos.toByteArray)
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    assert(out.sig_out === expectedSig,
+      "resampled PNG bytes diverge from the every-2nd-pixel image")
   }
 
   test("frame sampling explodes one row per step offset") {
@@ -2569,16 +2717,21 @@ class MlSpec extends SparkSpec {
           docs.filter(col("doc_id") >= t2 - 2 && col("doc_id") < t2 + 2),
           path)
       }
-      // compaction: collapse dup hash rows in exactly the buckets
-      // that HOLD duplicates; multi-file-but-duplicate-free buckets
-      // (the initial build writes several files per bucket in one
-      // job) are left untouched — their coalescing belongs to
-      // Layout.compactPartitions (r9 advice)
+      // compaction: collapse dup postings in exactly the buckets that
+      // HOLD duplicates; multi-file-but-duplicate-free buckets (the
+      // initial build writes several files per bucket in one job) are
+      // left untouched — their coalescing belongs to
+      // Layout.compactPartitions (r9 advice). Under the postings form
+      // a fresh append never duplicates a (h, doc_id) row, so inject
+      // the real debt source: an at-least-once replay of the same
+      // append at the pre-batch max (the torn-crash state the stream
+      // replays from)
+      Dedup.appendSubstrIndexAt(spark, batch, path, t1 - 1)
       val inc = Dedup.exactSubstrIncrement(spark,
         docs.filter(col("doc_id") >= t2), path)
       val before = inc.collect().toSeq
       val dupBkts = spark.read.parquet(path)
-        .groupBy(col("bkt"), col("h")).count()
+        .groupBy(col("bkt"), col("h"), col("doc_id")).count()
         .filter(col("count") > 1)
         .select(col("bkt").cast("long")).distinct()
         .as[Long].collect().toSet
@@ -2611,9 +2764,9 @@ class MlSpec extends SparkSpec {
             s"compaction rewrote duplicate-free bucket file $p")
       }
       val idx = spark.read.parquet(path)
-      assert(idx.groupBy(col("h")).count()
+      assert(idx.groupBy(col("h"), col("doc_id")).count()
         .filter(col("count") > 1).count() === 0L,
-        "duplicate hash rows survived compaction")
+        "duplicate postings survived compaction")
       assert(!new java.io.File(path,
           Dedup.SubstrCompactingMarker).exists(),
         "writer-lock marker survived a completed compaction")
@@ -2862,7 +3015,7 @@ class MlSpec extends SparkSpec {
         .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
       assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
         "increment diverges from the full recompute on the batch")
-      // an at-least-once replay duplicates (h, min_doc) rows — the
+      // an at-least-once replay duplicates (h, doc_id) postings — the
       // read-side min aggregation must make that invisible (snapshot
       // through a sibling dir: same-path read-while-append is UB)
       val snap = s"$tmp/snap"
@@ -2881,6 +3034,146 @@ class MlSpec extends SparkSpec {
         Dedup.exactSubstrIncrement(spark,
           docs.filter(col("doc_id") < 0), path)
       }
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("substr delete: tombstones mask at read and PROMOTE the next " +
+      "surviving holder; edges are loud/no-op; compaction reclaims " +
+      "the debt answer-invisibly and ids stay unrecyclable") {
+    import spark.implicits._
+    val run = "a1 a2 a3 a4 a5 a6"
+    val docs = Seq(
+      (1L, run),                  // canonical holder of the run
+      (2L, s"z1 $run z2"),        // second (surviving) holder
+      (3L, "u1 u2 u3 u4 u5"))     // unique filler
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, s"q1 $run q2")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_del")
+    val path = s"$tmp/idx"
+    def bucketFiles(): Map[String, (Long, Long)] =
+      new java.io.File(path).listFiles().toSeq
+        .filter(_.getName.startsWith("bkt="))
+        .flatMap(_.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    def nSpans(): Long =
+      Dedup.exactSubstrIncrement(spark, batch, path)
+        .head().getAs[Long]("n_spans")
+    try {
+      Dedup.writeSubstrIndex(docs, path, k = 4, nBuckets = 8)
+      assert(nSpans() > 0L, "fixture: the batch run must be flagged")
+      // takedown of the CANONICAL holder: the batch must still flag
+      // against the surviving second holder — the promotion a
+      // min-only index row could never answer
+      val filesBefore = bucketFiles()
+      Dedup.deleteFromSubstrIndex(spark, Seq(1L).toDF("doc_id"), path)
+      assert(bucketFiles() === filesBefore,
+        "delete touched index data files")
+      assert(nSpans() > 0L,
+        "deleting the canonical holder lost the surviving one")
+      // the masked read equals the survivor-corpus recompute
+      val inc = Dedup.exactSubstrIncrement(spark, batch, path)
+      val want = Dedup.exactSubstr(
+        docs.filter(col("doc_id") =!= 1L).unionByName(batch), k = 4)
+        .filter(col("doc_id") === 10L)
+      assert(inc.exceptAll(want).isEmpty && want.exceptAll(inc).isEmpty,
+        "masked increment diverges from the survivor recompute")
+      // unknown id: idempotent no-op; null id: loud
+      Dedup.deleteFromSubstrIndex(spark, Seq(999L).toDF("doc_id"), path)
+      assert(nSpans() > 0L)
+      val ex = intercept[Exception] {
+        Dedup.deleteFromSubstrIndex(spark,
+          spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id"), path)
+      }
+      assert(ex.getMessage != null)
+      // take down the LAST holder too: the content is now unseen
+      Dedup.deleteFromSubstrIndex(spark, Seq(2L).toDF("doc_id"), path)
+      assert(nSpans() === 0L, "content with no surviving holder flagged")
+      // compaction reclaims: deleted postings physically gone,
+      // snapshotted tombstone files gone, answers unchanged
+      assert(Dedup.compactSubstrIndex(spark, path) > 0L)
+      val idx = spark.read.parquet(path)
+      assert(idx.filter(col("doc_id").isin(1L, 2L)).count() === 0L,
+        "deleted holders' postings survived compaction")
+      assert(idx.filter(col("doc_id") === 3L).count() > 0L,
+        "compaction dropped a surviving holder's postings")
+      assert(new java.io.File(s"$path/${Dedup.SubstrDeletedDir}")
+        .listFiles((_, n) => n.endsWith(".parquet")) == null ||
+        new java.io.File(s"$path/${Dedup.SubstrDeletedDir}")
+          .listFiles((_, n) => n.endsWith(".parquet")).isEmpty,
+        "snapshotted tombstone files survived compaction")
+      assert(nSpans() === 0L, "compaction changed the increment")
+      // a second compaction converges to a no-op
+      assert(Dedup.compactSubstrIndex(spark, path) === 0L)
+      // deleted ids stay in the docs sibling, so the feed can never
+      // recycle them — a re-append of id 2 is refused loudly
+      intercept[IllegalArgumentException] {
+        Dedup.appendSubstrIndex(spark,
+          Seq((2L, "r1 r2 r3 r4")).toDF("doc_id", "text"), path)
+      }
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("substr compaction replays a committed delete stage: a bucket " +
+      "lost to a mid-overwrite crash is restored, and the tombstones " +
+      "clear only after the survivors land") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_rp")
+    val path = s"$tmp/idx"
+    try {
+      Dedup.writeSubstrIndex(docs, path, k = 4, nBuckets = 8)
+      val deadDf = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"))
+      Dedup.deleteFromSubstrIndex(spark, deadDf, path)
+      // stage exactly what a delete compaction stages (survivors +
+      // the dirty-bucket marker, conservatively ALL buckets) — the
+      // state right after the stage COMMITS and before the apply
+      val idx = spark.read.parquet(path)
+      idx.join(deadDf, Seq("doc_id"), "left_anti")
+        .select(col("h"), col("doc_id"), col("bkt"))
+        .write.parquet(s"$path/${Similarity.CompactStageDir}")
+      val allBkts = idx.select(col("bkt").cast("long"))
+        .distinct().as[Long].collect().sorted
+      allBkts.toSeq.toDF("part").coalesce(1)
+        .write.parquet(s"$path/${Similarity.CompactStageDir}/_parts")
+      // the crash: the overwrite's commit died after deleting one
+      // bucket dir — its survivors exist only in the stage, and the
+      // tombstone files are still in place (they clear LAST)
+      val victim = allBkts.head
+      assert(new scala.reflect.io.Directory(
+        new java.io.File(path, s"bkt=$victim")).deleteRecursively())
+      assert(new java.io.File(s"$path/${Dedup.SubstrDeletedDir}")
+        .listFiles((_, nm) => nm.endsWith(".parquet")).nonEmpty,
+        "precondition: tombstones present across the crash")
+      // re-entry replays the committed stage (restoring the lost
+      // bucket), then the normal pass drops the now-settled debt
+      Dedup.compactSubstrIndex(spark, path)
+      assert(!new java.io.File(path,
+        Similarity.CompactStageDir).exists())
+      val files = new java.io.File(s"$path/${Dedup.SubstrDeletedDir}")
+        .listFiles((_, nm) => nm.endsWith(".parquet"))
+      assert(files == null || files.isEmpty,
+        "tombstones survived a completed replay+pass")
+      // the rebuilt-from-stage index answers exactly as a fresh build
+      // over the survivor corpus
+      val batch = Seq((n + 10L, docs.orderBy(col("doc_id"))
+        .head().getAs[String]("text"))).toDF("doc_id", "text")
+      val rebuilt = s"$tmp/rebuilt"
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        rebuilt, k = 4, nBuckets = 8)
+      val a = Dedup.exactSubstrIncrement(spark, batch, path)
+      val b = Dedup.exactSubstrIncrement(spark, batch, rebuilt)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "replayed index diverges from a survivor rebuild")
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       ()

@@ -75,6 +75,50 @@ class SubstrIngestSpec extends SparkSpec {
     }
   }
 
+  test("streamed reports mask tombstoned docs: a takedown between " +
+      "batches stops flagging spans against the deleted text, and " +
+      "the stream keeps ingesting past it") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = docs.count()
+    val t1 = n / 2
+    val tmp = java.nio.file.Files.createTempDirectory("substr_del_ing")
+    try {
+      val idx = tmp.resolve("idx").toString
+      val rep = tmp.resolve("reports").toString
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), idx, k = 4)
+      // takedown of part of the indexed base BETWEEN batches
+      val deadDf = docs.filter(col("doc_id") < t1
+        && col("doc_id") % 5 === 0).select(col("doc_id"))
+      Dedup.deleteFromSubstrIndex(spark, deadDf, idx)
+      val in = MemoryStream[DocRow]
+      val q = SubstrIngest.startWithReports(in.toDF(), idx, rep,
+        tmp.resolve("ckpt").toString)
+      try {
+        in.addData(docRows(docs.filter(col("doc_id") >= t1)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the batch report equals the full recompute over the SURVIVOR
+      // corpus plus the batch, restricted to the batch
+      val survivors = docs.filter(col("doc_id") >= t1
+        || col("doc_id") % 5 =!= 0)
+      val want = Dedup.exactSubstr(survivors, k = 4)
+        .filter(col("doc_id") >= t1)
+      val got = spark.read.parquet(s"$rep/ingest_batch=0")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "streamed report diverges from the survivor recompute")
+      // ingest completed: the whole feed is indexed (deleted ids stay
+      // in the docs sibling — the monotone guard covers them forever)
+      assert(spark.read.parquet(s"$idx/${Dedup.SubstrDocsDir}")
+        .count() === n)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("a crash between the index-row append and the docs-sibling " +
       "append replays to the exact pre-crash report — the batch's " +
       "own hashes in the index must not read as earlier docs") {
