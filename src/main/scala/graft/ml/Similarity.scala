@@ -2548,8 +2548,12 @@ object Similarity {
     }.reduce(_.unionByName(_)), "j")
     val index =
       if (cellCandidateCap <= 0L) pruned
+      // localCheckpoint the capped set (≤ cap·|probed cells| rows):
+      // the ADC join then consumes a materialized table with exact
+      // stats instead of re-executing the rank/offset subplan, and
+      // the downstream refine/rescore reuse it
       else Corpus.cappedIdPrefix(pruned, "j", Seq("cell"),
-        cellCandidateCap)
+        cellCandidateCap).localCheckpoint()
     val wA = Window.partitionBy(col("i")).orderBy(col("acos").desc, col("j"))
     val cand = qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
       .withColumn("acos", round(

@@ -608,30 +608,69 @@ class MlSpec extends SparkSpec {
       k = 5)), "hot fixture did not exercise the cap's loss")
   }
 
-  test("ivfTopKAuto's capped route has NO window partitioned on the " +
-      "bare cell over raw rows: the id-prefix cap ranks per (cell, " +
-      "bucket) with histogram offsets, so the dominant cell — exactly " +
-      "the one that trips this branch — never sorts through one task") {
-    val hotDf = Similarity.ivfTopKAuto(embs, nCells = 2, k = 5,
-      cellCandidateCap = 50L, budgetCandidatesPerQuery = 64L)
-    val windows = hotDf.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }
-    val cellOnly = windows.filter(w =>
-      w.partitionSpec.flatMap(_.references.toSeq)
-        .map(_.name).distinct == Seq("cell"))
-    // the decomposition's offset window IS partitioned by cell alone,
-    // but over the ≤4096·nCells bucket histogram (an Aggregate child);
-    // the removed form ranked the RAW checkpointed assignment — no
-    // aggregate below it
-    assert(cellOnly.nonEmpty, "expected the histogram offset window")
-    cellOnly.foreach { w =>
-      val aggBelow = w.child.collect {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+  test("EVERY capped hot route has NO window partitioned on the bare " +
+      "group over raw rows: the id-prefix cap ranks per (group, " +
+      "bucket) with histogram offsets, so the dominant group — " +
+      "exactly the one that trips a capped branch — never sorts " +
+      "through one task. Registry-wide case list (r13 verdict item " +
+      "8): a new cappedIdPrefix consumer must add its hot route here") {
+    def assertCapShape(name: String,
+        df: org.apache.spark.sql.DataFrame, groupCol: String,
+        inPlan: Boolean): Unit = {
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       }
-      assert(aggBelow.nonEmpty,
-        "a bare-cell window may only rank the bucket histogram:\n" +
-          w.toString.take(800))
+      val bare = windows.filter(w =>
+        w.partitionSpec.flatMap(_.references.toSeq)
+          .map(_.name).distinct == Seq(groupCol))
+      if (!inPlan) {
+        // this route materializes its capped set through a
+        // localCheckpoint built by Corpus.cappedIdPrefix (whose own
+        // shape the in-plan case below pins), so the serve plan must
+        // show NO bare-group window at all — one appearing here would
+        // be a hand-rolled raw-rows rank sneaking back in
+        assert(bare.isEmpty,
+          s"$name: unexpected bare-$groupCol window in the serve " +
+            "plan:\n" + bare.headOption.fold("")(_.toString.take(800)))
+        return
+      }
+      // the decomposition's offset window IS partitioned by the group
+      // alone, but over the ≤4096·|groups| bucket histogram (an
+      // Aggregate child); the regressed form ranks RAW rows — no
+      // aggregate below it
+      assert(bare.nonEmpty,
+        s"$name: expected the histogram offset window")
+      bare.foreach { w =>
+        val aggBelow = w.child.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical
+            .Aggregate => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"$name: a bare-$groupCol window may only rank the bucket " +
+            "histogram:\n" + w.toString.take(800))
+      }
+    }
+    assertCapShape("ivfTopKAuto",
+      Similarity.ivfTopKAuto(embs, nCells = 2, k = 5,
+        cellCandidateCap = 50L, budgetCandidatesPerQuery = 64L),
+      "cell", inPlan = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_capshape")
+    try {
+      import spark.implicits._
+      val path = tmp.resolve("idx").toString
+      val cb = Similarity.fitPqCodebook(
+        embs.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0),
+        nSub = 8, codesPerSub = 16, iters = 1)
+      Similarity.writeIvfPqIndex(embs,
+        Similarity.seedCentroids(embs, 2), cb, nSub = 8, path)
+      assertCapShape("pqTopKServedAuto",
+        Similarity.pqTopKServedAuto(spark, path, embs, embs, k = 5,
+          refine = 20, probes = 1, cellCandidateCap = 50L,
+          budgetCandidatesPerQuery = 1L),
+        "cell", inPlan = false)
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
     }
   }
 
