@@ -336,8 +336,9 @@ object Corpus {
     * the cap boundary, both forms tie-break nondeterministically and
     * can diverge run-to-run (r13 advice). Callers must pre-dedup or
     * pick a unique id; the library call sites satisfy this by
-    * construction ([[graft.ml.Similarity.writeBinaryIndex]] enforces
-    * unique vec_ids).
+    * construction ([[graft.ml.Similarity.writeBinaryIndex]] and
+    * [[graft.ml.Similarity.writeIvfPqIndex]] enforce unique vec_ids
+    * at build).
     *
     * Bucketing is ANSI-safe by construction: when the observed id
     * range fits 62 bits (every realistic corpus) the shift operates on

@@ -2446,6 +2446,18 @@ object Similarity {
       .getFileSystem(
         embeddings.sparkSession.sparkContext.hadoopConfiguration),
       path, "writeIvfPqIndex")
+    // unique vec_ids are an enforced invariant, not an assumption
+    // (the writeBinaryIndex discipline): the delete mask is id-keyed,
+    // and the routed serve's per-cell id-prefix cap
+    // ([[pqTopKServedAuto]] via [[graft.ml.Corpus.cappedIdPrefix]])
+    // tie-breaks nondeterministically on duplicate ids. One aggregate
+    // at build time, the pass that is already corpus-priced.
+    val dup = withNorm(embeddings)
+      .agg((count(lit(1)) - count_distinct(col("vec_id"))).as("d"))
+      .head().getLong(0)
+    require(dup == 0L,
+      s"writeIvfPqIndex: input holds $dup duplicate vec_id rows — " +
+        "the served index requires unique ids (dedup upstream)")
     assignCells(embeddings, cents).select(col("vec_id"), col("cell"))
       .join(pqEncode(embeddings, codebook, nSub), Seq("vec_id"))
       .select(col("vec_id"), col("codes"), col("rnrm"), col("cell"))
@@ -2462,7 +2474,11 @@ object Similarity {
     * index serves identically to a from-scratch build of the union
     * corpus (spec-pinned); what an append cannot do is adapt the
     * codebook to a drifted embedding distribution — that is a refit,
-    * i.e. a new [[writeIvfPqIndex]], by design.
+    * i.e. a new [[writeIvfPqIndex]], by design. Batch ids must stay
+    * unique across appends (the build enforces it at write; the
+    * streamed path absorbs replays by fingerprint) — a manually
+    * re-appended batch would duplicate ids, and the routed serve's
+    * id-prefix cap tie-breaks duplicates nondeterministically.
     */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       newEmbeddings: DataFrame, path: String): Unit = {

@@ -1835,6 +1835,29 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("writeIvfPqIndex refuses duplicate vec_ids: the id-keyed " +
+      "delete mask and the routed serve's id-prefix cap both require " +
+      "unique ids — enforced at build, not assumed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_dupid")
+    try {
+      val base = (0L until 32L).map(i =>
+        (i, Array.tabulate(8)(c => (1.0f + i + c) / 8f)))
+      val dup = (base :+ base.head).toDF("vec_id", "embedding")
+      val cb = Similarity.fitPqCodebook(
+        base.toDF("vec_id", "embedding"), nSub = 2, codesPerSub = 4,
+        iters = 1)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.writeIvfPqIndex(dup,
+          Similarity.seedCentroids(dup, 2), cb, nSub = 2,
+          tmp.resolve("idx").toString)
+      }
+      assert(e.getMessage.contains("duplicate vec_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("binary index delete/compact lifecycle: tombstones mask with " +
       "zero data files touched, compaction removes the dead rows via " +
       "the uuid file swap, and a mid-apply crash replays convergently") {
