@@ -92,38 +92,12 @@ object Bench {
     val streaming = if (only.isDefined)
       """{"op":"corpus_ingest","skipped":"filtered_run"}"""
     else {
-      var tmp: java.nio.file.Path = null
       try {
-        tmp = java.nio.file.Files.createTempDirectory("graft_bench_stream")
-        val docsPath = new java.io.File(sfDir, "documents.parquet").getPath
-        val schema = spark.read.parquet(docsPath).schema
-        val rowsIn = spark.read.parquet(docsPath).count()
-        // THREE full ingest runs, report the MIN: eight r8 runs spanned
-        // 630–1375 rows/s with no code change (2.2×), so a single
-        // sample made the floor assertion track sandbox weather; min
-        // of 3 is the same noise-is-additive statistic the query
-        // timings already use. Each run gets fresh feed/corpus/store/
-        // checkpoint dirs — state reuse would turn runs 2-3 into
-        // no-op replays.
-        val secs = (1 to 3).map { i =>
-          // the file stream source requires a DIRECTORY (its
-          // basePath); stage the single-file table into one — the
-          // copy is the feed directory a real deployment would have
-          val feedDir = tmp.resolve(s"feed$i")
-          java.nio.file.Files.createDirectory(feedDir)
-          java.nio.file.Files.copy(java.nio.file.Paths.get(docsPath),
-            feedDir.resolve("documents.parquet"))
-          val t0 = System.nanoTime()
-          val q = graft.streaming.CorpusIngest.start(
-            spark.readStream.schema(schema).parquet(feedDir.toString),
-            corpusPath = tmp.resolve(s"corpus$i").toString,
-            storePath = tmp.resolve(s"store$i").toString,
-            checkpoint = tmp.resolve(s"ckpt$i").toString)
-          // stop in finally: a micro-batch failure must not leave the
-          // query's foreachBatch thread retrying behind the bench
-          try q.processAllAvailable() finally q.stop()
-          (System.nanoTime() - t0) / 1e9
-        }
+        // the measurement body lives ONCE in StreamSmoke (the ABAB
+        // classification tool) so the smoke can never drift from what
+        // this bench reports — min-of-3 full ingest runs over fresh
+        // dirs, the noise-is-additive statistic (see its scaladoc)
+        val (rowsIn, secs) = StreamSmoke.runCorpusIngest(spark, sfDir)
         val sec = secs.min
         val rps = if (sec > 0) rowsIn / sec else 0.0
         // Regression floor (BASELINE.md "Engine streaming throughput
@@ -143,13 +117,6 @@ object Bench {
         // lose the whole round's timings, not just this field
         val msg = Verify.jsonQuote(String.valueOf(e.getMessage).take(200))
         s"""{"op":"corpus_ingest","failed":true,"err":$msg}"""
-      } finally if (tmp != null) {
-        // best-effort temp cleanup on every path, success or failure
-        try {
-          java.nio.file.Files.walk(tmp)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // Provenance (r7 verdict item 5): round-over-round totals are only

@@ -1220,10 +1220,13 @@ object Dedup {
 
   /** Mask tombstoned holders out of a (pruned) postings read. The
     * anti-join's build side is the tombstone set — takedown-sized, so
-    * AQE broadcasts it; a mask grown large enough to shuffle is the
-    * signal to [[compactSubstrIndex]]. Reads the entry-time FILE list
-    * (the snapshot discipline shared with the flat tiers) so a
-    * half-written concurrent delete append can't fail the read.
+    * AQE broadcasts it while it stays small (no forced hint: a mask
+    * grown past broadcast size must fall back to a shuffle, not OOM
+    * the driver — the flat tiers' tombstoneUnion discipline; a mask
+    * that big is the signal to [[compactSubstrIndex]]). Reads the
+    * entry-time FILE list (the snapshot discipline shared with the
+    * flat tiers) so a half-written concurrent delete append can't
+    * fail the read.
     */
   private def maskDeletedDocs(spark: org.apache.spark.sql.SparkSession,
       path: String, idx: DataFrame): DataFrame = {
@@ -1233,8 +1236,8 @@ object Dedup {
       SubstrDeletedDir)
     if (files.isEmpty) idx
     else idx.join(
-      broadcast(spark.read.parquet(files.map(_.toString): _*)
-        .select(col("doc_id")).distinct()),
+      spark.read.parquet(files.map(_.toString): _*)
+        .select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
   }
 
@@ -1378,7 +1381,7 @@ object Dedup {
       val deadDirty: Seq[Long] = dead match {
         case None => Seq.empty
         case Some(dd) => idx.select(col("doc_id"), col("bkt"))
-          .join(broadcast(dd), Seq("doc_id"))
+          .join(dd, Seq("doc_id"))
           .select(col("bkt").cast("long")).distinct()
           .collect().toSeq.map(_.getLong(0))
       }
@@ -1386,7 +1389,7 @@ object Dedup {
       if (dirty.nonEmpty) {
         val pruned = idx.filter(
           Similarity.partitionLits(idx, "bkt", dirty))
-        dead.map(dd => pruned.join(broadcast(dd), Seq("doc_id"),
+        dead.map(dd => pruned.join(dd, Seq("doc_id"),
             "left_anti"))
           .getOrElse(pruned)
           .select(col("h"), col("doc_id"), col("bkt")).distinct()
@@ -1442,7 +1445,13 @@ object Dedup {
       path: String, maxIndexed: Long): DataFrame = {
     val (k, nBuckets) = substrIndexParams(spark, path)
     requireMonotoneBatch(newDocs, maxIndexed, "exactSubstrIncrement")
-    val sh = posShingleHashes(newDocs, k)
+    // the BATCH side masks against the same tombstone snapshot as the
+    // index side: a takedown racing its own doc's ingest (the delete
+    // stream is an independent query) must neither report that doc
+    // nor let same-batch spans flag against it via the within-batch
+    // min — the survivor corpus contains neither (session review)
+    val live = maskDeletedDocs(spark, path, newDocs)
+    val sh = posShingleHashes(live, k)
     // bounded driver action: ≤ n_buckets distinct bucket ids, the
     // partition-prune list for the index probe
     val bkts = sh.select(pmod(col("h"), lit(nBuckets.toLong)).as("bkt"))
@@ -1455,8 +1464,11 @@ object Dedup {
         bkts.toSeq.map(_.toInt: Any)
       case _ => bkts.toSeq.map(x => x: Any)
     }
+    // a batch of only tombstoned/short docs probes no buckets: an
+    // empty isin list must read as "nothing", never a planner error
     val idxMin = maskDeletedDocs(spark, path,
-        idx.filter(col("bkt").isin(bktLits: _*)))
+        idx.filter(if (bkts.isEmpty) lit(false)
+          else col("bkt").isin(bktLits: _*)))
       .groupBy(col("h")).agg(min(col("doc_id")).as("imin"))
     val batchMin = sh.groupBy(col("h")).agg(min(col("doc_id")).as("bmin"))
     val spans = sh
@@ -1473,6 +1485,6 @@ object Dedup {
       .filter(col("imin") < col("doc_id") || col("bmin") < col("doc_id"))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + lit(k - 1)).as("e"))
-    substrReport(newDocs, spans)
+    substrReport(live, spans)
   }
 }

@@ -334,13 +334,20 @@ object Multimodal {
             val ho = (h + stride - 1) / stride
             val scaled = new java.awt.image.BufferedImage(wo, ho,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
+            // row-bulk pixel access: per-pixel getRGB/setRGB pays a
+            // color-model conversion per CALL (the session review's
+            // hot-path finding) — one bulk read per source row and
+            // one bulk write per output row produce the identical
+            // ints through the same sRGB conversion, with memory
+            // bounded by one row buffer
+            val srcRow = new Array[Int](w)
+            val outRow = new Array[Int](wo)
             var y = 0
             while (y < ho) {
+              i.getRGB(0, y * stride, w, 1, srcRow, 0, w)
               var x = 0
-              while (x < wo) {
-                scaled.setRGB(x, y, i.getRGB(x * stride, y * stride))
-                x += 1
-              }
+              while (x < wo) { outRow(x) = srcRow(x * stride); x += 1 }
+              scaled.setRGB(0, y, wo, 1, outRow, 0, wo)
               y += 1
             }
             bos.reset()

@@ -1695,6 +1695,16 @@ object Similarity {
       .getFileSystem(
         embeddings.sparkSession.sparkContext.hadoopConfiguration),
       path, "writeIvfIndex")
+    // unique vec_ids enforced at build (the writeBinaryIndex/
+    // writeIvfPqIndex discipline): the delete mask is id-keyed, and
+    // duplicate ids would serve duplicate neighbor rows consuming
+    // rank slots. One aggregate on the already-corpus-priced pass.
+    val dup = withNorm(embeddings)
+      .agg((count(lit(1)) - count_distinct(col("vec_id"))).as("d"))
+      .head().getLong(0)
+    require(dup == 0L,
+      s"writeIvfIndex: input holds $dup duplicate vec_id rows — " +
+        "the served index requires unique ids (dedup upstream)")
     assignCells(embeddings, cents)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -1726,10 +1736,40 @@ object Similarity {
     requireNoCommittedStage(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration),
       path, "appendIvfIndex")
+    requireFreshIds(spark, newEmbeddings, path, "appendIvfIndex")
     val cents = spark.read.parquet(s"$path/$CentroidsDir")
     assignCells(newEmbeddings, cents)
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** The manual-append uniqueness guard shared by [[appendIvfIndex]]
+    * and [[appendIvfPqIndex]]: the build writers enforce unique
+    * vec_ids as an invariant the delete mask and the routed serves
+    * depend on, and an un-fingerprinted manual append re-run after a
+    * partial failure is exactly how duplicates would sneak back in
+    * (session review). One aggregate over a column-pruned id probe —
+    * in-batch duplicates and base overlap in the same pass; priced
+    * like one extra id scan per maintenance call, which is what a
+    * correctness invariant is worth. (Streamed appends are exempt by
+    * construction: BatchCommit absorbs replays by fingerprint.)
+    */
+  private def requireFreshIds(spark: org.apache.spark.sql.SparkSession,
+      newEmbeddings: DataFrame, path: String, what: String): Unit = {
+    val st = withNorm(newEmbeddings).select(col("vec_id"))
+      .join(spark.read.parquet(path).select(col("vec_id"))
+        .withColumn("_in", lit(1)), Seq("vec_id"), "left")
+      .agg((count(lit(1)) - count_distinct(col("vec_id"))).as("d"),
+        coalesce(sum(col("_in")), lit(0L)).as("o"))
+      .head()
+    require(st.getLong(0) == 0L,
+      s"$what: batch holds ${st.getLong(0)} duplicate vec_id rows — " +
+        "the served index requires unique ids (dedup upstream)")
+    require(st.getLong(1) == 0L,
+      s"$what: ${st.getLong(1)} batch vec_ids are already indexed — " +
+        "a re-run append would duplicate them (the index is not a " +
+        "replay ledger; route replayable feeds through the streamed " +
+        "ingest, which absorbs them by fingerprint)")
   }
 
   private val DeletedDir = "_graft_deleted"
@@ -2474,17 +2514,19 @@ object Similarity {
     * index serves identically to a from-scratch build of the union
     * corpus (spec-pinned); what an append cannot do is adapt the
     * codebook to a drifted embedding distribution — that is a refit,
-    * i.e. a new [[writeIvfPqIndex]], by design. Batch ids must stay
-    * unique across appends (the build enforces it at write; the
-    * streamed path absorbs replays by fingerprint) — a manually
-    * re-appended batch would duplicate ids, and the routed serve's
-    * id-prefix cap tie-breaks duplicates nondeterministically.
+    * i.e. a new [[writeIvfPqIndex]], by design. Ids stay unique
+    * across appends by ENFORCEMENT ([[requireFreshIds]] — in-batch
+    * duplicates and base overlap refuse loudly), because the routed
+    * serve's id-prefix cap tie-breaks duplicate ids
+    * nondeterministically; the streamed path is exempt by its
+    * fingerprinted replay absorption.
     */
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       newEmbeddings: DataFrame, path: String): Unit = {
     requireNoCommittedStage(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration),
       path, "appendIvfPqIndex")
+    requireFreshIds(spark, newEmbeddings, path, "appendIvfPqIndex")
     val cents = spark.read.parquet(s"$path/$CentroidsDir")
     val codebook = spark.read.parquet(s"$path/$PqCodebookDir")
     val nSub = codebook
@@ -2624,14 +2666,30 @@ object Similarity {
       "the routed form needs a positive cellCandidateCap to engage")
     require(budgetCandidatesPerQuery > 0L,
       "budgetCandidatesPerQuery must be positive")
+    // serves the BASE root only — refuse while the streamed-appends
+    // sibling holds un-folded data, or every streamed vector would be
+    // silently invisible to the routed serve (the binaryTopKServedAuto
+    // refusal, the session review's top finding on this very router)
+    require(!streamSiblingHoldsData(
+        new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)),
+      s"pqTopKServedAuto: streamed-appends sibling " +
+        s"$path$StreamSiblingSuffix holds un-folded data — serving " +
+        "the base alone would omit streamed vectors; fold first (or " +
+        "serve through VectorIngest.queryServedPq)")
     val cents = spark.read.parquet(s"$path/$CentroidsDir")
     // the measurement: probe hits per cell (one ranked assignment —
     // the serve recomputes it, the price of keeping the core shared)
-    // × stored rows per cell (a partition-column-only read), folded
-    // into one decimal-widened scalar (the r12 silent-wrap rule)
+    // × ALIVE stored rows per cell (tombstone-masked, exactly what
+    // the serve scores — counting dead rows could trip the budget a
+    // delete already paid down), folded into one decimal-widened
+    // scalar (the r12 silent-wrap rule)
     val qc = assignRanked(withNorm(queries), cents, probes)
       .groupBy(col("cell")).agg(count(lit(1)).as("qn"))
-    val ic = spark.read.parquet(path)
+    val ic = maskDeleted(spark, Seq(path),
+        spark.read.parquet(path).select(col("vec_id"), col("cell")),
+        "vec_id")
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("cn"))
     val st = qc.join(ic, Seq("cell"), "left")

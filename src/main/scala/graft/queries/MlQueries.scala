@@ -642,8 +642,14 @@ object MlQueries {
     * not just its recall (which MlSpec still asserts).
     */
   val ns6bEmbedNearDupLsh: Q = (s, dir) =>
+    // cap explicitly OFF: this gate states the UNCAPPED candidate cut
+    // (its oracle's cand CTE has no bucket-size filter) — the library
+    // default is the registry-proven 200 since r14, and relying on it
+    // here would let the engine drop >200-occupancy buckets the SQL
+    // keeps (the session review's finding); ns6c gates the capped form
     Similarity.nearDupPairsLsh(Tables.embeddings(s, dir),
-      threshold = 0.4, nBands = 8, bitsPerBand = 4, dim = 64)
+      threshold = 0.4, nBands = 8, bitsPerBand = 4, dim = 64,
+      bandOccupancyCap = 0L)
       .orderBy(col("i"), col("j"))
 
   /** The banded CTE shared by the ns6b/ns15 LSH oracles: one UNION ALL

@@ -34,7 +34,13 @@ object MediaIngest {
     * lands in the hash rows verbatim, so a recycled batch id whose
     * rows kept their payloads but changed media_type must read as a
     * conflict, not a replay (r13 advice; [[VectorIngest.batchSig]]'s
-    * full-persisted-row discipline).
+    * full-persisted-row discipline). Formula-change caveat: a stream
+    * whose last pre-upgrade batch committed under the OLD formula and
+    * then replays post-upgrade reads as a recycled-id conflict (the
+    * persisted sig no longer matches); the loud refusal is the safe
+    * failure — the operator advances the checkpoint past the
+    * already-committed batch rather than risking silent absorption of
+    * a genuinely different batch.
     */
   def batchSig(batch: DataFrame): Long = {
     val r = batch

@@ -122,6 +122,29 @@ object SubstrIngest {
       }
       .start()
 
+  /** Wire a DELETE stream: each micro-batch of (doc_id) rows lands in
+    * the base index's tombstone table
+    * ([[Dedup.deleteFromSubstrIndex]]) — the takedown feed every
+    * other standing index already had ([[VectorIngest.startDeletes]],
+    * [[MediaIngest.startDeletes]]). No [[BatchCommit]] partition
+    * protocol, deliberately — the shared argument verbatim: tombstone
+    * appends are idempotent AT READ (the increment mask distincts),
+    * so at-least-once replay costs duplicate tombstone rows, never
+    * correctness. The ingest stream's reports pick the takedown up on
+    * their NEXT trigger (the mask snapshot is per read); deleted ids
+    * stay in the docs sibling, so the monotone guard keeps refusing
+    * recycled ids forever.
+    */
+  def startDeletes(streamingIds: DataFrame, indexPath: String,
+      checkpoint: String): StreamingQuery =
+    streamingIds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.deleteFromSubstrIndex(batch.sparkSession,
+          batch.select(col("doc_id")), indexPath)
+      }
+      .start()
+
   /** Wire the ONLINE-DEDUP loop: every micro-batch is span-reported
     * against the standing corpus, then indexed — the live form of
     * "dedup the new crawl against everything seen so far".

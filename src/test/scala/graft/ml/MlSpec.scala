@@ -1835,6 +1835,24 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("writeIvfIndex refuses duplicate vec_ids: the id-keyed delete " +
+      "mask requires unique ids — enforced at build, not assumed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_dupid")
+    try {
+      val base = (0L until 8L).map(i =>
+        (i, Array.tabulate(8)(c => (1.0f + i + c) / 8f)))
+      val dup = (base :+ base.head).toDF("vec_id", "embedding")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.writeIvfIndex(dup, Similarity.seedCentroids(dup, 2),
+          tmp.resolve("idx").toString)
+      }
+      assert(e.getMessage.contains("duplicate vec_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("writeIvfPqIndex refuses duplicate vec_ids: the id-keyed " +
       "delete mask and the routed serve's id-prefix cap both require " +
       "unique ids — enforced at build, not assumed") {

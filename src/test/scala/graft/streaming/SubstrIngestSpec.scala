@@ -119,6 +119,61 @@ class SubstrIngestSpec extends SparkSpec {
     }
   }
 
+  test("a streamed DELETE feed tombstones between ingest triggers: " +
+      "the next batch's report masks the taken-down docs, re-delivery " +
+      "is idempotent, and the ingest keeps flowing") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = docs.count()
+    val (t1, t2) = (n / 2, 3 * n / 4)
+    val tmp = java.nio.file.Files.createTempDirectory("substr_delstream")
+    try {
+      val idx = tmp.resolve("idx").toString
+      val rep = tmp.resolve("reports").toString
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < t1), idx, k = 4)
+      val delIn = MemoryStream[Long]
+      val delQ = SubstrIngest.startDeletes(
+        delIn.toDF().select(col("value").as("doc_id")), idx,
+        tmp.resolve("dckpt").toString)
+      val in = MemoryStream[DocRow]
+      val q = SubstrIngest.startWithReports(in.toDF(), idx, rep,
+        tmp.resolve("ckpt").toString)
+      try {
+        in.addData(docRows(docs.filter(col("doc_id") >= t1
+          && col("doc_id") < t2)): _*)
+        q.processAllAvailable()
+        // the takedown arrives via the delete STREAM, twice (an
+        // at-least-once redelivery) — idempotent at read. The dead
+        // set includes >= t2 ids whose docs have NOT been ingested
+        // yet: the takedown racing its own doc's ingest must neither
+        // report that doc nor let same-batch spans flag against it
+        val dead = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id")).as[Long].collect().toSeq
+        delIn.addData(dead: _*); delQ.processAllAvailable()
+        delIn.addData(dead: _*); delQ.processAllAvailable()
+        in.addData(docRows(docs.filter(col("doc_id") >= t2)): _*)
+        q.processAllAvailable()
+      } finally { q.stop(); delQ.stop() }
+      // the post-takedown batch reports against the SURVIVOR corpus —
+      // pre-ingest-tombstoned batch members excluded on BOTH sides
+      val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+      val want = Dedup.exactSubstr(survivors, k = 4)
+        .filter(col("doc_id") >= t2)
+      val got = spark.read.parquet(s"$rep/ingest_batch=1")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "post-takedown streamed report diverges from the survivor " +
+          "recompute")
+      // the whole feed still indexed; deleted ids keep their docs rows
+      assert(spark.read.parquet(s"$idx/${Dedup.SubstrDocsDir}")
+        .count() === n)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
   test("a crash between the index-row append and the docs-sibling " +
       "append replays to the exact pre-crash report — the batch's " +
       "own hashes in the index must not read as earlier docs") {
