@@ -211,44 +211,72 @@ object Multimodal {
         img match {
           case Some(i) =>
             val (w, h) = (i.getWidth, i.getHeight)
-            // row-major scaled-luma grid; blocks may be empty for
-            // tiny images — same empty-cell contract as the 1-D path
-            def grid(rows0: Int, cols: Int): (Array[Long], Array[Long]) = {
-              val sums = new Array[Long](rows0 * cols)
-              val cnts = new Array[Long](rows0 * cols)
+            // row-major scaled-luma grids, both filled in ONE bulk
+            // pass: the old per-grid form called getRGB per PIXEL and
+            // read every pixel twice (aHash 6×10 + dHash 6×11) — a
+            // color-model conversion per call on the decode hot path
+            // (the resize finding, session review). Block sums are
+            // integer additions, so accumulation order cannot change
+            // a single bit of either hash. Boundaries stay the exact
+            // ⌊k·n/cells⌋ arithmetic; per-pixel block indices come
+            // from precomputed column maps and a row pointer.
+            def colMap(cols: Int): Array[Int] = {
+              val m = new Array[Int](w)
+              var cc = 0
+              var x = 0
+              while (cc < cols) {
+                val cHi = ((cc + 1).toLong * w / cols).toInt
+                while (x < cHi) { m(x) = cc; x += 1 }
+                cc += 1
+              }
+              m
+            }
+            def cnts(rows0: Int, cols: Int): Array[Long] = {
+              val c = new Array[Long](rows0 * cols)
               var rr = 0
               while (rr < rows0) {
-                val rLo = (rr.toLong * h / rows0).toInt
-                val rHi = ((rr + 1).toLong * h / rows0).toInt
+                val rSpan = ((rr + 1).toLong * h / rows0) -
+                  (rr.toLong * h / rows0)
                 var cc = 0
                 while (cc < cols) {
-                  val cLo = (cc.toLong * w / cols).toInt
-                  val cHi = ((cc + 1).toLong * w / cols).toInt
-                  var s = 0L
-                  var y = rLo
-                  while (y < rHi) {
-                    var x = cLo
-                    while (x < cHi) {
-                      val rgb = i.getRGB(x, y)
-                      s += 299L * ((rgb >> 16) & 0xFF) +
-                        587L * ((rgb >> 8) & 0xFF) +
-                        114L * (rgb & 0xFF)
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  sums(rr * cols + cc) = s
-                  cnts(rr * cols + cc) =
-                    (rHi - rLo).toLong * (cHi - cLo)
+                  c(rr * cols + cc) = rSpan *
+                    (((cc + 1).toLong * w / cols) -
+                      (cc.toLong * w / cols))
                   cc += 1
                 }
                 rr += 1
               }
-              (sums, cnts)
+              c
             }
-            val (as, ac) = grid(6, 10)
+            val colA = colMap(10)
+            val colD = colMap(11)
+            val as = new Array[Long](6 * 10)
+            val ds = new Array[Long](6 * 11)
+            val rowBuf = new Array[Int](w)
+            var ry = 0
+            var rBlk = 0
+            var rHi = (h / 6).toInt
+            while (ry < h) {
+              while (ry >= rHi) {
+                rBlk += 1
+                rHi = ((rBlk + 1) * h.toLong / 6).toInt
+              }
+              i.getRGB(0, ry, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = rowBuf(x)
+                val luma = 299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) +
+                  114L * (rgb & 0xFF)
+                as(rBlk * 10 + colA(x)) += luma
+                ds(rBlk * 11 + colD(x)) += luma
+                x += 1
+              }
+              ry += 1
+            }
+            val ac = cnts(6, 10)
             // dHash: 6×11 grid, bit (r,c) = block(r,c) < block(r,c+1)
-            val (ds, dc) = grid(6, 11)
+            val dc = cnts(6, 11)
             var dh = 0L
             var rr = 0
             while (rr < 6) {
