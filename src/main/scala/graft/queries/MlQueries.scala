@@ -2490,6 +2490,53 @@ object MlQueries {
       |FROM documents WHERE doc_id % 50 = 0
       |ORDER BY media_id""".stripMargin
 
+  /** JSONL ingestion with the malformed-line quarantine
+    * ([[graft.sources.JsonlCorpus.readQuarantined]]): the documents
+    * table round-trips through line-delimited JSON with every 97th
+    * line truncated mid-object (doc_id % 97 == 3 loses its closing
+    * brace — deterministically malformed), and the PERMISSIVE read
+    * must parse the good lines field-exactly while quarantining the
+    * bad ones as explicit rows — never dropping them (the silent
+    * corpus-shrink the reference's legacy stack suffered) and never
+    * failing the scan. The oracle restates both populations from the
+    * parquet source and the corruption rule, so the reader's
+    * good/quarantine SPLIT and the parsed values are hash-gated
+    * cross-engine; the raw-line quarantine payload is spec-gated
+    * (JsonlCorpusSpec — DuckDB never sees the JSONL file).
+    */
+  val ns67JsonlQuarantine: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "jsonl_corpus")
+    if (ivfIndexWritten.add(path)) {
+      docs.select(
+          to_json(struct(col("doc_id"), col("source"), col("text")))
+            .as("l"), col("doc_id").as("id"))
+        .select(when(col("id") % 97 === 3,
+            expr("substring(l, 1, length(l) - 1)"))
+          .otherwise(col("l")).as("value"))
+        .write.mode("overwrite").text(path)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    graft.sources.JsonlCorpus.readQuarantined(s, path, schema)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).as("n_chars"),
+        col(graft.sources.JsonlCorpus.CorruptCol).isNotNull
+          .as("corrupt"))
+      .orderBy(col("corrupt"), col("doc_id"))
+  }
+
+  val ns67JsonlQuarantineSql: String =
+    """SELECT doc_id, source, length(text)::INT AS n_chars,
+      |  false AS corrupt
+      |FROM documents WHERE doc_id % 97 <> 3
+      |UNION ALL
+      |SELECT NULL, NULL, NULL, true AS corrupt
+      |FROM documents WHERE doc_id % 97 = 3
+      |ORDER BY corrupt, doc_id""".stripMargin
+
   /** Benchmark decontamination: docs sharing any distinct word 4-gram
     * with the "benchmark" slice (every 97th doc stands in for an eval
     * set) are flagged with overlap counts — the standard test-set-
@@ -5027,6 +5074,7 @@ object MlQueries {
     "ns66c_phash_increment" -> ns66cPhashIncrement,
     "ns66d_phash_streamed" -> ns66dPhashStreamed,
     "ns66e_phash_compacted" -> ns66ePhashCompacted,
+    "ns67_jsonl_quarantine" -> ns67JsonlQuarantine,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -5147,6 +5195,7 @@ object MlQueries {
     "ns66c_phash_increment" -> ns66cPhashIncrementSql,
     "ns66d_phash_streamed" -> ns66cPhashIncrementSql,
     "ns66e_phash_compacted" -> ns66ePhashCompactedSql,
+    "ns67_jsonl_quarantine" -> ns67JsonlQuarantineSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,
