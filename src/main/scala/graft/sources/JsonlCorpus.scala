@@ -54,6 +54,25 @@ object JsonlCorpus {
       .json(path)
   }
 
+  /** [[readQuarantined]]'s STREAMING form — the same PERMISSIVE +
+    * explicit-corrupt-column contract over a file-stream directory
+    * (the JSON source's parser is shared between batch and streaming,
+    * so the split semantics cannot drift). The crawl front door:
+    * [[graft.streaming.CorpusIngest.startJsonl]] wires it.
+    */
+  def readStreamQuarantined(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    require(schema.fields.nonEmpty,
+      "need at least one schema field to parse")
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema may not use the reserved quarantine column $CorruptCol")
+    spark.readStream
+      .schema(schema.add(CorruptCol, StringType, nullable = true))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+  }
+
   /** The well-formed rows, quarantine column dropped. */
   def goodRows(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNull).drop(CorruptCol)

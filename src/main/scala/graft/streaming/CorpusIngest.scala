@@ -67,4 +67,42 @@ object CorpusIngest {
           minChars, lang, maxHamming)
       }
       .start()
+
+  /** The crawl-format FRONT DOOR: a directory of raw JSONL files (the
+    * wire format crawls actually deliver) streams through
+    * [[graft.sources.JsonlCorpus.readStreamQuarantined]]'s malformed-
+    * line split before the quality gate — bad lines land as raw-line
+    * rows under `rejectsPath/ingest_batch=<id>/` (the replayable
+    * dead-letter; written FIRST, overwrite-per-batch-id, so a crash
+    * between the rejects write and the corpus commit replays to the
+    * identical rejects partition — the SubstrIngest report
+    * discipline), good lines flow into [[ingestBatch]]'s gate →
+    * near-dup store → committed corpus append unchanged. A malformed
+    * line can therefore never kill the stream (FAILFAST) nor vanish
+    * (DROPMALFORMED) — the batch gate ns67 states the same split
+    * cross-engine, and the shared parser means the streamed split
+    * cannot drift from it. `schema` must include the `doc_id` and
+    * `text` fields the downstream gate keys on.
+    */
+  def startJsonl(spark: org.apache.spark.sql.SparkSession,
+      feedDir: String, schema: org.apache.spark.sql.types.StructType,
+      corpusPath: String, storePath: String, rejectsPath: String,
+      checkpoint: String, minChars: Int = 200, lang: String = "en",
+      maxHamming: Int = 3): StreamingQuery = {
+    require(schema.fieldNames.contains("doc_id")
+        && schema.fieldNames.contains("text"),
+      "startJsonl: schema must carry doc_id and text for the gate")
+    graft.sources.JsonlCorpus
+      .readStreamQuarantined(spark, feedDir, schema)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.JsonlCorpus.rejects(batch)
+          .write.mode("overwrite")
+          .parquet(s"$rejectsPath/ingest_batch=$batchId")
+        ingestBatch(graft.sources.JsonlCorpus.goodRows(batch),
+          batchId, corpusPath, storePath, minChars, lang, maxHamming)
+      }
+      .start()
+  }
 }

@@ -46,6 +46,51 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JSONL front door: a raw crawl feed with malformed lines " +
+      "streams through the quarantine split — bad lines dead-letter " +
+      "with their raw text, good lines gate and append, and the " +
+      "stream survives every garbled line") {
+    val base = tmp("graft_jsonl_feed")
+    val feed = base + "/feed"
+    val corpus = base + "/docs"
+    val store = base + "/sigs"
+    val rejects = base + "/rejects"
+    val ckpt = base + "/ckpt"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(feed))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def jline(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    // file 1: one good doc, one truncated line, one garbage line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$feed/part1.jsonl"),
+      (jline(1L, goodA) + "\n" +
+        jline(2L, goodB).dropRight(1) + "\n" +
+        "not json at all\n").getBytes("UTF-8"))
+    val q = CorpusIngest.startJsonl(spark, feed, schema, corpus,
+      store, rejects, ckpt, minChars = 40, lang = "en",
+      maxHamming = 1)
+    try {
+      q.processAllAvailable()
+      // file 2 arrives later: a near-dup of doc 1 plus a fresh doc
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$feed/part2.jsonl"),
+        (jline(5L, goodA) + "\n" + jline(6L, goodC) + "\n")
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 6L),
+      "good lines must gate and dedup exactly as the parquet stream")
+    val rej = spark.read.parquet(rejects)
+      .select("raw_line").as[String].collect().toSet
+    assert(rej === Set(jline(2L, goodB).dropRight(1),
+      "not json at all"),
+      "every malformed line must dead-letter with its raw text")
+  }
+
   test("replaying a batch neither loses docs nor duplicates the corpus") {
     val corpus = tmp("graft_replay_corpus") + "/docs"
     val store = tmp("graft_replay_store") + "/sigs"
