@@ -44,10 +44,34 @@ object Bench {
     // (its number is only tracked on full sf0.1 runs).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Calibration probe (r14 verdict item 3): a FIXED trivial query —
+    // one aggregate over an in-memory range, no IO, no data-size
+    // dependence — timed interleaved through the run and reported as
+    // min/median/max, so a driver-vs-attested divergence
+    // self-classifies without worktree archaeology: an inflated
+    // calibration band (r14's q2 0.29→4.98 s pattern) says the
+    // ENVIRONMENT charged flat per-query surcharges; a calibration
+    // band matching the attested run says a slow entry really
+    // regressed. Interleaved (not just bracketing) because the r14
+    // inflation was spread through the run, not concentrated at the
+    // ends.
+    val calibTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(1000000L).selectExpr("sum(id)").head()
+      calibTimes += (System.nanoTime() - t0) / 1e9
+      ()
+    }
+    calibrate() // untimed-warmup twin: prime the probe's own codegen
+    calibTimes.clear()
+    calibrate()
+    var sinceCalib = 0
     // keep the sorted Seq (a Map would scramble the printed key order)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      sinceCalib += 1
+      if (sinceCalib >= 10) { calibrate(); sinceCalib = 0 }
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -168,10 +192,15 @@ object Bench {
           .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
       }.mkString("{", ",", "}")
+    // the trailing calibration sample closes the bracket around the
+    // whole timed run
+    calibrate()
+    val cs = calibTimes.sorted.toIndexedSeq
+    val calib = s""""calibration":{"probe":"range1M_sum","n":${cs.length},"min":${r4(cs.head)},"median":${r4(cs(cs.length / 2))},"max":${r4(cs.last)}}"""
     // headline fields LAST: the driver's capture keeps the tail of
     // this (long) line, so the per-query map is what truncation may
     // cost, never the totals / streaming floor / failure list
-    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"gates":$gates,"observed":$observed,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"gates":$gates,"observed":$observed,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,$calib,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
     println(full)
     // The driver keeps only the LAST ~2000 output chars, and the full
     // line above outgrew that long ago — its head (the ns* timings)
@@ -180,7 +209,7 @@ object Bench {
     // line that fits WHOLLY inside any tail capture (standalone-
     // parseable totals), and the complete line persisted to a file so
     // per-query data survives regardless of how stdout is captured.
-    println(s"""{"metric":"total","unit":"sec","value":${r4(total)},"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,"stat":"min_of_$runsPerQuery"}""")
+    println(s"""{"metric":"total","unit":"sec","value":${r4(total)},"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,$calib,"stat":"min_of_$runsPerQuery"}""")
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_full.json")

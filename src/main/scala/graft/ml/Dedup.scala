@@ -1223,22 +1223,32 @@ object Dedup {
     * AQE broadcasts it while it stays small (no forced hint: a mask
     * grown past broadcast size must fall back to a shuffle, not OOM
     * the driver — the flat tiers' tombstoneUnion discipline; a mask
-    * that big is the signal to [[compactSubstrIndex]]). Reads the
-    * entry-time FILE list (the snapshot discipline shared with the
-    * flat tiers) so a half-written concurrent delete append can't
-    * fail the read.
+    * that big is the signal to [[compactSubstrIndex]]). Takes the
+    * tombstone table as a PINNED file list (the snapshot discipline
+    * shared with the flat tiers) so a half-written concurrent delete
+    * append can't fail the read — and so one increment's several mask
+    * applications share ONE snapshot (r14 advice: two independent
+    * snapshots let a delete landing between them give the batch and
+    * index sides inconsistent views of the same takedown).
     */
-  private def maskDeletedDocs(spark: org.apache.spark.sql.SparkSession,
-      path: String, idx: DataFrame): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Similarity.tombstoneFileSnapshot(fs, path,
-      SubstrDeletedDir)
+  private def maskDeletedDocs(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path], idx: DataFrame): DataFrame =
     if (files.isEmpty) idx
     else idx.join(
       spark.read.parquet(files.map(_.toString): _*)
         .select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** The entry-time tombstone FILE snapshot every mask application in
+    * one operation must share.
+    */
+  private def tombstoneSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Similarity.tombstoneFileSnapshot(fs, path, SubstrDeletedDir)
   }
 
   /** Writer-lock marker [[compactSubstrIndex]] holds while rewriting
@@ -1404,8 +1414,27 @@ object Dedup {
       // tombstones go LAST: every earlier crash point leaves them in
       // place (masking rows the crash may have left behind), and a
       // crash between the apply above and this delete re-enters as
-      // a no-op mask over already-removed rows. Only the snapshot.
-      snapshot.foreach { f => fs.delete(f, false); () }
+      // a no-op mask over already-removed rows. Only the snapshot —
+      // and of it, only the SETTLED ids (r14 advice, high): a
+      // tombstone whose doc_id is not in the docs sibling is a
+      // PRE-INGEST takedown (the delete stream's contract lets dead
+      // ids arrive before their docs) with nothing to reclaim — it
+      // must KEEP masking until its doc is actually ingested, or
+      // delete → compact → ingest of the same id would silently lose
+      // the takedown and make the id recyclable. Pending ids are
+      // re-appended as a fresh tombstone file BEFORE the snapshot
+      // files drop: a crash between the two leaves a duplicate mask
+      // (idempotent), never an unmasked takedown.
+      if (snapshot.nonEmpty) {
+        val pending = spark.read.parquet(snapshot.map(_.toString): _*)
+          .select(col("doc_id")).distinct()
+          .join(spark.read.parquet(s"$path/$SubstrDocsDir")
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        if (!pending.isEmpty)
+          pending.write.mode("append")
+            .parquet(s"$path/$SubstrDeletedDir")
+        snapshot.foreach { f => fs.delete(f, false); () }
+      }
       dirty.length.toLong
     } finally {
       fs.delete(marker, false)
@@ -1445,12 +1474,17 @@ object Dedup {
       path: String, maxIndexed: Long): DataFrame = {
     val (k, nBuckets) = substrIndexParams(spark, path)
     requireMonotoneBatch(newDocs, maxIndexed, "exactSubstrIncrement")
+    // ONE tombstone snapshot for the whole increment (r14 advice):
+    // the batch side and the index side must mask against the SAME
+    // pinned file list, or a delete landing between two independent
+    // snapshots gives one side an inconsistent view of the takedown
+    val tomb = tombstoneSnapshot(spark, path)
     // the BATCH side masks against the same tombstone snapshot as the
     // index side: a takedown racing its own doc's ingest (the delete
     // stream is an independent query) must neither report that doc
     // nor let same-batch spans flag against it via the within-batch
     // min — the survivor corpus contains neither (session review)
-    val live = maskDeletedDocs(spark, path, newDocs)
+    val live = maskDeletedDocs(spark, tomb, newDocs)
     val sh = posShingleHashes(live, k)
     // bounded driver action: ≤ n_buckets distinct bucket ids, the
     // partition-prune list for the index probe
@@ -1466,7 +1500,7 @@ object Dedup {
     }
     // a batch of only tombstoned/short docs probes no buckets: an
     // empty isin list must read as "nothing", never a planner error
-    val idxMin = maskDeletedDocs(spark, path,
+    val idxMin = maskDeletedDocs(spark, tomb,
         idx.filter(if (bkts.isEmpty) lit(false)
           else col("bkt").isin(bktLits: _*)))
       .groupBy(col("h")).agg(min(col("doc_id")).as("imin"))

@@ -32,14 +32,36 @@ object JsonlCorpus {
     */
   val CorruptCol = "_graft_corrupt"
 
+  /** The all-null-quarantine contract, ENFORCED rather than assumed
+    * (r14 advice): Spark's PERMISSIVE parser under
+    * `spark.sql.json.enablePartialResults` (default true on 3.4+/4.x)
+    * can retain successfully-parsed fields on a corrupt row for some
+    * malformation shapes (a field-level type mismatch, not just EOF
+    * truncation) — and that conf is a session SQLConf read at parse
+    * time, not a per-read option, so a library cannot pin it on the
+    * scan. Instead the contract is enforced in the projection: every
+    * schema field reads as NULL whenever [[CorruptCol]] is non-null,
+    * whatever the parser salvaged. The raw line keeps the full record
+    * for replay, so no information is lost — partial results on a
+    * quarantined row are exactly the ambiguity (half-parsed data
+    * indistinguishable from good data) the quarantine exists to
+    * prevent.
+    */
+  private def allNullQuarantine(df: DataFrame,
+      schema: StructType): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map(f =>
+      when(col(CorruptCol).isNull, col(f.name)).as(f.name))
+      :+ col(CorruptCol): _*)
+
   /** Read `path` as line-delimited JSON against `schema`, quarantining
     * malformed lines instead of failing or dropping them. The
     * returned frame is the union of both worlds: parsed rows
-    * (CorruptCol null) and quarantine rows (schema fields null,
-    * CorruptCol = the raw line). Spark caveat, handled by contract:
-    * a query referencing ONLY the corrupt column is rejected by the
-    * parser's pushdown — callers always project at least one schema
-    * field alongside it (the gate and [[rejects]] do).
+    * (CorruptCol null) and quarantine rows (schema fields null — all
+    * of them, see [[allNullQuarantine]] — CorruptCol = the raw line).
+    * Spark caveat, handled by contract: a query referencing ONLY the
+    * corrupt column is rejected by the parser's pushdown — callers
+    * always project at least one schema field alongside it (the gate
+    * and [[rejects]] do).
     */
   def readQuarantined(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
@@ -47,11 +69,11 @@ object JsonlCorpus {
       "need at least one schema field to parse")
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema may not use the reserved quarantine column $CorruptCol")
-    spark.read
+    allNullQuarantine(spark.read
       .schema(schema.add(CorruptCol, StringType, nullable = true))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
+      .json(path), schema)
   }
 
   /** [[readQuarantined]]'s STREAMING form — the same PERMISSIVE +
@@ -66,11 +88,11 @@ object JsonlCorpus {
       "need at least one schema field to parse")
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema may not use the reserved quarantine column $CorruptCol")
-    spark.readStream
+    allNullQuarantine(spark.readStream
       .schema(schema.add(CorruptCol, StringType, nullable = true))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
+      .json(path), schema)
   }
 
   /** The well-formed rows, quarantine column dropped. */

@@ -57,7 +57,13 @@ object MediaIngest {
     BatchCommit.committedWrite(batch.sparkSession,
       streamPath(indexPath), batchId, batchSig(batch),
       "point the stream at a fresh phash index, or re-key the " +
-        "existing partitions offline") { part =>
+        "existing partitions offline; if this fired on the FIRST " +
+        "batch after a batchSig formula upgrade (the r13 media_type " +
+        "change), it is the documented replay-reads-as-conflict case " +
+        "— verify the partition's rows match the batch, then advance " +
+        "the stream past it by restarting with a fresh checkpoint " +
+        "and startingOffsets beyond the committed batch (r14 advice)")
+      { part =>
       Multimodal.perceptualHash(batch).toDF()
         .write.mode("overwrite").parquet(part)
     }

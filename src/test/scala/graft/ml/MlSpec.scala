@@ -3180,11 +3180,14 @@ class MlSpec extends SparkSpec {
         "deleted holders' postings survived compaction")
       assert(idx.filter(col("doc_id") === 3L).count() > 0L,
         "compaction dropped a surviving holder's postings")
-      assert(new java.io.File(s"$path/${Dedup.SubstrDeletedDir}")
-        .listFiles((_, n) => n.endsWith(".parquet")) == null ||
-        new java.io.File(s"$path/${Dedup.SubstrDeletedDir}")
-          .listFiles((_, n) => n.endsWith(".parquet")).isEmpty,
-        "snapshotted tombstone files survived compaction")
+      // settled tombstones (ids 1, 2 — both indexed) are reclaimed;
+      // the unknown id 999 is a PRE-INGEST takedown and must KEEP
+      // masking until a doc 999 actually arrives (r14 advice: the old
+      // delete-everything reclaim lost such takedowns)
+      assert(spark.read
+        .parquet(s"$path/${Dedup.SubstrDeletedDir}")
+        .select(col("doc_id")).as[Long].collect().toSet === Set(999L),
+        "compaction must reclaim exactly the settled tombstones")
       assert(nSpans() === 0L, "compaction changed the increment")
       // a second compaction converges to a no-op
       assert(Dedup.compactSubstrIndex(spark, path) === 0L)
@@ -3193,6 +3196,76 @@ class MlSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Dedup.appendSubstrIndex(spark,
           Seq((2L, "r1 r2 r3 r4")).toDF("doc_id", "text"), path)
+      }
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("substr compaction keeps PRE-INGEST tombstones: delete → " +
+      "compact → ingest of the same id cannot lose the takedown, and " +
+      "the tombstone settles only once the doc actually lands") {
+    import spark.implicits._
+    // the r14-advice high finding: a takedown can arrive BEFORE its
+    // doc (the delete stream is an independent query — SubstrIngestSpec
+    // establishes that contract); the old compaction deleted every
+    // snapshotted tombstone file, so a compact between the takedown
+    // and the ingest silently revived the doc and recycled its id
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6"),
+      (2L, "b1 b2 b3 b4 b5"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr_pre")
+    val path = s"$tmp/idx"
+    def tombstoneIds(): Set[Long] = {
+      val d = new java.io.File(s"$path/${Dedup.SubstrDeletedDir}")
+      val fl = Option(d.listFiles((_, n) => n.endsWith(".parquet")))
+        .getOrElse(Array.empty)
+      if (fl.isEmpty) Set.empty
+      else spark.read.parquet(d.getPath).select(col("doc_id"))
+        .as[Long].collect().toSet
+    }
+    try {
+      Dedup.writeSubstrIndex(docs, path, k = 4, nBuckets = 8)
+      // pre-ingest takedown: id 10 is above everything indexed
+      Dedup.deleteFromSubstrIndex(spark, Seq(10L).toDF("doc_id"), path)
+      // ALSO a settled takedown in the same snapshot, proving the
+      // compaction separates the two: id 1 is indexed, so its
+      // tombstone is reclaimable once its postings drop
+      Dedup.deleteFromSubstrIndex(spark, Seq(1L).toDF("doc_id"), path)
+      Dedup.compactSubstrIndex(spark, path)
+      assert(spark.read.parquet(path)
+        .filter(col("doc_id") === 1L).count() === 0L,
+        "settled takedown's postings survived compaction")
+      assert(tombstoneIds() === Set(10L),
+        "compaction must reclaim the settled tombstone and KEEP the " +
+          "pre-ingest one")
+      // the ingest of the taken-down doc: its report masks it, so the
+      // doc is neither reported nor allowed to flag same-batch spans
+      val batch = Seq(
+        (10L, "a1 a2 a3 a4 a5 a6"),   // the taken-down doc
+        (11L, "c1 c2 c3 c4 c5"))      // an innocent sibling
+        .toDF("doc_id", "text")
+      val inc = Dedup.exactSubstrIncrement(spark, batch, path)
+      assert(inc.filter(col("doc_id") === 10L).count() === 0L,
+        "a pre-ingest takedown was lost across compaction: the dead " +
+          "doc came back in the increment report")
+      assert(inc.filter(col("doc_id") === 11L).count() === 1L)
+      // the doc's postings land (the append is mask-blind by design)
+      // but serve masked; once it IS in the docs sibling the
+      // tombstone is settled — the next compaction reclaims both
+      Dedup.appendSubstrIndex(spark, batch, path)
+      Dedup.compactSubstrIndex(spark, path)
+      assert(tombstoneIds() === Set.empty,
+        "a settled tombstone (doc now ingested) was not reclaimed")
+      assert(spark.read.parquet(path)
+        .filter(col("doc_id") === 10L).count() === 0L,
+        "the settled takedown's postings survived the reclaim")
+      // and the id stays unrecyclable forever (docs sibling keeps it)
+      intercept[IllegalArgumentException] {
+        Dedup.appendSubstrIndex(spark,
+          Seq((10L, "r1 r2 r3 r4")).toDF("doc_id", "text"), path)
       }
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
