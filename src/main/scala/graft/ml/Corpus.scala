@@ -1122,4 +1122,85 @@ object Corpus {
       .withColumnRenamed("rk", "position")
       .drop("_sid", "_g")
   }
+
+  /** The stores one takedown must reach — every path is optional, so a
+    * deployment names exactly the stores it runs. `corpusPath` is a
+    * [[graft.streaming.CorpusIngest]] committed table,
+    * `nearDupStorePath` a [[graft.streaming.StreamingNearDup]]
+    * signature store; the five index paths are the standing index
+    * families (BM25 postings, IVF/PQ cells — one tombstone table
+    * serves both read paths — flat sign-bit, perceptual-hash, and
+    * substr shingle postings).
+    */
+  final case class TakedownTargets(
+      corpusPath: Option[String] = None,
+      nearDupStorePath: Option[String] = None,
+      bm25Path: Option[String] = None,
+      ivfPath: Option[String] = None,
+      binaryPath: Option[String] = None,
+      phashPath: Option[String] = None,
+      substrPath: Option[String] = None) {
+    /** How many stores this takedown will touch. */
+    def count: Int =
+      productIterator.count { case o: Option[_] => o.isDefined }
+  }
+
+  /** Unified corpus takedown (r14 verdict item 1): ONE doc_id set
+    * cascades through the committed corpus table, every derived
+    * standing index, and the streaming near-dup suppression store —
+    * the GDPR/DMCA operation that previously required knowing and
+    * calling up to seven per-store APIs in the right order, with
+    * nothing proving the doc was gone everywhere (the ns68 gate now
+    * does).
+    *
+    * Every per-store step is an idempotent id-sized tombstone append
+    * (unknown/repeated ids are no-ops, masks distinct at read), so the
+    * WHOLE cascade is idempotent: a crash between steps is repaired by
+    * replaying the entire call — steps already applied absorb, missing
+    * ones apply; there is no order in which a replay can corrupt state
+    * (TakedownSpec drives a mid-cascade crash to exactly this
+    * convergence). Zero data files are touched anywhere — at 100 TB a
+    * takedown costs seven small appends, and physical reclaim stays
+    * each index's compaction job.
+    *
+    * Step order is still deliberate, for the partial-state window a
+    * crash leaves OPEN until the replay: the corpus table masks first
+    * (the user-facing read stops returning the doc before anything
+    * else), the derived indexes follow (serves stop surfacing it), and
+    * the near-dup suppression store goes LAST — deleting its signature
+    * is what ADMITS future near-copies, which must not happen while an
+    * earlier store might still be serving the original (a crashed
+    * cascade that had already re-admitted copies would otherwise
+    * duplicate content it still serves).
+    *
+    * The id set is null-checked and materialized ONCE
+    * (localCheckpoint) so seven appends reuse one small computation
+    * instead of re-executing an arbitrary caller plan seven times.
+    * Returns the number of stores tombstoned.
+    */
+  def takedown(spark: org.apache.spark.sql.SparkSession,
+      docIds: DataFrame, targets: TakedownTargets): Int = {
+    require(targets.count > 0,
+      "takedown: no target stores named — nothing would be deleted")
+    val ids = docIds.select(
+        when(col("doc_id").isNotNull, col("doc_id"))
+          .otherwise(raise_error(
+            lit("takedown: null doc_id in delete batch")))
+          .as("doc_id"))
+      .distinct().localCheckpoint()
+    targets.corpusPath.foreach(p =>
+      graft.streaming.CorpusIngest.deleteFromCorpus(spark, ids, p))
+    targets.bm25Path.foreach(p => Retrieval.deleteBm25Docs(spark, ids, p))
+    targets.ivfPath.foreach(p => Similarity.deleteFromIvfIndex(spark,
+      ids.select(col("doc_id").as("vec_id")), p))
+    targets.binaryPath.foreach(p => Similarity.deleteFromBinaryIndex(
+      spark, ids.select(col("doc_id").as("vec_id")), p))
+    targets.phashPath.foreach(p => Multimodal.deleteFromPhashIndex(
+      spark, ids.select(col("doc_id").as("media_id")), p))
+    targets.substrPath.foreach(p =>
+      Dedup.deleteFromSubstrIndex(spark, ids, p))
+    targets.nearDupStorePath.foreach(p =>
+      graft.streaming.StreamingNearDup.deleteFromStore(spark, ids, p))
+    targets.count
+  }
 }

@@ -1835,7 +1835,7 @@ object Similarity {
     * at serving, and is reclaimed by the next compaction instead of
     * being silently discarded (which would resurrect the deleted id).
     */
-  private[ml] def tombstoneFileSnapshot(
+  private[graft] def tombstoneFileSnapshot(
       fs: org.apache.hadoop.fs.FileSystem, path: String,
       dirName: String): Seq[org.apache.hadoop.fs.Path] = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/$dirName")
@@ -1857,7 +1857,7 @@ object Similarity {
     * tombstones appended mid-compaction), and a directory read would
     * fail schema inference on the former.
     */
-  private[ml] def tombstoneUnion(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def tombstoneUnion(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], dirName: String, idCol: String)
       : Option[DataFrame] = {
     val hc = spark.sparkContext.hadoopConfiguration

@@ -1651,7 +1651,17 @@ object MlQueries {
     * survivors, i.e. exactly a rebuild without the deleted vectors).
     */
   private def ivfMultiProbeSql(centsCte: String, corpus: String = "nz",
-      pre: String = ""): String =
+      pre: String = "", queryPred: String = "TRUE",
+      recall: Boolean = true): String = {
+    val tail =
+      if (recall)
+        s"""${sampledRecallSql(corpus)}
+          |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+          |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+          |ORDER BY 1, 2""".stripMargin
+      else
+        """nothing AS (SELECT 1)
+          |SELECT i, rk, j, cos FROM approx ORDER BY 1, 2""".stripMargin
     s"""WITH $duckNonZeroEmb,$pre
       |$centsCte,
       |ranked AS (
@@ -1673,12 +1683,11 @@ object MlQueries {
       |    FROM ranked q JOIN ranked ix
       |      ON q.cell = ix.cell AND ix.crk = 1 AND q.vec_id <> ix.vec_id
       |    JOIN $corpus a ON a.vec_id = q.vec_id
-      |    JOIN $corpus b ON b.vec_id = ix.vec_id) WHERE rk <= 5
+      |    JOIN $corpus b ON b.vec_id = ix.vec_id
+      |    WHERE $queryPred) WHERE rk <= 5
       |),
-      |${sampledRecallSql(corpus)}
-      |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
-      |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
-      |ORDER BY 1, 2""".stripMargin
+      |$tail""".stripMargin
+  }
 
   val ns8cSimIvfMultiProbeSql: String = ivfMultiProbeSql(duckSeedCents16)
 
@@ -2536,6 +2545,296 @@ object MlQueries {
       |SELECT NULL, NULL, NULL, true AS corrupt
       |FROM documents WHERE doc_id % 97 = 3
       |ORDER BY corrupt, doc_id""".stripMargin
+
+  // ------------------------------- ns68 unified takedown capstone
+
+  /** The ns68 readmission batch's genuinely-novel document — ONE fixed
+    * literal shared verbatim by the engine fixture and the oracle (no
+    * apostrophes: it embeds in single-quoted SQL). ≥200 chars and
+    * English-stopword-dense so it passes the ingest gate by the same
+    * rules both sides restate.
+    */
+  private val ns68NovelText: String =
+    "the corpus takedown test adds a novel document to the batch and " +
+      "the gate admits it because the signature of the text is not " +
+      "in the store and the text is long enough to pass the length " +
+      "rule of the ingest gate in the pipeline that is under test"
+
+  /** Unified corpus takedown, end to end ([[Corpus.takedown]] — the
+    * r14 verdict's top item): ONE doc_id (n/3, engine-required to be
+    * an admitted corpus doc so the readmission half is non-vacuous)
+    * cascades through the committed corpus table, the BM25 postings,
+    * the IVF cells, the flat sign-bit index, the perceptual-hash
+    * store, the substr shingle postings, AND the streaming near-dup
+    * suppression store — then every surface is SERVED and the union
+    * gated as one oracle:
+    *
+    *  - `corpus` rows restate the whole admission chain (length+lang
+    *    gate, exact-sig near-dup greedy admission as a min-per-sig
+    *    window — maxHamming 0 makes the banding equality, so the
+    *    sequential two-batch ingest restates closed-form) over the
+    *    survivor set, PLUS the post-takedown batch: a sig-identical
+    *    copy of the deleted doc (ADMITTED — its suppressing signature
+    *    died with the takedown; the verdict's "near-copy admissible
+    *    afterward"), a copy of a surviving doc (still suppressed),
+    *    and a fixed novel doc (admitted);
+    *  - `bm25`/`ivf`/`binary` restate the served top-k over the alive
+    *    corpus (the ns46d/ns8f/ns7g survivor oracles with this
+    *    entry's single-id predicate; IVF and PQ share one tombstone
+    *    table, so the IVF serve pins the mask both read paths apply —
+    *    TakedownSpec additionally drives the PQ read path);
+    *  - `phash` restates the best-surviving-near-dup increment
+    *    (ns66e's shape) and `substr` the survivor-corpus span report
+    *    (ns55d's shape) — the deleted holder neither pairs nor flags.
+    *
+    * Hash-equality across all six surfaces proves ONE call made the
+    * doc unreachable everywhere and the suppression release admits
+    * new near-copies — previously seven per-store APIs a caller had
+    * to know and order. Crash-replay idempotence is TakedownSpec's
+    * half.
+    */
+  val ns68Takedown: Q = (s, dir) => {
+    import s.implicits._
+    val docsFull = Tables.documents(s, dir)
+    val docs = docsFull.select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(s, dir)
+    val media = Multimodal.mediaTable(docsFull)
+    val n = docsFull.count()
+    val d = n / 3
+    val root = RelationalQueries.zOrderedTablePath(s, dir, "takedown")
+    val corpus = s"$root/corpus"
+    val store = s"$root/store"
+    val bm = s"$root/bm25"
+    val ivf = s"$root/ivf"
+    val bin = s"$root/bin"
+    val ph = s"$root/phash"
+    val sub = s"$root/substr"
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    if (ivfIndexWritten.add(root)) {
+      // the fixture is STATEFUL (tombstones, committed batch
+      // partitions, the suppression store): the entry owns it and
+      // rebuilds from scratch once per JVM
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+      // corpus + suppression store: two id-ordered batches through the
+      // REAL ingest (gate → near-dup store → committed partition);
+      // maxHamming 0 so admission restates as one min-per-sig window
+      graft.streaming.CorpusIngest.ingestBatch(
+        docs.filter(col("doc_id") < n / 2), 0L, corpus, store,
+        minChars = 200, lang = "en", maxHamming = 0)
+      graft.streaming.CorpusIngest.ingestBatch(
+        docs.filter(col("doc_id") >= n / 2), 1L, corpus, store,
+        minChars = 200, lang = "en", maxHamming = 0)
+      // the derived standing indexes
+      Retrieval.writeBm25Index(docs, bm, nBuckets = 64)
+      Similarity.writeIvfIndex(emb, cents, ivf)
+      Similarity.writeBinaryIndex(emb, bin, dim = 64)
+      Multimodal.writePhashIndex(
+        media.filter(col("media_id") % 3 =!= 0), ph)
+      Dedup.writeSubstrIndex(docs.filter(col("doc_id") < n / 2), sub,
+        k = 6)
+      // fixture precondition, loud: the target must be an ADMITTED
+      // corpus doc (gated + canonical) or the readmission half proves
+      // nothing — holds on the driver testdata at every SF (probed),
+      // and testdata drift fails here instead of hash-diverging
+      require(!graft.streaming.CorpusIngest.readCorpus(s, corpus)
+        .filter(col("doc_id") === d).isEmpty,
+        s"ns68: doc $d is not in the admitted corpus — testdata drift")
+      // THE operation under test: one call, every store
+      Corpus.takedown(s, Seq(d).toDF("doc_id"),
+        Corpus.TakedownTargets(
+          corpusPath = Some(corpus), nearDupStorePath = Some(store),
+          bm25Path = Some(bm), ivfPath = Some(ivf),
+          binaryPath = Some(bin), phashPath = Some(ph),
+          substrPath = Some(sub)))
+      // post-takedown readmission batch (bounded driver actions: two
+      // 1-row text lookups)
+      val dText = docs.filter(col("doc_id") === d)
+        .head().getAs[String]("text")
+      val sMin = graft.streaming.CorpusIngest.readCorpus(s, corpus)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      val sText = docs.filter(col("doc_id") === sMin)
+        .head().getAs[String]("text")
+      graft.streaming.CorpusIngest.ingestBatch(
+        Seq((n + 10, dText), (n + 11, sText), (n + 12, ns68NovelText))
+          .toDF("doc_id", "text"), 2L, corpus, store,
+        minChars = 200, lang = "en", maxHamming = 0)
+    }
+    val corpusEv = graft.streaming.CorpusIngest.readCorpus(s, corpus)
+      .select(lit("corpus").as("surface"),
+        col("doc_id").cast("long").as("a"), lit(0L).as("b"),
+        lit(0L).as("c"), lit(1.0).as("v"))
+    val bmQueries = docsFull.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 4).as("terms"))
+    val bmEv = Retrieval.queryBm25Index(s, bm, bmQueries, k = 5)
+      .select(lit("bm25").as("surface"),
+        col("query_id").cast("long").as("a"),
+        col("rank").cast("long").as("b"),
+        col("doc_id").cast("long").as("c"), col("score").as("v"))
+    val alive = emb.filter(col("vec_id") =!= lit(d))
+    val ivfEv = Similarity.queryIvfIndex(s, ivf,
+        alive.filter(col("vec_id") % 25 === 0), cents, k = 5,
+        probes = 3)
+      .select(lit("ivf").as("surface"), col("i").cast("long").as("a"),
+        col("rk").cast("long").as("b"), col("j").cast("long").as("c"),
+        col("cos").as("v"))
+    val binEv = Similarity.binaryTopKServed(s, bin, alive,
+        alive.filter(col("vec_id") % 25 === 0).select(col("vec_id")),
+        k = 5, refine = 100)
+      .select(lit("binary").as("surface"),
+        col("i").cast("long").as("a"), col("rk").cast("long").as("b"),
+        col("j").cast("long").as("c"), col("cos").as("v"))
+    val phEv = graft.streaming.MediaIngest.phashIncrementServed(s, ph,
+        media.filter(col("media_id") % 3 === 0), maxHamming = 12,
+        bands = 13, bandOccupancyCap = 100)
+      .select(lit("phash").as("surface"),
+        col("doc_id").cast("long").as("a"),
+        col("dup_of").cast("long").as("b"),
+        col("hamming").cast("long").as("c"), lit(1.0).as("v"))
+    val subEv = Dedup.exactSubstrIncrement(s,
+        docs.filter(col("doc_id") >= n / 2), sub)
+      .select(lit("substr").as("surface"),
+        col("doc_id").cast("long").as("a"),
+        col("n_spans").cast("long").as("b"),
+        col("dup_tokens").cast("long").as("c"), col("frac_dup").as("v"))
+    corpusEv.unionByName(bmEv).unionByName(ivfEv).unionByName(binEv)
+      .unionByName(phEv).unionByName(subEv)
+      .orderBy(col("surface"), col("a"), col("b"), col("c"))
+  }
+
+  val ns68TakedownSql: String = {
+    val nn = "(SELECT count(*) FROM documents)"
+    val dd = s"($nn // 3)"
+    def simhashOver(src: String): String =
+      s"""SELECT doc_id,
+         |    list_sum([CASE WHEN len(list_filter(whashes, h -> (h >> j) & 1 = 1)) * 2
+         |        >= len(whashes) THEN (1::BIGINT << j) ELSE 0::BIGINT END
+         |      FOR j IN range(0, 60)])::BIGINT AS simhash
+         |  FROM (SELECT doc_id,
+         |      [${duckHash60("w")} FOR w IN string_split(text, ' ')] AS whashes
+         |    FROM $src)""".stripMargin
+    val corpusBranch =
+      s"""WITH gated AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE length(text) >= 200 AND ($duckLangCase) = 'en'
+         |), sig AS (
+         |  ${simhashOver("gated")}
+         |), admitted AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS m
+         |    FROM sig) WHERE doc_id = m
+         |), survivors AS (
+         |  SELECT doc_id FROM admitted WHERE doc_id <> $dd
+         |), ssig AS (
+         |  SELECT simhash FROM sig JOIN survivors USING (doc_id)
+         |), b3 AS (
+         |  SELECT $nn + 10 AS doc_id,
+         |    (SELECT text FROM documents WHERE doc_id = $dd) AS text
+         |  UNION ALL SELECT $nn + 11,
+         |    (SELECT text FROM documents
+         |     WHERE doc_id = (SELECT min(doc_id) FROM survivors))
+         |  UNION ALL SELECT $nn + 12, '$ns68NovelText'
+         |), b3g AS (
+         |  SELECT doc_id, text FROM b3
+         |  WHERE length(text) >= 200 AND ($duckLangCase) = 'en'
+         |), b3sig AS (
+         |  ${simhashOver("b3g")}
+         |), b3adm AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, simhash,
+         |      min(doc_id) OVER (PARTITION BY simhash) AS m
+         |    FROM b3sig) x
+         |  WHERE doc_id = m AND NOT EXISTS (
+         |    SELECT 1 FROM ssig WHERE ssig.simhash = x.simhash)
+         |)
+         |SELECT 'corpus' AS surface, doc_id AS a, 0::BIGINT AS b,
+         |  0::BIGINT AS c, 1.0::DOUBLE AS v FROM survivors
+         |UNION ALL SELECT 'corpus', doc_id, 0::BIGINT, 0::BIGINT,
+         |  1.0::DOUBLE FROM b3adm""".stripMargin
+    val aliveCte =
+      s"""
+        |alive AS (
+        |  SELECT * FROM nz WHERE vec_id <> $dd
+        |),""".stripMargin
+    val ivfBranch = ivfMultiProbeSql(duckSeedCents16, corpus = "alive",
+      pre = aliveCte, queryPred = "q.vec_id % 25 = 0", recall = false)
+    val binaryBranch =
+      s"""WITH $duckNonZeroEmb,
+        |alive AS (
+        |  SELECT * FROM nz WHERE vec_id <> $dd
+        |), sgn AS (
+        |  SELECT vec_id, embedding, s, list_sum(s) AS pc FROM (
+        |    SELECT vec_id, embedding,
+        |      [CASE WHEN x > 0 THEN 1 ELSE 0 END
+        |        FOR x IN embedding::DOUBLE[]] AS s
+        |    FROM alive)
+        |), cand AS (
+        |  SELECT i, j FROM (
+        |    SELECT a.vec_id AS i, b.vec_id AS j,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)),
+        |          b.vec_id) AS hrk
+        |    FROM sgn a JOIN sgn b ON a.vec_id <> b.vec_id
+        |    WHERE a.vec_id % 25 = 0) WHERE hrk <= 100
+        |), approx AS (
+        |  SELECT i, rk, j, cos FROM (
+        |    SELECT c.i, c.j,
+        |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |        b.embedding::DOUBLE[]), 6) AS cos,
+        |      row_number() OVER (PARTITION BY c.i
+        |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |          b.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+        |    FROM cand c JOIN alive a ON a.vec_id = c.i
+        |    JOIN alive b ON b.vec_id = c.j) WHERE rk <= 5
+        |)
+        |SELECT i, rk, j, cos FROM approx""".stripMargin
+    val phashBranch =
+      s"""WITH $duckAHashSig, pairs AS (
+        |  SELECT n.doc_id, o.doc_id AS dup_of,
+        |    bit_count(xor(n.simhash, o.simhash)) AS hamming
+        |  FROM sig n JOIN sig o
+        |    ON n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+        |    AND o.doc_id <> $dd
+        |  WHERE bit_count(xor(n.simhash, o.simhash)) <= 12
+        |), best AS (
+        |  SELECT doc_id, dup_of, hamming,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY hamming, dup_of) AS rk
+        |  FROM pairs
+        |)
+        |SELECT doc_id, dup_of, hamming FROM best WHERE rk = 1""".stripMargin
+    val substrBranch = substrPipelineSql(
+      s"WHERE b.doc_id >= $nn // 2", s"WHERE doc_id <> $dd")
+    s"""SELECT surface, a, b, c, v FROM (
+       |SELECT * FROM (
+       |$corpusBranch
+       |) tc
+       |UNION ALL
+       |SELECT 'bm25' AS surface, query_id AS a, rank::BIGINT AS b,
+       |  doc_id AS c, score AS v FROM (
+       |${bm25Sql(s"doc_id <> $dd")}
+       |) tb
+       |UNION ALL
+       |SELECT 'ivf', i, rk::BIGINT, j, cos FROM (
+       |$ivfBranch
+       |) ti
+       |UNION ALL
+       |SELECT 'binary', i, rk::BIGINT, j, cos FROM (
+       |$binaryBranch
+       |) tn
+       |UNION ALL
+       |SELECT 'phash', doc_id, dup_of, hamming::BIGINT, 1.0::DOUBLE
+       |FROM (
+       |$phashBranch
+       |) tp
+       |UNION ALL
+       |SELECT 'substr', doc_id, n_spans, dup_tokens, frac_dup FROM (
+       |$substrBranch
+       |) ts
+       |) ORDER BY surface, a, b, c""".stripMargin
+  }
 
   /** Benchmark decontamination: docs sharing any distinct word 4-gram
     * with the "benchmark" slice (every 97th doc stands in for an eval
@@ -5075,6 +5374,7 @@ object MlQueries {
     "ns66d_phash_streamed" -> ns66dPhashStreamed,
     "ns66e_phash_compacted" -> ns66ePhashCompacted,
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantine,
+    "ns68_takedown" -> ns68Takedown,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -5196,6 +5496,7 @@ object MlQueries {
     "ns66d_phash_streamed" -> ns66cPhashIncrementSql,
     "ns66e_phash_compacted" -> ns66ePhashCompactedSql,
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantineSql,
+    "ns68_takedown" -> ns68TakedownSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,

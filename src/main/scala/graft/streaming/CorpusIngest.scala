@@ -56,6 +56,62 @@ object CorpusIngest {
         })
   }
 
+  private[graft] val DeletedDir = "_graft_corpus_deleted"
+
+  /** Soft-delete documents from the committed corpus table — the
+    * corpus half of the unified takedown (r14 verdict item 1): an
+    * id-sized tombstone append into an underscore-hidden sibling,
+    * zero `ingest_batch=` partitions rewritten (a takedown against a
+    * 100 TB corpus costs one small append), idempotent on
+    * unknown/repeated ids, loud on NULL. [[readCorpus]] masks at
+    * read. Note the partition protocol is untouched: a replayed batch
+    * id still absorbs against its `_GRAFT_BATCH_SIG`, so a takedown
+    * can never make a committed partition re-writable — deleted rows
+    * stay physically present (masked) until an offline rewrite.
+    */
+  def deleteFromCorpus(spark: org.apache.spark.sql.SparkSession,
+      docIds: DataFrame, corpusPath: String): Unit =
+    docIds.select(
+        when(col("doc_id").isNotNull, col("doc_id"))
+          .otherwise(raise_error(
+            lit("deleteFromCorpus: null doc_id in delete batch")))
+          .as("doc_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$corpusPath/$DeletedDir")
+
+  /** Read the corpus table as a consumer must: COMMITTED partitions
+    * only (`_SUCCESS` — the same rule [[graft.streaming.VectorIngest
+    * .servePaths]] applies to index stream tables: a write that died
+    * during job commit leaves data files with no marker, and reading
+    * them would serve a partial batch until its replay), with
+    * [[deleteFromCorpus]] tombstones masked. Loud when nothing is
+    * committed yet — an empty corpus read has no schema to synthesize
+    * and silently returning one would hide a mis-pointed path.
+    */
+  def readCorpus(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"readCorpus: no corpus table at $corpusPath")
+    val committed = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+    require(committed.nonEmpty,
+      s"readCorpus: no committed ingest_batch partitions at " +
+        s"$corpusPath — nothing has been ingested (or the path is " +
+        "wrong)")
+    val rows = spark.read.option("basePath", corpusPath)
+      .parquet(committed: _*)
+    graft.ml.Similarity.tombstoneUnion(spark, Seq(corpusPath),
+        DeletedDir, "doc_id")
+      .map(t => rows.join(t, Seq("doc_id"), "left_anti"))
+      .getOrElse(rows)
+  }
+
   def start(streamingDocs: DataFrame, corpusPath: String,
       storePath: String, checkpoint: String,
       minChars: Int = 200, lang: String = "en", maxHamming: Int = 3)

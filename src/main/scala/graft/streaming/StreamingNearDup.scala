@@ -57,16 +57,47 @@ object StreamingNearDup {
     (batch.join(novelSigs, Seq("doc_id"), "left_semi"), novelSigs)
   }
 
-  /** Read the signature store (doc_id, simhash, batch_id, batch_sig);
-    * an absent path (first run) is an empty store, but any OTHER read
-    * failure propagates so the checkpoint retries the batch — silently
-    * treating a corrupt/unreadable store as empty would re-emit every
-    * known duplicate AND pollute the store with duplicate signatures.
+  private[graft] val DeletedDir = "_graft_neardup_deleted"
+
+  /** Soft-delete documents from the suppression store — the takedown
+    * path the store was missing (r14 verdict item 1: every standing
+    * index had a delete; this store did not, so a taken-down doc's
+    * simhash kept suppressing future near-copies of text that no
+    * longer exists anywhere). The shared tombstone contract verbatim
+    * ([[graft.ml.Dedup.deleteFromSubstrIndex]]): an id-sized append
+    * into an underscore-hidden sibling, zero store files touched,
+    * idempotent on unknown/repeated ids, loud on NULL; [[readStore]]
+    * masks at read, so the next ingest trigger ADMITS a near-copy of
+    * the deleted text — by design: the suppression record describes
+    * content the corpus no longer holds.
+    */
+  def deleteFromStore(spark: SparkSession, docIds: DataFrame,
+      storePath: String): Unit =
+    docIds.select(
+        when(col("doc_id").isNotNull, col("doc_id"))
+          .otherwise(raise_error(
+            lit("deleteFromStore: null doc_id in delete batch")))
+          .as("doc_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$storePath/$DeletedDir")
+
+  /** Read the signature store (doc_id, simhash, batch_id, batch_sig),
+    * [[deleteFromStore]] tombstones masked; an absent path (first run)
+    * is an empty store, but any OTHER read failure propagates so the
+    * checkpoint retries the batch — silently treating a
+    * corrupt/unreadable store as empty would re-emit every known
+    * duplicate AND pollute the store with duplicate signatures. A
+    * store directory holding ONLY the tombstone sibling (a takedown
+    * raced ahead of the first ingest) reads as empty like the absent
+    * path — underscore-hidden dirs carry no signature rows.
     */
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) {
+    if (fs.exists(path) && fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }) {
       // migrate stores written before the batch_id column existed:
       // -1 can never equal a real batchId, so legacy rows behave as
       // "some earlier batch" — without this, a deterministic missing-
@@ -87,7 +118,13 @@ object StreamingNearDup {
       val withSig =
         if (withBid.columns.contains("batch_sig")) withBid
         else withBid.withColumn("batch_sig", lit(null).cast("long"))
-      withSig.select("doc_id", "simhash", "batch_id", "batch_sig")
+      val rows = withSig.select("doc_id", "simhash", "batch_id", "batch_sig")
+      // takedown mask: AQE-broadcast anti-join while the tombstone set
+      // stays takedown-sized (no forced hint — the shared discipline)
+      graft.ml.Similarity.tombstoneUnion(spark, Seq(storePath),
+          DeletedDir, "doc_id")
+        .map(t => rows.join(t, Seq("doc_id"), "left_anti"))
+        .getOrElse(rows)
     } else {
       import spark.implicits._
       Seq.empty[(Long, Long, Long, Option[Long])]

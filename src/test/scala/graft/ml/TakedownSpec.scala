@@ -1,0 +1,203 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.{CorpusIngest, MediaIngest, StreamingNearDup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The unified takedown orchestrator ([[Corpus.takedown]], r14 verdict
+  * item 1): one doc_id cascades through the committed corpus table,
+  * the near-dup suppression store, and every derived standing index —
+  * idempotent under whole-cascade replay, convergent after a crash
+  * between steps, and suppression-releasing (a near-copy of the
+  * deleted text is admitted by the NEXT ingest, while copies of
+  * surviving docs stay suppressed). The ns68 registry gate proves the
+  * served-surface semantics against DuckDB at sf0.01; this spec pins
+  * the lifecycle edges the oracle cannot see.
+  */
+class TakedownSpec extends SparkSpec {
+
+  // eight stopword-dense English docs with mutually-distant simhashes
+  // (maxHamming = 1 in the ingest, so distinct content is admitted);
+  // doc 3 — the takedown target — carries the unique token "zebraqq"
+  // and a unique 6-token run for the BM25/substr checks
+  private val texts = Map(
+    1L -> "the first document is about the catalog of parts and the price of a supply chain in the region",
+    2L -> "a second text that covers the orders of the customers and the revenue of the market in a year",
+    3L -> "the zebraqq document holds the unique run q1 q2 q3 q4 q5 q6 and that is the content to remove",
+    4L -> "a fourth entry on the lineage of the data and the audit of the pipeline that is run in the lake",
+    5L -> "the fifth text is a note on the schema of the tables and the keys that join them in the engine",
+    6L -> "a sixth document about the streaming of events and the windows of time that group them to a sum",
+    7L -> "the seventh entry is on the quality of the text and the language of the corpus that is scored",
+    8L -> "an eighth and final text on the export of the batches and the packing of tokens for a training run")
+
+  private def docsDf = {
+    val spark0 = spark
+    import spark0.implicits._
+    texts.toSeq.sortBy(_._1)
+      .map { case (id, t) => (id, t, "src", t.length) }
+      .toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  private def embDf = {
+    val spark0 = spark
+    import spark0.implicits._
+    (1L to 8L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Build the full seven-store fixture under `root`; returns the
+    * TakedownTargets naming all of them.
+    */
+  private def buildStores(root: String): Corpus.TakedownTargets = {
+    val docs = docsDf
+    val emb = embDf
+    val media = Multimodal.mediaTable(docs)
+    val corpus = s"$root/corpus"
+    val store = s"$root/store"
+    CorpusIngest.ingestBatch(docs.select(col("doc_id"), col("text")),
+      0L, corpus, store, minChars = 0, lang = "en", maxHamming = 1)
+    Retrieval.writeBm25Index(docs, s"$root/bm25", nBuckets = 4)
+    Similarity.writeIvfIndex(emb,
+      Similarity.seedCentroids(emb, nCells = 2), s"$root/ivf")
+    Similarity.writeBinaryIndex(emb, s"$root/bin", dim = 8)
+    Multimodal.writePhashIndex(media, s"$root/phash")
+    Dedup.writeSubstrIndex(docs, s"$root/substr", k = 4)
+    Corpus.TakedownTargets(
+      corpusPath = Some(corpus), nearDupStorePath = Some(store),
+      bm25Path = Some(s"$root/bm25"), ivfPath = Some(s"$root/ivf"),
+      binaryPath = Some(s"$root/bin"), phashPath = Some(s"$root/phash"),
+      substrPath = Some(s"$root/substr"))
+  }
+
+  /** Assert doc 3 is gone from every serving surface of `t`. */
+  private def assertGoneEverywhere(t: Corpus.TakedownTargets): Unit = {
+    val spark0 = spark
+    import spark0.implicits._
+    val emb = embDf
+    assert(CorpusIngest.readCorpus(spark, t.corpusPath.get)
+      .filter(col("doc_id") === 3L).isEmpty, "corpus read serves doc 3")
+    assert(StreamingNearDup.readStore(spark, t.nearDupStorePath.get)
+      .filter(col("doc_id") === 3L).isEmpty, "store still holds doc 3")
+    val hits = Retrieval.queryBm25Index(spark, t.bm25Path.get,
+      Seq((99L, Seq("zebraqq", "document"))).toDF("query_id", "terms"),
+      k = 8)
+    assert(hits.filter(col("doc_id") === 3L).isEmpty,
+      "BM25 serves the deleted doc")
+    val ivfHits = Similarity.queryIvfIndex(spark, t.ivfPath.get,
+      emb.filter(col("vec_id") =!= 3L),
+      Similarity.seedCentroids(emb, nCells = 2), k = 3, probes = 2)
+    assert(ivfHits.filter(col("j") === 3L).isEmpty,
+      "IVF serves the deleted vec")
+    val binHits = Similarity.binaryTopKServed(spark, t.binaryPath.get,
+      emb, emb.filter(col("vec_id") =!= 3L).select(col("vec_id")),
+      k = 3, refine = 8)
+    assert(binHits.filter(col("j") === 3L).isEmpty,
+      "binary serves the deleted vec")
+    assert(MediaIngest.servedHashes(spark, t.phashPath.get)
+      .filter(col("media_id") === 3L).isEmpty,
+      "phash serves the deleted media")
+    // the unique run only doc 3 held: a new doc repeating it must NOT
+    // be flagged (the content died with the takedown)
+    val rep = Dedup.exactSubstrIncrement(spark,
+      Seq((20L, "q1 q2 q3 q4 q5 q6")).toDF("doc_id", "text"),
+      t.substrPath.get)
+    assert(rep.filter(col("doc_id") === 20L)
+      .head().getAs[Long]("n_spans") === 0L,
+      "substr flags spans against taken-down text")
+    ()
+  }
+
+  test("one takedown call makes the doc unreachable on every surface, " +
+      "releases near-dup suppression for its text only, and a full " +
+      "replay of the cascade is a no-op") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_takedown").toString
+    val t = buildStores(root)
+    // non-vacuous: pre-takedown, the doc serves
+    assert(!CorpusIngest.readCorpus(spark, t.corpusPath.get)
+      .filter(col("doc_id") === 3L).isEmpty)
+    assert(!Retrieval.queryBm25Index(spark, t.bm25Path.get,
+      Seq((99L, Seq("zebraqq"))).toDF("query_id", "terms"), k = 8)
+      .filter(col("doc_id") === 3L).isEmpty,
+      "fixture: doc 3 must serve before the takedown")
+    assert(Corpus.takedown(spark, Seq(3L).toDF("doc_id"), t) === 7)
+    assertGoneEverywhere(t)
+    // suppression released for the DELETED text only: a copy of doc 3
+    // is admitted by the next ingest, a copy of surviving doc 5 stays
+    // suppressed
+    CorpusIngest.ingestBatch(
+      Seq((9L, texts(3L)), (10L, texts(5L))).toDF("doc_id", "text"),
+      1L, t.corpusPath.get, t.nearDupStorePath.get,
+      minChars = 0, lang = "en", maxHamming = 1)
+    val post = CorpusIngest.readCorpus(spark, t.corpusPath.get)
+      .select("doc_id").as[Long].collect().toSet
+    assert(post.contains(9L),
+      "a near-copy of the taken-down doc was not re-admitted")
+    assert(!post.contains(10L),
+      "a copy of a SURVIVING doc slipped past the suppression store")
+    // whole-cascade replay (the crash-recovery action) is a no-op
+    assert(Corpus.takedown(spark, Seq(3L).toDF("doc_id"), t) === 7)
+    assertGoneEverywhere(t)
+    assert(CorpusIngest.readCorpus(spark, t.corpusPath.get)
+      .select("doc_id").as[Long].collect().toSet === post)
+    // guards: empty target set and null ids are loud
+    intercept[IllegalArgumentException] {
+      Corpus.takedown(spark, Seq(3L).toDF("doc_id"),
+        Corpus.TakedownTargets())
+    }
+    intercept[Exception] {
+      Corpus.takedown(spark,
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id"), t)
+    }
+    ()
+  }
+
+  test("a crash mid-cascade converges on replay: a prefix of the " +
+      "per-store deletes followed by the full takedown reaches the " +
+      "same state as an uninterrupted run") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_takedown_cr").toString
+    val t = buildStores(root)
+    val ids = Seq(3L).toDF("doc_id")
+    // the crash: only the first two cascade steps landed (corpus +
+    // BM25 tombstones), then the driver died
+    CorpusIngest.deleteFromCorpus(spark, ids, t.corpusPath.get)
+    Retrieval.deleteBm25Docs(spark, ids, t.bm25Path.get)
+    // the partial state is SAFE (masked stores mask, others still
+    // serve) — and the documented repair is replaying the whole call
+    assert(CorpusIngest.readCorpus(spark, t.corpusPath.get)
+      .filter(col("doc_id") === 3L).isEmpty)
+    assert(!StreamingNearDup.readStore(spark, t.nearDupStorePath.get)
+      .filter(col("doc_id") === 3L).isEmpty,
+      "store must still hold the sig — its step never ran")
+    assert(Corpus.takedown(spark, ids, t) === 7)
+    assertGoneEverywhere(t)
+  }
+
+  test("the PQ read path applies the same tombstone table the raw IVF " +
+      "serve masks on — a takedown against a PQ index is honored by " +
+      "the ADC serve") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_takedown_pq").toString
+    val emb = embDf
+    val cb = Similarity.fitPqCodebook(emb, nSub = 2, codesPerSub = 4,
+      iters = 1)
+    Similarity.writeIvfPqIndex(emb,
+      Similarity.seedCentroids(emb, nCells = 2), cb, nSub = 2,
+      s"$root/pq")
+    assert(Corpus.takedown(spark, Seq(3L).toDF("doc_id"),
+      Corpus.TakedownTargets(ivfPath = Some(s"$root/pq"))) === 1)
+    val hits = Similarity.queryIvfPqIndex(spark, s"$root/pq",
+      emb.filter(col("vec_id") =!= 3L), emb, k = 3, refine = 8,
+      probes = 2)
+    assert(hits.filter(col("j") === 3L).isEmpty,
+      "PQ ADC serve returned the taken-down vec")
+  }
+}

@@ -123,6 +123,46 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(bids === Seq(-1L, 5L))
   }
 
+  test("deleteFromStore: tombstones mask at read, re-delivery is " +
+      "idempotent, a tombstone-only store reads empty, null is loud") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = Files.createTempDirectory("graft_sig_del").toString + "/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about spark catalyst optimizer internals"
+    var emitted = Seq.empty[Long]
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingNearDup.processBatch(b, id, store, 1,
+        (novel, _) => emitted = novel.select("doc_id").as[Long]
+          .collect().sorted.toSeq)
+    run(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 0L)
+    assert(emitted === Seq(1L, 2L))
+    // takedown of doc 1: its sig stops suppressing, so a copy of its
+    // text is ADMITTED by the next batch; doc 2's copies stay blocked
+    StreamingNearDup.deleteFromStore(spark,
+      Seq(1L).toDF("doc_id"), store)
+    assert(StreamingNearDup.readStore(spark, store)
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    run(Seq((3L, textA), (4L, textB)).toDF("doc_id", "text"), 1L)
+    assert(emitted === Seq(3L),
+      "the deleted sig must release, the surviving one must suppress")
+    // idempotent re-delete (and deleting an unknown id is a no-op)
+    StreamingNearDup.deleteFromStore(spark,
+      Seq(1L, 999L).toDF("doc_id"), store)
+    assert(StreamingNearDup.readStore(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    intercept[Exception] {
+      StreamingNearDup.deleteFromStore(spark,
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id"), store)
+    }
+    // a takedown racing ahead of the FIRST ingest leaves a store dir
+    // holding only the tombstone sibling — it must read as empty, not
+    // fail schema inference
+    val fresh = Files.createTempDirectory("graft_sig_pre").toString + "/sigs"
+    StreamingNearDup.deleteFromStore(spark, Seq(7L).toDF("doc_id"), fresh)
+    assert(StreamingNearDup.readStore(spark, fresh).isEmpty)
+  }
+
   test("filterNovel with an absent store passes everything distinct " +
       "and returns matching signatures") {
     val spark0 = spark
