@@ -2546,6 +2546,44 @@ object MlQueries {
       |FROM documents WHERE doc_id % 97 = 3
       |ORDER BY corrupt, doc_id""".stripMargin
 
+  /** ns67 over GZIP-compressed JSONL (r14 verdict item 6): the same
+    * per-line truncation fixture written as .gz files, read through
+    * the same PERMISSIVE+corrupt-column contract — the quarantine
+    * split is codec-independent (Hadoop decompresses before the line
+    * reader), gated on ns67's exact oracle. Layout note lives on
+    * [[graft.sources.JsonlCorpus.admitFiles]]: a single-member .gz is
+    * one unsplittable task, so crawl deliverers target ~128 MB
+    * members; the semantics gated here are identical either way.
+    * The unreadable-FILE path (truncated gzip MEMBER, not line) is
+    * JsonlCorpusSpec's half — readQuarantinedChecked dead-letters the
+    * file instead of killing the job.
+    */
+  val ns67bJsonlGz: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "jsonl_gz")
+    if (ivfIndexWritten.add(path)) {
+      docs.select(
+          to_json(struct(col("doc_id"), col("source"), col("text")))
+            .as("l"), col("doc_id").as("id"))
+        .select(when(col("id") % 97 === 3,
+            expr("substring(l, 1, length(l) - 1)"))
+          .otherwise(col("l")).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(path)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    graft.sources.JsonlCorpus.readQuarantined(s, path, schema)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).as("n_chars"),
+        col(graft.sources.JsonlCorpus.CorruptCol).isNotNull
+          .as("corrupt"))
+      .orderBy(col("corrupt"), col("doc_id"))
+  }
+
+  val ns67bJsonlGzSql: String = ns67JsonlQuarantineSql
+
   // ------------------------------- ns68 unified takedown capstone
 
   /** The ns68 readmission batch's genuinely-novel document — ONE fixed
@@ -5374,6 +5412,7 @@ object MlQueries {
     "ns66d_phash_streamed" -> ns66dPhashStreamed,
     "ns66e_phash_compacted" -> ns66ePhashCompacted,
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantine,
+    "ns67b_jsonl_gz" -> ns67bJsonlGz,
     "ns68_takedown" -> ns68Takedown,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
@@ -5496,6 +5535,7 @@ object MlQueries {
     "ns66d_phash_streamed" -> ns66cPhashIncrementSql,
     "ns66e_phash_compacted" -> ns66ePhashCompactedSql,
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantineSql,
+    "ns67b_jsonl_gz" -> ns67bJsonlGzSql,
     "ns68_takedown" -> ns68TakedownSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,

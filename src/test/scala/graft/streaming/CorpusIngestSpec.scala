@@ -91,6 +91,76 @@ class CorpusIngestSpec extends SparkSpec {
       "every malformed line must dead-letter with its raw text")
   }
 
+  test("checked JSONL topology: the landing-zone sweep keeps " +
+      "unreadable FILES out of the stream source's sight — the " +
+      "stream survives, bad files dead-letter, good files' rows all " +
+      "ingest") {
+    val base = tmp("graft_jsonl_checked")
+    val landing = base + "/landing"
+    val feed = base + "/feed"
+    val fileRejects = base + "/file_rejects"
+    val corpus = base + "/docs"
+    val store = base + "/sigs"
+    val rejects = base + "/rejects"
+    val ckpt = base + "/ckpt"
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(landing))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def jline(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    // the landing zone holds a good plain file, a good gz member, a
+    // TRUNCATED gz member, and a garbled gz — the two bad FILES would
+    // fatally kill a file-stream source that discovered them
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/a.jsonl"),
+      (jline(1L, goodA) + "\n").getBytes("UTF-8"))
+    def gz(lines: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(lines.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/b.jsonl.gz"),
+      gz(jline(2L, goodB) + "\n"))
+    val full = gz((10L to 300L)
+      .map(i => jline(i, goodC + s" number $i")).mkString("\n"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/trunc.jsonl.gz"),
+      full.take(full.length / 2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$landing/garbage.jsonl.gz"),
+      Array.tabulate[Byte](64)(i => (i * 5 + 3).toByte))
+    // sweep, then stream the admitted feed
+    assert(graft.sources.JsonlCorpus.admitFiles(spark, landing, feed,
+      fileRejects) === ((2L, 2L)))
+    val q = CorpusIngest.startJsonl(spark, feed, schema, corpus,
+      store, rejects, ckpt, minChars = 40, lang = "en",
+      maxHamming = 1)
+    try {
+      q.processAllAvailable()
+      // a later cycle delivers another good file through the sweep
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/c.jsonl"),
+        (jline(3L, goodC) + "\n").getBytes("UTF-8"))
+      assert(graft.sources.JsonlCorpus.admitFiles(spark, landing,
+        feed, fileRejects) === ((1L, 0L)))
+      q.processAllAvailable()
+      assert(q.isActive, "the stream must survive the bad files")
+    } finally q.stop()
+    assert(spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L),
+      "every good file's rows must ingest")
+    val fr = spark.read.parquet(fileRejects)
+      .select("file").as[String].collect().toSet
+    assert(fr.map(f => f.substring(f.lastIndexOf('/') + 1))
+      === Set("trunc.jsonl.gz", "garbage.jsonl.gz"),
+      "both unreadable files must land in the file-rejects table")
+  }
+
   test("replaying a batch neither loses docs nor duplicates the corpus") {
     val corpus = tmp("graft_replay_corpus") + "/docs"
     val store = tmp("graft_replay_store") + "/sigs"
