@@ -1330,8 +1330,13 @@ object MlQueries {
       |  WHERE rnrm > 0 AND isfinite(rnrm)
       |""".stripMargin.stripSuffix("\n")
 
-  private val ivfPqOracleSuffix: String =
-    s"""), pairsum AS (
+  /** The shared ADC→refine→rescore middle of the PQ oracle, up to the
+    * closed `approx` CTE — the recall-bearing and BARE suffixes both
+    * build on it so the serving restatement can never drift between
+    * the gate forms.
+    */
+  private val ivfPqOracleMid: String =
+    """), pairsum AS (
       |  SELECT c.i, c.j, c.na, c.rnrm,
       |    list_reduce(list_prepend(0.0::DOUBLE,
       |      list(list_dot_product(sq.sv, b.ce) ORDER BY jc.sub)),
@@ -1356,11 +1361,21 @@ object MlQueries {
       |          b.embedding::DOUBLE[]), 6) DESC, r.j) AS rk
       |    FROM refine r JOIN nz a ON a.vec_id = r.i
       |    JOIN nz b ON b.vec_id = r.j) WHERE rk <= 5
-      |),
-      |$duckSampledRecall
+      |)""".stripMargin
+
+  private val ivfPqOracleSuffix: String =
+    ivfPqOracleMid + ",\n" +
+      s"""$duckSampledRecall
       |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
       |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
       |ORDER BY 1, 2""".stripMargin
+
+  /** The BARE suffix (r14 verdict item 4): the same serving chain,
+    * no recall apparatus — what the bare-serve bench siblings gate.
+    */
+  private val ivfPqOracleSuffixBare: String =
+    ivfPqOracleMid + "\n" +
+      "SELECT i, rk, j, cos FROM approx ORDER BY 1, 2"
 
   /** The PQ-serve router ([[Similarity.pqTopKServedAuto]], the r13
     * verdict's item 6): corpus-as-queries self-search over ns7e's own
@@ -1394,7 +1409,10 @@ object MlQueries {
       .orderBy(col("i"), col("rk"))
   }
 
-  val ns7lSimIvfPqAutoSql: String = ivfPqOraclePrefix + "\n" +
+  /** The ns7l router candidate block (measurement + both branches),
+    * shared by the recall-bearing gate and its bare bench sibling.
+    */
+  private val ns7lRouterCand: String =
     """), qcell AS (
       |  SELECT cell, count(*) AS qn FROM ranked GROUP BY 1
       |), icell AS (
@@ -1426,7 +1444,10 @@ object MlQueries {
       |  WHERE (SELECT hot FROM cond)
       |), cand AS (
       |  SELECT * FROM cand_exact UNION ALL SELECT * FROM cand_capped
-      |""".stripMargin.stripSuffix("\n") + ivfPqOracleSuffix
+      |""".stripMargin.stripSuffix("\n")
+
+  val ns7lSimIvfPqAutoSql: String =
+    ivfPqOraclePrefix + "\n" + ns7lRouterCand + ivfPqOracleSuffix
 
   val ns7dSimIvfPqSql: String = ivfPqOraclePrefix + "\n" +
     """), cand AS (
@@ -1437,6 +1458,107 @@ object MlQueries {
       |  JOIN enc e ON e.vec_id = ix.vec_id
       |  JOIN nrms nq ON nq.vec_id = q.vec_id
       |""".stripMargin.stripSuffix("\n") + ivfPqOracleSuffix
+
+  // ---------------- bare-serve bench siblings (r14 verdict item 4)
+  //
+  // The recall-bearing ANN gates carry an N²/5 brute reference by
+  // construction, so their bench rows measure the gate APPARATUS, not
+  // the operator — the driver could not see a serve regression. Each
+  // sibling below is the SAME serve over the SAME persisted fixture
+  // (identical build-once block, so entry order never matters), minus
+  // withRecall, hash-gated on the bare restatement of its own oracle.
+  // The recall-bearing originals are unchanged.
+
+  /** [[ns7lSimIvfPqAuto]]'s bare serve: the routed PQ self-search
+    * alone — what a production query actually costs.
+    */
+  val ns7lbPqServeBare: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivfpq_index")
+    if (ivfIndexWritten.add(path)) {
+      val cb = Similarity.fitPqCodebook(
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0),
+        nSub = 8, codesPerSub = 16, iters = 2)
+      Similarity.writeIvfPqIndex(emb,
+        Similarity.seedCentroids(emb, nCells = 16), cb, nSub = 8, path)
+    }
+    Similarity.pqTopKServedAuto(s, path, emb, emb, k = 5,
+      refine = 50, probes = 3, cellCandidateCap = 1000L,
+      budgetCandidatesPerQuery = 256L)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns7lbPqServeBareSql: String =
+    ivfPqOraclePrefix + "\n" + ns7lRouterCand + ivfPqOracleSuffixBare
+
+  /** [[ns7hSimBinaryStreamed]]'s bare serve: base ∪ committed streamed
+    * partitions through the vec_id-deduped union read, no recall.
+    */
+  val ns7hbBinaryServeBare: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "bin_index_str")
+    if (ivfIndexWritten.add(path)) {
+      // identical to ns7h's block (shared path — the build-once rule)
+      val sib = new org.apache.hadoop.fs.Path(
+        path + Similarity.StreamSiblingSuffix)
+      sib.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(sib, true)
+      Similarity.writeBinaryIndex(emb.filter(col("vec_id") % 4 =!= 0),
+        path, dim = 64)
+      graft.streaming.VectorIngest.ingestBatchBinary(
+        emb.filter(col("vec_id") % 8 === 0), 0L, path)
+      graft.streaming.VectorIngest.ingestBatchBinary(
+        emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 =!= 0),
+        1L, path)
+    }
+    graft.streaming.VectorIngest.queryServedBinary(s, path, emb,
+      emb.select(col("vec_id")), k = 5, refine = 100)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns7hbBinaryServeBareSql: String =
+    s"""WITH $duckNonZeroEmb,
+      |sgn AS (
+      |  SELECT vec_id, embedding, s, list_sum(s) AS pc FROM (
+      |    SELECT vec_id, embedding,
+      |      [CASE WHEN x > 0 THEN 1 ELSE 0 END
+      |        FOR x IN embedding::DOUBLE[]] AS s
+      |    FROM nz)
+      |), cand AS (
+      |  SELECT i, j FROM (
+      |    SELECT a.vec_id AS i, b.vec_id AS j,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY (a.pc + b.pc - 2 * list_dot_product(a.s, b.s)),
+      |          b.vec_id) AS hrk
+      |    FROM sgn a JOIN sgn b ON a.vec_id <> b.vec_id) WHERE hrk <= 100
+      |), approx AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT c.i, c.j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY c.i
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, c.j) AS rk
+      |    FROM cand c JOIN nz a ON a.vec_id = c.i
+      |    JOIN nz b ON b.vec_id = c.j) WHERE rk <= 5
+      |)
+      |SELECT i, rk, j, cos FROM approx ORDER BY 1, 2""".stripMargin
+
+  /** [[ns8dSimIvfServed]]'s bare serve: the partition-pruned IVF read
+    * path alone, no recall.
+    */
+  val ns8dbIvfServeBare: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index")
+    if (ivfIndexWritten.add(path))
+      Similarity.writeIvfIndex(emb, cents, path)
+    Similarity.queryIvfIndex(s, path, emb, cents, k = 5, probes = 3)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  val ns8dbIvfServeBareSql: String =
+    ivfMultiProbeSql(duckSeedCents16, recall = false)
 
   /** IVF ANN — "approximate" only in the sense that cell pruning loses
     * recall vs brute force; given its DETERMINISTIC seed centroids the
@@ -5385,16 +5507,19 @@ object MlQueries {
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinary,
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompacted,
     "ns7h_sim_binary_streamed" -> ns7hSimBinaryStreamed,
+    "ns7h_b_binary_serve" -> ns7hbBinaryServeBare,
     "ns7i_binary_neardup" -> ns7iBinaryNearDup,
     "ns7j_sim_binary_routed" -> ns7jSimBinaryRouted,
     "ns7k_binary_neardup_auto" -> ns7kBinaryNearDupAuto,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPq,
     "ns7e_sim_ivfpq_served" -> ns7eSimIvfPqServed,
     "ns7l_sim_ivfpq_auto" -> ns7lSimIvfPqAuto,
+    "ns7l_b_pq_serve" -> ns7lbPqServeBare,
     "ns8_sim_ivf" -> ns8SimIvf,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeans,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
     "ns8d_sim_ivf_served" -> ns8dSimIvfServed,
+    "ns8d_b_ivf_serve" -> ns8dbIvfServeBare,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppended,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeleted,
     "ns8g_sim_ivf_compacted" -> ns8gSimIvfCompacted,
@@ -5508,16 +5633,19 @@ object MlQueries {
     "ns7f_sim_topk_binary" -> ns7fSimTopkBinarySql,
     "ns7g_sim_binary_compacted" -> ns7gSimBinaryCompactedSql,
     "ns7h_sim_binary_streamed" -> ns7fSimTopkBinarySql,
+    "ns7h_b_binary_serve" -> ns7hbBinaryServeBareSql,
     "ns7i_binary_neardup" -> ns7iBinaryNearDupSql,
     "ns7j_sim_binary_routed" -> ns7jSimBinaryRoutedSql,
     "ns7k_binary_neardup_auto" -> ns7kBinaryNearDupAutoSql,
     "ns7d_sim_ivfpq" -> ns7dSimIvfPqSql,
     "ns7e_sim_ivfpq_served" -> ns7dSimIvfPqSql,
     "ns7l_sim_ivfpq_auto" -> ns7lSimIvfPqAutoSql,
+    "ns7l_b_pq_serve" -> ns7lbPqServeBareSql,
     "ns8_sim_ivf" -> ns8SimIvfSql,
     "ns8b_sim_ivf_kmeans" -> ns8bSimIvfKmeansSql,
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbeSql,
     "ns8d_sim_ivf_served" -> ns8cSimIvfMultiProbeSql,
+    "ns8d_b_ivf_serve" -> ns8dbIvfServeBareSql,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppendedSql,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeletedSql,
     "ns8g_sim_ivf_compacted" -> ns8fSimIvfDeletedSql,
