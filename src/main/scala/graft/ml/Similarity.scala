@@ -1772,7 +1772,7 @@ object Similarity {
         "ingest, which absorbs them by fingerprint)")
   }
 
-  private val DeletedDir = "_graft_deleted"
+  private[ml] val DeletedDir = "_graft_deleted"
 
   /** The streamed-appends sibling suffix — ONE definition for the
     * convention [[graft.streaming.VectorIngest]] /
