@@ -2706,6 +2706,54 @@ object MlQueries {
 
   val ns67bJsonlGzSql: String = ns67JsonlQuarantineSql
 
+  /** The WARC front door ([[graft.sources.WarcCorpus]], r14 verdict
+    * item 8): documents synthesized into WARC/1.0 response records —
+    * every 97th-mod-3 record with its Content-Length header OMITTED
+    * (a structurally-broken record) — read back through the
+    * header-delimited split + native-expression validation. Good
+    * records round-trip their URI, byte length, and payload char
+    * count; broken records quarantine all-null with the raw record
+    * retained (rows+schema+hash vs the per-doc restatement). The
+    * split mechanism is the stock text scan with a custom lineSep —
+    * no custom input format — so the gate also pins that Spark-first
+    * choice behaviorally.
+    */
+  val ns69Warc: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "warc_corpus")
+    if (ivfIndexWritten.add(path)) {
+      docs.select(concat(
+          lit("WARC-Record-ID: urn:uuid:"), col("doc_id"), lit("\r\n"),
+          lit("WARC-Type: response\r\n"),
+          lit("WARC-Target-URI: http://corpus.local/doc/"),
+          col("doc_id"), lit("\r\n"),
+          when(col("doc_id") % 97 =!= 3,
+            concat(lit("Content-Length: "),
+              octet_length(col("text")).cast("string"), lit("\r\n")))
+            .otherwise(lit("")),
+          lit("\r\n"), col("text")).as("value"))
+        .write.mode("overwrite")
+        .option("lineSep", graft.sources.WarcCorpus.RecordHeader)
+        .text(path)
+    }
+    graft.sources.WarcCorpus.readQuarantined(s, path)
+      .select(col("target_uri"), col("content_length"),
+        length(col("payload")).as("n_chars"),
+        col(graft.sources.WarcCorpus.CorruptCol).isNotNull
+          .as("corrupt"))
+      .orderBy(col("corrupt"), col("target_uri"))
+  }
+
+  val ns69WarcSql: String =
+    """SELECT 'http://corpus.local/doc/' || doc_id AS target_uri,
+      |  octet_length(encode(text))::BIGINT AS content_length,
+      |  length(text)::INT AS n_chars, false AS corrupt
+      |FROM documents WHERE doc_id % 97 <> 3
+      |UNION ALL
+      |SELECT NULL, NULL, NULL, true AS corrupt
+      |FROM documents WHERE doc_id % 97 = 3
+      |ORDER BY corrupt, target_uri""".stripMargin
+
   // ------------------------------- ns68 unified takedown capstone
 
   /** The ns68 readmission batch's genuinely-novel document — ONE fixed
@@ -5539,6 +5587,7 @@ object MlQueries {
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantine,
     "ns67b_jsonl_gz" -> ns67bJsonlGz,
     "ns68_takedown" -> ns68Takedown,
+    "ns69_warc" -> ns69Warc,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -5665,6 +5714,7 @@ object MlQueries {
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantineSql,
     "ns67b_jsonl_gz" -> ns67bJsonlGzSql,
     "ns68_takedown" -> ns68TakedownSql,
+    "ns69_warc" -> ns69WarcSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,

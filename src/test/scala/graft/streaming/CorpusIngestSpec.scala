@@ -91,6 +91,48 @@ class CorpusIngestSpec extends SparkSpec {
       "every malformed line must dead-letter with its raw text")
   }
 
+  test("WARC front door: crawl records stream through the header " +
+      "split — broken records dead-letter raw, well-formed payloads " +
+      "gate, dedup, and land in the committed corpus") {
+    val base = tmp("graft_warc_feed")
+    val feed = base + "/feed"
+    val corpus = base + "/docs"
+    val store = base + "/sigs"
+    val rejects = base + "/rejects"
+    val ckpt = base + "/ckpt"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(feed))
+    def rec(id: String, body: String, clen: Option[Long] = None): String =
+      "WARC/1.0\r\n" +
+        s"WARC-Record-ID: urn:uuid:$id\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://x/$id\r\n" +
+        s"Content-Length: ${clen.getOrElse(body.getBytes("UTF-8").length.toLong)}\r\n" +
+        "\r\n" + body + "\r\n\r\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$feed/a.warc"),
+      (rec("a1", goodA) + rec("broken", goodB, clen = Some(999L)) +
+        rec("b1", goodB)).getBytes("UTF-8"))
+    val q = CorpusIngest.startWarc(spark, feed, corpus, store,
+      rejects, ckpt, minChars = 40, lang = "en", maxHamming = 1)
+    try {
+      q.processAllAvailable()
+      // a later file: a near-dup of a1's body (suppressed) + fresh doc
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$feed/b.warc"),
+        (rec("a2", goodA) + rec("c1", goodC)).getBytes("UTF-8"))
+      q.processAllAvailable()
+      assert(q.isActive, "the stream must survive the broken record")
+    } finally q.stop()
+    val got = spark.read.parquet(corpus)
+      .select("text").as[String].collect().toSet
+    assert(got === Set(goodA, goodB, goodC),
+      "well-formed payloads must gate and dedup into the corpus")
+    val rej = spark.read.parquet(rejects)
+      .select("raw_record").as[String].collect()
+    assert(rej.length === 1 && rej(0).contains("urn:uuid:broken"),
+      "the broken record must dead-letter with its raw text")
+  }
+
   test("checked JSONL topology: the landing-zone sweep keeps " +
       "unreadable FILES out of the stream source's sight — the " +
       "stream survives, bad files dead-letter, good files' rows all " +
