@@ -72,9 +72,19 @@ object Maintenance {
       // substr family has no stream sibling to fold
       None,
       (s: SparkSession, p: String) => Dedup.compactSubstrIndex(s, p))
+    // corpus: multi-file `ingest_batch=` dirs are the NORMAL shape
+    // (one file set per committed trigger — small-file re-binning is
+    // Layout.compactPartitions' job), so the bucket axis stays 0 and
+    // only the tombstone axis drives this family's sweep
+    case "corpus" => (graft.streaming.CorpusIngest.DeletedDir,
+      "doc_id", "", None,
+      graft.streaming.CorpusIngest.compactCorpus)
+    case "neardup_store" => (graft.streaming.StreamingNearDup.DeletedDir,
+      "doc_id", "", None,
+      graft.streaming.StreamingNearDup.compactStore)
     case other => throw new IllegalArgumentException(
       s"unknown index family '$other' — one of " +
-        "bm25/ivf/binary/phash/substr")
+        "bm25/ivf/binary/phash/substr/corpus/neardup_store")
   }
 
   /** Measure the index's maintenance debt. Cost shape: one file-system

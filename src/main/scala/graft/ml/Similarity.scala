@@ -806,7 +806,7 @@ object Similarity {
     * the stage, uuid-named files are never deleted, so a replay
     * finishes the move and the sweep from any intermediate state.
     */
-  private[ml] def applyFlatStage(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def applyFlatStage(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       stage: org.apache.hadoop.fs.Path): Unit =
     graft.sources.Markers.read(fs,

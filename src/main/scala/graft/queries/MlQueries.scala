@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Bpe, Corpus, Dedup, Multimodal, Retrieval, SetSimJoin, Similarity, TextAnalysis}
+import graft.ml.{Bpe, Corpus, Dedup, Maintenance, Multimodal, Retrieval, SetSimJoin, Similarity, TextAnalysis}
 
 /** North-star query registry: dedup, similarity search, text analysis,
   * multimodal plumbing over `documents` / `embeddings` (builder prompt +
@@ -2801,7 +2801,20 @@ object MlQueries {
     * to know and order. Crash-replay idempotence is TakedownSpec's
     * half.
     */
-  val ns68Takedown: Q = (s, dir) => {
+  val ns68Takedown: Q = (s, dir) =>
+    ns68Plan(s, dir, "takedown", sweep = false)
+
+  /** The shared ns68/ns68b body: build the seven stores, take the doc
+    * down, ingest the readmission batch, optionally run the
+    * threshold-triggered maintenance SWEEP over every family
+    * ([[Maintenance.maintainIndex]] + the corpus/store compactors —
+    * ns68b's physical half), then serve the six evidence surfaces.
+    * Both gates share ONE oracle: physical reclaim must be
+    * answer-invisible end to end, the per-family ns*-compacted
+    * discipline proven through the unified cascade.
+    */
+  private def ns68Plan(s: SparkSession, dir: String, base: String,
+      sweep: Boolean): DataFrame = {
     import s.implicits._
     val docsFull = Tables.documents(s, dir)
     val docs = docsFull.select(col("doc_id"), col("text"))
@@ -2809,7 +2822,7 @@ object MlQueries {
     val media = Multimodal.mediaTable(docsFull)
     val n = docsFull.count()
     val d = n / 3
-    val root = RelationalQueries.zOrderedTablePath(s, dir, "takedown")
+    val root = RelationalQueries.zOrderedTablePath(s, dir, base)
     val corpus = s"$root/corpus"
     val store = s"$root/store"
     val bm = s"$root/bm25"
@@ -2868,6 +2881,18 @@ object MlQueries {
         Seq((n + 10, dText), (n + 11, sText), (n + 12, ns68NovelText))
           .toDF("doc_id", "text"), 2L, corpus, store,
         minChars = 200, lang = "en", maxHamming = 0)
+      if (sweep) {
+        // ns68b: the POLICY path fires every family's crash-safe
+        // compactor (threshold 0 = everything with debt sweeps);
+        // serves below must answer exactly like ns68's masked reads
+        val zero = Maintenance.Thresholds(maxTombstoneIds = 0L)
+        Seq("bm25" -> bm, "ivf" -> ivf, "binary" -> bin,
+          "phash" -> ph, "substr" -> sub, "corpus" -> corpus,
+          "neardup_store" -> store).foreach { case (fam, p) =>
+          Maintenance.maintainIndex(s, p, fam, zero)
+          ()
+        }
+      }
     }
     val corpusEv = graft.streaming.CorpusIngest.readCorpus(s, corpus)
       .select(lit("corpus").as("surface"),
@@ -2911,6 +2936,20 @@ object MlQueries {
       .unionByName(phEv).unionByName(subEv)
       .orderBy(col("surface"), col("a"), col("b"), col("c"))
   }
+
+  /** ns68's PHYSICAL half: the same takedown cascade, then the
+    * threshold-triggered maintenance sweep fires EVERY family's
+    * crash-safe compactor — BM25/IVF/binary/phash/substr through
+    * [[Maintenance.maintainIndex]], plus the corpus table
+    * ([[graft.streaming.CorpusIngest.compactCorpus]] — markers
+    * preserved so batch replays keep absorbing) and the suppression
+    * store ([[graft.streaming.StreamingNearDup.compactStore]] —
+    * batch_id/batch_sig ledger preserved) — then the same six
+    * surfaces serve, gated on ns68's EXACT oracle: one unified
+    * takedown, physically reclaimed everywhere, answer-invisible.
+    */
+  val ns68bTakedownSwept: Q = (s, dir) =>
+    ns68Plan(s, dir, "takedown_c", sweep = true)
 
   val ns68TakedownSql: String = {
     val nn = "(SELECT count(*) FROM documents)"
@@ -5587,6 +5626,7 @@ object MlQueries {
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantine,
     "ns67b_jsonl_gz" -> ns67bJsonlGz,
     "ns68_takedown" -> ns68Takedown,
+    "ns68b_takedown_swept" -> ns68bTakedownSwept,
     "ns69_warc" -> ns69Warc,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
@@ -5714,6 +5754,7 @@ object MlQueries {
     "ns67_jsonl_quarantine" -> ns67JsonlQuarantineSql,
     "ns67b_jsonl_gz" -> ns67bJsonlGzSql,
     "ns68_takedown" -> ns68TakedownSql,
+    "ns68b_takedown_swept" -> ns68TakedownSql,
     "ns69_warc" -> ns69WarcSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,

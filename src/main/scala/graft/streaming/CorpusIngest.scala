@@ -79,6 +79,157 @@ object CorpusIngest {
       .distinct()
       .write.mode("append").parquet(s"$corpusPath/$DeletedDir")
 
+  private[graft] val CorpusCompactStageDir = "_graft_corpus_compact_stage"
+
+  /** Reclaim the corpus table's takedown debt: physically rewrite ONLY
+    * the `ingest_batch=` partitions holding tombstoned rows, leaving
+    * every partition's `_SUCCESS` and `_GRAFT_BATCH_SIG` markers in
+    * place — the non-negotiable invariant here, because the markers
+    * are the BatchCommit replay ledger: a replayed batch id must keep
+    * ABSORBING against its recorded content fingerprint (the sig
+    * describes the original batch, which is what a replay recomputes),
+    * or the replay would rewrite the partition with the original rows
+    * and RESURRECT the deleted doc. A fully-dead partition becomes a
+    * data-less stub whose markers keep absorbing, the fold-stub shape.
+    *
+    * Crash contract (the staged uuid-swap, per partition): survivors
+    * of the dirty partitions stage durably under
+    * [[CorpusCompactStageDir]] with the dirty-partition list and the
+    * entry-pinned tombstone FILE manifest recorded beside them; the
+    * `_GRAFT_STAGE_ID` uuid marker is the commit point. The apply
+    * moves staged files into their partitions under `graftc-<uuid>-`
+    * names FIRST, then deletes old data files — a crash anywhere
+    * replays from the stage to the same state, and only the
+    * manifested tombstone files are dropped at the end (a delete
+    * appended mid-run keeps masking). Tombstone reclaim is
+    * SETTLED-ONLY: an id with no corpus row is a takedown that raced
+    * ahead of its doc's ingest and is re-appended BEFORE the commit so
+    * it keeps masking the doc's eventual arrival.
+    *
+    * Single-writer maintenance op (pause the ingest stream); a
+    * concurrent [[readCorpus]] inside the apply window may see a
+    * doc's row twice (old∪new — the reader-safe direction; never a
+    * gap). Returns the number of partitions rewritten.
+    */
+  def compactCorpus(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$corpusPath/$CorpusCompactStageDir")
+    val sid = new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")
+    // finish a crashed committed apply, then fall through (post-crash
+    // tombstone appends must still be honored by the normal pass)
+    if (graft.sources.Markers.read(fs, sid).isDefined)
+      applyCorpusStage(fs, root, stage)
+    fs.delete(stage, true)
+    val snapshot = graft.ml.Similarity.tombstoneFileSnapshot(fs,
+      corpusPath, DeletedDir)
+    if (snapshot.isEmpty) return 0L
+    val dead = spark.read.parquet(snapshot.map(_.toString): _*)
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val committed = committedPartitions(fs, root)
+    val raw =
+      if (committed.isEmpty) None
+      else Some(spark.read.option("basePath", corpusPath)
+        .parquet(committed: _*))
+    // settled-only: pending tombstones (no corpus row yet) re-append
+    // BEFORE the commit, in a fresh file outside the manifest
+    val pending = raw match {
+      case None => dead
+      case Some(r) =>
+        dead.join(r.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+    }
+    if (!pending.isEmpty)
+      pending.write.mode("append").parquet(s"$corpusPath/$DeletedDir")
+    // bounded driver action: the dirty-partition id list (takedowns
+    // touch the partitions their docs landed in, not the whole table)
+    val dirty: Seq[Long] = raw match {
+      case None => Seq.empty
+      case Some(r) => r.select(col("doc_id"),
+          col("ingest_batch").cast("long"))
+        .join(dead, Seq("doc_id"))
+        .select(col("ingest_batch")).distinct()
+        .collect().toSeq.map(_.getLong(0))
+    }
+    if (dirty.nonEmpty) {
+      raw.get.filter(col("ingest_batch").isin(dirty: _*))
+        .join(dead, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .parquet(stage.toString)
+    } else {
+      fs.mkdirs(stage)
+      ()
+    }
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(stage, "_GRAFT_PARTS"),
+      dirty.sorted.mkString("\n"))
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(stage,
+        StreamingNearDup.TombfilesMarker),
+      snapshot.map(_.toString).mkString("\n"))
+    graft.sources.Markers.write(fs, sid,
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    applyCorpusStage(fs, root, stage)
+    dirty.length.toLong
+  }
+
+  /** Replay-safe apply of a committed corpus-compaction stage: per
+    * dirty partition, staged survivor files move in under the run's
+    * uuid prefix FIRST, old data files are deleted second, markers are
+    * never touched; the manifested tombstone files drop LAST and the
+    * stage itself after them. Idempotent from any crash point —
+    * already-moved files are no longer staged, uuid-named files are
+    * never deleted, marker reads are stable.
+    */
+  private def applyCorpusStage(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    val uuid = graft.sources.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")).get
+    val prefix = s"graftc-$uuid-"
+    val parts = graft.sources.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(stage, "_GRAFT_PARTS"))
+      .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    parts.foreach { b =>
+      val sdir = new org.apache.hadoop.fs.Path(stage, s"ingest_batch=$b")
+      val pdir = new org.apache.hadoop.fs.Path(root, s"ingest_batch=$b")
+      if (fs.exists(sdir))
+        fs.listStatus(sdir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { p =>
+            require(fs.rename(p,
+              new org.apache.hadoop.fs.Path(pdir, prefix + p.getName)),
+              s"compactCorpus: could not move staged file $p into $pdir")
+          }
+      if (fs.exists(pdir))
+        fs.listStatus(pdir).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet")
+            && !p.getName.startsWith(prefix))
+          .foreach { p => fs.delete(p, false); () }
+    }
+    graft.sources.Markers.read(fs, new org.apache.hadoop.fs.Path(stage,
+        StreamingNearDup.TombfilesMarker))
+      .foreach(_.split("\n").filter(_.nonEmpty).foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false)
+        ()
+      })
+    fs.delete(stage, true)
+    ()
+  }
+
+  /** The committed `ingest_batch=` partition paths. */
+  private def committedPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+
   /** Read the corpus table as a consumer must: COMMITTED partitions
     * only (`_SUCCESS` — the same rule [[graft.streaming.VectorIngest
     * .servePaths]] applies to index stream tables: a write that died
@@ -94,12 +245,7 @@ object CorpusIngest {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root),
       s"readCorpus: no corpus table at $corpusPath")
-    val committed = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("ingest_batch="))
-      .filter(st => fs.exists(
-        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.toString)
+    val committed = committedPartitions(fs, root)
     require(committed.nonEmpty,
       s"readCorpus: no committed ingest_batch partitions at " +
         s"$corpusPath — nothing has been ingested (or the path is " +

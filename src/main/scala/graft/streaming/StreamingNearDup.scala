@@ -92,6 +92,22 @@ object StreamingNearDup {
     * path — underscore-hidden dirs carry no signature rows.
     */
   def readStore(spark: SparkSession, storePath: String): DataFrame = {
+    val rows = rawStore(spark, storePath)
+    // takedown mask: AQE-broadcast anti-join while the tombstone set
+    // stays takedown-sized (no forced hint — the shared discipline)
+    graft.ml.Similarity.tombstoneUnion(spark, Seq(storePath),
+        DeletedDir, "doc_id")
+      .map(t => rows.join(t, Seq("doc_id"), "left_anti"))
+      .getOrElse(rows)
+  }
+
+  /** The store's normalized rows WITHOUT the takedown mask — the
+    * schema-migration read [[readStore]] builds on, split out because
+    * [[compactStore]] needs the raw view (its settled-vs-pending
+    * tombstone split must see rows the mask hides).
+    */
+  private def rawStore(spark: SparkSession, storePath: String)
+      : DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path) && fs.listStatus(path).exists { st =>
@@ -118,13 +134,7 @@ object StreamingNearDup {
       val withSig =
         if (withBid.columns.contains("batch_sig")) withBid
         else withBid.withColumn("batch_sig", lit(null).cast("long"))
-      val rows = withSig.select("doc_id", "simhash", "batch_id", "batch_sig")
-      // takedown mask: AQE-broadcast anti-join while the tombstone set
-      // stays takedown-sized (no forced hint — the shared discipline)
-      graft.ml.Similarity.tombstoneUnion(spark, Seq(storePath),
-          DeletedDir, "doc_id")
-        .map(t => rows.join(t, Seq("doc_id"), "left_anti"))
-        .getOrElse(rows)
+      withSig.select("doc_id", "simhash", "batch_id", "batch_sig")
     } else {
       import spark.implicits._
       Seq.empty[(Long, Long, Long, Option[Long])]
@@ -185,6 +195,84 @@ object StreamingNearDup {
       maxHamming: Int, onBatch: (DataFrame, Long) => Unit): Unit =
     processBatchWithSig(batch, batchId, storePath, maxHamming,
       (novel, bid, _) => onBatch(novel, bid))
+
+  private[graft] val StoreCompactStageDir = "_graft_store_compact_stage"
+  private[graft] val TombfilesMarker = "_GRAFT_TOMBFILES"
+
+  /** Reclaim the suppression store's takedown debt: physically rewrite
+    * the store without tombstoned signatures, through the flat tiers'
+    * staged uuid-file-swap ([[graft.ml.Similarity.applyFlatStage]] —
+    * crash protocol and replay convergence inherited; store reads mid-
+    * apply may see a signature row twice, which every consumer
+    * tolerates: the banded check distincts and the own-rows probe is
+    * an existence test). The rewrite also NORMALIZES legacy
+    * mixed-schema files into the current (doc_id, simhash, batch_id,
+    * batch_sig) shape — pre-batch_id rows keep their -1 / null-sig
+    * markers, so replay absorption semantics survive the rewrite.
+    *
+    * Tombstone reclaim is SETTLED-ONLY (the r14-advice substr rule
+    * applied from birth): a tombstone whose doc_id has no store row is
+    * a takedown that raced ahead of its signature's ingest and must
+    * KEEP masking; pending ids are re-appended as a fresh file BEFORE
+    * the stage commits, and the entry-pinned snapshot files are
+    * recorded IN the stage (the [[TombfilesMarker]] manifest) so a
+    * crash-then-replay deletes exactly the files this run applied —
+    * never a tombstone appended mid-run. Single-writer maintenance op
+    * (pause the delete stream). Returns the distinct tombstoned ids
+    * processed from the snapshot.
+    */
+  def compactStore(spark: SparkSession, storePath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$storePath/$StoreCompactStageDir")
+    val sid = new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")
+    // finish a crashed committed apply first: replay the file swap and
+    // drop exactly the manifested tombstone files, then fall through
+    // (post-crash tombstone appends must still be honored)
+    if (graft.sources.Markers.read(fs, sid).isDefined) {
+      graft.ml.Similarity.applyFlatStage(fs, root, stage)
+      deleteManifested(fs, stage)
+    }
+    fs.delete(stage, true)
+    val snapshot = graft.ml.Similarity.tombstoneFileSnapshot(fs,
+      storePath, DeletedDir)
+    if (snapshot.isEmpty) return 0L
+    val dead = spark.read.parquet(snapshot.map(_.toString): _*)
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val nDead = dead.count()
+    // settled/pending split against the PRE-apply raw rows (the mask
+    // hides exactly the rows this question is about)
+    val pending = dead.join(rawStore(spark, storePath)
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!pending.isEmpty)
+      pending.write.mode("append").parquet(s"$storePath/$DeletedDir")
+    // survivors (fully masked — a tombstone appended after the
+    // snapshot masks rows out of the stage AND keeps its file) stage
+    // durably; the uuid marker is the commit point
+    readStore(spark, storePath).write.mode("overwrite")
+      .parquet(stage.toString)
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(stage, TombfilesMarker),
+      snapshot.map(_.toString).mkString("\n"))
+    graft.sources.Markers.write(fs, sid,
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    graft.ml.Similarity.applyFlatStage(fs, root, stage)
+    deleteManifested(fs, stage)
+    fs.delete(stage, true)
+    nDead
+  }
+
+  /** Drop exactly the tombstone files a committed stage manifested. */
+  private def deleteManifested(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path): Unit =
+    graft.sources.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(stage, TombfilesMarker))
+      .foreach(_.split("\n").filter(_.nonEmpty).foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false)
+        ()
+      })
 
   /** [[processBatch]] variant whose callback also receives the batch's
     * content fingerprint — so callers that need the sig themselves

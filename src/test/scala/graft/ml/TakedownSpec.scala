@@ -180,6 +180,154 @@ class TakedownSpec extends SparkSpec {
     assertGoneEverywhere(t)
   }
 
+  test("compactCorpus physically reclaims takedowns while PRESERVING " +
+      "the BatchCommit replay ledger: markers survive the rewrite, a " +
+      "replayed batch id still absorbs instead of resurrecting the " +
+      "deleted doc, pre-ingest tombstones keep masking, and a crashed " +
+      "apply replays from the committed stage") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_cc").toString
+    val corpus = s"$root/docs"
+    val store = s"$root/sigs"
+    val docs = docsDf.select(col("doc_id"), col("text"))
+    val b0 = docs.filter(col("doc_id") <= 4L)
+    CorpusIngest.ingestBatch(b0, 0L, corpus, store,
+      minChars = 0, lang = "en", maxHamming = 1)
+    CorpusIngest.ingestBatch(docs.filter(col("doc_id") > 4L), 1L,
+      corpus, store, minChars = 0, lang = "en", maxHamming = 1)
+    // takedown of an ingested doc AND a pre-ingest takedown (id 99)
+    CorpusIngest.deleteFromCorpus(spark, Seq(3L, 99L).toDF("doc_id"),
+      corpus)
+    val before = CorpusIngest.readCorpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(CorpusIngest.compactCorpus(spark, corpus) === 1L,
+      "exactly the one dirty partition must rewrite")
+    // physical: the raw partition no longer holds doc 3
+    assert(spark.read.parquet(s"$corpus/ingest_batch=0")
+      .filter(col("doc_id") === 3L).isEmpty,
+      "the deleted doc's rows survived the rewrite")
+    // masked read identical before/after (compaction answer-invisible)
+    assert(CorpusIngest.readCorpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet === before)
+    // settled tombstone reclaimed, pre-ingest one preserved
+    assert(spark.read.parquet(s"$corpus/${CorpusIngest.DeletedDir}")
+      .select("doc_id").as[Long].collect().toSet === Set(99L),
+      "compaction must reclaim settled tombstones and keep pending")
+    // THE invariant: a replay of batch 0 (same id, same original
+    // content) absorbs against the preserved markers — it must NOT
+    // rewrite the partition and resurrect doc 3
+    CorpusIngest.ingestBatch(b0, 0L, corpus, store,
+      minChars = 0, lang = "en", maxHamming = 1)
+    assert(spark.read.parquet(s"$corpus/ingest_batch=0")
+      .filter(col("doc_id") === 3L).isEmpty,
+      "a batch replay resurrected the compacted-away doc")
+    // and the pre-ingest tombstone masks the doc's eventual arrival
+    CorpusIngest.ingestBatch(
+      Seq((99L, texts(1L) + " and some novel suffix words here"))
+        .toDF("doc_id", "text"),
+      2L, corpus, store, minChars = 0, lang = "en", maxHamming = 1)
+    assert(CorpusIngest.readCorpus(spark, corpus)
+      .filter(col("doc_id") === 99L).isEmpty,
+      "a pre-ingest takedown stopped masking after compaction")
+    // crashed-apply replay: plant a committed stage whose partition 0
+    // rewrite died mid-overwrite (data files gone, survivors only in
+    // the stage), then re-enter — the apply must restore from stage
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$corpus/${CorpusIngest.CorpusCompactStageDir}"
+    spark.read.parquet(s"$corpus/ingest_batch=0")
+      .withColumn("ingest_batch", lit(0L))
+      .write.partitionBy("ingest_batch").parquet(stage)
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(s"$stage/_GRAFT_PARTS"), "0")
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(
+        s"$stage/${StreamingNearDup.TombfilesMarker}"), "")
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(s"$stage/_GRAFT_STAGE_ID"),
+      "deadbeef")
+    new java.io.File(s"$corpus/ingest_batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f => assert(f.delete()) }
+    CorpusIngest.compactCorpus(spark, corpus)
+    assert(!new java.io.File(stage).exists, "stage must clear")
+    assert(CorpusIngest.readCorpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet === before,
+      "the crashed apply did not converge to the staged survivors")
+  }
+
+  test("compactStore physically reclaims takedowns and keeps the " +
+      "replay-absorption ledger: batch_id/batch_sig survive the " +
+      "rewrite, suppression still works, pending tombstones persist") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = Files.createTempDirectory("graft_cs").toString + "/sigs"
+    var emitted = Seq.empty[Long]
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingNearDup.processBatch(b, id, store, 1,
+        (novel, _) => emitted = novel.select("doc_id").as[Long]
+          .collect().sorted.toSeq)
+    run(Seq((1L, texts(1L)), (2L, texts(2L))).toDF("doc_id", "text"), 0L)
+    assert(emitted === Seq(1L, 2L))
+    // takedown of doc 1 + a pre-ingest takedown (id 99)
+    StreamingNearDup.deleteFromStore(spark,
+      Seq(1L, 99L).toDF("doc_id"), store)
+    assert(StreamingNearDup.compactStore(spark, store) === 2L)
+    // physical: the raw table no longer holds doc 1's signature
+    assert(spark.read.parquet(store)
+      .filter(col("doc_id") === 1L).isEmpty,
+      "the deleted signature survived the rewrite")
+    assert(spark.read.parquet(
+        s"$store/${StreamingNearDup.DeletedDir}")
+      .select("doc_id").as[Long].collect().toSet === Set(99L),
+      "settled tombstones reclaim, pending ones persist")
+    // replay-absorption survives the rewrite: the same batch id with
+    // the same content must re-emit WITHOUT appending a second
+    // generation of signatures
+    run(Seq((1L, texts(1L)), (2L, texts(2L))).toDF("doc_id", "text"), 0L)
+    assert(emitted === Seq(1L, 2L), "replay must re-emit")
+    assert(spark.read.parquet(store).count() === 1L,
+      "the replay double-appended after compaction — the " +
+        "batch_id/batch_sig ledger did not survive the rewrite")
+    // suppression semantics intact: copy of the survivor suppressed,
+    // copy of the taken-down text admitted
+    run(Seq((7L, texts(2L)), (8L, texts(1L))).toDF("doc_id", "text"), 1L)
+    assert(emitted === Seq(8L))
+    // re-compaction with no new takedowns: the pending tombstone is
+    // still pending (id 99 never arrived) — stays, files consolidated
+    assert(StreamingNearDup.compactStore(spark, store) === 1L)
+    assert(spark.read.parquet(
+        s"$store/${StreamingNearDup.DeletedDir}")
+      .select("doc_id").as[Long].collect().toSet === Set(99L))
+  }
+
+  test("Maintenance covers the corpus and near-dup store families: " +
+      "takedown debt past the threshold fires the sweep, debt " +
+      "settles to the pending-only residue") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_maint_cs").toString
+    val corpus = s"$root/docs"
+    val store = s"$root/sigs"
+    CorpusIngest.ingestBatch(docsDf.select(col("doc_id"), col("text")),
+      0L, corpus, store, minChars = 0, lang = "en", maxHamming = 1)
+    Corpus.takedown(spark, Seq(3L).toDF("doc_id"),
+      Corpus.TakedownTargets(corpusPath = Some(corpus),
+        nearDupStorePath = Some(store)))
+    for (fam <- Seq("corpus", "neardup_store");
+         path = if (fam == "corpus") corpus else store) {
+      val (d, fired) = Maintenance.maintainIndex(spark, path, fam,
+        Maintenance.Thresholds(maxTombstoneIds = 0L))
+      assert(fired && d.tombstoneIds === 1L, s"$fam: $d")
+      val after = Maintenance.compactionDebt(spark, path, fam)
+      assert(after.tombstoneIds === 0L && after.tombstoneFiles === 0L,
+        s"$fam debt must settle, got $after")
+    }
+    assert(CorpusIngest.readCorpus(spark, corpus)
+      .filter(col("doc_id") === 3L).isEmpty)
+  }
+
   test("the PQ read path applies the same tombstone table the raw IVF " +
       "serve masks on — a takedown against a PQ index is honored by " +
       "the ADC serve") {
