@@ -2731,7 +2731,11 @@ object MlQueries {
             concat(lit("Content-Length: "),
               octet_length(col("text")).cast("string"), lit("\r\n")))
             .otherwise(lit("")),
-          lit("\r\n"), col("text")).as("value"))
+          // spec-conformant record: payload followed by the \r\n\r\n
+          // record terminator (the byte-exact parser — r15 advice —
+          // validates it; the text sink's lineSep only supplies the
+          // NEXT record's header, never the terminator)
+          lit("\r\n"), col("text"), lit("\r\n\r\n")).as("value"))
         .write.mode("overwrite")
         .option("lineSep", graft.sources.WarcCorpus.RecordHeader)
         .text(path)
@@ -2753,6 +2757,56 @@ object MlQueries {
       |SELECT NULL, NULL, NULL, true AS corrupt
       |FROM documents WHERE doc_id % 97 = 3
       |ORDER BY corrupt, target_uri""".stripMargin
+
+  /** ns69 over GZIP-compressed WARC (r15 verdict item 2, the ns67b
+    * pattern): the same per-record broken-header fixture written as
+    * .gz files, read through [[graft.sources.WarcCorpus
+    * .readQuarantinedChecked]] — the checked front door, so this gate
+    * pins BOTH halves at once: the record split/validation is
+    * codec-independent (Hadoop decompresses before the custom-lineSep
+    * line reader), and the file-level probe (decode-through + WARC
+    * magic) passes clean members through untouched. The unreadable-
+    * FILE path (truncated gzip member, wrong magic) is
+    * WarcCorpusSpec's half. Layout note: a single-member .gz is one
+    * unsplittable task — crawl deliverers target ~128 MB members; the
+    * semantics gated here are identical either way.
+    */
+  val ns69bWarcGz: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "warc_gz")
+    if (ivfIndexWritten.add(path)) {
+      // each row carries its OWN leading record header (real WARC
+      // layout — the file begins with WARC/1.0, which is also what
+      // the checked probe's magic requires of the decoded stream);
+      // the read side splits on that same header, so the prefix
+      // yields one empty fragment per record (filtered) and the
+      // record bodies parse identically to ns69's
+      docs.select(concat(
+          lit(graft.sources.WarcCorpus.RecordHeader),
+          lit("WARC-Record-ID: urn:uuid:"), col("doc_id"), lit("\r\n"),
+          lit("WARC-Type: response\r\n"),
+          lit("WARC-Target-URI: http://corpus.local/doc/"),
+          col("doc_id"), lit("\r\n"),
+          when(col("doc_id") % 97 =!= 3,
+            concat(lit("Content-Length: "),
+              octet_length(col("text")).cast("string"), lit("\r\n")))
+            .otherwise(lit("")),
+          lit("\r\n"), col("text"), lit("\r\n\r\n")).as("value"))
+        .write.mode("overwrite")
+        .option("lineSep", graft.sources.WarcCorpus.RecordHeader)
+        .option("compression", "gzip")
+        .text(path)
+    }
+    graft.sources.WarcCorpus.readQuarantinedChecked(s, path,
+      s"${path}_file_rejects")
+      .select(col("target_uri"), col("content_length"),
+        length(col("payload")).as("n_chars"),
+        col(graft.sources.WarcCorpus.CorruptCol).isNotNull
+          .as("corrupt"))
+      .orderBy(col("corrupt"), col("target_uri"))
+  }
+
+  val ns69bWarcGzSql: String = ns69WarcSql
 
   // ------------------------------- ns68 unified takedown capstone
 
@@ -5628,6 +5682,7 @@ object MlQueries {
     "ns68_takedown" -> ns68Takedown,
     "ns68b_takedown_swept" -> ns68bTakedownSwept,
     "ns69_warc" -> ns69Warc,
+    "ns69b_warc_gz" -> ns69bWarcGz,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -5756,6 +5811,7 @@ object MlQueries {
     "ns68_takedown" -> ns68TakedownSql,
     "ns68b_takedown_swept" -> ns68TakedownSql,
     "ns69_warc" -> ns69WarcSql,
+    "ns69b_warc_gz" -> ns69bWarcGzSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,

@@ -122,17 +122,21 @@ object JsonlCorpus {
   }
 
   /** Validate one file the way the reader will consume it: open it,
-    * and for COMPRESSED files decode the stream to EOF (a truncated or
-    * garbled gzip member only fails mid-decompression — there is no
-    * cheaper sound check). Plain text files stop at open+first block:
-    * any byte sequence is valid lines for a text reader, so only
-    * open/read errors (missing file, permissions, IO) can kill them.
-    * Runs inside tasks with a fresh Hadoop Configuration — correct for
+    * optionally check a leading format magic (decode-through for WARC
+    * = decompress + the record header the split keys on — r15 verdict
+    * item 2's factoring), and for COMPRESSED files decode the stream
+    * to EOF (a truncated or garbled gzip member only fails
+    * mid-decompression — there is no cheaper sound check). Plain
+    * files without a magic stop at open+first block: any byte
+    * sequence is valid lines for a text reader, so only open/read
+    * errors (missing file, permissions, IO) can kill them. Runs
+    * inside tasks with a fresh Hadoop Configuration — correct for
     * local/HDFS-default deployments; a deployment with custom FS conf
     * would broadcast its own. Returns None when readable, the error
     * message otherwise.
     */
-  private def validateFile(f: String): Option[String] =
+  private[sources] def validateDecodeThrough(f: String,
+      magic: Array[Byte], magicErr: String): Option[String] =
     try {
       val conf = new org.apache.hadoop.conf.Configuration()
       val p = new org.apache.hadoop.fs.Path(f)
@@ -141,18 +145,45 @@ object JsonlCorpus {
         conf).getCodec(p)
       val raw = fs.open(p)
       try {
-        val buf = new Array[Byte](65536)
-        if (codec == null) { raw.read(buf); () }
-        else {
-          val in = codec.createInputStream(raw)
-          try { while (in.read(buf) >= 0) () } finally in.close()
-        }
-        None
+        val in: java.io.InputStream =
+          if (codec == null) raw else codec.createInputStream(raw)
+        try {
+          val magicFail =
+            if (magic.isEmpty) None
+            else {
+              // fill exactly |magic| DECODED bytes (short reads legal)
+              val head = new Array[Byte](magic.length)
+              var got = 0
+              var n = in.read(head, got, head.length - got)
+              while (n > 0 && got + n < head.length) {
+                got += n
+                n = in.read(head, got, head.length - got)
+              }
+              if (n > 0) got += n
+              if (got < magic.length ||
+                !java.util.Arrays.equals(head, magic)) Some(magicErr)
+              else None
+            }
+          if (magicFail.isDefined) magicFail
+          else {
+            val buf = new Array[Byte](65536)
+            if (codec == null) { in.read(buf); () }
+            else while (in.read(buf) >= 0) ()
+            None
+          }
+        } finally in.close()
       } finally raw.close()
     } catch {
       case scala.util.control.NonFatal(e) =>
         Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
     }
+
+  /** The JSONL per-file validator: decode-through, no format magic (a
+    * JSON line file has none — line-level damage is the line
+    * quarantine's job).
+    */
+  private def validateFile(f: String): Option[String] =
+    validateDecodeThrough(f, Array.emptyByteArray, "")
 
   /** One row per data file under `dir`: (file, ok, err). The probe is
     * DISTRIBUTED (one task per file batch) because compressed files
@@ -165,7 +196,15 @@ object JsonlCorpus {
     * Deployments that cannot afford the pass run it once in the
     * landing zone ([[admitFiles]]) instead of per read.
     */
-  def probeFiles(spark: SparkSession, dir: String): DataFrame = {
+  def probeFiles(spark: SparkSession, dir: String): DataFrame =
+    probeFilesWith(spark, dir, validateFile)
+
+  /** [[probeFiles]] parameterized on the per-file validator — the
+    * piece each front door swaps ([[WarcCorpus.probeFiles]] plugs a
+    * decode-through + WARC-magic check into the same machinery).
+    */
+  private[sources] def probeFilesWith(spark: SparkSession, dir: String,
+      validate: String => Option[String]): DataFrame = {
     import spark.implicits._
     val files = listDataFiles(spark, dir)
     if (files.isEmpty)
@@ -174,9 +213,46 @@ object JsonlCorpus {
       spark.sparkContext
         .parallelize(files, math.min(files.size, 32))
         .map { f =>
-          val err = validateFile(f)
+          val err = validate(f)
           (f, err.isEmpty, err.orNull)
         }.toDF("file", "ok", "err")
+  }
+
+  /** Append (file, ok, err) evidence rows, DEDUPED against what the
+    * rejects table already holds (r15 advice): without this, every
+    * re-read of a directory whose bad file is still in place re-appends
+    * identical rows and the evidence grows unboundedly. Key is
+    * (file, err) — a path re-observed with a DIFFERENT failure (file
+    * replaced, move-failure vs decode-failure) still records, an
+    * identical observation absorbs.
+    */
+  private[sources] def appendFileRejects(spark: SparkSession,
+      rows: DataFrame, fileRejectsPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(fileRejectsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(p)) rows
+      else rows.join(
+        spark.read.parquet(fileRejectsPath).select(col("file"),
+          col("err")),
+        Seq("file", "err"), "left_anti")
+    if (!fresh.isEmpty)
+      fresh.write.mode("append").parquet(fileRejectsPath)
+  }
+
+  /** Probe `dir` with `validate`, record the unreadable files (deduped)
+    * in the rejects table, and return the survivors' paths — the
+    * shared front half of every checked read.
+    */
+  private[sources] def checkedGoodFiles(spark: SparkSession, dir: String,
+      fileRejectsPath: String, validate: String => Option[String])
+      : Seq[String] = {
+    import spark.implicits._
+    val probe = probeFilesWith(spark, dir, validate).localCheckpoint()
+    val bad = probe.filter(!col("ok"))
+    if (!bad.isEmpty) appendFileRejects(spark, bad, fileRejectsPath)
+    probe.filter(col("ok")).select("file").as[String].collect()
+      .toIndexedSeq
   }
 
   /** [[readQuarantined]] with the file-level dead-letter in front:
@@ -190,26 +266,26 @@ object JsonlCorpus {
     */
   def readQuarantinedChecked(spark: SparkSession, dir: String,
       schema: StructType, fileRejectsPath: String): DataFrame = {
-    import spark.implicits._
-    val probe = probeFiles(spark, dir).localCheckpoint()
-    val bad = probe.filter(!col("ok"))
-    if (!bad.isEmpty)
-      bad.write.mode("append").parquet(fileRejectsPath)
-    val good = probe.filter(col("ok"))
-      .select("file").as[String].collect()
+    // hoisted above the branch (r15 advice): with every file bad, the
+    // survivors branch never ran and a reserved-name schema reached
+    // `schema.add(CorruptCol, ...)` below — a duplicate-column empty
+    // frame instead of this loud refusal
+    require(schema.fields.nonEmpty,
+      "need at least one schema field to parse")
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema may not use the reserved quarantine column $CorruptCol")
+    val good = checkedGoodFiles(spark, dir, fileRejectsPath,
+      validateFile)
     if (good.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[
           org.apache.spark.sql.Row],
         schema.add(CorruptCol, StringType, nullable = true))
-    else {
-      require(!schema.fieldNames.contains(CorruptCol),
-        s"schema may not use the reserved quarantine column $CorruptCol")
+    else
       allNullQuarantine(spark.read
         .schema(schema.add(CorruptCol, StringType, nullable = true))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CorruptCol)
-        .json(good.toIndexedSeq: _*), schema)
-    }
+        .json(good: _*), schema)
   }
 
   /** The STREAMING form of the file-level dead-letter: a landing-zone
@@ -234,33 +310,65 @@ object JsonlCorpus {
     * way.
     */
   def admitFiles(spark: SparkSession, landingDir: String,
-      feedDir: String, fileRejectsPath: String): (Long, Long) = {
+      feedDir: String, fileRejectsPath: String): (Long, Long) =
+    admitFilesWith(spark, landingDir, feedDir, fileRejectsPath,
+      validateFile)
+
+  /** [[admitFiles]] parameterized on the per-file validator (shared
+    * with [[WarcCorpus.admitFiles]] — r15 verdict item 2). Rename
+    * results are CHECKED (r15 advice): a move that fails (name
+    * collision in the feed or quarantine dir — the same filename
+    * delivered twice) leaves the file in the landing zone, is
+    * EXCLUDED from the returned counts, and records a move-failed
+    * evidence row — without this the file was counted admitted yet
+    * silently re-probed and re-failed on every sweep forever.
+    */
+  private[sources] def admitFilesWith(spark: SparkSession,
+      landingDir: String, feedDir: String, fileRejectsPath: String,
+      validate: String => Option[String]): (Long, Long) = {
     import spark.implicits._
-    val probe = probeFiles(spark, landingDir).localCheckpoint()
+    val probe = probeFilesWith(spark, landingDir, validate)
+      .localCheckpoint()
     val fs = new org.apache.hadoop.fs.Path(landingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val feed = new org.apache.hadoop.fs.Path(feedDir)
     fs.mkdirs(feed)
     val quarantineDir =
       new org.apache.hadoop.fs.Path(s"$fileRejectsPath/_files")
-    val bad = probe.filter(!col("ok"))
-    if (!bad.isEmpty) {
-      bad.write.mode("append").parquet(fileRejectsPath)
-      fs.mkdirs(quarantineDir)
-      bad.select("file").as[String].collect().foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        fs.rename(p,
-          new org.apache.hadoop.fs.Path(quarantineDir, p.getName))
-        ()
-      }
-    }
-    val good = probe.filter(col("ok")).select("file").as[String].collect()
-    good.foreach { f =>
+    // no-overwrite move: HDFS rename returns false on an existing
+    // destination but the local/posix filesystems silently REPLACE it
+    // — an explicit existence check pins the no-clobber semantics on
+    // every filesystem (the residual check-to-rename window is the
+    // usual directory-table honesty; it shrinks the exposure from
+    // "always overwrites" to one race)
+    def move(f: String, into: org.apache.hadoop.fs.Path): Boolean = {
       val p = new org.apache.hadoop.fs.Path(f)
-      fs.rename(p, new org.apache.hadoop.fs.Path(feed, p.getName))
-      ()
+      val target = new org.apache.hadoop.fs.Path(into, p.getName)
+      !fs.exists(target) && fs.rename(p, target)
     }
-    (good.length.toLong, bad.count())
+    val bad = probe.filter(!col("ok"))
+    val movedBad =
+      if (bad.isEmpty) Array.empty[(String, Boolean)]
+      else {
+        appendFileRejects(spark, bad, fileRejectsPath)
+        fs.mkdirs(quarantineDir)
+        bad.select("file").as[String].collect()
+          .map(f => f -> move(f, quarantineDir))
+      }
+    val movedGood = probe.filter(col("ok")).select("file").as[String]
+      .collect().map(f => f -> move(f, feed))
+    val moveFailed = (movedBad ++ movedGood).collect {
+      case (f, false) => f
+    }
+    if (moveFailed.nonEmpty)
+      appendFileRejects(spark,
+        moveFailed.toIndexedSeq
+          .map(f => (f, false,
+            "rename out of the landing zone failed (name collision " +
+              "in the target dir?) — file remains in the landing zone"))
+          .toDF("file", "ok", "err"),
+        fileRejectsPath)
+    (movedGood.count(_._2).toLong, movedBad.count(_._2).toLong)
   }
 
   /** The quarantine: one (raw line) row per malformed input line —

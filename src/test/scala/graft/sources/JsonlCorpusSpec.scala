@@ -166,6 +166,23 @@ class JsonlCorpusSpec extends SparkSpec {
       val empty = JsonlCorpus.readQuarantinedChecked(spark, allBad,
         schema, rejects)
       assert(empty.isEmpty && empty.columns.contains("doc_id"))
+      // r15 advice: the reserved-name refusal is hoisted above the
+      // branch — with every file bad it must still fail LOUDLY, not
+      // return a duplicate-column empty frame
+      val e = intercept[IllegalArgumentException] {
+        JsonlCorpus.readQuarantinedChecked(spark, allBad,
+          schema.add(JsonlCorpus.CorruptCol, StringType), rejects)
+      }
+      assert(e.getMessage.contains(JsonlCorpus.CorruptCol))
+      // r15 advice: re-reading the same directory must not grow the
+      // rejects table — identical (file, err) evidence absorbs
+      val before = spark.read.parquet(rejects).count()
+      JsonlCorpus.readQuarantinedChecked(spark, dir, schema, rejects)
+        .collect()
+      JsonlCorpus.readQuarantinedChecked(spark, allBad, schema, rejects)
+        .collect()
+      assert(spark.read.parquet(rejects).count() === before,
+        "repeated checked reads must not duplicate reject evidence")
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       ()
@@ -209,6 +226,28 @@ class JsonlCorpusSpec extends SparkSpec {
       assert(JsonlCorpus.goodRows(JsonlCorpus.readQuarantined(spark,
         feed, schema)).select("doc_id").as[Long].collect().sorted
         .toSeq === Seq(1L, 2L))
+      // r15 advice: a name collision in the feed (same filename
+      // delivered twice) makes the rename FAIL — the file must be
+      // excluded from the admitted count, left in the landing zone,
+      // and recorded with a move-failed error, never silently counted
+      // admitted while it re-probes forever
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$landing/a.jsonl"),
+        """{"doc_id":9,"source":"web","text":"redelivered"}""".getBytes)
+      assert(JsonlCorpus.admitFiles(spark, landing, feed, rejects)
+        === ((0L, 0L)),
+        "a collision-blocked file counts neither admitted nor rejected")
+      assert(new java.io.File(s"$landing/a.jsonl").exists,
+        "the blocked file stays in the landing zone")
+      val moveFailed = spark.read.parquet(rejects)
+        .filter(col("err").contains("rename"))
+        .select("file").as[String].collect()
+      assert(moveFailed.exists(_.endsWith("a.jsonl")),
+        "the move failure must be recorded as evidence")
+      // and the feed's committed content is untouched
+      assert(JsonlCorpus.goodRows(JsonlCorpus.readQuarantined(spark,
+        s"$feed/a.jsonl", schema)).select("doc_id").as[Long].collect()
+        .toSeq === Seq(1L))
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       ()
