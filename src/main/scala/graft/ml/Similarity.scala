@@ -2888,7 +2888,20 @@ object Similarity {
     */
   def queryIvfIndexPaths(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], queries: DataFrame, cents: DataFrame, k: Int,
-      probes: Int): DataFrame = {
+      probes: Int): DataFrame =
+    queryIvfCore(spark, paths, queries, cents, k, probes, 0L)
+
+  /** The shared raw-IVF serve body: [[queryIvfIndexPaths]] with an
+    * optional per-cell candidate cap (0 = exact). The cap prunes the
+    * JOIN INPUT — [[Corpus.cappedIdPrefix]]'s monotone-bucket
+    * smallest-vec_id prefix per probed cell, the exact plan shape the
+    * PQ router's capped branch uses ([[queryIvfPqCore]]) — so one hot
+    * cell contributes ≤ cap rows to every probe instead of its whole
+    * population.
+    */
+  private def queryIvfCore(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], queries: DataFrame, cents: DataFrame, k: Int,
+      probes: Int, cellCandidateCap: Long): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
     require(paths.nonEmpty, "need at least one index table")
     val qr = assignRanked(withNorm(queries), cents, probes)
@@ -2896,7 +2909,7 @@ object Similarity {
         col("nrm").as("na"), col("cell"))
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
-    val index = maskDeleted(spark, paths, paths.map { p =>
+    val pruned = maskDeleted(spark, paths, paths.map { p =>
       spark.read.parquet(p)
         .filter(col("cell").isin(cells.map(x => x: Any): _*))
         // directory-name type inference reads `cell=5` back as int —
@@ -2904,6 +2917,14 @@ object Similarity {
         .select(col("vec_id").as("j"), col("e").as("eb"),
           col("nrm").as("nb"), col("cell").cast("long").as("cell"))
     }.reduce(_.unionByName(_)), "j")
+    val index =
+      if (cellCandidateCap <= 0L) pruned
+      // localCheckpoint the capped set (≤ cap·|probed cells| rows):
+      // the serve join then consumes a materialized table with exact
+      // stats instead of re-executing the rank subplan per consumer
+      // (the queryIvfPqCore discipline)
+      else Corpus.cappedIdPrefix(pruned, "j", Seq("cell"),
+        cellCandidateCap).localCheckpoint()
     val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
     qr.join(index, Seq("cell")).filter(col("i") =!= col("j"))
       .withColumn("cos", pairCos)
@@ -2911,6 +2932,70 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("i"), col("rk"), col("j"), col("cos"))
+  }
+
+  /** The raw-IVF-serve ROUTER (r15 verdict item 1) — the LAST serving
+    * tier without one: [[queryIvfIndex]] scans every alive row of the
+    * probed cells, and its own bare bench sibling measured that serve
+    * superlinear (exp 1.02, BASELINE.md round-15 scale rows) once a
+    * 70%-hot clustered corpus concentrates the probes, while the PQ
+    * ([[pqTopKServedAuto]]), binary ([[binaryTopKServedAuto]]) and
+    * BM25 ([[graft.ml.Retrieval.queryBm25IndexAuto]]) serves all
+    * route. Mirrors pqTopKServedAuto exactly: ONE bounded aggregate
+    * over the ≤ nCells (probe-hit, alive-stored-row) cell counts
+    * measures the candidate volume, integer-exactly scaled so the
+    * budget reads per-query (`cand · probes > budget · probe_rows` ⇔
+    * cand > budget · nq); under budget the EXACT serve runs UNCHANGED
+    * (bit-identical to [[queryIvfIndex]], ns8d's oracle); past it
+    * each probed cell's candidate side is capped to its
+    * `cellCandidateCap` smallest-vec_id rows ([[Corpus
+    * .cappedIdPrefix]] — per-cell ranks, no single-task hot-cell
+    * sort). The recall contract is [[ivfTopKAuto]]'s: within a hot
+    * cell only the cap-prefix rows are findable — honest budget
+    * degradation; a cell that hot needed [[semDedupAuto]] upstream.
+    * Serves the BASE root only — refuses while the streamed-appends
+    * sibling holds un-folded data (fold first, or serve through
+    * [[graft.streaming.VectorIngest.queryServed]]). The routing
+    * scalar and BOTH branches restate in the oracle (ns8j, the
+    * ns7l/ns8i/ns7j house pattern).
+    */
+  def queryIvfIndexAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, cents: DataFrame, k: Int,
+      probes: Int, cellCandidateCap: Long,
+      budgetCandidatesPerQuery: Long = 256L): DataFrame = {
+    require(cellCandidateCap > 0L,
+      "the routed form needs a positive cellCandidateCap to engage")
+    require(budgetCandidatesPerQuery > 0L,
+      "budgetCandidatesPerQuery must be positive")
+    require(!streamSiblingHoldsData(
+        new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(path + StreamSiblingSuffix)),
+      s"queryIvfIndexAuto: streamed-appends sibling " +
+        s"$path$StreamSiblingSuffix holds un-folded data — serving " +
+        "the base alone would omit streamed vectors; fold first (or " +
+        "serve through VectorIngest.queryServed)")
+    // the measurement: probe hits per cell × ALIVE stored rows per
+    // cell (tombstone-masked — exactly what the serve scores), folded
+    // into one decimal-widened scalar (the r12 silent-wrap rule)
+    val qc = assignRanked(withNorm(queries), cents, probes)
+      .groupBy(col("cell")).agg(count(lit(1)).as("qn"))
+    val ic = maskDeleted(spark, Seq(path),
+        spark.read.parquet(path).select(col("vec_id"), col("cell")),
+        "vec_id")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("cn"))
+    val st = qc.join(ic, Seq("cell"), "left")
+      .agg(
+        coalesce(sum(col("qn").cast("decimal(38,0)") *
+          coalesce(col("cn"), lit(0L))),
+          lit(0).cast("decimal(38,0)")).as("cand"),
+        coalesce(sum(col("qn")), lit(0L)).as("probe_rows"))
+      .head()
+    val hot = BigDecimal(st.getDecimal(0)) * probes >
+      BigDecimal(budgetCandidatesPerQuery) * st.getLong(1)
+    queryIvfCore(spark, Seq(path), queries, cents, k, probes,
+      if (hot) cellCandidateCap else 0L)
   }
 
   /** Top principal component of the (mean-centered) embedding cloud by

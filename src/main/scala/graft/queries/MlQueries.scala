@@ -1560,6 +1560,124 @@ object MlQueries {
   val ns8dbIvfServeBareSql: String =
     ivfMultiProbeSql(duckSeedCents16, recall = false)
 
+  /** The raw-IVF-serve ROUTER ([[Similarity.queryIvfIndexAuto]] — r15
+    * verdict item 1, closing the LAST serving tier without one):
+    * ns8d's own serve with the candidate volume measured as
+    * Σ probe-hits(cell)·|alive cell| and compared per-query
+    * (cand·probes > budget·probe_rows). The oracle restates the
+    * measurement and BOTH branches — the exact crk=1 candidate join
+    * (ns8d's) and the capped smallest-vec_id per-cell prefix —
+    * selected by the same scalar (the ns7l/ns8i/ns7j house pattern).
+    * Budget 64/query: this fixture measures ~94 candidates/query
+    * (sf0.1: ~376), so the router goes HOT and the CAPPED branch is
+    * the one hash-proven live (the ns7k discipline); the exact branch
+    * is MlSpec's half (under-budget ≡ queryIvfIndex bit-for-bit).
+    */
+  val ns8jIvfServedAuto: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index")
+    if (ivfIndexWritten.add(path))
+      Similarity.writeIvfIndex(emb, cents, path)
+    Similarity.withRecall(
+      Similarity.queryIvfIndexAuto(s, path, emb, cents, k = 5,
+        probes = 3, cellCandidateCap = 50L,
+        budgetCandidatesPerQuery = 64L),
+      Similarity.bruteTopK(emb, k = 5), sampleMod = 5)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  /** [[ns8jIvfServedAuto]]'s bare serve: the routed raw-IVF
+    * self-search alone — the bench row that tracks the OPERATOR the
+    * r15 verdict flagged (ns8d_b read exp 1.02 superlinear on the
+    * clustered tier; this sibling's scale row shows the routed serve
+    * flat there).
+    */
+  val ns8jbIvfServeAutoBare: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.seedCentroids(emb, nCells = 16)
+    val path = RelationalQueries.zOrderedTablePath(s, dir, "ivf_index")
+    if (ivfIndexWritten.add(path))
+      Similarity.writeIvfIndex(emb, cents, path)
+    Similarity.queryIvfIndexAuto(s, path, emb, cents, k = 5,
+      probes = 3, cellCandidateCap = 50L,
+      budgetCandidatesPerQuery = 64L)
+      .orderBy(col("i"), col("rk"))
+  }
+
+  /** ns8j's oracle: ns8c/ns8d's ranked-assignment restatement with the
+    * router condition and both branches spliced in (budget 64, probes
+    * 3, cap 50 — the entry's literals).
+    */
+  private def ns8jRouterSql(recall: Boolean): String = {
+    val tail =
+      if (recall)
+        s"""${sampledRecallSql("nz")}
+          |SELECT coalesce(ap.i, r.i) AS i, ap.rk, ap.j, ap.cos, r.recall
+          |FROM approx ap FULL JOIN recalls r ON ap.i = r.i
+          |ORDER BY 1, 2""".stripMargin
+      else
+        """nothing AS (SELECT 1)
+          |SELECT i, rk, j, cos FROM approx ORDER BY 1, 2""".stripMargin
+    s"""WITH $duckNonZeroEmb,
+      |$duckSeedCents16,
+      |ranked AS (
+      |  SELECT vec_id, cell, crk FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(
+      |          v.embedding::DOUBLE[], c.ce::DOUBLE[]), 6) DESC,
+      |          c.cell) AS crk
+      |    FROM nz v CROSS JOIN cents c) WHERE crk <= 3
+      |), qcell AS (
+      |  SELECT cell, count(*) AS qn FROM ranked GROUP BY 1
+      |), icell AS (
+      |  SELECT cell, count(*) AS cn FROM ranked WHERE crk = 1
+      |  GROUP BY 1
+      |), cond AS (
+      |  SELECT coalesce(sum(qn::HUGEINT * coalesce(cn, 0)), 0) * 3 >
+      |    64 * coalesce(sum(qn), 0) AS hot
+      |  FROM qcell LEFT JOIN icell USING (cell)
+      |), kept AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+      |      ORDER BY vec_id) AS cr
+      |    FROM ranked WHERE crk = 1) WHERE cr <= 50
+      |), approx_exact AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT q.vec_id AS i, ix.vec_id AS j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, ix.vec_id) AS rk
+      |    FROM ranked q JOIN ranked ix
+      |      ON q.cell = ix.cell AND ix.crk = 1 AND q.vec_id <> ix.vec_id
+      |    JOIN nz a ON a.vec_id = q.vec_id
+      |    JOIN nz b ON b.vec_id = ix.vec_id)
+      |  WHERE rk <= 5 AND NOT (SELECT hot FROM cond)
+      |), approx_capped AS (
+      |  SELECT i, rk, j, cos FROM (
+      |    SELECT q.vec_id AS i, ix.vec_id AS j,
+      |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |        b.embedding::DOUBLE[]), 6) AS cos,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |          b.embedding::DOUBLE[]), 6) DESC, ix.vec_id) AS rk
+      |    FROM ranked q JOIN kept ix
+      |      ON q.cell = ix.cell AND q.vec_id <> ix.vec_id
+      |    JOIN nz a ON a.vec_id = q.vec_id
+      |    JOIN nz b ON b.vec_id = ix.vec_id)
+      |  WHERE rk <= 5 AND (SELECT hot FROM cond)
+      |), approx AS (
+      |  SELECT * FROM approx_exact UNION ALL SELECT * FROM approx_capped
+      |),
+      |$tail""".stripMargin
+  }
+
+  val ns8jIvfServedAutoSql: String = ns8jRouterSql(recall = true)
+  val ns8jbIvfServeAutoBareSql: String = ns8jRouterSql(recall = false)
+
   /** IVF ANN — "approximate" only in the sense that cell pruning loses
     * recall vs brute force; given its DETERMINISTIC seed centroids the
     * result is a pure function of the data, so since r9 the entire
@@ -5661,6 +5779,8 @@ object MlQueries {
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbe,
     "ns8d_sim_ivf_served" -> ns8dSimIvfServed,
     "ns8d_b_ivf_serve" -> ns8dbIvfServeBare,
+    "ns8j_ivf_served_auto" -> ns8jIvfServedAuto,
+    "ns8j_b_ivf_serve_auto" -> ns8jbIvfServeAutoBare,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppended,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeleted,
     "ns8g_sim_ivf_compacted" -> ns8gSimIvfCompacted,
@@ -5790,6 +5910,8 @@ object MlQueries {
     "ns8c_sim_ivf_multiprobe" -> ns8cSimIvfMultiProbeSql,
     "ns8d_sim_ivf_served" -> ns8cSimIvfMultiProbeSql,
     "ns8d_b_ivf_serve" -> ns8dbIvfServeBareSql,
+    "ns8j_ivf_served_auto" -> ns8jIvfServedAutoSql,
+    "ns8j_b_ivf_serve_auto" -> ns8jbIvfServeAutoBareSql,
     "ns8e_sim_ivf_appended" -> ns8eSimIvfAppendedSql,
     "ns8f_sim_ivf_deleted" -> ns8fSimIvfDeletedSql,
     "ns8g_sim_ivf_compacted" -> ns8fSimIvfDeletedSql,

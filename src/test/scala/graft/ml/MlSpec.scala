@@ -668,6 +668,16 @@ class MlSpec extends SparkSpec {
           refine = 20, probes = 1, cellCandidateCap = 50L,
           budgetCandidatesPerQuery = 1L),
         "cell", inPlan = false)
+      // the raw-IVF serve router (r15 verdict item 1) — same
+      // localCheckpointed capped set, same no-bare-window contract
+      val pathRaw = tmp.resolve("idx_raw").toString
+      Similarity.writeIvfIndex(embs,
+        Similarity.seedCentroids(embs, 2), pathRaw)
+      assertCapShape("queryIvfIndexAuto",
+        Similarity.queryIvfIndexAuto(spark, pathRaw, embs,
+          Similarity.seedCentroids(embs, 2), k = 5, probes = 1,
+          cellCandidateCap = 50L, budgetCandidatesPerQuery = 1L),
+        "cell", inPlan = false)
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       ()
@@ -719,6 +729,66 @@ class MlSpec extends SparkSpec {
         .flatMap { case (_, ms) => ms.map(_._1).sorted.take(10) }.toSet
       assert(capped.forall(r => prefix(r._3)),
         "a capped neighbor fell outside the per-cell id prefix")
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("queryIvfIndexAuto routes by measured probe-hit × cell volume " +
+      "(r15 verdict item 1): under budget it equals the dedicated " +
+      "raw-IVF serve bit-for-bit; past it the per-cell id-prefix cap " +
+      "engages — every query still answered, capped neighbors only " +
+      "from the prefix; un-folded stream siblings refused") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_auto")
+    try {
+      val path = tmp.resolve("idx").toString
+      val cents = Similarity.seedCentroids(embs, 16)
+      Similarity.writeIvfIndex(embs, cents, path)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("i"), col("rk"), col("j"), col("cos"))
+          .as[(Long, Int, Long, Double)].collect().toSet
+      val exact = rows(Similarity.queryIvfIndex(spark, path, embs,
+        cents, k = 5, probes = 2))
+      // cool: the measured volume sits far under a huge budget
+      assert(rows(Similarity.queryIvfIndexAuto(spark, path, embs,
+        cents, k = 5, probes = 2, cellCandidateCap = 10L,
+        budgetCandidatesPerQuery = 1000000L)) === exact,
+        "under-budget serve must equal the dedicated raw-IVF serve")
+      // hot with a NON-BINDING cap: the capped branch runs and still
+      // equals the exact serve (prefix covers every cell)
+      assert(rows(Similarity.queryIvfIndexAuto(spark, path, embs,
+        cents, k = 5, probes = 2, cellCandidateCap = 100000L,
+        budgetCandidatesPerQuery = 1L)) === exact,
+        "non-binding cap must change nothing on the hot route")
+      // hot with a BINDING cap: results differ, every query is still
+      // answered, and every neighbor comes from its cell's
+      // 10-smallest-vec_id candidate prefix
+      val capped = rows(Similarity.queryIvfIndexAuto(spark, path, embs,
+        cents, k = 5, probes = 2, cellCandidateCap = 10L,
+        budgetCandidatesPerQuery = 1L))
+      assert(capped !== exact,
+        "cap 10 did not bind on this fixture; contract untested")
+      assert(capped.map(_._1) === exact.map(_._1),
+        "every query must still be answered under the cap")
+      val prefix = spark.read.parquet(path)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().toSeq.groupBy(_._2)
+        .flatMap { case (_, ms) => ms.map(_._1).sorted.take(10) }.toSet
+      assert(capped.forall(r => prefix(r._3)),
+        "a capped neighbor fell outside the per-cell id prefix")
+      // the binaryTopKServedAuto refusal, inherited: an un-folded
+      // streamed sibling would be invisible to the routed serve
+      graft.streaming.VectorIngest.ingestBatch(
+        embs.limit(3), 0L, path)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.queryIvfIndexAuto(spark, path, embs, cents, k = 5,
+          probes = 2, cellCandidateCap = 10L,
+          budgetCandidatesPerQuery = 1L)
+      }
+      assert(e.getMessage.contains("un-folded"),
+        s"expected the un-folded-sibling refusal, got: ${e.getMessage}")
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       ()
