@@ -578,6 +578,51 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("current"))
       .orderBy(col("event_id"))
 
+  /** Hard-forget for the SCD2 world ([[graft.scd.Versioning.forget]]
+    * — r15 verdict item 3): the persisted version-history table is
+    * built once (q20's current-flag pipeline), then a GDPR erasure of
+    * every `user_id % 13 = 5` key physically rewrites it through the
+    * staged-uuid-swap, and the read-back gates against the oracle's
+    * closed-form restatement: the current flags computed over the
+    * FULL history, minus the forgotten keys' rows — erasure removes
+    * whole keys and never re-flags survivors (their one-current
+    * invariant is VersioningSpec's half, along with the audit/queue
+    * cascade, idempotent replay, and crash-mid-rewrite convergence).
+    * Runs the forget EVERY call: the second call in a JVM removes 0
+    * rows and rewrites nothing — idempotence exercised live under the
+    * hash gate.
+    */
+  val ns70Scd2Forget: Q = (s, dir) => {
+    val path = zOrderedTablePath(s, dir, "scd2_history_forget")
+    if (zOrderedWritten.add(path))
+      graft.scd.Versioning.withCurrentFlag(
+        Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("current"))
+        .write.mode("overwrite").parquet(path)
+    val ids = Tables.events(s, dir)
+      .filter(col("user_id") % 13 === 5)
+      .select(col("user_id")).distinct()
+    // loud fixture guard (the ns68 discipline): an empty erase set
+    // would gate nothing — fail on testdata drift, don't hash-diverge
+    require(!ids.isEmpty,
+      "ns70 fixture drift: no user_id % 13 == 5 in events")
+    graft.scd.Versioning.forget(s, ids,
+      graft.scd.Versioning.ForgetTargets(historyPath = Some(path)),
+      key = "user_id")
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("current"))
+      .orderBy(col("event_id"))
+  }
+
+  val ns70Scd2ForgetSql: String =
+    """SELECT event_id, user_id, current FROM (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END
+      |      AS current
+      |  FROM events)
+      |WHERE user_id % 13 <> 5 ORDER BY event_id""".stripMargin
+
   /** Aggregate-over-frame: per-user running sum ordered by event time. */
   val q21RunningSum: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
@@ -2977,6 +3022,7 @@ object RelationalQueries {
     "q19_stats_agg" -> q19StatsAgg,
     "q19b_approx_distinct" -> q19bApproxDistinct,
     "q20_scd2_current" -> q20Scd2Current,
+    "ns70_scd2_forget" -> ns70Scd2Forget,
     "q20b_scd2_current_agg" -> q20bScd2CurrentAgg,
     "q21_running_sum" -> q21RunningSum,
     "q22_lag_lead" -> q22LagLead,
@@ -3076,6 +3122,7 @@ object RelationalQueries {
     "q18_string_agg" -> q18StringAggSql,
     "q19_stats_agg" -> q19StatsAggSql,
     "q20_scd2_current" -> q20Scd2CurrentSql,
+    "ns70_scd2_forget" -> ns70Scd2ForgetSql,
     "q20b_scd2_current_agg" -> q20Scd2CurrentSql,
     "q21_running_sum" -> q21RunningSumSql,
     "q22_lag_lead" -> q22LagLeadSql,

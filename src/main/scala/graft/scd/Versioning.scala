@@ -187,4 +187,139 @@ object Versioning {
     df.groupBy(col(key))
       .agg(sum(col("current")).as("n_current"))
       .filter(col("n_current") =!= 1)
+
+  // --------------------------------------- hard-forget (r15 item 3)
+
+  /** The persisted tables one GDPR erasure must reach — every path
+    * optional, so a deployment names exactly the stores it runs:
+    * the SCD2 version-history table, the completed-events audit table
+    * (PodioApiGateway.py:139-141's collection), and the pending event
+    * queue (PodioApiGateway.py:86). The corpus world's counterpart is
+    * [[graft.ml.Corpus.TakedownTargets]].
+    */
+  final case class ForgetTargets(
+      historyPath: Option[String] = None,
+      auditPath: Option[String] = None,
+      queuePath: Option[String] = None) {
+    def paths: Seq[String] =
+      Seq(historyPath, auditPath, queuePath).flatten
+  }
+
+  private[scd] val ForgetStageDir = "_graft_forget_stage"
+
+  /** The per-table forgotten-ids ledger sibling — the compliance
+    * evidence an erasure leaves behind (ids only, no erased data).
+    */
+  private[graft] val ForgottenDir = "_graft_forgotten"
+
+  /** Hard-forget for the CRM/SCD2 world (r15 verdict item 3): ONE key
+    * set erased PHYSICALLY — every version, not a soft tombstone —
+    * from each named table, while surviving keys' rows (and so the
+    * one-current invariant) are untouched byte-for-byte. The corpus
+    * world has [[graft.ml.Corpus.takedown]] (mask + compact); the
+    * reference-semantics world had only [[softDelete]]'s T9 tombstone
+    * and [[pruneVersions]]' newest-N policy — neither satisfies a
+    * GDPR/right-to-erasure request, which demands the bytes GONE from
+    * history, audit trail, and pending queue alike.
+    *
+    * Per table, the [[graft.streaming.CorpusIngest.compactCorpus]]
+    * staged-uuid-swap crash contract: the key set lands in the
+    * table's [[ForgottenDir]] ledger FIRST (durable intent +
+    * compliance evidence, deduped so replays never grow it),
+    * survivors stage durably under [[ForgetStageDir]], the
+    * `_GRAFT_STAGE_ID` uuid marker is the commit point, and the apply
+    * moves staged files in under `graftf-<uuid>-` names before
+    * deleting old data files — a crash anywhere is repaired by
+    * REPLAYING THE SAME CALL: a committed stage finishes first, an
+    * uncommitted one is debris, an already-erased table removes 0
+    * rows and rewrites nothing. Erased keys are NOT blocked from
+    * re-ingest, deliberately: CRM keys are source-assigned, and a
+    * person who re-consents legitimately reappears under their old
+    * item_id — the ledger (which keeps every erased id) is the
+    * compliance record, and a deployment whose policy demands
+    * re-admission blocking anti-joins its ingest against it.
+    *
+    * Single-writer maintenance op (pause the load stream for the
+    * table being rewritten); readers inside the apply window may see
+    * a row twice (old ∪ new), never a gap. Cost shape at scale: one
+    * ledger append + one anti-join rewrite per table — at 100 TB the
+    * history table is bucketed by key, so the anti-join is map-side
+    * against the broadcast id set. Returns the number of rows
+    * physically removed across all targets.
+    */
+  def forget(spark: org.apache.spark.sql.SparkSession,
+      itemIds: DataFrame, targets: ForgetTargets,
+      key: String = "item_id"): Long = {
+    require(targets.paths.nonEmpty,
+      "forget: no target tables named — nothing would be erased")
+    val ids = itemIds.select(
+        when(col(key).isNotNull, col(key))
+          .otherwise(raise_error(
+            lit("forget: null key in erase batch"))).as(key))
+      .distinct().localCheckpoint()
+    targets.paths.map(p => forgetFrom(spark, ids, p, key)).sum
+  }
+
+  private def forgetFrom(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, path: String, key: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"forget: no table at $path")
+    val stage = new org.apache.hadoop.fs.Path(root, ForgetStageDir)
+    val sid = new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")
+    // finish a crashed committed apply, then fall through (the erase
+    // this call carries must still be honored by the normal pass); an
+    // uncommitted stage is discardable staging debris
+    if (graft.sources.Markers.read(fs, sid).isDefined)
+      applyForgetStage(fs, root, stage)
+    fs.delete(stage, true)
+    // durable intent FIRST: the ledger records the erasure before any
+    // data file moves, so every later crash point leaves the id set
+    // recoverable; deduped so a replay cannot grow the evidence
+    val ledger = new org.apache.hadoop.fs.Path(root, ForgottenDir)
+    val fresh =
+      if (!fs.exists(ledger)) ids
+      else ids.join(spark.read.parquet(ledger.toString), Seq(key),
+        "left_anti")
+    if (!fresh.isEmpty)
+      fresh.write.mode("append").parquet(ledger.toString)
+    val tbl = spark.read.parquet(path)
+    require(tbl.columns.contains(key),
+      s"forget: table $path has no '$key' column")
+    val removed = tbl.join(ids, Seq(key), "left_semi").count()
+    if (removed == 0L) return 0L
+    tbl.join(ids, Seq(key), "left_anti")
+      .write.mode("overwrite").parquet(stage.toString)
+    graft.sources.Markers.write(fs, sid,
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    applyForgetStage(fs, root, stage)
+    removed
+  }
+
+  /** Replay-safe apply of a committed forget stage: staged survivor
+    * files move into the table under the run's uuid prefix FIRST, old
+    * data files are deleted second, the stage itself last — idempotent
+    * from any crash point (already-moved files are no longer staged,
+    * uuid-named files are never deleted, marker reads are stable).
+    */
+  private def applyForgetStage(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    val uuid = graft.sources.Markers.read(fs,
+      new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")).get
+    val prefix = s"graftf-$uuid-"
+    fs.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        require(fs.rename(p,
+          new org.apache.hadoop.fs.Path(root, prefix + p.getName)),
+          s"forget: could not move staged file $p into $root")
+      }
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet")
+        && !p.getName.startsWith(prefix))
+      .foreach { p => fs.delete(p, false); () }
+    fs.delete(stage, true)
+    ()
+  }
 }

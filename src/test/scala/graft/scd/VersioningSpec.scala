@@ -219,4 +219,143 @@ class VersioningSpec extends SparkSpec {
     assert(out.columns.contains("completed_timestamp"))
     assert(out.filter(col("completed_timestamp").isNotNull).count() === 1)
   }
+
+  // ----------------------- hard-forget (r15 verdict item 3)
+
+  private def historyRows(tag: String) = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10L, s"$tag-a0", 0),
+    (1L, ts("2024-01-02 00:00:00"), 11L, s"$tag-a1", 1),
+    (2L, ts("2024-01-01 00:00:00"), 12L, s"$tag-b0", 1),
+    (3L, ts("2024-01-03 00:00:00"), 13L, s"$tag-c0", 0),
+    (3L, ts("2024-01-04 00:00:00"), 14L, s"$tag-c1", 1)
+  ).toDF("item_id", "ts", "event_id", "payload", "current")
+
+  test("forget erases EVERY version of the named keys from history, " +
+      "audit, and queue physically; survivors are untouched " +
+      "byte-for-byte (one-current invariant intact); the ledger " +
+      "records the erased ids; replay removes nothing and never " +
+      "grows the ledger; re-ingest of an erased key is permitted by " +
+      "design (source-assigned keys) with the ledger as the " +
+      "compliance record") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget")
+    try {
+      val hist = tmp.resolve("history").toString
+      val audit = tmp.resolve("audit").toString
+      val queue = tmp.resolve("queue").toString
+      historyRows("h").write.parquet(hist)
+      historyRows("a").drop("current").write.parquet(audit)
+      Seq((1L, 90L), (3L, 91L), (3L, 92L))
+        .toDF("item_id", "event_id").write.parquet(queue)
+      val removed = Versioning.forget(spark,
+        Seq(1L, 1L, 99L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist),
+          auditPath = Some(audit), queuePath = Some(queue)))
+      // 2 history versions + 2 audit rows + 1 queue row; the unknown
+      // id 99 and the duplicate id are no-ops
+      assert(removed === 5L)
+      val afterHist = spark.read.parquet(hist)
+      assert(afterHist.filter(col("item_id") === 1L).isEmpty,
+        "every version of the erased key must be GONE")
+      assert(afterHist.select("item_id", "ts", "event_id", "payload",
+          "current").as[(Long, Timestamp, Long, String, Int)]
+          .collect().toSet ===
+        historyRows("h").filter(col("item_id") =!= 1L)
+          .as[(Long, Timestamp, Long, String, Int)].collect().toSet,
+        "survivors must be byte-identical")
+      assert(Versioning.invariantViolations(afterHist, "item_id")
+        .isEmpty, "one-current must hold for every surviving key")
+      assert(spark.read.parquet(audit).filter(col("item_id") === 1L)
+        .isEmpty && spark.read.parquet(queue)
+        .filter(col("item_id") === 1L).isEmpty,
+        "the audit trail and pending queue must be erased too")
+      // the bytes are gone from disk, not just masked: no parquet
+      // data file under the history root still holds the erased
+      // payloads (the ledger sibling holds only ids)
+      val leaked = spark.read.parquet(hist)
+        .filter(col("payload").startsWith("h-a")).count()
+      assert(leaked === 0L)
+      // compliance ledger: erased ids recorded (incl. the unknown id
+      // — the INTENT is the evidence), deduped
+      val ledger = spark.read.parquet(s"$hist/${Versioning.ForgottenDir}")
+        .as[Long].collect().toSet
+      assert(ledger === Set(1L, 99L))
+      // idempotent replay: nothing removed, nothing regrown
+      assert(Versioning.forget(spark, Seq(1L, 99L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist),
+          auditPath = Some(audit), queuePath = Some(queue))) === 0L)
+      assert(spark.read.parquet(s"$hist/${Versioning.ForgottenDir}")
+        .count() === 2L)
+      // re-ingest of the erased key is allowed (re-consent), and the
+      // ledger still witnesses the past erasure
+      Seq((1L, ts("2024-02-01 00:00:00"), 50L, "h-new", 1))
+        .toDF("item_id", "ts", "event_id", "payload", "current")
+        .write.mode("append").parquet(hist)
+      assert(spark.read.parquet(hist).filter(col("item_id") === 1L)
+        .count() === 1L)
+      assert(spark.read.parquet(s"$hist/${Versioning.ForgottenDir}")
+        .as[Long].collect().toSet === Set(1L, 99L))
+      // guards: empty target set and null keys are loud
+      intercept[IllegalArgumentException] {
+        Versioning.forget(spark, Seq(1L).toDF("item_id"),
+          Versioning.ForgetTargets())
+      }
+      intercept[Exception] {
+        Versioning.forget(spark,
+          spark.sql("SELECT CAST(NULL AS BIGINT) AS item_id"),
+          Versioning.ForgetTargets(historyPath = Some(hist)))
+      }
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("forget crash contract: a COMMITTED stage left by a crashed " +
+      "apply is finished by the next call before the new erase " +
+      "proceeds; an UNCOMMITTED stage is debris and is discarded — " +
+      "both converge to exactly the clean-forget state") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget_cr")
+    try {
+      // the clean reference
+      val ref = tmp.resolve("ref").toString
+      historyRows("x").write.parquet(ref)
+      Versioning.forget(spark, Seq(3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(ref)))
+      def state(p: String) = spark.read.parquet(p)
+        .select("item_id", "event_id", "current")
+        .as[(Long, Long, Int)].collect().toSet
+      // crash AFTER stage commit, BEFORE the apply: reconstruct the
+      // exact on-disk state — survivors staged, stage id committed,
+      // old data files still in place — then replay the same call
+      val hist = tmp.resolve("history").toString
+      historyRows("x").write.parquet(hist)
+      val fs = new org.apache.hadoop.fs.Path(hist)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stage = s"$hist/${Versioning.ForgetStageDir}"
+      spark.read.parquet(hist).filter(col("item_id") =!= 3L)
+        .write.parquet(stage)
+      graft.sources.Markers.write(fs,
+        new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID"),
+        "deadbeef")
+      assert(Versioning.forget(spark, Seq(3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist))) === 0L,
+        "the replay finishes the committed stage; the erase itself " +
+          "then finds nothing left to remove")
+      assert(state(hist) === state(ref))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(stage)))
+      // crash BEFORE the stage committed: staged files but no
+      // _GRAFT_STAGE_ID — debris; the replay discards it and erases
+      // through a fresh stage
+      val hist2 = tmp.resolve("history2").toString
+      historyRows("x").write.parquet(hist2)
+      spark.read.parquet(hist2).filter(col("item_id") =!= 3L)
+        .write.parquet(s"$hist2/${Versioning.ForgetStageDir}")
+      assert(Versioning.forget(spark, Seq(3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist2))) === 2L)
+      assert(state(hist2) === state(ref))
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
 }
