@@ -1162,6 +1162,10 @@ object Dedup {
   private[graft] def appendSubstrIndexAt(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
       path: String, maxIndexed: Long): Unit = {
+    // the unified maintenance lock guards the same hazard from the
+    // maintainIndex side (r15 verdict item 4)
+    graft.ml.Maintenance.refuseIfMaintaining(spark, path,
+      "appendSubstrIndex")
     // writer lock: a compaction is dynamically overwriting the same
     // bkt= directories this append targets — racing it would drop
     // this append's rows silently, so refuse loudly instead (see
@@ -1209,7 +1213,11 @@ object Dedup {
     * recycled id would inherit this tombstone's mask silently.
     */
   def deleteFromSubstrIndex(spark: org.apache.spark.sql.SparkSession,
-      docIds: DataFrame, path: String): Unit =
+      docIds: DataFrame, path: String): Unit = {
+    // maintenance writer lock (r15 verdict item 4): a sweep is
+    // snapshotting/deleting tombstone files — a delete landing mid-
+    // sweep must refuse, not race the reclaim
+    graft.ml.Maintenance.refuseIfMaintaining(spark, path, "deleteFromSubstrIndex")
     docIds.select(
         when(col("doc_id").isNotNull, col("doc_id"))
           .otherwise(raise_error(
@@ -1217,6 +1225,8 @@ object Dedup {
           .as("doc_id"))
       .distinct()
       .write.mode("append").parquet(s"$path/$SubstrDeletedDir")
+    ()
+  }
 
   /** Mask tombstoned holders out of a (pruned) postings read. The
     * anti-join's build side is the tombstone set — takedown-sized, so

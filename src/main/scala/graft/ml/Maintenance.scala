@@ -16,13 +16,41 @@ import org.apache.spark.sql.functions._
   * the same crash-safe machinery the per-family specs and ns*
   * `*_compacted` gates already prove answer-invisible.
   *
-  * Single-writer discipline is inherited from the compactors: pause
-  * the family's ingest/delete streams around a sweep (the substr
-  * writer lock and the flat tiers' stage markers make racing loud,
-  * not silent, but the sweep is designed to run in the maintenance
-  * window, not beside live appends).
+  * Single-writer discipline is ENFORCED, not prose (r15 verdict item
+  * 4): [[maintainIndex]] holds the exclusive [[MaintainingMarker]]
+  * writer lock for the sweep's duration — the
+  * [[graft.ml.Dedup.compactSubstrIndex]] lock pattern generalized to
+  * every family — and every ingest append ([[graft.streaming
+  * .BatchCommit]], [[graft.streaming.StreamingNearDup]], the substr
+  * append) and tombstone delete REFUSES loudly while it exists, so a
+  * sweep racing a live writer surfaces as an error on the writer, not
+  * silent loss. A marker left by a CRASHED sweep keeps writers
+  * blocked (fail-closed) until `maintainIndex(breakStaleLock = true)`
+  * re-enters; the residual check-to-commit window is the documented
+  * limit of directory-of-parquet tables. The in-stream maintenance
+  * hooks run INSIDE foreachBatch — serialized with the family's own
+  * ingest — so they never trip their own guard.
   */
 object Maintenance {
+
+  /** The maintenance writer lock at the index root. */
+  private[graft] val MaintainingMarker = "_graft_maintaining"
+
+  /** Refuse an ingest append / tombstone delete while a maintenance
+    * sweep holds `root` — the write would land in (or mask against)
+    * directories the sweep is dynamically rewriting.
+    */
+  private[graft] def refuseIfMaintaining(
+      spark: SparkSession, root: String, op: String): Unit = {
+    val m = new org.apache.hadoop.fs.Path(s"$root/$MaintainingMarker")
+    if (m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(m))
+      throw new IllegalStateException(
+        s"$op: maintenance sweep holds the writer lock $m — retry " +
+          "after the sweep clears it; a stale marker from a crashed " +
+          "sweep is cleared by Maintenance.maintainIndex(" +
+          "breakStaleLock = true)")
+  }
 
   /** One index family's measured maintenance debt.
     *
@@ -126,25 +154,100 @@ object Maintenance {
   }
 
   /** Threshold-triggered sweep: measure, and when any axis exceeds
-    * its bound, drain the stream sibling (families that have one) and
-    * run the family's compactor — both the existing crash-safe
-    * implementations, so a sweep interrupted at ANY point re-enters
-    * exactly as the per-family crash specs prove. Returns the debt
-    * that was measured and whether the sweep fired; a no-op below the
-    * thresholds costs only the measurement.
+    * its bound, drain the stream sibling (families that have one),
+    * run the family's compactor, and — when the MULTI-FILE axis is
+    * the one over its bound — coalesce exactly the multi-file bucket
+    * directories ([[graft.sources.Layout.compact]] per dirty dir, the
+    * marker-preserving swap). The targeted coalesce is what makes the
+    * file-count axis CONVERGE (r15 advice): the family compactors
+    * deliberately rewrite only duplicate-/tombstone-dirty buckets, so
+    * a bucket left multi-file by the initial write or a fold would
+    * otherwise re-fire the sweep forever without ever driving the
+    * axis back under its threshold. All three actions are the
+    * existing crash-safe implementations, so a sweep interrupted at
+    * ANY point re-enters exactly as the per-family crash specs prove.
+    *
+    * The sweep runs under the exclusive [[MaintainingMarker]] writer
+    * lock: concurrent ingests/deletes refuse loudly for its duration,
+    * a second sweep refuses on the lock itself, and a crashed sweep
+    * leaves the marker blocking writers (fail-closed) until re-entry
+    * with `breakStaleLock = true`. Returns the debt that was measured
+    * and whether the sweep fired; a no-op below the thresholds costs
+    * only the measurement and never touches the lock.
     */
   def maintainIndex(spark: SparkSession, path: String, family: String,
-      thresholds: Thresholds = Thresholds()): (IndexDebt, Boolean) = {
+      thresholds: Thresholds = Thresholds(),
+      breakStaleLock: Boolean = false): (IndexDebt, Boolean) = {
     val debt = compactionDebt(spark, path, family)
     val fire = debt.tombstoneIds > thresholds.maxTombstoneIds ||
       debt.streamBacklog > thresholds.maxStreamBacklog ||
       debt.multiFileBuckets > thresholds.maxMultiFileBuckets
     if (fire) {
-      val (_, _, _, fold, compact) = familySpec(family)
-      if (debt.streamBacklog > 0L) fold.foreach(f => f(spark, path))
-      compact(spark, path)
-      ()
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$path/$MaintainingMarker")
+      if (breakStaleLock) { fs.delete(marker, false); () }
+      // exclusive create — the compactSubstrIndex lock discipline
+      // (graft/ml/Dedup.scala:1302): only the already-exists failure
+      // means "held"; any other IO failure propagates as itself
+      def lockHeld(e: java.io.IOException): Boolean = e match {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+        case _ => Option(e.getMessage).exists(m =>
+          m.toLowerCase.contains("already exists") &&
+            (m.contains(marker.toString) || m.contains(marker.getName)))
+      }
+      def held(cause: Throwable): Nothing =
+        throw new IllegalStateException(
+          s"maintainIndex: writer lock $marker is already held — " +
+            "another sweep is live (wait for it), or a crashed sweep " +
+            "left a stale marker (re-run with breakStaleLock = true " +
+            "once no sweep is live)", cause)
+      try fs.create(marker, false).close()
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException => held(e)
+        case e: java.io.IOException if lockHeld(e) => held(e)
+      }
+      try {
+        val (_, _, bucketPrefix, fold, compact) = familySpec(family)
+        if (debt.streamBacklog > 0L) fold.foreach(f => f(spark, path))
+        compact(spark, path)
+        if (bucketPrefix.nonEmpty &&
+            debt.multiFileBuckets > thresholds.maxMultiFileBuckets) {
+          fs.listStatus(root).toSeq
+            .filter(d => d.isDirectory &&
+              d.getPath.getName.startsWith(bucketPrefix))
+            .filter(d => fs.listStatus(d.getPath)
+              .count(_.getPath.getName.endsWith(".parquet")) > 1)
+            .foreach(d =>
+              graft.sources.Layout.compact(spark, d.getPath.toString))
+        }
+      } finally {
+        fs.delete(marker, false)
+        ()
+      }
     }
     (debt, fire)
   }
+
+  /** The in-stream auto-maintenance hook (r15 verdict item 6):
+    * [[maintainIndex]] existed but nothing called it — a year of
+    * streamed takedowns degraded every serve behind an ever-growing
+    * mask unless an operator remembered the sweep. The long-running
+    * ingest streams (CorpusIngest / VectorIngest / Bm25Ingest /
+    * MediaIngest) call this at their foreachBatch TAILS every
+    * `every` batches (0 = off, the default): measurement is one cheap
+    * metadata pass, and a sweep that fires runs INSIDE the batch
+    * callback — serialized with the stream's own writes, so the
+    * writer-lock discipline can never trip against the very stream
+    * that invoked it. Multiple targets (the corpus ingest maintains
+    * its corpus table AND its near-dup store) sweep sequentially.
+    */
+  def maintainEveryN(spark: SparkSession, batchId: Long, every: Int,
+      thresholds: Thresholds, targets: Seq[(String, String)]): Unit =
+    if (every > 0 && (batchId + 1) % every == 0)
+      targets.foreach { case (path, family) =>
+        maintainIndex(spark, path, family, thresholds)
+        ()
+      }
 }

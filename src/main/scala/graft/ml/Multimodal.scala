@@ -437,7 +437,9 @@ object Multimodal {
     * .deleteFromBinaryIndex]]'s exact contract over media_id.
     */
   def deleteFromPhashIndex(spark: SparkSession, mediaIds: DataFrame,
-      path: String): Unit =
+      path: String): Unit = {
+    // maintenance writer lock (r15 verdict item 4)
+    Maintenance.refuseIfMaintaining(spark, path, "deleteFromPhashIndex")
     mediaIds.select(
         when(col("media_id").isNotNull, col("media_id"))
           .otherwise(raise_error(
@@ -445,6 +447,8 @@ object Multimodal {
           .as("media_id"))
       .distinct()
       .write.mode("append").parquet(s"$path/$PhashDeletedDir")
+    ()
+  }
 
   /** Reclaim the phash index's tombstone debt — [[Similarity
     * .compactFlatIndex]]'s staged uuid-file-swap verbatim (crash

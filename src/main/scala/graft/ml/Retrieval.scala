@@ -295,7 +295,11 @@ object Retrieval {
     * PodioApiGateway.py:161-178.
     */
   def deleteBm25Docs(spark: org.apache.spark.sql.SparkSession,
-      docIds: DataFrame, path: String): Unit =
+      docIds: DataFrame, path: String): Unit = {
+    // maintenance writer lock (r15 verdict item 4): a sweep is
+    // snapshotting/deleting tombstone files — a delete landing mid-
+    // sweep must refuse, not race the reclaim
+    graft.ml.Maintenance.refuseIfMaintaining(spark, path, "deleteBm25Docs")
     docIds.select(
         when(col("doc_id").isNotNull, col("doc_id"))
           .otherwise(raise_error(
@@ -303,6 +307,8 @@ object Retrieval {
           .as("doc_id"))
       .distinct()
       .write.mode("append").parquet(s"$path/$DeletedDir")
+    ()
+  }
 
   /** Reclaim the compaction debt [[deleteBm25Docs]] accrues:
     * physically rewrite ONLY the `bkt=` partitions holding postings

@@ -712,7 +712,11 @@ object Similarity {
     * generation starts clean by construction.
     */
   def deleteFromBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-      vecIds: DataFrame, path: String): Unit =
+      vecIds: DataFrame, path: String): Unit = {
+    // maintenance writer lock (r15 verdict item 4): a sweep is
+    // snapshotting/deleting tombstone files — a delete landing mid-
+    // sweep must refuse, not race the reclaim
+    graft.ml.Maintenance.refuseIfMaintaining(spark, path, "deleteFromBinaryIndex")
     vecIds.select(
         when(col("vec_id").isNotNull, col("vec_id"))
           .otherwise(raise_error(
@@ -720,6 +724,8 @@ object Similarity {
           .as("vec_id"))
       .distinct()
       .write.mode("append").parquet(s"$path/$BinDeletedDir")
+    ()
+  }
 
   /** Reclaim the binary index's tombstone debt. The table is FLAT —
     * the scan tier has no partitions to prune — so compaction is a
@@ -1896,7 +1902,11 @@ object Similarity {
     * rebuild, stated here rather than discovered.
     */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      vecIds: DataFrame, path: String): Unit =
+      vecIds: DataFrame, path: String): Unit = {
+    // maintenance writer lock (r15 verdict item 4): a sweep is
+    // snapshotting/deleting tombstone files — a delete landing mid-
+    // sweep must refuse, not race the reclaim
+    graft.ml.Maintenance.refuseIfMaintaining(spark, path, "deleteFromIvfIndex")
     vecIds.select(
         when(col("vec_id").isNotNull, col("vec_id"))
           .otherwise(raise_error(
@@ -1904,6 +1914,8 @@ object Similarity {
           .as("vec_id"))
       .distinct()
       .write.mode("append").parquet(s"$path/$DeletedDir")
+    ()
+  }
 
   /** [[tombstoneUnion]] for the vector tier (streamed append siblings
     * never carry their own tombstone table). */

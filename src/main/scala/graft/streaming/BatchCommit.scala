@@ -22,6 +22,15 @@ private[streaming] object BatchCommit {
   def committedWrite(spark: SparkSession, tableRoot: String,
       batchId: Long, sig: Long, freshAdvice: String)
       (write: String => Unit): Unit = {
+    // maintenance writer lock (r15 verdict item 4): while a sweep
+    // holds the family's index root, appends refuse loudly — the
+    // fold/compact it runs rewrite the very directories this batch
+    // would land in or be served against. Stream-sibling tables check
+    // the BASE index root (where the lock lives); the corpus table is
+    // its own root.
+    graft.ml.Maintenance.refuseIfMaintaining(spark,
+      tableRoot.stripSuffix(graft.ml.Similarity.StreamSiblingSuffix),
+      "committedWrite")
     val part = new org.apache.hadoop.fs.Path(
       s"$tableRoot/ingest_batch=$batchId")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)

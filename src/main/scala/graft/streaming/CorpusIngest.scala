@@ -70,7 +70,10 @@ object CorpusIngest {
     * stay physically present (masked) until an offline rewrite.
     */
   def deleteFromCorpus(spark: org.apache.spark.sql.SparkSession,
-      docIds: DataFrame, corpusPath: String): Unit =
+      docIds: DataFrame, corpusPath: String): Unit = {
+    // maintenance writer lock (r15 verdict item 4)
+    graft.ml.Maintenance.refuseIfMaintaining(spark, corpusPath,
+      "deleteFromCorpus")
     docIds.select(
         when(col("doc_id").isNotNull, col("doc_id"))
           .otherwise(raise_error(
@@ -78,6 +81,8 @@ object CorpusIngest {
           .as("doc_id"))
       .distinct()
       .write.mode("append").parquet(s"$corpusPath/$DeletedDir")
+    ()
+  }
 
   private[graft] val CorpusCompactStageDir = "_graft_corpus_compact_stage"
 
@@ -258,15 +263,26 @@ object CorpusIngest {
       .getOrElse(rows)
   }
 
+  /** `maintainEvery` (0 = off) wires the every-N-batches
+    * auto-maintenance hook ([[graft.ml.Maintenance.maintainEveryN]],
+    * r15 verdict item 6) into the foreachBatch tail — serialized with
+    * this stream's own writes, so the sweep never races them.
+    */
   def start(streamingDocs: DataFrame, corpusPath: String,
       storePath: String, checkpoint: String,
-      minChars: Int = 200, lang: String = "en", maxHamming: Int = 3)
+      minChars: Int = 200, lang: String = "en", maxHamming: Int = 3,
+      maintainEvery: Int = 0,
+      maintainThresholds: graft.ml.Maintenance.Thresholds =
+        graft.ml.Maintenance.Thresholds())
       : StreamingQuery =
     streamingDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, corpusPath, storePath,
           minChars, lang, maxHamming)
+        graft.ml.Maintenance.maintainEveryN(batch.sparkSession,
+          batchId, maintainEvery, maintainThresholds,
+          Seq(corpusPath -> "corpus", storePath -> "neardup_store"))
       }
       .start()
 
@@ -304,7 +320,10 @@ object CorpusIngest {
       feedDir: String, corpusPath: String, storePath: String,
       rejectsPath: String, checkpoint: String, minChars: Int = 200,
       lang: String = "en", maxHamming: Int = 3,
-      docIdOf: org.apache.spark.sql.Column = xxhash64(col("record_id")))
+      docIdOf: org.apache.spark.sql.Column = xxhash64(col("record_id")),
+      maintainEvery: Int = 0,
+      maintainThresholds: graft.ml.Maintenance.Thresholds =
+        graft.ml.Maintenance.Thresholds())
       : StreamingQuery =
     graft.sources.WarcCorpus.readStreamQuarantined(spark, feedDir)
       .writeStream
@@ -316,6 +335,9 @@ object CorpusIngest {
         ingestBatch(graft.sources.WarcCorpus.goodRecords(batch)
             .select(docIdOf.as("doc_id"), col("payload").as("text")),
           batchId, corpusPath, storePath, minChars, lang, maxHamming)
+        graft.ml.Maintenance.maintainEveryN(batch.sparkSession,
+          batchId, maintainEvery, maintainThresholds,
+          Seq(corpusPath -> "corpus", storePath -> "neardup_store"))
       }
       .start()
 
@@ -323,7 +345,9 @@ object CorpusIngest {
       feedDir: String, schema: org.apache.spark.sql.types.StructType,
       corpusPath: String, storePath: String, rejectsPath: String,
       checkpoint: String, minChars: Int = 200, lang: String = "en",
-      maxHamming: Int = 3): StreamingQuery = {
+      maxHamming: Int = 3, maintainEvery: Int = 0,
+      maintainThresholds: graft.ml.Maintenance.Thresholds =
+        graft.ml.Maintenance.Thresholds()): StreamingQuery = {
     require(schema.fieldNames.contains("doc_id")
         && schema.fieldNames.contains("text"),
       "startJsonl: schema must carry doc_id and text for the gate")
@@ -337,6 +361,9 @@ object CorpusIngest {
           .parquet(s"$rejectsPath/ingest_batch=$batchId")
         ingestBatch(graft.sources.JsonlCorpus.goodRows(batch),
           batchId, corpusPath, storePath, minChars, lang, maxHamming)
+        graft.ml.Maintenance.maintainEveryN(batch.sparkSession,
+          batchId, maintainEvery, maintainThresholds,
+          Seq(corpusPath -> "corpus", storePath -> "neardup_store"))
       }
       .start()
   }

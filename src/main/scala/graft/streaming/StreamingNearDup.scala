@@ -72,7 +72,10 @@ object StreamingNearDup {
     * content the corpus no longer holds.
     */
   def deleteFromStore(spark: SparkSession, docIds: DataFrame,
-      storePath: String): Unit =
+      storePath: String): Unit = {
+    // maintenance writer lock (r15 verdict item 4)
+    graft.ml.Maintenance.refuseIfMaintaining(spark, storePath,
+      "deleteFromStore")
     docIds.select(
         when(col("doc_id").isNotNull, col("doc_id"))
           .otherwise(raise_error(
@@ -80,6 +83,8 @@ object StreamingNearDup {
           .as("doc_id"))
       .distinct()
       .write.mode("append").parquet(s"$storePath/$DeletedDir")
+    ()
+  }
 
   /** Read the signature store (doc_id, simhash, batch_id, batch_sig),
     * [[deleteFromStore]] tombstones masked; an absent path (first run)
@@ -283,6 +288,11 @@ object StreamingNearDup {
       storePath: String, maxHamming: Int,
       onBatch: (DataFrame, Long, Long) => Unit): Unit = {
     val spark = batch.sparkSession
+    // maintenance writer lock (r15 verdict item 4): refuse while a
+    // sweep is rewriting the store files this batch would append
+    // beside / dedup against
+    graft.ml.Maintenance.refuseIfMaintaining(spark, storePath,
+      "processBatch")
     // no store materialization: filterNovel checkpoints its OUTPUTS, so
     // no store-derived lineage survives past the append. Per-batch
     // store cost: the batch_id probe prunes on row-group stats, but

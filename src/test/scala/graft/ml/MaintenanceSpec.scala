@@ -112,4 +112,158 @@ class MaintenanceSpec extends SparkSpec {
     }
     ()
   }
+
+  test("multi-file-axis convergence (r15 advice): buckets left " +
+      "multi-file by duplicate-FREE appends — which the family " +
+      "compactor deliberately skips — are coalesced by the sweep, so " +
+      "the axis goes back under its threshold instead of re-firing a " +
+      "full scan forever; answers unchanged") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_maint_conv").toString
+    val path = s"$root/substr"
+    Dedup.writeSubstrIndex(Seq((1L, "a1 a2 a3 a4 a5 a6"))
+      .toDF("doc_id", "text"), path, k = 4, nBuckets = 2)
+    // two DISTINCT appends: extra files in the bkt dirs, zero
+    // duplicate postings, zero tombstones — the exact state the r15
+    // advice named non-convergent
+    Dedup.appendSubstrIndex(spark,
+      Seq((10L, "b1 b2 b3 b4 a1 a2 a3 a4")).toDF("doc_id", "text"), path)
+    Dedup.appendSubstrIndex(spark,
+      Seq((11L, "c1 c2 c3 c4 a3 a4 a5 a6")).toDF("doc_id", "text"), path)
+    val debt = Maintenance.compactionDebt(spark, path, "substr")
+    assert(debt.multiFileBuckets > 0L && debt.tombstoneIds === 0L,
+      s"fixture must carry clean multi-file debt, got $debt")
+    val inc = Seq((20L, "a1 a2 a3 a4 a5 a6")).toDF("doc_id", "text")
+    def report() = Dedup.exactSubstrIncrement(spark, inc, path)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_spans")))
+      .toSet
+    val before = report()
+    val th = Maintenance.Thresholds(maxMultiFileBuckets = 0L)
+    val (_, fired) = Maintenance.maintainIndex(spark, path, "substr", th)
+    assert(fired, "the multi-file axis must fire the sweep")
+    assert(report() === before, "the coalesce changed the increment")
+    val after = Maintenance.compactionDebt(spark, path, "substr")
+    assert(after.multiFileBuckets === 0L,
+      s"the axis must CONVERGE after the sweep, got $after")
+    assert(!Maintenance.maintainIndex(spark, path, "substr", th)._2,
+      "a second sweep must find nothing to do")
+  }
+
+  test("writer-lock discipline (r15 verdict item 4): while a sweep " +
+      "holds the maintaining marker, ingest appends and tombstone " +
+      "deletes refuse loudly — bucketed (substr) and flat (binary) " +
+      "families alike; a second sweep refuses on the lock; a stale " +
+      "marker needs breakStaleLock; a completed sweep releases it") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_maint_race").toString
+    // --- flat family (binary)
+    val bin = s"$root/bin"
+    val emb = embDf
+    Similarity.writeBinaryIndex(emb.filter(col("vec_id") <= 8L), bin,
+      dim = 8)
+    val fs = new org.apache.hadoop.fs.Path(bin)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markerOf(p: String) = new org.apache.hadoop.fs.Path(
+      s"$p/${Maintenance.MaintainingMarker}")
+    // a live sweep (simulated by its lock marker)
+    fs.create(markerOf(bin), false).close()
+    val e1 = intercept[IllegalStateException] {
+      graft.streaming.VectorIngest.ingestBatchBinary(
+        emb.filter(col("vec_id") === 9L), 0L, bin)
+    }
+    assert(e1.getMessage.contains("maintenance sweep"))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.deleteFromBinaryIndex(spark, Seq(2L).toDF("vec_id"),
+        bin)
+    }
+    assert(e2.getMessage.contains("maintenance sweep"))
+    // a second sweep refuses on the held lock (thresholds force fire)
+    Similarity.deleteFromBinaryIndex(spark,
+      { fs.delete(markerOf(bin), false); Seq(2L).toDF("vec_id") }, bin)
+    fs.create(markerOf(bin), false).close()
+    val e3 = intercept[IllegalStateException] {
+      Maintenance.maintainIndex(spark, bin, "binary",
+        Maintenance.Thresholds(maxTombstoneIds = 0L))
+    }
+    assert(e3.getMessage.contains("already held"))
+    // breakStaleLock re-enters, completes, and RELEASES the lock
+    val (_, fired) = Maintenance.maintainIndex(spark, bin, "binary",
+      Maintenance.Thresholds(maxTombstoneIds = 0L),
+      breakStaleLock = true)
+    assert(fired && !fs.exists(markerOf(bin)),
+      "the sweep must release the lock on the way out")
+    // writers proceed again
+    graft.streaming.VectorIngest.ingestBatchBinary(
+      emb.filter(col("vec_id") === 9L), 0L, bin)
+    // --- bucketed family (substr)
+    val sub = s"$root/substr"
+    Dedup.writeSubstrIndex(Seq((1L, "a1 a2 a3 a4 a5 a6"))
+      .toDF("doc_id", "text"), sub, k = 4, nBuckets = 2)
+    fs.create(markerOf(sub), false).close()
+    val e4 = intercept[IllegalStateException] {
+      Dedup.appendSubstrIndex(spark,
+        Seq((10L, "b1 b2 b3 b4 b5 b6")).toDF("doc_id", "text"), sub)
+    }
+    assert(e4.getMessage.contains("maintenance sweep"))
+    val e5 = intercept[IllegalStateException] {
+      Dedup.deleteFromSubstrIndex(spark, Seq(1L).toDF("doc_id"), sub)
+    }
+    assert(e5.getMessage.contains("maintenance sweep"))
+    fs.delete(markerOf(sub), false)
+    Dedup.appendSubstrIndex(spark,
+      Seq((10L, "b1 b2 b3 b4 b5 b6")).toDF("doc_id", "text"), sub)
+    ()
+  }
+
+  test("in-stream auto-maintenance (r15 verdict item 6): a live " +
+      "ingest stream with maintainEvery set self-heals — the sweep " +
+      "fires between batches once the backlog threshold is crossed, " +
+      "folds the stream partitions, and the serve equals a " +
+      "from-scratch build of the full corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val root = Files.createTempDirectory("graft_maint_hook").toString
+    val path = s"$root/bin"
+    val emb = embDf
+    Similarity.writeBinaryIndex(emb.filter(col("vec_id") <= 8L), path,
+      dim = 8)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.VecRow]
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Array[Float])].collect()
+        .map(r => graft.streaming.VecRow(r._1, r._2)).toSeq
+    // every batch checks debt with a zero backlog bound: each commit
+    // crosses it, so the sweep must fire INSIDE the stream and fold
+    val q = graft.streaming.VectorIngest.startBinary(in.toDF(), path,
+      s"$root/ckpt", maintainEvery = 1,
+      maintainThresholds = Maintenance.Thresholds(maxStreamBacklog = 0L))
+    try {
+      in.addData(rowsOf(emb.filter(col("vec_id") === 9L ||
+        col("vec_id") === 10L)): _*)
+      q.processAllAvailable()
+      in.addData(rowsOf(emb.filter(col("vec_id") >= 11L)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = Maintenance.compactionDebt(spark, path, "binary")
+    assert(after.streamBacklog === 0L,
+      s"the in-stream sweep must have folded the backlog, got $after")
+    // the lock is released between batches (writers kept flowing —
+    // batch 2 committed after batch 1's sweep — and none remains now)
+    assert(!new java.io.File(
+      s"$path/${Maintenance.MaintainingMarker}").exists)
+    // serve equality vs a from-scratch build over the full corpus
+    val full = s"$root/full"
+    Similarity.writeBinaryIndex(emb, full, dim = 8)
+    def serve(p: String) = graft.streaming.VectorIngest
+      .queryServedBinary(spark, p, emb, emb.select(col("vec_id")),
+        k = 3, refine = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(serve(path) === serve(full),
+      "the self-healed stream index must serve like a rebuild")
+  }
 }
