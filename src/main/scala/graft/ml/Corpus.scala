@@ -1179,7 +1179,8 @@ object Corpus {
     * Returns the number of stores tombstoned.
     */
   def takedown(spark: org.apache.spark.sql.SparkSession,
-      docIds: DataFrame, targets: TakedownTargets): Int = {
+      docIds: DataFrame, targets: TakedownTargets,
+      ledgerPath: Option[String] = None): Int = {
     require(targets.count > 0,
       "takedown: no target stores named — nothing would be deleted")
     val ids = docIds.select(
@@ -1201,6 +1202,57 @@ object Corpus {
       Dedup.deleteFromSubstrIndex(spark, ids, p))
     targets.nearDupStorePath.foreach(p =>
       graft.streaming.StreamingNearDup.deleteFromStore(spark, ids, p))
+    ledgerPath.foreach(lp => appendTakedownLedger(spark, ids, targets, lp))
     targets.count
+  }
+
+  /** The compliance ledger row (r15 verdict item 5): a takedown leaves
+    * per-store tombstones, but an audit ("prove doc X was deleted
+    * everywhere on request R") previously had to reconstruct the
+    * cascade from seven stores. One idempotent row per cascade —
+    * appended LAST, after every per-store tombstone landed, so its
+    * presence attests the WHOLE cascade's durability (the per-store
+    * markers it records are the stores' family names; each name means
+    * "that store's tombstone append returned"). `cascade_sig` is
+    * md5(sorted ids | sorted store names) — a pure function of the
+    * cascade's content, so the crash-repair replay (re-running the
+    * same call) absorbs instead of duplicating, and the oracle can
+    * restate the sig cross-engine. A deliberate SECOND takedown of the
+    * same ids against the same stores is likewise one ledger row: the
+    * per-store deletes it re-runs are no-ops by the tombstone
+    * contract, so one row per distinct (ids, stores) cascade is
+    * exactly the audit-relevant cardinality. Single-writer compliance
+    * table (the engine's directory-table discipline); timestamps are
+    * the deployment's job via its ingest wrapper if policy demands
+    * them — a wall-clock column here would break the idempotent
+    * replay-absorption this ledger exists to provide.
+    */
+  private def appendTakedownLedger(
+      spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      targets: TakedownTargets, ledgerPath: String): Unit = {
+    val stores = Seq(
+      targets.corpusPath.map(_ => "corpus"),
+      targets.nearDupStorePath.map(_ => "neardup_store"),
+      targets.bm25Path.map(_ => "bm25"),
+      targets.ivfPath.map(_ => "ivf"),
+      targets.binaryPath.map(_ => "binary"),
+      targets.phashPath.map(_ => "phash"),
+      targets.substrPath.map(_ => "substr")).flatten.sorted
+    val row = ids
+      .agg(sort_array(collect_list(col("doc_id").cast("string")))
+        .as("doc_ids"), count(lit(1)).as("n_ids"))
+      .select(
+        md5(concat(concat_ws(",", col("doc_ids")),
+          lit("|" + stores.mkString(",")))).as("cascade_sig"),
+        col("doc_ids"), col("n_ids"),
+        typedLit(stores).as("stores"))
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(lp)) row
+      else row.join(spark.read.parquet(ledgerPath)
+        .select(col("cascade_sig")), Seq("cascade_sig"), "left_anti")
+    if (!fresh.isEmpty)
+      fresh.write.mode("append").parquet(ledgerPath)
   }
 }

@@ -3123,6 +3123,54 @@ object MlQueries {
   val ns68bTakedownSwept: Q = (s, dir) =>
     ns68Plan(s, dir, "takedown_c", sweep = true)
 
+  /** The takedown COMPLIANCE LEDGER ([[Corpus.takedown]]'s
+    * `ledgerPath` — r15 verdict item 5): the cascade is run TWICE
+    * (the second call is the crash-repair replay) against a served
+    * binary index, and the ledger must hold exactly ONE row whose
+    * `cascade_sig` = md5(sorted ids | store names) the oracle
+    * restates closed-form — idempotent absorption and the audit
+    * answer ("these ids, these stores, cascade durable") in one
+    * hash-gated read. TakedownSpec drives the multi-store and
+    * crash-ordering halves.
+    */
+  val ns68cTakedownLedger: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val path = RelationalQueries.zOrderedTablePath(s, dir,
+      "ledger_bin_index")
+    val ledger = RelationalQueries.zOrderedTablePath(s, dir,
+      "takedown_ledger")
+    if (ivfIndexWritten.add(path)) {
+      // fresh JVM: rebuild the store AND reset the ledger, so the
+      // gate's two cascades are provably this run's only rows
+      val lp = new org.apache.hadoop.fs.Path(ledger)
+      lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      graft.ml.Similarity.writeBinaryIndex(emb, path, dim = 64)
+    }
+    val ids = emb.filter(col("vec_id") % 101 === 7)
+      .select(col("vec_id").as("doc_id"))
+    // loud fixture guard (the ns68 discipline)
+    require(!ids.isEmpty,
+      "ns68c fixture drift: no vec_id % 101 == 7 in embeddings")
+    val t = Corpus.TakedownTargets(binaryPath = Some(path))
+    Corpus.takedown(s, ids, t, ledgerPath = Some(ledger))
+    Corpus.takedown(s, ids, t, ledgerPath = Some(ledger))
+    s.read.parquet(ledger)
+      .select(col("cascade_sig"), col("n_ids"),
+        concat_ws(",", col("stores")).as("stores"))
+      .orderBy(col("cascade_sig"))
+  }
+
+  val ns68cTakedownLedgerSql: String =
+    """WITH ids AS (
+      |  SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 101 = 7
+      |)
+      |SELECT md5(array_to_string(list_sort(list(vec_id::VARCHAR)), ',')
+      |    || '|binary') AS cascade_sig,
+      |  count(*) AS n_ids, 'binary' AS stores
+      |FROM ids
+      |ORDER BY cascade_sig""".stripMargin
+
   val ns68TakedownSql: String = {
     val nn = "(SELECT count(*) FROM documents)"
     val dd = s"($nn // 3)"
@@ -5801,6 +5849,7 @@ object MlQueries {
     "ns67b_jsonl_gz" -> ns67bJsonlGz,
     "ns68_takedown" -> ns68Takedown,
     "ns68b_takedown_swept" -> ns68bTakedownSwept,
+    "ns68c_takedown_ledger" -> ns68cTakedownLedger,
     "ns69_warc" -> ns69Warc,
     "ns69b_warc_gz" -> ns69bWarcGz,
     "ns15_lsh_ann" -> ns15LshAnn,
@@ -5932,6 +5981,7 @@ object MlQueries {
     "ns67b_jsonl_gz" -> ns67bJsonlGzSql,
     "ns68_takedown" -> ns68TakedownSql,
     "ns68b_takedown_swept" -> ns68TakedownSql,
+    "ns68c_takedown_ledger" -> ns68cTakedownLedgerSql,
     "ns69_warc" -> ns69WarcSql,
     "ns69b_warc_gz" -> ns69bWarcGzSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,

@@ -348,4 +348,50 @@ class TakedownSpec extends SparkSpec {
     assert(hits.filter(col("j") === 3L).isEmpty,
       "PQ ADC serve returned the taken-down vec")
   }
+
+  test("compliance ledger (r15 verdict item 5): one idempotent row " +
+      "per cascade — written LAST so its presence attests the whole " +
+      "cascade; replay absorbs, a distinct cascade appends, and a " +
+      "crash BEFORE the ledger leaves no row until the repair replay " +
+      "completes the cascade") {
+    val spark0 = spark
+    import spark0.implicits._
+    val root = Files.createTempDirectory("graft_takedown_lg").toString
+    val t = buildStores(root)
+    val ledger = s"$root/ledger"
+    def rows() = spark.read.parquet(ledger)
+      .select(col("cascade_sig"), col("n_ids"),
+        concat_ws(",", col("stores")).as("stores"),
+        concat_ws(",", col("doc_ids")).as("ids"))
+      .as[(String, Long, String, String)].collect().toSet
+    assert(Corpus.takedown(spark, Seq(3L).toDF("doc_id"), t,
+      ledgerPath = Some(ledger)) === 7)
+    val first = rows()
+    assert(first.size === 1 && first.head._2 === 1L &&
+      first.head._3 === "binary,bm25,corpus,ivf,neardup_store,phash,substr"
+      && first.head._4 === "3",
+      s"one row naming every store hit, got $first")
+    // whole-cascade replay (the crash repair) absorbs — no duplicate
+    assert(Corpus.takedown(spark, Seq(3L).toDF("doc_id"), t,
+      ledgerPath = Some(ledger)) === 7)
+    assert(rows() === first, "a replay must not duplicate the ledger")
+    // a DISTINCT cascade (different ids) appends its own row
+    Corpus.takedown(spark, Seq(5L).toDF("doc_id"), t,
+      ledgerPath = Some(ledger))
+    assert(rows().size === 2)
+    // crash ordering: a cascade that died mid-way (only a prefix of
+    // the per-store deletes landed) must have NO ledger row — the
+    // audit correctly reads "not durable everywhere" — until the
+    // repair replay completes the cascade and appends it
+    CorpusIngest.deleteFromCorpus(spark, Seq(6L).toDF("doc_id"),
+      t.corpusPath.get)
+    Retrieval.deleteBm25Docs(spark, Seq(6L).toDF("doc_id"),
+      t.bm25Path.get)
+    assert(rows().size === 2,
+      "a partial cascade must leave no ledger row")
+    Corpus.takedown(spark, Seq(6L).toDF("doc_id"), t,
+      ledgerPath = Some(ledger))
+    assert(rows().size === 3)
+    assertGoneEverywhere(t)
+  }
 }
