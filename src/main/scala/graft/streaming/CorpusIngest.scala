@@ -315,6 +315,17 @@ object CorpusIngest {
     * and the near-dup/corpus stores don't require monotone ids — the
     * substr index, which does, is fed downstream by id-assigning
     * jobs, not this door).
+    *
+    * Collision bound on the default (r15 advice): xxhash64 is 64
+    * bits, so by the birthday bound a crawl of n records collides
+    * with probability ~ n^2/2^65 — negligible at millions (~5e-8 at
+    * 1M) but REAL at billions (~3% at 1B, ~97% at 10B). A collision
+    * silently merges two distinct documents: the second is treated as
+    * already-ingested by every id-keyed store, and a takedown of one
+    * id removes both. Large crawls must pass caller-assigned unique
+    * ids through `docIdOf` (a feed sequence number, or an
+    * id-assigning pre-pass), or anti-join candidate ids against the
+    * corpus before admission.
     */
   def startWarc(spark: org.apache.spark.sql.SparkSession,
       feedDir: String, corpusPath: String, storePath: String,
