@@ -66,6 +66,34 @@ object Bench {
     calibTimes.clear()
     calibrate()
     var sinceCalib = 0
+    // Outlier self-classification (r15 verdict item 7): r15's q46 read
+    // 60.4 s driver vs 1.69 s attested with a CLEAN calibration block
+    // — the stall fell between probes, so the diagnosis needed a
+    // worktree diff. Now any entry whose min-of-2 exceeds 5× its
+    // COMMITTED attested sibling (bench_ref.json — the previous
+    // round's attested per-entry map; env-overridable) is re-run once
+    // with calibration probes immediately before and after, all five
+    // numbers recorded under "outliers", and the reported time is the
+    // min-of-3 — a transient stall self-classifies in the JSON itself.
+    // Entries without a reference (new this round) are skipped.
+    val refTimes: Map[String, Double] = try {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qs = txt.indexOf("\"queries\":{")
+      val end = txt.indexOf("}", qs)
+      val body = txt.substring(qs + "\"queries\":{".length, end)
+      "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1000000L).selectExpr("sum(id)").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val outliers =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // keep the sorted Seq (a Map would scramble the printed key order)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -87,7 +115,26 @@ object Bench {
       // contradictorily flagged failed in the same line.
       val good = times.filter(_._2).map(_._1)
       if (good.isEmpty) failed ::= name
-      name -> (if (good.nonEmpty) good.min else times.map(_._1).min)
+      val min2 = if (good.nonEmpty) good.min else times.map(_._1).min
+      val finalT = refTimes.get(name) match {
+        case Some(ref) if good.nonEmpty && ref > 0.0 &&
+            min2 > 5.0 * ref && min2 > 1.0 =>
+          val cb = probeOnce()
+          val t0 = System.nanoTime()
+          val ok =
+            try { runOnce(fn(spark, sfDir)); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+          val rerun = (System.nanoTime() - t0) / 1e9
+          val ca = probeOnce()
+          def r4o(v: Double) = String.format(java.util.Locale.ROOT,
+            "%.4f", Double.box(v))
+          outliers += name -> (s"""{"ref":${r4o(ref)},"min2":${r4o(
+            min2)},"rerun":${if (ok) r4o(rerun) else "-1.0"},""" +
+            s""""calib_before":${r4o(cb)},"calib_after":${r4o(ca)}}""")
+          if (ok) math.min(min2, rerun) else min2
+        case _ => min2
+      }
+      name -> finalT
     }
     // A fully-failed query reports -1.0, never its fast exception
     // time: a deflated "timing" in queries{} would read as a speedup
@@ -197,10 +244,13 @@ object Bench {
     calibrate()
     val cs = calibTimes.sorted.toIndexedSeq
     val calib = s""""calibration":{"probe":"range1M_sum","n":${cs.length},"min":${r4(cs.head)},"median":${r4(cs(cs.length / 2))},"max":${r4(cs.last)}}"""
+    val outliersJson = "\"outliers\":" + outliers
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // headline fields LAST: the driver's capture keeps the tail of
     // this (long) line, so the per-query map is what truncation may
     // cost, never the totals / streaming floor / failure list
-    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"gates":$gates,"observed":$observed,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,$calib,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
+    val full = s"""{"metric":"total","unit":"sec","queries":$qs,"gates":$gates,"observed":$observed,"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,$calib,$outliersJson,"stat":"min_of_$runsPerQuery","value":${r4(total)}}"""
     println(full)
     // The driver keeps only the LAST ~2000 output chars, and the full
     // line above outgrew that long ago — its head (the ns* timings)
@@ -209,7 +259,7 @@ object Bench {
     // line that fits WHOLLY inside any tail capture (standalone-
     // parseable totals), and the complete line persisted to a file so
     // per-query data survives regardless of how stdout is captured.
-    println(s"""{"metric":"total","unit":"sec","value":${r4(total)},"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,$calib,"stat":"min_of_$runsPerQuery"}""")
+    println(s"""{"metric":"total","unit":"sec","value":${r4(total)},"failed":$fs,"streaming":$streaming,"sf":"$sfDir",$prov,$calib,$outliersJson,"stat":"min_of_$runsPerQuery"}""")
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_full.json")
