@@ -265,6 +265,21 @@ object Versioning {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"forget: no table at $path")
+    // FLAT tables only, enforced: on a Hive-partitioned layout the
+    // staged rewrite would land survivors at the root while the
+    // apply's top-level file sweep never touches the partition
+    // subdirectories — old versions would silently SURVIVE the
+    // "erasure" and the read would double survivors. Refuse loudly;
+    // a partitioned history store erases through a partition-aware
+    // rewrite (the graft.streaming.CorpusIngest.compactCorpus shape)
+    // or re-lands flat first.
+    val partDirs = fs.listStatus(root).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"forget: $path is Hive-partitioned (" +
+        partDirs.take(3).map(_.getPath.getName).mkString(", ") +
+        ", ...) — the flat staged rewrite would leave partitioned " +
+        "versions in place; erase through a partition-aware rewrite")
     val stage = new org.apache.hadoop.fs.Path(root, ForgetStageDir)
     val sid = new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")
     // finish a crashed committed apply, then fall through (the erase

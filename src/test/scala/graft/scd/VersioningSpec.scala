@@ -299,6 +299,15 @@ class VersioningSpec extends SparkSpec {
         Versioning.forget(spark, Seq(1L).toDF("item_id"),
           Versioning.ForgetTargets())
       }
+      // a Hive-partitioned table refuses loudly: the flat staged
+      // rewrite would silently leave partitioned versions in place
+      val part = tmp.resolve("partitioned").toString
+      historyRows("p").write.partitionBy("current").parquet(part)
+      val ep = intercept[IllegalArgumentException] {
+        Versioning.forget(spark, Seq(1L).toDF("item_id"),
+          Versioning.ForgetTargets(historyPath = Some(part)))
+      }
+      assert(ep.getMessage.contains("partition"))
       intercept[Exception] {
         Versioning.forget(spark,
           spark.sql("SELECT CAST(NULL AS BIGINT) AS item_id"),
