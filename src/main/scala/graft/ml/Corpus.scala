@@ -1230,14 +1230,15 @@ object Corpus {
   private def appendTakedownLedger(
       spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
       targets: TakedownTargets, ledgerPath: String): Unit = {
-    val stores = Seq(
-      targets.corpusPath.map(_ => "corpus"),
-      targets.nearDupStorePath.map(_ => "neardup_store"),
-      targets.bm25Path.map(_ => "bm25"),
-      targets.ivfPath.map(_ => "ivf"),
-      targets.binaryPath.map(_ => "binary"),
-      targets.phashPath.map(_ => "phash"),
-      targets.substrPath.map(_ => "substr")).flatten.sorted
+    val named = Seq(
+      targets.corpusPath.map("corpus" -> _),
+      targets.nearDupStorePath.map("neardup_store" -> _),
+      targets.bm25Path.map("bm25" -> _),
+      targets.ivfPath.map("ivf" -> _),
+      targets.binaryPath.map("binary" -> _),
+      targets.phashPath.map("phash" -> _),
+      targets.substrPath.map("substr" -> _)).flatten.sortBy(_._1)
+    val stores = named.map(_._1)
     val row = ids
       .agg(sort_array(collect_list(col("doc_id").cast("string")))
         .as("doc_ids"), count(lit(1)).as("n_ids"))
@@ -1245,14 +1246,16 @@ object Corpus {
         md5(concat(concat_ws(",", col("doc_ids")),
           lit("|" + stores.mkString(",")))).as("cascade_sig"),
         col("doc_ids"), col("n_ids"),
-        typedLit(stores).as("stores"))
-    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
-    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (!fs.exists(lp)) row
-      else row.join(spark.read.parquet(ledgerPath)
-        .select(col("cascade_sig")), Seq("cascade_sig"), "left_anti")
-    if (!fresh.isEmpty)
-      fresh.write.mode("append").parquet(ledgerPath)
+        typedLit(stores).as("stores"),
+        // the PATHS hit, alongside the oracle-restatable name-keyed
+        // sig: two cascades over the same ids against different
+        // stores of the SAME family (two binary indexes) share a sig
+        // but are distinct audit events — the dedupe key is
+        // (sig, target_paths), so neither absorbs the other (r16
+        // session review)
+        typedLit(named.map { case (n, p) => s"$n=$p" })
+          .as("target_paths"))
+    graft.sources.Evidence.appendDeduped(spark, row, ledgerPath,
+      Seq("cascade_sig", "target_paths"))
   }
 }

@@ -178,6 +178,17 @@ object Maintenance {
   def maintainIndex(spark: SparkSession, path: String, family: String,
       thresholds: Thresholds = Thresholds(),
       breakStaleLock: Boolean = false): (IndexDebt, Boolean) = {
+    // break the stale lock BEFORE the fire decision, not inside it: a
+    // sweep that crashed between its last compaction and the marker
+    // release leaves debt UNDER the thresholds — exactly the state
+    // where fire=false — and the documented remedy must still clear
+    // the marker or writers block forever (r16 session review)
+    if (breakStaleLock) {
+      val m = new org.apache.hadoop.fs.Path(s"$path/$MaintainingMarker")
+      m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(m, false)
+      ()
+    }
     val debt = compactionDebt(spark, path, family)
     val fire = debt.tombstoneIds > thresholds.maxTombstoneIds ||
       debt.streamBacklog > thresholds.maxStreamBacklog ||
@@ -187,7 +198,6 @@ object Maintenance {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(
         s"$path/$MaintainingMarker")
-      if (breakStaleLock) { fs.delete(marker, false); () }
       // exclusive create — the compactSubstrIndex lock discipline
       // (graft/ml/Dedup.scala:1302): only the already-exists failure
       // means "held"; any other IO failure propagates as itself
@@ -213,21 +223,58 @@ object Maintenance {
         if (debt.streamBacklog > 0L) fold.foreach(f => f(spark, path))
         compact(spark, path)
         if (bucketPrefix.nonEmpty &&
-            debt.multiFileBuckets > thresholds.maxMultiFileBuckets) {
-          fs.listStatus(root).toSeq
-            .filter(d => d.isDirectory &&
-              d.getPath.getName.startsWith(bucketPrefix))
-            .filter(d => fs.listStatus(d.getPath)
-              .count(_.getPath.getName.endsWith(".parquet")) > 1)
-            .foreach(d =>
-              graft.sources.Layout.compact(spark, d.getPath.toString))
-        }
+            debt.multiFileBuckets > thresholds.maxMultiFileBuckets)
+          coalesceMultiFileBuckets(spark, path, bucketPrefix)
       } finally {
         fs.delete(marker, false)
         ()
       }
     }
     (debt, fire)
+  }
+
+  /** Coalesce the multi-file bucket directories through the family's
+    * OWN committed-stage protocol ([[Similarity.CompactStageDir]] +
+    * `_parts` + [[Similarity.applyCompactionStage]]'s dynamic
+    * partition overwrite) — NOT a per-directory
+    * [[graft.sources.Layout.compact]], whose swap temps
+    * (`bkt=7_precompact`, `bkt=7_compacting`) would be created INSIDE
+    * the index root as partition-lookalike names: a crash between its
+    * two swap renames leaves no `bkt=7` at all, re-entry cannot
+    * repair it (the temps match the bucket prefix and would be
+    * "coalesced" in place), and bucket-pruned serves silently lose
+    * the partition (the r16 session review's top finding). With the
+    * staged protocol, a crash anywhere is repaired by the family
+    * compactor's own entry replay (every bucketed compactor replays a
+    * committed stage first), rows are unchanged (same content, fewer
+    * files), and appends stay refused via requireNoCommittedStage
+    * until the replay lands. The repartition on the bucket column
+    * bounds output files at ~one per bucket per 128 MB.
+    */
+  private def coalesceMultiFileBuckets(spark: SparkSession,
+      path: String, bucketPrefix: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCol = bucketPrefix.stripSuffix("=")
+    val multi: Seq[Long] = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith(bucketPrefix))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > 1)
+      .map(_.getPath.getName.stripPrefix(bucketPrefix).toLong)
+    if (multi.isEmpty) return
+    val stagePath = s"$path/${Similarity.CompactStageDir}"
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    val idx = spark.read.parquet(path)
+    idx.filter(Similarity.partitionLits(idx, partCol, multi))
+      .repartition(col(partCol))
+      .write.mode("overwrite").parquet(stagePath)
+    import spark.implicits._
+    multi.toDF("part").coalesce(1).write.mode("overwrite")
+      .parquet(s"$stagePath/_parts")
+    Similarity.applyCompactionStage(spark, path, partCol)
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    ()
   }
 
   /** The in-stream auto-maintenance hook (r15 verdict item 6):

@@ -291,13 +291,9 @@ object Versioning {
     // durable intent FIRST: the ledger records the erasure before any
     // data file moves, so every later crash point leaves the id set
     // recoverable; deduped so a replay cannot grow the evidence
-    val ledger = new org.apache.hadoop.fs.Path(root, ForgottenDir)
-    val fresh =
-      if (!fs.exists(ledger)) ids
-      else ids.join(spark.read.parquet(ledger.toString), Seq(key),
-        "left_anti")
-    if (!fresh.isEmpty)
-      fresh.write.mode("append").parquet(ledger.toString)
+    graft.sources.Evidence.appendDeduped(spark, ids,
+      new org.apache.hadoop.fs.Path(root, ForgottenDir).toString,
+      Seq(key))
     val tbl = spark.read.parquet(path)
     require(tbl.columns.contains(key),
       s"forget: table $path has no '$key' column")

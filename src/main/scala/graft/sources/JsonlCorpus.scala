@@ -227,18 +227,9 @@ object JsonlCorpus {
     * identical observation absorbs.
     */
   private[sources] def appendFileRejects(spark: SparkSession,
-      rows: DataFrame, fileRejectsPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(fileRejectsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (!fs.exists(p)) rows
-      else rows.join(
-        spark.read.parquet(fileRejectsPath).select(col("file"),
-          col("err")),
-        Seq("file", "err"), "left_anti")
-    if (!fresh.isEmpty)
-      fresh.write.mode("append").parquet(fileRejectsPath)
-  }
+      rows: DataFrame, fileRejectsPath: String): Unit =
+    Evidence.appendDeduped(spark, rows, fileRejectsPath,
+      Seq("file", "err"))
 
   /** Probe `dir` with `validate`, record the unreadable files (deduped)
     * in the rejects table, and return the survivors' paths — the

@@ -18,18 +18,22 @@ private[streaming] object BatchCommit {
     *              partition is not yet committed
     * @param freshAdvice appended to the recycled-id error ("point the
     *              stream at a fresh X...")
+    * @param lockRoot where the family's maintenance writer lock
+    *              lives: the BASE index root for stream-sibling
+    *              tables, the table root itself for the corpus —
+    *              passed EXPLICITLY by each caller (deriving it by
+    *              stripping the "_stream" suffix would mangle any
+    *              table whose name legitimately ends in it — r16
+    *              session review)
     */
   def committedWrite(spark: SparkSession, tableRoot: String,
-      batchId: Long, sig: Long, freshAdvice: String)
+      batchId: Long, sig: Long, freshAdvice: String, lockRoot: String)
       (write: String => Unit): Unit = {
     // maintenance writer lock (r15 verdict item 4): while a sweep
     // holds the family's index root, appends refuse loudly — the
     // fold/compact it runs rewrite the very directories this batch
-    // would land in or be served against. Stream-sibling tables check
-    // the BASE index root (where the lock lives); the corpus table is
-    // its own root.
-    graft.ml.Maintenance.refuseIfMaintaining(spark,
-      tableRoot.stripSuffix(graft.ml.Similarity.StreamSiblingSuffix),
+    // would land in or be served against.
+    graft.ml.Maintenance.refuseIfMaintaining(spark, lockRoot,
       "committedWrite")
     val part = new org.apache.hadoop.fs.Path(
       s"$tableRoot/ingest_batch=$batchId")

@@ -56,7 +56,7 @@ object Bm25Ingest {
     BatchCommit.committedWrite(spark, streamPath(indexPath), batchId,
       batchSig(batch),
       "point the stream at a fresh index, or re-key the existing " +
-        "partitions offline") { part =>
+        "partitions offline", lockRoot = indexPath) { part =>
       val nBuckets = spark.read
         .parquet(s"$indexPath/${Retrieval.StatsDir}")
         .head().getAs[Int]("n_buckets")

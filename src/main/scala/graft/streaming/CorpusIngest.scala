@@ -51,7 +51,8 @@ object CorpusIngest {
       maxHamming, (novel, bid, sig) =>
         BatchCommit.committedWrite(novel.sparkSession, corpusPath, bid,
           sig, "point the stream at a fresh corpusPath, or re-key " +
-            "the existing partitions offline") { part =>
+            "the existing partitions offline",
+          lockRoot = corpusPath) { part =>
           novel.write.mode("overwrite").parquet(part)
         })
   }

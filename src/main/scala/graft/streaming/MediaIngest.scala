@@ -62,7 +62,8 @@ object MediaIngest {
         "change), it is the documented replay-reads-as-conflict case " +
         "— verify the partition's rows match the batch, then advance " +
         "the stream past it by restarting with a fresh checkpoint " +
-        "and startingOffsets beyond the committed batch (r14 advice)")
+        "and startingOffsets beyond the committed batch (r14 advice)",
+      lockRoot = indexPath)
       { part =>
       Multimodal.perceptualHash(batch).toDF()
         .write.mode("overwrite").parquet(part)

@@ -89,7 +89,7 @@ object VectorIngest {
     BatchCommit.committedWrite(batch.sparkSession,
       streamPath(indexPath), batchId, batchSig(batch),
       "point the stream at a fresh index, or re-key the existing " +
-        "partitions offline") { part =>
+        "partitions offline", lockRoot = indexPath) { part =>
       write(batch, part)
     }
 

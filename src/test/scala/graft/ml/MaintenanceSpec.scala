@@ -194,6 +194,16 @@ class MaintenanceSpec extends SparkSpec {
       breakStaleLock = true)
     assert(fired && !fs.exists(markerOf(bin)),
       "the sweep must release the lock on the way out")
+    // r16 session review: a stale lock whose debt is now UNDER the
+    // thresholds (the crashed-after-compact state) must STILL clear
+    // via breakStaleLock — the previous placement inside the fire
+    // branch left writers blocked with no working remedy
+    fs.create(markerOf(bin), false).close()
+    val (_, fired2) = Maintenance.maintainIndex(spark, bin, "binary",
+      breakStaleLock = true)
+    assert(!fired2 && !fs.exists(markerOf(bin)),
+      "breakStaleLock must clear a stale marker even when no sweep " +
+        "fires")
     // writers proceed again
     graft.streaming.VectorIngest.ingestBatchBinary(
       emb.filter(col("vec_id") === 9L), 0L, bin)

@@ -393,5 +393,29 @@ class TakedownSpec extends SparkSpec {
       ledgerPath = Some(ledger))
     assert(rows().size === 3)
     assertGoneEverywhere(t)
+    // r16 session review: same ids against two DIFFERENT stores of
+    // the SAME family share a cascade_sig (the sig hashes family
+    // names, which is what the oracle can restate) but are distinct
+    // audit events — the (sig, target_paths) dedupe key must keep
+    // both, and replays of each must still absorb
+    val bin2 = s"$root/bin2"
+    Similarity.writeBinaryIndex(embDf, bin2, dim = 8)
+    val only1 = Corpus.TakedownTargets(binaryPath = t.binaryPath)
+    val only2 = Corpus.TakedownTargets(binaryPath = Some(bin2))
+    Corpus.takedown(spark, Seq(4L).toDF("doc_id"), only1,
+      ledgerPath = Some(ledger))
+    Corpus.takedown(spark, Seq(4L).toDF("doc_id"), only2,
+      ledgerPath = Some(ledger))
+    Corpus.takedown(spark, Seq(4L).toDF("doc_id"), only2,
+      ledgerPath = Some(ledger))
+    val binRows = spark.read.parquet(ledger)
+      .filter(concat_ws(",", col("stores")) === "binary")
+      .select(col("cascade_sig"),
+        concat_ws(",", col("target_paths")).as("paths"))
+      .as[(String, String)].collect()
+    assert(binRows.length === 2 &&
+      binRows.map(_._1).distinct.length === 1 &&
+      binRows.map(_._2).distinct.length === 2,
+      s"one row per (sig, paths) cascade, got ${binRows.toSeq}")
   }
 }
