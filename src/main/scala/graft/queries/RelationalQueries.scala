@@ -623,6 +623,40 @@ object RelationalQueries {
       |  FROM events)
       |WHERE user_id % 13 <> 5 ORDER BY event_id""".stripMargin
 
+  /** [[ns70Scd2Forget]] over a HIVE-PARTITIONED history (partitioned
+    * by event_type — the 100 TB layout, where the erase rewrites ONLY
+    * the dirty partition directories via the input_file_name dirty
+    * set and the per-directory staged swap): gated on ns70's exact
+    * oracle, the q63 house rule — layout must never change answers.
+    * Every partition is dirty on this fixture (the forgotten keys'
+    * events span all types), so the partition-pruned rewrite is
+    * exercised for real rather than vacuously; the
+    * only-dirty-dirs-rewrite and fully-dead-partition mechanics are
+    * VersioningSpec's half.
+    */
+  val ns70bScd2ForgetPart: Q = (s, dir) => {
+    val path = zOrderedTablePath(s, dir, "scd2_history_forget_part")
+    if (zOrderedWritten.add(path))
+      graft.scd.Versioning.withCurrentFlag(
+        Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("current"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val ids = Tables.events(s, dir)
+      .filter(col("user_id") % 13 === 5)
+      .select(col("user_id")).distinct()
+    require(!ids.isEmpty,
+      "ns70b fixture drift: no user_id % 13 == 5 in events")
+    graft.scd.Versioning.forget(s, ids,
+      graft.scd.Versioning.ForgetTargets(historyPath = Some(path)),
+      key = "user_id")
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("current"))
+      .orderBy(col("event_id"))
+  }
+
+  val ns70bScd2ForgetPartSql: String = ns70Scd2ForgetSql
+
   /** Aggregate-over-frame: per-user running sum ordered by event time. */
   val q21RunningSum: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
@@ -3023,6 +3057,7 @@ object RelationalQueries {
     "q19b_approx_distinct" -> q19bApproxDistinct,
     "q20_scd2_current" -> q20Scd2Current,
     "ns70_scd2_forget" -> ns70Scd2Forget,
+    "ns70b_scd2_forget_part" -> ns70bScd2ForgetPart,
     "q20b_scd2_current_agg" -> q20bScd2CurrentAgg,
     "q21_running_sum" -> q21RunningSum,
     "q22_lag_lead" -> q22LagLead,
@@ -3123,6 +3158,7 @@ object RelationalQueries {
     "q19_stats_agg" -> q19StatsAggSql,
     "q20_scd2_current" -> q20Scd2CurrentSql,
     "ns70_scd2_forget" -> ns70Scd2ForgetSql,
+    "ns70b_scd2_forget_part" -> ns70bScd2ForgetPartSql,
     "q20b_scd2_current_agg" -> q20Scd2CurrentSql,
     "q21_running_sum" -> q21RunningSumSql,
     "q22_lag_lead" -> q22LagLeadSql,

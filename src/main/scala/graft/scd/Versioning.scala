@@ -265,21 +265,6 @@ object Versioning {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"forget: no table at $path")
-    // FLAT tables only, enforced: on a Hive-partitioned layout the
-    // staged rewrite would land survivors at the root while the
-    // apply's top-level file sweep never touches the partition
-    // subdirectories — old versions would silently SURVIVE the
-    // "erasure" and the read would double survivors. Refuse loudly;
-    // a partitioned history store erases through a partition-aware
-    // rewrite (the graft.streaming.CorpusIngest.compactCorpus shape)
-    // or re-lands flat first.
-    val partDirs = fs.listStatus(root).toSeq.filter(st =>
-      st.isDirectory && st.getPath.getName.contains("="))
-    require(partDirs.isEmpty,
-      s"forget: $path is Hive-partitioned (" +
-        partDirs.take(3).map(_.getPath.getName).mkString(", ") +
-        ", ...) — the flat staged rewrite would leave partitioned " +
-        "versions in place; erase through a partition-aware rewrite")
     val stage = new org.apache.hadoop.fs.Path(root, ForgetStageDir)
     val sid = new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")
     // finish a crashed committed apply, then fall through (the erase
@@ -294,24 +279,141 @@ object Versioning {
     graft.sources.Evidence.appendDeduped(spark, ids,
       new org.apache.hadoop.fs.Path(root, ForgottenDir).toString,
       Seq(key))
-    val tbl = spark.read.parquet(path)
+    // layout dispatch: flat tables rewrite in place; SINGLE-level
+    // Hive-partitioned tables (the 100 TB history shape) rewrite only
+    // the dirty partition directories; multi-level nesting refuses
+    // loudly (the r16 review found the original flat rewrite would
+    // silently leave partitioned versions in place — now each layout
+    // has its own correct path or a loud refusal)
+    val partDirs = fs.listStatus(root).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    if (partDirs.isEmpty) forgetFlat(spark, ids, root, stage, key)
+    else {
+      partDirs.foreach { d =>
+        require(!fs.listStatus(d.getPath).exists(c =>
+          c.isDirectory && c.getPath.getName.contains("=")),
+          s"forget: $path is MULTI-level partitioned " +
+            s"(${d.getPath.getName}/...=...) — erase through a " +
+            "layout-aware rewrite or re-land single-level first")
+      }
+      val partCols = partDirs
+        .map(_.getPath.getName.takeWhile(_ != '=')).distinct
+      require(partCols.size == 1,
+        s"forget: $path mixes partition columns $partCols")
+      if (partCols.head == key)
+        forgetKeyPartitioned(spark, ids, root, key, partDirs.map(_.getPath))
+      else forgetPartitioned(spark, ids, root, stage, key)
+    }
+  }
+
+  /** The flat-table erase: stage ALL survivors, swap at the root. */
+  private def forgetFlat(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, root: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path, key: String): Long = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tbl = spark.read.parquet(root.toString)
     require(tbl.columns.contains(key),
-      s"forget: table $path has no '$key' column")
+      s"forget: table $root has no '$key' column")
     val removed = tbl.join(ids, Seq(key), "left_semi").count()
     if (removed == 0L) return 0L
     tbl.join(ids, Seq(key), "left_anti")
       .write.mode("overwrite").parquet(stage.toString)
-    graft.sources.Markers.write(fs, sid,
-      java.util.UUID.randomUUID().toString.replace("-", ""))
-    applyForgetStage(fs, root, stage)
+    commitAndApply(fs, root, stage, Seq.empty)
     removed
   }
 
-  /** Replay-safe apply of a committed forget stage: staged survivor
-    * files move into the table under the run's uuid prefix FIRST, old
-    * data files are deleted second, the stage itself last — idempotent
-    * from any crash point (already-moved files are no longer staged,
-    * uuid-named files are never deleted, marker reads are stable).
+  /** The partitioned erase (partition column ≠ key): find the DIRTY
+    * partition directories through the files that actually hold
+    * forgotten keys (`input_file_name` — no partition-value
+    * re-formatting, so escaped/typed partition values can never
+    * mismatch their directory names), stage each dirty directory's
+    * survivors, and swap only those directories — untouched
+    * partitions never rewrite, the compactCorpus cost shape.
+    */
+  private def forgetPartitioned(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, root: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path, key: String): Long = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tbl = spark.read.parquet(root.toString)
+    require(tbl.columns.contains(key),
+      s"forget: table $root has no '$key' column")
+    // broadcast FORCED, deliberately (vs the tombstone-mask rule):
+    // input_file_name() is only defined while the row is still inside
+    // its file-scan task — a shuffled semi-join would blank it and
+    // dirty partitions would be silently MISSED (data not erased). An
+    // erase set is human-request-sized by contract, and the require
+    // below turns any residual attribution failure into a loud stop
+    // rather than a partial erasure.
+    val hit = tbl.join(broadcast(ids), Seq(key), "left_semi")
+    val removed = hit.count()
+    if (removed == 0L) return 0L
+    // bounded driver action: the dirty partition DIR NAMES (erasures
+    // touch the partitions their keys landed in, not the whole table)
+    val dirtyFiles = hit.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    require(dirtyFiles.forall(_.nonEmpty),
+      s"forget: could not attribute forgotten rows of $root to their " +
+        "files (input_file_name blank) — aborting before a PARTIAL " +
+        "erasure; retry, and report the plan shape if it persists")
+    val dirtyDirs = dirtyFiles.map { f =>
+        val parent = f.substring(0, f.lastIndexOf('/'))
+        parent.substring(parent.lastIndexOf('/') + 1)
+      }.distinct.toSeq.sorted
+    dirtyDirs.foreach { d =>
+      // per-directory read: the data files' own schema (no partition
+      // column), exactly what the rewritten files must hold
+      spark.read.parquet(s"$root/$d").join(ids, Seq(key), "left_anti")
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(stage, d).toString)
+    }
+    commitAndApply(fs, root, stage, dirtyDirs)
+    removed
+  }
+
+  /** The fast path when the table is partitioned BY the key itself:
+    * erasure is whole-directory deletion — no rewrite at all. Replay
+    * converges (already-deleted directories no longer match); simple
+    * unescaped partition values assumed (numeric/plain-string CRM
+    * keys — the partition layout this engine writes).
+    */
+  private def forgetKeyPartitioned(
+      spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      root: org.apache.hadoop.fs.Path, key: String,
+      partDirs: Seq[org.apache.hadoop.fs.Path]): Long = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vals = ids.select(col(key).cast("string")).collect()
+      .map(_.getString(0)).toSet
+    val doomed = partDirs.filter(d =>
+      vals.contains(d.getName.drop(key.length + 1)))
+    if (doomed.isEmpty) return 0L
+    val removed = spark.read.parquet(doomed.map(_.toString): _*).count()
+    doomed.foreach { d => fs.delete(d, true); () }
+    removed
+  }
+
+  /** Commit the staged survivors (dirty-parts manifest, then the
+    * stage-id marker — the commit point) and apply.
+    */
+  private def commitAndApply(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      stage: org.apache.hadoop.fs.Path, parts: Seq[String]): Unit = {
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(stage, "_GRAFT_FORGET_PARTS"),
+      parts.mkString("\n"))
+    graft.sources.Markers.write(fs,
+      new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID"),
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    applyForgetStage(fs, root, stage)
+  }
+
+  /** Replay-safe apply of a committed forget stage: per dirty
+    * directory (the `_GRAFT_FORGET_PARTS` manifest; empty = the flat
+    * root), staged survivor files move in under the run's uuid prefix
+    * FIRST, old data files are deleted second, the stage itself last
+    * — idempotent from any crash point (already-moved files are no
+    * longer staged, uuid-named files are never deleted, marker reads
+    * are stable). A dirty partition with NO staged survivors (fully
+    * dead) simply loses its old files.
     */
   private def applyForgetStage(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
@@ -319,17 +421,29 @@ object Versioning {
     val uuid = graft.sources.Markers.read(fs,
       new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")).get
     val prefix = s"graftf-$uuid-"
-    fs.listStatus(stage).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach { p =>
-        require(fs.rename(p,
-          new org.apache.hadoop.fs.Path(root, prefix + p.getName)),
-          s"forget: could not move staged file $p into $root")
-      }
-    fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet")
-        && !p.getName.startsWith(prefix))
-      .foreach { p => fs.delete(p, false); () }
+    val parts = graft.sources.Markers.read(fs,
+        new org.apache.hadoop.fs.Path(stage, "_GRAFT_FORGET_PARTS"))
+      .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    def applyOne(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit = {
+      if (fs.exists(src))
+        fs.listStatus(src).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { p =>
+            require(fs.rename(p,
+              new org.apache.hadoop.fs.Path(dst, prefix + p.getName)),
+              s"forget: could not move staged file $p into $dst")
+          }
+      if (fs.exists(dst))
+        fs.listStatus(dst).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet")
+            && !p.getName.startsWith(prefix))
+          .foreach { p => fs.delete(p, false); () }
+    }
+    if (parts.isEmpty) applyOne(stage, root)
+    else parts.foreach(d => applyOne(
+      new org.apache.hadoop.fs.Path(stage, d),
+      new org.apache.hadoop.fs.Path(root, d)))
     fs.delete(stage, true)
     ()
   }

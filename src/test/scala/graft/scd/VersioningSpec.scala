@@ -299,20 +299,79 @@ class VersioningSpec extends SparkSpec {
         Versioning.forget(spark, Seq(1L).toDF("item_id"),
           Versioning.ForgetTargets())
       }
-      // a Hive-partitioned table refuses loudly: the flat staged
-      // rewrite would silently leave partitioned versions in place
-      val part = tmp.resolve("partitioned").toString
-      historyRows("p").write.partitionBy("current").parquet(part)
+      // a MULTI-level partitioned table refuses loudly (only flat and
+      // single-level layouts have a correct rewrite path)
+      val part = tmp.resolve("multilevel").toString
+      historyRows("p").withColumn("seg", col("item_id") % 2)
+        .write.partitionBy("seg", "current").parquet(part)
       val ep = intercept[IllegalArgumentException] {
         Versioning.forget(spark, Seq(1L).toDF("item_id"),
           Versioning.ForgetTargets(historyPath = Some(part)))
       }
-      assert(ep.getMessage.contains("partition"))
+      assert(ep.getMessage.contains("MULTI-level"))
       intercept[Exception] {
         Versioning.forget(spark,
           spark.sql("SELECT CAST(NULL AS BIGINT) AS item_id"),
           Versioning.ForgetTargets(historyPath = Some(hist)))
       }
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("forget on a SINGLE-level partitioned history (the 100 TB " +
+      "layout): only dirty partition directories rewrite, survivors " +
+      "keep their partition values byte-for-byte, a fully-dead " +
+      "partition empties, replay removes nothing; a table partitioned " +
+      "BY the key erases by whole-directory deletion") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget_pt")
+    try {
+      // partition column ≠ key: seg 0 holds keys {1 (2 rows), 2},
+      // seg 1 holds key 3 (2 rows) — erasing keys 1 and 3 makes seg 0
+      // DIRTY (rewrite, survivor 2 kept) and... seg 1 fully dead
+      val hist = tmp.resolve("history").toString
+      historyRows("h")
+        .withColumn("seg", when(col("item_id") <= 2L, 0L).otherwise(1L))
+        .write.partitionBy("seg").parquet(hist)
+      val removed = Versioning.forget(spark,
+        Seq(1L, 3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist)))
+      assert(removed === 4L)
+      val after = spark.read.parquet(hist)
+      assert(after.select("item_id", "event_id", "payload", "current",
+          "seg").as[(Long, Long, String, Int, Long)].collect().toSet
+        === Set((2L, 12L, "h-b0", 1, 0L)),
+        "only the survivor remains, partition value intact")
+      // the untouched-partition discipline: survivors' original data
+      // file is still the one on disk (no graftf- rewrite prefix
+      // outside the dirty dirs would exist here since seg=0 WAS
+      // dirty; assert the fully-dead seg=1 holds no data files)
+      val fs = new org.apache.hadoop.fs.Path(hist)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seg1 = new org.apache.hadoop.fs.Path(s"$hist/seg=1")
+      // every pre-erase data file is GONE; what may remain is the
+      // staged (empty, zero-row) survivor file under the run's prefix
+      assert(!fs.exists(seg1) || fs.listStatus(seg1)
+        .forall(st => !st.getPath.getName.endsWith(".parquet")
+          || st.getPath.getName.startsWith("graftf-")),
+        "the fully-dead partition must hold no pre-erase data files")
+      // replay: nothing left to remove, ledger unchanged
+      assert(Versioning.forget(spark, Seq(1L, 3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist))) === 0L)
+      assert(spark.read.parquet(s"$hist/${Versioning.ForgottenDir}")
+        .count() === 2L)
+      // partitioned BY the key: whole-directory erasure
+      val byKey = tmp.resolve("bykey").toString
+      historyRows("k").write.partitionBy("item_id").parquet(byKey)
+      assert(Versioning.forget(spark, Seq(1L, 99L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(byKey))) === 2L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$byKey/item_id=1")), "the key's directory must be gone")
+      assert(spark.read.parquet(byKey).select("item_id")
+        .as[Long].collect().toSet === Set(2L, 3L))
+      assert(Versioning.forget(spark, Seq(1L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(byKey))) === 0L)
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       ()
