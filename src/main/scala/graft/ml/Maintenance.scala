@@ -46,10 +46,11 @@ object Maintenance {
     if (m.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(m))
       throw new IllegalStateException(
-        s"$op: maintenance sweep holds the writer lock $m — retry " +
-          "after the sweep clears it; a stale marker from a crashed " +
-          "sweep is cleared by Maintenance.maintainIndex(" +
-          "breakStaleLock = true)")
+        s"$op: a maintenance sweep or hard-forget erase holds the " +
+          s"writer lock $m — retry after it clears; a stale marker " +
+          "from a crashed owner is cleared by re-running it with " +
+          "breakStaleLock = true (Maintenance.maintainIndex / " +
+          "Versioning.forget)")
   }
 
   /** One index family's measured maintenance debt.

@@ -657,6 +657,142 @@ object RelationalQueries {
 
   val ns70bScd2ForgetPartSql: String = ns70Scd2ForgetSql
 
+  /** [[ns70Scd2Forget]] over a TWO-level Hive layout (event_type /
+    * shard — the realistic deep 100 TB history shape): the erase
+    * finds and rewrites only the dirty LEAF directories at depth 2
+    * through the same input_file_name attribution, validated against
+    * the tree walk's per-level columns (a ragged or mixed layout
+    * refuses before a partial erasure — VersioningSpec's half, along
+    * with deep key-level whole-directory deletion and emptied-branch
+    * sweeps). Gated on ns70's exact oracle: layout depth must never
+    * change answers.
+    */
+  val ns70cScd2ForgetDeep: Q = (s, dir) => {
+    val path = zOrderedTablePath(s, dir, "scd2_history_forget_deep")
+    if (zOrderedWritten.add(path))
+      graft.scd.Versioning.withCurrentFlag(
+        Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("current"),
+          col("event_type"), pmod(col("event_id"), lit(3)).as("shard"))
+        .write.mode("overwrite").partitionBy("event_type", "shard")
+        .parquet(path)
+    val ids = Tables.events(s, dir)
+      .filter(col("user_id") % 13 === 5)
+      .select(col("user_id")).distinct()
+    require(!ids.isEmpty,
+      "ns70c fixture drift: no user_id % 13 == 5 in events")
+    graft.scd.Versioning.forget(s, ids,
+      graft.scd.Versioning.ForgetTargets(historyPath = Some(path)),
+      key = "user_id")
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("current"))
+      .orderBy(col("event_id"))
+  }
+
+  val ns70cScd2ForgetDeepSql: String = ns70Scd2ForgetSql
+
+  /** The erasure-cascade COMPLIANCE LEDGER
+    * ([[graft.scd.Versioning.forget]]'s `ledgerPath` — the ns68c
+    * discipline mirrored for the CRM world): the erase is run TWICE
+    * (the second call is the crash-repair replay, removing 0 rows)
+    * against a fresh history, and the ledger must hold exactly ONE
+    * row whose `cascade_sig` = md5(sorted ids | table roles) the
+    * oracle restates closed-form — idempotent absorption and the
+    * audit answer ("these ids, these tables, erasure durable") in one
+    * hash-gated read. VersioningSpec drives the multi-table and
+    * crash-ordering halves.
+    */
+  val ns70dForgetLedger: Q = (s, dir) => {
+    val path = zOrderedTablePath(s, dir, "scd2_history_forget_led")
+    val ledger = zOrderedTablePath(s, dir, "forget_ledger")
+    if (zOrderedWritten.add(path)) {
+      // fresh JVM: rebuild the history AND reset the ledger, so the
+      // gate's two cascades are provably this run's only rows
+      val lp = new org.apache.hadoop.fs.Path(ledger)
+      lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(lp, true)
+      graft.scd.Versioning.withCurrentFlag(
+        Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("current"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val ids = Tables.events(s, dir)
+      .filter(col("user_id") % 13 === 5)
+      .select(col("user_id")).distinct()
+    require(!ids.isEmpty,
+      "ns70d fixture drift: no user_id % 13 == 5 in events")
+    val t = graft.scd.Versioning.ForgetTargets(historyPath = Some(path))
+    graft.scd.Versioning.forget(s, ids, t, key = "user_id",
+      ledgerPath = Some(ledger))
+    graft.scd.Versioning.forget(s, ids, t, key = "user_id",
+      ledgerPath = Some(ledger))
+    s.read.parquet(ledger)
+      .select(col("cascade_sig"), col("n_ids"),
+        concat_ws(",", col("tables")).as("tables"))
+      .orderBy(col("cascade_sig"))
+  }
+
+  /** The streaming erasure QUEUE applied incrementally
+    * ([[graft.streaming.ErasureIngest]]): requests stream in
+    * continuously and cheaply (exactly-once `ingest_batch=` appends),
+    * the maintenance window runs ONE batched forget over everything
+    * pending — here two request batches each followed by a drain, so
+    * the second drain proves request-keyed pending tracking (only the
+    * new requests apply; the first batch's drained marks absorb).
+    * Gated closed-form: current flags over the full history minus
+    * BOTH request sets. ErasureIngestSpec drives the replay,
+    * recycled-id, crash-mid-drain, and re-consent halves.
+    */
+  val ns70eErasureQueue: Q = (s, dir) => {
+    val path = zOrderedTablePath(s, dir, "scd2_history_erase_q")
+    val queue = zOrderedTablePath(s, dir, "erase_queue")
+    if (zOrderedWritten.add(path)) {
+      // fresh JVM: reset the queue with the history, so the two
+      // drains below are provably this run's only cascades
+      val qp = new org.apache.hadoop.fs.Path(queue)
+      qp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(qp, true)
+      graft.scd.Versioning.withCurrentFlag(
+        Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("current"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val t = graft.scd.Versioning.ForgetTargets(historyPath = Some(path))
+    val r1 = Tables.events(s, dir).filter(col("user_id") % 13 === 5)
+      .select(col("user_id")).distinct()
+    val r2 = Tables.events(s, dir).filter(col("user_id") % 17 === 3)
+      .select(col("user_id")).distinct()
+    require(!r1.isEmpty && !r2.isEmpty,
+      "ns70e fixture drift: empty erase-request sets in events")
+    graft.streaming.ErasureIngest.enqueueBatch(r1, 0L, queue, "user_id")
+    graft.streaming.ErasureIngest.drain(s, queue, t, key = "user_id")
+    graft.streaming.ErasureIngest.enqueueBatch(r2, 1L, queue, "user_id")
+    graft.streaming.ErasureIngest.drain(s, queue, t, key = "user_id")
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("current"))
+      .orderBy(col("event_id"))
+  }
+
+  val ns70eErasureQueueSql: String =
+    """SELECT event_id, user_id, current FROM (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END
+      |      AS current
+      |  FROM events)
+      |WHERE user_id % 13 <> 5 AND user_id % 17 <> 3
+      |ORDER BY event_id""".stripMargin
+
+  val ns70dForgetLedgerSql: String =
+    """WITH ids AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 5
+      |)
+      |SELECT md5(array_to_string(list_sort(list(user_id::VARCHAR)), ',')
+      |    || '|history') AS cascade_sig,
+      |  count(*) AS n_ids, 'history' AS tables
+      |FROM ids
+      |ORDER BY cascade_sig""".stripMargin
+
   /** Aggregate-over-frame: per-user running sum ordered by event time. */
   val q21RunningSum: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id"))
@@ -3058,6 +3194,9 @@ object RelationalQueries {
     "q20_scd2_current" -> q20Scd2Current,
     "ns70_scd2_forget" -> ns70Scd2Forget,
     "ns70b_scd2_forget_part" -> ns70bScd2ForgetPart,
+    "ns70c_scd2_forget_deep" -> ns70cScd2ForgetDeep,
+    "ns70d_forget_ledger" -> ns70dForgetLedger,
+    "ns70e_erasure_queue" -> ns70eErasureQueue,
     "q20b_scd2_current_agg" -> q20bScd2CurrentAgg,
     "q21_running_sum" -> q21RunningSum,
     "q22_lag_lead" -> q22LagLead,
@@ -3159,6 +3298,9 @@ object RelationalQueries {
     "q20_scd2_current" -> q20Scd2CurrentSql,
     "ns70_scd2_forget" -> ns70Scd2ForgetSql,
     "ns70b_scd2_forget_part" -> ns70bScd2ForgetPartSql,
+    "ns70c_scd2_forget_deep" -> ns70cScd2ForgetDeepSql,
+    "ns70d_forget_ledger" -> ns70dForgetLedgerSql,
+    "ns70e_erasure_queue" -> ns70eErasureQueueSql,
     "q20b_scd2_current_agg" -> q20Scd2CurrentSql,
     "q21_running_sum" -> q21RunningSumSql,
     "q22_lag_lead" -> q22LagLeadSql,

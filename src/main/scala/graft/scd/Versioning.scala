@@ -239,17 +239,27 @@ object Versioning {
     * compliance record, and a deployment whose policy demands
     * re-admission blocking anti-joins its ingest against it.
     *
-    * Single-writer maintenance op (pause the load stream for the
-    * table being rewritten); readers inside the apply window may see
-    * a row twice (old ∪ new), never a gap. Cost shape at scale: one
-    * ledger append + one anti-join rewrite per table — at 100 TB the
-    * history table is bucketed by key, so the anti-join is map-side
-    * against the broadcast id set. Returns the number of rows
-    * physically removed across all targets.
+    * Single-writer discipline is ENFORCED, not advised: per table,
+    * the erase holds the same `_graft_maintaining` writer lock the
+    * index sweeps use ([[graft.ml.Maintenance]]), so a live CDC merge
+    * ([[graft.streaming.CdcPipeline.mergeBatchPruned]] /
+    * `writeMergedBuckets`) refuses loudly for the rewrite's duration
+    * — without it, a dynamic-partition overwrite racing the staged
+    * swap either loses the merge's files (the apply deletes
+    * non-prefixed data files) or resurrects erased rows (the apply
+    * moves pre-merge survivors over the merge's output). A crashed
+    * erase leaves the lock; re-run with `breakStaleLock = true` once
+    * no erase is live (the maintainIndex remedy). Readers inside the
+    * apply window may see a row twice (old ∪ new), never a gap. Cost
+    * shape at scale: one ledger append + one anti-join rewrite per
+    * table — at 100 TB the history table is bucketed by key, so the
+    * anti-join is map-side against the broadcast id set. Returns the
+    * number of rows physically removed across all targets.
     */
   def forget(spark: org.apache.spark.sql.SparkSession,
       itemIds: DataFrame, targets: ForgetTargets,
-      key: String = "item_id"): Long = {
+      key: String = "item_id", breakStaleLock: Boolean = false,
+      ledgerPath: Option[String] = None): Long = {
     require(targets.paths.nonEmpty,
       "forget: no target tables named — nothing would be erased")
     val ids = itemIds.select(
@@ -257,14 +267,92 @@ object Versioning {
           .otherwise(raise_error(
             lit("forget: null key in erase batch"))).as(key))
       .distinct().localCheckpoint()
-    targets.paths.map(p => forgetFrom(spark, ids, p, key)).sum
+    val removed = targets.paths.map(p =>
+      forgetFrom(spark, ids, p, key, breakStaleLock)).sum
+    ledgerPath.foreach(lp =>
+      appendForgetLedger(spark, ids, targets, key, lp))
+    removed
+  }
+
+  /** The erasure-cascade compliance row (the
+    * [[graft.ml.Corpus.takedown]] ledger discipline, mirrored for the
+    * CRM world): a forget leaves per-table `_graft_forgotten` id
+    * ledgers, but an audit ("prove item X was erased from history,
+    * audit trail, AND queue on request R") previously had to
+    * reconstruct the cascade from every table root. One idempotent
+    * row per cascade — appended LAST, after every table's staged swap
+    * landed, so its presence attests the WHOLE erasure's durability.
+    * `cascade_sig` = md5(sorted ids | sorted table roles) is a pure
+    * function of the cascade's content: the crash-repair replay
+    * absorbs instead of duplicating, and the oracle restates the sig
+    * cross-engine. Removed-row counts are deliberately absent — they
+    * differ between the erase and its replay, and a run-varying
+    * column would break exactly the replay absorption this ledger
+    * exists to provide (so would a wall-clock stamp; timestamps are
+    * the deployment's ingest-wrapper job if policy demands them).
+    */
+  private def appendForgetLedger(
+      spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      targets: ForgetTargets, key: String, ledgerPath: String): Unit = {
+    val named = Seq(
+      targets.historyPath.map("history" -> _),
+      targets.auditPath.map("audit" -> _),
+      targets.queuePath.map("queue" -> _)).flatten.sortBy(_._1)
+    val tables = named.map(_._1)
+    val row = ids
+      .agg(sort_array(collect_list(col(key).cast("string")))
+        .as("item_ids"), count(lit(1)).as("n_ids"))
+      .select(
+        md5(concat(concat_ws(",", col("item_ids")),
+          lit("|" + tables.mkString(",")))).as("cascade_sig"),
+        col("item_ids"), col("n_ids"),
+        typedLit(tables).as("tables"),
+        // paths beside the role-keyed sig: two cascades over the same
+        // ids against different tables of the same role are distinct
+        // audit events — the dedupe key is (sig, target_paths)
+        typedLit(named.map { case (n, p) => s"$n=$p" })
+          .as("target_paths"))
+    graft.sources.Evidence.appendDeduped(spark, row, ledgerPath,
+      Seq("cascade_sig", "target_paths"))
   }
 
   private def forgetFrom(spark: org.apache.spark.sql.SparkSession,
-      ids: DataFrame, path: String, key: String): Long = {
+      ids: DataFrame, path: String, key: String,
+      breakStaleLock: Boolean): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"forget: no table at $path")
+    val marker = new org.apache.hadoop.fs.Path(root,
+      graft.ml.Maintenance.MaintainingMarker)
+    if (breakStaleLock) { fs.delete(marker, false); () }
+    // exclusive-create writer lock (the maintainIndex discipline):
+    // only the already-exists failure means "held"; any other IO
+    // failure propagates as itself
+    def lockHeld(e: java.io.IOException): Boolean = e match {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _ => Option(e.getMessage).exists(m =>
+        m.toLowerCase.contains("already exists") &&
+          (m.contains(marker.toString) || m.contains(marker.getName)))
+    }
+    def held(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"forget: writer lock $marker is already held — a live merge " +
+          "sweep or another erase owns the table (wait for it), or a " +
+          "crashed erase left a stale marker (re-run with " +
+          "breakStaleLock = true once no writer is live)", cause)
+    try fs.create(marker, false).close()
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => held(e)
+      case e: java.io.IOException if lockHeld(e) => held(e)
+    }
+    try forgetLocked(spark, ids, root, fs, path, key)
+    finally { fs.delete(marker, false); () }
+  }
+
+  private def forgetLocked(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      key: String): Long = {
     val stage = new org.apache.hadoop.fs.Path(root, ForgetStageDir)
     val sid = new org.apache.hadoop.fs.Path(stage, "_GRAFT_STAGE_ID")
     // finish a crashed committed apply, then fall through (the erase
@@ -279,31 +367,64 @@ object Versioning {
     graft.sources.Evidence.appendDeduped(spark, ids,
       new org.apache.hadoop.fs.Path(root, ForgottenDir).toString,
       Seq(key))
-    // layout dispatch: flat tables rewrite in place; SINGLE-level
-    // Hive-partitioned tables (the 100 TB history shape) rewrite only
-    // the dirty partition directories; multi-level nesting refuses
-    // loudly (the r16 review found the original flat rewrite would
-    // silently leave partitioned versions in place — now each layout
-    // has its own correct path or a loud refusal)
+    // layout dispatch: flat tables rewrite in place; Hive-partitioned
+    // tables (any depth — date=/region=/... is the realistic 100 TB
+    // history shape) rewrite only the dirty LEAF directories; a level
+    // partitioned BY the key erases by whole-directory deletion. The
+    // tree walk below validates the layout up front (uniform depth,
+    // one column per level) so a ragged or mixed layout refuses
+    // loudly BEFORE any erase — the r16 review found the original
+    // flat rewrite would silently leave partitioned versions in
+    // place; now every layout has a correct path or a loud refusal.
     val partDirs = fs.listStatus(root).toSeq.filter(st =>
       st.isDirectory && st.getPath.getName.contains("="))
     if (partDirs.isEmpty) forgetFlat(spark, ids, root, stage, key)
     else {
-      partDirs.foreach { d =>
-        require(!fs.listStatus(d.getPath).exists(c =>
-          c.isDirectory && c.getPath.getName.contains("=")),
-          s"forget: $path is MULTI-level partitioned " +
-            s"(${d.getPath.getName}/...=...) — erase through a " +
-            "layout-aware rewrite or re-land single-level first")
+      val levels = partitionTree(fs, root, partDirs.map(_.getPath))
+      levels.map(_._1).indexOf(key) match {
+        case k if k >= 0 =>
+          forgetKeyPartitioned(spark, ids, root, key, levels(k)._2)
+        case _ =>
+          forgetPartitioned(spark, ids, root, stage, key,
+            levels.map(_._1))
       }
-      val partCols = partDirs
-        .map(_.getPath.getName.takeWhile(_ != '=')).distinct
-      require(partCols.size == 1,
-        s"forget: $path mixes partition columns $partCols")
-      if (partCols.head == key)
-        forgetKeyPartitioned(spark, ids, root, key, partDirs.map(_.getPath))
-      else forgetPartitioned(spark, ids, root, stage, key)
     }
+  }
+
+  /** Walk the Hive partition tree under `root`: one `(column, dirs)`
+    * pair per nesting level, validated as it goes — every level uses
+    * exactly ONE partition column and every branch reaches the same
+    * depth (ragged nesting or mixed columns refuse loudly, because a
+    * rewrite that assumed the wrong shape would erase PARTIALLY).
+    * Driver-side directory listing, same cost class as Spark's own
+    * partition discovery over the table (directories only, never data
+    * files).
+    */
+  private def partitionTree(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      top: Seq[org.apache.hadoop.fs.Path])
+      : Seq[(String, Seq[org.apache.hadoop.fs.Path])] = {
+    @annotation.tailrec
+    def walk(dirs: Seq[org.apache.hadoop.fs.Path],
+        acc: Seq[(String, Seq[org.apache.hadoop.fs.Path])])
+        : Seq[(String, Seq[org.apache.hadoop.fs.Path])] = {
+      val cols = dirs.map(_.getName.takeWhile(_ != '=')).distinct
+      require(cols.size == 1, s"forget: level ${acc.size + 1} of " +
+        s"$root mixes partition columns $cols")
+      val kidsByDir = dirs.map(d => fs.listStatus(d).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.contains("=")))
+      val withKids = kidsByDir.count(_.nonEmpty)
+      if (withKids == 0) acc :+ (cols.head -> dirs)
+      else {
+        require(withKids == dirs.size,
+          s"forget: ragged partition nesting under $root at level " +
+            s"${acc.size + 2} — some ${cols.head}= directories nest " +
+            "further and some hold data; refusing before a PARTIAL " +
+            "erasure")
+        walk(kidsByDir.flatten.map(_.getPath), acc :+ (cols.head -> dirs))
+      }
+    }
+    walk(top, Seq.empty)
   }
 
   /** The flat-table erase: stage ALL survivors, swap at the root. */
@@ -322,17 +443,22 @@ object Versioning {
     removed
   }
 
-  /** The partitioned erase (partition column ≠ key): find the DIRTY
-    * partition directories through the files that actually hold
-    * forgotten keys (`input_file_name` — no partition-value
-    * re-formatting, so escaped/typed partition values can never
-    * mismatch their directory names), stage each dirty directory's
-    * survivors, and swap only those directories — untouched
-    * partitions never rewrite, the compactCorpus cost shape.
+  /** The partitioned erase (no level partitioned by the key): find
+    * the DIRTY leaf partition directories through the files that
+    * actually hold forgotten keys (`input_file_name` — no
+    * partition-value re-formatting, so escaped/typed partition
+    * values can never mismatch their directory names), stage each
+    * dirty directory's survivors, and swap only those directories —
+    * untouched partitions never rewrite, the compactCorpus cost
+    * shape. `levelCols` (the validated tree walk) fixes the expected
+    * depth; every dirty file's path is re-checked against it, so a
+    * stray data file at the wrong depth aborts before a partial
+    * erasure.
     */
   private def forgetPartitioned(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, root: org.apache.hadoop.fs.Path,
-      stage: org.apache.hadoop.fs.Path, key: String): Long = {
+      stage: org.apache.hadoop.fs.Path, key: String,
+      levelCols: Seq[String]): Long = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tbl = spark.read.parquet(root.toString)
     require(tbl.columns.contains(key),
@@ -355,9 +481,21 @@ object Versioning {
       s"forget: could not attribute forgotten rows of $root to their " +
         "files (input_file_name blank) — aborting before a PARTIAL " +
         "erasure; retry, and report the plan shape if it persists")
+    val depth = levelCols.size
     val dirtyDirs = dirtyFiles.map { f =>
-        val parent = f.substring(0, f.lastIndexOf('/'))
-        parent.substring(parent.lastIndexOf('/') + 1)
+        val segs = f.split('/').dropRight(1)
+        require(segs.length > depth,
+          s"forget: file $f sits above the $depth-level layout of " +
+            s"$root — aborting before a PARTIAL erasure")
+        val rel = segs.takeRight(depth).toSeq
+        rel.zip(levelCols).foreach { case (seg, c) =>
+          require(seg.startsWith(c + "="),
+            s"forget: file $f does not sit under the expected " +
+              s"${levelCols.mkString("/")} layout of $root " +
+              s"(found '$seg' where '$c=...' was expected) — " +
+              "aborting before a PARTIAL erasure")
+        }
+        rel.mkString("/")
       }.distinct.toSeq.sorted
     dirtyDirs.foreach { d =>
       // per-directory read: the data files' own schema (no partition
@@ -370,24 +508,42 @@ object Versioning {
     removed
   }
 
-  /** The fast path when the table is partitioned BY the key itself:
-    * erasure is whole-directory deletion — no rewrite at all. Replay
-    * converges (already-deleted directories no longer match); simple
-    * unescaped partition values assumed (numeric/plain-string CRM
-    * keys — the partition layout this engine writes).
+  /** The fast path when SOME level is partitioned BY the key itself:
+    * erasure is whole-directory deletion at that level — no rewrite
+    * at all (`keyDirs` = every `key=...` directory, across all parent
+    * branches when the level is nested). Replay converges
+    * (already-deleted directories no longer match); simple unescaped
+    * partition values assumed (numeric/plain-string CRM keys — the
+    * partition layout this engine writes). Emptied ancestor
+    * directories are swept afterwards so repeated erasures cannot
+    * litter the tree with hollow branches.
     */
   private def forgetKeyPartitioned(
       spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
       root: org.apache.hadoop.fs.Path, key: String,
-      partDirs: Seq[org.apache.hadoop.fs.Path]): Long = {
+      keyDirs: Seq[org.apache.hadoop.fs.Path]): Long = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vals = ids.select(col(key).cast("string")).collect()
       .map(_.getString(0)).toSet
-    val doomed = partDirs.filter(d =>
+    val doomed = keyDirs.filter(d =>
       vals.contains(d.getName.drop(key.length + 1)))
     if (doomed.isEmpty) return 0L
     val removed = spark.read.parquet(doomed.map(_.toString): _*).count()
     doomed.foreach { d => fs.delete(d, true); () }
+    // sweep now-empty ancestors (deepest first) up to, never
+    // including, the table root (qualified — the doomed paths come
+    // from listStatus qualified, the root from the caller's string)
+    val qroot = fs.makeQualified(root)
+    doomed.map(_.getParent).distinct
+      .sortBy(-_.depth)
+      .foreach { p =>
+        var cur = p
+        while (cur != null && fs.makeQualified(cur) != qroot
+            && fs.exists(cur) && fs.listStatus(cur).isEmpty) {
+          fs.delete(cur, false)
+          cur = cur.getParent
+        }
+      }
     removed
   }
 

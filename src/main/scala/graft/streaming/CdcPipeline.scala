@@ -132,6 +132,14 @@ object CdcPipeline {
     val bk = keyBucket(key, nBuckets)
     val root = new org.apache.hadoop.fs.Path(historyPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer-lock guard: while Versioning.forget (or a maintenance
+    // sweep) holds the table, this batch's read would see the staged
+    // swap mid-flight (old ∪ new) and merge doubled versions — refuse
+    // loudly; the checkpointed foreachBatch retries after the lock
+    // clears. The residual check-to-commit window is the documented
+    // limit of directory-of-parquet tables.
+    graft.ml.Maintenance.refuseIfMaintaining(spark, historyPath,
+      "mergeBatchPruned")
     // the bucket count IS the layout: a caller passing a different n
     // than the table was written with computes different bucket ids,
     // reads the wrong directories, and silently double-flags keys —
@@ -219,6 +227,12 @@ object CdcPipeline {
     // merge of matching n; a mismatched one fails loudly)
     val root = new org.apache.hadoop.fs.Path(historyPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-check at the destructive write too (the erase could have
+    // taken the lock between this batch's merge read and its write;
+    // losing the batch to a loud retry beats interleaving a dynamic
+    // overwrite with the staged swap — either direction corrupts)
+    graft.ml.Maintenance.refuseIfMaintaining(spark, historyPath,
+      "writeMergedBuckets")
     readNBuckets(fs, root) match {
       case Some(recorded) =>
         require(recorded == nBuckets,

@@ -299,16 +299,21 @@ class VersioningSpec extends SparkSpec {
         Versioning.forget(spark, Seq(1L).toDF("item_id"),
           Versioning.ForgetTargets())
       }
-      // a MULTI-level partitioned table refuses loudly (only flat and
-      // single-level layouts have a correct rewrite path)
+      // a MULTI-level partitioned table erases through the same
+      // dirty-LEAF-directory rewrite (r16 extension): both of key 1's
+      // leaves (seg=1/current=0, seg=1/current=1) rewrite with key
+      // 3's rows surviving; seg=0 never rewrites
       val part = tmp.resolve("multilevel").toString
       historyRows("p").withColumn("seg", col("item_id") % 2)
         .write.partitionBy("seg", "current").parquet(part)
-      val ep = intercept[IllegalArgumentException] {
-        Versioning.forget(spark, Seq(1L).toDF("item_id"),
-          Versioning.ForgetTargets(historyPath = Some(part)))
-      }
-      assert(ep.getMessage.contains("MULTI-level"))
+      assert(Versioning.forget(spark, Seq(1L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(part))) === 2L)
+      val afterPart = spark.read.parquet(part)
+      assert(afterPart.filter(col("item_id") === 1L).isEmpty)
+      assert(afterPart.select("item_id", "event_id", "current")
+        .as[(Long, Long, Int)].collect().toSet ===
+        Set((2L, 12L, 1), (3L, 13L, 0), (3L, 14L, 1)),
+        "survivors keep both partition values intact")
       intercept[Exception] {
         Versioning.forget(spark,
           spark.sql("SELECT CAST(NULL AS BIGINT) AS item_id"),
@@ -372,6 +377,145 @@ class VersioningSpec extends SparkSpec {
         .as[Long].collect().toSet === Set(2L, 3L))
       assert(Versioning.forget(spark, Seq(1L).toDF("item_id"),
         Versioning.ForgetTargets(historyPath = Some(byKey))) === 0L)
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("forget on a DEEP key-partitioned history (key at level 2): " +
+      "erasure is whole-directory deletion, emptied ancestor branches " +
+      "are swept, replay converges; ragged nesting and mixed-column " +
+      "levels refuse loudly before any erase") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget_ml")
+    try {
+      val fs = new org.apache.hadoop.fs.Path(tmp.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // seg=0 holds item_id=2; seg=1 holds item_id∈{1,3} — erasing
+      // keys 1 and 3 deletes both of seg=1's key directories and the
+      // now-hollow seg=1 branch itself
+      val byKey = tmp.resolve("bykey2").toString
+      historyRows("k").withColumn("seg", col("item_id") % 2)
+        .write.partitionBy("seg", "item_id").parquet(byKey)
+      assert(Versioning.forget(spark, Seq(1L, 3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(byKey))) === 4L)
+      assert(spark.read.parquet(byKey).select("item_id")
+        .as[Long].collect().toSet === Set(2L))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$byKey/seg=1")), "the emptied ancestor branch must be swept")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$byKey/seg=0/item_id=2")), "the survivor's branch stays")
+      assert(Versioning.forget(spark, Seq(1L, 3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(byKey))) === 0L)
+      // ragged nesting: one branch of a single-level table nests
+      // further — the tree walk refuses before any rewrite
+      val ragged = tmp.resolve("ragged").toString
+      historyRows("r").withColumn("seg", col("item_id") % 2)
+        .write.partitionBy("seg").parquet(ragged)
+      historyRows("r").drop("item_id").limit(1)
+        .write.parquet(s"$ragged/seg=0/deep=1")
+      val er = intercept[IllegalArgumentException] {
+        Versioning.forget(spark, Seq(1L).toDF("item_id"),
+          Versioning.ForgetTargets(historyPath = Some(ragged)))
+      }
+      assert(er.getMessage.contains("ragged"))
+      // mixed columns at one level refuse
+      val mixed = tmp.resolve("mixed").toString
+      historyRows("m").withColumn("seg", col("item_id") % 2)
+        .write.partitionBy("seg").parquet(mixed)
+      historyRows("m").drop("item_id").limit(1)
+        .write.parquet(s"$mixed/other=9")
+      val em = intercept[IllegalArgumentException] {
+        Versioning.forget(spark, Seq(1L).toDF("item_id"),
+          Versioning.ForgetTargets(historyPath = Some(mixed)))
+      }
+      assert(em.getMessage.contains("mixes partition columns"))
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("forget cascade ledger: ONE idempotent row per (ids, tables) " +
+      "cascade appended after every table's swap landed; the " +
+      "crash-repair replay absorbs instead of duplicating; a cascade " +
+      "over different tables is a distinct audit row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget_lg")
+    try {
+      val hist = tmp.resolve("history").toString
+      val audit = tmp.resolve("audit").toString
+      val ledger = tmp.resolve("ledger").toString
+      historyRows("h").write.parquet(hist)
+      historyRows("a").drop("current").write.parquet(audit)
+      val t2 = Versioning.ForgetTargets(historyPath = Some(hist),
+        auditPath = Some(audit))
+      assert(Versioning.forget(spark, Seq(1L).toDF("item_id"), t2,
+        ledgerPath = Some(ledger)) === 4L)
+      // replay (removes nothing) absorbs into the same ledger row
+      assert(Versioning.forget(spark, Seq(1L).toDF("item_id"), t2,
+        ledgerPath = Some(ledger)) === 0L)
+      val rows = spark.read.parquet(ledger)
+      assert(rows.count() === 1L)
+      val r = rows.head()
+      assert(r.getAs[Seq[String]]("tables") === Seq("audit", "history"),
+        "table roles recorded sorted")
+      assert(r.getAs[Seq[String]]("item_ids") === Seq("1"))
+      assert(r.getAs[Long]("n_ids") === 1L)
+      // same ids, history-only cascade: a DISTINCT audit event
+      assert(Versioning.forget(spark, Seq(1L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist)),
+        ledgerPath = Some(ledger)) === 0L)
+      assert(spark.read.parquet(ledger).count() === 2L)
+    } finally {
+      new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+      ()
+    }
+  }
+
+  test("forget writer-lock discipline: an erase racing a live CDC " +
+      "merge is refused in BOTH directions — forget refuses while " +
+      "another writer holds the table, and mergeBatchPruned / " +
+      "writeMergedBuckets refuse while an erase holds it; a crashed " +
+      "erase's stale lock is cleared by breakStaleLock = true") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget_lk")
+    try {
+      val hist = tmp.resolve("history").toString
+      historyRows("h").write.parquet(hist)
+      val fs = new org.apache.hadoop.fs.Path(hist)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(hist,
+        graft.ml.Maintenance.MaintainingMarker)
+      // another writer holds the table → forget refuses loudly
+      fs.create(marker, false).close()
+      val ef = intercept[IllegalStateException] {
+        Versioning.forget(spark, Seq(1L).toDF("item_id"),
+          Versioning.ForgetTargets(historyPath = Some(hist)))
+      }
+      assert(ef.getMessage.contains("writer lock"))
+      // ...and the erase holding the table refuses the merge writers
+      val batch = Seq((1L, ts("2024-03-01 00:00:00"), 80L))
+        .toDF("item_id", "ts", "event_id")
+      val em = intercept[IllegalStateException] {
+        graft.streaming.CdcPipeline.mergeBatchPruned(
+          spark, hist, batch, "item_id", 4)
+      }
+      assert(em.getMessage.contains("writer lock"))
+      val ew = intercept[IllegalStateException] {
+        graft.streaming.CdcPipeline.writeMergedBuckets(
+          batch.withColumn("key_bucket", lit(0))
+            .withColumn("current", lit(1)), hist, 4)
+      }
+      assert(ew.getMessage.contains("writer lock"))
+      // nothing was erased or merged while refused
+      assert(spark.read.parquet(hist).count() === 5L)
+      // the stale-lock remedy: breakStaleLock re-enters, erases, and
+      // RELEASES the lock (the next merge write is free to proceed)
+      assert(Versioning.forget(spark, Seq(1L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(hist)),
+        breakStaleLock = true) === 2L)
+      assert(!fs.exists(marker), "forget must release its lock")
+      assert(spark.read.parquet(hist).filter(col("item_id") === 1L)
+        .isEmpty)
     } finally {
       new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
       ()
