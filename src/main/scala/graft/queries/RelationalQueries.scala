@@ -783,6 +783,61 @@ object RelationalQueries {
       |WHERE user_id % 13 <> 5 AND user_id % 17 <> 3
       |ORDER BY event_id""".stripMargin
 
+  /** [[ns70eErasureQueue]]'s PHYSICAL half
+    * ([[graft.streaming.ErasureIngest.compactQueue]]): after the
+    * first two drains, the sweep empties the fully-drained request
+    * partitions to their replay markers and reclaims their marks —
+    * then a THIRD request batch enqueues and drains through the swept
+    * queue. Gated on the closed-form restatement over all three
+    * request sets: physical reclaim of the queue must be
+    * answer-invisible end to end (the ns68b discipline). The
+    * marker/guard/crash halves are ErasureIngestSpec's.
+    */
+  val ns70fErasureCompacted: Q = (s, dir) => {
+    val path = zOrderedTablePath(s, dir, "scd2_history_erase_qc")
+    val queue = zOrderedTablePath(s, dir, "erase_queue_c")
+    if (zOrderedWritten.add(path)) {
+      val qp = new org.apache.hadoop.fs.Path(queue)
+      qp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(qp, true)
+      graft.scd.Versioning.withCurrentFlag(
+        Tables.events(s, dir), "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("current"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val t = graft.scd.Versioning.ForgetTargets(historyPath = Some(path))
+    def req(m: Int, r: Int) = Tables.events(s, dir)
+      .filter(col("user_id") % m === r)
+      .select(col("user_id")).distinct()
+    require(!req(13, 5).isEmpty && !req(17, 3).isEmpty &&
+      !req(19, 7).isEmpty,
+      "ns70f fixture drift: empty erase-request sets in events")
+    graft.streaming.ErasureIngest.enqueueBatch(req(13, 5), 0L, queue,
+      "user_id")
+    graft.streaming.ErasureIngest.drain(s, queue, t, key = "user_id")
+    graft.streaming.ErasureIngest.enqueueBatch(req(17, 3), 1L, queue,
+      "user_id")
+    graft.streaming.ErasureIngest.drain(s, queue, t, key = "user_id")
+    graft.streaming.ErasureIngest.compactQueue(s, queue)
+    graft.streaming.ErasureIngest.enqueueBatch(req(19, 7), 2L, queue,
+      "user_id")
+    graft.streaming.ErasureIngest.drain(s, queue, t, key = "user_id")
+    s.read.parquet(path)
+      .select(col("event_id"), col("user_id"), col("current"))
+      .orderBy(col("event_id"))
+  }
+
+  val ns70fErasureCompactedSql: String =
+    """SELECT event_id, user_id, current FROM (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END
+      |      AS current
+      |  FROM events)
+      |WHERE user_id % 13 <> 5 AND user_id % 17 <> 3
+      |  AND user_id % 19 <> 7
+      |ORDER BY event_id""".stripMargin
+
   val ns70dForgetLedgerSql: String =
     """WITH ids AS (
       |  SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 5
@@ -3197,6 +3252,7 @@ object RelationalQueries {
     "ns70c_scd2_forget_deep" -> ns70cScd2ForgetDeep,
     "ns70d_forget_ledger" -> ns70dForgetLedger,
     "ns70e_erasure_queue" -> ns70eErasureQueue,
+    "ns70f_erasure_compacted" -> ns70fErasureCompacted,
     "q20b_scd2_current_agg" -> q20bScd2CurrentAgg,
     "q21_running_sum" -> q21RunningSum,
     "q22_lag_lead" -> q22LagLead,
@@ -3301,6 +3357,7 @@ object RelationalQueries {
     "ns70c_scd2_forget_deep" -> ns70cScd2ForgetDeepSql,
     "ns70d_forget_ledger" -> ns70dForgetLedgerSql,
     "ns70e_erasure_queue" -> ns70eErasureQueueSql,
+    "ns70f_erasure_compacted" -> ns70fErasureCompactedSql,
     "q20b_scd2_current_agg" -> q20Scd2CurrentSql,
     "q21_running_sum" -> q21RunningSumSql,
     "q22_lag_lead" -> q22LagLeadSql,

@@ -183,7 +183,8 @@ object CdcPipeline {
     * bootstrap branch and wedge every retry on "unable to infer
     * schema".
     */
-  private def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def hasParquetData(
+      fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Boolean = {
     val qRoot = fs.makeQualified(root)
     def visible(p: org.apache.hadoop.fs.Path): Boolean =

@@ -70,14 +70,22 @@ object ErasureIngest {
 
   /** Wire the streaming front door: each micro-batch of request rows
     * (any frame with the key column) enqueues exactly-once.
+    * `compactEvery` > 0 fires [[compactQueue]] every N batches INSIDE
+    * foreachBatch — serialized with this stream's own enqueues (the
+    * [[graft.ml.Maintenance.maintainEveryN]] discipline), so a
+    * long-running request stream self-heals its own anti-join debt.
     */
   def start(requests: DataFrame, queuePath: String, key: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0): StreamingQuery =
     requests.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("10 seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         enqueueBatch(batch, batchId, queuePath, key)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactQueue(batch.sparkSession, queuePath)
+          ()
+        }
       }
       .start()
 
@@ -96,12 +104,19 @@ object ErasureIngest {
       breakStaleLock: Boolean = false): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(queuePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (0L, 0L)
+    // an absent OR fully-compacted queue (every partition emptied to
+    // its replay markers) has nothing pending — and a directory read
+    // of either would die on schema inference
+    if (!fs.exists(root) || !CdcPipeline.hasParquetData(fs, root))
+      return (0L, 0L)
     val queued = spark.read.parquet(queuePath)
       .select(col("ingest_batch"), col(key))
     val drainedPath = new org.apache.hadoop.fs.Path(root, DrainedDir)
-    val pending = (if (fs.exists(drainedPath))
-        queued.join(spark.read.parquet(drainedPath.toString),
+    val haveMarks = fs.exists(drainedPath) &&
+      CdcPipeline.hasParquetData(fs, drainedPath)
+    val pending = (if (haveMarks)
+        queued.join(spark.read.parquet(drainedPath.toString)
+            .select(col("ingest_batch"), col(key)),
           Seq("ingest_batch", key), "left_anti")
       else queued).localCheckpoint()
     val nPending = pending.count()
@@ -109,10 +124,150 @@ object ErasureIngest {
     val removed = graft.scd.Versioning.forget(spark,
       pending.select(col(key)), targets, key, breakStaleLock,
       ledgerPath)
-    // drained marks LAST (after every table's swap landed), keyed by
-    // request so replays absorb and later re-requests stay pending
-    graft.sources.Evidence.appendDeduped(spark, pending,
-      drainedPath.toString, Seq("ingest_batch", key))
+    // drained marks LAST (after every table's swap landed),
+    // PARTITIONED by the request batch so [[compactQueue]] reclaims
+    // a batch's marks by whole-directory deletion (atomic per batch
+    // — a rewrite of a flat marks table could lose marks mid-crash,
+    // and a lost mark re-erases a key nobody re-requested). Pending
+    // is anti-joined against the marks by construction, so a plain
+    // append cannot duplicate; keyed by request so replays absorb
+    // and later re-requests stay pending.
+    pending.write.mode("append").partitionBy("ingest_batch")
+      .parquet(drainedPath.toString)
     (nPending, removed)
   }
+
+  /** The queue's maintenance debt: request batches fully applied but
+    * still read by every [[drain]] (`reclaimableBatches` — their rows
+    * are pure anti-join mass), mark directories whose batch data is
+    * already gone (`orphanMarkDirs` — a crashed sweep's residue), and
+    * the total drained-mark rows every pending computation pays
+    * (`drainedMarkRows`). One column-pruned count per side plus two
+    * directory listings — the [[graft.ml.Maintenance.compactionDebt]]
+    * cost class; the axes differ from the index families' (drained
+    * marks are not masking tombstones, they are applied-work
+    * receipts), which is why the queue measures its own.
+    */
+  final case class QueueDebt(reclaimableBatches: Long,
+      orphanMarkDirs: Long, drainedMarkRows: Long)
+
+  def queueDebt(spark: SparkSession, queuePath: String): QueueDebt = {
+    val root = new org.apache.hadoop.fs.Path(queuePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return QueueDebt(0L, 0L, 0L)
+    val (queuedBatches, pendingBatches) = batchSets(spark, fs, root)
+    val drainedPath = new org.apache.hadoop.fs.Path(root, DrainedDir)
+    val markDirs = markDirBatches(fs, drainedPath)
+    val markRows =
+      if (!fs.exists(drainedPath) ||
+          !CdcPipeline.hasParquetData(fs, drainedPath)) 0L
+      else spark.read.parquet(drainedPath.toString).count()
+    QueueDebt((queuedBatches -- pendingBatches).size.toLong,
+      (markDirs -- queuedBatches).size.toLong, markRows)
+  }
+
+  /** Physical reclaim for the erasure queue: without it, a year of
+    * streamed requests makes every drain re-read (and anti-join away)
+    * every batch ever applied. Fully-drained request partitions are
+    * EMPTIED to their replay markers — data files deleted,
+    * `_SUCCESS`/`_GRAFT_BATCH_SIG` preserved, the compactCorpus
+    * discipline, so a replayed batch id keeps absorbing and a
+    * recycled one keeps refusing — and then mark directories whose
+    * batch data is gone are deleted whole. Ordering makes every
+    * crash point converge by re-running: a partly-emptied batch still
+    * has zero pending rows (its survivors are all marked) so it
+    * finishes next sweep; marks are only deleted AFTER their batch
+    * holds no data, so a mark can never vanish while its rows could
+    * re-enter pending. Runs under the queue's `_graft_maintaining`
+    * writer lock — concurrent enqueues refuse loudly for the sweep's
+    * duration (the [[BatchCommit]] guard); a concurrent [[drain]] is
+    * safe by construction (it never marks a fully-drained batch and
+    * never reads reclaimed marks' rows) but the single-maintenance
+    * contract still applies. Returns (batches emptied, mark
+    * directories reclaimed).
+    */
+  def compactQueue(spark: SparkSession, queuePath: String,
+      breakStaleLock: Boolean = false): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(queuePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0L, 0L)
+    val marker = new org.apache.hadoop.fs.Path(root,
+      graft.ml.Maintenance.MaintainingMarker)
+    if (breakStaleLock) { fs.delete(marker, false); () }
+    def held(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"compactQueue: writer lock $marker is already held — another " +
+          "sweep is live (wait for it), or a crashed sweep left a " +
+          "stale marker (re-run with breakStaleLock = true once no " +
+          "sweep is live)", cause)
+    try fs.create(marker, false).close()
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => held(e)
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => held(e)
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(
+            _.toLowerCase.contains("already exists")) => held(e)
+    }
+    try {
+      val (queuedBatches, pendingBatches) = batchSets(spark, fs, root)
+      val fully = (queuedBatches -- pendingBatches).toSeq.sorted
+      fully.foreach { b =>
+        val part = new org.apache.hadoop.fs.Path(root,
+          s"ingest_batch=$b")
+        fs.listStatus(part).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { p => fs.delete(p, false); () }
+      }
+      val drainedPath = new org.apache.hadoop.fs.Path(root, DrainedDir)
+      val orphans = (markDirBatches(fs, drainedPath) --
+        (queuedBatches -- fully.toSet)).toSeq.sorted
+      orphans.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(drainedPath,
+          s"ingest_batch=$b"), true)
+        ()
+      }
+      (fully.size.toLong, orphans.size.toLong)
+    } finally { fs.delete(marker, false); () }
+  }
+
+  /** (batches holding data, batches with ≥1 undrained row) — the
+    * fully-drained set is their difference. Bounded driver action:
+    * one row per request batch.
+    */
+  private def batchSets(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Set[Long], Set[Long]) = {
+    if (!CdcPipeline.hasParquetData(fs, root))
+      return (Set.empty, Set.empty)
+    val queued = spark.read.parquet(root.toString)
+    // cast: partition-value inference may type small batch ids as INT
+    val queuedBatches = queued.select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val drainedPath = new org.apache.hadoop.fs.Path(root, DrainedDir)
+    val key = queued.columns.filter(_ != "ingest_batch") match {
+      case Array(k) => k
+      case other => throw new IllegalStateException(
+        s"erasure queue $root holds columns ${other.mkString(",")} — " +
+          "expected exactly one key column beside ingest_batch")
+    }
+    val pendingBatches = (if (fs.exists(drainedPath) &&
+        CdcPipeline.hasParquetData(fs, drainedPath))
+      queued.join(spark.read.parquet(drainedPath.toString)
+          .select(col("ingest_batch"), col(key)),
+        Seq("ingest_batch", key), "left_anti")
+    else queued)
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    (queuedBatches, pendingBatches)
+  }
+
+  /** The mark directories' batch ids (absent dir = none). */
+  private def markDirBatches(fs: org.apache.hadoop.fs.FileSystem,
+      drainedPath: org.apache.hadoop.fs.Path): Set[Long] =
+    if (!fs.exists(drainedPath)) Set.empty
+    else fs.listStatus(drainedPath).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch="))
+      .map(_.getPath.getName.drop("ingest_batch=".length).toLong)
+      .toSet
 }

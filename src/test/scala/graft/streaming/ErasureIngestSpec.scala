@@ -106,6 +106,82 @@ class ErasureIngestSpec extends SparkSpec {
       .isEmpty, "the re-requested key must be erased again")
   }
 
+  test("compactQueue empties fully-drained request partitions to " +
+      "their replay markers and reclaims their marks whole-directory; " +
+      "replay absorbs and recycled ids still refuse afterwards; the " +
+      "front door keeps working; a crash between data deletion and " +
+      "mark reclaim converges on the next sweep") {
+    val dir = tmp("graft_erase_cq")
+    val hist = s"$dir/history"
+    val queue = s"$dir/queue"
+    historyRows("h").write.parquet(hist)
+    val t = Versioning.ForgetTargets(historyPath = Some(hist))
+    ErasureIngest.enqueueBatch(Seq(1L).toDF("item_id"), 0L, queue,
+      "item_id")
+    ErasureIngest.enqueueBatch(Seq(3L, 99L).toDF("item_id"), 1L,
+      queue, "item_id")
+    assert(ErasureIngest.drain(spark, queue, t) === ((3L, 4L)))
+    val debt = ErasureIngest.queueDebt(spark, queue)
+    assert(debt === ErasureIngest.QueueDebt(2L, 0L, 3L),
+      "both batches are applied anti-join mass before the sweep")
+    assert(ErasureIngest.compactQueue(spark, queue) === ((2L, 2L)))
+    assert(ErasureIngest.queueDebt(spark, queue) ===
+      ErasureIngest.QueueDebt(0L, 0L, 0L))
+    val fs = new org.apache.hadoop.fs.Path(queue)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // emptied to replay markers: no data files, _SUCCESS + sig kept
+    Seq(0L, 1L).foreach { b =>
+      val part = new org.apache.hadoop.fs.Path(s"$queue/ingest_batch=$b")
+      val names = fs.listStatus(part).map(_.getPath.getName).toSet
+      assert(!names.exists(_.endsWith(".parquet")),
+        s"batch $b must hold no data files")
+      assert(names.contains("_SUCCESS") &&
+        names.contains("_GRAFT_BATCH_SIG"),
+        s"batch $b must keep its replay markers")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$queue/${ErasureIngest.DrainedDir}/ingest_batch=0")))
+    // an all-emptied queue drains as a schema-safe no-op
+    assert(ErasureIngest.drain(spark, queue, t) === ((0L, 0L)))
+    // the emptied partitions' guards survive: same-content replay
+    // absorbs silently, a recycled id still refuses
+    ErasureIngest.enqueueBatch(Seq(1L).toDF("item_id"), 0L, queue,
+      "item_id")
+    assert(ErasureIngest.drain(spark, queue, t) === ((0L, 0L)),
+      "the absorbed replay must not resurrect the batch")
+    val er = intercept[IllegalArgumentException] {
+      ErasureIngest.enqueueBatch(Seq(7L).toDF("item_id"), 1L, queue,
+        "item_id")
+    }
+    assert(er.getMessage.contains("recycled"))
+    // the front door keeps working after the sweep
+    ErasureIngest.enqueueBatch(Seq(2L).toDF("item_id"), 2L, queue,
+      "item_id")
+    assert(ErasureIngest.drain(spark, queue, t) === ((1L, 1L)))
+    assert(spark.read.parquet(hist).isEmpty)
+    // crash window: batch 2's data deleted but its marks left behind
+    // — the next sweep sees orphan marks and reclaims them
+    fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$queue/ingest_batch=2")).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(p => fs.delete(p, false))
+    assert(ErasureIngest.queueDebt(spark, queue).orphanMarkDirs === 1L)
+    assert(ErasureIngest.compactQueue(spark, queue) === ((0L, 1L)))
+    assert(ErasureIngest.queueDebt(spark, queue) ===
+      ErasureIngest.QueueDebt(0L, 0L, 0L))
+    // lock discipline: a held queue lock refuses the sweep loudly
+    val marker = new org.apache.hadoop.fs.Path(queue,
+      graft.ml.Maintenance.MaintainingMarker)
+    fs.create(marker, false).close()
+    val el = intercept[IllegalStateException] {
+      ErasureIngest.compactQueue(spark, queue)
+    }
+    assert(el.getMessage.contains("writer lock"))
+    assert(ErasureIngest.compactQueue(spark, queue,
+      breakStaleLock = true) === ((0L, 0L)))
+    assert(!fs.exists(marker))
+  }
+
   test("the streaming wrapper enqueues through real micro-batches " +
       "and the drain sees every committed request") {
     val dir = tmp("graft_erase_st")
@@ -114,17 +190,26 @@ class ErasureIngestSpec extends SparkSpec {
     historyRows("h").write.parquet(hist)
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Long]
+    // compactEvery = 1: the in-stream hook sweeps after every batch —
+    // serialized with the enqueue, so it can never trip its own guard
     val q = ErasureIngest.start(in.toDF().toDF("item_id"), queue,
-      "item_id", s"$dir/ckpt")
+      "item_id", s"$dir/ckpt", compactEvery = 1)
     try {
       in.addData(1L)
       q.processAllAvailable()
+      // the window runs while the stream is between triggers
+      val (p1, r1) = ErasureIngest.drain(spark, queue,
+        Versioning.ForgetTargets(historyPath = Some(hist)))
+      assert(p1 === 1L && r1 === 2L)
       in.addData(3L, 99L)
       q.processAllAvailable()
+      // batch 1's hook swept the drained batch 0 to its markers
+      assert(ErasureIngest.queueDebt(spark, queue)
+        .reclaimableBatches === 0L)
     } finally q.stop()
     val (pending, removed) = ErasureIngest.drain(spark, queue,
       Versioning.ForgetTargets(historyPath = Some(hist)))
-    assert(pending === 3L && removed === 4L)
+    assert(pending === 2L && removed === 2L)
     assert(spark.read.parquet(hist).select("item_id")
       .as[Long].collect().toSet === Set(2L))
   }
