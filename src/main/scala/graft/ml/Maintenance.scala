@@ -53,6 +53,43 @@ object Maintenance {
           "Versioning.forget)")
   }
 
+  /** Exclusive-create writer-lock acquisition shared by every
+    * single-writer maintenance op — index sweeps ([[maintainIndex]]),
+    * hard-forget erases ([[graft.scd.Versioning.forget]]), and
+    * erasure-queue reclaim
+    * ([[graft.streaming.ErasureIngest.compactQueue]]); the r16
+    * session review found three drifting copies of this sequence.
+    * Creates the [[MaintainingMarker]] at `root` or refuses loudly,
+    * runs `body`, releases on the way out (even on failure — a
+    * process CRASH leaves the marker, and the owner's documented
+    * remedy is re-running with its breakStaleLock flag, which callers
+    * apply BEFORE entering here). Only the already-exists failure
+    * means "held"; any other IO failure propagates as itself.
+    */
+  private[graft] def withWriterLock[T](
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, op: String)(body: => T): T = {
+    val marker = new org.apache.hadoop.fs.Path(root, MaintainingMarker)
+    def lockHeld(e: java.io.IOException): Boolean = e match {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _ => Option(e.getMessage).exists(m =>
+        m.toLowerCase.contains("already exists") &&
+          (m.contains(marker.toString) || m.contains(marker.getName)))
+    }
+    def held(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"$op: writer lock $marker is already held — another " +
+          "maintenance sweep or erase owns it (wait for it), or a " +
+          "crashed owner left a stale marker (re-run with " +
+          "breakStaleLock = true once no owner is live)", cause)
+    try fs.create(marker, false).close()
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => held(e)
+      case e: java.io.IOException if lockHeld(e) => held(e)
+    }
+    try body finally { fs.delete(marker, false); () }
+  }
+
   /** One index family's measured maintenance debt.
     *
     * @param tombstoneIds   distinct ids still masking at read — every
@@ -197,38 +234,13 @@ object Maintenance {
     if (fire) {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(
-        s"$path/$MaintainingMarker")
-      // exclusive create — the compactSubstrIndex lock discipline
-      // (graft/ml/Dedup.scala:1302): only the already-exists failure
-      // means "held"; any other IO failure propagates as itself
-      def lockHeld(e: java.io.IOException): Boolean = e match {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
-        case _ => Option(e.getMessage).exists(m =>
-          m.toLowerCase.contains("already exists") &&
-            (m.contains(marker.toString) || m.contains(marker.getName)))
-      }
-      def held(cause: Throwable): Nothing =
-        throw new IllegalStateException(
-          s"maintainIndex: writer lock $marker is already held — " +
-            "another sweep is live (wait for it), or a crashed sweep " +
-            "left a stale marker (re-run with breakStaleLock = true " +
-            "once no sweep is live)", cause)
-      try fs.create(marker, false).close()
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException => held(e)
-        case e: java.io.IOException if lockHeld(e) => held(e)
-      }
-      try {
+      withWriterLock(fs, root, "maintainIndex") {
         val (_, _, bucketPrefix, fold, compact) = familySpec(family)
         if (debt.streamBacklog > 0L) fold.foreach(f => f(spark, path))
         compact(spark, path)
         if (bucketPrefix.nonEmpty &&
             debt.multiFileBuckets > thresholds.maxMultiFileBuckets)
           coalesceMultiFileBuckets(spark, path, bucketPrefix)
-      } finally {
-        fs.delete(marker, false)
-        ()
       }
     }
     (debt, fire)

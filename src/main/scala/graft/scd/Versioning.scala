@@ -259,7 +259,8 @@ object Versioning {
   def forget(spark: org.apache.spark.sql.SparkSession,
       itemIds: DataFrame, targets: ForgetTargets,
       key: String = "item_id", breakStaleLock: Boolean = false,
-      ledgerPath: Option[String] = None): Long = {
+      ledgerPath: Option[String] = None,
+      ledgerTag: String = ""): Long = {
     require(targets.paths.nonEmpty,
       "forget: no target tables named — nothing would be erased")
     val ids = itemIds.select(
@@ -270,7 +271,7 @@ object Versioning {
     val removed = targets.paths.map(p =>
       forgetFrom(spark, ids, p, key, breakStaleLock)).sum
     ledgerPath.foreach(lp =>
-      appendForgetLedger(spark, ids, targets, key, lp))
+      appendForgetLedger(spark, ids, targets, key, lp, ledgerTag))
     removed
   }
 
@@ -282,10 +283,19 @@ object Versioning {
     * reconstruct the cascade from every table root. One idempotent
     * row per cascade — appended LAST, after every table's staged swap
     * landed, so its presence attests the WHOLE erasure's durability.
-    * `cascade_sig` = md5(sorted ids | sorted table roles) is a pure
-    * function of the cascade's content: the crash-repair replay
-    * absorbs instead of duplicating, and the oracle restates the sig
-    * cross-engine. Removed-row counts are deliberately absent — they
+    * `cascade_sig` = md5(sorted ids | sorted table roles | request
+    * tag) is a pure function of the cascade's content: the
+    * crash-repair replay absorbs instead of duplicating, and the
+    * oracle restates the sig cross-engine. `ledgerTag` carries the
+    * REQUEST identity when the caller has one (the erasure queue
+    * passes its pending batch ids): without it, a genuine later
+    * re-request over the same id set — legal after re-consent —
+    * would absorb into the first cascade's row and leave no audit
+    * evidence the second request was honored (the r16 session
+    * review; the same reason drained marks are request-keyed). A
+    * direct forget call with no tag keeps one row per (ids, tables)
+    * cascade — for hand-run erasures that IS the audit-relevant
+    * cardinality. Removed-row counts are deliberately absent — they
     * differ between the erase and its replay, and a run-varying
     * column would break exactly the replay absorption this ledger
     * exists to provide (so would a wall-clock stamp; timestamps are
@@ -293,20 +303,24 @@ object Versioning {
     */
   private def appendForgetLedger(
       spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
-      targets: ForgetTargets, key: String, ledgerPath: String): Unit = {
+      targets: ForgetTargets, key: String, ledgerPath: String,
+      tag: String): Unit = {
     val named = Seq(
       targets.historyPath.map("history" -> _),
       targets.auditPath.map("audit" -> _),
       targets.queuePath.map("queue" -> _)).flatten.sortBy(_._1)
     val tables = named.map(_._1)
+    val sigSuffix = "|" + tables.mkString(",") +
+      (if (tag.nonEmpty) "|" + tag else "")
     val row = ids
       .agg(sort_array(collect_list(col(key).cast("string")))
         .as("item_ids"), count(lit(1)).as("n_ids"))
       .select(
         md5(concat(concat_ws(",", col("item_ids")),
-          lit("|" + tables.mkString(",")))).as("cascade_sig"),
+          lit(sigSuffix))).as("cascade_sig"),
         col("item_ids"), col("n_ids"),
         typedLit(tables).as("tables"),
+        lit(tag).as("request_tag"),
         // paths beside the role-keyed sig: two cascades over the same
         // ids against different tables of the same role are distinct
         // audit events — the dedupe key is (sig, target_paths)
@@ -322,31 +336,14 @@ object Versioning {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"forget: no table at $path")
-    val marker = new org.apache.hadoop.fs.Path(root,
-      graft.ml.Maintenance.MaintainingMarker)
-    if (breakStaleLock) { fs.delete(marker, false); () }
-    // exclusive-create writer lock (the maintainIndex discipline):
-    // only the already-exists failure means "held"; any other IO
-    // failure propagates as itself
-    def lockHeld(e: java.io.IOException): Boolean = e match {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
-      case _ => Option(e.getMessage).exists(m =>
-        m.toLowerCase.contains("already exists") &&
-          (m.contains(marker.toString) || m.contains(marker.getName)))
+    if (breakStaleLock) {
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        graft.ml.Maintenance.MaintainingMarker), false)
+      ()
     }
-    def held(cause: Throwable): Nothing =
-      throw new IllegalStateException(
-        s"forget: writer lock $marker is already held — a live merge " +
-          "sweep or another erase owns the table (wait for it), or a " +
-          "crashed erase left a stale marker (re-run with " +
-          "breakStaleLock = true once no writer is live)", cause)
-    try fs.create(marker, false).close()
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException => held(e)
-      case e: java.io.IOException if lockHeld(e) => held(e)
+    graft.ml.Maintenance.withWriterLock(fs, root, "forget") {
+      forgetLocked(spark, ids, root, fs, path, key)
     }
-    try forgetLocked(spark, ids, root, fs, path, key)
-    finally { fs.delete(marker, false); () }
   }
 
   private def forgetLocked(spark: org.apache.spark.sql.SparkSession,
@@ -381,7 +378,15 @@ object Versioning {
     if (partDirs.isEmpty) forgetFlat(spark, ids, root, stage, key)
     else {
       val levels = partitionTree(fs, root, partDirs.map(_.getPath))
-      levels.map(_._1).indexOf(key) match {
+      if (levels.isEmpty) {
+        // every partition branch is hollow debris (a fully-erased
+        // key-partitioned table whose ancestor sweep died): any rows
+        // could only live in flat files beside the husks
+        if (fs.listStatus(root).exists(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")))
+          forgetFlat(spark, ids, root, stage, key)
+        else 0L
+      } else levels.map(_._1).indexOf(key) match {
         case k if k >= 0 =>
           forgetKeyPartitioned(spark, ids, root, key, levels(k)._2)
         case _ =>
@@ -408,20 +413,32 @@ object Versioning {
     def walk(dirs: Seq[org.apache.hadoop.fs.Path],
         acc: Seq[(String, Seq[org.apache.hadoop.fs.Path])])
         : Seq[(String, Seq[org.apache.hadoop.fs.Path])] = {
-      val cols = dirs.map(_.getName.takeWhile(_ != '=')).distinct
-      require(cols.size == 1, s"forget: level ${acc.size + 1} of " +
-        s"$root mixes partition columns $cols")
-      val kidsByDir = dirs.map(d => fs.listStatus(d).toSeq.filter(st =>
-        st.isDirectory && st.getPath.getName.contains("=")))
-      val withKids = kidsByDir.count(_.nonEmpty)
-      if (withKids == 0) acc :+ (cols.head -> dirs)
+      // HOLLOW directories are pruned, not treated as data leaves: a
+      // key-level erase that crashed between deleting its doomed
+      // children and sweeping the emptied ancestors leaves an empty
+      // branch, and the documented crash remedy — re-running forget —
+      // must not wedge on its own debris (the r16 session review)
+      val listed = dirs.map(d => d -> fs.listStatus(d).toSeq)
+        .filter(_._2.nonEmpty)
+      if (listed.isEmpty) acc
       else {
-        require(withKids == dirs.size,
-          s"forget: ragged partition nesting under $root at level " +
-            s"${acc.size + 2} — some ${cols.head}= directories nest " +
-            "further and some hold data; refusing before a PARTIAL " +
-            "erasure")
-        walk(kidsByDir.flatten.map(_.getPath), acc :+ (cols.head -> dirs))
+        val live = listed.map(_._1)
+        val cols = live.map(_.getName.takeWhile(_ != '=')).distinct
+        require(cols.size == 1, s"forget: level ${acc.size + 1} of " +
+          s"$root mixes partition columns $cols")
+        val kidsByDir = listed.map(_._2.filter(st =>
+          st.isDirectory && st.getPath.getName.contains("=")))
+        val withKids = kidsByDir.count(_.nonEmpty)
+        if (withKids == 0) acc :+ (cols.head -> live)
+        else {
+          require(withKids == live.size,
+            s"forget: ragged partition nesting under $root at level " +
+              s"${acc.size + 2} — some ${cols.head}= directories nest " +
+              "further and some hold data; refusing before a PARTIAL " +
+              "erasure")
+          walk(kidsByDir.flatten.map(_.getPath),
+            acc :+ (cols.head -> live))
+        }
       }
     }
     walk(top, Seq.empty)

@@ -64,7 +64,11 @@ object ErasureIngest {
       batchSig(ids, key),
       "point the stream at a fresh queuePath, or re-key the existing " +
         "partitions offline", lockRoot = queuePath) { part =>
-      ids.write.parquet(part)
+      // overwrite, the sibling-ingest discipline: a crashed write
+      // leaves the partition dir (no _SUCCESS) and the checkpointed
+      // replay must be able to write over the debris, not die on
+      // ErrorIfExists forever
+      ids.write.mode("overwrite").parquet(part)
     }
   }
 
@@ -121,9 +125,17 @@ object ErasureIngest {
       else queued).localCheckpoint()
     val nPending = pending.count()
     if (nPending == 0L) return (0L, 0L)
+    // the ledger tag is the pending REQUEST batches: a crash replay
+    // recomputes the same pending set → same tag → the cascade row
+    // absorbs; a later re-request of the same keys arrives in a new
+    // batch → new tag → a distinct audit row proves it was honored
+    val reqTag =
+      if (ledgerPath.isEmpty) ""
+      else pending.select(col("ingest_batch").cast("long"))
+        .distinct().collect().map(_.getLong(0)).sorted.mkString(",")
     val removed = graft.scd.Versioning.forget(spark,
       pending.select(col(key)), targets, key, breakStaleLock,
-      ledgerPath)
+      ledgerPath, ledgerTag = reqTag)
     // drained marks LAST (after every table's swap landed),
     // PARTITIONED by the request batch so [[compactQueue]] reclaims
     // a batch's marks by whole-directory deletion (atomic per batch
@@ -191,24 +203,12 @@ object ErasureIngest {
     val root = new org.apache.hadoop.fs.Path(queuePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0L, 0L)
-    val marker = new org.apache.hadoop.fs.Path(root,
-      graft.ml.Maintenance.MaintainingMarker)
-    if (breakStaleLock) { fs.delete(marker, false); () }
-    def held(cause: Throwable): Nothing =
-      throw new IllegalStateException(
-        s"compactQueue: writer lock $marker is already held — another " +
-          "sweep is live (wait for it), or a crashed sweep left a " +
-          "stale marker (re-run with breakStaleLock = true once no " +
-          "sweep is live)", cause)
-    try fs.create(marker, false).close()
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException => held(e)
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException => held(e)
-      case e: java.io.IOException
-          if Option(e.getMessage).exists(
-            _.toLowerCase.contains("already exists")) => held(e)
+    if (breakStaleLock) {
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        graft.ml.Maintenance.MaintainingMarker), false)
+      ()
     }
-    try {
+    graft.ml.Maintenance.withWriterLock(fs, root, "compactQueue") {
       val (queuedBatches, pendingBatches) = batchSets(spark, fs, root)
       val fully = (queuedBatches -- pendingBatches).toSeq.sorted
       fully.foreach { b =>
@@ -227,7 +227,7 @@ object ErasureIngest {
         ()
       }
       (fully.size.toLong, orphans.size.toLong)
-    } finally { fs.delete(marker, false); () }
+    }
   }
 
   /** (batches holding data, batches with ≥1 undrained row) — the

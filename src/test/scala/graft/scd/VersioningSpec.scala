@@ -407,6 +407,17 @@ class VersioningSpec extends SparkSpec {
         s"$byKey/seg=0/item_id=2")), "the survivor's branch stays")
       assert(Versioning.forget(spark, Seq(1L, 3L).toDF("item_id"),
         Versioning.ForgetTargets(historyPath = Some(byKey))) === 0L)
+      // crash window (r16 session review): a key-level erase that
+      // died between deleting its doomed children and sweeping the
+      // emptied ancestor leaves a HOLLOW branch — the documented
+      // remedy (re-running forget) must prune it, not wedge on a
+      // false ragged-nesting refusal
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$byKey/seg=3"))
+      assert(Versioning.forget(spark, Seq(1L, 3L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(byKey))) === 0L,
+        "the replay over the hollow branch must converge")
+      assert(spark.read.parquet(byKey).select("item_id")
+        .as[Long].collect().toSet === Set(2L))
       // ragged nesting: one branch of a single-level table nests
       // further — the tree walk refuses before any rewrite
       val ragged = tmp.resolve("ragged").toString

@@ -85,15 +85,18 @@ class ErasureIngestSpec extends SparkSpec {
 
   test("drain identity is the REQUEST, not the key: a key erased, " +
       "re-ingested under re-consent, and named by a LATER request is " +
-      "erased again") {
+      "erased again — and the cascade ledger records BOTH honored " +
+      "requests as distinct rows (request-tagged sigs)") {
     val dir = tmp("graft_erase_rr")
     val hist = s"$dir/history"
     val queue = s"$dir/queue"
+    val ledger = s"$dir/ledger"
     historyRows("h").write.parquet(hist)
     val t = Versioning.ForgetTargets(historyPath = Some(hist))
     ErasureIngest.enqueueBatch(Seq(1L).toDF("item_id"), 0L, queue,
       "item_id")
-    assert(ErasureIngest.drain(spark, queue, t) === ((1L, 2L)))
+    assert(ErasureIngest.drain(spark, queue, t,
+      ledgerPath = Some(ledger)) === ((1L, 2L)))
     // re-consent: the key legitimately reappears
     Seq((1L, ts("2024-02-01 00:00:00"), 50L, "h-new", 1))
       .toDF("item_id", "ts", "event_id", "payload", "current")
@@ -101,9 +104,17 @@ class ErasureIngestSpec extends SparkSpec {
     // a later request for the same key is FRESH pending work
     ErasureIngest.enqueueBatch(Seq(1L).toDF("item_id"), 1L, queue,
       "item_id")
-    assert(ErasureIngest.drain(spark, queue, t) === ((1L, 1L)))
+    assert(ErasureIngest.drain(spark, queue, t,
+      ledgerPath = Some(ledger)) === ((1L, 1L)))
     assert(spark.read.parquet(hist).filter(col("item_id") === 1L)
       .isEmpty, "the re-requested key must be erased again")
+    // the audit trail distinguishes the two honored requests: same
+    // ids, same tables, different request batches → different sigs
+    val led = spark.read.parquet(ledger)
+    assert(led.count() === 2L,
+      "a re-request must not absorb into the first cascade's row")
+    assert(led.select("request_tag").as[String].collect().toSet ===
+      Set("0", "1"))
   }
 
   test("compactQueue empties fully-drained request partitions to " +
