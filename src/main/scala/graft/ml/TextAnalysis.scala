@@ -174,4 +174,42 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(words(text), lit(0L),
       (acc, w) => pmod(acc * 31 + HashUtils.hash60(w), lit(1L << 40)))
+
+  /** Canonical URL form for crawl dedup — the pre-pass a web corpus
+    * runs before content near-dup (two fetches of one page under
+    * trivially different URLs are EXACT duplicates; catching them by
+    * URL is a map-only string rewrite, no shingles, no index): strip
+    * the fragment, lowercase scheme and host, drop the scheme's
+    * default port (http:80 / https:443), collapse trailing path
+    * slashes (root stays `/`, an empty path becomes `/`), drop
+    * `utm_*` tracking parameters, and sort the surviving query
+    * parameters byte-wise (`?b=1&a=2` ≡ `?a=2&b=1` — order is
+    * serving-stack noise). Pure codegen Column algebra (regexes +
+    * the filter/array_sort/array_join higher-order builtins) — the
+    * TextAnalysis map-only shape, linear in URLs at any corpus size.
+    * Percent-encoding is deliberately NOT normalized: decoding can
+    * change semantics (`%2F` vs `/`) and crawlers disagree — a
+    * deployment wanting it composes its own decode in front.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val base = regexp_replace(trim(url), "#.*$", "")
+    val scheme = lower(
+      regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val trimmedPath = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val query = regexp_extract(base, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val qstr = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, qstr)
+  }
 }

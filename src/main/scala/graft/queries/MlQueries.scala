@@ -2926,6 +2926,94 @@ object MlQueries {
 
   val ns69bWarcGzSql: String = ns69WarcSql
 
+  // ------------------------------- ns71 URL canonicalization dedup
+
+  /** Crawl URL dedup ([[TextAnalysis.canonicalizeUrl]]) — the
+    * map-only pre-pass a web corpus runs before any content dedup:
+    * dirty URLs are fabricated in-plan from `orders` (four variants
+    * per key family — mixed-case scheme/host, explicit default
+    * ports for both schemes, utm_* tracking params, shuffled query
+    * order, trailing-slash piles, fragments) and must collapse to
+    * one canonical form per (item, customer) family, counted with
+    * the first-seen key. The oracle restates the whole rewrite —
+    * fragment strip, case fold, default-port drop, slash collapse,
+    * utm filter, byte-wise param sort — closed-form in DuckDB.
+    */
+  val ns71UrlCanon: Q = (s, dir) => {
+    val grp = (col("o_orderkey") % 50).cast("string")
+    val cust = (col("o_custkey") % 100).cast("string")
+    val url = when(col("o_orderkey") % 4 === 0,
+        concat(lit("http://Shop.Example.com/item/"), grp,
+          lit("?z=1&id="), cust, lit("&utm_source=mail")))
+      .when(col("o_orderkey") % 4 === 1,
+        concat(lit("HTTP://shop.example.COM:80/item/"), grp,
+          lit("/?id="), cust, lit("&z=1")))
+      .when(col("o_orderkey") % 4 === 2,
+        concat(lit("http://shop.example.com/item/"), grp,
+          lit("?utm_campaign=x&id="), cust, lit("&z=1#top")))
+      .otherwise(
+        concat(lit("https://Shop.example.com:443/item/"), grp,
+          lit("//?id="), cust, lit("&utm_medium=y#frag")))
+    Tables.orders(s, dir)
+      .select(TextAnalysis.canonicalizeUrl(url).as("canonical_url"),
+        col("o_orderkey"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        min(col("o_orderkey")).as("first_seen"))
+      .orderBy(col("canonical_url"))
+  }
+
+  val ns71UrlCanonSql: String =
+    """WITH u AS (
+      |  SELECT o_orderkey,
+      |    CASE CAST(o_orderkey % 4 AS INT)
+      |      WHEN 0 THEN 'http://Shop.Example.com/item/' ||
+      |        (o_orderkey % 50) || '?z=1&id=' || (o_custkey % 100) ||
+      |        '&utm_source=mail'
+      |      WHEN 1 THEN 'HTTP://shop.example.COM:80/item/' ||
+      |        (o_orderkey % 50) || '/?id=' || (o_custkey % 100) ||
+      |        '&z=1'
+      |      WHEN 2 THEN 'http://shop.example.com/item/' ||
+      |        (o_orderkey % 50) || '?utm_campaign=x&id=' ||
+      |        (o_custkey % 100) || '&z=1#top'
+      |      ELSE 'https://Shop.example.com:443/item/' ||
+      |        (o_orderkey % 50) || '//?id=' || (o_custkey % 100) ||
+      |        '&utm_medium=y#frag'
+      |    END AS url
+      |  FROM orders
+      |), b AS (
+      |  SELECT o_orderkey, regexp_replace(trim(url), '#.*$', '') AS base
+      |  FROM u
+      |), p AS (
+      |  SELECT o_orderkey,
+      |    lower(regexp_extract(base,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(base,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |    regexp_extract(base,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(base, '\?([^#]*)', 1) AS query
+      |  FROM b
+      |), n AS (
+      |  SELECT o_orderkey, scheme,
+      |    CASE WHEN scheme = 'http'
+      |        THEN regexp_replace(hostport, ':80$', '')
+      |      WHEN scheme = 'https'
+      |        THEN regexp_replace(hostport, ':443$', '')
+      |      ELSE hostport END AS host,
+      |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+      |      ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+      |    list_sort(list_filter(string_split(query, '&'),
+      |      q -> q <> '' AND NOT starts_with(q, 'utm_'))) AS params
+      |  FROM p
+      |)
+      |SELECT scheme || '://' || host || path ||
+      |    CASE WHEN len(params) > 0
+      |      THEN '?' || array_to_string(params, '&') ELSE '' END
+      |    AS canonical_url,
+      |  count(*) AS n_urls, min(o_orderkey) AS first_seen
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------- ns68 unified takedown capstone
 
   /** The ns68 readmission batch's genuinely-novel document — ONE fixed
@@ -5852,6 +5940,7 @@ object MlQueries {
     "ns68c_takedown_ledger" -> ns68cTakedownLedger,
     "ns69_warc" -> ns69Warc,
     "ns69b_warc_gz" -> ns69bWarcGz,
+    "ns71_url_canon" -> ns71UrlCanon,
     "ns15_lsh_ann" -> ns15LshAnn,
     "ns16_dedup_clusters" -> ns16DedupClusters,
     "ns17_sample_split" -> ns17SampleSplit,
@@ -5984,6 +6073,7 @@ object MlQueries {
     "ns68c_takedown_ledger" -> ns68cTakedownLedgerSql,
     "ns69_warc" -> ns69WarcSql,
     "ns69b_warc_gz" -> ns69bWarcGzSql,
+    "ns71_url_canon" -> ns71UrlCanonSql,
     "ns16_dedup_clusters" -> ns16DedupClustersSql,
     "ns17_sample_split" -> ns17SampleSplitSql,
     "ns18_tfidf" -> ns18TfidfSql,

@@ -1237,6 +1237,31 @@ class MlSpec extends SparkSpec {
     assert(r)
   }
 
+  test("canonicalizeUrl: fragment/case/default-port/trailing-slash/" +
+      "utm/param-order variants collapse to one form; non-default " +
+      "ports, non-http schemes, and utm-only queries keep their " +
+      "meaning") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+        .head().getString(0)
+    val want = "http://shop.example.com/item/7?a=2&b=1"
+    assert(canon("HTTP://Shop.Example.COM:80/item/7/?b=1&a=2#frag")
+      === want)
+    assert(canon("http://shop.example.com/item/7?a=2&utm_source=x&b=1")
+      === want)
+    assert(canon("http://shop.example.com/item/7//?b=1&a=2") === want)
+    // https drops ITS default port, not http's
+    assert(canon("https://h.com:443/") === "https://h.com/")
+    assert(canon("https://h.com:80/x") === "https://h.com:80/x")
+    // a non-default port survives; so does a non-http scheme's port
+    assert(canon("http://h.com:8080/x") === "http://h.com:8080/x")
+    assert(canon("ftp://h.com:80/x") === "ftp://h.com:80/x")
+    // empty path and utm-only query normalize to the bare root
+    assert(canon("http://H.com?utm_medium=a") === "http://h.com/")
+  }
+
   test("multimodal decode plumbing: typed mapPartitions round-trip") {
     val media = Multimodal.mediaTable(docs.limit(10))
     val feats = Multimodal.decodeFeatures(media).collect()
