@@ -189,7 +189,13 @@ object TextAnalysis {
     * TextAnalysis map-only shape, linear in URLs at any corpus size.
     * Percent-encoding is deliberately NOT normalized: decoding can
     * change semantics (`%2F` vs `/`) and crawlers disagree — a
-    * deployment wanting it composes its own decode in front.
+    * deployment wanting it composes its own decode in front. A value
+    * with no `scheme://` (scheme-relative `//cdn…`, bare
+    * `www.a.com/x`, `mailto:…`) passes through VERBATIM rather than
+    * collapsing — every unparseable record canonicalizing to one
+    * junk value would silently merge unrelated pages in the dedup
+    * this feeds; a deployment wanting scheme-defaulting composes it
+    * in front.
     */
   def canonicalizeUrl(url: Column): Column = {
     val base = regexp_replace(trim(url), "#.*$", "")
@@ -210,6 +216,7 @@ object TextAnalysis {
       p => p =!= "" && !p.startsWith("utm_")))
     val qstr = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
-    concat(scheme, lit("://"), host, path, qstr)
+    when(scheme === "", trim(url))
+      .otherwise(concat(scheme, lit("://"), host, path, qstr))
   }
 }

@@ -300,6 +300,17 @@ object Versioning {
     * column would break exactly the replay absorption this ledger
     * exists to provide (so would a wall-clock stamp; timestamps are
     * the deployment's ingest-wrapper job if policy demands them).
+    *
+    * Migration note (r16 session review): `request_tag` joined the
+    * schema in r16 and also entered the sig. A ledger directory
+    * written BEFORE that holds 5-column files — read it with
+    * `mergeSchema` (or backfill once) or `request_tag` resolution
+    * depends on which footer Spark samples; and a drain that crashed
+    * pre-upgrade between its forget and its drained marks will, on
+    * its post-upgrade replay, append a second (now-tagged) row for
+    * the same cascade — the two-row shape is readable (same ids and
+    * tables, one empty and one tagged) and confined to that one
+    * upgrade window.
     */
   private def appendForgetLedger(
       spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
@@ -373,16 +384,18 @@ object Versioning {
     // loudly BEFORE any erase — the r16 review found the original
     // flat rewrite would silently leave partitioned versions in
     // place; now every layout has a correct path or a loud refusal.
-    val partDirs = fs.listStatus(root).toSeq.filter(st =>
+    val rootListing = fs.listStatus(root).toSeq
+    val partDirs = rootListing.filter(st =>
       st.isDirectory && st.getPath.getName.contains("="))
     if (partDirs.isEmpty) forgetFlat(spark, ids, root, stage, key)
     else {
       val levels = partitionTree(fs, root, partDirs.map(_.getPath))
       if (levels.isEmpty) {
         // every partition branch is hollow debris (a fully-erased
-        // key-partitioned table whose ancestor sweep died): any rows
-        // could only live in flat files beside the husks
-        if (fs.listStatus(root).exists(st =>
+        // key-partitioned table whose ancestor sweep died — at any
+        // depth): any rows could only live in flat files beside the
+        // husks (one listing, taken above, answers both questions)
+        if (rootListing.exists(st =>
             st.isFile && st.getPath.getName.endsWith(".parquet")))
           forgetFlat(spark, ids, root, stage, key)
         else 0L
@@ -413,14 +426,23 @@ object Versioning {
     def walk(dirs: Seq[org.apache.hadoop.fs.Path],
         acc: Seq[(String, Seq[org.apache.hadoop.fs.Path])])
         : Seq[(String, Seq[org.apache.hadoop.fs.Path])] = {
-      // HOLLOW directories are pruned, not treated as data leaves: a
-      // key-level erase that crashed between deleting its doomed
-      // children and sweeping the emptied ancestors leaves an empty
-      // branch, and the documented crash remedy — re-running forget —
-      // must not wedge on its own debris (the r16 session review)
-      val listed = dirs.map(d => d -> fs.listStatus(d).toSeq)
-        .filter(_._2.nonEmpty)
-      if (listed.isEmpty) acc
+      // HOLLOW directories are pruned AND deleted, not treated as
+      // data leaves: a key-level erase that crashed between deleting
+      // its doomed children and sweeping the emptied ancestors
+      // leaves an empty branch, and the documented crash remedy —
+      // re-running forget — must not wedge on its own debris; the
+      // walk runs under the table's writer lock, so sweeping the
+      // already-listed empty husks here is safe and keeps crash
+      // debris from accumulating (the r16 session review). An
+      // all-hollow level at ANY depth means the partition tree holds
+      // zero data files — signalled as Seq.empty so the dispatch
+      // never hands truncated levels to the rewrite path.
+      val all = dirs.map(d => d -> fs.listStatus(d).toSeq)
+      all.filter(_._2.isEmpty).foreach { case (d, _) =>
+        fs.delete(d, false); ()
+      }
+      val listed = all.filter(_._2.nonEmpty)
+      if (listed.isEmpty) Seq.empty
       else {
         val live = listed.map(_._1)
         val cols = live.map(_.getName.takeWhile(_ != '=')).distinct

@@ -99,8 +99,10 @@ object ErasureIngest {
     * rows physically removed) — a drain with nothing pending is a
     * pure no-op (no forget, no ledger row, no lock taken). Requests
     * arriving AFTER the pending read simply stay pending for the next
-    * drain (the enqueue side is append-only and partition-granular,
-    * so no lock is needed between the stream and the drain).
+    * drain. No lock is needed between the stream and the drain: the
+    * drain reads only COMMITTED partitions, and a committed partition
+    * is never rewritten by the enqueue (an uncommitted one — which
+    * the replay's overwrite DOES rewrite — is invisible here).
     */
   def drain(spark: SparkSession, queuePath: String,
       targets: graft.scd.Versioning.ForgetTargets,
@@ -108,12 +110,14 @@ object ErasureIngest {
       breakStaleLock: Boolean = false): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(queuePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an absent OR fully-compacted queue (every partition emptied to
-    // its replay markers) has nothing pending — and a directory read
-    // of either would die on schema inference
-    if (!fs.exists(root) || !CdcPipeline.hasParquetData(fs, root))
-      return (0L, 0L)
-    val queued = spark.read.parquet(queuePath)
+    // COMMITTED partitions only: an uncommitted one is a crashed
+    // write whose checkpointed replay overwrites it — reading it
+    // would apply a torn batch and race the overwrite mid-scan; an
+    // absent or fully-compacted queue has nothing pending
+    val parts = committedParts(fs, root)
+    if (parts.isEmpty) return (0L, 0L)
+    val queued = spark.read.option("basePath", queuePath)
+      .parquet(parts.map(_.toString): _*)
       .select(col("ingest_batch"), col(key))
     val drainedPath = new org.apache.hadoop.fs.Path(root, DrainedDir)
     val haveMarks = fs.exists(drainedPath) &&
@@ -237,9 +241,10 @@ object ErasureIngest {
   private def batchSets(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): (Set[Long], Set[Long]) = {
-    if (!CdcPipeline.hasParquetData(fs, root))
-      return (Set.empty, Set.empty)
-    val queued = spark.read.parquet(root.toString)
+    val parts = committedParts(fs, root)
+    if (parts.isEmpty) return (Set.empty, Set.empty)
+    val queued = spark.read.option("basePath", root.toString)
+      .parquet(parts.map(_.toString): _*)
     // cast: partition-value inference may type small batch ids as INT
     val queuedBatches = queued.select(col("ingest_batch").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
@@ -260,6 +265,30 @@ object ErasureIngest {
       .collect().map(_.getLong(0)).toSet
     (queuedBatches, pendingBatches)
   }
+
+  /** The queue's COMMITTED, non-emptied request partitions — the only
+    * ones drains and sweeps may read. An UNCOMMITTED partition (no
+    * `_SUCCESS`) is a crashed write the checkpointed stream will
+    * overwrite on replay: reading it would both apply a torn batch
+    * and race the replay's overwrite-delete mid-scan (the r16
+    * session review — committed-only reads are what make the
+    * enqueue/drain pair lock-free, now that the enqueue recovers
+    * debris by overwriting). An EMPTIED partition (compacted to its
+    * replay markers) holds no data and would break schema inference
+    * when every partition is in that state.
+    */
+  private def committedParts(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("ingest_batch="))
+      .map(_.getPath)
+      .filter(p => fs.exists(
+        new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .filter(p => fs.listStatus(p)
+        .exists(_.getPath.getName.endsWith(".parquet")))
 
   /** The mark directories' batch ids (absent dir = none). */
   private def markDirBatches(fs: org.apache.hadoop.fs.FileSystem,

@@ -1260,6 +1260,11 @@ class MlSpec extends SparkSpec {
     assert(canon("ftp://h.com:80/x") === "ftp://h.com:80/x")
     // empty path and utm-only query normalize to the bare root
     assert(canon("http://H.com?utm_medium=a") === "http://h.com/")
+    // no scheme:// → VERBATIM pass-through, never a collapsed junk
+    // value that would merge unrelated records in the dedup
+    assert(canon("www.a.com/x?b=1") === "www.a.com/x?b=1")
+    assert(canon("//cdn.example.com/z") === "//cdn.example.com/z")
+    assert(canon("mailto:u@example.com") === "mailto:u@example.com")
   }
 
   test("multimodal decode plumbing: typed mapPartitions round-trip") {

@@ -418,6 +418,27 @@ class VersioningSpec extends SparkSpec {
         "the replay over the hollow branch must converge")
       assert(spark.read.parquet(byKey).select("item_id")
         .as[Long].collect().toSet === Set(2L))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$byKey/seg=3")),
+        "the walk must sweep the husk it pruned, not accumulate it")
+      // hollowness at a DEEPER level (a 3-level erase that died after
+      // deleting every leaf dir but before any ancestor sweep): the
+      // whole tree holds zero data files and the replay must be a
+      // 0-row no-op, never a truncated-levels rewrite that dies on
+      // schema inference
+      val deep = tmp.resolve("deephollow").toString
+      historyRows("d").withColumn("seg", col("item_id") % 2)
+        .withColumn("sub", col("event_id") % 2)
+        .write.partitionBy("seg", "sub", "item_id").parquet(deep)
+      fs.listStatus(new org.apache.hadoop.fs.Path(deep)).toSeq
+        .filter(_.getPath.getName.startsWith("seg="))
+        .flatMap(s => fs.listStatus(s.getPath).toSeq)
+        .filter(_.getPath.getName.startsWith("sub="))
+        .flatMap(s => fs.listStatus(s.getPath).toSeq)
+        .filter(_.getPath.getName.startsWith("item_id="))
+        .foreach { d => fs.delete(d.getPath, true); () }
+      assert(Versioning.forget(spark, Seq(1L).toDF("item_id"),
+        Versioning.ForgetTargets(historyPath = Some(deep))) === 0L,
+        "an all-hollow deep tree must converge to a no-op")
       // ragged nesting: one branch of a single-level table nests
       // further — the tree walk refuses before any rewrite
       val ragged = tmp.resolve("ragged").toString

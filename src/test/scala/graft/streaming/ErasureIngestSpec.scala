@@ -81,6 +81,20 @@ class ErasureIngestSpec extends SparkSpec {
         spark.sql("SELECT CAST(NULL AS BIGINT) AS item_id"), 9L,
         queue, "item_id")
     }
+    // an UNCOMMITTED partition (a crashed write: data, no _SUCCESS)
+    // is invisible to the drain — reading it would apply a torn
+    // batch and race the replay's overwrite; once the replay commits
+    // it, the requests drain normally
+    ErasureIngest.enqueueBatch(Seq(42L).toDF("item_id"), 3L, queue,
+      "item_id")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$queue/ingest_batch=3/_SUCCESS"), false)
+    assert(ErasureIngest.drain(spark, queue, t) === ((0L, 0L)),
+      "a crashed (uncommitted) batch must stay invisible")
+    ErasureIngest.enqueueBatch(Seq(42L).toDF("item_id"), 3L, queue,
+      "item_id")
+    assert(ErasureIngest.drain(spark, queue, t) === ((1L, 0L)),
+      "the replayed commit makes the request drainable")
   }
 
   test("drain identity is the REQUEST, not the key: a key erased, " +
