@@ -41,10 +41,16 @@ object SetSimJoin {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // tokenize + md5-hash ONCE: tok feeds THREE consumers (the df
+    // aggregate, the ordered prefix derivation, and the verification
+    // arrays) — without the cut each re-runs the shingle explode and
+    // per-shingle md5 from the source scan (the ns22 materialization
+    // discipline)
     val tok = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(HashUtils.wordShingles(col("text"), n)).as("s"))
       .select(col("doc_id"), HashUtils.hash60(col("s")).as("h"))
+      .localCheckpoint()
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // rarest-first position within each doc; ties broken by hash so
     // the ordering is total and identical on every executor

@@ -528,29 +528,37 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("i"), lit(rank).as("rank"), col("j"), col("score"))
+    // Each greedy step is materialized (localCheckpoint of the
+    // |Q|-sized pick) and `remaining` is REBUILT flat from the
+    // checkpointed rel ⟂ picked-so-far union each step, instead of
+    // chaining anti-joins onto the previous step's plan: the chained
+    // form nests every earlier step's subtree into the next (the final
+    // k = 5 plan measured ~10,700 formatted-plan lines at sf0.1, with
+    // the shared subtrees re-planned and re-codegen'd per step), the
+    // guide's wide-plan materialization rule. The trajectory is
+    // unchanged — each step still scores exactly the not-yet-picked
+    // candidates against the picked set.
     // step 1: pure relevance (max over the empty selected set is 0)
-    var selected = pick(rel.withColumn("score",
-      round(lit(lam) * col("rel"), 6)), 1)
-    var remaining = rel.join(selected.select(col("i"), col("j")),
-      Seq("i", "j"), "left_anti")
+    var steps = List(pick(rel.withColumn("score",
+      round(lit(lam) * col("rel"), 6)), 1).localCheckpoint())
     for (t <- 2 to k) {
+      val pickedIJ = steps.map(_.select(col("i"), col("j")))
+        .reduce(_.unionAll(_))
+      val remaining = rel.join(pickedIJ, Seq("i", "j"), "left_anti")
       // LEFT join + null-skipping max: a candidate whose pairs are
       // all unscorable stays in play with maxsim 0 instead of
       // silently dropping out of the step
       val maxsim = remaining
-        .join(selected.select(col("i"), col("j").as("ja")), Seq("i"))
+        .join(pickedIJ.withColumnRenamed("j", "ja"), Seq("i"))
         .join(sims.withColumnRenamed("jb", "j"), Seq("i", "ja", "j"),
           "left")
         .groupBy(col("i"), col("j"), col("rel"))
         .agg(coalesce(max(col("sim")), lit(0.0)).as("maxsim"))
       val scored = maxsim.withColumn("score",
         round(lit(lam) * col("rel") - lit(1 - lam) * col("maxsim"), 6))
-      val step = pick(scored, t)
-      selected = selected.unionByName(step)
-      remaining = remaining.join(step.select(col("i"), col("j")),
-        Seq("i", "j"), "left_anti")
+      steps ::= pick(scored, t).localCheckpoint()
     }
-    selected.orderBy(col("i"), col("rank"))
+    steps.reverse.reduce(_.unionByName(_)).orderBy(col("i"), col("rank"))
   }
 
   /** Sign bits of a vector packed into ⌈dim/64⌉ longs — bit b of word
@@ -1511,9 +1519,18 @@ object Similarity {
     */
   def fitCentroids(embeddings: DataFrame, nCells: Int, iters: Int)
       : DataFrame = {
-    var cents = seedCentroids(embeddings, nCells).localCheckpoint()
+    // normalize ONCE: every Lloyd round re-reading the source would
+    // re-scan parquet and re-run the cast+norm projection iters times
+    // (the pcaTopComponent/fitPqCodebook sibling of the ns22
+    // materialization discipline); the checkpointed (vec_id, e, nrm)
+    // rows are what every round's assignment actually consumes
+    val n = withNorm(embeddings).localCheckpoint()
+    var cents = n.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("e").as("ce"),
+        col("nrm").as("cn"))
+      .localCheckpoint()
     for (_ <- 0 until iters) {
-      val assigned = assignCells(embeddings, cents)
+      val assigned = assignRanked(n, cents, probes = 1)
       val mean = assigned
         .select(col("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos"))
@@ -2317,7 +2334,12 @@ object Similarity {
     require(nSub >= 1 && codesPerSub >= 1 && codesPerSub <= 256,
       "need 1..256 codes per subspace (codes pack to one byte)")
     val n = withNorm(embeddings)
-    val svs = subVectors(n, nSub)
+    // materialize the subvector slices ONCE: every Lloyd round
+    // re-deriving them would re-scan the source and re-run the
+    // cast+norm+explode+slice chain iters times (the fitCentroids
+    // discipline) — the checkpointed (vec_id, sub, sv) rows are what
+    // every round's assignment actually consumes
+    val svs = subVectors(n, nSub).localCheckpoint()
     val seedIds = n.orderBy(col("vec_id")).limit(codesPerSub)
       .select(col("vec_id"))
     val codeW = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
@@ -3027,8 +3049,9 @@ object Similarity {
     * NEVER materialized — at dim = 4096 that's the difference between
     * shipping 32 KB per step and 128 MB ever. The per-row work is two
     * codegen dots over a centered array built once per row
-    * (whole-stage CSE dedups the shared subexpressions). Data is
-    * rescanned per step — cache upstream for a real run (the GD note).
+    * (whole-stage CSE dedups the shared subexpressions). The validated
+    * frame is localCheckpointed once, so each step reads materialized
+    * (vec_id-free) array rows instead of rescanning the source.
     * Degenerate (zero/NaN/Inf-norm) vectors are excluded: one NaN
     * coordinate would poison every mean.
     */
@@ -3046,6 +3069,12 @@ object Similarity {
             lit(s"pcaTopComponent: expected dim $dim, found "),
             col("_sz").cast("string")))).as("_ck"))
       .select(col("_ck").as("e"))
+      // materialize ONCE: the count, the mean pass, and every power
+      // step below each rescan this frame — without the cut that is
+      // iters + 3 parquet scans re-running the cast/norm/dim-check
+      // chain (the fitCentroids/fitPqCodebook discipline; this
+      // scaladoc's own "cache upstream" note, now done in-operator)
+      .localCheckpoint()
     val idx = 0 until dim
     // every driver round-trip is a posexplode → groupBy(pos) pass: the
     // plan is dim-independent and literal-light, so whole-stage
