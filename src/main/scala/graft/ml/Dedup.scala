@@ -239,7 +239,12 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = minhashSignatures(docs, n, k)
+    // materialize the signature aggregate ONCE: its three consumers
+    // prune to DIFFERENT columns (banded reads `sig`, each verify join
+    // reads `hs`), so their scan→explode→md5→aggregate subtrees
+    // canonicalize differently and exchange reuse cannot dedup them —
+    // without the cut the tokenize+hash stage runs twice per call
+    val sigs = minhashSignatures(docs, n, k).localCheckpoint()
     // LATE MATERIALIZATION: the band rows and the candidate distinct
     // carry ONLY (doc_id, band, bh) — carrying each document's full
     // `hs` shingle-hash array through `bands`× explosion, the bucket
@@ -308,9 +313,14 @@ object Dedup {
     // the whole loop; the label chain advances (and frees) per round
     val edgeCkpt = new GenCheckpointer(spark, reliable)
     val labelCkpt = new GenCheckpointer(spark, reliable)
+    // cut the PAIR list before the symmetrize union: the two union
+    // branches are different projections of the same input, so the
+    // whole upstream pair-generation plan (a banded dedup join for
+    // every registry caller) would otherwise execute once per branch
+    val p = edgeCkpt.cut(pairs.select(col("i"), col("j")))
     val edges = edgeCkpt.cut(
-      pairs.select(col("i").as("a"), col("j").as("b"))
-        .union(pairs.select(col("j").as("a"), col("i").as("b"))))
+      p.select(col("i").as("a"), col("j").as("b"))
+        .union(p.select(col("j").as("a"), col("i").as("b"))))
     var labels = labelCkpt.cut(docs.select(col("doc_id"),
       col("doc_id").as("cluster_id")))
     // Convergence probe: labels only ever DECREASE (least of self and

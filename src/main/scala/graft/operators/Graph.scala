@@ -105,9 +105,14 @@ object Graph {
     // per-round reclamation applies here (unlike shortestPathsBounded);
     // only the edge snapshot is freeable once expansion ends
     val edgeCk = new graft.ml.GenCheckpointer(edges.sparkSession, reliable)
-    val directed = edgeCk.cut(edges
+    // cut the edge list BEFORE the symmetrize union — the two branches
+    // are different projections of the same input, so the upstream
+    // edge-derivation plan would otherwise execute once per branch
+    // (the Dedup.clusters discipline)
+    val e0 = edgeCk.cut(edges.select(col("p1"), col("p2")))
+    val directed = edgeCk.cut(e0
       .select(col("p1").as("src"), col("p2").as("dst"))
-      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+      .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst"))))
     var frontiers = List(cut(seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0))))
     var d = 0
@@ -181,9 +186,12 @@ object Graph {
     val edgeCk = new graft.ml.GenCheckpointer(spark, reliable)
     val distCk = new graft.ml.GenCheckpointer(spark, reliable)
     val frontCk = new graft.ml.GenCheckpointer(spark, reliable)
-    val directed = edgeCk.cut(edges
+    // pre-cut before the symmetrize union (the bfsHops note): the two
+    // branches would otherwise each run the edge-derivation plan
+    val e0 = edgeCk.cut(edges.select(col("p1"), col("p2"), col("w")))
+    val directed = edgeCk.cut(e0
       .select(col("p1").as("src"), col("p2").as("dst"), col("w"))
-      .unionAll(edges
+      .unionAll(e0
         .select(col("p2").as("src"), col("p1").as("dst"), col("w"))))
     var dist = distCk.cut(seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)))
@@ -240,8 +248,14 @@ object Graph {
     * clustering-coefficient denominator), computed from the degree
     * aggregate — the oriented wedge join never materializes it.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+  def triangleStats(edgesIn: DataFrame): DataFrame = {
+    // the edge list feeds FIVE consumers (degree aggregate, two
+    // orientation joins, the wedge-close semi-join, the edge count) —
+    // for a co-occurrence input each re-derivation re-runs the bag
+    // self-join + distinct; materialize once (the pageRank/bfsHops
+    // edge-snapshot discipline)
+    val edges = edgesIn.localCheckpoint()
+    val deg = degrees(edges).localCheckpoint()
     val keyed = deg.select(col("node"),
       (col("deg") * lit(4294967296L) + col("node")).as("okey"))
     val e = edges
@@ -314,11 +328,14 @@ object Graph {
     * per orientation, biasing each edge's effective keep probability
     * to 1−(1−p)² (the r12 advice finding).
     */
-  def triangleStatsSampled(edges: DataFrame, keepNum: Int,
+  def triangleStatsSampled(edgesIn: DataFrame, keepNum: Int,
       keepDen: Int, seed: Long = 0L): DataFrame = {
     require(keepNum > 0 && keepNum <= keepDen,
       "need 0 < keepNum <= keepDen")
     val p3 = math.pow(keepNum.toDouble / keepDen, 3)
+    // same materialize-once rule as triangleStats: the full edge list
+    // is read by both the sample filter and the n_edges_full count
+    val edges = edgesIn.localCheckpoint()
     val kept = edges.filter(
       pmod(graft.functions.Hash60(
           concat_ws("_", lit(seed), col("p1"), col("p2"))
@@ -382,9 +399,12 @@ object Graph {
     // constructor — still checked up front, not discovered mid-loop.
     val prCk = new graft.ml.GenCheckpointer(edges.sparkSession, reliable)
     val edgeCk = new graft.ml.GenCheckpointer(edges.sparkSession, reliable)
-    val directed = edgeCk.cut(edges
+    // pre-cut before the symmetrize union (the bfsHops note): the two
+    // branches would otherwise each run the edge-derivation plan
+    val e0 = edgeCk.cut(edges.select(col("p1"), col("p2")))
+    val directed = edgeCk.cut(e0
       .select(col("p1").as("src"), col("p2").as("dst"))
-      .unionAll(edges.select(col("p2").as("src"), col("p1").as("dst"))))
+      .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst"))))
     val deg = cut(directed.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")))
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
