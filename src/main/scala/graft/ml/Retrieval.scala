@@ -126,7 +126,12 @@ object Retrieval {
       explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl = Σ tf per doc — deriving it FROM tf instead of a second
+    // groupBy over the token stream halves the tokenize+explode work
+    // (the two aggregates prune/group differently, so exchange reuse
+    // could not dedup them) and re-aggregates |doc×term| rows instead
+    // of |tokens|; same integer counts bit-for-bit
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     (tf, dl, stats)
