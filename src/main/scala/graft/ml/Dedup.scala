@@ -958,6 +958,11 @@ object Dedup {
     */
   def exactSubstr(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"exactSubstr: span width k must be >= 2, got $k")
+    // NOT localCheckpointed (unlike the batch-sized incremental sh):
+    // this frame is CORPUS-sized (one row per token position), so
+    // materializing it trades a second scan+shingle pass for writing
+    // the whole positional table to executor storage — measured a
+    // wash at sf0.1 and the wrong trade at 100 TB
     val sh = posShingleHashes(docs, k)
     // min(doc) is the canonical holder; min != max detects >=2 distinct
     // docs with ONE aggregate (no countDistinct second shuffle)
@@ -997,6 +1002,10 @@ object Dedup {
     // gaps-and-islands merge: a span starting at or before the running
     // max end + 1 extends the island (adjacent spans fuse — contiguous
     // duplicated regions count once)
+    // materialized once: stats and the removal explode both consume
+    // the merged islands, and each would otherwise re-run the span
+    // derivation (a join back through the whole shingle front) plus
+    // both windows; island rows are ≤ spans and typically tiny
     val merged = spans
       .withColumn("prev_max_e", max(col("e")).over(pre))
       .withColumn("new_island", when(col("prev_max_e").isNull
@@ -1004,6 +1013,7 @@ object Dedup {
       .withColumn("island", sum(col("new_island")).over(run))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .localCheckpoint()
     val stats = merged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_tokens"))
@@ -1505,7 +1515,9 @@ object Dedup {
     // nor let same-batch spans flag against it via the within-batch
     // min — the survivor corpus contains neither (session review)
     val live = maskDeletedDocs(spark, tomb, newDocs)
-    val sh = posShingleHashes(live, k)
+    // shingle+hash ONCE (the exactSubstr rationale): sh feeds the
+    // bucket collect, the batch-min aggregate, and the span join
+    val sh = posShingleHashes(live, k).localCheckpoint()
     // bounded driver action: ≤ n_buckets distinct bucket ids, the
     // partition-prune list for the index probe
     val bkts = sh.select(pmod(col("h"), lit(nBuckets.toLong)).as("bkt"))
