@@ -2625,11 +2625,16 @@ object Similarity {
       .agg((max(col("sub")) + 1).cast("int").as("nsub"),
         (max(col("code")) + 1).cast("int").as("k")).head()
     val (nSub, codesPerSub) = (dims.getInt(0), dims.getInt(1))
-    val nq = withNorm(queries)
+    // normalize and assign ONCE (the queryIvfCore discipline): nq
+    // feeds the cell assignment, the LUT derivation, and the exact
+    // rescore join; qr is then EXECUTED by the probed-cell collect and
+    // consumed again by the ADC join. Both are query-batch-sized.
+    val nq = withNorm(queries).localCheckpoint()
     val qr = assignRanked(nq, cents, probes)
       .select(col("vec_id").as("i"), col("nrm").as("na"), col("cell"))
       .join(pqLutNormed(nq, codebook, nSub, codesPerSub)
         .select(col("vec_id").as("i"), col("lut")), Seq("i"))
+      .localCheckpoint()
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
     val pruned = maskDeleted(spark, paths, paths.map { p =>
@@ -2938,9 +2943,14 @@ object Similarity {
       probes: Int, cellCandidateCap: Long): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
     require(paths.nonEmpty, "need at least one index table")
+    // assignment ONCE: the probed-cell collect below EXECUTES this
+    // frame (a ranked window over |queries|·probes rows) and the serve
+    // join would otherwise re-run it from the query source; the
+    // materialized rows are |queries|·probes — query-batch-sized
     val qr = assignRanked(withNorm(queries), cents, probes)
       .select(col("vec_id").as("i"), col("e").as("ea"),
         col("nrm").as("na"), col("cell"))
+      .localCheckpoint()
     val cells = qr.select(col("cell")).distinct()
       .collect().map(_.getLong(0))
     val pruned = maskDeleted(spark, paths, paths.map { p =>
