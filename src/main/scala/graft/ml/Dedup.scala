@@ -509,9 +509,17 @@ object Dedup {
         .select(col("i"), col("j"), col("hamming"))
     else {
       val nSub = maxHamming + 1
+      // the sized band table feeds FOUR consumers (cold/hot branch ×
+      // both self-join sides) whose filters and keys differ, so no
+      // exchange is reusable — without a cut the signature aggregate
+      // (60 bit-votes over every word) plus the band explode and the
+      // sizing window execute four times. N·bands narrow rows,
+      // materialized once — the same order of storage as the band
+      // shuffle the join needs anyway.
       val sized = banded.withColumn("bsz",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_bits"))))
+        .localCheckpoint()
       val cold = pairJoin(sized.filter(col("bsz") <= hotBucketCap),
         Seq("band", "band_bits"))
       val hot = pairJoin(

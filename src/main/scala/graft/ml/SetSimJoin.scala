@@ -64,8 +64,18 @@ object SetSimJoin {
     // floating tau*|s| that lands an ulp ABOVE an exact integer from
     // shortening the prefix (losing a true pair) — it can only ever
     // lengthen it by one token
+    // The prefix table feeds BOTH sides of the candidate self-join,
+    // and its derivation (df aggregate + join + two doc-partitioned
+    // windows) canonicalizes differently under each side's renames, so
+    // ReuseExchange cannot dedup it — without a cut the whole window
+    // front executes twice (measured: doubled Window/HashAggregate
+    // subtrees in the ns39 before plan). The prefix rows are the SMALL
+    // end of the operator (~(1−τ)·|s|+1 tokens per doc, 3 narrow
+    // columns), so materializing once is the right trade at any scale.
     val prefix = ordered.filter(col("pos") <=
       col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("h"), col("sz"))
+      .localCheckpoint()
     val cand = prefix.select(col("doc_id").as("i"), col("h"),
         col("sz").as("sz_i"))
       .join(prefix.select(col("doc_id").as("j"), col("h"),

@@ -1030,7 +1030,15 @@ object Similarity {
       case Some(t) => raw.join(t, Seq("vec_id"), "left_anti")
       case None => raw
     }
-    (dim, z)
+    // the serve consumes the alive rows TWICE (query semi-join side +
+    // candidate side of the Hamming cross join). On the quiescent
+    // single-root path z is the bare parquet scan — duplicating it is
+    // cheaper than a materialization job (the r11→r12 unconditional-
+    // dedup lesson). But once the read is HARDENED (vec_id dedup
+    // aggregate and/or tombstone anti-join), re-executing that work
+    // per consumer doubles it — materialize the N bit-rows once.
+    val hardened = !(raw eq rawUnion) || !(z eq raw)
+    (dim, if (hardened) z.localCheckpoint() else z)
   }
 
   /** The scan serve tail: |queries|·N xor+popcount candidate rank,
@@ -1560,7 +1568,10 @@ object Similarity {
     */
   def ivfTopKWithCentroids(embeddings: DataFrame, cents: DataFrame,
       k: Int): DataFrame = {
-    val assigned = assignCells(embeddings, cents)
+    // both sides of the intra-cell join read the assignment;
+    // materialize the N×|cents| cosine pass once (the semDedup /
+    // ivfTopKAuto single-assignment-pass discipline)
+    val assigned = assignCells(embeddings, cents).localCheckpoint()
     val a = assigned.select(col("vec_id").as("i"), col("e").as("ea"),
       col("nrm").as("na"), col("cell"))
     val b = assigned.select(col("vec_id").as("j"), col("e").as("eb"),
@@ -1663,7 +1674,11 @@ object Similarity {
   def ivfTopKMultiProbe(embeddings: DataFrame, cents: DataFrame,
       k: Int, probes: Int): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
+    // ONE ranked assignment pass by construction — and one EXECUTION
+    // too: the query side and the crk=1 index slice both consume it,
+    // so materialize the N·probes assignment rows once
     val ranked = assignRanked(withNorm(embeddings), cents, probes)
+      .localCheckpoint()
     val index = ranked.filter(col("crk") === 1)
       .select(col("vec_id").as("j"), col("e").as("eb"),
         col("nrm").as("nb"), col("cell"))
@@ -2840,8 +2855,13 @@ object Similarity {
     */
   def semDedup(embeddings: DataFrame, cents: DataFrame,
       threshold: Double, cellOccupancyCap: Long = 0L): DataFrame =
-    semDedupFromAssigned(assignCells(embeddings, cents), threshold,
-      cellOccupancyCap)
+    // the assignment feeds three consumers in semDedupFromAssigned
+    // (both sides of the intra-cell self-join + the final every-vector
+    // projection); materialize it once so the N×|cents| cosine pass
+    // runs once — the same single-assignment-pass discipline
+    // semDedupAuto already applies before its volume measurement
+    semDedupFromAssigned(assignCells(embeddings, cents).localCheckpoint(),
+      threshold, cellOccupancyCap)
 
   /** The SemDeDup ROUTER — [[graft.ml.Dedup.simhashPairsAuto]]'s
     * measured-volume discipline in embedding space, making the
