@@ -1407,9 +1407,19 @@ object Similarity {
     */
   def withRecall(approx: DataFrame, brute: DataFrame,
       sampleMod: Int = 1): DataFrame = {
+    // BOTH inputs feed two consumers: approx drives the hit count AND
+    // the final full join, bruteIds drives the hit semi-join AND the
+    // per-query truth counts. Without a cut the ENTIRE approximate
+    // pipeline and the N²-window brute reference each execute twice
+    // per gate — the single largest re-derivation in the registry
+    // (every ANN entry wraps itself in this). Both frames are
+    // top-k-sized (≤ N·k rows), so materializing them is cheap at any
+    // scale.
+    val ap = approx.localCheckpoint()
     val bruteIds = brute.filter(pmod(col("i"), lit(sampleMod)) === 0)
       .select(col("i"), col("j"))
-    val hits = approx.select(col("i"), col("j"))
+      .localCheckpoint()
+    val hits = ap.select(col("i"), col("j"))
       .join(bruteIds, Seq("i", "j"), "left_semi")
       .groupBy(col("i")).agg(count(lit(1)).as("n_hits"))
     val recalls = bruteIds.groupBy(col("i")).agg(count(lit(1)).as("n_true"))
@@ -1417,7 +1427,7 @@ object Similarity {
       .select(col("i"),
         round(coalesce(col("n_hits"), lit(0)).cast("double")
           / col("n_true"), 4).as("recall"))
-    approx.join(recalls, Seq("i"), "full")
+    ap.join(recalls, Seq("i"), "full")
   }
 
   /** [[nearDupPairs]]'s scale path: LSH band-collision candidates
@@ -2454,7 +2464,10 @@ object Similarity {
     require(probes >= 1, "probes must be >= 1")
     import graft.functions.VectorFunctions.adc
     val n = withNorm(embeddings)
-    val ranked = assignRanked(n, cents, probes)
+    // query side and crk=1 index slice both consume the ranked
+    // assignment — materialize the N·probes rows once (the
+    // ivfTopKMultiProbe discipline)
+    val ranked = assignRanked(n, cents, probes).localCheckpoint()
     val index = ranked.filter(col("crk") === 1)
       .select(col("vec_id").as("j"), col("cell"))
       .join(pqEncode(embeddings, codebook, nSub)
@@ -3114,20 +3127,25 @@ object Similarity {
     // operator, recompiled every step because the inlined literals
     // change). The exploded stream is dim·N rows of ~20 bytes with
     // map-side partial averaging — dim·|partitions| partials shuffle.
+    // the vector count rides every pass (count per pos group — exact:
+    // the dim check above guarantees each pos appears once per
+    // vector), so the fit needs no separate count() job
+    var nVecs = 0L
     def byPos(df: DataFrame, value: Column): Array[Double] = {
       val rows = df.select(posexplode(col("c")), col("_p"))
-        .groupBy(col("pos")).agg(avg(value).as("m"))
+        .groupBy(col("pos"))
+        .agg(avg(value).as("m"), count(lit(1)).as("n"))
         .collect()
       require(rows.length == dim,
         s"pcaTopComponent: expected $dim coordinates, got ${rows.length}")
+      nVecs = rows.head.getLong(2)
       val out = new Array[Double](dim)
       rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
       out
     }
-    val nVecs = e.count()
-    require(nVecs > 0, "cannot fit PCA on an empty embedding set")
     val mu = byPos(e.select(col("e").as("c"), lit(1.0).as("_p")),
       col("col"))
+    require(nVecs > 0, "cannot fit PCA on an empty embedding set")
     val centered = array(idx.map(i =>
       element_at(col("e"), i + 1) - lit(mu(i))): _*)
     def step(v: Array[Double]): Array[Double] = {
